@@ -1,0 +1,784 @@
+"""Pandas-style lazy collections over PySpark DataFrames.
+
+This is the engine's equivalent of the reference's ``FrameBase`` /
+``DataFrame`` / ``Series`` / ``Scalar`` collections
+(/root/reference/dask_expr/_collection.py:292,2677,4077,4783) — but with
+NO expression tree of our own: every facade method immediately composes
+the corresponding ``pyspark.sql`` operation and Catalyst is the
+optimizer (projection/filter pushdown, join strategy, partial
+aggregation, whole-stage codegen all come for free; see SURVEY.md §4).
+
+Engine-level metadata we DO track (the one thing Spark lacks,
+SURVEY.md §1.4):
+
+- ``index_cols`` — the ordered-index columns, kept as ordinary columns
+  in the Spark plan and re-attached as the pandas index on
+  ``compute()``. Analogue of the reference's implicit partition index.
+- ``known_sorted`` — True when the frame is range-partitioned and
+  sorted by ``index_cols`` (the analogue of "known divisions",
+  /root/reference/dask_expr/_expr.py:378). ``set_index`` /
+  ``sort_values`` establish it; order-dependent ops (shift, diff,
+  cumsum, rolling, asof) key off the index columns instead of
+  positional order.
+
+Series design: a ``Series`` holds a Spark *Column expression* anchored
+to an owning Spark DataFrame. Operations between Series with the same
+anchor compose column expressions (narrow, fused by codegen); Series
+from different anchors are aligned by an index equi-join — the Spark
+analogue of the reference's ``are_co_aligned`` check
+(/root/reference/dask_expr/_expr.py:3140).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["DataFrame", "Series", "Scalar", "GroupBy", "from_spark", "concat"]
+
+
+# --------------------------------------------------------------------------
+# aggregation spec mapping (reference: GroupbyAggregation spec normalization,
+# /root/reference/dask_expr/_groupby.py:374-411; frame reductions
+# /root/reference/dask_expr/_reductions.py:761-1545)
+# --------------------------------------------------------------------------
+
+def _agg_expr(func, col: str) -> Column:
+    c = F.col(col)
+    if callable(func):
+        # custom aggregation expression (reference: custom Aggregation,
+        # _groupby.py:95) — Column → Column
+        return func(c)
+    table: dict[str, Callable[[], Column]] = {
+        "sum": lambda: F.sum(c),
+        "prod": lambda: F.product(c),
+        "product": lambda: F.product(c),
+        "mean": lambda: F.avg(c),
+        "avg": lambda: F.avg(c),
+        "min": lambda: F.min(c),
+        "max": lambda: F.max(c),
+        "count": lambda: F.count(c),
+        "size": lambda: F.count(F.lit(1)),
+        "first": lambda: F.first(c, ignorenulls=True),
+        "last": lambda: F.last(c, ignorenulls=True),
+        "var": lambda: F.var_samp(c),
+        "std": lambda: F.stddev_samp(c),
+        "sem": lambda: F.stddev_samp(c) / F.sqrt(F.count(c)),
+        "skew": lambda: F.skewness(c),
+        "kurt": lambda: F.kurtosis(c),
+        "median": lambda: F.median(c),
+        "nunique": lambda: F.countDistinct(c),
+        "approx_nunique": lambda: F.approx_count_distinct(c),
+        "any": lambda: F.max(c.cast("boolean")),
+        "all": lambda: F.min(c.cast("boolean")),
+        "collect_list": lambda: F.collect_list(c),
+        "collect_set": lambda: F.collect_set(c),
+    }
+    if func not in table:
+        raise ValueError(f"unsupported aggregation {func!r}")
+    return table[func]()
+
+
+def _normalize_agg_spec(
+    spec: Any, value_cols: Sequence[str], named: Mapping[str, tuple[str, str]] | None = None
+) -> list[tuple[str, str, str]]:
+    """Normalize pandas-style agg specs to [(out_name, col, func)]."""
+    out: list[tuple[str, str, str]] = []
+    if named:
+        for out_name, (col, fn) in named.items():
+            out.append((out_name, col, fn))
+        return out
+    if spec is None:
+        raise ValueError("no aggregation spec given")
+    if isinstance(spec, str):
+        for col in value_cols:
+            out.append((col, col, spec))
+    elif isinstance(spec, Mapping):
+        for col, fns in spec.items():
+            if isinstance(fns, str):
+                out.append((col, col, fns))
+            else:
+                for fn in fns:
+                    out.append((f"{col}_{fn}", col, fn))
+    elif isinstance(spec, (list, tuple)):
+        for col in value_cols:
+            for fn in spec:
+                out.append((f"{col}_{fn}", col, fn))
+    else:
+        raise TypeError(f"unsupported agg spec {type(spec)}")
+    return out
+
+
+# --------------------------------------------------------------------------
+# collections
+# --------------------------------------------------------------------------
+
+
+class FrameBase:
+    """Shared base (reference: FrameBase, _collection.py:292)."""
+
+    def __init__(self, sdf: SparkDF, index_cols: Sequence[str] = (), known_sorted: bool = False):
+        self._sdf = sdf
+        self._index_cols = tuple(index_cols)
+        self._known_sorted = bool(known_sorted)
+
+    # -- Spark-level access ------------------------------------------------
+    def to_spark(self) -> SparkDF:
+        return self._sdf
+
+    @property
+    def spark(self) -> SparkDF:
+        return self._sdf
+
+    @property
+    def index_cols(self) -> tuple[str, ...]:
+        return self._index_cols
+
+    @property
+    def known_sorted(self) -> bool:
+        return self._known_sorted
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._sdf.explain(mode)
+
+    def persist(self) -> "FrameBase":
+        """reference: FromGraph / persist (io/io.py:37)."""
+        return type(self)(self._sdf.cache(), self._index_cols, self._known_sorted)
+
+    def npartitions(self) -> int:
+        return self._sdf.rdd.getNumPartitions()
+
+
+class Scalar:
+    """Lazy 0-d result (reference: Scalar, _collection.py:4783)."""
+
+    def __init__(self, sdf: SparkDF):
+        self._sdf = sdf  # 1 row x 1 col
+
+    def compute(self):
+        row = self._sdf.collect()
+        return row[0][0] if row else None
+
+    def to_spark(self) -> SparkDF:
+        return self._sdf
+
+
+def _data_cols(sdf: SparkDF, index_cols: Sequence[str]) -> list[str]:
+    return [c for c in sdf.columns if c not in index_cols]
+
+
+class DataFrame(FrameBase):
+    """Lazy DataFrame facade (reference: DataFrame, _collection.py:2677)."""
+
+    # -- schema ------------------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return _data_cols(self._sdf, self._index_cols)
+
+    @property
+    def dtypes(self):
+        return {f.name: f.dataType.simpleString() for f in self._sdf.schema.fields}
+
+    def _wrap(self, sdf: SparkDF, known_sorted: bool | None = None) -> "DataFrame":
+        idx = tuple(c for c in self._index_cols if c in sdf.columns)
+        ks = self._known_sorted if known_sorted is None else known_sorted
+        return DataFrame(sdf, idx, ks and len(idx) == len(self._index_cols))
+
+    # -- projection / selection (reference: Projection, _expr.py:2048) ------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return Series(self._sdf, F.col(key), key, self._index_cols, self._known_sorted)
+        if isinstance(key, Series):
+            return self._wrap(self._sdf.filter(key._scol))
+        if isinstance(key, (list, tuple)):
+            keep = list(self._index_cols) + [c for c in key if c not in self._index_cols]
+            return self._wrap(self._sdf.select(*keep))
+        raise TypeError(f"cannot index with {type(key)}")
+
+    def __getattr__(self, name: str):
+        # column access fallback (reference: _core.py:491-518)
+        if not name.startswith("_") and name in self._sdf.columns:
+            return self[name]
+        raise AttributeError(name)
+
+    def select(self, *cols: str) -> "DataFrame":
+        return self[list(cols)]
+
+    # -- filter (reference: Filter, _expr.py:1996) --------------------------
+    def filter(self, cond) -> "DataFrame":
+        cond = cond._scol if isinstance(cond, Series) else cond
+        return self._wrap(self._sdf.filter(cond))
+
+    def query(self, expr: str) -> "DataFrame":
+        """pandas.query subset via Spark SQL expression
+        (reference: Query, _expr.py:1186)."""
+        return self._wrap(self._sdf.filter(F.expr(expr)))
+
+    # -- assign / drop / rename (reference: Assign _expr.py:1852,
+    #    Drop :1822, RenameFrame :1239) -------------------------------------
+    def assign(self, **kwargs) -> "DataFrame":
+        sdf = self._sdf
+        exprs: dict[str, Column] = {}
+        for name, val in kwargs.items():
+            if isinstance(val, Series):
+                if val._anchor is not self._sdf:
+                    raise ValueError(
+                        "assign from a different frame requires join on index; "
+                        "use merge() explicitly"
+                    )
+                exprs[name] = val._scol
+            elif isinstance(val, Column):
+                exprs[name] = val
+            elif callable(val):
+                exprs[name] = val(self)._scol
+            else:
+                exprs[name] = F.lit(val)
+        return self._wrap(sdf.withColumns(exprs))
+
+    def drop(self, columns: str | Sequence[str]) -> "DataFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return self._wrap(self._sdf.drop(*cols))
+
+    def rename(self, columns: Mapping[str, str]) -> "DataFrame":
+        sdf = self._sdf.withColumnsRenamed(dict(columns))
+        idx = tuple(columns.get(c, c) for c in self._index_cols)
+        return DataFrame(sdf, idx, self._known_sorted)
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        return self.rename({c: prefix + c for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename({c: c + suffix for c in self.columns})
+
+    def astype(self, dtypes: Mapping[str, str]) -> "DataFrame":
+        return self._wrap(
+            self._sdf.withColumns({c: F.col(c).cast(t) for c, t in dtypes.items()})
+        )
+
+    # -- null handling (reference: IsNa/Fillna/Dropna, _expr.py:1534,1349,1108)
+    def fillna(self, value) -> "DataFrame":
+        return self._wrap(self._sdf.fillna(value))
+
+    def dropna(self, how: str = "any", subset: Sequence[str] | None = None,
+               thresh: int | None = None) -> "DataFrame":
+        return self._wrap(self._sdf.dropna(how=how, thresh=thresh, subset=subset))
+
+    def replace(self, to_replace, value) -> "DataFrame":
+        return self._wrap(self._sdf.replace(to_replace, value))
+
+    def isna(self) -> "DataFrame":
+        return self._wrap(
+            self._sdf.select(
+                *self._index_cols,
+                *[F.isnull(c).alias(c) for c in self.columns],
+            )
+        )
+
+    # -- dedup / sampling (reference: DropDuplicates _reductions.py:599,
+    #    Sample _expr.py:1168) ----------------------------------------------
+    def drop_duplicates(self, subset: Sequence[str] | None = None,
+                        keep: str = "first") -> "DataFrame":
+        if subset is None or keep not in ("first", "last"):
+            return self._wrap(self._sdf.dropDuplicates(subset))
+        if set(subset) >= set(self._sdf.columns):
+            return self._wrap(self._sdf.dropDuplicates())
+        # keep= semantics need a deterministic order — use index if known
+        if not self._index_cols:
+            return self._wrap(self._sdf.dropDuplicates(list(subset)))
+        order = [F.col(c).asc() if keep == "first" else F.col(c).desc()
+                 for c in self._index_cols]
+        w = Window.partitionBy(*subset).orderBy(*order)
+        sdf = (
+            self._sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        return self._wrap(sdf)
+
+    def distinct(self) -> "DataFrame":
+        return self._wrap(self._sdf.distinct())
+
+    def sample(self, frac: float, seed: int | None = None) -> "DataFrame":
+        return self._wrap(self._sdf.sample(fraction=frac, seed=seed))
+
+    def random_split(self, weights: Sequence[float], seed: int | None = None):
+        return [self._wrap(s) for s in self._sdf.randomSplit(list(weights), seed=seed)]
+
+    # -- explode (reference: ExplodeFrame, _expr.py:1814) --------------------
+    def explode(self, column: str) -> "DataFrame":
+        others = [c for c in self._sdf.columns if c != column]
+        return self._wrap(self._sdf.select(*others, F.explode(column).alias(column)))
+
+    # -- sorting / limits (reference: SortValues _shuffle.py:964,
+    #    Head/Tail _expr.py:2421, NFirst/NLast _reductions.py:1373) ----------
+    def sort_values(self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True,
+                    na_position: str = "last") -> "DataFrame":
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = []
+        for c, a in zip(by, asc):
+            col = F.col(c)
+            if a:
+                cols.append(col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first())
+            else:
+                cols.append(col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first())
+        return self._wrap(self._sdf.orderBy(*cols))
+
+    def head(self, n: int = 5) -> "DataFrame":
+        # after orderBy this is Catalyst TakeOrderedAndProject — the
+        # analogue of the reference's head-of-sort → NFirst rewrite
+        # (/root/reference/dask_expr/_shuffle.py:915-933)
+        return self._wrap(self._sdf.limit(n))
+
+    def limit(self, n: int) -> "DataFrame":
+        return self._wrap(self._sdf.limit(n))
+
+    def nlargest(self, n: int, columns: str | Sequence[str]) -> "DataFrame":
+        return self.sort_values(columns, ascending=False).head(n)
+
+    def nsmallest(self, n: int, columns: str | Sequence[str]) -> "DataFrame":
+        return self.sort_values(columns, ascending=True).head(n)
+
+    # -- index & partitioning (SURVEY.md §1.4; reference: SetIndex
+    #    _shuffle.py:795, Repartition _repartition.py:21) --------------------
+    def set_index(self, col: str, sorted: bool = False, npartitions: int | None = None) -> "DataFrame":
+        sdf = self._sdf
+        if not sorted:
+            if npartitions:
+                sdf = sdf.repartitionByRange(npartitions, F.col(col))
+            else:
+                sdf = sdf.repartitionByRange(F.col(col))
+            sdf = sdf.sortWithinPartitions(col)
+        return DataFrame(sdf, (col,), True)
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        sdf = self._sdf.drop(*self._index_cols) if drop else self._sdf
+        return DataFrame(sdf, (), False)
+
+    def repartition(self, npartitions: int, *cols: str) -> "DataFrame":
+        if cols:
+            return self._wrap(self._sdf.repartition(npartitions, *[F.col(c) for c in cols]), False)
+        return self._wrap(self._sdf.repartition(npartitions), False)
+
+    def coalesce(self, npartitions: int) -> "DataFrame":
+        return self._wrap(self._sdf.coalesce(npartitions))
+
+    def shuffle(self, on: str | Sequence[str], npartitions: int | None = None) -> "DataFrame":
+        """explicit hash partitioning (reference: RearrangeByColumn,
+        _shuffle.py:239)."""
+        on = [on] if isinstance(on, str) else list(on)
+        cols = [F.col(c) for c in on]
+        sdf = self._sdf.repartition(npartitions, *cols) if npartitions else self._sdf.repartition(*cols)
+        return self._wrap(sdf, False)
+
+    # -- groupby (reference: GroupBy, _groupby.py:1496) ----------------------
+    def groupby(self, by: str | Sequence[str], dropna: bool = True) -> "GroupBy":
+        by = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self, by, dropna=dropna)
+
+    # -- joins (reference: Merge, _merge.py:50; API _collection.py:2847) -----
+    def merge(
+        self,
+        right: "DataFrame",
+        how: str = "inner",
+        on: str | Sequence[str] | None = None,
+        left_on: str | Sequence[str] | None = None,
+        right_on: str | Sequence[str] | None = None,
+        suffixes: tuple[str, str] = ("_x", "_y"),
+        broadcast: bool | None = None,
+        indicator: bool = False,
+    ) -> "DataFrame":
+        from .operators.merge import merge as _merge
+
+        return _merge(self, right, how=how, on=on, left_on=left_on,
+                      right_on=right_on, suffixes=suffixes,
+                      broadcast=broadcast, indicator=indicator)
+
+    def join(self, right: "DataFrame", how: str = "left", on: str | None = None) -> "DataFrame":
+        on = on or (self._index_cols[0] if self._index_cols else None)
+        if on is None:
+            raise ValueError("join requires `on` or an index")
+        return self.merge(right, how=how, on=on)
+
+    # -- concat-axis-0 handled by module-level concat() ----------------------
+
+    # -- reductions (frame-level; reference _reductions.py:761+) -------------
+    def count(self) -> Scalar:
+        return Scalar(self._sdf.select(F.count(F.lit(1)).alias("count")))
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    def agg(self, spec=None, **named) -> "DataFrame":
+        triples = _normalize_agg_spec(spec, self.columns, named or None)
+        aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
+        return DataFrame(self._sdf.agg(*aggs))
+
+    # -- ordered / window ops (SURVEY.md §2.6) -------------------------------
+    def _order_window(self, order_by: str | Sequence[str] | None):
+        order_by = order_by or self._index_cols
+        if not order_by:
+            raise ValueError(
+                "order-dependent op needs an index (set_index) or order_by="
+            )
+        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        return Window.orderBy(*[F.col(c) for c in order_by])
+
+    def shift(self, periods: int = 1, columns: Sequence[str] | None = None,
+              order_by=None) -> "DataFrame":
+        """reference: Shift, _expr.py:3389 — global-order lag/lead."""
+        w = self._order_window(order_by)
+        cols = columns or self.columns
+        fn = F.lag if periods >= 0 else F.lead
+        n = abs(periods)
+        return self._wrap(
+            self._sdf.withColumns({c: fn(F.col(c), n).over(w) for c in cols})
+        )
+
+    def diff(self, periods: int = 1, columns: Sequence[str] | None = None,
+             order_by=None) -> "DataFrame":
+        w = self._order_window(order_by)
+        cols = columns or self.columns
+        return self._wrap(
+            self._sdf.withColumns(
+                {c: F.col(c) - F.lag(F.col(c), periods).over(w) for c in cols}
+            )
+        )
+
+    def cumsum(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
+        """reference: CumSum, _cumulative.py:11 (partition-serial chain) —
+        on Spark: running-total window, shuffle-free when already
+        range-partitioned on the order key."""
+        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        cols = columns or self.columns
+        return self._wrap(
+            self._sdf.withColumns({c: F.sum(F.col(c)).over(w) for c in cols})
+        )
+
+    def ffill(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
+        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        cols = columns or self.columns
+        return self._wrap(
+            self._sdf.withColumns(
+                {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
+            )
+        )
+
+    def bfill(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
+        w = self._order_window(order_by).rowsBetween(0, Window.unboundedFollowing)
+        cols = columns or self.columns
+        return self._wrap(
+            self._sdf.withColumns(
+                {c: F.first(F.col(c), ignorenulls=True).over(w) for c in cols}
+            )
+        )
+
+    # -- UDF escape hatches (reference: MapPartitions _expr.py:580) ----------
+    def map_partitions(self, func: Callable, schema) -> "DataFrame":
+        """Arrow-batched partition-wise UDF — the universal escape hatch
+        (reference: map_partitions, _collection.py:985)."""
+        return DataFrame(self._sdf.mapInPandas(func, schema=schema),
+                         self._index_cols, False)
+
+    # -- materialization -----------------------------------------------------
+    def compute(self):
+        pdf = self._sdf.toPandas()
+        if self._index_cols:
+            pdf = pdf.set_index(list(self._index_cols))
+        return pdf
+
+    def collect(self):
+        return self._sdf.collect()
+
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None) -> None:
+        w = self._sdf.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+
+
+class Series(FrameBase):
+    """A column expression anchored to a Spark DataFrame
+    (reference: Series, _collection.py:4077)."""
+
+    def __init__(self, anchor: SparkDF, scol: Column, name: str,
+                 index_cols: Sequence[str] = (), known_sorted: bool = False):
+        super().__init__(anchor, index_cols, known_sorted)
+        self._anchor = anchor
+        self._scol = scol
+        self._name = name
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def _new(self, scol: Column, name: str | None = None) -> "Series":
+        return Series(self._anchor, scol, name or self._name,
+                      self._index_cols, self._known_sorted)
+
+    def alias(self, name: str) -> "Series":
+        return Series(self._anchor, self._scol.alias(name), name,
+                      self._index_cols, self._known_sorted)
+
+    rename = alias
+
+    # -- binary ops (reference: Binop family, _expr.py:2614-2853) ------------
+    def _binop(self, other, op: Callable[[Column, Column], Column],
+               name: str) -> "Series":
+        if isinstance(other, Series):
+            if other._anchor is not self._anchor:
+                raise ValueError(
+                    "binary op across frames requires alignment — join the "
+                    "frames on their index first (reference requires "
+                    "co-alignment too, _expr.py:3140)"
+                )
+            return self._new(op(self._scol, other._scol), name)
+        return self._new(op(self._scol, F.lit(other)), name)
+
+    def __add__(self, o): return self._binop(o, lambda a, b: a + b, self._name)
+    def __radd__(self, o): return self._binop(o, lambda a, b: b + a, self._name)
+    def __sub__(self, o): return self._binop(o, lambda a, b: a - b, self._name)
+    def __rsub__(self, o): return self._binop(o, lambda a, b: b - a, self._name)
+    def __mul__(self, o): return self._binop(o, lambda a, b: a * b, self._name)
+    def __rmul__(self, o): return self._binop(o, lambda a, b: b * a, self._name)
+    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b, self._name)
+    def __rtruediv__(self, o): return self._binop(o, lambda a, b: b / a, self._name)
+    def __mod__(self, o): return self._binop(o, lambda a, b: a % b, self._name)
+    def __pow__(self, o): return self._binop(o, lambda a, b: a ** b, self._name)
+    def __floordiv__(self, o): return self._binop(o, lambda a, b: F.floor(a / b), self._name)
+    def __lt__(self, o): return self._binop(o, lambda a, b: a < b, self._name)
+    def __le__(self, o): return self._binop(o, lambda a, b: a <= b, self._name)
+    def __gt__(self, o): return self._binop(o, lambda a, b: a > b, self._name)
+    def __ge__(self, o): return self._binop(o, lambda a, b: a >= b, self._name)
+    def __eq__(self, o): return self._binop(o, lambda a, b: a == b, self._name)  # type: ignore[override]
+    def __ne__(self, o): return self._binop(o, lambda a, b: a != b, self._name)  # type: ignore[override]
+    def __and__(self, o): return self._binop(o, lambda a, b: a & b, self._name)
+    def __or__(self, o): return self._binop(o, lambda a, b: a | b, self._name)
+    def __xor__(self, o): return self._binop(o, lambda a, b: a ^ b, self._name)
+    def __invert__(self): return self._new(~self._scol)
+    def __neg__(self): return self._new(-self._scol)
+
+    # -- elementwise (reference: §2.2 table) ---------------------------------
+    def abs(self): return self._new(F.abs(self._scol))
+    def round(self, n: int = 0): return self._new(F.round(self._scol, n))
+    def sqrt(self): return self._new(F.sqrt(self._scol))
+    def clip(self, lower=None, upper=None):
+        c = self._scol
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self._new(c)
+    def between(self, lo, hi): return self._new(self._scol.between(lo, hi))
+    def isin(self, values: Iterable): return self._new(self._scol.isin(list(values)))
+    def isna(self): return self._new(F.isnull(self._scol))
+    def notnull(self): return self._new(~F.isnull(self._scol))
+    def fillna(self, v): return self._new(F.coalesce(self._scol, F.lit(v)))
+    def astype(self, t: str): return self._new(self._scol.cast(t))
+    def mask(self, cond: "Series", other=None):
+        return self._new(F.when(~cond._scol, self._scol).otherwise(F.lit(other)))
+    def where(self, cond: "Series", other=None):
+        return self._new(F.when(cond._scol, self._scol).otherwise(F.lit(other)))
+
+    @property
+    def str(self):
+        from .functions.accessors import StringMethods
+        return StringMethods(self)
+
+    @property
+    def dt(self):
+        from .functions.accessors import DatetimeMethods
+        return DatetimeMethods(self)
+
+    # -- reductions → Scalar (reference: Reduction, _reductions.py:761) ------
+    def _reduce(self, col: Column, name: str) -> Scalar:
+        return Scalar(self._anchor.select(col.alias(name)))
+
+    def sum(self): return self._reduce(F.sum(self._scol), f"sum_{self._name}")
+    def mean(self): return self._reduce(F.avg(self._scol), f"mean_{self._name}")
+    def min(self): return self._reduce(F.min(self._scol), f"min_{self._name}")
+    def max(self): return self._reduce(F.max(self._scol), f"max_{self._name}")
+    def count(self): return self._reduce(F.count(self._scol), f"count_{self._name}")
+    def std(self): return self._reduce(F.stddev_samp(self._scol), f"std_{self._name}")
+    def var(self): return self._reduce(F.var_samp(self._scol), f"var_{self._name}")
+    def median(self): return self._reduce(F.median(self._scol), f"median_{self._name}")
+    def nunique(self): return self._reduce(F.countDistinct(self._scol), f"nunique_{self._name}")
+    def nunique_approx(self):
+        """reference: NuniqueApprox (HyperLogLog), _reductions.py:1295."""
+        return self._reduce(F.approx_count_distinct(self._scol), f"nunique_{self._name}")
+    def quantile(self, q: float):
+        return self._reduce(F.expr(f"percentile({self._name}, {q})"), f"q_{self._name}")
+    def quantile_approx(self, q: float):
+        return self._reduce(F.percentile_approx(self._scol, q), f"q_{self._name}")
+
+    def value_counts(self, normalize: bool = False, sort: bool = True) -> "DataFrame":
+        """reference: ValueCounts, _reductions.py:1394."""
+        out = self._anchor.groupBy(self._scol.alias(self._name)).agg(
+            F.count(F.lit(1)).alias("count")
+        )
+        if normalize:
+            total = F.sum("count").over(Window.partitionBy())
+            out = out.withColumn("proportion", F.col("count") / total).drop("count")
+        if sort:
+            out = out.orderBy(F.col("proportion" if normalize else "count").desc())
+        return DataFrame(out)
+
+    def unique(self) -> "DataFrame":
+        return DataFrame(self._anchor.select(self._scol.alias(self._name)).distinct())
+
+    def to_frame(self, name: str | None = None) -> DataFrame:
+        name = name or self._name
+        return DataFrame(
+            self._anchor.select(*self._index_cols, self._scol.alias(name)),
+            self._index_cols, self._known_sorted,
+        )
+
+    def compute(self):
+        pdf = self.to_frame().compute()
+        return pdf[pdf.columns[0]] if len(pdf.columns) == 1 else pdf
+
+
+class GroupBy:
+    """reference: GroupBy, _groupby.py:1496.
+
+    Spark does partial (map-side) aggregation + exchange + final
+    automatically, so the reference's whole ACA/TreeReduce/ShuffleReduce
+    machinery (_reductions.py:388) collapses to groupBy().agg().
+    """
+
+    def __init__(self, frame: DataFrame, by: list[str], dropna: bool = True):
+        self._frame = frame
+        self._by = by
+        self._dropna = dropna
+
+    def _sdf(self) -> SparkDF:
+        sdf = self._frame._sdf
+        if self._dropna:
+            sdf = sdf.dropna(subset=self._by)
+        return sdf
+
+    def agg(self, spec=None, **named) -> DataFrame:
+        value_cols = [c for c in self._frame.columns if c not in self._by]
+        named_norm = {
+            k: (v if isinstance(v, tuple) else (v[0], v[1]))
+            for k, v in named.items()
+        } if named else None
+        triples = _normalize_agg_spec(spec, value_cols, named_norm)
+        aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
+        return DataFrame(self._sdf().groupBy(*self._by).agg(*aggs))
+
+    def _simple(self, fn: str, numeric_only: bool = True) -> DataFrame:
+        value_cols = [c for c in self._frame.columns if c not in self._by]
+        if numeric_only and fn not in ("count", "first", "last", "min", "max"):
+            numeric = {
+                f.name for f in self._frame._sdf.schema.fields
+                if f.dataType.simpleString() in
+                ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+                or f.dataType.simpleString().startswith("decimal")
+            }
+            value_cols = [c for c in value_cols if c in numeric]
+        return self.agg({c: fn for c in value_cols})
+
+    def sum(self): return self._simple("sum")
+    def mean(self): return self._simple("mean")
+    def min(self): return self._simple("min")
+    def max(self): return self._simple("max")
+    def count(self): return self._simple("count")
+    def var(self): return self._simple("var")
+    def std(self): return self._simple("std")
+    def first(self): return self._simple("first")
+    def last(self): return self._simple("last")
+    def median(self): return self._simple("median")
+
+    def size(self) -> DataFrame:
+        return DataFrame(
+            self._sdf().groupBy(*self._by).agg(F.count(F.lit(1)).alias("size"))
+        )
+
+    def nunique(self) -> DataFrame:
+        value_cols = [c for c in self._frame.columns if c not in self._by]
+        return self.agg({c: "nunique" for c in value_cols})
+
+    def apply(self, func: Callable, schema) -> DataFrame:
+        """Full-group UDF — exact analogue of the reference's
+        GroupByApply (_groupby.py:872) via grouped-map Pandas UDF."""
+        return DataFrame(self._sdf().groupBy(*self._by).applyInPandas(func, schema))
+
+    def head(self, n: int = 5, order_by: str | None = None) -> DataFrame:
+        """reference: groupby head, _groupby.py:858."""
+        frame = self._frame
+        order = order_by or (frame._index_cols[0] if frame._index_cols else None)
+        if order is None:
+            raise ValueError("groupby.head needs an order column")
+        w = Window.partitionBy(*self._by).orderBy(F.col(order))
+        sdf = (
+            self._sdf().withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n).drop("__rn__")
+        )
+        return frame._wrap(sdf)
+
+    def shift(self, periods: int = 1, order_by: str | None = None) -> DataFrame:
+        frame = self._frame
+        order = order_by or (frame._index_cols[0] if frame._index_cols else None)
+        if order is None:
+            raise ValueError("groupby.shift needs an order column")
+        w = Window.partitionBy(*self._by).orderBy(F.col(order))
+        cols = [c for c in frame.columns if c not in self._by and c != order]
+        return frame._wrap(
+            self._sdf().withColumns({c: F.lag(F.col(c), periods).over(w) for c in cols})
+        )
+
+    def cumsum(self, order_by: str | None = None) -> DataFrame:
+        frame = self._frame
+        order = order_by or (frame._index_cols[0] if frame._index_cols else None)
+        if order is None:
+            raise ValueError("groupby.cumsum needs an order column")
+        w = (Window.partitionBy(*self._by).orderBy(F.col(order))
+             .rowsBetween(Window.unboundedPreceding, 0))
+        numeric = {
+            f.name for f in frame._sdf.schema.fields
+            if f.dataType.simpleString() in ("int", "bigint", "double", "float")
+        }
+        cols = [c for c in frame.columns
+                if c not in self._by and c != order and c in numeric]
+        return frame._wrap(
+            self._sdf().withColumns({c: F.sum(F.col(c)).over(w) for c in cols})
+        )
+
+
+# --------------------------------------------------------------------------
+# module-level constructors / combinators
+# --------------------------------------------------------------------------
+
+def from_spark(sdf: SparkDF, index_cols: Sequence[str] = (),
+               known_sorted: bool = False) -> DataFrame:
+    return DataFrame(sdf, index_cols, known_sorted)
+
+
+def concat(frames: Sequence[DataFrame], join: str = "outer") -> DataFrame:
+    """axis=0 union (reference: Concat, _concat.py:25).
+
+    join='outer' keeps the union of columns (missing → null),
+    join='inner' keeps the intersection.
+    """
+    if not frames:
+        raise ValueError("no frames")
+    sdfs = [f._sdf for f in frames]
+    if join == "inner":
+        common = set(sdfs[0].columns)
+        for s in sdfs[1:]:
+            common &= set(s.columns)
+        keep = [c for c in sdfs[0].columns if c in common]
+        sdfs = [s.select(*keep) for s in sdfs]
+        out = sdfs[0]
+        for s in sdfs[1:]:
+            out = out.unionByName(s)
+    else:
+        out = sdfs[0]
+        for s in sdfs[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+    return DataFrame(out)

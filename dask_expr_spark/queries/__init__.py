@@ -1,0 +1,26 @@
+"""Query registry: every implemented operator from SURVEY.md §2 gets a
+named query (facade-API Spark plan) plus, where SQL-expressible, a
+DuckDB oracle SQL string. The driver runs both sides at sf0.01 and
+hash-compares (see repo-root __spark_entry__.py).
+
+Float outputs are rounded identically on both sides so the
+order-insensitive value-hash is stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    from . import dedup, events, ops, similarity, text, tpch, windows
+
+    out: dict = {}
+    for mod in (tpch, ops, windows, events, text, dedup, similarity):
+        for name, pair in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name {name}")
+            out[name] = pair
+    return out

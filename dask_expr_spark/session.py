@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the dask_expr_spark engine.
+
+One session config for correctness + scale:
+- AQE on (runtime re-plan: skew joins, dynamic coalesce, broadcast
+  conversion) — replaces the reference's hand-rolled split_out tuning
+  (/root/reference/dask_expr/_groupby.py:229) and its broadcast-join
+  partition-count heuristic (/root/reference/dask_expr/_merge.py:281).
+- Arrow on for all pandas interchange (toPandas / createDataFrame /
+  pandas UDFs).
+- UTC session timezone so timestamp semantics match the parquet data
+  and the DuckDB oracle.
+- shuffle.partitions sized to local cores; on a real cluster AQE
+  coalesces, and the 128 MB advisory partition size mirrors the
+  reference's partition_size default
+  (/root/reference/dask_expr/_shuffle.py:833).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "dask_expr_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

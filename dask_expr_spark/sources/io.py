@@ -1,0 +1,128 @@
+"""IO sources & sinks (reference: SURVEY.md §2.1, /root/reference/dask_expr/io/).
+
+All readers return the engine's DataFrame facade. Catalyst performs the
+pushdowns the reference hand-implements: parquet footer schema, DNF
+filter pushdown into row-group stats (io/parquet.py:1574), column
+pruning (io/io.py:68-102), partition pruning, count-star from footers
+(io/parquet.py:752-760).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+
+from ..collection import DataFrame
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str,
+                 columns: Sequence[str] | None = None,
+                 filters: str | None = None) -> DataFrame:
+    """reference: ReadParquet (io/parquet.py:712); columns= and filters=
+    are sugar — Catalyst pushes .select/.filter into the scan anyway."""
+    sdf = spark.read.parquet(path)
+    if filters:
+        sdf = sdf.filter(filters)
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame(sdf)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True,
+             schema=None, **options) -> DataFrame:
+    reader = spark.read.options(header=header, inferSchema=schema is None, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return DataFrame(reader.csv(path))
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return DataFrame(reader.json(path))
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return DataFrame(spark.read.orc(path))
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              num_partitions: int | None = None,
+              lower_bound=None, upper_bound=None, **props) -> DataFrame:
+    """reference: read_sql_table partitioned on an index column
+    (io/sql.py:1-364) → spark.read.jdbc with partitionColumn."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", num_partitions or 8)
+                  .option("lowerBound", lower_bound)
+                  .option("upperBound", upper_bound))
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    return DataFrame(reader.load())
+
+
+def from_pandas(spark: SparkSession, pdf, npartitions: int | None = None,
+                index_col: str | None = None) -> DataFrame:
+    """reference: FromPandas (io/io.py:387) — Arrow-accelerated."""
+    if index_col is None and pdf.index.name is not None:
+        index_col = pdf.index.name
+        pdf = pdf.reset_index()
+    sdf = spark.createDataFrame(pdf)
+    if npartitions:
+        sdf = sdf.repartition(npartitions)
+    if index_col:
+        return DataFrame(sdf, (index_col,), False).set_index(index_col)
+    return DataFrame(sdf)
+
+
+def from_dict(spark: SparkSession, data: dict, npartitions: int | None = None) -> DataFrame:
+    """reference: from_dict (_collection.py:4987)."""
+    import pandas as pd
+    return from_pandas(spark, pd.DataFrame(data), npartitions)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: Sequence[str] = TABLES) -> dict[str, DataFrame]:
+    """Load the driver's testdata star schema (TESTDATA.md)."""
+    out = {}
+    for name in names:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = read_parquet(spark, p)
+    return out
+
+
+def timeseries(spark: SparkSession, start: str = "2000-01-01", end: str = "2000-01-31",
+               freq_seconds: int = 1, seed: int = 42) -> DataFrame:
+    """Synthetic timeseries source (reference: datasets.py:17 Timeseries).
+
+    Deterministic per seed and under projection — uses hash-based
+    pseudo-randomness derived from the row id so that selecting a subset
+    of columns yields identical values (the property the reference
+    documents at datasets.py:171-176). Pure spark.range → scales to any
+    size without driver memory.
+    """
+    from pyspark.sql import functions as F
+
+    n_expr = f"(unix_timestamp('{end}') - unix_timestamp('{start}')) / {freq_seconds}"
+    n = spark.sql(f"SELECT cast({n_expr} as long) AS n").collect()[0][0]
+    sdf = spark.range(n).select(
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit(start)) + F.col("id") * freq_seconds
+        ).alias("timestamp"),
+        (F.abs(F.hash(F.col("id") * 31 + seed)) % 1000).alias("id_"),
+        (F.abs(F.hash(F.col("id") * 37 + seed)) % 26).alias("name_code"),
+        ((F.abs(F.hash(F.col("id") * 41 + seed)) % 2000000) / 1000000.0 - 1.0).alias("x"),
+        ((F.abs(F.hash(F.col("id") * 43 + seed)) % 2000000) / 1000000.0 - 1.0).alias("y"),
+    ).withColumnRenamed("id_", "id")
+    return DataFrame(sdf)

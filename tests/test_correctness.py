@@ -1,0 +1,39 @@
+"""Differential correctness: every registry query with an oracle must
+match DuckDB on the same parquet (mirrors the driver's t2 gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_expr_spark.queries import collect_queries
+
+from .oracle import compare, duck_con
+
+_REG = collect_queries()
+_WITH_ORACLE = sorted(name for name, (_f, sql) in _REG.items() if sql)
+_NO_ORACLE = sorted(name for name, (_f, sql) in _REG.items() if not sql)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_match(name, spark, sf_dir, con):
+    fn, sql = _REG[name]
+    sdf = fn(spark, sf_dir)
+    oracle = con.execute(sql).df()
+    errors = compare(sdf, oracle, name)
+    assert not errors, "\n".join(errors)
+
+
+@pytest.mark.parametrize("name", _NO_ORACLE)
+def test_rows_only(name, spark, sf_dir):
+    fn, _ = _REG[name]
+    sdf = fn(spark, sf_dir)
+    n = sdf.count()
+    assert n >= 0
+    assert len(sdf.schema.fields) > 0
