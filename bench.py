@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: representative of scan, join, agg, window, text, and
+# vector workloads. Each must exist in the registry.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "join_broadcast_part",
+    "join_semi",
+]
+# extended set appended when present in the registry
+OPTIONAL = [
+    "window_user_sessions",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "text_stats_by_lang",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dask_expr_spark.queries import collect_queries
+    from dask_expr_spark.session import get_spark
+
+    spark = get_spark("dask_expr_spark_bench")
+    registry = collect_queries()
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in OPTIONAL if n in registry]
+
+    # JVM/codegen warmup on the smallest SF so timings measure the query,
+    # not session startup
+    registry["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _ = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # collect (results are small aggregates) so nothing short-circuits
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

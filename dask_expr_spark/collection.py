@@ -477,6 +477,23 @@ class DataFrame(FrameBase):
             )
         )
 
+    def rolling(self, window: int, order_by=None, partition_by=None,
+                min_periods: int | None = None):
+        """reference: RollingReduction, _rolling.py:43."""
+        from .operators.window import Rolling
+        return Rolling(self, window, order_by or list(self._index_cols),
+                       partition_by, min_periods)
+
+    def resample(self, freq: str, on: str | None = None):
+        """reference: ResampleReduction, _resample.py:23."""
+        from .operators.window import Resampler
+        return Resampler(self, freq, on or self._index_cols[0])
+
+    def merge_asof(self, right: "DataFrame", on: str, **kw) -> "DataFrame":
+        """reference: merge_asof, _merge_asof.py:17."""
+        from .operators.asof import merge_asof as _asof
+        return _asof(self, right, on, **kw)
+
     # -- UDF escape hatches (reference: MapPartitions _expr.py:580) ----------
     def map_partitions(self, func: Callable, schema) -> "DataFrame":
         """Arrow-batched partition-wise UDF — the universal escape hatch
@@ -730,6 +747,48 @@ class GroupBy:
         cols = [c for c in frame.columns if c not in self._by and c != order]
         return frame._wrap(
             self._sdf().withColumns({c: F.lag(F.col(c), periods).over(w) for c in cols})
+        )
+
+    def pivot(self, col: str, values: Sequence[str] | None = None,
+              agg=None, value_col: str | None = None) -> DataFrame:
+        """reference: pivot_table, _reductions.py:655 — Spark-native
+        groupBy().pivot(). Pass explicit `values` to avoid the extra
+        distinct-scan job and keep output schema deterministic."""
+        gdf = self._sdf().groupBy(*self._by).pivot(col, list(values) if values else None)
+        if agg is None:
+            out = gdf.count()
+        elif isinstance(agg, str):
+            out = gdf.agg(_agg_expr(agg, value_col))
+        else:
+            out = gdf.agg(agg(F.col(value_col)))
+        return DataFrame(out)
+
+    def rank(self, order_by: str, method: str = "row_number",
+             ascending: bool = True, out: str = "rank") -> DataFrame:
+        """ranking inside groups (absent in the reference — SURVEY.md
+        §2.6 notes it's free via Spark Window)."""
+        o = F.col(order_by).asc() if ascending else F.col(order_by).desc()
+        w = Window.partitionBy(*self._by).orderBy(o)
+        fn = {"row_number": F.row_number, "rank": F.rank,
+              "dense_rank": F.dense_rank}[method]
+        return self._frame._wrap(self._sdf().withColumn(out, fn().over(w)))
+
+    def diff(self, periods: int = 1, order_by: str | None = None) -> DataFrame:
+        frame = self._frame
+        order = order_by or (frame._index_cols[0] if frame._index_cols else None)
+        if order is None:
+            raise ValueError("groupby.diff needs an order column")
+        w = Window.partitionBy(*self._by).orderBy(F.col(order))
+        numeric = {
+            f.name for f in frame._sdf.schema.fields
+            if f.dataType.simpleString() in ("int", "bigint", "double", "float")
+        }
+        cols = [c for c in frame.columns
+                if c not in self._by and c != order and c in numeric]
+        return frame._wrap(
+            self._sdf().withColumns(
+                {c: F.col(c) - F.lag(F.col(c), periods).over(w) for c in cols}
+            )
         )
 
     def cumsum(self, order_by: str | None = None) -> DataFrame:

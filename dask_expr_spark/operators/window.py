@@ -1,0 +1,127 @@
+"""Rolling / resample operators (reference: SURVEY.md §2.6;
+/root/reference/dask_expr/_rolling.py:43, _resample.py:23).
+
+The reference builds these on known-divisions + map_overlap (copying
+boundary rows between partitions). On Spark the idiomatic equivalent is
+a window function over the order key: Catalyst range-partitions on the
+partition keys and sorts within partitions — one shuffle, no boundary
+bookkeeping, and it scales to any partition count.
+
+Cross-engine-exact note: windowed sums/means of doubles may be computed
+with different association orders by different engines (segment trees
+vs running sums), so the agg helpers accept a pre-cast decimal column
+when bit-stable results are required (see queries/_util.dec_sum).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..collection import DataFrame
+
+
+class Rolling:
+    """Row-count rolling frame (reference: RollingReduction,
+    _rolling.py:43; `center`/time-based variants via rangeBetween)."""
+
+    def __init__(self, frame: DataFrame, window: int, order_by: str | Sequence[str],
+                 partition_by: str | Sequence[str] | None = None,
+                 min_periods: int | None = None):
+        self._frame = frame
+        self._window = window
+        self._order = [order_by] if isinstance(order_by, str) else list(order_by)
+        pb = partition_by or []
+        self._partition = [pb] if isinstance(pb, str) else list(pb)
+        self._min_periods = min_periods if min_periods is not None else window
+
+    def _w(self):
+        w = Window.orderBy(*[F.col(c) for c in self._order])
+        if self._partition:
+            w = Window.partitionBy(*self._partition).orderBy(
+                *[F.col(c) for c in self._order]
+            )
+        return w.rowsBetween(-(self._window - 1), 0)
+
+    def _apply(self, agg_fn, cols: Sequence[str], suffix: str) -> DataFrame:
+        w = self._w()
+        exprs = {}
+        for c in cols:
+            val = agg_fn(F.col(c), w)
+            if self._min_periods > 1:
+                val = F.when(
+                    F.count(F.col(c)).over(w) >= self._min_periods, val
+                )
+            exprs[f"{c}_{suffix}"] = val
+        return self._frame._wrap(self._frame.to_spark().withColumns(exprs))
+
+    def sum(self, cols): return self._apply(lambda c, w: F.sum(c).over(w), cols, "rsum")
+    def mean(self, cols): return self._apply(lambda c, w: F.avg(c).over(w), cols, "rmean")
+    def min(self, cols): return self._apply(lambda c, w: F.min(c).over(w), cols, "rmin")
+    def max(self, cols): return self._apply(lambda c, w: F.max(c).over(w), cols, "rmax")
+    def count(self, cols): return self._apply(lambda c, w: F.count(c).over(w), cols, "rcount")
+    def std(self, cols): return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "rstd")
+    def var(self, cols): return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "rvar")
+
+    def agg_expr(self, **exprs: Column) -> DataFrame:
+        """Escape hatch: arbitrary window aggregates over the rolling frame.
+        Each value is a function Column→window→Column applied via .over()."""
+        w = self._w()
+        out = {name: e.over(w) for name, e in exprs.items()}
+        return self._frame._wrap(self._frame.to_spark().withColumns(out))
+
+
+def rolling(frame: DataFrame, window: int, order_by, partition_by=None,
+            min_periods: int | None = None) -> Rolling:
+    return Rolling(frame, window, order_by, partition_by, min_periods)
+
+
+_FREQ_UNIT = {
+    "s": "second", "S": "second", "min": "minute", "T": "minute",
+    "h": "hour", "H": "hour", "d": "day", "D": "day",
+    "w": "week", "W": "week", "M": "month", "MS": "month",
+    "Q": "quarter", "Y": "year", "A": "year",
+}
+
+
+class Resampler:
+    """Time-bin regridding (reference: ResampleReduction,
+    _resample.py:23) — date_trunc + groupBy, fully parallel."""
+
+    def __init__(self, frame: DataFrame, freq: str, on: str):
+        self._frame = frame
+        self._freq = freq
+        self._on = on
+        unit = _FREQ_UNIT.get(freq)
+        if unit is None:
+            raise ValueError(f"unsupported resample freq {freq!r}")
+        self._unit = unit
+
+    def agg(self, spec=None, **named) -> DataFrame:
+        bucket = F.date_trunc(self._unit, F.col(self._on)).alias(self._on)
+        sdf = self._frame.to_spark().withColumn(self._on, bucket)
+        return DataFrame(sdf, (), False).groupby(self._on).agg(spec, **named)
+
+    def ohlc(self, col: str) -> DataFrame:
+        """open/high/low/close (reference: ResampleOhlc, _resample.py)."""
+        sdf = self._frame.to_spark()
+        bucket = F.date_trunc(self._unit, F.col(self._on))
+        # first/last need a deterministic order — use min_by/max_by on the
+        # raw timestamp (total order ties broken by value for determinism)
+        out = (
+            sdf.groupBy(bucket.alias(self._on))
+            .agg(
+                F.min_by(F.col(col), F.col(self._on)).alias("open"),
+                F.max(F.col(col)).alias("high"),
+                F.min(F.col(col)).alias("low"),
+                F.max_by(F.col(col), F.col(self._on)).alias("close"),
+            )
+        )
+        return DataFrame(out)
+
+
+def resample(frame: DataFrame, freq: str, on: str) -> Resampler:
+    return Resampler(frame, freq, on)

@@ -1,3 +1,289 @@
-"""Placeholder — filled in as operators land."""
+"""Window / ordered-operation queries on the events table
+(SURVEY.md §2.6: Shift/Diff/Cum*/Rolling/Resample, plus sessionization
+and as-of join). DuckDB oracles use the identical window frames; sums
+of doubles inside windows go through the decimal-exact cast (see
+_util) because engines associate window sums differently.
+"""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import dec_sum, dec_sum_sql, tbl
+
+# total order within a user: (ts, event_id) — ts alone can tie
+_ORDER = ["ts", "event_id"]
+
+
+def window_shift_diff(spark, sf_dir):
+    """per-user lag + diff (reference: Shift _expr.py:3389,
+    Diff :3292) then aggregate per event_type."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    sdf = ev.to_spark().withColumn(
+        "dvalue",
+        F.col("value").cast("decimal(27,6)")
+        - F.lag(F.col("value").cast("decimal(27,6)")).over(w),
+    )
+    out = (
+        sdf.groupBy("event_type")
+        .agg(
+            F.count("dvalue").alias("n_diffs"),
+            F.sum(F.when(F.col("dvalue") > 0, 1).otherwise(0)).alias("n_up"),
+            F.sum("dvalue").cast("double").alias("sum_diff"),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+WINDOW_SHIFT_DIFF_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(27,6))
+           - lag(CAST(value AS DECIMAL(27,6)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dvalue
+  FROM events
+)
+SELECT event_type,
+       count(dvalue) AS n_diffs,
+       CAST(sum(CASE WHEN dvalue > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(dvalue) AS DOUBLE) AS sum_diff
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+def window_cumsum_user(spark, sf_dir):
+    """running per-user total (reference: CumSum, _cumulative.py:11) —
+    checked at the final row per user to keep output compact."""
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wfull = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    sdf = (
+        ev.to_spark()
+        .withColumn("running", F.sum(F.col("value").cast("decimal(27,6)")).over(w))
+        .withColumn("__rn", F.row_number().over(wfull))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("running").cast("double").alias("final_running"),
+        )
+        .orderBy("user_id")
+    )
+    return sdf
+
+
+WINDOW_CUMSUM_SQL = """
+WITH r AS (
+  SELECT user_id,
+         sum(CAST(value AS DECIMAL(27,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(running AS DOUBLE) AS final_running
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def window_rolling_mean(spark, sf_dir):
+    """5-row rolling mean per user (reference: RollingMean,
+    _rolling.py) — aggregated to per-user max to keep output small."""
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    sdf = (
+        ev.to_spark()
+        .withColumn(
+            "rmean",
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count("value").over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("rmean").alias("max_rmean"),
+            F.min("rmean").alias("min_rmean"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+    return sdf
+
+
+WINDOW_ROLLING_SQL = """
+WITH r AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(27,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / count(value)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rmean
+  FROM events
+)
+SELECT user_id, max(rmean) AS max_rmean, min(rmean) AS min_rmean,
+       count(*) AS n_events
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def window_rank_latest(spark, sf_dir):
+    """top-3 latest events per user via row_number (SURVEY.md §2.6 —
+    ranking is a Spark-free extension over the reference)."""
+    ev = tbl(spark, sf_dir, "events")
+    res = (
+        ev.groupby("user_id")
+        .rank(order_by="event_id", ascending=False, out="rn")
+        .filter(F.col("rn") <= 3)
+    )
+    out = (
+        res.to_spark()
+        .select("user_id", "event_id", "event_type", "rn")
+        .orderBy("user_id", "rn")
+    )
+    return out
+
+
+WINDOW_RANK_SQL = """
+SELECT user_id, event_id, event_type, rn FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3 ORDER BY user_id, rn
+"""
+
+
+def resample_hourly(spark, sf_dir):
+    """time-bin regridding (reference: Resample*, _resample.py:23)."""
+    ev = tbl(spark, sf_dir, "events")
+    res = ev.resample("h", on="ts").agg(
+        n=("value", "count"),
+        total=("value", lambda c: dec_sum(c, 6)),
+        vmin=("value", "min"),
+        vmax=("value", "max"),
+    )
+    return res.sort_values("ts").to_spark()
+
+
+RESAMPLE_SQL = f"""
+SELECT date_trunc('hour', ts) AS ts,
+       count(value) AS n,
+       {dec_sum_sql('value', 6)} AS total,
+       min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_user_sessions(spark, sf_dir):
+    """sessionization: >30-min gap starts a new session (greenfield
+    streaming-adjacent op, SURVEY.md §2.10) — lag + cumulative sum."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sdf = (
+        ev.to_spark()
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+                   > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(wcum))
+    )
+    out = (
+        sdf.groupBy("user_id")
+        .agg(
+            F.max("sess_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+    return out
+
+
+SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def asof_purchase_click(spark, sf_dir):
+    """merge_asof: for each purchase, the most recent prior-or-equal
+    click of the same user (reference: MergeAsof, _merge_asof.py:17;
+    ours is the union+window formulation in operators/asof.py).
+    Output: per-user purchase count and total purchase→click gap."""
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(ev.event_type == "purchase")[["user_id", "ts", "event_id"]]
+    clicks = ev.filter(ev.event_type == "click")[["user_id", "ts"]]
+    joined = purchases.merge_asof(
+        clicks, on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True, right_cols=[],
+    )
+    sdf = joined.to_spark().withColumn(
+        "gap_s",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")))
+        / F.lit(1_000_000.0),
+    )
+    out = (
+        sdf.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("gap_s").alias("n_matched"),
+            F.sum(F.col("gap_s").cast("decimal(27,6)")).cast("double").alias("total_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+    return out
+
+
+ASOF_SQL = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     j AS (
+       SELECT p.user_id, p.ts,
+              (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS gap_s
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+     )
+SELECT user_id, count(*) AS n_purchases, count(gap_s) AS n_matched,
+       CAST(sum(CAST(gap_s AS DECIMAL(27,6))) AS DOUBLE) AS total_gap_s
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "window_shift_diff": (window_shift_diff, WINDOW_SHIFT_DIFF_SQL),
+    "window_cumsum_user": (window_cumsum_user, WINDOW_CUMSUM_SQL),
+    "window_rolling_mean": (window_rolling_mean, WINDOW_ROLLING_SQL),
+    "window_rank_latest": (window_rank_latest, WINDOW_RANK_SQL),
+    "resample_hourly": (resample_hourly, RESAMPLE_SQL),
+    "window_user_sessions": (window_user_sessions, SESSIONS_SQL),
+    "asof_purchase_click": (asof_purchase_click, ASOF_SQL),
+}

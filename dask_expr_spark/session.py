@@ -42,6 +42,10 @@ def get_spark(app_name: str = "dask_expr_spark", cpus: str | int | None = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable;
+        # read as int64 nanos and convert at the source layer
+        # (sources/io.py) — DuckDB equally truncates ns→µs on read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

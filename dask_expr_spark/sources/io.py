@@ -22,12 +22,35 @@ TABLES = (
 )
 
 
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    int64 (spark.sql.legacy.parquet.nanosAsLong) and we truncate to
+    microseconds here, matching DuckDB's ns→µs read behavior."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if pa.types.is_timestamp(typ) and typ.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def read_parquet(spark: SparkSession, path: str,
                  columns: Sequence[str] | None = None,
                  filters: str | None = None) -> DataFrame:
     """reference: ReadParquet (io/parquet.py:712); columns= and filters=
     are sugar — Catalyst pushes .select/.filter into the scan anyway."""
+    from pyspark.sql import functions as F
+
     sdf = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        # integer div: nanos exceed 2^53, float division would lose µs
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if filters:
         sdf = sdf.filter(filters)
     if columns:
