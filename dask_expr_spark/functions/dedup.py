@@ -1,0 +1,228 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash (north-star extensions beyond the
+reference; designed shuffle-only — no driver-side collection — so they
+hold at 100 TB).
+
+Scale design notes (the part that matters at 1000 executors):
+- every stage is expressed as explode → hash-partitioned groupBy/join;
+  no collect(), no per-row Python.
+- the shingle self-join prunes ultra-frequent shingles first
+  (`max_shingle_freq`): a shingle shared by f docs produces f² pair
+  rows, so the frequency cap bounds the worst-case blowup — the same
+  reasoning as prefix filtering in SetSimilarityJoin literature.
+- MinHash/LSH replaces the quadratic shingle join with banded
+  signatures: b bands of r rows → candidate pairs only when a whole
+  band matches. Tune (b, r) to the target threshold t ≈ (1/b)^(1/r).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """hash-groupBy exact dedup: one row per distinct text with member
+    count and the representative (min) id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), k)).alias("__sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """exact n-gram Jaccard similarity join: all pairs with
+    J(shingles(a), shingles(b)) >= threshold.
+
+    explode → (optional frequency prune) → self-join on shingle →
+    count intersections → join sizes → filter. Three shuffles total,
+    all on keys Catalyst hash-partitions; AQE handles shingle skew.
+    """
+    ds = distinct_shingles(df, id_col, text_col, k)
+    sizes = ds.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    if max_shingle_freq is not None:
+        freq = ds.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+        ds = ds.join(freq.filter(F.col("__f") <= max_shingle_freq), "__sh").drop("__f")
+
+    a = ds.select(F.col("__id").alias("id_a"), "__sh")
+    b = ds.select(F.col("__id").alias("id_b"), "__sh")
+    inter = (
+        a.join(b, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: num_perm seeded xxhash64 min-hashes
+    over word k-shingles. One explode + one groupBy (partial aggs
+    map-side); signature is an array<bigint> column."""
+    ds = distinct_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
+        for i in range(num_perm)
+    ]
+    sig = ds.groupBy("__id").agg(*aggs)
+    return sig.select(
+        F.col("__id"),
+        F.array(*[F.col(f"__h{i}") for i in range(num_perm)]).alias("__sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """banded LSH: docs whose signature agrees on all `rows` hashes of
+    any band become a candidate pair. Collision threshold
+    t ≈ (1/bands)^(1/rows)."""
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[F.element_at(F.col("__sig"), b * rows + r + 1) for r in range(rows)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bhash")
+    a = banded.select(F.col("__id").alias("id_a"), "band", "bhash")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """estimated Jaccard = fraction of agreeing signature positions."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / F.size(sig_a)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """full MinHash+LSH near-dup pipeline: signatures → banded candidate
+    pairs → verify by signature agreement ≥ threshold."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    cand = lsh_candidate_pairs(sig, bands, rows)
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", minhash_jaccard_estimate(F.col("__sig_a"), F.col("__sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(text: Column, num_bits: int = 64, sep: str = " ") -> Column:
+    """64-bit SimHash over tokens: per-bit majority vote of token
+    hashes, assembled into a bigint. Pure column expressions."""
+    toks = F.array_distinct(F.split(text, sep))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_lit(b: int) -> Column:
+        # bit 63 of a signed long is Long.MIN_VALUE, not 1<<63
+        return F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+
+    def _vote(b: int) -> Column:
+        # closure, NOT a default arg: Spark binds every lambda param as a
+        # higher-order-function variable, so a 3-arg lambda breaks
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(_bit_lit(b)) != 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(b) for b in range(num_bits)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
+                         chunk_bits: int = 16) -> DataFrame:
+    """near-dup candidates: docs sharing any 16-bit SimHash chunk
+    (Hamming distance ≤ 3 over 64 bits guarantees one equal chunk)."""
+    with_sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh64"))
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunks = with_sh.select(
+        "__id",
+        "__sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("__sh64"), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("cval"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("__id", "__sh64", "cc.chunk", "cc.cval")
+    a = chunks.select(F.col("__id").alias("id_a"), F.col("__sh64").alias("sh_a"), "chunk", "cval")
+    b = chunks.select(F.col("__id").alias("id_b"), F.col("__sh64").alias("sh_b"), "chunk", "cval")
+    pairs = (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,125 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines (BASELINE.json north star; beyond the reference's surface).
+
+All pure `pyspark.sql.functions` expressions — JVM-side, codegen'd,
+no Python in the hot path. Each takes/returns Columns so they compose
+with the facade (Series._scol) and raw Spark DataFrames alike.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small default stopword sets for the language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "un"],
+    "fr": ["le", "la", "de", "et", "que", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "ein", "ist"],
+}
+
+
+def tokenize(text: Column, sep: str = " ") -> Column:
+    """whitespace/sep tokenizer → array<string>."""
+    return F.split(text, sep)
+
+
+def token_count(text: Column, sep: str = " ") -> Column:
+    return F.size(F.split(text, sep)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximate token count: words + punctuation clusters +
+    ceil(chars/4) blend — the standard cheap estimator when no real
+    tokenizer is available."""
+    words = F.size(F.split(text, r"\s+"))
+    return F.ceil(words * 1.3).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_token_len(text: Column, sep: str = " ") -> Column:
+    toks = F.split(text, sep)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(toks)
+
+
+def stopword_ratio(text: Column, stopwords: Sequence[str], sep: str = " ") -> Column:
+    toks = F.split(text, sep)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column, stopwords: Sequence[str] | None = None) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence + alpha ratio. Deterministic, JVM-only."""
+    stopwords = stopwords or STOPWORDS["en"]
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 10000), 1.0).otherwise(0.3)
+    sw = stopword_ratio(text, stopwords)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), 1.0).otherwise(0.5)
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    )
+    return (len_ok * 0.4 + sw_ok * 0.3 + alpha_ratio * 0.3).cast("double")
+
+
+def lang_scores(text: Column, langs: Sequence[str] = ("en", "es", "fr", "de")) -> dict[str, Column]:
+    """per-language stopword-hit counts (n-gram-free heuristic)."""
+    toks = F.split(F.lower(text), " ")
+    out = {}
+    for lang in langs:
+        sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+    return out
+
+
+def lang_id(text: Column, langs: Sequence[str] = ("en", "es", "fr", "de")) -> Column:
+    """argmax language; ties resolved to the lexicographically first
+    language so the result is deterministic across engines."""
+    scores = lang_scores(text, langs)
+    best = None
+    for lang in sorted(langs):
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            bs, bl = best
+            best = (F.greatest(bs, s), F.when(s > bs, F.lit(lang)).otherwise(bl))
+    return best[1]
+
+
+def shingles(text: Column, k: int = 3, sep: str = " ") -> Column:
+    """word k-shingles → array<string> (basis of Jaccard/MinHash dedup).
+    Guarded: Spark's sequence(1, n) DESCENDS when n < 1, so short docs
+    must short-circuit to an empty array."""
+    toks = F.split(text, sep)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k, F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(text: Column, k: int = 3) -> Column:
+    """document fingerprint: lexicographic-min md5 over word k-shingles
+    (md5 so oracles in other engines can reproduce it). Near-identical
+    prefixes/suffixes don't move it — a cheap near-dup key."""
+    return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+def rolling_hash_fingerprint(text: Column, k: int = 3) -> Column:
+    """xxhash64-based min-shingle fingerprint (faster than md5; engine
+    internal — not reproducible outside Spark)."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.xxhash64(s)))

@@ -1,3 +1,142 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search + multimodal queries over embeddings/documents
+(functions/similarity.py, functions/multimodal.py)."""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import multimodal as MM
+from ..functions import similarity as SIM
+from ._util import tbl
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """brute-force exact cosine top-5 per query vector (functions/
+    similarity.py cosine_topk) — queries = vec_id % 100 == 0, corpus
+    streams, query side broadcast."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    res = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, vv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cos
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def ann_centroids(spark, sf_dir):
+    """per-label centroids (IVF coarse-quantizer step, functions/
+    similarity.py centroids_by_label) — reported as (label, n, norm)."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    cents = SIM.centroids_by_label(emb, "label", "embedding")
+    # norm over exact decimal squares so cross-engine sum order is moot
+    norm2 = F.aggregate(
+        F.transform(F.col("centroid"), lambda x: (x * x).cast("decimal(27,15)")),
+        F.lit(0).cast("decimal(27,15)"),
+        # decimal + widens precision; cast back so acc type stays stable
+        lambda acc, x: (acc + x).cast("decimal(27,15)"),
+    ).cast("double")
+    return cents.select(
+        "label",
+        "n_vectors",
+        F.round(F.sqrt(norm2), 6).alias("centroid_norm"),
+    ).orderBy("label")
+
+
+ANN_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, pos,
+         CAST(sum(CAST(val AS DECIMAL(27,9))) AS DOUBLE) / count(val) AS mean_val,
+         count(val) AS n
+  FROM e GROUP BY label, pos
+),
+norms AS (
+  SELECT label,
+         CAST(sum(CAST(mean_val * mean_val AS DECIMAL(27,15))) AS DOUBLE) AS norm2,
+         min(n) AS n_vectors
+  FROM per_dim GROUP BY label
+)
+SELECT label, n_vectors, round(sqrt(norm2), 6) AS centroid_norm
+FROM norms ORDER BY label
+"""
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """hyperplane-LSH bucketed ANN (functions/similarity.py
+    lsh_bucketed_topk) — the 100 TB path: equi-join on signature
+    buckets instead of a cross join. Approximate → rows-only check;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    res = SIM.lsh_bucketed_topk(emb, queries, dim=64, k=5, num_tables=16, planes_per_table=4)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def multimodal_decode(spark, sf_dir):
+    """multimodal plumbing: text→binary payload → Arrow-batched
+    mapInPandas decode stub (functions/multimodal.py) → metadata agg.
+    The decode is a deterministic fake; the schema/batching/shuffle
+    shape is the real deliverable."""
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    with_bin = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    meta = MM.decode_image_meta(with_bin, "doc_id", "payload")
+    return (
+        meta.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.min("height").alias("min_height"),
+        )
+        .orderBy("format")
+    )
+
+
+MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         CAST(length(text) % 1024 AS BIGINT) AS width,
+         CAST((length(text) * 7) % 768 AS BIGINT) AS height,
+         CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+  FROM documents
+)
+SELECT format, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       max(width) AS max_width, min(height) AS min_height
+FROM m GROUP BY format ORDER BY format
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_centroids": (ann_centroids, ANN_CENTROIDS_SQL),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, None),
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
+}

@@ -1,3 +1,182 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the documents table (north-star
+training-data-pipeline ops; functions/text.py is the implementation)."""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ._util import tbl
+
+_STOP = "'the','a','of','and','to','in','is'"
+
+
+def text_stats_by_lang(spark, sf_dir):
+    """token counting + char stats per language (whitespace tokenizer;
+    functions/text.py token_count/char_count)."""
+    docs = tbl(spark, sf_dir, "documents")
+    sdf = docs.to_spark().select(
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tok"),
+        TX.char_count(F.col("text")).alias("n_chars"),
+    )
+    out = (
+        sdf.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+    return out
+
+
+TEXT_STATS_SQL = """
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(n_tok) AS max_tokens
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def text_quality_buckets(spark, sf_dir):
+    """quality scoring via stopword ratio, bucketed (functions/text.py
+    stopword_ratio; reference has no analogue — north-star op)."""
+    docs = tbl(spark, sf_dir, "documents")
+    ratio = TX.stopword_ratio(F.col("text"), TX.STOPWORDS["en"])
+    sdf = docs.to_spark().select(
+        F.floor(ratio * 20).cast("long").alias("bucket"),
+        F.col("doc_id"),
+    )
+    return (
+        sdf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("bucket")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(floor(
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                x -> x IN ({_STOP}))) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) * 20
+         ) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT bucket, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+def text_token_frequencies(spark, sf_dir):
+    """explode + global token frequency (reference: ExplodeSeries,
+    _expr.py:1809 + ValueCounts)."""
+    docs = tbl(spark, sf_dir, "documents")
+    res = (
+        docs.assign(token=lambda d: d["text"].str.split(" ", regex=False))
+        .explode("token")[["token"]]
+    )
+    out = (
+        res.to_spark()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy("token")
+    )
+    return out
+
+
+TOKEN_FREQ_SQL = """
+SELECT tok AS token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY tok
+"""
+
+
+def text_fingerprint_dups(spark, sf_dir):
+    """document fingerprinting: min-md5 over word 3-shingles
+    (functions/text.py doc_fingerprint) → fingerprint collision groups."""
+    docs = tbl(spark, sf_dir, "documents")
+    sdf = docs.to_spark().select(
+        TX.doc_fingerprint(F.col("text"), 3).alias("fp"), "doc_id"
+    )
+    return (
+        sdf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+FINGERPRINT_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text,' ')) >= 3
+              THEN list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> md5(array_to_string(string_split(text,' ')[i:i+2], ' ')))
+              ELSE [] END AS hashes
+  FROM documents
+),
+fp AS (SELECT doc_id, list_min(hashes) AS fp FROM sh)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    """language-ID heuristic (stopword-hit argmax, deterministic
+    lexicographic tie-break; functions/text.py lang_id) vs labeled lang."""
+    docs = tbl(spark, sf_dir, "documents")
+    sdf = docs.to_spark().select(
+        "lang", TX.lang_id(F.col("text")).alias("predicted")
+    )
+    return (
+        sdf.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# replicate the exact tie-break chain: start at lexicographically first
+# language, replace only on strictly greater score
+LANG_ID_SQL = """
+WITH s AS (
+  SELECT lang,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','das','und','zu','ein','ist'))) AS s_de,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('the','a','of','and','to','in','is')))     AS s_en,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('el','la','de','y','que','en','un')))      AS s_es,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('le','la','de','et','que','un','est')))    AS s_fr
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         WHEN s_en > s_de THEN 'en'
+         ELSE 'de' END AS predicted
+  FROM s
+)
+SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1,2 ORDER BY 1,2
+"""
+
+
+QUERIES = {
+    "text_stats_by_lang": (text_stats_by_lang, TEXT_STATS_SQL),
+    "text_quality_buckets": (text_quality_buckets, TEXT_QUALITY_SQL),
+    "text_token_frequencies": (text_token_frequencies, TOKEN_FREQ_SQL),
+    "text_fingerprint_dups": (text_fingerprint_dups, FINGERPRINT_SQL),
+    "text_lang_id": (text_lang_id, LANG_ID_SQL),
+}

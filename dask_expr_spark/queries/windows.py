@@ -147,7 +147,7 @@ def window_rank_latest(spark, sf_dir):
     )
     out = (
         res.to_spark()
-        .select("user_id", "event_id", "event_type", "rn")
+        .select("user_id", "event_id", "event_type", F.col("rn").cast("long").alias("rn"))
         .orderBy("user_id", "rn")
     )
     return out

