@@ -26,10 +26,15 @@ HEADLINE = [
 # extended set appended when present in the registry
 OPTIONAL = [
     "window_user_sessions",
+    "asof_purchase_click",
+    "resample_hourly",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "text_stats_by_lang",
+    "text_token_frequencies",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
 ]
 
 

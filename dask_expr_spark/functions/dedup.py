@@ -48,30 +48,77 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """exact n-gram Jaccard similarity join: all pairs with
     J(shingles(a), shingles(b)) >= threshold.
 
-    explode → (optional frequency prune) → self-join on shingle →
-    count intersections → join sizes → filter. Three shuffles total,
-    all on keys Catalyst hash-partitions; AQE handles shingle skew.
+    With prefix_filter=True this is a PPJoin-style set similarity
+    join: every doc's shingles are ordered by (global frequency,
+    shingle) and only the first |A| − ⌈t·|A|⌉ + 1 shingles — the
+    rarest ones — enter the candidate self-join. Lossless for a
+    threshold query (any pair with J ≥ t must collide inside both
+    prefixes under a common total order). It wins on Zipfian natural
+    text where rare shingles have near-zero collisions; on corpora
+    with near-uniform shingle frequencies (like the synthetic
+    testdata) the extra ranking/verify passes cost more than the
+    direct join saves, hence default False — measure per corpus.
+
+    The shingle frame is cached (feeds sizes/frequency/join sides); at
+    100 TB checkpoint it to parquet instead. AQE handles shingle skew.
+    max_shingle_freq optionally drops ultra-common shingles — an
+    APPROXIMATION (changes J); leave None for exact results.
     """
-    ds = distinct_shingles(df, id_col, text_col, k)
+    from pyspark.sql.window import Window
+
+    ds = distinct_shingles(df, id_col, text_col, k).cache()
     sizes = ds.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     if max_shingle_freq is not None:
-        freq = ds.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
-        ds = ds.join(freq.filter(F.col("__f") <= max_shingle_freq), "__sh").drop("__f")
+        freq_cap = ds.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+        ds = ds.join(freq_cap.filter(F.col("__f") <= max_shingle_freq), "__sh").drop("__f")
 
-    a = ds.select(F.col("__id").alias("id_a"), "__sh")
-    b = ds.select(F.col("__id").alias("id_b"), "__sh")
-    inter = (
-        a.join(b, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    if prefix_filter:
+        freq = ds.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
+        ranked = (
+            ds.join(freq, "__sh")
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(F.col("__f"), F.col("__sh"))
+                ),
+            )
+            .join(sizes, "__id")
+        )
+        prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        pre = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "__sh")
+        pa = pre.select(F.col("__id").alias("id_a"), "__sh")
+        pb = pre.select(F.col("__id").alias("id_b"), "__sh")
+        cand = (
+            pa.join(pb, "__sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        A = ds.select(F.col("__id").alias("id_a"), "__sh")
+        B = ds.select(F.col("__id").alias("id_b"), "__sh")
+        inter = (
+            cand.join(A, "id_a")
+            .join(B, ["id_b", "__sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+    else:
+        a = ds.select(F.col("__id").alias("id_a"), "__sh")
+        b = ds.select(F.col("__id").alias("id_b"), "__sh")
+        inter = (
+            a.join(b, "__sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     out = (
@@ -155,7 +202,9 @@ def minhash_dedup_pairs(
     """full MinHash+LSH near-dup pipeline: signatures → banded candidate
     pairs → verify by signature agreement ≥ threshold."""
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    # cache: the signature frame feeds banding AND both verify sides —
+    # uncached, the explode+groupBy signature job would run three times
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
     cand = lsh_candidate_pairs(sig, bands, rows)
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"))

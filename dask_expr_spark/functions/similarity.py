@@ -10,6 +10,8 @@ other engines' sequential loops.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -64,33 +66,72 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, num_planes: int = 16, seed: int = 42) -> Column:
-    """deterministic random-hyperplane LSH signature (bigint bitmap).
+def _plane_weights(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """deterministic Gaussian hyperplane weights, generated once on the
+    driver (tiny: num_planes × dim floats) and embedded as plan
+    literals — no per-row hash chains, no weight-matrix broadcast."""
+    import numpy as np
 
-    Plane weights are pseudo-random in [-1, 1), derived from
-    xxhash64(seed, plane, coordinate) — fully reproducible, no
-    driver-side randomness, no broadcast of a weight matrix.
-    """
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def hyperplane_signature(vec: Column, dim: int, num_planes: int = 16, seed: int = 42) -> Column:
+    """deterministic random-hyperplane LSH signature (bigint bitmap):
+    bit p = sign(vec · w_p). Weights are constant literals, so the
+    whole signature stays inside whole-stage codegen."""
+    weights = _plane_weights(dim, num_planes, seed)
+
     def plane_bit(p: int) -> Column:
-        weighted = F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2_000_000)).cast("double")
-                    / F.lit(1_000_000.0)
-                    - 1.0
-                ),
-            ),
-            lambda x, w: x * w,
+        warr = F.array(*[F.lit(float(w)) for w in weights[p]])
+        s = F.aggregate(
+            F.zip_with(vec, warr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        s = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
 
     out = F.lit(0).cast("long")
     for p in range(num_planes):
         out = out + plane_bit(p)
     return out
+
+
+def multi_table_signatures(
+    df: DataFrame,
+    id_name: str,
+    vec_col: str,
+    dim: int,
+    num_tables: int,
+    planes_per_table: int,
+    seed: int = 42,
+) -> DataFrame:
+    """all LSH-table buckets in one pass: an Arrow-batched pandas UDF
+    does ONE numpy matmul (batch × dim) @ (dim × total_planes) per
+    batch and packs sign bits per table. Spark's higher-order
+    functions are interpreted (not codegen'd), so a per-plane fold is
+    ~64 Catalyst evals per row; BLAS does the whole batch at memory
+    speed. Output: (id, table, bucket) — one row per table."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    total = num_tables * planes_per_table
+    rng = np.random.RandomState(seed)
+    W = rng.standard_normal((dim, total))  # column p = plane p
+    packs = (1 << (np.arange(total) % planes_per_table)).astype("int64")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        bits = (M @ W) > 0  # (n, total)
+        packed = bits * packs  # weighted bits
+        per_table = packed.reshape(len(M), num_tables, planes_per_table).sum(axis=2)
+        return pd.Series(per_table.astype("int64").tolist())
+
+    return (
+        df.select(F.col(id_name), buckets(F.col(vec_col)).alias("__bkts"))
+        .select(F.col(id_name), F.posexplode(F.col("__bkts")).alias("table", "bucket"))
+    )
 
 
 def lsh_bucketed_topk(
@@ -112,37 +153,23 @@ def lsh_bucketed_topk(
     hash-partitioned, broadcast-free, linear in corpus size — the
     100 TB path."""
 
-    def with_sigs(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    hyperplane_signature(
-                        F.col(vecname), dim, planes_per_table, seed=42 + 1000 * t
-                    ).alias("bucket"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return df.select(
-            F.col(idname), F.col(vecname), F.explode(sigs).alias("tb")
-        ).select(idname, vecname, "tb.table", "tb.bucket")
-
-    v = with_sigs(
-        vectors.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__vv")),
-        "neighbor_id", "__vv",
-    )
-    q = with_sigs(
-        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")),
-        "query_id", "__qv",
-    )
+    # (id, table, bucket) only — vectors are re-attached per surviving
+    # candidate pair, not shuffled through the num_tables-way explode
+    vv = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__vv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv"))
+    v = multi_table_signatures(vv, "neighbor_id", "__vv", dim, num_tables, planes_per_table)
+    q = multi_table_signatures(qv, "query_id", "__qv", dim, num_tables, planes_per_table)
     cand = (
         v.join(q, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__vv")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.withColumn("cos", cosine(F.col("__qv"), F.col("__vv")))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(vv, "neighbor_id")
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__vv")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
