@@ -380,6 +380,71 @@ class DataFrame(FrameBase):
         by = [by] if isinstance(by, str) else list(by)
         return GroupBy(self, by, dropna=dropna)
 
+    def rollup(self, *cols: str) -> "GroupBy":
+        """hierarchical grouping-sets agg — absent in the reference
+        (SURVEY.md §2.5 note: free in Spark)."""
+        return GroupBy(self, list(cols), dropna=False, mode="rollup")
+
+    def cube(self, *cols: str) -> "GroupBy":
+        return GroupBy(self, list(cols), dropna=False, mode="cube")
+
+    # -- reshape ------------------------------------------------------------
+    def melt(self, id_vars: Sequence[str], value_vars: Sequence[str],
+             var_name: str = "variable", value_name: str = "value") -> "DataFrame":
+        """reference: melt, _collection.py:4047 — Spark-native unpivot."""
+        sdf = self._sdf.unpivot(
+            [F.col(c) for c in id_vars],
+            [F.col(c) for c in value_vars],
+            var_name,
+            value_name,
+        )
+        return DataFrame(sdf)
+
+    def get_dummies(self, column: str, values: Sequence[str],
+                    prefix: str | None = None) -> "DataFrame":
+        """one-hot encode (reference: get_dummies, _dummies.py:10) with
+        explicit categories — no distinct-scan, deterministic schema."""
+        prefix = prefix if prefix is not None else column
+        exprs = {
+            f"{prefix}_{v}": (F.col(column) == v).cast("int") for v in values
+        }
+        return self._wrap(self._sdf.withColumns(exprs))
+
+    def describe(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        """reference: Describe, _describe.py:16 — count/mean/std/min/max
+        per numeric column, one row per statistic."""
+        numeric = {
+            f.name for f in self._sdf.schema.fields
+            if f.dataType.simpleString() in ("int", "bigint", "smallint",
+                                             "tinyint", "double", "float")
+        }
+        cols = [c for c in (columns or self.columns) if c in numeric]
+        rows = []
+        for stat, fn in [
+            ("count", lambda c: F.count(c).cast("double")),
+            ("mean", F.avg),
+            ("std", F.stddev_samp),
+            ("min", lambda c: F.min(c).cast("double")),
+            ("max", lambda c: F.max(c).cast("double")),
+        ]:
+            rows.append(
+                self._sdf.agg(
+                    F.lit(stat).alias("statistic"),
+                    *[fn(F.col(c)).alias(c) for c in cols],
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return DataFrame(out)
+
+    # -- set ops (absent in reference, SURVEY.md §2.8 — free in Spark) -------
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        return self._wrap(self._sdf.intersect(other._sdf))
+
+    def except_all(self, other: "DataFrame") -> "DataFrame":
+        return self._wrap(self._sdf.exceptAll(other._sdf))
+
     # -- joins (reference: Merge, _merge.py:50; API _collection.py:2847) -----
     def merge(
         self,
@@ -500,6 +565,87 @@ class DataFrame(FrameBase):
         (reference: map_partitions, _collection.py:985)."""
         return DataFrame(self._sdf.mapInPandas(func, schema=schema),
                          self._index_cols, False)
+
+    def map_overlap(self, func: Callable, schema, order_col: str,
+                    before, after, num_buckets: int = 32) -> "DataFrame":
+        """partition-wise UDF with neighbor-row context (reference:
+        MapOverlap, _expr.py:831; API _collection.py:1123).
+
+        Spark-first design: instead of the reference's copy-rows-from-
+        neighbor-partitions task graph, rows are bucketed by range over
+        `order_col` (boundaries from approxQuantile — the same sampling
+        the reference's divisions use) and each row whose key falls
+        within `before`/`after` of a boundary is ALSO emitted into the
+        neighbor bucket, flagged as padding. One explode + one shuffle,
+        no sequential dependency — scales to any bucket count.
+
+        `before`/`after` are order-key deltas (numeric or timedelta),
+        not row counts — the value-based variant of the reference's
+        freq-based overlap. func receives each padded pandas frame
+        sorted by order_col; its output rows for padding positions are
+        dropped via the `__is_main` column func must pass through.
+        """
+        import pandas as pd
+
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = self._sdf.approxQuantile(order_col, qs, 0.001)
+        bounds = sorted(set(bounds))
+        if not bounds:
+            bounds = []
+
+        barr = F.array(*[F.lit(b) for b in bounds])
+        c = F.col(order_col)
+        bucket = F.size(F.filter(barr, lambda b: b <= c))
+        lower_ok = F.size(F.filter(barr, lambda b: b <= c + F.lit(after)))
+        upper_ok = F.size(F.filter(barr, lambda b: b <= c - F.lit(before)))
+
+        main = self._sdf.withColumn("__bucket", bucket).withColumn(
+            "__is_main", F.lit(True)
+        )
+        to_next = (
+            self._sdf.withColumn("__bucket", bucket + 1)
+            .withColumn("__is_main", F.lit(False))
+            .filter(lower_ok > bucket)
+        )
+        to_prev = (
+            self._sdf.withColumn("__bucket", bucket - 1)
+            .withColumn("__is_main", F.lit(False))
+            .filter((upper_ok < bucket) & (bucket > 0))
+        )
+        padded = main.unionByName(to_next).unionByName(to_prev)
+
+        def wrapper(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            out = func(pdf.drop(columns=["__bucket"]))
+            return out[out["__is_main"]].drop(columns=["__is_main"])
+
+        return DataFrame(
+            padded.groupBy("__bucket").applyInPandas(wrapper, schema),
+            self._index_cols, False,
+        )
+
+    def reduction(self, chunk: Callable, aggregate: Callable,
+                  chunk_schema, agg_schema) -> "DataFrame":
+        """custom two-stage reduction (reference: CustomReduction,
+        _reductions.py:835; API reduction() _collection.py:2120):
+        chunk() per partition (parallel, Arrow-batched), aggregate()
+        over the concatenated chunk results (single small task)."""
+        import pandas as pd
+
+        def chunk_wrapper(it):
+            for pdf in it:
+                yield chunk(pdf)
+
+        def agg_wrapper(it):
+            parts = [p for p in it if len(p)]
+            merged = pd.concat(parts) if parts else None
+            if merged is None:
+                return
+            yield aggregate(merged)
+
+        partials = self._sdf.mapInPandas(chunk_wrapper, chunk_schema)
+        out = partials.repartition(1).mapInPandas(agg_wrapper, agg_schema)
+        return DataFrame(out)
 
     # -- materialization -----------------------------------------------------
     def compute(self):
@@ -667,16 +813,26 @@ class GroupBy:
     machinery (_reductions.py:388) collapses to groupBy().agg().
     """
 
-    def __init__(self, frame: DataFrame, by: list[str], dropna: bool = True):
+    def __init__(self, frame: DataFrame, by: list[str], dropna: bool = True,
+                 mode: str = "groupby"):
         self._frame = frame
         self._by = by
         self._dropna = dropna
+        self._mode = mode
 
     def _sdf(self) -> SparkDF:
         sdf = self._frame._sdf
         if self._dropna:
             sdf = sdf.dropna(subset=self._by)
         return sdf
+
+    def _grouped(self):
+        sdf = self._sdf()
+        if self._mode == "rollup":
+            return sdf.rollup(*self._by)
+        if self._mode == "cube":
+            return sdf.cube(*self._by)
+        return sdf.groupBy(*self._by)
 
     def agg(self, spec=None, **named) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]
@@ -686,7 +842,7 @@ class GroupBy:
         } if named else None
         triples = _normalize_agg_spec(spec, value_cols, named_norm)
         aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
-        return DataFrame(self._sdf().groupBy(*self._by).agg(*aggs))
+        return DataFrame(self._grouped().agg(*aggs))
 
     def _simple(self, fn: str, numeric_only: bool = True) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]

@@ -1,0 +1,145 @@
+"""Structured Streaming operators (SURVEY.md §2.10 — the reference has
+no streaming; this layer is a Spark-native extension designed for the
+events-style append stream).
+
+Design: every operator takes/returns a streaming DataFrame; watermarks
+bound state so the operators run indefinitely at scale. Batch parity:
+each streaming op's semantics match the batch query of the same name
+(tests/test_streaming.py runs both and compares).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      schema: T.StructType = EVENTS_SCHEMA,
+                      max_files_per_trigger: int = 10) -> DataFrame:
+    """file-source append stream (new parquet files in `path` become
+    micro-batches). The production analogue is Kafka/Kinesis; the file
+    source exercises identical operator semantics."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """tumbling-window counts+sums per event_type with late-data bound."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                "event_type", "n", "total")
+    )
+
+
+def sliding_means(stream: DataFrame, window: str = "1 hour",
+                  slide: str = "15 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "user_id", "avg_value", "n")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """native session windows: a session closes after `gap` of
+    inactivity (the streaming analogue of queries/windows.py
+    window_user_sessions)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "total",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, keys: list[str],
+                 watermark: str = "2 hours") -> DataFrame:
+    """streaming dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for older keys is evicted."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(stream: DataFrame, timeout_s: int | None = None) -> DataFrame:
+    """custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) emitted every micro-batch — the pattern for
+    operators Spark's built-in aggs can't express (per-key custom
+    state machines)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  output_mode: str = "update") -> Any:
+    """drain a stream into an in-memory table (testing harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,117 @@
+"""Streaming operator tests: run each op on a file-source stream over
+the events testdata and compare against the equivalent batch query
+(batch-parity is the streaming correctness oracle)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_expr_spark.sources.io import read_parquet
+from dask_expr_spark.streaming import ops as S
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """stage the events table as a 4-file stream source (micro-batches)."""
+    out = str(tmp_path_factory.mktemp("stream_src"))
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).to_spark()
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    # drop _SUCCESS etc. noise is fine — readStream ignores non-parquet
+    return out
+
+
+@pytest.fixture()
+def batch_events(spark, stream_dir):
+    return spark.read.schema(S.EVENTS_SCHEMA).parquet(stream_dir)
+
+
+def _drain(spark, sdf, name, mode="update"):
+    q = S.run_to_memory(sdf, name, output_mode=mode)
+    out = spark.sql(f"SELECT * FROM {name}")
+    return out, q
+
+
+def test_tumbling_counts_batch_parity(spark, stream_dir, batch_events):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = S.read_event_stream(spark, stream_dir, max_files_per_trigger=2)
+    out, q = _drain(spark, S.tumbling_counts(stream), name, mode="update")
+    try:
+        got = {
+            (r.ws, r.event_type): (r.n, round(r.total, 6))
+            for r in out.collect()
+        }
+        want = {
+            (r.ws, r.event_type): (r.n, round(r.total, 6))
+            for r in (
+                batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+                .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+            ).collect()
+        }
+        # update mode re-emits; last value per key must equal batch
+        assert set(want) <= set(got)
+        for k, v in want.items():
+            assert got[k] == v, (k, got[k], v)
+    finally:
+        q.stop()
+
+
+def test_session_windows_run(spark, stream_dir):
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    stream = S.read_event_stream(spark, stream_dir)
+    # session windows only support append mode: windows emit once the
+    # watermark passes them (the last <2h of sessions stay pending)
+    out, q = _drain(spark, S.session_windows(stream), name, mode="append")
+    try:
+        rows = out.collect()
+        assert rows, "session windows should produce output"
+        for r in rows[:20]:
+            assert r.session_end >= r.session_start
+            assert r.n_events >= 1
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_drops_duplicates(spark, stream_dir, batch_events, tmp_path):
+    # duplicate the source files → every event arrives twice
+    dup_dir = str(tmp_path / "dup")
+    shutil.copytree(stream_dir, dup_dir)
+    for f in os.listdir(stream_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stream_dir, f), os.path.join(dup_dir, "dup_" + f))
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    stream = S.read_event_stream(spark, dup_dir)
+    deduped = S.dedup_stream(stream, ["event_id"])
+    out, q = _drain(spark, deduped, name, mode="append")
+    try:
+        n = out.count()
+        assert n == batch_events.count(), "dup copies must be dropped"
+    finally:
+        q.stop()
+
+
+def test_running_user_totals_stateful(spark, stream_dir, batch_events):
+    name = f"r_{uuid.uuid4().hex[:8]}"
+    stream = S.read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    out, q = _drain(spark, S.running_user_totals(stream), name, mode="update")
+    try:
+        # final state per user must equal the batch aggregate
+        final = {}
+        for r in spark.sql(
+            f"SELECT user_id, max(n_events) n, max_by(total_value, n_events) t FROM {name} GROUP BY user_id"
+        ).collect():
+            final[r.user_id] = (r.n, round(r.t, 6))
+        want = {
+            r.user_id: (r.n, round(r.t, 6))
+            for r in batch_events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert final == want
+    finally:
+        q.stop()

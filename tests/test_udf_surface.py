@@ -1,0 +1,98 @@
+"""Tests for the UDF escape hatches: map_partitions, map_overlap,
+custom reduction (reference: SURVEY.md §2.9) + new reshape surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import types as T
+
+from dask_expr_spark.sources.io import from_pandas
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame({
+        "k": [i % 4 for i in range(200)],
+        "x": [float(i) for i in range(200)],
+    })
+
+
+@pytest.fixture(scope="module")
+def df(spark, pdf):
+    return from_pandas(spark, pdf, npartitions=8)
+
+
+def test_map_partitions(df, pdf):
+    schema = T.StructType([T.StructField("doubled", T.DoubleType())])
+
+    def fn(it):
+        for p in it:
+            yield pd.DataFrame({"doubled": p["x"] * 2})
+
+    got = sorted(df.map_partitions(fn, schema).compute()["doubled"])
+    assert got == sorted(pdf.x * 2)
+
+
+def test_reduction_custom(df, pdf):
+    """chunk: per-partition sum/count; aggregate: weighted mean."""
+    chunk_schema = T.StructType([
+        T.StructField("s", T.DoubleType()), T.StructField("n", T.LongType())])
+    agg_schema = T.StructType([T.StructField("mean", T.DoubleType())])
+
+    def chunk(p):
+        return pd.DataFrame({"s": [p["x"].sum()], "n": [len(p)]})
+
+    def aggregate(p):
+        return pd.DataFrame({"mean": [p["s"].sum() / p["n"].sum()]})
+
+    got = df.reduction(chunk, aggregate, chunk_schema, agg_schema).compute()
+    assert got["mean"][0] == pytest.approx(pdf.x.mean())
+
+
+def test_map_overlap_rolling(spark, pdf):
+    """value-margin overlap: centered 3-point rolling mean over x,
+    computed per bucket with ±2.0 margin — must equal the global
+    pandas rolling result (interior rows see full context)."""
+    df = from_pandas(spark, pdf, npartitions=8)
+    schema = T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("rm", T.DoubleType()),
+    ])
+
+    def fn(p):
+        out = p.copy()
+        out["rm"] = out["x"].rolling(3, center=True, min_periods=1).mean()
+        return out[["x", "rm", "__is_main"]]
+
+    got = (
+        df.map_overlap(fn, schema, order_col="x", before=2.0, after=2.0, num_buckets=6)
+        .compute().sort_values("x").reset_index(drop=True)
+    )
+    want = pdf.sort_values("x").reset_index(drop=True)
+    want["rm"] = want["x"].rolling(3, center=True, min_periods=1).mean()
+    pd.testing.assert_series_equal(got["rm"], want["rm"], check_names=False)
+
+
+def test_describe(df, pdf):
+    got = df.describe(["x"]).compute().set_index("statistic")["x"]
+    assert got["count"] == len(pdf)
+    assert got["mean"] == pytest.approx(pdf.x.mean())
+    assert got["std"] == pytest.approx(pdf.x.std())
+    assert got["min"] == pdf.x.min()
+    assert got["max"] == pdf.x.max()
+
+
+def test_melt_roundtrip(df, pdf):
+    long = df.melt(id_vars=["k"], value_vars=["x"], var_name="v", value_name="val")
+    got = long.compute()
+    assert set(got.columns) == {"k", "v", "val"}
+    assert len(got) == len(pdf)
+    assert sorted(got["val"]) == sorted(pdf.x)
+
+
+def test_get_dummies(df, pdf):
+    got = df.get_dummies("k", [0, 1, 2, 3], prefix="k").compute()
+    for v in range(4):
+        assert got[f"k_{v}"].sum() == (pdf.k == v).sum()
