@@ -137,11 +137,14 @@ def timeseries(spark: SparkSession, start: str = "2000-01-01", end: str = "2000-
     """
     from pyspark.sql import functions as F
 
-    n_expr = f"(unix_timestamp('{end}') - unix_timestamp('{start}')) / {freq_seconds}"
+    n_expr = (
+        f"(unix_timestamp(CAST('{end}' AS TIMESTAMP))"
+        f" - unix_timestamp(CAST('{start}' AS TIMESTAMP))) / {freq_seconds}"
+    )
     n = spark.sql(f"SELECT cast({n_expr} as long) AS n").collect()[0][0]
     sdf = spark.range(n).select(
         F.timestamp_seconds(
-            F.unix_timestamp(F.lit(start)) + F.col("id") * freq_seconds
+            F.unix_timestamp(F.to_timestamp(F.lit(start))) + F.col("id") * freq_seconds
         ).alias("timestamp"),
         (F.abs(F.hash(F.col("id") * 31 + seed)) % 1000).alias("id_"),
         (F.abs(F.hash(F.col("id") * 37 + seed)) % 26).alias("name_code"),

@@ -1,0 +1,70 @@
+"""IO round-trip tests (reference: SURVEY.md §2.1 sources/sinks)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dask_expr_spark import from_dict, from_pandas, read_csv, read_json, read_parquet, timeseries
+from dask_expr_spark.sources.io import load_tables
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame({"a": range(50), "b": [f"s{i}" for i in range(50)]})
+    df = from_pandas(spark, pdf, npartitions=3)
+    out = str(tmp_path / "rt.parquet")
+    df.to_parquet(out)
+    back = read_parquet(spark, out).compute().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+
+
+def test_parquet_column_and_filter_args(spark, sf_dir):
+    df = read_parquet(spark, f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"],
+                      filters="o_totalprice > 100000")
+    pdf = df.compute()
+    assert list(pdf.columns) == ["o_orderkey", "o_totalprice"]
+    assert (pdf.o_totalprice > 100000).all()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame({"x": range(20), "y": [i * 0.5 for i in range(20)]})
+    df = from_pandas(spark, pdf)
+    out = str(tmp_path / "rt_csv")
+    df.to_spark().write.option("header", True).csv(out)
+    back = read_csv(spark, out).compute().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+    df = from_pandas(spark, pdf)
+    out = str(tmp_path / "rt_json")
+    df.to_spark().write.json(out)
+    back = read_json(spark, out).compute().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["k", "v"]], pdf, check_dtype=False)
+
+
+def test_from_dict(spark):
+    df = from_dict(spark, {"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    assert len(df) == 3
+
+
+def test_load_tables(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert tables["nation"].count().compute() == 25
+
+
+def test_timeseries_deterministic_under_projection(spark):
+    """the reference's key Timeseries property (datasets.py:171-176):
+    values don't change when a column subset is selected."""
+    full = timeseries(spark, "2000-01-01", "2000-01-02", freq_seconds=60).compute()
+    proj = timeseries(spark, "2000-01-01", "2000-01-02", freq_seconds=60)[["timestamp", "x"]].compute()
+    assert len(full) == 24 * 60
+    pd.testing.assert_series_equal(full["x"], proj["x"])
+    again = timeseries(spark, "2000-01-01", "2000-01-02", freq_seconds=60).compute()
+    pd.testing.assert_frame_equal(full, again)
