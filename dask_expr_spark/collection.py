@@ -375,6 +375,38 @@ class DataFrame(FrameBase):
         sdf = self._sdf.repartition(npartitions, *cols) if npartitions else self._sdf.repartition(*cols)
         return self._wrap(sdf, False)
 
+    @property
+    def loc(self) -> "LocIndexer":
+        """label-based slicing on the index (reference: LocIndexer,
+        _indexing.py:64). With known_sorted + parquet min/max stats the
+        range predicate prunes partitions at the scan — the Spark
+        analogue of division-based pruning."""
+        return LocIndexer(self)
+
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        """null-filling combine (reference: CombineFirst, _expr.py:1138):
+        full-outer join on the index, self's values win when non-null."""
+        if not self._index_cols or self._index_cols != other._index_cols:
+            raise ValueError("combine_first requires both frames indexed alike")
+        idx = list(self._index_cols)
+        lsdf, rsdf = self._sdf, other._sdf
+        shared = [c for c in lsdf.columns if c in rsdf.columns and c not in idx]
+        lren = lsdf.withColumnsRenamed({c: c + "__l" for c in shared})
+        rren = rsdf.withColumnsRenamed({c: c + "__r" for c in shared})
+        joined = lren.join(rren, on=idx, how="full")
+        out_cols = [F.col(c) for c in idx]
+        for c in lsdf.columns:
+            if c in idx:
+                continue
+            if c in shared:
+                out_cols.append(F.coalesce(F.col(c + "__l"), F.col(c + "__r")).alias(c))
+            else:
+                out_cols.append(F.col(c))
+        for c in rsdf.columns:
+            if c not in idx and c not in shared:
+                out_cols.append(F.col(c))
+        return DataFrame(joined.select(*out_cols), self._index_cols, False)
+
     # -- groupby (reference: GroupBy, _groupby.py:1496) ----------------------
     def groupby(self, by: str | Sequence[str], dropna: bool = True) -> "GroupBy":
         by = [by] if isinstance(by, str) else list(by)
@@ -747,6 +779,16 @@ class Series(FrameBase):
     def where(self, cond: "Series", other=None):
         return self._new(F.when(cond._scol, self._scol).otherwise(F.lit(other)))
 
+    def map(self, mapping: Mapping) -> "Series":
+        """dict-based value mapping (reference: Series.map,
+        _collection.py:4199) — literal map + element_at: JVM-side,
+        missing keys → null (pandas NaN semantics)."""
+        pairs: list[Column] = []
+        for k, v in mapping.items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(v))
+        return self._new(F.element_at(F.create_map(*pairs), self._scol))
+
     @property
     def str(self):
         from .functions.accessors import StringMethods
@@ -803,6 +845,35 @@ class Series(FrameBase):
     def compute(self):
         pdf = self.to_frame().compute()
         return pdf[pdf.columns[0]] if len(pdf.columns) == 1 else pdf
+
+
+class LocIndexer:
+    """reference: _indexing.py:64 — label slices on the index column.
+    Column-selection iloc (the only iloc the reference supports,
+    _indexing.py:38) is covered by DataFrame.__getitem__."""
+
+    def __init__(self, frame: DataFrame):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        frame = self._frame
+        if not frame._index_cols:
+            raise ValueError("loc requires an index (set_index first)")
+        idx = F.col(frame._index_cols[0])
+        if isinstance(key, slice):
+            if key.step is not None:
+                raise ValueError("loc slices with step are unsupported")
+            cond = None
+            if key.start is not None:
+                cond = idx >= key.start
+            if key.stop is not None:
+                # pandas .loc slices are INCLUSIVE of the stop label
+                c2 = idx <= key.stop
+                cond = c2 if cond is None else (cond & c2)
+            return frame._wrap(frame._sdf.filter(cond) if cond is not None else frame._sdf)
+        if isinstance(key, (list, tuple)):
+            return frame._wrap(frame._sdf.filter(idx.isin(list(key))))
+        return frame._wrap(frame._sdf.filter(idx == key))
 
 
 class GroupBy:

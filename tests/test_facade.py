@@ -125,3 +125,31 @@ def test_str_dt_accessors(spark):
         "dow": pdf.t.dt.dayofweek,
     }).sort_values("up").reset_index(drop=True)
     pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_loc_slice_inclusive(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4).set_index("x")
+    got = df.loc[10:20].compute().sort_index()
+    want = pdf.set_index("x").sort_index().loc[10:20]
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_series_map(spark, pdf):
+    df = from_pandas(spark, pdf)
+    got = df.assign(lbl=lambda d: d["y"].map({0: "zero", 1: "one"}))[["y", "lbl"]].compute()
+    want = pdf.assign(lbl=pdf.y.map({0: "zero", 1: "one"}))[["y", "lbl"]]
+    got = got.sort_values(["y"]).reset_index(drop=True)
+    want = want.sort_values(["y"]).reset_index(drop=True)
+    # nulls: pandas NaN vs None — normalize
+    assert (got.lbl.fillna("~") == want.lbl.fillna("~")).all()
+
+
+def test_combine_first(spark, pdf):
+    a = pdf.iloc[:60][["x", "z"]].copy()
+    a.loc[a.index[:10], "z"] = None
+    b = pdf.iloc[40:][["x", "z"]].copy()
+    da = from_pandas(spark, a, npartitions=2).set_index("x")
+    db = from_pandas(spark, b, npartitions=2).set_index("x")
+    got = da.combine_first(db).compute().sort_index()
+    want = a.set_index("x").combine_first(b.set_index("x")).sort_index()
+    pdt.assert_frame_equal(got, want, check_dtype=False)
