@@ -779,6 +779,15 @@ class Series(FrameBase):
     def where(self, cond: "Series", other=None):
         return self._new(F.when(cond._scol, self._scol).otherwise(F.lit(other)))
 
+    def apply(self, func: Callable, return_type: str = "double") -> "Series":
+        """elementwise Python function via Arrow-batched pandas UDF
+        (reference: Series.apply, _collection.py:4339). Slow path by
+        design — prefer built-in Series methods (JVM-side)."""
+        # non-decorator form: `from __future__ import annotations`
+        # stringifies hints, which pandas_udf can't resolve here
+        _u = F.pandas_udf(lambda s: s.map(func), return_type)
+        return self._new(_u(self._scol))
+
     def map(self, mapping: Mapping) -> "Series":
         """dict-based value mapping (reference: Series.map,
         _collection.py:4199) — literal map + element_at: JVM-side,

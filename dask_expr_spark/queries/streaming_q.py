@@ -1,0 +1,43 @@
+"""Streaming query surfaced through the driver contract: stages the
+events table as a file-source stream, drains it through a watermarked
+tumbling-window aggregation, and returns the materialized result.
+Genuinely non-SQL-expressible as a batch oracle statement (stateful
+micro-batch execution) → rows-only check; batch parity is asserted in
+tests/test_streaming.py."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+
+def stream_tumbling_counts(spark, sf_dir):
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_q_")
+    (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .to_spark()
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=2)
+    name = "stream_tumbling_counts_out"
+    q = S.run_to_memory(S.tumbling_counts(stream), name, output_mode="update")
+    try:
+        # snapshot the in-memory sink into a concrete DataFrame
+        out = spark.sql(
+            f"SELECT ws, event_type, max(n) AS n, count(*) AS n_updates "
+            f"FROM {name} GROUP BY ws, event_type ORDER BY ws, event_type"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+    return out
+
+
+QUERIES = {
+    "stream_tumbling_counts": (stream_tumbling_counts, None),
+}

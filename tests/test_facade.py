@@ -153,3 +153,11 @@ def test_combine_first(spark, pdf):
     got = da.combine_first(db).compute().sort_index()
     want = a.set_index("x").combine_first(b.set_index("x")).sort_index()
     pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_series_apply_pandas_udf(spark, pdf):
+    df = from_pandas(spark, pdf)
+    got = df.assign(w=lambda d: d["z"].apply(lambda v: v * 3 + 1))[["x", "w"]].compute()
+    got = got.sort_values("x").reset_index(drop=True)
+    want = (pdf.z * 3 + 1).rename("w")
+    assert (got["w"] == want).all()
