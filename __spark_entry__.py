@@ -12,11 +12,15 @@ SURVEY.md §2.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dask_expr_spark.queries import collect_queries
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dask_expr_spark.queries import collect_queries  # noqa: E402
 
 _REGISTRY = None
 
