@@ -55,6 +55,9 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in names:
+        # drop caches left by previous queries (dedup/LSH ops cache
+        # reused frames) so queries are measured in isolation
+        spark.catalog.clearCache()
         fn, _ = registry[name]
         best = None
         for _ in range(repeats):

@@ -35,11 +35,18 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    return (
-        df.select(F.col(id_col).alias("__id"), F.explode(shingles(F.col(text_col), k)).alias("__sh"))
-        .distinct()
-    )
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3,
+                      hashed: bool = False) -> DataFrame:
+    """one row per (doc, distinct shingle). hashed=True replaces the
+    shingle string with xxhash64 — 8-byte join keys instead of ~30-byte
+    strings halve the self-join shuffle; collision probability at d
+    distinct shingles is ~d²/2⁶⁵ (≈5e-11 here), acceptable for
+    similarity joins."""
+    sh = F.explode(shingles(F.col(text_col), k)).alias("__sh")
+    out = df.select(F.col(id_col).alias("__id"), sh)
+    if hashed:
+        out = out.select("__id", F.xxhash64("__sh").alias("__sh"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -50,6 +57,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
     prefix_filter: bool = False,
+    hashed_shingles: bool = True,
 ) -> DataFrame:
     """exact n-gram Jaccard similarity join: all pairs with
     J(shingles(a), shingles(b)) >= threshold.
@@ -72,7 +80,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
-    ds = distinct_shingles(df, id_col, text_col, k).cache()
+    ds = distinct_shingles(df, id_col, text_col, k, hashed=hashed_shingles).cache()
     sizes = ds.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     if max_shingle_freq is not None:

@@ -44,23 +44,62 @@ def cosine_topk(
 ) -> DataFrame:
     """exact brute-force top-k neighbors per query vector.
 
-    The query side is broadcast (small by construction); the corpus
-    side streams — no shuffle of the big table at all, so this scales
-    linearly with corpus size. Output: (query_id, neighbor_id, cos, rank).
+    Scale shape: the query set is small by contract (it plays the
+    broadcast role — here materialized into the closure as a numpy
+    matrix); the corpus STREAMS through an Arrow-batched matmul that
+    emits only each batch's local top-k per query. Any global top-k
+    row is necessarily in its batch's top-k, so the final window ranks
+    just (#batches × q × k) candidate rows instead of shuffling the
+    full n × q score matrix. Output: (query_id, neighbor_id, cos, rank).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__vv")
-    )
-    scored = (
-        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("__qv"), F.col("__vv")))
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            M = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # (n_batch, n_queries)
+            # mask self-matches before taking the batch top-k
+            for j, qid in enumerate(qids):
+                S[ids == qid, j] = -np.inf
+            top = min(k, len(ids))
+            part = np.argpartition(-S, top - 1, axis=0)[:top]  # (top, q)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                idx = part[:, j]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(ids[idx])
+                out_c.extend(S[idx, j])
+            yield pd.DataFrame(
+                {"query_id": pd.Series(out_q, dtype="int64"),
+                 "neighbor_id": pd.Series(out_n, dtype="int64"),
+                 "cos": pd.Series(out_c, dtype="float64")}
+            )
+
+    cand = vectors.select(id_col, vec_col).mapInPandas(batches, schema)
+    # drop the -inf-masked self rows: in a batch smaller than k they
+    # would otherwise survive the local top-k and leak into the output
+    cand = cand.filter(
+        (F.col("query_id") != F.col("neighbor_id")) & (F.col("cos") != F.lit(float("-inf")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
