@@ -221,3 +221,109 @@ QUERIES = {
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q19_or_predicates": (q19_or_predicates, Q19_SQL),
 }
+
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between supplier-nation and
+    customer-nation pairs — two independent dimension chains joined to
+    the fact, both broadcast."""
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    n1 = nation.rename({"n_nationkey": "s_nkey", "n_name": "supp_nation",
+                        "n_regionkey": "r1"})
+    n2 = nation.rename({"n_nationkey": "c_nkey", "n_name": "cust_nation",
+                        "n_regionkey": "r2"})
+    res = (
+        li.filter(li.l_shipdate >= "1996-01-01")
+        .filter(li.l_shipdate < "1998-01-01")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey", broadcast=True)
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(n1, left_on="s_nationkey", right_on="s_nkey", broadcast=True)
+        .merge(n2, left_on="c_nationkey", right_on="c_nkey", broadcast=True)
+    )
+    res = res.filter(res.supp_nation != res.cust_nation)
+    out = (
+        res.assign(
+            rev=lambda d: d["l_extendedprice"] * (1 - d["l_discount"]),
+            year=lambda d: d["l_shipdate"].dt.year.astype("long"),
+        )
+        .groupby(["supp_nation", "cust_nation", "year"])
+        .agg(volume=("rev", lambda c: dec_sum(c, 4)), n=("l_orderkey", "count"))
+        .sort_values(["supp_nation", "cust_nation", "year"])
+        # keep output compact: only pairs with meaningful volume
+        .filter(F.col("n") >= 20)
+    )
+    return out.to_spark()
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, year, volume, n FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS year,
+         {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS volume,
+         count(l_orderkey) AS n
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND n1.n_name <> n2.n_name
+  GROUP BY 1, 2, 3
+) WHERE n >= 20 ORDER BY supp_nation, cust_nation, year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_0's share of revenue per year — ratio of
+    a conditional exact sum over the total exact sum."""
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey", broadcast=True)
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey", broadcast=True)
+    )
+    sdf = j.to_spark()
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("n_name") == "NATION_0", rev).otherwise(F.lit(0.0))
+    out = (
+        sdf.withColumn("year", F.year("o_orderdate").cast("long"))
+        .groupBy("year")
+        .agg(
+            (
+                F.sum(F.round(target * 10000).cast("long")).cast("double")
+                / F.sum(F.round(rev * 10000).cast("long")).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("year")
+    )
+    return out
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS year,
+       CAST(sum(CAST(round(CASE WHEN n_name = 'NATION_0'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END * 10000) AS BIGINT)) AS DOUBLE)
+       / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         AS mkt_share,
+       count(*) AS n
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["q7_nation_volume"] = (q7_nation_volume, Q7_SQL)
+QUERIES["q8_market_share"] = (q8_market_share, Q8_SQL)
