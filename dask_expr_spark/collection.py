@@ -581,6 +581,22 @@ class DataFrame(FrameBase):
         return Rolling(self, window, order_by or list(self._index_cols),
                        partition_by, min_periods)
 
+    def expanding(self, order_by=None, partition_by=None):
+        """expanding (cumulative) window — rolling with an unbounded
+        start (reference exposes via cumulative ops, _cumulative.py)."""
+        from .operators.window import Rolling
+
+        return Rolling(self, window=1, order_by=order_by or list(self._index_cols),
+                       partition_by=partition_by, min_periods=1,
+                       unbounded_start=True)
+
+    def nunique(self) -> "DataFrame":
+        """distinct count per column (frame-level NUnique,
+        _collection.py:3808)."""
+        return DataFrame(
+            self._sdf.agg(*[F.countDistinct(c).alias(c) for c in self.columns])
+        )
+
     def resample(self, freq: str, on: str | None = None):
         """reference: ResampleReduction, _resample.py:23."""
         from .operators.window import Resampler
@@ -829,6 +845,10 @@ class Series(FrameBase):
     def quantile_approx(self, q: float):
         return self._reduce(F.percentile_approx(self._scol, q), f"q_{self._name}")
 
+    def mode(self) -> Scalar:
+        """most frequent value (reference: Mode, _reductions.py:1270)."""
+        return self._reduce(F.mode(self._scol), f"mode_{self._name}")
+
     def value_counts(self, normalize: bool = False, sort: bool = True) -> "DataFrame":
         """reference: ValueCounts, _reductions.py:1394."""
         out = self._anchor.groupBy(self._scol.alias(self._name)).agg(
@@ -960,6 +980,16 @@ class GroupBy:
         """Full-group UDF — exact analogue of the reference's
         GroupByApply (_groupby.py:872) via grouped-map Pandas UDF."""
         return DataFrame(self._sdf().groupBy(*self._by).applyInPandas(func, schema))
+
+    def transform(self, spec: Mapping[str, Any], suffix: str = "_t") -> DataFrame:
+        """group aggregate broadcast back onto every row (reference:
+        GroupByTransform, _groupby.py:1027) — a window aggregate over
+        the group keys: no second join, one shuffle."""
+        w = Window.partitionBy(*self._by)
+        exprs = {}
+        for col, fn in spec.items():
+            exprs[f"{col}{suffix}"] = _agg_expr(fn, col).over(w)
+        return self._frame._wrap(self._sdf().withColumns(exprs))
 
     def head(self, n: int = 5, order_by: str | None = None) -> DataFrame:
         """reference: groupby head, _groupby.py:858."""

@@ -30,13 +30,20 @@ class Rolling:
 
     def __init__(self, frame: DataFrame, window: int, order_by: str | Sequence[str],
                  partition_by: str | Sequence[str] | None = None,
-                 min_periods: int | None = None):
+                 min_periods: int | None = None, unbounded_start: bool = False):
         self._frame = frame
         self._window = window
         self._order = [order_by] if isinstance(order_by, str) else list(order_by)
+        if not self._order:
+            raise ValueError(
+                "rolling/expanding needs an order column: set_index first "
+                "or pass order_by= (an unordered cumulative window would "
+                "be silently nondeterministic)"
+            )
         pb = partition_by or []
         self._partition = [pb] if isinstance(pb, str) else list(pb)
         self._min_periods = min_periods if min_periods is not None else window
+        self._unbounded_start = unbounded_start
 
     def _w(self):
         w = Window.orderBy(*[F.col(c) for c in self._order])
@@ -44,7 +51,8 @@ class Rolling:
             w = Window.partitionBy(*self._partition).orderBy(
                 *[F.col(c) for c in self._order]
             )
-        return w.rowsBetween(-(self._window - 1), 0)
+        start = Window.unboundedPreceding if self._unbounded_start else -(self._window - 1)
+        return w.rowsBetween(start, 0)
 
     def _apply(self, agg_fn, cols: Sequence[str], suffix: str) -> DataFrame:
         w = self._w()

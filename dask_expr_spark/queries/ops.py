@@ -429,3 +429,68 @@ QUERIES = {
     "stats_var_std": (stats_var_std, STATS_SQL),
     "corr_cov": (corr_cov, CORR_SQL),
 }
+
+
+def transform_pct_of_group(spark, sf_dir):
+    """groupby.transform: each row's share of its group total
+    (reference: GroupByTransform, _groupby.py:1027) — window aggregate,
+    exact decimal group totals → identical ratios."""
+    li = tbl(spark, sf_dir, "lineitem")
+    # NOTE: .over() must attach to the aggregate itself — cast AFTER
+    t = li[["l_returnflag", "l_orderkey", "l_quantity"]].groupby("l_returnflag").transform(
+        {"l_quantity": lambda c: F.sum(c.cast("decimal(27,2)"))},
+        suffix="_grp",
+    )
+    sdf = t.to_spark().withColumn(
+        "pct", F.col("l_quantity") / F.col("l_quantity_grp").cast("double")
+    )
+    return (
+        sdf.groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("pct"), 12).alias("max_pct"),
+            F.round(F.min("pct"), 12).alias("min_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TRANSFORM_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         l_quantity / (CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
+                       OVER (PARTITION BY l_returnflag) AS DOUBLE)) AS pct
+  FROM lineitem
+)
+SELECT l_returnflag, round(max(pct), 12) AS max_pct, round(min(pct), 12) AS min_pct,
+       count(*) AS n
+FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def expanding_running_share(spark, sf_dir):
+    """expanding window (cumulative count) per user via the facade's
+    expanding() — checked as final expanding count == group size."""
+    ev = tbl(spark, sf_dir, "events")
+    r = ev.expanding(order_by=["ts", "event_id"], partition_by="user_id").count(["value"])
+    sdf = r.to_spark()
+    return (
+        sdf.groupBy("user_id")
+        .agg(
+            F.max("value_rcount").alias("final_count"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EXPANDING_SQL = """
+SELECT user_id,
+       count(value) AS final_count,
+       count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES["transform_pct_of_group"] = (transform_pct_of_group, TRANSFORM_SQL)
+QUERIES["expanding_running_share"] = (expanding_running_share, EXPANDING_SQL)
