@@ -64,9 +64,55 @@ class StringMethods:
         return self._new(F.expr(f"size(regexp_extract_all({self._s._name}, '{pat}', 0))"))
     def isalpha(self): return self._new(self._c.rlike("^[A-Za-z]+$"))
     def isdigit(self): return self._new(self._c.rlike("^[0-9]+$"))
+    def isalnum(self): return self._new(self._c.rlike("^[A-Za-z0-9]+$"))
+    def isspace(self): return self._new(self._c.rlike("^\\s+$"))
+    def isupper(self): return self._new(self._c == F.upper(self._c))
+    def islower(self): return self._new(self._c == F.lower(self._c))
     def title(self): return self._new(F.initcap(self._c))
+    def swapcase(self):
+        return self._new(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.split(self._c, ""),
+                    lambda ch: F.when(ch == F.upper(ch), F.lower(ch)).otherwise(F.upper(ch)),
+                ),
+            )
+        )
     def repeat(self, n: int): return self._new(F.repeat(self._c, n))
     def find(self, sub: str): return self._new(F.instr(self._c, sub) - 1)
+    def rfind(self, sub: str):
+        return self._new(
+            F.length(self._c) - F.instr(F.reverse(self._c), sub[::-1])
+            - F.lit(len(sub) - 1)
+        )
+    def get(self, i: int):
+        """character at position i (pandas str.get)."""
+        return self._new(F.substring(self._c, i + 1, 1))
+    def removeprefix(self, prefix: str):
+        return self._new(
+            F.when(self._c.startswith(prefix),
+                   F.expr(f"substring({self._s._name}, {len(prefix) + 1})"))
+            .otherwise(self._c)
+        )
+    def removesuffix(self, suffix: str):
+        return self._new(
+            F.when(self._c.endswith(suffix),
+                   F.substring(self._c, 1, F.length(self._c) - len(suffix)))
+            .otherwise(self._c)
+        )
+    def slice_replace(self, start: int, stop: int, repl: str):
+        return self._new(
+            F.concat(
+                F.substring(self._c, 1, start),
+                F.lit(repl),
+                F.expr(f"substring({self._s._name}, {stop + 1})"),
+            )
+        )
+    def normalize_whitespace(self):
+        """collapse runs of whitespace (cleaning helper, beyond pandas)."""
+        return self._new(F.trim(F.regexp_replace(self._c, r"\s+", " ")))
+    def reverse(self): return self._new(F.reverse(self._c))
 
 
 class DatetimeMethods:
@@ -104,6 +150,39 @@ class DatetimeMethods:
     def date(self): return self._new(F.to_date(self._c))
     @property
     def week(self): return self._new(F.weekofyear(self._c))
+
+    @property
+    def days_in_month(self): return self._new(F.dayofmonth(F.last_day(self._c)))
+    @property
+    def is_month_start(self): return self._new(F.dayofmonth(self._c) == 1)
+    @property
+    def is_month_end(self):
+        return self._new(F.to_date(self._c) == F.last_day(self._c))
+    @property
+    def is_quarter_start(self):
+        return self._new(
+            (F.dayofmonth(self._c) == 1) & (F.month(self._c) % 3 == 1)
+        )
+    @property
+    def is_year_start(self): return self._new(F.dayofyear(self._c) == 1)
+    @property
+    def microsecond(self):
+        return self._new((F.unix_micros(self._c) % 1_000_000).cast("int"))
+    @property
+    def epoch_seconds(self): return self._new(F.unix_timestamp(self._c))
+    @property
+    def day_name(self): return self._new(F.date_format(self._c, "EEEE"))
+    @property
+    def month_name(self): return self._new(F.date_format(self._c, "MMMM"))
+    @property
+    def time(self): return self._new(F.date_format(self._c, "HH:mm:ss"))
+
+    def normalize(self):
+        """truncate to midnight (pandas dt.normalize)."""
+        return self._new(F.date_trunc("day", self._c))
+
+    def tz_convert(self, tz: str):
+        return self._new(F.from_utc_timestamp(self._c, tz))
 
     def floor(self, freq: str):
         unit = {"D": "day", "H": "hour", "h": "hour", "T": "minute",

@@ -140,3 +140,39 @@ QUERIES = {
     "ann_lsh_bucketed": (ann_lsh_bucketed, None),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
 }
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """embedding-cosine near-duplicate pairs: all (a, b) with
+    cos >= 0.45 (exact self-similarity join; functions/similarity.py
+    cosine). Threshold calibrated to the corpus — at production scale
+    run the LSH-bucketed variant first and verify candidates only."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), SIM.as_double(F.col("embedding")).alias("__va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), SIM.as_double(F.col("embedding")).alias("__vb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", SIM.cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.45 ORDER BY id_a, id_b
+"""
+
+
+QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)

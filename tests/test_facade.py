@@ -161,3 +161,44 @@ def test_series_apply_pandas_udf(spark, pdf):
     got = got.sort_values("x").reset_index(drop=True)
     want = (pdf.z * 3 + 1).rename("w")
     assert (got["w"] == want).all()
+
+
+def test_str_accessor_breadth(spark):
+    pdf = pd.DataFrame({"s": ["Hello World", "  pad  ", "abc123", "xyz"]})
+    df = from_pandas(spark, pdf)
+    got = df.assign(
+        alnum=lambda d: d["s"].str.isalnum(),
+        upper=lambda d: d["s"].str.isupper(),
+        rev=lambda d: d["s"].str.reverse(),
+        g0=lambda d: d["s"].str.get(0),
+        nop=lambda d: d["s"].str.removeprefix("Hello "),
+        nos=lambda d: d["s"].str.removesuffix("123"),
+        norm=lambda d: d["s"].str.normalize_whitespace(),
+    ).compute().sort_values("s").reset_index(drop=True)
+    want = pdf.sort_values("s").reset_index(drop=True)
+    assert list(got["rev"]) == [x[::-1] for x in want["s"]]
+    assert list(got["g0"]) == [x[0] for x in want["s"]]
+    assert list(got["nop"]) == [x.removeprefix("Hello ") for x in want["s"]]
+    assert list(got["nos"]) == [x.removesuffix("123") for x in want["s"]]
+    assert list(got["norm"]) == [" ".join(x.split()) for x in want["s"]]
+    assert list(got["alnum"]) == [x.isalnum() for x in want["s"]]
+
+
+def test_dt_accessor_breadth(spark):
+    pdf = pd.DataFrame({"t": pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-02-29 12:30:45",
+        "2024-03-31 23:59:59", "2024-07-04 06:00:00"])})
+    df = from_pandas(spark, pdf)
+    got = df.assign(
+        dim=lambda d: d["t"].dt.days_in_month,
+        ms=lambda d: d["t"].dt.is_month_start,
+        me=lambda d: d["t"].dt.is_month_end,
+        dn=lambda d: d["t"].dt.day_name,
+        mn=lambda d: d["t"].dt.month_name,
+    ).compute().sort_values("t").reset_index(drop=True)
+    want = pdf.sort_values("t").reset_index(drop=True)
+    assert list(got["dim"]) == list(want.t.dt.days_in_month)
+    assert list(got["ms"]) == list(want.t.dt.is_month_start)
+    assert list(got["me"]) == list(want.t.dt.is_month_end)
+    assert list(got["dn"]) == list(want.t.dt.day_name())
+    assert list(got["mn"]) == list(want.t.dt.month_name())
