@@ -110,3 +110,36 @@ QUERIES = {
     "funnel_stages": (funnel_stages, FUNNEL_SQL),
     "weekly_retention": (weekly_retention, RETENTION_SQL),
 }
+
+
+def json_props_stats(spark, sf_dir):
+    """semi-structured extraction: parse the JSON props column and
+    aggregate the extracted field (Spark get_json_object — JVM-side
+    JSON path, no UDF)."""
+    ev = tbl(spark, sf_dir, "events")
+    sdf = ev.to_spark().withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    return (
+        sdf.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+WITH j AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["json_props_stats"] = (json_props_stats, JSON_PROPS_SQL)
