@@ -1,0 +1,91 @@
+"""Scale-mechanics tests: bucketed co-located joins (no exchange) and
+skew salting (same results as plain ops, spread keys)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_expr_spark.operators.skew import salted_agg, salted_merge
+from dask_expr_spark.sources.io import read_parquet
+
+from .test_plans import n_nodes, plan_of
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """the reference's fully-indexed merge (divisions-aligned,
+    _merge.py:379) maps to bucketed tables on Spark: both sides
+    bucketed by the join key join WITHOUT any Exchange."""
+    suffix = uuid.uuid4().hex[:8]
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").to_spark()
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").to_spark()
+    tl, to = f"li_b_{suffix}", f"or_b_{suffix}"
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(tl))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(to))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so the plan exercises the bucketed
+        # sort-merge path (at real scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table(tl), spark.table(to)
+        joined = a.join(b, a.l_orderkey == b.o_orderkey).groupBy("o_orderstatus").count()
+        p = plan_of(joined)
+        # the join itself must be exchange-free; only the final
+        # aggregation may shuffle
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert n_nodes(p, "Exchange") <= 1, p
+        # results match the unbucketed join
+        plain = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus").count()
+        )
+        got = {r.o_orderstatus: r["count"] for r in joined.collect()}
+        want = {r.o_orderstatus: r["count"] for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+
+
+def test_salted_merge_matches_plain(spark, sf_dir):
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    part = read_parquet(spark, f"{sf_dir}/part.parquet")
+    right = part.to_spark().withColumnRenamed("p_partkey", "l_partkey")
+    plain = (
+        li.to_spark().join(right, "l_partkey")
+        .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_merge(li, right, on="l_partkey", salts=4, salt_from="l_orderkey")
+        .to_spark()
+        .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.p_brand: r.n for r in salted.collect()}
+    want = {r.p_brand: r.n for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    got_df = salted_agg(
+        li, "l_returnflag",
+        {"total": ("l_quantity", "sum"), "n": ("l_orderkey", "count"),
+         "mx": ("l_quantity", "max")},
+        salts=8,
+    ).compute()
+    got = got_df.set_index("l_returnflag").to_dict("index")
+    want_df = (
+        li.to_spark().groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"),
+             F.count("l_orderkey").alias("n"),
+             F.max("l_quantity").alias("mx"))
+    ).toPandas().set_index("l_returnflag").to_dict("index")
+    for k in want_df:
+        assert got[k]["n"] == want_df[k]["n"]
+        assert got[k]["mx"] == want_df[k]["mx"]
+        assert got[k]["total"] == pytest.approx(want_df[k]["total"])
