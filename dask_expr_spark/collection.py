@@ -991,6 +991,18 @@ class GroupBy:
             exprs[f"{col}{suffix}"] = _agg_expr(fn, col).over(w)
         return self._frame._wrap(self._sdf().withColumns(exprs))
 
+    def get_group(self, value) -> DataFrame:
+        """reference: get_group, _groupby.py:1095."""
+        if len(self._by) == 1:
+            cond = F.col(self._by[0]) == value
+        else:
+            vals = value if isinstance(value, (list, tuple)) else [value]
+            cond = None
+            for k, v in zip(self._by, vals):
+                c = F.col(k) == v
+                cond = c if cond is None else (cond & c)
+        return self._frame._wrap(self._sdf().filter(cond))
+
     def head(self, n: int = 5, order_by: str | None = None) -> DataFrame:
         """reference: groupby head, _groupby.py:858."""
         frame = self._frame

@@ -112,6 +112,27 @@ def shingles(text: Column, k: int = 3, sep: str = " ") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def chunk_text(text: Column, chunk_tokens: int = 64, overlap: int = 16,
+               sep: str = " ") -> Column:
+    """split a document into fixed-size token chunks with overlap —
+    the standard LLM-training preprocessing step. Returns
+    array<string>; explode downstream for one row per chunk. Pure
+    column expressions (no UDF): stride = chunk_tokens - overlap,
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    toks = F.split(text, sep)
+    n = F.size(toks)
+    stride = chunk_tokens - overlap
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws(sep, F.slice(toks, i * stride + 1, chunk_tokens))
+    )
+
+
 def doc_fingerprint(text: Column, k: int = 3) -> Column:
     """document fingerprint: lexicographic-min md5 over word k-shingles
     (md5 so oracles in other engines can reproduce it). Near-identical

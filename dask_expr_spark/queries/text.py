@@ -180,3 +180,44 @@ QUERIES = {
     "text_fingerprint_dups": (text_fingerprint_dups, FINGERPRINT_SQL),
     "text_lang_id": (text_lang_id, LANG_ID_SQL),
 }
+
+
+def text_chunking(spark, sf_dir):
+    """document chunking with overlap (functions/text.py chunk_text) —
+    64-token chunks, 16-token overlap; per-lang chunk counts and sizes."""
+    docs = tbl(spark, sf_dir, "documents")
+    sdf = docs.to_spark().select(
+        "lang", "doc_id", F.explode(TX.chunk_text(F.col("text"), 64, 16)).alias("chunk")
+    )
+    return (
+        sdf.withColumn("chunk_tokens", F.size(F.split(F.col("chunk"), " ")).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("chunk_tokens").alias("total_chunk_tokens"),
+            F.max("chunk_tokens").alias("max_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# stride = 48; chunk i covers toks[i*48 : i*48+64]; DuckDB slice is
+# inclusive, so [i*48+1 : i*48+64]
+TEXT_CHUNKING_SQL = """
+WITH c AS (
+  SELECT lang, doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(greatest(ceil((len(string_split(text,' ')) - 16) / 48.0), 1) AS INT) - 1),
+           i -> array_to_string(string_split(text,' ')[i*48+1 : i*48+64], ' ')
+         )) AS chunk
+  FROM documents
+)
+SELECT lang, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(len(string_split(chunk,' '))) AS BIGINT) AS total_chunk_tokens,
+       CAST(max(len(string_split(chunk,' '))) AS BIGINT) AS max_chunk_tokens
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES["text_chunking"] = (text_chunking, TEXT_CHUNKING_SQL)

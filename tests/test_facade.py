@@ -202,3 +202,26 @@ def test_dt_accessor_breadth(spark):
     assert list(got["me"]) == list(want.t.dt.is_month_end)
     assert list(got["dn"]) == list(want.t.dt.day_name())
     assert list(got["mn"]) == list(want.t.dt.month_name())
+
+
+def test_get_group(spark, pdf):
+    df = from_pandas(spark, pdf)
+    got = df.groupby("y").get_group(3).compute()
+    want = pdf[pdf.y == 3]
+    assert len(got) == len(want)
+    assert sorted(got["x"]) == sorted(want.x)
+
+
+def test_chunk_text_edges(spark):
+    from dask_expr_spark.functions.text import chunk_text
+    from pyspark.sql import functions as F
+    pdf = pd.DataFrame({"t": [" ".join(f"w{i}" for i in range(150)),
+                              "short text", ""]})
+    df = from_pandas(spark, pdf)
+    out = df.to_spark().select(chunk_text(F.col("t"), 64, 16).alias("c")).collect()
+    # 150 tokens, stride 48 → ceil((150-16)/48)=3 chunks
+    assert len(out[0].c) == 3
+    assert len(out[0].c[0].split(" ")) == 64
+    # short doc → single chunk containing everything
+    assert out[1].c == ["short text"]
+    assert len(out[2].c) == 1
