@@ -225,3 +225,26 @@ def test_chunk_text_edges(spark):
     # short doc → single chunk containing everything
     assert out[1].c == ["short text"]
     assert len(out[2].c) == 1
+
+
+def test_agg_spec_forms(spark, pdf):
+    df = from_pandas(spark, pdf)
+    # str spec applies to all value columns
+    got = df[["y", "x", "z"]].groupby("y").agg("sum").compute().sort_values("y")
+    want = pdf.groupby("y")[["x", "z"]].sum().reset_index().sort_values("y")
+    assert list(got["x"]) == list(want["x"])
+    # list spec produces col_fn names
+    got2 = df[["y", "x"]].groupby("y").agg(["sum", "max"]).compute()
+    assert set(got2.columns) == {"y", "x_sum", "x_max"}
+    # dict spec
+    got3 = df[["y", "x", "z"]].groupby("y").agg({"x": "sum", "z": ["min", "max"]}).compute()
+    assert set(got3.columns) == {"y", "x", "z_min", "z_max"}
+
+
+def test_concat_inner(spark, pdf):
+    from dask_expr_spark import concat
+    a = from_pandas(spark, pdf[["x", "y"]].iloc[:30])
+    b = from_pandas(spark, pdf.iloc[30:])  # has extra z column
+    got = concat([a, b], join="inner").compute()
+    assert set(got.columns) == {"x", "y"}
+    assert len(got) == len(pdf)

@@ -68,3 +68,13 @@ def test_timeseries_deterministic_under_projection(spark):
     pd.testing.assert_series_equal(full["x"], proj["x"])
     again = timeseries(spark, "2000-01-01", "2000-01-02", freq_seconds=60).compute()
     pd.testing.assert_frame_equal(full, again)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from dask_expr_spark import read_orc
+    pdf = pd.DataFrame({"a": range(30), "b": [i * 1.5 for i in range(30)]})
+    df = from_pandas(spark, pdf)
+    out = str(tmp_path / "rt_orc")
+    df.to_spark().write.orc(out)
+    back = read_orc(spark, out).compute().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
