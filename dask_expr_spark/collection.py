@@ -845,6 +845,30 @@ class Series(FrameBase):
     def quantile_approx(self, q: float):
         return self._reduce(F.percentile_approx(self._scol, q), f"q_{self._name}")
 
+    def autocorr(self, lag: int = 1, order_by: str | None = None) -> Scalar:
+        """lag-k autocorrelation (reference: autocorr,
+        _collection.py:4547) — corr of the series with its lagged self
+        over the index order."""
+        order = order_by or (self._index_cols[0] if self._index_cols else None)
+        if order is None:
+            raise ValueError("autocorr needs an index or order_by=")
+        w = Window.orderBy(F.col(order))
+        lagged = F.lag(self._scol, lag).over(w)
+        sdf = self._anchor.select(self._scol.alias("__x"), lagged.alias("__y"))
+        return Scalar(sdf.agg(F.corr("__x", "__y").alias(f"autocorr_{self._name}")))
+
+    def is_monotonic_increasing(self, order_by: str | None = None) -> Scalar:
+        """reference: IsMonotonicIncreasing, _reductions.py:1519 —
+        window lag comparison + bool_and."""
+        order = order_by or (self._index_cols[0] if self._index_cols else None)
+        if order is None:
+            raise ValueError("is_monotonic needs an index or order_by=")
+        w = Window.orderBy(F.col(order))
+        prev = F.lag(self._scol).over(w)
+        ok = F.when(prev.isNull(), True).otherwise(self._scol >= prev)
+        sdf = self._anchor.select(ok.alias("__ok"))
+        return Scalar(sdf.agg(F.min("__ok").alias("is_monotonic")))
+
     def mode(self) -> Scalar:
         """most frequent value (reference: Mode, _reductions.py:1270)."""
         return self._reduce(F.mode(self._scol), f"mode_{self._name}")

@@ -68,10 +68,25 @@ def salted_agg(
     )
     partial_map = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refinal = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    partials = sdf.groupBy(*keys, "__salt").agg(
-        *[partial_map[fn](F.col(col)).alias(out) for out, (col, fn) in agg_exprs.items()]
-    )
-    final = partials.groupBy(*keys).agg(
-        *[refinal[fn](F.col(out)).alias(out) for out, (col, fn) in agg_exprs.items()]
-    )
+
+    partial_aggs, final_aggs = [], []
+    for out, (col, fn) in agg_exprs.items():
+        if fn == "mean":
+            # decompose: mean = Σ(partial sums) / Σ(partial counts)
+            partial_aggs.append(F.sum(F.col(col)).alias(f"__s_{out}"))
+            partial_aggs.append(F.count(F.col(col)).alias(f"__c_{out}"))
+            final_aggs.append(
+                (F.sum(F.col(f"__s_{out}")) / F.sum(F.col(f"__c_{out}"))).alias(out)
+            )
+        elif fn in partial_map:
+            partial_aggs.append(partial_map[fn](F.col(col)).alias(out))
+            final_aggs.append(refinal[fn](F.col(out)).alias(out))
+        else:
+            raise ValueError(
+                f"salted_agg supports algebraic aggregates "
+                f"{sorted(partial_map) + ['mean']}, got {fn!r}"
+            )
+
+    partials = sdf.groupBy(*keys, "__salt").agg(*partial_aggs)
+    final = partials.groupBy(*keys).agg(*final_aggs)
     return DataFrame(final)

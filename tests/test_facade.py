@@ -248,3 +248,12 @@ def test_concat_inner(spark, pdf):
     got = concat([a, b], join="inner").compute()
     assert set(got.columns) == {"x", "y"}
     assert len(got) == len(pdf)
+
+
+def test_autocorr_and_monotonic(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=3).set_index("x")
+    ac = df["z"].autocorr(lag=1)
+    want = pdf.set_index("x").sort_index().z.autocorr(lag=1)
+    assert ac.compute() == pytest.approx(want)
+    assert df["x"].is_monotonic_increasing(order_by="x").compute() is True
+    assert from_pandas(spark, pdf)["z"].is_monotonic_increasing(order_by="x").compute() is False

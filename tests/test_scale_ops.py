@@ -89,3 +89,15 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         assert got[k]["n"] == want_df[k]["n"]
         assert got[k]["mx"] == want_df[k]["mx"]
         assert got[k]["total"] == pytest.approx(want_df[k]["total"])
+
+
+def test_salted_agg_mean(spark, sf_dir):
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    got = salted_agg(li, "l_returnflag", {"m": ("l_quantity", "mean")}, salts=8).compute()
+    want = (
+        li.to_spark().groupBy("l_returnflag").agg(F.avg("l_quantity").alias("m"))
+    ).toPandas()
+    g = got.set_index("l_returnflag")["m"].to_dict()
+    w = want.set_index("l_returnflag")["m"].to_dict()
+    for k in w:
+        assert g[k] == pytest.approx(w[k])
