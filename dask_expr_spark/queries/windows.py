@@ -287,3 +287,51 @@ QUERIES = {
     "window_user_sessions": (window_user_sessions, SESSIONS_SQL),
     "asof_purchase_click": (asof_purchase_click, ASOF_SQL),
 }
+
+
+def window_ffill_gaps(spark, sf_dir):
+    """forward-fill over nulls (reference: FFill, _expr.py:3340) —
+    values of 'error' events masked to null, then last-observation
+    carried forward per user; checked via per-user fill stats."""
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sdf = (
+        ev.to_spark()
+        .withColumn("v", F.when(F.col("event_type") != "error", F.col("value")))
+        .withColumn("filled", F.last("v", ignorenulls=True).over(w))
+    )
+    return (
+        sdf.groupBy("user_id")
+        .agg(
+            F.count("v").alias("n_obs"),
+            F.count("filled").alias("n_filled"),
+            F.sum(F.col("filled").cast("decimal(27,6)")).cast("double").alias("sum_filled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+WINDOW_FFILL_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+),
+f AS (
+  SELECT user_id, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM m
+)
+SELECT user_id, count(v) AS n_obs, count(filled) AS n_filled,
+       CAST(sum(CAST(filled AS DECIMAL(27,6))) AS DOUBLE) AS sum_filled
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES["window_ffill_gaps"] = (window_ffill_gaps, WINDOW_FFILL_SQL)

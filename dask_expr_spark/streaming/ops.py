@@ -143,3 +143,34 @@ def run_to_memory(stream_df: DataFrame, query_name: str,
     )
     q.processAllAvailable()
     return q
+
+
+def stream_static_enrich(stream: DataFrame, static_dim: DataFrame,
+                         on: str) -> DataFrame:
+    """stream-static join: enrich each event with a (broadcastable)
+    dimension — the standard lookup pattern; the static side reloads
+    per micro-batch, the stream side never shuffles."""
+    from pyspark.sql import functions as F
+    return stream.join(F.broadcast(static_dim), on=on, how="left")
+
+
+def stream_stream_purchase_after_click(
+    clicks: DataFrame, purchases: DataFrame,
+    watermark: str = "2 hours", within: str = "1 hour",
+) -> DataFrame:
+    """stream-stream interval join: purchases matched to a click by the
+    same user within the preceding `within` — both sides watermarked so
+    the join state is bounded (late rows evicted)."""
+    from pyspark.sql import functions as F
+
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                 F.col("value").alias("p_value")))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond, "inner")

@@ -115,3 +115,65 @@ def test_running_user_totals_stateful(spark, stream_dir, batch_events):
         assert final == want
     finally:
         q.stop()
+
+
+def test_stream_static_enrich(spark, stream_dir):
+    import pandas as pd
+    dim = spark.createDataFrame(pd.DataFrame({
+        "event_type": ["click", "view", "purchase", "error", "signup"],
+        "weight": [1, 0, 5, -1, 3]}))
+    stream = S.read_event_stream(spark, stream_dir)
+    enriched = S.stream_static_enrich(stream, dim, on="event_type")
+    name = f"e_{uuid.uuid4().hex[:8]}"
+    q = S.run_to_memory(enriched, name, output_mode="append")
+    try:
+        out = spark.sql(f"SELECT count(*) n, count(weight) w FROM {name}").collect()[0]
+        assert out.n > 0 and out.w == out.n  # every event matched a dim row
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join(spark, stream_dir, batch_events):
+    stream = S.read_event_stream(spark, stream_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = S.stream_stream_purchase_after_click(clicks, purchases)
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = S.run_to_memory(joined, name, output_mode="append")
+    try:
+        got = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+        # batch equivalent of the same interval join
+        c = batch_events.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        p = batch_events.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        want = p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).count()
+        # append mode may hold back pairs near the watermark horizon;
+        # everything emitted must be a true pair and most must arrive
+        assert got <= want
+        assert got >= int(want * 0.8), (got, want)
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink(spark, stream_dir, tmp_path):
+    """foreachBatch: arbitrary batch sink (e.g. upsert) — counts rows
+    across micro-batches."""
+    totals = []
+    stream = S.read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+
+    def sink(batch_df, batch_id):
+        totals.append(batch_df.count())
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    assert len(totals) >= 4  # one per staged file
+    assert sum(totals) == spark.read.schema(S.EVENTS_SCHEMA).parquet(stream_dir).count()
