@@ -87,6 +87,42 @@ def rolling(frame: DataFrame, window: int, order_by, partition_by=None,
     return Rolling(frame, window, order_by, partition_by, min_periods)
 
 
+class TimeRolling:
+    """time-based rolling frame (reference: RollingReduction with a
+    freq window like '2h', _rolling.py:43) — rangeBetween over
+    microsecond timestamps: all rows within [t - window, t]."""
+
+    def __init__(self, frame: DataFrame, window: str, on: str,
+                 partition_by: str | Sequence[str] | None = None):
+        self._frame = frame
+        self._on = on
+        unit_seconds = {"s": 1, "min": 60, "h": 3600, "d": 86400}
+        num = "".join(ch for ch in window if ch.isdigit())
+        unit = window[len(num):].strip()
+        if unit not in unit_seconds:
+            raise ValueError(f"unsupported time window {window!r} (use s/min/h/d)")
+        self._micros = int(num) * unit_seconds[unit] * 1_000_000
+        pb = partition_by or []
+        self._partition = [pb] if isinstance(pb, str) else list(pb)
+
+    def _w(self):
+        order = F.unix_micros(F.col(self._on))
+        w = (Window.partitionBy(*self._partition).orderBy(order)
+             if self._partition else Window.orderBy(order))
+        return w.rangeBetween(-self._micros, 0)
+
+    def _apply(self, agg_fn, cols: Sequence[str], suffix: str) -> DataFrame:
+        w = self._w()
+        exprs = {f"{c}_{suffix}": agg_fn(F.col(c), w) for c in cols}
+        return self._frame._wrap(self._frame.to_spark().withColumns(exprs))
+
+    def sum(self, cols): return self._apply(lambda c, w: F.sum(c).over(w), cols, "tsum")
+    def mean(self, cols): return self._apply(lambda c, w: F.avg(c).over(w), cols, "tmean")
+    def count(self, cols): return self._apply(lambda c, w: F.count(c).over(w), cols, "tcount")
+    def min(self, cols): return self._apply(lambda c, w: F.min(c).over(w), cols, "tmin")
+    def max(self, cols): return self._apply(lambda c, w: F.max(c).over(w), cols, "tmax")
+
+
 _FREQ_UNIT = {
     "s": "second", "S": "second", "min": "minute", "T": "minute",
     "h": "hour", "H": "hour", "d": "day", "D": "day",

@@ -335,3 +335,50 @@ FROM f GROUP BY user_id ORDER BY user_id
 
 
 QUERIES["window_ffill_gaps"] = (window_ffill_gaps, WINDOW_FFILL_SQL)
+
+
+def rolling_time_window(spark, sf_dir):
+    """time-based rolling: events in the trailing 30 minutes per user
+    (reference: RollingReduction with freq window, _rolling.py:43) —
+    rangeBetween on microseconds; checked via per-user max trailing
+    count and decimal-exact trailing sum."""
+    from ..operators.window import TimeRolling
+
+    ev = tbl(spark, sf_dir, "events")
+    tr = TimeRolling(ev, "30min", on="ts", partition_by="user_id")
+    w = tr._w()
+    sdf = (
+        ev.to_spark()
+        .withColumn("tcount", F.count("value").over(w))
+        .withColumn(
+            "tsum",
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double"),
+        )
+    )
+    return (
+        sdf.groupBy("user_id")
+        .agg(
+            F.max("tcount").alias("max_trailing_n"),
+            F.max("tsum").alias("max_trailing_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ROLLING_TIME_SQL = """
+WITH r AS (
+  SELECT user_id,
+         count(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS tcount,
+         CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS tsum
+  FROM events
+)
+SELECT user_id, max(tcount) AS max_trailing_n, max(tsum) AS max_trailing_sum
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES["rolling_time_window"] = (rolling_time_window, ROLLING_TIME_SQL)

@@ -101,3 +101,25 @@ def test_salted_agg_mean(spark, sf_dir):
     w = want.set_index("l_returnflag")["m"].to_dict()
     for k in w:
         assert g[k] == pytest.approx(w[k])
+
+
+def test_partitioned_write_pruning(spark, sf_dir, tmp_path):
+    """hive-style partitioned write + partition pruning: a filter on
+    the partition column must prune at the scan (the reference's
+    partition-pruning analogue, PartitionsFiltered _expr.py:2942)."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "ev_part")
+    (ev.assign(day=lambda d: d["ts"].dt.date)
+       .to_spark().write.partitionBy("day").mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    q = back.filter(F.col("day") == "2024-01-05").groupBy("event_type").count()
+    p = plan_of(q)
+    assert "PartitionFilters" in p and "2024-01-05" in p, p
+    # correctness: matches filtering the unpartitioned table
+    want = (
+        ev.to_spark().filter(F.to_date("ts") == "2024-01-05")
+        .groupBy("event_type").count()
+    )
+    got = {r.event_type: r["count"] for r in q.collect()}
+    exp = {r.event_type: r["count"] for r in want.collect()}
+    assert got == exp
