@@ -118,11 +118,19 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("__inter"))
         )
     else:
-        a = ds.select(F.col("__id").alias("id_a"), "__sh")
-        b = ds.select(F.col("__id").alias("id_b"), "__sh")
+        # size-band pruning: J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so
+        # attach set sizes (broadcast — one row per doc) and drop
+        # impossible pairs inside the join, before the groupBy sees them
+        dsn = ds.join(F.broadcast(sizes), "__id")
+        a = dsn.select(F.col("__id").alias("id_a"), "__sh", F.col("__n").alias("__na"))
+        b = dsn.select(F.col("__id").alias("id_b"), "__sh", F.col("__n").alias("__nb"))
         inter = (
             a.join(b, "__sh")
-            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("__na") >= threshold * F.col("__nb"))
+                & (F.col("__nb") >= threshold * F.col("__na"))
+            )
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("__inter"))
         )
