@@ -742,10 +742,23 @@ class Series(FrameBase):
                name: str) -> "Series":
         if isinstance(other, Series):
             if other._anchor is not self._anchor:
-                raise ValueError(
-                    "binary op across frames requires alignment — join the "
-                    "frames on their index first (reference requires "
-                    "co-alignment too, _expr.py:3140)"
+                # cross-frame alignment (reference: are_co_aligned +
+                # OpAlignPartitions, _expr.py:3140,3632): outer-join the
+                # two series on their (identical) index columns, then
+                # apply the op — unmatched labels yield null, matching
+                # pandas' NaN-fill alignment.
+                if not self._index_cols or self._index_cols != other._index_cols:
+                    raise ValueError(
+                        "binary op across frames requires both to share an "
+                        "index (set_index on the same column(s) first)"
+                    )
+                idx = list(self._index_cols)
+                left = self._anchor.select(*idx, self._scol.alias("__l"))
+                right = other._anchor.select(*idx, other._scol.alias("__r"))
+                joined = left.join(right, on=idx, how="full")
+                return Series(
+                    joined, op(F.col("__l"), F.col("__r")).alias(name), name,
+                    self._index_cols, False,
                 )
             return self._new(op(self._scol, other._scol), name)
         return self._new(op(self._scol, F.lit(other)), name)

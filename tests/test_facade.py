@@ -257,3 +257,21 @@ def test_autocorr_and_monotonic(spark, pdf):
     assert ac.compute() == pytest.approx(want)
     assert df["x"].is_monotonic_increasing(order_by="x").compute() is True
     assert from_pandas(spark, pdf)["z"].is_monotonic_increasing(order_by="x").compute() is False
+
+
+def test_cross_frame_binop_alignment(spark, pdf):
+    a = from_pandas(spark, pdf.iloc[:60][["x", "z"]], npartitions=2).set_index("x")
+    b = from_pandas(spark, pdf.iloc[40:][["x", "z"]], npartitions=2).set_index("x")
+    s = (a["z"] + b["z"]).compute().sort_index()
+    want = (pdf.iloc[:60].set_index("x").z + pdf.iloc[40:].set_index("x").z).sort_index()
+    # overlap rows equal; non-overlap rows null/NaN on both sides
+    import numpy as np
+    assert list(s.index) == list(want.index)
+    assert np.allclose(s.fillna(-999), want.fillna(-999))
+
+
+def test_cross_frame_binop_without_index_raises(spark, pdf):
+    a = from_pandas(spark, pdf.iloc[:50])
+    b = from_pandas(spark, pdf.iloc[50:])
+    with pytest.raises(ValueError, match="share an index"):
+        a["z"] + b["z"]
