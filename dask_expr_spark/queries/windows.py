@@ -382,3 +382,41 @@ FROM r GROUP BY user_id ORDER BY user_id
 
 
 QUERIES["rolling_time_window"] = (rolling_time_window, ROLLING_TIME_SQL)
+
+
+def sliding_window_counts(spark, sf_dir):
+    """sliding windows (1h window, 30min slide): each event lands in 2
+    overlapping windows — Spark's F.window explode; the batch twin of
+    streaming/ops.py sliding_means."""
+    ev = tbl(spark, sf_dir, "events")
+    sdf = (
+        ev.to_spark()
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+        .orderBy("ws", "event_type")
+    )
+    return sdf
+
+
+# every event belongs to windows starting at trunc30(ts) and
+# trunc30(ts) - 30min (both epoch-aligned, exactly Spark's alignment)
+SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type, value,
+         unnest([
+           make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)),
+           make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800) * 1000000 AS BIGINT))
+         ]) AS ws
+  FROM events
+)
+SELECT ws, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total
+FROM e GROUP BY ws, event_type ORDER BY ws, event_type
+"""
+
+
+QUERIES["sliding_window_counts"] = (sliding_window_counts, SLIDING_SQL)
