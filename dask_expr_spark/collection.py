@@ -442,6 +442,36 @@ class DataFrame(FrameBase):
         }
         return self._wrap(self._sdf.withColumns(exprs))
 
+    def categorize(self, columns: Sequence[str],
+                   suffix: str = "_code") -> tuple["DataFrame", dict[str, "DataFrame"]]:
+        """dictionary-encode string columns to dense int codes
+        (reference: categorize, _collection.py:3749; categoricals map
+        to label ints on Spark — SURVEY.md §1.3). Codes are assigned by
+        sorted value order (deterministic); returns (encoded frame,
+        {col: dictionary frame}) — the dictionaries are tiny and
+        broadcast into the join."""
+        out = self._sdf
+        dicts: dict[str, DataFrame] = {}
+        for col in columns:
+            dic = (
+                self._sdf.select(F.col(col).alias("__val")).distinct()
+                .withColumn(
+                    "__code",
+                    (F.row_number().over(Window.orderBy(F.col("__val"))) - 1).cast("int"),
+                )
+            )
+            out = (
+                out.join(
+                    F.broadcast(dic), out[col] == dic["__val"], "left"
+                )
+                .drop("__val")
+                .withColumnRenamed("__code", f"{col}{suffix}")
+            )
+            dicts[col] = DataFrame(
+                dic.withColumnsRenamed({"__val": col, "__code": f"{col}{suffix}"})
+            )
+        return self._wrap(out), dicts
+
     def describe(self, columns: Sequence[str] | None = None) -> "DataFrame":
         """reference: Describe, _describe.py:16 — count/mean/std/min/max
         per numeric column, one row per statistic."""

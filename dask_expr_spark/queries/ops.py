@@ -494,3 +494,32 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 QUERIES["transform_pct_of_group"] = (transform_pct_of_group, TRANSFORM_SQL)
 QUERIES["expanding_running_share"] = (expanding_running_share, EXPANDING_SQL)
+
+
+def categorize_segments(spark, sf_dir):
+    """dictionary encoding (reference: categorize, _collection.py:3749;
+    categoricals → label ints, SURVEY.md §1.3): codes assigned by
+    sorted value order, then aggregated per code."""
+    cust = tbl(spark, sf_dir, "customer")
+    encoded, dicts = cust.categorize(["c_mktsegment"])
+    return (
+        encoded.groupby(["c_mktsegment", "c_mktsegment_code"])
+        .agg(n=("c_custkey", "count"))
+        .sort_values("c_mktsegment_code")
+        .to_spark()
+    )
+
+
+CATEGORIZE_SQL = """
+WITH dic AS (
+  SELECT c_mktsegment AS val,
+         CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS code
+  FROM (SELECT DISTINCT c_mktsegment FROM customer)
+)
+SELECT c_mktsegment, code AS c_mktsegment_code, count(c_custkey) AS n
+FROM customer JOIN dic ON c_mktsegment = dic.val
+GROUP BY 1, 2 ORDER BY 2
+"""
+
+
+QUERIES["categorize_segments"] = (categorize_segments, CATEGORIZE_SQL)

@@ -275,3 +275,14 @@ def test_cross_frame_binop_without_index_raises(spark, pdf):
     b = from_pandas(spark, pdf.iloc[50:])
     with pytest.raises(ValueError, match="share an index"):
         a["z"] + b["z"]
+
+
+def test_categorize(spark, pdf):
+    pdf2 = pd.DataFrame({"k": ["b", "a", "c", "a", "b"], "v": range(5)})
+    df = from_pandas(spark, pdf2)
+    enc, dicts = df.categorize(["k"])
+    got = enc.compute().sort_values("v").reset_index(drop=True)
+    # codes follow sorted value order: a=0, b=1, c=2
+    assert list(got["k_code"]) == [1, 0, 2, 0, 1]
+    d = dicts["k"].compute().sort_values("k_code")
+    assert list(d["k"]) == ["a", "b", "c"]
