@@ -702,6 +702,60 @@ class DataFrame(FrameBase):
             self._index_cols, False,
         )
 
+    def map_overlap_rows(self, func: Callable, schema, order_col: str,
+                         before: int, after: int,
+                         num_buckets: int = 32) -> "DataFrame":
+        """row-count variant of map_overlap (the reference's native
+        semantics: before/after are ROW counts, _expr.py:831).
+
+        Scalable shape: rows are range-bucketed on `order_col`
+        (approxQuantile boundaries — no global ordering); row numbers
+        are computed WITHIN each bucket (partitioned window, parallel),
+        and each bucket's last `before` / first `after` rows are also
+        emitted into the neighbor bucket as padding. func sees each
+        padded bucket as a pandas frame sorted by order_col and must
+        pass the `__is_main` column through; padding rows are dropped
+        from its output."""
+        import pandas as pd  # noqa: F401
+
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted(set(self._sdf.approxQuantile(order_col, qs, 0.001)))
+        barr = F.array(*[F.lit(b) for b in bounds])
+        c = F.col(order_col)
+        bucket = F.size(F.filter(barr, lambda b: b <= c))
+
+        base = self._sdf.withColumn("__bucket", bucket)
+        w_asc = Window.partitionBy("__bucket").orderBy(F.col(order_col).asc())
+        w_desc = Window.partitionBy("__bucket").orderBy(F.col(order_col).desc())
+        base = base.withColumn("__rn_a", F.row_number().over(w_asc)).withColumn(
+            "__rn_d", F.row_number().over(w_desc)
+        )
+
+        main = base.withColumn("__is_main", F.lit(True))
+        to_next = (
+            base.filter(F.col("__rn_d") <= before)
+            .withColumn("__bucket", F.col("__bucket") + 1)
+            .withColumn("__is_main", F.lit(False))
+        )
+        to_prev = (
+            base.filter((F.col("__rn_a") <= after) & (F.col("__bucket") > 0))
+            .withColumn("__bucket", F.col("__bucket") - 1)
+            .withColumn("__is_main", F.lit(False))
+        )
+        max_bucket = len(bounds)
+        to_next = to_next.filter(F.col("__bucket") <= max_bucket)
+        padded = main.unionByName(to_next).unionByName(to_prev).drop("__rn_a", "__rn_d")
+
+        def wrapper(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            out = func(pdf.drop(columns=["__bucket"]))
+            return out[out["__is_main"]].drop(columns=["__is_main"])
+
+        return DataFrame(
+            padded.groupBy("__bucket").applyInPandas(wrapper, schema),
+            self._index_cols, False,
+        )
+
     def reduction(self, chunk: Callable, aggregate: Callable,
                   chunk_schema, agg_schema) -> "DataFrame":
         """custom two-stage reduction (reference: CustomReduction,

@@ -96,3 +96,48 @@ def test_get_dummies(df, pdf):
     got = df.get_dummies("k", [0, 1, 2, 3], prefix="k").compute()
     for v in range(4):
         assert got[f"k_{v}"].sum() == (pdf.k == v).sum()
+
+
+def test_map_overlap_rows_shift(spark, pdf):
+    """row-count overlap: a 2-row shift computed per bucket must equal
+    the global pandas shift — boundary rows come from neighbor buckets."""
+    df = from_pandas(spark, pdf, npartitions=8)
+    schema = T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("prev2", T.DoubleType()),
+    ])
+
+    def fn(p):
+        out = p.copy()
+        out["prev2"] = out["x"].shift(2)
+        return out[["x", "prev2", "__is_main"]]
+
+    got = (
+        df.map_overlap_rows(fn, schema, order_col="x", before=2, after=0, num_buckets=6)
+        .compute().sort_values("x").reset_index(drop=True)
+    )
+    want = pdf.sort_values("x").reset_index(drop=True)
+    want["prev2"] = want["x"].shift(2)
+    import numpy as np
+    assert np.allclose(got["prev2"].fillna(-1), want["prev2"].fillna(-1))
+
+
+def test_map_overlap_rows_centered(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=8)
+    schema = T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("rm", T.DoubleType()),
+    ])
+
+    def fn(p):
+        out = p.copy()
+        out["rm"] = out["x"].rolling(5, center=True, min_periods=1).mean()
+        return out[["x", "rm", "__is_main"]]
+
+    got = (
+        df.map_overlap_rows(fn, schema, order_col="x", before=2, after=2, num_buckets=5)
+        .compute().sort_values("x").reset_index(drop=True)
+    )
+    want = pdf.sort_values("x").reset_index(drop=True)
+    want["rm"] = want["x"].rolling(5, center=True, min_periods=1).mean()
+    pd.testing.assert_series_equal(got["rm"], want["rm"], check_names=False)
