@@ -47,8 +47,14 @@ def read_parquet(spark: SparkSession, path: str,
     are sugar — Catalyst pushes .select/.filter into the scan anyway."""
     from pyspark.sql import functions as F
 
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        # without this the scan throws PARQUET_TYPE_ILLEGAL — set it
+        # defensively so the engine works in ANY session (the driver
+        # builds its own SparkSession without our session.py config)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = spark.read.parquet(path)
-    for c in _nano_ts_columns(path):
+    for c in nano_cols:
         # integer div: nanos exceed 2^53, float division would lose µs
         sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if filters:
