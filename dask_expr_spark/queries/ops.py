@@ -523,3 +523,75 @@ GROUP BY 1, 2 ORDER BY 2
 
 
 QUERIES["categorize_segments"] = (categorize_segments, CATEGORIZE_SQL)
+
+
+def drop_dup_keep_first(spark, sf_dir):
+    """drop_duplicates(subset, keep='first') with a deterministic order
+    (reference: DropDuplicates keep=, _reductions.py:599): one order
+    per customer — the earliest (orderdate, orderkey)."""
+    sdf = tbl(spark, sf_dir, "orders").to_spark()
+    # min_by with a composite (date, orderkey) key = keep='first' under
+    # a deterministic order; NTZ needs a cast before unix_micros
+    # epoch SECONDS (dates have no sub-second part) so the composite
+    # fits in int64 on both engines
+    key = (
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) * 100_000_000
+        + F.col("o_orderkey")
+    )
+    first = sdf.groupBy("o_custkey").agg(
+        F.min_by(F.col("o_orderkey"), key).alias("first_orderkey"),
+        F.min("o_orderdate").alias("first_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return first.orderBy("o_custkey")
+
+
+DROP_DUP_SQL = """
+SELECT o_custkey,
+       arg_min(o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey) AS first_orderkey,
+       min(o_orderdate) AS first_date,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def combine_first_balances(spark, sf_dir):
+    """combine_first (reference: CombineFirst, _expr.py:1138): prefer
+    the supplier's account balance, fall back to the customer's, over
+    the shared nationkey-index of per-nation aggregates."""
+    cust = tbl(spark, sf_dir, "customer")
+    supp = tbl(spark, sf_dir, "supplier")
+    # per-nation average balances from two different frames
+    a = (
+        supp.groupby("s_nationkey")
+        .agg(bal=("s_acctbal", lambda c: F.sum(c.cast("decimal(27,2)")).cast("double")))
+        .rename({"s_nationkey": "nk"}).set_index("nk")
+    )
+    b = (
+        cust.groupby("c_nationkey")
+        .agg(bal=("c_acctbal", lambda c: F.sum(c.cast("decimal(27,2)")).cast("double")))
+        .rename({"c_nationkey": "nk"}).set_index("nk")
+    )
+    combined = a.combine_first(b)
+    return combined.reset_index().to_spark().orderBy("nk")
+
+
+COMBINE_FIRST_SQL = """
+WITH s AS (
+  SELECT s_nationkey AS nk,
+         CAST(sum(CAST(s_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS bal
+  FROM supplier GROUP BY 1
+),
+c AS (
+  SELECT c_nationkey AS nk,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS bal
+  FROM customer GROUP BY 1
+)
+SELECT coalesce(s.nk, c.nk) AS nk, coalesce(s.bal, c.bal) AS bal
+FROM s FULL OUTER JOIN c ON s.nk = c.nk
+ORDER BY nk
+"""
+
+
+QUERIES["drop_dup_keep_first"] = (drop_dup_keep_first, DROP_DUP_SQL)
+QUERIES["combine_first_balances"] = (combine_first_balances, COMBINE_FIRST_SQL)
