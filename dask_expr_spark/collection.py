@@ -586,6 +586,43 @@ class DataFrame(FrameBase):
             self._sdf.withColumns({c: F.sum(F.col(c)).over(w) for c in cols})
         )
 
+    def cumprod(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
+        """reference: CumProd, _cumulative.py:30 — F.product is a true
+        window aggregate in Spark, so this stays JVM-side (no log/exp
+        trick, signs and zeros handled natively)."""
+        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        cols = columns or self.columns
+        return self._wrap(
+            self._sdf.withColumns({c: F.product(F.col(c)).over(w) for c in cols})
+        )
+
+    def cummax(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
+        """reference: CumMax, _cumulative.py:48."""
+        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        cols = columns or self.columns
+        return self._wrap(
+            self._sdf.withColumns({c: F.max(F.col(c)).over(w) for c in cols})
+        )
+
+    def cummin(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
+        """reference: CumMin, _cumulative.py:56."""
+        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        cols = columns or self.columns
+        return self._wrap(
+            self._sdf.withColumns({c: F.min(F.col(c)).over(w) for c in cols})
+        )
+
+    def pct_change(self, periods: int = 1, columns: Sequence[str] | None = None,
+                   order_by=None) -> "DataFrame":
+        """fractional change vs the periods-th prior row (reference:
+        pct_change, _collection.py:2802) — lag window, one shuffle."""
+        w = self._order_window(order_by)
+        cols = columns or self.columns
+        def pc(c):
+            prev = F.lag(F.col(c), periods).over(w)
+            return (F.col(c) - prev) / prev
+        return self._wrap(self._sdf.withColumns({c: pc(c) for c in cols}))
+
     def ffill(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
         w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
         cols = columns or self.columns
@@ -795,6 +832,115 @@ class DataFrame(FrameBase):
             w = w.partitionBy(partition_by)
         w.parquet(path)
 
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
+               **options) -> None:
+        """reference: to_csv, io/csv.py — distributed multi-part write."""
+        self._sdf.write.mode(mode).options(**options).csv(path, header=header)
+
+    def to_json(self, path: str, mode: str = "overwrite", **options) -> None:
+        """reference: to_json, io/json.py — one JSON-lines file per task."""
+        self._sdf.write.mode(mode).options(**options).json(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite") -> None:
+        self._sdf.write.mode(mode).orc(path)
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        """reference: pipe, _collection.py:2126 — plain function chaining."""
+        return func(self, *args, **kwargs)
+
+    def eval(self, expr: str) -> "DataFrame":
+        """pandas.eval subset (reference: Eval, _expr.py:1173): one or
+        more newline-separated `name = expression` assignments evaluated
+        as Spark SQL expressions (JVM-side, optimizer-visible)."""
+        out = self._sdf
+        for line in expr.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            name, _, rhs = line.partition("=")
+            if not _:
+                raise ValueError(f"eval line {line!r} is not `name = expression`")
+            out = out.withColumn(name.strip(), F.expr(rhs.strip()))
+        return self._wrap(out)
+
+    def partition_lengths(self) -> "DataFrame":
+        """rows per physical partition (reference: Lengths,
+        _expr.py:2145) — spark_partition_id groupBy, no collect."""
+        return DataFrame(
+            self._sdf.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+        )
+
+    def memory_usage_per_partition(self, deep: bool = False) -> "DataFrame":
+        """approximate bytes per partition (reference:
+        MemoryUsagePerPartition, _expr.py:2129). deep=False estimates
+        from the schema's fixed widths; deep=True measures the actual
+        serialized row length (one extra scan, still distributed)."""
+        if deep:
+            row_bytes = F.length(F.to_json(F.struct(*[F.col(c) for c in self._sdf.columns])))
+        else:
+            widths = {"bigint": 8, "double": 8, "int": 4, "float": 4,
+                      "smallint": 2, "tinyint": 1, "boolean": 1,
+                      "date": 4, "timestamp": 8, "timestamp_ntz": 8}
+            per_field = []
+            for f in self._sdf.schema.fields:
+                t = f.dataType.simpleString()
+                if t in widths:
+                    per_field.append(F.lit(widths[t]))
+                elif t == "string" or t == "binary":
+                    per_field.append(F.coalesce(F.length(F.col(f.name)), F.lit(0)))
+                else:
+                    per_field.append(F.lit(16))
+            row_bytes = sum(per_field[1:], per_field[0])
+        return DataFrame(
+            self._sdf.select(F.spark_partition_id().alias("partition"),
+                             row_bytes.alias("__b"))
+            .groupBy("partition").agg(F.sum("__b").alias("bytes"))
+        )
+
+    def pivot_table(self, index: str | Sequence[str], columns: str,
+                    values: str, aggfunc="mean",
+                    column_values: Sequence[str] | None = None) -> "DataFrame":
+        """reference: pivot_table, _collection.py:5465 — Spark-native
+        groupBy().pivot().agg(). Pass column_values to skip the
+        distinct-scan job and pin the output schema (required at scale:
+        an unbounded pivot column is a driver OOM)."""
+        idx = [index] if isinstance(index, str) else list(index)
+        gb = GroupBy(self, idx)
+        return gb.pivot(columns, values=column_values, agg=aggfunc,
+                        value_col=values)
+
+    def corr(self, columns: Sequence[str] | None = None,
+             method: str = "pearson") -> "DataFrame":
+        """pairwise Pearson correlation matrix in long form
+        (col_x, col_y, corr) — ALL pairs in ONE aggregation pass
+        (reference: DataFrame.corr, _collection.py:2948). Long form
+        instead of a pandas matrix: k² grows, rows parallelize."""
+        if method != "pearson":
+            raise NotImplementedError("only pearson")
+        cols = list(columns or self.columns)
+        return self._pairwise(cols, F.corr, "corr")
+
+    def cov(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        """pairwise sample covariance, long form (reference:
+        DataFrame.cov, _collection.py:2938)."""
+        cols = list(columns or self.columns)
+        return self._pairwise(cols, F.covar_samp, "cov")
+
+    def _pairwise(self, cols: Sequence[str], fn, out_name: str) -> "DataFrame":
+        # all k(k+1)/2 pairs in ONE agg pass, then explode to long form
+        pairs = []
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                pairs.append(F.struct(
+                    F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                    fn(F.col(a), F.col(b)).alias(out_name),
+                ))
+        wide = self._sdf.agg(F.array(*pairs).alias("__pairs"))
+        return DataFrame(
+            wide.select(F.explode("__pairs").alias("__r")).select("__r.*")
+        )
+
 
 class Series(FrameBase):
     """A column expression anchored to a Spark DataFrame
@@ -941,6 +1087,67 @@ class Series(FrameBase):
         return self._reduce(F.expr(f"percentile({self._name}, {q})"), f"q_{self._name}")
     def quantile_approx(self, q: float):
         return self._reduce(F.percentile_approx(self._scol, q), f"q_{self._name}")
+
+    def skew(self) -> Scalar:
+        """population skewness g1 (reference: Skew, _reductions.py:1002;
+        Spark's F.skewness — for bias-corrected sample skew compose
+        moments via queries/_util.dec_sum)."""
+        return self._reduce(F.skewness(self._scol), f"skew_{self._name}")
+
+    def kurtosis(self) -> Scalar:
+        """population excess kurtosis g2 (reference: Kurtosis,
+        _reductions.py:1022)."""
+        return self._reduce(F.kurtosis(self._scol), f"kurt_{self._name}")
+
+    kurt = kurtosis
+
+    def prod(self) -> Scalar:
+        """reference: Prod, _reductions.py:925 — F.product aggregate."""
+        return self._reduce(F.product(self._scol), f"prod_{self._name}")
+
+    def cov(self, other: "Series") -> Scalar:
+        """sample covariance with another column of the SAME frame
+        (reference: Cov, _reductions.py:940). Cross-frame: merge first."""
+        return self._reduce(F.covar_samp(self._scol, other._scol),
+                            f"cov_{self._name}_{other._name}")
+
+    def corr(self, other: "Series") -> Scalar:
+        """Pearson correlation (reference: Corr, _reductions.py:953)."""
+        return self._reduce(F.corr(self._scol, other._scol),
+                            f"corr_{self._name}_{other._name}")
+
+    def dot(self, other: "Series") -> Scalar:
+        """inner product sum(x*y) (reference: Dot via _dot_series,
+        _collection.py:5325) — map-side combine, no data movement."""
+        return self._reduce(F.sum(self._scol * other._scol),
+                            f"dot_{self._name}_{other._name}")
+
+    def idxmax(self, order_by: str | None = None) -> Scalar:
+        """index label of the maximum (reference: IdxMax,
+        _reductions.py:1079). Ties resolve to the SMALLEST index (a
+        total order — pandas' first-occurrence rule depends on row
+        order, which a distributed frame doesn't have)."""
+        return self._idx_extreme(F.max, F.min, order_by, "idxmax")
+
+    def idxmin(self, order_by: str | None = None) -> Scalar:
+        """reference: IdxMin, _reductions.py:1090; ties → smallest index."""
+        return self._idx_extreme(F.min, F.min, order_by, "idxmin")
+
+    def _idx_extreme(self, val_fn, tie_fn, order_by, label) -> Scalar:
+        # scalable shape: 1-row global extreme, broadcast back as an
+        # equi-join filter, then aggregate the tie-break — both scans
+        # fully parallel (an empty-partitionBy window would single-
+        # partition the whole frame)
+        idx = order_by or (self._index_cols[0] if self._index_cols else None)
+        if idx is None:
+            raise ValueError(f"{label} needs an index or order_by=")
+        m = self._anchor.agg(val_fn(self._scol).alias("__m"))
+        sdf = (
+            self._anchor.select(F.col(idx), self._scol.alias("__v"))
+            .join(F.broadcast(m), F.col("__v") == F.col("__m"))
+            .agg(tie_fn(F.col(idx)).alias(f"{label}_{self._name}"))
+        )
+        return Scalar(sdf)
 
     def autocorr(self, lag: int = 1, order_by: str | None = None) -> Scalar:
         """lag-k autocorrelation (reference: autocorr,
@@ -1096,6 +1303,26 @@ class GroupBy:
     def nunique(self) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]
         return self.agg({c: "nunique" for c in value_cols})
+
+    def idxmax(self, value_col: str, index_col: str) -> DataFrame:
+        """per-group index of the max value (reference: IdxMax via ACA,
+        _groupby.py:1460). ONE ordinary aggregation (partial + final —
+        no window, no second join): min of struct(-value, index), so
+        ties resolve to the smallest index, matching Series.idxmax.
+        value_col must be numeric (negation is the tie-break trick)."""
+        pair = F.min(F.struct((-F.col(value_col)).alias("nv"),
+                              F.col(index_col).alias("i")))
+        return DataFrame(
+            self._grouped().agg(pair.getField("i").alias(f"idxmax_{value_col}"))
+        )
+
+    def idxmin(self, value_col: str, index_col: str) -> DataFrame:
+        """reference: IdxMin, _groupby.py:1466; ties → smallest index."""
+        pair = F.min(F.struct(F.col(value_col).alias("v"),
+                              F.col(index_col).alias("i")))
+        return DataFrame(
+            self._grouped().agg(pair.getField("i").alias(f"idxmin_{value_col}"))
+        )
 
     def apply(self, func: Callable, schema) -> DataFrame:
         """Full-group UDF — exact analogue of the reference's

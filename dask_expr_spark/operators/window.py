@@ -74,6 +74,45 @@ class Rolling:
     def std(self, cols): return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "rstd")
     def var(self, cols): return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "rvar")
 
+    def median(self, cols):
+        """rolling median — F.percentile IS window-framable in Spark
+        (F.median is not), JVM-side, no UDF."""
+        return self._apply(
+            lambda c, w: F.percentile(c, F.lit(0.5)).over(w), cols, "rmedian"
+        )
+
+    def quantile(self, q: float, cols):
+        return self._apply(
+            lambda c, w: F.percentile(c, F.lit(q)).over(w), cols, f"rq{int(q*100)}"
+        )
+
+    def apply(self, func, cols: Sequence[str], return_type: str = "double") -> DataFrame:
+        """rolling window with an arbitrary Python function (reference:
+        RollingApply, _rolling.py:118). Spark shape: collect_list over
+        the window frame (JVM), then ONE Arrow-batched pandas UDF maps
+        func over each window array — vectorized transfer, no per-row
+        Python round-trips. func receives a numpy array."""
+        import numpy as np
+
+        w = self._w()
+        minp = self._min_periods
+
+        def make_udf():
+            @F.pandas_udf(return_type)
+            def _roll(s):
+                import pandas as pd
+                return pd.Series(
+                    [func(np.asarray(a)) if len(a) >= minp else None for a in s],
+                    dtype="object",
+                )
+            return _roll
+
+        udf = make_udf()
+        out = {}
+        for c in cols:
+            out[f"{c}_rapply"] = udf(F.collect_list(F.col(c)).over(w))
+        return self._frame._wrap(self._frame.to_spark().withColumns(out))
+
     def agg_expr(self, **exprs: Column) -> DataFrame:
         """Escape hatch: arbitrary window aggregates over the rolling frame.
         Each value is a function Column→window→Column applied via .over()."""

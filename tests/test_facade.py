@@ -286,3 +286,107 @@ def test_categorize(spark, pdf):
     assert list(got["k_code"]) == [1, 0, 2, 0, 1]
     d = dicts["k"].compute().sort_values("k_code")
     assert list(d["k"]) == ["a", "b", "c"]
+
+
+def test_stat_reductions_vs_pandas(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    import numpy as np
+    s, p = df["z"], pdf.z
+    assert abs(df["x"].cov(df["z"]).compute() - pdf.x.cov(pdf.z)) < 1e-9
+    assert abs(df["x"].corr(df["z"]).compute() - pdf.x.corr(pdf.z)) < 1e-9
+    assert abs(df["x"].dot(df["z"]).compute() - pdf.x.dot(pdf.z)) < 1e-9
+    # Spark skew/kurt are population moments; compare vs scipy-style formulas
+    z = pdf.z.to_numpy()
+    m = z.mean(); m2 = ((z - m) ** 2).mean()
+    g1 = ((z - m) ** 3).mean() / m2 ** 1.5
+    g2 = ((z - m) ** 4).mean() / m2 ** 2 - 3
+    assert abs(s.skew().compute() - g1) < 1e-9
+    assert abs(s.kurt().compute() - g2) < 1e-9
+    small = from_pandas(spark, pdf.iloc[:8])
+    assert abs(small["z"].prod().compute() - pdf.z.iloc[:8].prod()) < 1e-9
+
+
+def test_idxmax_idxmin(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4).set_index("x")
+    # z cycles 0..4: max 4.0 first at x=4, min 0.0 first at x=0
+    assert df["z"].idxmax().compute() == 4
+    assert df["z"].idxmin().compute() == 0
+    g = from_pandas(spark, pdf, npartitions=4).groupby("y")
+    got = g.idxmax("z", "x").compute().sort_values("y").reset_index(drop=True)
+    want = pdf.groupby("y").apply(
+        lambda d: d.sort_values(["z", "x"], ascending=[False, True]).x.iloc[0],
+        include_groups=False,
+    ).reset_index(name="idxmax_z")
+    assert list(got["idxmax_z"]) == list(want["idxmax_z"])
+
+
+def test_cumulative_family(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    got = df.cummax(["z"], order_by="x").compute().sort_values("x")
+    want = pdf.sort_values("x").assign(z=pdf.z.cummax())
+    assert list(got["z"]) == list(want["z"])
+    got = df.cummin(["z"], order_by="x").compute().sort_values("x")
+    assert list(got["z"]) == list(pdf.z.cummin())
+    small = pdf.iloc[:10].assign(w=lambda d: d.z + 1.0)
+    sdf = from_pandas(spark, small)
+    got = sdf.cumprod(["w"], order_by="x").compute().sort_values("x")
+    assert np.allclose(got["w"], small.w.cumprod())
+    got = sdf.pct_change(columns=["w"], order_by="x").compute().sort_values("x")
+    want = small.sort_values("x").w.pct_change()
+    assert np.allclose(got["w"].fillna(-9), want.fillna(-9))
+
+
+import numpy as np  # noqa: E402
+
+
+def test_pivot_table_eval_pipe(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    got = df.pivot_table("y", "x", "z", "sum", column_values=[0, 1, 2]).compute()
+    assert set(got.columns) == {"y", "0", "1", "2"} or set(got.columns) == {"y", 0, 1, 2}
+    ev = df.eval("a = x * 2\nb = a + z").compute().sort_values("x")
+    assert list(ev["b"]) == list(pdf.sort_values("x").eval("a = x * 2\nb = a + z")["b"])
+    assert df.pipe(lambda d, n: d.limit(n), 3).compute().shape[0] == 3
+
+
+def test_frame_corr_cov_long(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    got = df.corr(["x", "z"]).compute()
+    pair = got[(got.col_x == "x") & (got.col_y == "z")]["corr"].iloc[0]
+    assert abs(pair - pdf.x.corr(pdf.z)) < 1e-9
+    cv = df.cov(["x", "z"]).compute()
+    pair = cv[(cv.col_x == "x") & (cv.col_y == "z")]["cov"].iloc[0]
+    assert abs(pair - pdf.x.cov(pdf.z)) < 1e-9
+
+
+def test_rolling_median_and_apply(spark, pdf):
+    df = from_pandas(spark, pdf.iloc[:30], npartitions=3)
+    r = df.rolling(7, order_by="x", min_periods=7)
+    got = r.apply(np.median, ["z"]).compute().sort_values("x")
+    want = pdf.iloc[:30].sort_values("x").z.rolling(7).median()
+    assert np.allclose(got["z_rapply"].fillna(-9), want.fillna(-9))
+    got2 = r.median(["z"]).compute().sort_values("x")
+    # JVM percentile path matches the UDF path where both are defined
+    both = got.merge(got2, on="x")
+    defined = both.dropna(subset=["z_rapply"])
+    assert np.allclose(defined["z_rapply"], defined["z_rmedian"])
+
+
+def test_partition_introspection(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    pl = df.partition_lengths().compute()
+    assert pl["rows"].sum() == len(pdf)
+    mu = df.memory_usage_per_partition().compute()
+    assert (mu["bytes"] > 0).all()
+    mud = df.memory_usage_per_partition(deep=True).compute()
+    assert mud["bytes"].sum() > 0
+
+
+def test_writers_roundtrip(spark, pdf, tmp_path):
+    df = from_pandas(spark, pdf.iloc[:20], npartitions=2)
+    from dask_expr_spark.sources.io import read_csv, read_json, read_orc
+    df.to_csv(str(tmp_path / "c"))
+    df.to_json(str(tmp_path / "j"))
+    df.to_orc(str(tmp_path / "o"))
+    assert read_csv(spark, str(tmp_path / "c")).compute().shape == (20, 3)
+    assert read_json(spark, str(tmp_path / "j")).compute().shape == (20, 3)
+    assert read_orc(spark, str(tmp_path / "o")).compute().shape == (20, 3)
