@@ -104,3 +104,27 @@ def merge(
 
     idx = tuple(c for c in left.index_cols if c in joined.columns)
     return DataFrame(joined, idx, False)
+
+
+def merge_recursive(frames, on=None, how: str = "inner",
+                    broadcast_tail: bool = True):
+    """fold a list of frames into one join tree (reference:
+    JoinRecursive, _merge.py:701). Catalyst re-orders/reshapes the
+    fold — with CBO + AQE the written order is a hint, not a plan.
+    broadcast_tail=True marks every frame after the first as
+    broadcast-eligible (the common star-schema shape: one fact table,
+    many dims); set False for chains of comparably-sized tables."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("no frames")
+    out = frames[0]
+    for f in frames[1:]:
+        step_on = on
+        if step_on is None:
+            # pandas default: join on the column-name intersection
+            step_on = [c for c in out.columns if c in set(f.columns)]
+            if not step_on:
+                raise ValueError("no common columns to merge on")
+        out = merge(out, f, how=how, on=step_on,
+                    broadcast=True if broadcast_tail else None)
+    return out

@@ -158,3 +158,31 @@ def timeseries(spark: SparkSession, start: str = "2000-01-01", end: str = "2000-
         ((F.abs(F.hash(F.col("id") * 43 + seed)) % 2000000) / 1000000.0 - 1.0).alias("y"),
     ).withColumnRenamed("id_", "id")
     return DataFrame(sdf)
+
+
+def from_map(spark: SparkSession, func, inputs: Sequence, schema,
+             npartitions: int | None = None) -> DataFrame:
+    """build a frame by mapping `func` over a list of inputs, one task
+    per input (reference: FromMap / from_map, io/io.py:571). The Spark
+    shape: parallelize the (small, driver-resident) input descriptors —
+    e.g. file paths, date ranges, table names — one per partition, then
+    mapInPandas runs func on executors; the descriptors travel, the
+    data never touches the driver. func: input -> pandas.DataFrame
+    matching `schema`."""
+    import pandas as pd
+
+    n = npartitions or len(list(inputs))
+    desc = spark.createDataFrame(
+        [(i, repr(x)) for i, x in enumerate(inputs)], "ordinal long, repr string"
+    ).repartition(n, "ordinal")
+    items = list(inputs)
+
+    def run(batches):
+        for pdf in batches:
+            for i in pdf["ordinal"]:
+                out = func(items[int(i)])
+                if not isinstance(out, pd.DataFrame):
+                    raise TypeError("from_map func must return a pandas DataFrame")
+                yield out
+
+    return DataFrame(desc.mapInPandas(run, schema))

@@ -78,3 +78,36 @@ def test_orc_roundtrip(spark, tmp_path):
     df.to_spark().write.orc(out)
     back = read_orc(spark, out).compute().sort_values("a").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+
+
+def test_from_map(spark):
+    import pandas as pd
+    from dask_expr_spark.sources.io import from_map
+    df = from_map(
+        spark,
+        lambda d: pd.DataFrame({"d": [d] * 3, "v": range(3)}),
+        ["2024-01-01", "2024-01-02"],
+        "d string, v long",
+    )
+    got = df.compute().sort_values(["d", "v"]).reset_index(drop=True)
+    assert len(got) == 6
+    assert list(got["d"].unique()) == ["2024-01-01", "2024-01-02"]
+
+
+def test_merge_recursive(spark, sf_dir):
+    from dask_expr_spark.operators.merge import merge_recursive
+    from dask_expr_spark.sources.io import read_parquet
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    n = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    r = read_parquet(spark, f"{sf_dir}/region.parquet")
+    out = merge_recursive([
+        c[["c_custkey", "c_nationkey"]].rename(columns={"c_nationkey": "n_nationkey"}),
+        n[["n_nationkey", "n_regionkey"]].rename(columns={"n_regionkey": "r_regionkey"}),
+        r[["r_regionkey", "r_name"]],
+    ])
+    got = out.compute()
+    assert len(got) == len(c.compute())
+    assert "r_name" in got.columns
+    # star-schema fold keeps the dims broadcast — no shuffle of the fact side
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
