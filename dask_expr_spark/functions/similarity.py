@@ -245,3 +245,88 @@ def centroids_by_label(
             "n_vectors",
         )
     )
+
+
+def _nearest_cells(frame: DataFrame, cents: DataFrame, id_out: str,
+                   vec_alias: str, n_cells: int) -> DataFrame:
+    """score every row against every (broadcast) centroid, keep the
+    n_cells best per row — broadcast nested-loop join + struct top-k,
+    linear in rows, no shuffle of the vector side."""
+    scored = frame.join(F.broadcast(cents)).withColumn(
+        "__sim", cosine(F.col(vec_alias), F.col("__cent"))
+    )
+    w = Window.partitionBy(id_out).orderBy(F.col("__sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= n_cells)
+        .drop("__cent", "__sim", "__cr")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """approximate top-k via IVF (inverted-file) cells — the classic
+    coarse-quantizer ANN scale path, complementary to hyperplane LSH:
+
+    1. deterministic seeding: the num_cells lowest-id vectors become
+       initial centroids (tiny — broadcast);
+    2. lloyd_iters rounds of distributed Lloyd refinement: assign all
+       vectors to their nearest centroid (broadcast compare, no
+       shuffle), then recompute centroids by posexplode + groupBy(cell,
+       pos) — shuffles only (cells × dim) aggregates;
+    3. vectors land in 1 cell, queries probe their nprobe nearest
+       cells; candidate generation becomes an equi-join on cell —
+       hash-partitioned, linear, skew bounded by cell sizes.
+
+    Per-query recall is tunable by nprobe; cost scales with
+    nprobe/num_cells fraction of the corpus, not the corpus itself."""
+    vv = vectors.select(F.col(id_col).alias("neighbor_id"),
+                        as_double(F.col(vec_col)).alias("__vv"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        as_double(F.col(vec_col)).alias("__qv"))
+
+    # 1. seeds: lowest ids — deterministic, no RNG
+    seeds = (vv.orderBy("neighbor_id").limit(num_cells)
+             .select(F.col("__vv").alias("__cent"))
+             .withColumn("cell", F.monotonically_increasing_id()))
+    cents = seeds.select("cell", "__cent")
+
+    # 2. Lloyd refinement, fully distributed
+    for _ in range(lloyd_iters):
+        assigned = _nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
+        per_dim = (
+            assigned.select("cell", F.posexplode("__vv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        cents = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
+            .select("cell", F.transform("__p", lambda s: s.getField("m")).alias("__cent"))
+        )
+
+    cents = cents.cache()
+
+    # 3. probe: vectors in 1 cell, queries in nprobe cells
+    v_cells = _nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
+    q_cells = _nearest_cells(qv, cents, "query_id", "__qv", nprobe)
+    cand = (
+        q_cells.join(v_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__vv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

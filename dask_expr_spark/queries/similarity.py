@@ -99,6 +99,22 @@ def ann_lsh_bucketed(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN (functions/similarity.py ivf_topk):
+    deterministic seeding + one distributed Lloyd round, vectors in 1
+    cell, queries probe nprobe cells — candidate generation is an
+    equi-join on cell, cost ~nprobe/num_cells of the corpus. The
+    coarse-quantizer complement to the LSH path. Approximate →
+    rows-only check; recall asserted in tests/test_similarity.py."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    res = SIM.ivf_topk(emb, queries, dim=64, k=5, num_cells=16, nprobe=4)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def multimodal_decode(spark, sf_dir):
     """multimodal plumbing: text→binary payload → Arrow-batched
     mapInPandas decode stub (functions/multimodal.py) → metadata agg.
@@ -138,6 +154,7 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_centroids": (ann_centroids, ANN_CENTROIDS_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
 }
 

@@ -55,3 +55,26 @@ def test_hyperplane_signature_deterministic(spark, sf_dir):
     b = {r.vec_id: r.s for r in emb.select("vec_id", sig.alias("s")).collect()}
     assert a == b
     assert all(0 <= v < 256 for v in a.values())
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF with nprobe=8 of 16 cells scans ~half the corpus per query —
+    require >= 60% of the true top-5."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in SIM.cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in SIM.ivf_topk(emb, q, dim=64, k=5, num_cells=16, nprobe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 200 == 0)
+    a = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in SIM.ivf_topk(emb, q, dim=64, k=3).collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in SIM.ivf_topk(emb, q, dim=64, k=3).collect())
+    assert a == b
