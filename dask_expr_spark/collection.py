@@ -848,6 +848,182 @@ class DataFrame(FrameBase):
         """reference: pipe, _collection.py:2126 — plain function chaining."""
         return func(self, *args, **kwargs)
 
+    def copy(self) -> "DataFrame":
+        """reference: copy, _collection.py:1026 — plans are immutable,
+        so copy is free (same as the reference's shallow copy)."""
+        return DataFrame(self._sdf, self._index_cols, self._known_sorted)
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def shape(self):
+        """(row count, columns) — row count is a job (reference: shape
+        triggers compute too, _collection.py:686)."""
+        return (self._sdf.count(), len(self.columns))
+
+    @property
+    def empty(self) -> bool:
+        return self._sdf.isEmpty()
+
+    def all(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        """reference: All, _reductions.py:1190 — per-column bool_and."""
+        cols = columns or self.columns
+        return DataFrame(self._sdf.agg(
+            *[F.min(F.col(c).cast("boolean")).alias(c) for c in cols]))
+
+    def any(self, columns: Sequence[str] | None = None) -> "DataFrame":
+        """reference: Any, _reductions.py:1177."""
+        cols = columns or self.columns
+        return DataFrame(self._sdf.agg(
+            *[F.max(F.col(c).cast("boolean")).alias(c) for c in cols]))
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        """reference: select_dtypes via meta, _collection.py:1320 —
+        pure schema operation, no job."""
+        inc = {include} if isinstance(include, str) else set(include or ())
+        exc = {exclude} if isinstance(exclude, str) else set(exclude or ())
+        groups = {
+            "number": {"int", "bigint", "smallint", "tinyint", "double", "float"},
+            "integer": {"int", "bigint", "smallint", "tinyint"},
+            "floating": {"double", "float"},
+            "object": {"string"}, "string": {"string"},
+            "bool": {"boolean"}, "datetime": {"timestamp", "timestamp_ntz", "date"},
+        }
+        def expand(names):
+            out = set()
+            for n in names:
+                out |= groups.get(n, {n})
+            return out
+        inc_t, exc_t = expand(inc), expand(exc)
+        keep = []
+        for f in self._sdf.schema.fields:
+            if f.name in self._index_cols:
+                continue
+            t = f.dataType.simpleString()
+            base = t.split("(")[0]
+            if inc_t and base not in inc_t:
+                continue
+            if base in exc_t:
+                continue
+            keep.append(f.name)
+        return self[keep]
+
+    def rename_axis(self, name: str) -> "DataFrame":
+        """reference: rename_axis, _collection.py:1121 — renames the
+        index column."""
+        if len(self._index_cols) != 1:
+            raise ValueError("rename_axis needs exactly one index column")
+        old = self._index_cols[0]
+        return DataFrame(self._sdf.withColumnRenamed(old, name), (name,),
+                         self._known_sorted)
+
+    def pop(self, col: str):
+        """reference: pop, _collection.py:1210 — returns (series, frame
+        without the column); the facade is immutable so both are new."""
+        return self[col], self.drop(col)
+
+    def squeeze(self):
+        """reference: squeeze, _collection.py:4928 — 1-column frame →
+        Series."""
+        if len(self.columns) == 1:
+            return self[self.columns[0]]
+        return self
+
+    def to_series(self) -> "Series":
+        if len(self.columns) != 1:
+            raise ValueError("to_series needs exactly one data column")
+        return self[self.columns[0]]
+
+    def to_records(self):
+        """reference: to_records, _collection.py:1420 — driver-side."""
+        return self.compute().to_records()
+
+    def tail(self, n: int = 5, order_by=None) -> "DataFrame":
+        """last n rows BY INDEX ORDER (reference: Tail, _expr.py:1723).
+        A distributed frame has no physical tail; this is top-n on the
+        reversed order — TakeOrderedAndProject, no full sort."""
+        order = order_by or list(self._index_cols)
+        if not order:
+            raise ValueError("tail needs an index or order_by=")
+        order = [order] if isinstance(order, str) else list(order)
+        rev = self._sdf.orderBy(*[F.col(c).desc() for c in order]).limit(n)
+        return self._wrap(rev.orderBy(*[F.col(c).asc() for c in order]))
+
+    def get_partition(self, i: int) -> "DataFrame":
+        """reference: get_partition, _collection.py:1469 — filter on
+        spark_partition_id (scan stays distributed; only partition i's
+        rows survive)."""
+        return self._wrap(
+            self._sdf.withColumn("__pid", F.spark_partition_id())
+            .filter(F.col("__pid") == i).drop("__pid")
+        )
+
+    def iterrows(self):
+        """driver-side row iteration via toLocalIterator — streams one
+        partition at a time, never materializes the frame
+        (reference: iterrows, _collection.py:1378)."""
+        for row in self._sdf.toLocalIterator():
+            d = row.asDict()
+            idx = tuple(d.pop(c) for c in self._index_cols) or None
+            yield (idx[0] if idx and len(idx) == 1 else idx), d
+
+    def itertuples(self):
+        """reference: itertuples, _collection.py:1392."""
+        for row in self._sdf.toLocalIterator():
+            yield tuple(row)
+
+    def items(self):
+        """column-wise iteration (reference: items, _collection.py:1365).
+        Each yield computes ONE column — prefer compute() for small
+        frames."""
+        for c in self.columns:
+            yield c, self[c]
+
+    def memory_usage(self, deep: bool = False) -> "DataFrame":
+        """approximate bytes per column (reference: memory_usage /
+        nbytes, _collection.py:1434) — single agg pass."""
+        widths = {"bigint": 8, "double": 8, "int": 4, "float": 4,
+                  "smallint": 2, "tinyint": 1, "boolean": 1,
+                  "date": 4, "timestamp": 8, "timestamp_ntz": 8}
+        aggs = []
+        for f in self._sdf.schema.fields:
+            t = f.dataType.simpleString()
+            if t in widths and not deep:
+                aggs.append((F.count(F.lit(1)) * widths[t]).alias(f.name))
+            elif t in ("string", "binary") or deep:
+                aggs.append(F.sum(F.coalesce(
+                    F.length(F.col(f.name).cast("string")), F.lit(0))).alias(f.name))
+            else:
+                aggs.append((F.count(F.lit(1)) * 16).alias(f.name))
+        return DataFrame(self._sdf.agg(*aggs))
+
+    def nbytes(self) -> "Scalar":
+        wide = self.memory_usage().to_spark()
+        total = wide.select(
+            sum([F.col(c) for c in wide.columns[1:]],
+                F.col(wide.columns[0])).alias("nbytes"))
+        return Scalar(total)
+
+    def align(self, other: "DataFrame", join: str = "outer"):
+        """index-align two frames (reference: align,
+        _collection.py:2205): one outer/inner join on the shared index,
+        then split back into two frames with null-filled gaps."""
+        if not self._index_cols or self._index_cols != other._index_cols:
+            raise ValueError("align requires both frames to share an index")
+        idx = list(self._index_cols)
+        lcols = {c: f"__l_{c}" for c in self.columns}
+        rcols = {c: f"__r_{c}" for c in other.columns}
+        left = self._sdf.select(*idx, *[F.col(c).alias(a) for c, a in lcols.items()])
+        right = other._sdf.select(*idx, *[F.col(c).alias(a) for c, a in rcols.items()])
+        how = {"outer": "full", "inner": "inner", "left": "left", "right": "right"}[join]
+        joined = left.join(right, on=idx, how=how)
+        la = joined.select(*idx, *[F.col(a).alias(c) for c, a in lcols.items()])
+        ra = joined.select(*idx, *[F.col(a).alias(c) for c, a in rcols.items()])
+        return (DataFrame(la, self._index_cols, False),
+                DataFrame(ra, self._index_cols, False))
+
     def eval(self, expr: str) -> "DataFrame":
         """pandas.eval subset (reference: Eval, _expr.py:1173): one or
         more newline-separated `name = expression` assignments evaluated
@@ -1030,7 +1206,16 @@ class Series(FrameBase):
     def between(self, lo, hi): return self._new(self._scol.between(lo, hi))
     def isin(self, values: Iterable): return self._new(self._scol.isin(list(values)))
     def isna(self): return self._new(F.isnull(self._scol))
+    isnull = isna
     def notnull(self): return self._new(~F.isnull(self._scol))
+    notna = notnull
+    # named comparison methods (reference: _comparison_op, _collection.py:661)
+    def eq(self, o): return self._binop(o, lambda a, b: a == b, self._name)
+    def ne(self, o): return self._binop(o, lambda a, b: a != b, self._name)
+    def lt(self, o): return self._binop(o, lambda a, b: a < b, self._name)
+    def le(self, o): return self._binop(o, lambda a, b: a <= b, self._name)
+    def gt(self, o): return self._binop(o, lambda a, b: a > b, self._name)
+    def ge(self, o): return self._binop(o, lambda a, b: a >= b, self._name)
     def fillna(self, v): return self._new(F.coalesce(self._scol, F.lit(v)))
     def astype(self, t: str): return self._new(self._scol.cast(t))
     def mask(self, cond: "Series", other=None):
@@ -1071,8 +1256,17 @@ class Series(FrameBase):
     def _reduce(self, col: Column, name: str) -> Scalar:
         return Scalar(self._anchor.select(col.alias(name)))
 
-    def sum(self): return self._reduce(F.sum(self._scol), f"sum_{self._name}")
-    def mean(self): return self._reduce(F.avg(self._scol), f"mean_{self._name}")
+    def _numeric_scol(self) -> Column:
+        # pandas sums/means booleans as ints; Spark's sum(boolean) is an
+        # analysis error — cast when the resolved type is boolean
+        # (schema-only check, no job)
+        t = self._anchor.select(self._scol.alias("__t")).schema[0].dataType
+        if t.simpleString() == "boolean":
+            return self._scol.cast("long")
+        return self._scol
+
+    def sum(self): return self._reduce(F.sum(self._numeric_scol()), f"sum_{self._name}")
+    def mean(self): return self._reduce(F.avg(self._numeric_scol()), f"mean_{self._name}")
     def min(self): return self._reduce(F.min(self._scol), f"min_{self._name}")
     def max(self): return self._reduce(F.max(self._scol), f"max_{self._name}")
     def count(self): return self._reduce(F.count(self._scol), f"count_{self._name}")
@@ -1087,6 +1281,33 @@ class Series(FrameBase):
         return self._reduce(F.expr(f"percentile({self._name}, {q})"), f"q_{self._name}")
     def quantile_approx(self, q: float):
         return self._reduce(F.percentile_approx(self._scol, q), f"q_{self._name}")
+
+    def sem(self) -> Scalar:
+        """standard error of the mean (reference: Sem,
+        _reductions.py:1118)."""
+        return self._reduce(
+            F.stddev_samp(self._scol) / F.sqrt(F.count(self._scol)),
+            f"sem_{self._name}")
+
+    def all(self) -> Scalar:
+        return self._reduce(F.min(self._scol.cast("boolean")), f"all_{self._name}")
+
+    def any(self) -> Scalar:
+        return self._reduce(F.max(self._scol.cast("boolean")), f"any_{self._name}")
+
+    def median_approximate(self) -> Scalar:
+        """reference: median_approximate, _collection.py:4460 (t-digest
+        there, KLL sketch here — same contract)."""
+        return self._reduce(F.percentile_approx(self._scol, 0.5),
+                            f"median_{self._name}")
+
+    def combine(self, other: "Series", func, return_type: str = "double") -> "Series":
+        """element-pair combine with a Python function (reference:
+        combine, _collection.py:4251) — Arrow-batched over both columns."""
+        _u = F.pandas_udf(
+            lambda a, b: a.combine(b, func), return_type
+        )
+        return self._binop(other, lambda x, y: _u(x, y), self._name)
 
     def skew(self) -> Scalar:
         """population skewness g1 (reference: Skew, _reductions.py:1002;
@@ -1164,12 +1385,20 @@ class Series(FrameBase):
     def is_monotonic_increasing(self, order_by: str | None = None) -> Scalar:
         """reference: IsMonotonicIncreasing, _reductions.py:1519 —
         window lag comparison + bool_and."""
+        return self._is_monotonic(order_by, decreasing=False)
+
+    def is_monotonic_decreasing(self, order_by: str | None = None) -> Scalar:
+        """reference: IsMonotonicDecreasing, _reductions.py:1529."""
+        return self._is_monotonic(order_by, decreasing=True)
+
+    def _is_monotonic(self, order_by, decreasing: bool) -> Scalar:
         order = order_by or (self._index_cols[0] if self._index_cols else None)
         if order is None:
             raise ValueError("is_monotonic needs an index or order_by=")
         w = Window.orderBy(F.col(order))
         prev = F.lag(self._scol).over(w)
-        ok = F.when(prev.isNull(), True).otherwise(self._scol >= prev)
+        cmp = (self._scol <= prev) if decreasing else (self._scol >= prev)
+        ok = F.when(prev.isNull(), True).otherwise(cmp)
         sdf = self._anchor.select(ok.alias("__ok"))
         return Scalar(sdf.agg(F.min("__ok").alias("is_monotonic")))
 

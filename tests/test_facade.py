@@ -390,3 +390,70 @@ def test_writers_roundtrip(spark, pdf, tmp_path):
     assert read_csv(spark, str(tmp_path / "c")).compute().shape == (20, 3)
     assert read_json(spark, str(tmp_path / "j")).compute().shape == (20, 3)
     assert read_orc(spark, str(tmp_path / "o")).compute().shape == (20, 3)
+
+
+def test_api_parity_batch(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    assert df.ndim == 2 and df.shape == (100, 3)
+    assert not df.empty
+    assert df.copy().compute().shape == (100, 3)
+    # select_dtypes is schema-only
+    assert set(df.select_dtypes(include="number").columns) == {"x", "y", "z"}
+    assert df.select_dtypes(exclude="floating").columns == ["x", "y"]
+    s, rest = df.pop("z")
+    assert rest.columns == ["x", "y"] and s.name == "z"
+    assert df[["z"]].squeeze().name == "z"
+    assert df[["z"]].to_series().name == "z"
+    t = df.tail(3, order_by="x").compute()
+    assert list(t["x"]) == [97, 98, 99]
+    assert sum(len(df.get_partition(i).compute()) for i in range(4)) == 100
+    rows = list(df.set_index("x").iterrows())
+    assert len(rows) == 100 and isinstance(rows[0][1], dict)
+    assert len(list(df.itertuples())) == 100
+    assert dict(df.items())["z"].name == "z"
+
+
+def test_all_any_sem_combine(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    b = df.assign(pos=lambda d: d["x"] >= 0, big=lambda d: d["x"] > 50)
+    got = b.all(["pos", "big"]).compute()
+    assert bool(got["pos"][0]) is True and bool(got["big"][0]) is False
+    got = b.any(["big"]).compute()
+    assert bool(got["big"][0]) is True
+    assert df["z"].all().compute() in (True, False)
+    import numpy as np
+    assert abs(df["z"].sem().compute() - pdf.z.sem()) < 1e-9
+    assert df["z"].median_approximate().compute() == pdf.z.median()
+    small = from_pandas(spark, pdf.iloc[:10])
+    got = small["x"].combine(small["z"], max).compute().sort_values()
+    want = pdf.iloc[:10].x.combine(pdf.iloc[:10].z, max).sort_values()
+    assert np.allclose(list(got), list(want))
+
+
+def test_monotonic_decreasing_and_named_cmp(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    neg = df.assign(nx=lambda d: -d["x"])
+    assert neg["nx"].is_monotonic_decreasing(order_by="x").compute() is True
+    assert df["z"].is_monotonic_decreasing(order_by="x").compute() is False
+    got = df[df["x"].ge(98)].compute()
+    assert len(got) == 2
+    assert df["z"].isnull().sum().compute() == 0
+
+
+def test_align(spark, pdf):
+    a = from_pandas(spark, pdf.iloc[:60][["x", "y"]], npartitions=2).set_index("x")
+    b = from_pandas(spark, pdf.iloc[40:][["x", "z"]], npartitions=2).set_index("x")
+    la, ra = a.align(b)
+    lg = la.compute().sort_index()
+    rg = ra.compute().sort_index()
+    assert len(lg) == 100 and len(rg) == 100
+    assert lg["y"].isna().sum() == 40 and rg["z"].isna().sum() == 40
+    li, ri = a.align(b, join="inner")
+    assert len(li.compute()) == 20
+
+
+def test_memory_usage_columns(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    mu = df.memory_usage().compute()
+    assert int(mu["x"][0]) == 800  # 100 rows x 8 bytes
+    assert df.nbytes().compute() == 800 * 3
