@@ -853,6 +853,27 @@ class DataFrame(FrameBase):
         so copy is free (same as the reference's shallow copy)."""
         return DataFrame(self._sdf, self._index_cols, self._known_sorted)
 
+    def apply(self, func: Callable, axis: int = 1, out: str = "apply",
+              return_type: str = "double") -> "DataFrame":
+        """row-wise Python function → new column (reference:
+        DataFrame.apply axis=1, _collection.py:2541). Arrow-batched:
+        func receives each row as a pandas Series. The slow path by
+        design — prefer assign() with Column expressions (JVM-side)."""
+        if axis != 1:
+            raise NotImplementedError("only axis=1 (row-wise)")
+        cols = list(self._sdf.columns)
+
+        def run(it):
+            for pdf in it:
+                res = pdf.apply(func, axis=1)
+                yield pdf.assign(**{out: res})
+
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in self._sdf.schema.fields
+        ) + f", `{out}` {return_type}"
+        return DataFrame(self._sdf.mapInPandas(run, schema),
+                         self._index_cols, False)
+
     @property
     def ndim(self) -> int:
         return 2

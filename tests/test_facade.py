@@ -457,3 +457,10 @@ def test_memory_usage_columns(spark, pdf):
     mu = df.memory_usage().compute()
     assert int(mu["x"][0]) == 800  # 100 rows x 8 bytes
     assert df.nbytes().compute() == 800 * 3
+
+
+def test_dataframe_apply_rowwise(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    got = df.apply(lambda r: r["x"] * 10 + r["z"], out="w").compute().sort_values("x")
+    want = pdf.sort_values("x").apply(lambda r: r["x"] * 10 + r["z"], axis=1)
+    assert np.allclose(got["w"], want)
