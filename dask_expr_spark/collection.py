@@ -1667,22 +1667,110 @@ class GroupBy:
             )
         )
 
-    def cumsum(self, order_by: str | None = None) -> DataFrame:
+    def _ordered(self, order_by: str | None, what: str):
         frame = self._frame
         order = order_by or (frame._index_cols[0] if frame._index_cols else None)
         if order is None:
-            raise ValueError("groupby.cumsum needs an order column")
-        w = (Window.partitionBy(*self._by).orderBy(F.col(order))
-             .rowsBetween(Window.unboundedPreceding, 0))
+            raise ValueError(f"groupby.{what} needs an order column")
+        return order, Window.partitionBy(*self._by).orderBy(F.col(order))
+
+    def _numeric_value_cols(self, order: str) -> list[str]:
         numeric = {
-            f.name for f in frame._sdf.schema.fields
+            f.name for f in self._frame._sdf.schema.fields
             if f.dataType.simpleString() in ("int", "bigint", "double", "float")
         }
-        cols = [c for c in frame.columns
+        return [c for c in self._frame.columns
                 if c not in self._by and c != order and c in numeric]
-        return frame._wrap(
-            self._sdf().withColumns({c: F.sum(F.col(c)).over(w) for c in cols})
+
+    def _cum(self, agg_fn, order_by: str | None, what: str) -> DataFrame:
+        order, w = self._ordered(order_by, what)
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        cols = self._numeric_value_cols(order)
+        return self._frame._wrap(
+            self._sdf().withColumns({c: agg_fn(F.col(c)).over(w) for c in cols})
         )
+
+    def cumsum(self, order_by: str | None = None) -> DataFrame:
+        return self._cum(F.sum, order_by, "cumsum")
+
+    def cumprod(self, order_by: str | None = None) -> DataFrame:
+        """reference: GroupBy cumprod, _groupby.py:1575 — F.product
+        window, JVM-side."""
+        return self._cum(F.product, order_by, "cumprod")
+
+    def cummax(self, order_by: str | None = None) -> DataFrame:
+        return self._cum(F.max, order_by, "cummax")
+
+    def cummin(self, order_by: str | None = None) -> DataFrame:
+        return self._cum(F.min, order_by, "cummin")
+
+    def cumcount(self, order_by: str | None = None) -> DataFrame:
+        """0-based position within group (reference: cumcount,
+        _groupby.py:1582)."""
+        order, w = self._ordered(order_by, "cumcount")
+        return self._frame._wrap(
+            self._sdf().withColumn("cumcount", F.row_number().over(w) - 1)
+        )
+
+    def ffill(self, order_by: str | None = None) -> DataFrame:
+        """per-group forward fill (reference: GroupBy bfill/ffill,
+        _groupby.py:1623)."""
+        order, w = self._ordered(order_by, "ffill")
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        cols = [c for c in self._frame.columns
+                if c not in self._by and c != order]
+        return self._frame._wrap(
+            self._sdf().withColumns(
+                {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols})
+        )
+
+    def bfill(self, order_by: str | None = None) -> DataFrame:
+        order, w = self._ordered(order_by, "bfill")
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        cols = [c for c in self._frame.columns
+                if c not in self._by and c != order]
+        return self._frame._wrap(
+            self._sdf().withColumns(
+                {c: F.first(F.col(c), ignorenulls=True).over(w) for c in cols})
+        )
+
+    def tail(self, n: int = 5, order_by: str | None = None) -> DataFrame:
+        """last n rows per group by order (reference: groupby tail,
+        _groupby.py:864) — reverse row_number, no global sort."""
+        order, _ = self._ordered(order_by, "tail")
+        w = Window.partitionBy(*self._by).orderBy(F.col(order).desc())
+        sdf = (
+            self._sdf().withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n).drop("__rn__")
+        )
+        return self._frame._wrap(sdf)
+
+    def prod(self) -> DataFrame:
+        return self._simple("prod")
+
+    def corr(self, col_x: str, col_y: str) -> DataFrame:
+        """per-group Pearson correlation (reference: GroupBy corr,
+        _groupby.py:1540)."""
+        return DataFrame(self._grouped().agg(
+            F.corr(F.col(col_x), F.col(col_y)).alias(f"corr_{col_x}_{col_y}")))
+
+    def cov(self, col_x: str, col_y: str) -> DataFrame:
+        return DataFrame(self._grouped().agg(
+            F.covar_samp(F.col(col_x), F.col(col_y)).alias(f"cov_{col_x}_{col_y}")))
+
+    def value_counts(self, col: str) -> DataFrame:
+        """reference: GroupBy value_counts, _groupby.py:1352 — one
+        groupBy over (keys + col)."""
+        return DataFrame(
+            self._sdf().groupBy(*self._by, col)
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    def unique(self, col: str) -> DataFrame:
+        """distinct values per group as an array (reference: unique via
+        agg, _groupby.py:1335) — collect_set with a deterministic sort."""
+        return DataFrame(self._grouped().agg(
+            F.array_sort(F.collect_set(F.col(col))).alias(f"unique_{col}")))
 
 
 # --------------------------------------------------------------------------

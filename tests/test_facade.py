@@ -464,3 +464,41 @@ def test_dataframe_apply_rowwise(spark, pdf):
     got = df.apply(lambda r: r["x"] * 10 + r["z"], out="w").compute().sort_values("x")
     want = pdf.sort_values("x").apply(lambda r: r["x"] * 10 + r["z"], axis=1)
     assert np.allclose(got["w"], want)
+
+
+def test_groupby_cumulative_and_fill(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    g = df.groupby("y")
+    got = g.cumprod(order_by="x").compute().sort_values("x")
+    want = pdf.sort_values("x").groupby("y").z.cumprod()
+    assert np.allclose(got["z"], want)
+    got = g.cummax(order_by="x").compute().sort_values("x")
+    assert np.allclose(got["z"], pdf.groupby("y").z.cummax())
+    got = g.cumcount(order_by="x").compute().sort_values("x")
+    assert list(got["cumcount"]) == list(pdf.groupby("y").cumcount())
+    # ffill within groups
+    holey = pdf.copy()
+    holey.loc[holey.index % 3 == 1, "z"] = None
+    dh = from_pandas(spark, holey, npartitions=4)
+    got = dh.groupby("y").ffill(order_by="x").compute().sort_values("x")
+    want = holey.sort_values("x").groupby("y").ffill()["z"]
+    assert np.allclose(got["z"].fillna(-9), want.fillna(-9))
+
+
+def test_groupby_tail_corr_valuecounts_unique(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4)
+    g = df.groupby("y")
+    t = g.tail(2, order_by="x").compute()
+    want = pdf.groupby("y").tail(2)
+    assert sorted(t["x"]) == sorted(want["x"])
+    c = g.corr("x", "z").compute().sort_values("y").reset_index(drop=True)
+    want_c = pdf.groupby("y").apply(lambda d: d.x.corr(d.z), include_groups=False)
+    assert np.allclose(c["corr_x_z"].fillna(-9), want_c.fillna(-9).values, atol=1e-9)
+    vc = g.value_counts("z").compute()
+    want_vc = pdf.groupby(["y", "z"]).size()
+    assert len(vc) == len(want_vc) and vc["count"].sum() == 100
+    u = g.unique("z").compute().sort_values("y").reset_index(drop=True)
+    want_u = pdf.groupby("y").z.unique().map(lambda a: sorted(a))
+    assert [list(v) for v in u["unique_z"]] == [list(v) for v in want_u]
+    p = g.prod().compute()
+    assert "z" in p.columns
