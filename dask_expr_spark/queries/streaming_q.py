@@ -38,6 +38,39 @@ def stream_tumbling_counts(spark, sf_dir):
     return out
 
 
+def stream_session_counts(spark, sf_dir):
+    """session-window streaming aggregation (F.session_window + state
+    store): sessions close after 30 min of user inactivity. Stateful
+    micro-batch semantics → rows-only check; batch session parity is
+    asserted in tests/test_streaming.py."""
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_sq_")
+    (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .to_spark()
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=2)
+    name = "stream_session_counts_out"
+    # session windows merge as events arrive → update mode is unsupported;
+    # complete mode emits the final merged sessions
+    q = S.run_to_memory(S.session_windows(stream), name, output_mode="complete")
+    try:
+        out = spark.sql(
+            f"SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events "
+            f"FROM {name} GROUP BY user_id ORDER BY user_id LIMIT 500"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+    return out
+
+
 QUERIES = {
     "stream_tumbling_counts": (stream_tumbling_counts, None),
+    "stream_session_counts": (stream_session_counts, None),
 }
