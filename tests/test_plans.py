@@ -107,3 +107,52 @@ def test_count_star_uses_footer(spark, sf_dir, li):
     columns."""
     p = plan_of(li[["l_orderkey"]].to_spark().groupBy().count())
     assert "ReadSchema: struct<>" in p or "LocalTableScan" in p
+
+def test_groupby_idxmax_is_single_aggregation(spark, sf_dir):
+    """idxmax must be partial+final HashAggregate — no Window, no join
+    (the struct-min trick keeps it an ordinary aggregation)."""
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    plan = plan_of(orders.groupby("o_orderpriority").idxmax("o_totalprice", "o_orderkey"))
+    assert "Window" not in plan
+    # struct-min is sort-based, but still partial + final with ONE exchange
+    assert n_nodes(plan, "SortAggregate") + n_nodes(plan, "HashAggregate") == 2
+    assert n_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_series_idxmax_broadcasts_extreme(spark, sf_dir):
+    """Series.idxmax: 1-row aggregate joined back via broadcast —
+    never an empty-partitionBy window (which would single-partition)."""
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    plan = plan_of(orders["o_totalprice"].idxmax(order_by="o_orderkey").to_spark())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_tail_is_take_ordered(spark, sf_dir):
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    plan = plan_of(orders.tail(5, order_by="o_orderkey"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pairwise_corr_single_pass(spark, sf_dir):
+    """frame corr(): all pairs in ONE aggregate over one scan."""
+    li2 = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    plan = plan_of(li2.corr(["l_quantity", "l_extendedprice", "l_discount"]))
+    assert n_nodes(plan, "Scan parquet") == 1
+    # moment sums reduce via partial + final aggregation
+    assert n_nodes(plan, "HashAggregate") + n_nodes(plan, "SortAggregate") >= 1
+
+
+def test_pivot_table_partial_aggregation(spark, sf_dir):
+    """pinned column_values: no distinct-scan job; pivot compiles to
+    partial+final aggregation over one scan."""
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    pv = orders.pivot_table("o_orderpriority", "o_orderstatus", "o_totalprice",
+                            "sum", column_values=["F", "O", "P"])
+    plan = plan_of(pv)
+    assert n_nodes(plan, "Scan parquet") == 1
+    # Spark pivot = two partial+final phases: (group, pivot-col) agg,
+    # then pivot to columns — 4 hash aggregates, 2 exchanges, no
+    # distinct-scan job for the pinned values
+    assert n_nodes(plan, "HashAggregate") == 4
