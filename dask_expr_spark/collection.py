@@ -343,6 +343,24 @@ class DataFrame(FrameBase):
     def nsmallest(self, n: int, columns: str | Sequence[str]) -> "DataFrame":
         return self.sort_values(columns, ascending=True).head(n)
 
+    def between_time(self, start: str, end: str, on: str | None = None) -> "DataFrame":
+        """rows whose TIME-OF-DAY falls in [start, end] (reference:
+        between_time via map_partitions; pandas semantics). String
+        compare on 'HH:mm:ss' — JVM-side, pushdown-friendly."""
+        col = on or (self._index_cols[0] if self._index_cols else None)
+        if col is None:
+            raise ValueError("between_time needs a timestamp index or on=")
+        tod = F.date_format(F.col(col), "HH:mm:ss")
+        if start <= end:
+            cond = (tod >= start) & (tod <= end)
+        else:  # wraps midnight, pandas semantics
+            cond = (tod >= start) | (tod <= end)
+        return self._wrap(self._sdf.filter(cond))
+
+    def at_time(self, time: str, on: str | None = None) -> "DataFrame":
+        """rows at an exact time of day (reference: at_time)."""
+        return self.between_time(time, time, on)
+
     # -- index & partitioning (SURVEY.md §1.4; reference: SetIndex
     #    _shuffle.py:795, Repartition _repartition.py:21) --------------------
     def set_index(self, col: str, sorted: bool = False, npartitions: int | None = None) -> "DataFrame":
@@ -1426,6 +1444,19 @@ class Series(FrameBase):
     def mode(self) -> Scalar:
         """most frequent value (reference: Mode, _reductions.py:1270)."""
         return self._reduce(F.mode(self._scol), f"mode_{self._name}")
+
+    def nlargest(self, n: int = 5) -> "DataFrame":
+        """top-n values with their index (reference: NLargest,
+        _reductions.py:1218) — TakeOrderedAndProject, no full sort."""
+        sdf = (self._anchor.select(*self._index_cols, self._scol.alias(self._name))
+               .orderBy(F.col(self._name).desc()).limit(n))
+        return DataFrame(sdf, self._index_cols, False)
+
+    def nsmallest(self, n: int = 5) -> "DataFrame":
+        """reference: NSmallest, _reductions.py:1232."""
+        sdf = (self._anchor.select(*self._index_cols, self._scol.alias(self._name))
+               .orderBy(F.col(self._name).asc()).limit(n))
+        return DataFrame(sdf, self._index_cols, False)
 
     def value_counts(self, normalize: bool = False, sort: bool = True) -> "DataFrame":
         """reference: ValueCounts, _reductions.py:1394."""

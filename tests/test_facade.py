@@ -502,3 +502,20 @@ def test_groupby_tail_corr_valuecounts_unique(spark, pdf):
     assert [list(v) for v in u["unique_z"]] == [list(v) for v in want_u]
     p = g.prod().compute()
     assert "z" in p.columns
+
+
+def test_series_nlargest_between_time(spark, pdf):
+    df = from_pandas(spark, pdf, npartitions=4).set_index("x")
+    top = df["z"].nlargest(3).compute()
+    assert list(top["z"]) == [4.0, 4.0, 4.0]
+    bot = df["z"].nsmallest(2).compute()
+    assert list(bot["z"]) == [0.0, 0.0]
+    tdf = pd.DataFrame({"t": pd.to_datetime(
+        ["2024-01-01 08:15:00", "2024-01-01 12:00:00", "2024-01-01 23:30:00"]),
+        "v": [1, 2, 3]})
+    sdf = from_pandas(spark, tdf)
+    assert list(sdf.between_time("08:00:00", "13:00:00", on="t").compute()["v"]) == [1, 2]
+    # wrap-around window
+    assert list(sdf.between_time("22:00:00", "09:00:00", on="t").compute()
+                .sort_values("v")["v"]) == [1, 3]
+    assert list(sdf.at_time("12:00:00", on="t").compute()["v"]) == [2]
