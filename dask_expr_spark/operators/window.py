@@ -120,6 +120,106 @@ class Rolling:
         out = {name: e.over(w) for name, e in exprs.items()}
         return self._frame._wrap(self._frame.to_spark().withColumns(out))
 
+    # -- higher moments / pairwise (reference: RollingSkew/Kurt/Cov,
+    #    _rolling.py:43 family). Computed from decimal-exact power sums
+    #    over the window frame + the shared formula templates below, so
+    #    results are bit-stable across engines (the window-sum order
+    #    never touches a float). min_periods gating via windowed count.
+    def _moment_sums(self, col: str, w, order: int, scale: int):
+        c = F.col(col)
+        sums = {f"_{col}_n": F.count(c).over(w).cast("double")}
+        p = c
+        for i in range(1, order + 1):
+            digits = min(scale * i + 2, 18)
+            sums[f"_{col}_s{i}"] = (
+                F.sum(p.cast(f"decimal(38,{digits})")).over(w).cast("double")
+            )
+            p = p * c
+        return sums
+
+    def _formula(self, cols, order: int, scale: int, template: str, suffix: str) -> DataFrame:
+        w = self._w()
+        sdf = self._frame.to_spark()
+        tmp: dict[str, Column] = {}
+        out: dict[str, Column] = {}
+        for c in cols:
+            tmp.update(self._moment_sums(c, w, order, scale))
+        sdf = sdf.withColumns(tmp)
+        for c in cols:
+            names = {"n": f"_{c}_n"}
+            names.update({f"s{i}": f"_{c}_s{i}" for i in range(1, order + 1)})
+            val = F.expr(template.format(**names))
+            if self._min_periods > 1:
+                val = F.when(F.col(f"_{c}_n") >= self._min_periods, val)
+            out[f"{c}_{suffix}"] = val
+        return self._frame._wrap(
+            sdf.withColumns(out).drop(*tmp.keys())
+        )
+
+    def skew(self, cols, scale: int = 2):
+        """rolling population skewness g1 (same convention as the
+        frame-level Skew reduction)."""
+        return self._formula(cols, 3, scale, ROLL_SKEW_T, "rskew")
+
+    def kurt(self, cols, scale: int = 2):
+        """rolling excess kurtosis g2 (population)."""
+        return self._formula(cols, 4, scale, ROLL_KURT_T, "rkurt")
+
+    def _pair_sums(self, a: str, b: str, w, scale: int):
+        ca, cb = F.col(a), F.col(b)
+        d2 = min(2 * scale + 2, 18)
+        d1 = min(scale + 2, 18)
+        return {
+            "_p_n": F.count(ca).over(w).cast("double"),
+            "_p_sx": F.sum(ca.cast(f"decimal(38,{d1})")).over(w).cast("double"),
+            "_p_sy": F.sum(cb.cast(f"decimal(38,{d1})")).over(w).cast("double"),
+            "_p_sxx": F.sum((ca * ca).cast(f"decimal(38,{d2})")).over(w).cast("double"),
+            "_p_syy": F.sum((cb * cb).cast(f"decimal(38,{d2})")).over(w).cast("double"),
+            "_p_sxy": F.sum((ca * cb).cast(f"decimal(38,{d2})")).over(w).cast("double"),
+        }
+
+    def _pairwise(self, a: str, b: str, template: str, name: str, scale: int) -> DataFrame:
+        w = self._w()
+        sdf = self._frame.to_spark().withColumns(self._pair_sums(a, b, w, scale))
+        names = {"n": "_p_n", "sx": "_p_sx", "sy": "_p_sy",
+                 "sxx": "_p_sxx", "syy": "_p_syy", "sxy": "_p_sxy"}
+        val = F.expr(template.format(**names))
+        if self._min_periods > 1:
+            val = F.when(F.col("_p_n") >= self._min_periods, val)
+        return self._frame._wrap(
+            sdf.withColumn(name, val).drop(
+                "_p_n", "_p_sx", "_p_sy", "_p_sxx", "_p_syy", "_p_sxy"
+            )
+        )
+
+    def cov(self, a: str, b: str, scale: int = 2, name: str | None = None):
+        """rolling sample covariance of two columns."""
+        return self._pairwise(a, b, ROLL_COV_T, name or f"{a}_{b}_rcov", scale)
+
+    def corr(self, a: str, b: str, scale: int = 2, name: str | None = None):
+        """rolling Pearson correlation of two columns."""
+        return self._pairwise(a, b, ROLL_CORR_T, name or f"{a}_{b}_rcorr", scale)
+
+
+# Shared SQL formula templates over decimal-exact window power sums.
+# Feed the SAME rendered string to Spark (F.expr/selectExpr) and the
+# DuckDB oracle: identical parse → identical IEEE operation order →
+# identical doubles. Placeholders: {n} {s1}.. or {n} {sx} {sy} {sxx}
+# {syy} {sxy}.
+_RM = "({s1}/{n})"
+_RM2 = "({s2}/{n} - " + _RM + "*" + _RM + ")"
+_RM3 = "({s3}/{n} - 3*" + _RM + "*({s2}/{n}) + 2*" + _RM + "*" + _RM + "*" + _RM + ")"
+_RM4 = ("({s4}/{n} - 4*" + _RM + "*({s3}/{n}) + 6*" + _RM + "*" + _RM + "*({s2}/{n})"
+        " - 3*" + _RM + "*" + _RM + "*" + _RM + "*" + _RM + ")")
+ROLL_SKEW_T = ("round(" + _RM3 + " / nullif(" + _RM2 + " * sqrt" + _RM2
+               + ", 0), 6)")
+ROLL_KURT_T = "round(" + _RM4 + " / nullif(" + _RM2 + "*" + _RM2 + ", 0) - 3, 6)"
+ROLL_COV_T = "round(({sxy} - {sx}*{sy}/{n}) / ({n} - 1), 6)"
+_RVX = "(({sxx} - {sx}*{sx}/{n}) / ({n} - 1))"
+_RVY = "(({syy} - {sy}*{sy}/{n}) / ({n} - 1))"
+ROLL_CORR_T = ("round((({sxy} - {sx}*{sy}/{n}) / ({n} - 1))"
+               " / nullif(sqrt(" + _RVX + " * " + _RVY + "), 0), 6)")
+
 
 def rolling(frame: DataFrame, window: int, order_by, partition_by=None,
             min_periods: int | None = None) -> Rolling:

@@ -177,8 +177,88 @@ FROM d ORDER BY o_orderdate
 """
 
 
+def rolling_moments_daily(spark, sf_dir):
+    """7-day rolling skewness, excess kurtosis, covariance, and
+    correlation of daily order revenue vs order count (reference:
+    RollingSkew/Kurt/Cov, _rolling.py:43 family). All four come from
+    decimal-exact window power sums; the final double arithmetic is the
+    SAME template string on both engines (operators/window.py ROLL_*_T),
+    so the hash is bit-stable."""
+    orders = tbl(spark, sf_dir, "orders")
+    daily_sdf = (
+        orders.to_spark()
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            dec_sum(F.col("o_totalprice"), 2).alias("rev"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+    from ..collection import DataFrame as _DF
+
+    daily = _DF(daily_sdf)
+    res = (
+        daily.rolling(7, order_by="day")
+        .skew(["rev"])
+        .rolling(7, order_by="day")
+        .kurt(["rev"])
+        .rolling(7, order_by="day")
+        .cov("rev", "n_orders", name="rev_orders_rcov")
+        .rolling(7, order_by="day")
+        .corr("rev", "n_orders", name="rev_orders_rcorr")
+    )
+    return (
+        res.to_spark()
+        .select("day", "rev", "rev_rskew", "rev_rkurt",
+                "rev_orders_rcov", "rev_orders_rcorr")
+        .orderBy("day")
+    )
+
+
+def _roll_moments_sql() -> str:
+    from ..operators.window import (
+        ROLL_CORR_T,
+        ROLL_COV_T,
+        ROLL_KURT_T,
+        ROLL_SKEW_T,
+    )
+
+    one = {"n": "n", "s1": "s1", "s2": "s2", "s3": "s3", "s4": "s4"}
+    pair = {"n": "n", "sx": "s1", "sy": "sy", "sxx": "s2", "syy": "syy",
+            "sxy": "sxy"}
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         {dec_sum_sql('o_totalprice', 2)} AS rev,
+         CAST(count(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY day
+), m AS (
+  SELECT day, rev,
+    CAST(count(rev) OVER w AS DOUBLE) AS n,
+    CAST(sum(CAST(rev AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s1,
+    CAST(sum(CAST(rev*rev AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+    CAST(sum(CAST(rev*rev*rev AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s3,
+    CAST(sum(CAST(rev*rev*rev*rev AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s4,
+    CAST(sum(CAST(n_orders AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sy,
+    CAST(sum(CAST(n_orders*n_orders AS DECIMAL(38,6))) OVER w AS DOUBLE) AS syy,
+    CAST(sum(CAST(rev*n_orders AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, rev,
+  CASE WHEN n >= 7 THEN {ROLL_SKEW_T.format(**one)} END AS rev_rskew,
+  CASE WHEN n >= 7 THEN {ROLL_KURT_T.format(**one)} END AS rev_rkurt,
+  CASE WHEN n >= 7 THEN {ROLL_COV_T.format(**pair)} END AS rev_orders_rcov,
+  CASE WHEN n >= 7 THEN {ROLL_CORR_T.format(**pair)} END AS rev_orders_rcorr
+FROM m ORDER BY day
+"""
+
+
+ROLLING_MOMENTS_SQL = _roll_moments_sql()
+
+
 QUERIES = {
     "stats_skew_kurt": (stats_skew_kurt, SKEW_KURT_SQL),
+    "rolling_moments_daily": (rolling_moments_daily, ROLLING_MOMENTS_SQL),
     "pivot_table_priority": (pivot_table_priority, PIVOT_TABLE_SQL),
     "idxmax_per_priority": (idxmax_per_priority, IDXMAX_SQL),
     "daily_growth": (daily_growth, DAILY_GROWTH_SQL),
