@@ -109,6 +109,106 @@ class StringMethods:
                 F.expr(f"substring({self._s._name}, {stop + 1})"),
             )
         )
+    # -- batch 3: completes the reference's _str_accessor.py:22-75 list
+    #    (remaining Spark-expressible names; decode/encode/translate-with-
+    #    dict/wrap stay out: bytes or dict-typed args, see COVERAGE.md) --
+    def casefold(self): return self._new(F.lower(self._c))
+
+    def center(self, width: int, fillchar: str = " "):
+        # pandas puts the odd pad char on the LEFT: lpad to
+        # len + ceil(pad/2) first, then rpad to full width
+        n = F.length(self._c)
+        half = ((F.lit(width) - n + 1) / 2).cast("int")
+        padded = F.when(
+            n >= width, self._c
+        ).otherwise(
+            F.rpad(F.lpad(self._c, (n + F.greatest(half, F.lit(0))).cast("int"), fillchar),
+                   width, fillchar)
+        )
+        return self._new(padded)
+
+    def ljust(self, width: int, fillchar: str = " "):
+        # Spark's rpad truncates strings longer than width; pandas does not
+        return self._new(
+            F.when(F.length(self._c) >= width, self._c)
+            .otherwise(F.rpad(self._c, width, fillchar))
+        )
+
+    def rjust(self, width: int, fillchar: str = " "):
+        return self._new(
+            F.when(F.length(self._c) >= width, self._c)
+            .otherwise(F.lpad(self._c, width, fillchar))
+        )
+
+    def findall(self, pat: str):
+        return self._new(F.regexp_extract_all(self._c, F.lit(pat), F.lit(0)))
+
+    def extractall(self, pat: str, group: int = 1):
+        return self._new(F.regexp_extract_all(self._c, F.lit(pat), F.lit(group)))
+
+    def match(self, pat: str):
+        # pandas: match at string START (not full string)
+        p = pat if pat.startswith("^") else f"^{pat}"
+        return self._new(self._c.rlike(p))
+
+    def fullmatch(self, pat: str):
+        p = pat if pat.startswith("^") else f"^{pat}"
+        p = p if p.endswith("$") else f"{p}$"
+        return self._new(self._c.rlike(p))
+
+    def index(self, sub: str):
+        # like find, but pandas raises on miss — lazily we return -1
+        # (a distributed engine can't raise per-row at build time)
+        return self._new(F.instr(self._c, sub) - 1)
+
+    def rindex(self, sub: str):
+        return self.rfind(sub)
+
+    def isdecimal(self): return self._new(self._c.rlike(r"^[0-9]+$"))
+    def isnumeric(self): return self._new(self._c.rlike(r"^[0-9]+$"))
+
+    def istitle(self):
+        return self._new(
+            self._c.rlike(r"^([A-Z][a-z]*)(\s+[A-Z][a-z]*)*$")
+        )
+
+    def translate(self, from_str: str, to_str: str):
+        """char-for-char translate (Spark signature; a pandas dict
+        table maps onto (from, to) strings for 1:1 substitutions)."""
+        return self._new(F.translate(self._c, from_str, to_str))
+
+    def partition(self, sep: str = " "):
+        """array<string> of [head, sep, tail] split at the FIRST sep
+        (reference returns a 3-column frame; assign the parts from
+        element_at)."""
+        c, s = self._c, F.lit(sep)
+        pos = F.instr(c, sep)
+        return self._new(
+            F.when(pos > 0, F.array(
+                F.substring(c, F.lit(1), pos - 1),
+                s,
+                F.substring(c, pos + F.length(s), F.lit(2**31 - 1)),
+            )).otherwise(F.array(c, F.lit(""), F.lit("")))
+        )
+
+    def rpartition(self, sep: str = " "):
+        c, s = self._c, F.lit(sep)
+        # last occurrence via reversed search
+        rpos = F.instr(F.reverse(c), F.reverse(s))
+        pos = F.when(rpos > 0, F.length(c) - rpos - F.length(s) + 2).otherwise(F.lit(0))
+        return self._new(
+            F.when(pos > 0, F.array(
+                F.substring(c, F.lit(1), pos - 1),
+                s,
+                F.substring(c, pos + F.length(s), F.lit(2**31 - 1)),
+            )).otherwise(F.array(F.lit(""), F.lit(""), c))
+        )
+
+    def join(self, sep: str):
+        """join an array<string> column's elements (pandas joins list-
+        valued cells)."""
+        return self._new(F.array_join(self._c, sep))
+
     def normalize_whitespace(self):
         """collapse runs of whitespace (cleaning helper, beyond pandas)."""
         return self._new(F.trim(F.regexp_replace(self._c, r"\s+", " ")))
@@ -197,3 +297,89 @@ class DatetimeMethods:
         for k, v in mapping.items():
             fmt = fmt.replace(k, v)
         return self._new(F.date_format(self._c, fmt))
+
+    # -- batch 3: completes the reference's _datetime.py:15-71 list
+    #    (period/tz-object members stay out — no period dtype, tz is a
+    #    session property on Spark; see COVERAGE.md) ---------------------
+    @property
+    def weekday(self): return self.dayofweek
+
+    @property
+    def day_of_week(self): return self.dayofweek
+
+    @property
+    def day_of_year(self): return self.dayofyear
+
+    @property
+    def daysinmonth(self): return self.days_in_month
+
+    @property
+    def weekofyear(self): return self.week
+
+    @property
+    def is_quarter_end(self):
+        return self._new(
+            F.to_date(self._c) == F.to_date(F.last_day(F.date_trunc("quarter", self._c) + F.expr("INTERVAL 2 MONTH")))
+        )
+
+    @property
+    def is_year_end(self):
+        return self._new((F.month(self._c) == 12) & (F.dayofmonth(self._c) == 31))
+
+    @property
+    def is_leap_year(self):
+        y = F.year(self._c)
+        return self._new((y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0)))
+
+    @property
+    def nanosecond(self):
+        # timestamps are µs precision on Spark (ns parquet is read as
+        # long at the source layer) → sub-µs part is always 0, matching
+        # pandas on µs-resolution data
+        return self._new((F.unix_micros(self._c) % 1000000 % 1000) * 0)
+
+    def isocalendar(self):
+        """struct<year,week,day> (ISO 8601), mirroring the pandas frame.
+        ISO year = calendar year of that week's THURSDAY (differs from
+        year() for up to 3 days at each year boundary)."""
+        isodow = (F.dayofweek(self._c) + 5) % 7 + 1
+        thursday = F.date_add(F.to_date(self._c), (F.lit(4) - isodow).cast("int"))
+        return self._new(
+            F.struct(
+                F.year(thursday).alias("year"),
+                F.weekofyear(self._c).alias("week"),
+                isodow.alias("day"),
+            )
+        )
+
+    def ceil(self, freq: str):
+        unit = {"D": "day", "H": "hour", "h": "hour", "T": "minute",
+                "min": "minute", "S": "second"}.get(freq, freq)
+        secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
+        floored = F.date_trunc(unit, self._c)
+        # cast back to TIMESTAMP_NTZ: timestamp_seconds yields the
+        # tz-aware type, parquet reads are NTZ; session tz is UTC so
+        # the cast is an identity relabel
+        return self._new(
+            F.when(floored == self._c, self._c)
+            .otherwise(
+                F.timestamp_seconds(F.unix_timestamp(floored) + secs)
+                .cast("timestamp_ntz")
+            )
+        )
+
+    def round(self, freq: str):
+        unit = {"D": "day", "H": "hour", "h": "hour", "T": "minute",
+                "min": "minute", "S": "second"}.get(freq, freq)
+        secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
+        e = F.unix_timestamp(self._c) + F.unix_micros(self._c) % 1000000 / 1e6
+        rounded = F.round(e / secs).cast("long") * secs
+        return self._new(F.timestamp_seconds(rounded).cast("timestamp_ntz"))
+
+    def tz_localize(self, tz: str):
+        """interpret naive timestamps as wall-clock in tz → UTC instant."""
+        return self._new(F.to_utc_timestamp(self._c, tz))
+
+    def total_seconds(self):
+        """seconds in a day-time interval column (pandas timedelta)."""
+        return self._new(self._c.cast("double"))

@@ -595,3 +595,91 @@ ORDER BY nk
 
 QUERIES["drop_dup_keep_first"] = (drop_dup_keep_first, DROP_DUP_SQL)
 QUERIES["combine_first_balances"] = (combine_first_balances, COMBINE_FIRST_SQL)
+
+
+def string_ops2(spark, sf_dir):
+    """.str accessor batch 3 (reference: _str_accessor.py:22-75):
+    translate, findall (regexp_extract_all), partition, rjust,
+    match-at-start, istitle-style predicate."""
+    part = tbl(spark, sf_dir, "part")
+    res = (
+        part.assign(
+            vowels=lambda d: d["p_name"].str.translate("aeiou", "AEIOU"),
+            n_words=lambda d: d["p_name"].str.count("[a-z]+").astype("long"),
+            words=lambda d: d["p_name"].str.findall("[a-z]+").str.join(","),
+            head=lambda d: d["p_name"].str.partition(" ").str.join("|"),
+            padded=lambda d: d["p_name"].str.rjust(16, "."),
+            two_words=lambda d: d["p_name"].str.match("[a-z]+ [a-z]+$"),
+        )
+        .groupby("p_brand")
+        .agg(
+            n=("p_partkey", "count"),
+            n_two_words=("two_words", lambda c: F.sum(c.cast("long"))),
+            sum_words=("n_words", "sum"),
+            min_vowels=("vowels", "min"),
+            min_words=("words", "min"),
+            max_padded=("padded", "max"),
+            min_head=("head", "min"),
+        )
+        .sort_values("p_brand")
+    )
+    return res.to_spark()
+
+
+STRING_OPS2_SQL = """
+SELECT p_brand, count(p_partkey) AS n,
+       CAST(sum(CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_two_words,
+       CAST(sum(len(regexp_extract_all(p_name, '[a-z]+', 0))) AS BIGINT) AS sum_words,
+       min(translate(p_name, 'aeiou', 'AEIOU')) AS min_vowels,
+       min(array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), ',')) AS min_words,
+       max(lpad(p_name, 16, '.')) AS max_padded,
+       min(CASE WHEN strpos(p_name, ' ') > 0
+                THEN substr(p_name, 1, strpos(p_name, ' ') - 1) || '| |' ||
+                     substr(p_name, strpos(p_name, ' ') + 1)
+                ELSE p_name || '||' END) AS min_head
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def date_ops2(spark, sf_dir):
+    """.dt accessor batch 3 (reference: _datetime.py:15-71):
+    is_leap_year, is_quarter_end, is_year_end, round-to-hour,
+    weekday alias — aggregated per event_type."""
+    ev = tbl(spark, sf_dir, "events")
+    res = (
+        ev.assign(
+            leap=lambda d: d["ts"].dt.is_leap_year,
+            qend=lambda d: d["ts"].dt.is_quarter_end,
+            yend=lambda d: d["ts"].dt.is_year_end,
+            rhour=lambda d: d["ts"].dt.round("H"),
+            wd=lambda d: d["ts"].dt.weekday,
+        )
+        .groupby("event_type")
+        .agg(
+            n=("event_id", "count"),
+            n_leap=("leap", lambda c: F.sum(c.cast("long"))),
+            n_qend=("qend", lambda c: F.sum(c.cast("long"))),
+            n_yend=("yend", lambda c: F.sum(c.cast("long"))),
+            n_hours=("rhour", "nunique"),
+            max_rhour=("rhour", "max"),
+            sum_wd=("wd", lambda c: F.sum(c.cast("long"))),
+        )
+        .sort_values("event_type")
+    )
+    return res.to_spark()
+
+
+DATE_OPS2_SQL = """
+SELECT event_type, count(event_id) AS n,
+       CAST(sum(CASE WHEN (year(ts) % 4 = 0 AND (year(ts) % 100 <> 0 OR year(ts) % 400 = 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_leap,
+       CAST(sum(CASE WHEN date_trunc('day', ts) = date_trunc('quarter', ts) + INTERVAL 3 MONTH - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_qend,
+       CAST(sum(CASE WHEN month(ts) = 12 AND day(ts) = 31 THEN 1 ELSE 0 END) AS BIGINT) AS n_yend,
+       CAST(count(DISTINCT to_timestamp(CAST(round(epoch(ts)/3600) AS BIGINT)*3600)) AS BIGINT) AS n_hours,
+       max(CAST(to_timestamp(CAST(round(epoch(ts)/3600) AS BIGINT)*3600) AS TIMESTAMP)) AS max_rhour,
+       CAST(sum((dayofweek(ts) + 6) % 7) AS BIGINT) AS sum_wd
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["string_ops2"] = (string_ops2, STRING_OPS2_SQL)
+QUERIES["date_ops2"] = (date_ops2, DATE_OPS2_SQL)

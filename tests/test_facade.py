@@ -519,3 +519,64 @@ def test_series_nlargest_between_time(spark, pdf):
     assert list(sdf.between_time("22:00:00", "09:00:00", on="t").compute()
                 .sort_values("v")["v"]) == [1, 3]
     assert list(sdf.at_time("12:00:00", on="t").compute()["v"]) == [2]
+
+
+def test_str_accessor_batch3(spark):
+    """batch 3 completes the reference _str_accessor.py:22-75 list."""
+    pdf = pd.DataFrame({"s": ["hello world", "Abc Def", "xy", "123", "a-b-c"]})
+    df = from_pandas(spark, pdf)
+    got = df.assign(
+        cf=lambda d: d["s"].str.casefold(),
+        ctr=lambda d: d["s"].str.center(9, "*"),
+        lj=lambda d: d["s"].str.ljust(8, "."),
+        rj=lambda d: d["s"].str.rjust(8, "."),
+        it=lambda d: d["s"].str.istitle(),
+        fm=lambda d: d["s"].str.fullmatch("[a-z ]+"),
+        mt=lambda d: d["s"].str.match("[a-z]+"),
+        dec=lambda d: d["s"].str.isdecimal(),
+        tr=lambda d: d["s"].str.translate("abc", "xyz"),
+        part=lambda d: d["s"].str.partition("-").str.join("|"),
+        rpart=lambda d: d["s"].str.rpartition("-").str.join("|"),
+        fa=lambda d: d["s"].str.findall("[a-z]+").str.join(","),
+    ).compute().sort_values("s").reset_index(drop=True)
+    want = pdf.sort_values("s").reset_index(drop=True)
+    assert list(got["cf"]) == list(want.s.str.casefold())
+    assert list(got["ctr"]) == list(want.s.str.center(9, "*"))
+    assert list(got["lj"]) == list(want.s.str.ljust(8, "."))
+    assert list(got["rj"]) == list(want.s.str.rjust(8, "."))
+    assert list(got["it"]) == list(want.s.str.istitle())
+    assert list(got["fm"]) == [bool(x) for x in want.s.str.fullmatch("[a-z ]+")]
+    assert list(got["mt"]) == [bool(x) for x in want.s.str.match("[a-z]+")]
+    assert list(got["dec"]) == list(want.s.str.isdecimal())
+    assert list(got["tr"]) == [x.translate(str.maketrans("abc", "xyz")) for x in want["s"]]
+    assert list(got["part"]) == ["|".join(x.partition("-")) for x in want["s"]]
+    assert list(got["rpart"]) == ["|".join(x.rpartition("-")) for x in want["s"]]
+    import re
+    assert list(got["fa"]) == [",".join(re.findall("[a-z]+", x)) for x in want["s"]]
+
+
+def test_dt_accessor_batch3(spark):
+    """batch 3 completes the reference _datetime.py:15-71 list."""
+    pdf = pd.DataFrame({"t": pd.to_datetime([
+        "2024-02-29 10:31:00", "1999-12-31 23:45:10", "2021-01-01 00:00:00",
+        "2018-12-31 06:00:00", "2000-03-31 12:29:59", "2026-12-28 00:00:00"])})
+    df = from_pandas(spark, pdf)
+    got = df.assign(
+        wd=lambda d: d["t"].dt.weekday,
+        leap=lambda d: d["t"].dt.is_leap_year,
+        qe=lambda d: d["t"].dt.is_quarter_end,
+        ye=lambda d: d["t"].dt.is_year_end,
+        ceilh=lambda d: d["t"].dt.ceil("H"),
+        rndh=lambda d: d["t"].dt.round("H"),
+        iso=lambda d: d["t"].dt.isocalendar(),
+    ).compute().sort_values("t").reset_index(drop=True)
+    want = pdf.sort_values("t").reset_index(drop=True)
+    assert list(got["wd"]) == list(want.t.dt.weekday)
+    assert list(got["leap"]) == list(want.t.dt.is_leap_year)
+    assert list(got["qe"]) == list(want.t.dt.is_quarter_end)
+    assert list(got["ye"]) == list(want.t.dt.is_year_end)
+    assert list(got["ceilh"]) == list(want.t.dt.ceil("h"))
+    assert list(got["rndh"]) == list(want.t.dt.round("h"))
+    iso = want.t.dt.isocalendar()
+    assert [(r["year"], r["week"], r["day"]) for r in got["iso"]] == \
+        [(int(y), int(w), int(dd)) for y, w, dd in zip(iso.year, iso.week, iso.day)]
