@@ -1813,14 +1813,36 @@ def from_spark(sdf: SparkDF, index_cols: Sequence[str] = (),
     return DataFrame(sdf, index_cols, known_sorted)
 
 
-def concat(frames: Sequence[DataFrame], join: str = "outer") -> DataFrame:
-    """axis=0 union (reference: Concat, _concat.py:25).
-
-    join='outer' keeps the union of columns (missing → null),
-    join='inner' keeps the intersection.
+def concat(frames: Sequence[DataFrame], join: str = "outer", axis: int = 0) -> DataFrame:
+    """axis=0 union (reference: Concat, _concat.py:25); axis=1 aligns
+    frames on their index columns (reference: ConcatIndexed,
+    _concat.py:344) via a fold of index equi-joins — outer join keeps
+    every index value (missing → null), inner keeps the intersection.
+    Each join shuffles on the shared index key, so Catalyst plans one
+    exchange per frame and reuses the partitioning across the fold.
     """
     if not frames:
         raise ValueError("no frames")
+    if axis == 1:
+        idx = frames[0]._index_cols
+        if not idx:
+            raise ValueError("concat(axis=1) needs indexed frames (set_index)")
+        how = "inner" if join == "inner" else "full_outer"
+        out = frames[0]._sdf
+        seen = set(out.columns)
+        for f in frames[1:]:
+            if list(f._index_cols) != list(idx):
+                raise ValueError(
+                    f"concat(axis=1) index mismatch: {f._index_cols} vs {idx}"
+                )
+            dup = [c for c in f._sdf.columns if c in seen and c not in idx]
+            if dup:
+                raise ValueError(f"concat(axis=1) duplicate columns {dup}")
+            seen |= set(f._sdf.columns)
+            # coalesce the index key so outer-join nulls don't split it
+            out = out.join(f._sdf, on=list(idx), how=how)
+        res = DataFrame(out, tuple(idx), frames[0]._known_sorted)
+        return res
     sdfs = [f._sdf for f in frames]
     if join == "inner":
         common = set(sdfs[0].columns)

@@ -260,6 +260,8 @@ class TimeRolling:
     def count(self, cols): return self._apply(lambda c, w: F.count(c).over(w), cols, "tcount")
     def min(self, cols): return self._apply(lambda c, w: F.min(c).over(w), cols, "tmin")
     def max(self, cols): return self._apply(lambda c, w: F.max(c).over(w), cols, "tmax")
+    def var(self, cols): return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "tvar")
+    def std(self, cols): return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "tstd")
 
 
 _FREQ_UNIT = {

@@ -175,10 +175,12 @@ ORDER BY supplier_cnt DESC, p_brand, p_type
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17: average yearly revenue lost if small-quantity orders
     (below 20% of the part's average order quantity) were not filled,
-    for one brand. The correlated AVG subquery becomes a pre-aggregate
-    on l_partkey joined back to lineitem — both sides shuffle on the
-    same key, so Catalyst plans one exchange per side and AQE reuses
-    them; the brand filter broadcasts."""
+    for one brand. The correlated AVG subquery becomes a window
+    average over partitionBy(l_partkey) — ONE lineitem scan and ONE
+    exchange, vs two of each for the aggregate-then-join-back
+    formulation; the brand filter broadcasts."""
+    from pyspark.sql.window import Window
+
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part")
 
@@ -186,11 +188,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
     li_b = li.merge(brand, left_on="l_partkey", right_on="p_partkey",
                     broadcast=True)
     sdf = li_b.to_spark()
-    avg_qty = (
-        sdf.groupBy("l_partkey")
-        .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))
-    )
-    small = sdf.join(avg_qty, "l_partkey").filter(
+    thr = (F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2)
+    small = sdf.withColumn("qty_threshold", thr).filter(
         F.col("l_quantity") < F.col("qty_threshold")
     )
     return small.agg(

@@ -580,3 +580,29 @@ def test_dt_accessor_batch3(spark):
     iso = want.t.dt.isocalendar()
     assert [(r["year"], r["week"], r["day"]) for r in got["iso"]] == \
         [(int(y), int(w), int(dd)) for y, w, dd in zip(iso.year, iso.week, iso.day)]
+
+
+def test_concat_axis1(spark):
+    """axis=1 concat aligns on the index (reference: ConcatIndexed,
+    _concat.py:344) — outer keeps all index values, inner intersects."""
+    import dask_expr_spark.collection as C
+
+    pa = pd.DataFrame({"k": [1, 2, 3, 4], "a": [10.0, 20.0, 30.0, 40.0]})
+    pb = pd.DataFrame({"k": [2, 3, 4, 5], "b": ["x", "y", "z", "w"]})
+    fa = from_pandas(spark, pa).set_index("k")
+    fb = from_pandas(spark, pb).set_index("k")
+
+    got = C.concat([fa, fb], axis=1).compute().reset_index().sort_values("k").reset_index(drop=True)
+    want = (
+        pd.concat([pa.set_index("k"), pb.set_index("k")], axis=1)
+        .reset_index().sort_values("k").reset_index(drop=True)
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert got["a"].fillna(-1).tolist() == want["a"].fillna(-1).tolist()
+    assert got["b"].fillna("-").tolist() == want["b"].fillna("-").tolist()
+
+    inner = C.concat([fa, fb], axis=1, join="inner").compute().reset_index().sort_values("k")
+    assert list(inner["k"]) == [2, 3, 4]
+
+    with pytest.raises(ValueError):
+        C.concat([fa, from_pandas(spark, pb)], axis=1)  # unindexed

@@ -156,3 +156,29 @@ def test_pivot_table_partial_aggregation(spark, sf_dir):
     # then pivot to columns — 4 hash aggregates, 2 exchanges, no
     # distinct-scan job for the pinned values
     assert n_nodes(plan, "HashAggregate") == 4
+
+
+def test_q17_correlated_avg_single_fact_pass(spark, sf_dir):
+    """the correlated-AVG subquery (TPC-H Q17 shape) must compile to a
+    window over partitionBy(l_partkey), not an aggregate joined back to
+    the fact — i.e. exactly ONE lineitem scan and no fact-fact join."""
+    from dask_expr_spark.queries import collect_queries
+
+    fn, _ = collect_queries()["q17_small_quantity_revenue"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert n_nodes(plan, "Scan parquet") == 2  # lineitem + part, once each
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
+    """TPC-H Q21's EXISTS/NOT-EXISTS pair must collapse into one
+    per-order aggregate — one shuffle of the fact on l_orderkey, no
+    fact-fact self-join."""
+    from dask_expr_spark.queries import collect_queries
+
+    fn, _ = collect_queries()["q21_waiting_supplier"]
+    plan = plan_of(fn(spark, sf_dir))
+    # lineitem scanned once; orders scanned once; supplier broadcast
+    assert n_nodes(plan, "Scan parquet") == 3
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
