@@ -278,6 +278,18 @@ class DataFrame(FrameBase):
             )
         )
 
+    isnull = isna
+
+    def notna(self) -> "DataFrame":
+        return self._wrap(
+            self._sdf.select(
+                *self._index_cols,
+                *[(~F.isnull(c)).alias(c) for c in self.columns],
+            )
+        )
+
+    notnull = notna
+
     # -- dedup / sampling (reference: DropDuplicates _reductions.py:599,
     #    Sample _expr.py:1168) ----------------------------------------------
     def drop_duplicates(self, subset: Sequence[str] | None = None,
@@ -562,6 +574,39 @@ class DataFrame(FrameBase):
         triples = _normalize_agg_spec(spec, self.columns, named or None)
         aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
         return DataFrame(self._sdf.agg(*aggs))
+
+    # -- frame-level reductions: one row, stat per applicable column
+    #    (reference: Sum/Mean/... _reductions.py:761+ return a Series
+    #    there). Booleans auto-cast to long for sum (pandas counts
+    #    True), numeric-only stats skip string/timestamp columns. -----
+    def _frame_reduce(self, fn: str, numeric_only: bool) -> "DataFrame":
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "boolean"}
+        cols = []
+        for f in self._sdf.schema.fields:
+            if f.name in self._index_cols:
+                continue
+            t = f.dataType.simpleString()
+            if numeric_only and t not in num:
+                continue
+            cols.append((f.name, t))
+        if not cols:
+            raise ValueError(f"no applicable columns for {fn}")
+        aggs = []
+        for c, t in cols:
+            col = F.col(c).cast("long") if t == "boolean" and fn in ("sum",) \
+                else F.col(c)
+            aggs.append(_agg_expr(fn, c).alias(c) if t != "boolean" or fn not in ("sum",)
+                        else F.sum(col).alias(c))
+        return DataFrame(self._sdf.agg(*aggs))
+
+    def sum(self): return self._frame_reduce("sum", True)
+    def mean(self): return self._frame_reduce("mean", True)
+    def var(self): return self._frame_reduce("var", True)
+    def std(self): return self._frame_reduce("std", True)
+    def median(self): return self._frame_reduce("median", True)
+    def min(self): return self._frame_reduce("min", False)
+    def max(self): return self._frame_reduce("max", False)
 
     # -- ordered / window ops (SURVEY.md §2.6) -------------------------------
     def _order_window(self, order_by: str | Sequence[str] | None):
@@ -979,6 +1024,109 @@ class DataFrame(FrameBase):
         """reference: to_records, _collection.py:1420 — driver-side."""
         return self.compute().to_records()
 
+    # -- divisions / partition diagnostics (reference: divisions
+    #    _expr.py:378, compute_current_divisions _collection.py:2303,
+    #    EnforceRuntimeDivisions _expr.py:1578). Our analogue of known
+    #    divisions is the (index_cols, known_sorted) pair — boundary
+    #    VALUES aren't tracked (Spark's range partitioning owns them),
+    #    so `divisions` reports knownness, not numbers. ----------------
+    @property
+    def known_divisions(self) -> bool:
+        return self._known_sorted
+
+    @property
+    def divisions(self) -> tuple:
+        """(None, …) like the reference's unknown-divisions tuple;
+        compute_current_divisions gives the actual boundaries."""
+        return (None, None) if not self._known_sorted else ()
+
+    def clear_divisions(self) -> "DataFrame":
+        """reference: clear_divisions, _collection.py:829 — drop the
+        sortedness claim (metadata-only, no job)."""
+        return type(self)(self._sdf, self._index_cols, False)
+
+    def compute_current_divisions(self):
+        """reference: compute_current_divisions, _collection.py:2303 —
+        per-partition (min, max) of the index column; one agg job."""
+        if not self._index_cols:
+            raise ValueError("no index column")
+        idx = self._index_cols[0]
+        rows = (
+            self._sdf.select(F.spark_partition_id().alias("__pid"), idx)
+            .groupBy("__pid")
+            .agg(F.min(idx).alias("lo"), F.max(idx).alias("hi"))
+            .orderBy("__pid")
+            .collect()
+        )
+        if not rows:
+            return ()
+        return tuple(r["lo"] for r in rows) + (rows[-1]["hi"],)
+
+    def enforce_runtime_divisions(self) -> "DataFrame":
+        """reference: EnforceRuntimeDivisions, _expr.py:1578 — runtime
+        assert that rows are sorted by index within partitions (raises
+        at execution time if violated, like the reference)."""
+        if not self._index_cols:
+            raise ValueError("no index column")
+        idx = self._index_cols[0]
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(idx)
+        chk = F.when(
+            F.lag(F.col(idx)).over(w) > F.col(idx),
+            F.raise_error(F.lit("divisions violated: index not sorted")),
+        ).otherwise(F.col(idx))
+        return self._wrap(
+            self._sdf.withColumn("__chk", chk).drop("__chk")
+        )
+
+    @property
+    def axes(self):
+        """reference: axes, _collection.py:4905."""
+        return [list(self._index_cols), list(self.columns)]
+
+    @property
+    def index(self) -> "Series":
+        """reference: index, _collection.py:624 — the index column as a
+        Series."""
+        if not self._index_cols:
+            raise ValueError("no index column (set_index first)")
+        c = self._index_cols[0]
+        return Series(self._sdf, F.col(c), c)
+
+    @property
+    def iloc(self):
+        """reference: iloc, _collection.py:3709 — COLUMN-positional
+        only (`df.iloc[:, [0, 2]]`); positional ROW access is
+        unsupported on an unordered engine, same restriction as the
+        reference (_indexing.py:38)."""
+        return _ILocIndexer(self)
+
+    def info(self) -> str:
+        """reference: info, _collection.py:1354 — schema summary
+        (metadata-only, no job)."""
+        lines = [f"<class '{type(self).__module__}.{type(self).__name__}'>"]
+        lines.append(f"Columns: {len(self.columns)} entries")
+        for f in self._sdf.schema.fields:
+            lines.append(f"  {f.name}  {f.dataType.simpleString()}")
+        if self._index_cols:
+            lines.append(f"Index: {list(self._index_cols)} "
+                         f"(known_sorted={self._known_sorted})")
+        return "\n".join(lines)
+
+    def to_string(self, max_rows: int = 10) -> str:
+        """reference: to_string, _collection.py:4899 — driver-side
+        head-only render (never materializes the full frame)."""
+        return self._sdf.limit(max_rows).toPandas().to_string()
+
+    def to_html(self, max_rows: int = 10) -> str:
+        return self._sdf.limit(max_rows).toPandas().to_html()
+
+    @property
+    def values(self):
+        """reference: values, _collection.py:722 (returns a dask
+        array there) — driver-side numpy; prefer to_spark() for
+        distributed work."""
+        return self.compute().values
+
     def tail(self, n: int = 5, order_by=None) -> "DataFrame":
         """last n rows BY INDEX ORDER (reference: Tail, _expr.py:1723).
         A distributed frame has no physical tail; this is top-n on the
@@ -1171,6 +1319,12 @@ class Series(FrameBase):
     @property
     def name(self) -> str:
         return self._name
+
+    @property
+    def dtype(self) -> str:
+        """Spark type name of the column expression (reference: dtype,
+        _collection.py:4143 — pandas dtype there)."""
+        return self._anchor.select(self._scol).schema.fields[0].dataType.simpleString()
 
     def _new(self, scol: Column, name: str | None = None) -> "Series":
         return Series(self._anchor, scol, name or self._name,
@@ -1483,6 +1637,33 @@ class Series(FrameBase):
     def compute(self):
         pdf = self.to_frame().compute()
         return pdf[pdf.columns[0]] if len(pdf.columns) == 1 else pdf
+
+
+class _ILocIndexer:
+    """reference: _indexing.py:38 — iloc restricted to COLUMN
+    positions (`df.iloc[:, cols]`); row-positional raises, as in the
+    reference."""
+
+    def __init__(self, frame: DataFrame):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise NotImplementedError(
+                "iloc supports column selection only: df.iloc[:, positions]"
+            )
+        rows, cols = key
+        if not (isinstance(rows, slice) and rows == slice(None)):
+            raise NotImplementedError(
+                "positional row selection is not supported (unordered "
+                "engine) — use loc on the index instead"
+            )
+        names = self._frame.columns
+        if isinstance(cols, int):
+            return self._frame[names[cols]]
+        if isinstance(cols, slice):
+            return self._frame[list(names[cols])]
+        return self._frame[[names[i] for i in cols]]
 
 
 class LocIndexer:

@@ -606,3 +606,38 @@ def test_concat_axis1(spark):
 
     with pytest.raises(ValueError):
         C.concat([fa, from_pandas(spark, pb)], axis=1)  # unindexed
+
+
+def test_divisions_and_diagnostics_api(spark, pdf):
+    """reference parity batch: divisions metadata, iloc (column-
+    positional), info/to_string, index property, runtime division
+    enforcement."""
+    df = from_pandas(spark, pdf, npartitions=4)
+    idx = df.set_index("x")
+    assert idx.known_divisions
+    assert not df.known_divisions
+    assert not idx.clear_divisions().known_divisions
+
+    divs = idx.compute_current_divisions()
+    assert len(divs) >= 2 and divs[0] == 0 and divs[-1] == 99
+
+    # enforce passes on sorted data (raises inside a job otherwise)
+    idx.enforce_runtime_divisions().compute()
+
+    assert df.axes[1] == list(pdf.columns)
+    got = df.iloc[:, [0]].compute()
+    assert list(got.columns) == [pdf.columns[0]]
+    got2 = df.iloc[:, 0]
+    assert got2.name == pdf.columns[0]
+    with pytest.raises(NotImplementedError):
+        df.iloc[0]
+    with pytest.raises(NotImplementedError):
+        df.iloc[[1, 2], :]
+
+    assert list(idx.index.compute()) == sorted(pdf["x"].tolist())
+    assert "Columns" in df.info()
+    assert "x" in df.to_string()
+    assert df["x"].dtype == "bigint"
+    assert df.values.shape == pdf.shape
+    null_counts = df.isnull().sum().compute()
+    assert int(null_counts.iloc[0, 0]) == 0
