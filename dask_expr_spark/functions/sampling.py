@@ -1,0 +1,107 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (north-star extension; no reference analogue — dask-expr only
+has per-partition random Sample, _expr.py:1168).
+
+Everything here must be REPRODUCIBLE across engines, runs, and
+partitionings — a training pipeline that can't replay its exact
+train/val split can't debug a regression. So none of these use engine
+RNGs (rand() differs per engine/partitioning); they key off md5 of a
+stable row id, which every engine computes identically. Cost model at
+100 TB:
+- hash_split: narrow map (one md5 per row), no shuffle.
+- stratified_sample: one shuffle on the stratum key + per-group top-n
+  window (no global sort).
+- global_shuffle: one range-partitioned sort on the hash — the same
+  cost as any global sort, and the ONLY way to get a reproducible
+  total order for curriculum-style streaming into a trainer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_key(id_col: Column, seed: str) -> Column:
+    """md5 hex of seed||id — portable (identical in Spark/DuckDB/
+    pandas), uniform in the hex-string order."""
+    return F.md5(F.concat(F.lit(seed), id_col.cast("string")))
+
+
+def split_column(id_col: Column, val_fraction: float, seed: str = "s42") -> Column:
+    """'train' / 'val' label. The threshold is the 4-hex-digit prefix
+    boundary closest to val_fraction (granularity 1/65536 ≈ 0.0015%):
+    rows whose md5 prefix sorts below it go to val. Narrow map — rows
+    never move."""
+    thr = format(int(round(val_fraction * 65536)), "04x")
+    return F.when(
+        F.substring(_hash_key(id_col, seed), 1, 4) < thr, F.lit("val")
+    ).otherwise(F.lit("train"))
+
+
+def hash_split(df: DataFrame, id_col: str, val_fraction: float = 0.1,
+               seed: str = "s42") -> tuple[DataFrame, DataFrame]:
+    """(train, val) deterministic split — same id always lands on the
+    same side, independent of partitioning, row order, engine."""
+    lbl = split_column(F.col(id_col), val_fraction, seed)
+    tagged = df.withColumn("__split", lbl)
+    return (
+        tagged.filter(F.col("__split") == "train").drop("__split"),
+        tagged.filter(F.col("__split") == "val").drop("__split"),
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      n_per_stratum: int, seed: str = "s42") -> DataFrame:
+    """exactly min(n, |stratum|) rows per stratum, chosen by md5 order
+    — a deterministic 'uniform without replacement' draw. One shuffle
+    on the stratum key; skewed strata are bounded by the window top-n
+    (no stratum ever materializes fully on one node beyond its top-n
+    heap)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_key(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def global_shuffle(df: DataFrame, id_col: str, seed: str = "s42") -> DataFrame:
+    """reproducible global permutation: range-partitioned sort on the
+    md5 key. Adds `shuffle_rank` (1-based position in the permutation)
+    so downstream consumers can stream slices in order.
+
+    Scalable rank WITHOUT a global window (which would funnel every
+    row through one task): range-partition + sort on the key, count
+    rows per partition (tiny driver round-trip, like the reference's
+    division sampling in _shuffle.py:1335), then rank = partition
+    offset + intra-partition row_number. The rank is independent of
+    where the range boundaries land, so RangePartitioner's sampling
+    nondeterminism doesn't leak into results."""
+    key = _hash_key(F.col(id_col), seed)
+    parts = (
+        df.withColumn("__k", key)
+        .repartitionByRange(F.col("__k"), F.col(id_col))
+        .sortWithinPartitions("__k", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = (
+        parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy("__pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy("__k", id_col)
+    return (
+        parts.withColumn("shuffle_rank", (off + F.row_number().over(w)).cast("long"))
+        .drop("__k", "__pid")
+    )

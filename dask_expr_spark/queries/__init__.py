@@ -15,10 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from . import approx, dedup, events, ops, relational, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
+    from . import approx, dedup, events, ops, relational, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
 
     out: dict = {}
-    for mod in (tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats):
+    for mod in (tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")

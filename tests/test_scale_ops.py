@@ -123,3 +123,49 @@ def test_partitioned_write_pruning(spark, sf_dir, tmp_path):
     got = {r.event_type: r["count"] for r in q.collect()}
     exp = {r.event_type: r["count"] for r in want.collect()}
     assert got == exp
+
+
+def test_hash_split_disjoint_reproducible(spark, sf_dir):
+    """hash_split: train ∪ val = all, train ∩ val = ∅, and the same id
+    lands on the same side regardless of partitioning."""
+    import os
+    from pyspark.sql import functions as F
+    from dask_expr_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t1, v1 = hash_split(docs, "doc_id", 0.2)
+    n, nt, nv = docs.count(), t1.count(), v1.count()
+    assert nt + nv == n
+    assert t1.join(v1, "doc_id", "inner").count() == 0
+    # repartitioned input → identical membership
+    t2, _ = hash_split(docs.repartition(7), "doc_id", 0.2)
+    assert t1.select("doc_id").exceptAll(t2.select("doc_id")).count() == 0
+    # fraction lands near target (hex-prefix granularity 1/65536)
+    assert abs(nv / n - 0.2) < 0.05
+
+
+def test_global_shuffle_is_permutation(spark, sf_dir):
+    """global_shuffle: ranks are exactly 1..n with no gaps or dups,
+    and the distributed offset-rank is stable across partitionings."""
+    import os
+    from pyspark.sql import functions as F
+    from dask_expr_spark.functions.sampling import global_shuffle
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    sh = global_shuffle(orders, "o_orderkey")
+    n = orders.count()
+    stats = sh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("shuffle_rank").alias("d"),
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+    ).collect()[0]
+    assert (stats["n"], stats["d"], stats["lo"], stats["hi"]) == (n, n, 1, n)
+    sh2 = global_shuffle(orders.repartition(5), "o_orderkey")
+    mismatch = (
+        sh.select("o_orderkey", "shuffle_rank")
+        .join(sh2.select("o_orderkey", F.col("shuffle_rank").alias("r2")), "o_orderkey")
+        .filter(F.col("shuffle_rank") != F.col("r2"))
+        .count()
+    )
+    assert mismatch == 0
