@@ -1396,7 +1396,6 @@ class Series(FrameBase):
         if upper is not None:
             c = F.least(c, F.lit(upper))
         return self._new(c)
-    def between(self, lo, hi): return self._new(self._scol.between(lo, hi))
     def isin(self, values: Iterable): return self._new(self._scol.isin(list(values)))
     def isna(self): return self._new(F.isnull(self._scol))
     isnull = isna
@@ -1637,6 +1636,89 @@ class Series(FrameBase):
     def compute(self):
         pdf = self.to_frame().compute()
         return pdf[pdf.columns[0]] if len(pdf.columns) == 1 else pdf
+
+    # -- Series-level parity batch (reference Series methods that are
+    #    frame ops on one column) ---------------------------------------
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def shape(self) -> tuple:
+        return (self._anchor.count(),)
+
+    @property
+    def axes(self):
+        return [list(self._index_cols)]
+
+    @property
+    def nbytes(self):
+        """estimated bytes of this column (one agg pass)."""
+        t = self._anchor.select(self._scol).schema.fields[0].dataType.simpleString()
+        fixed = {"bigint": 8, "double": 8, "int": 4, "float": 4,
+                 "smallint": 2, "tinyint": 1, "boolean": 1,
+                 "timestamp": 8, "timestamp_ntz": 8, "date": 4}
+        if t in fixed:
+            return Scalar(self._anchor.agg(
+                (F.count(self._scol) * fixed[t]).alias("nbytes")))
+        return Scalar(self._anchor.agg(
+            F.sum(F.length(self._scol.cast("string"))).alias("nbytes")))
+
+    def rename(self, name: str) -> "Series":
+        return self.alias(name)
+
+    def squeeze(self) -> "Series":
+        return self
+
+    def dropna(self) -> "Series":
+        anchor = self._anchor.filter(~F.isnull(self._scol))
+        return Series(anchor, self._scol, self._name,
+                      self._index_cols, self._known_sorted)
+
+    def drop_duplicates(self) -> "DataFrame":
+        return self.unique()
+
+    def explode(self) -> "DataFrame":
+        """unnest an array-valued Series (reference: ExplodeSeries,
+        _expr.py:1809); index columns ride along."""
+        return DataFrame(
+            self._anchor.select(
+                *self._index_cols, F.explode(self._scol).alias(self._name)
+            ),
+            self._index_cols, False,
+        )
+
+    def between(self, left, right, inclusive: str = "both") -> "Series":
+        c = self._scol
+        ops = {
+            "both": (c >= left) & (c <= right),
+            "neither": (c > left) & (c < right),
+            "left": (c >= left) & (c < right),
+            "right": (c > left) & (c <= right),
+        }
+        return self._new(ops[inclusive], f"between_{self._name}")
+
+    def describe(self) -> "DataFrame":
+        """count/mean/std/min/max one-row summary."""
+        return DataFrame(self._anchor.agg(
+            F.count(self._scol).alias("count"),
+            F.avg(self._scol).alias("mean"),
+            F.stddev_samp(self._scol).alias("std"),
+            F.min(self._scol).alias("min"),
+            F.max(self._scol).alias("max"),
+        ))
+
+    def to_string(self, max_rows: int = 10) -> str:
+        return (
+            self._anchor.select(self._scol.alias(self._name))
+            .limit(max_rows).toPandas()[self._name].to_string()
+        )
+
+    def add_prefix(self, prefix: str) -> "Series":
+        return self.alias(f"{prefix}{self._name}")
+
+    def add_suffix(self, suffix: str) -> "Series":
+        return self.alias(f"{self._name}{suffix}")
 
 
 class _ILocIndexer:

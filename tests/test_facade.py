@@ -641,3 +641,35 @@ def test_divisions_and_diagnostics_api(spark, pdf):
     assert df.values.shape == pdf.shape
     null_counts = df.isnull().sum().compute()
     assert int(null_counts.iloc[0, 0]) == 0
+
+
+def test_series_parity_batch(spark, pdf):
+    """Series-level reference methods that are one-column frame ops."""
+    df = from_pandas(spark, pdf, npartitions=3)
+    s = df["z"]
+    assert s.ndim == 1
+    assert s.shape == (100,)
+    assert s.rename("w").name == "w"
+    assert s.add_prefix("p_").name == "p_z"
+    assert s.add_suffix("_s").name == "z_s"
+    assert int(s.nbytes.compute()) == 800
+    d = s.describe().compute()
+    assert float(d["mean"].iloc[0]) == pytest.approx(pdf.z.mean())
+    assert sorted(s.drop_duplicates().compute()["z"]) == sorted(pdf.z.unique())
+    got = df["y"].between(3, 5, "left").to_frame("b").compute()
+    assert got["b"].sum() == ((pdf.y >= 3) & (pdf.y < 5)).sum()
+    # dropna keeps the anchor filtered
+    pdn = pdf.copy()
+    pdn.loc[pdn.index[:10], "z"] = None
+    dn = from_pandas(spark, pdn)["z"].dropna()
+    assert dn.to_frame().compute()["z"].notna().all()
+    assert len(dn.to_frame().compute()) == 90
+    # explode an array column
+    arr = df.assign(a=lambda d: d["y"])  # placeholder to keep lineage
+    import pyspark.sql.functions as SF
+    ser = Series = None
+    from dask_expr_spark.collection import Series as _S
+    sarr = _S(df.to_spark().select(SF.array("x", "y").alias("xy")), SF.col("xy"), "xy")
+    ex = sarr.explode().compute()
+    assert len(ex) == 200
+    assert len(s.to_string().splitlines()) == 10
