@@ -182,3 +182,36 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
     # lineitem scanned once; orders scanned once; supplier broadcast
     assert n_nodes(plan, "Scan parquet") == 3
     assert n_nodes(plan, "BroadcastHashJoin") >= 1
+
+
+# queries where a nested-loop/cartesian shape is the DESIGN, not a bug:
+#   q22_idle_customers      — 1-row scalar subquery broadcast cross join
+#   ann_ivf_topk            — every vector scored against the (tiny,
+#                             broadcast) centroid table for cell assignment
+#   dedup_embedding_cosine  — documented exact-quadratic baseline; the
+#                             LSH/IVF variants are the scale path
+_NESTED_LOOP_OK = {"q22_idle_customers", "ann_ivf_topk", "dedup_embedding_cosine"}
+
+
+def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
+    """scale guardrail over the WHOLE registry: no query may compile to
+    a cartesian product, an unlisted nested-loop join, or a
+    row-at-a-time Python UDF (BatchEvalPython) — the three plan shapes
+    that silently stop scaling."""
+    from dask_expr_spark.queries import collect_queries
+
+    offenders = {}
+    for name, (fn, _sql) in sorted(collect_queries().items()):
+        df = fn(spark, sf_dir)
+        sdf = df.to_spark() if hasattr(df, "to_spark") else df
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BatchEvalPython" in plan:
+            flags.append("row-python-udf")
+        if "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_OK:
+            flags.append("nested-loop")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"scale-hostile plans: {offenders}"
