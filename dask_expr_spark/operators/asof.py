@@ -38,9 +38,10 @@ def merge_asof(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
 ) -> DataFrame:
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+
 
     lsdf, rsdf = left.to_spark(), right.to_spark()
     right_cols = list(right_cols) if right_cols else [
@@ -68,31 +69,58 @@ def merge_asof(
     # matches are allowed (so a left row can see a same-timestamp right
     # row), after them otherwise
     side_order = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
-    order = [F.col(on).asc(), side_order]
-    if direction == "forward":
-        order = [F.col(on).desc(), side_order]
-    w = (
-        Window.partitionBy(*by).orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-        if by
-        else Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    )
 
-    matched = unioned
-    for c in [on_r, *carry.values()]:
-        matched = matched.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    def running_match(ascending: bool, tag: str):
+        order = [F.col(on).asc() if ascending else F.col(on).desc(), side_order]
+        w = (
+            Window.partitionBy(*by).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+            if by
+            else Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return {
+            c + tag: F.last(F.col(c), ignorenulls=True).over(w)
+            for c in [on_r, *carry.values()]
+        }
 
-    out = matched.filter(F.col("__side") == 1).drop("__side")
+    def tol_gate(cols: dict, frame, matched_on: str, back: bool):
+        """null out a match farther than `tolerance`."""
+        if tolerance is None:
+            return frame
+        delta = F.expr(f"INTERVAL {tolerance}") if isinstance(tolerance, str) \
+            else F.lit(tolerance)
+        ok = (F.col(matched_on) >= F.col(on) - delta) if back \
+            else (F.col(matched_on) <= F.col(on) + delta)
+        for c in cols:
+            frame = frame.withColumn(c, F.when(ok, F.col(c)))
+        return frame
 
-    if tolerance is not None:
-        if direction == "backward":
-            ok = F.col(on_r) >= F.col(on) - F.expr(f"INTERVAL {tolerance}") \
-                if isinstance(tolerance, str) else F.col(on_r) >= F.col(on) - F.lit(tolerance)
-        else:
-            ok = F.col(on_r) <= F.col(on) + F.expr(f"INTERVAL {tolerance}") \
-                if isinstance(tolerance, str) else F.col(on_r) <= F.col(on) + F.lit(tolerance)
+    if direction == "nearest":
+        # both window passes over the SAME union frame — one hash
+        # exchange on `by`, two in-partition sorts, no self-join. The
+        # closer match wins; ties go backward (pandas convention).
+        bcols, fcols = running_match(True, "__b"), running_match(False, "__f")
+        matched = unioned.withColumns({**bcols, **fcols})
+        out = matched.filter(F.col("__side") == 1).drop("__side")
+        out = tol_gate(list(bcols), out, on_r + "__b", back=True)
+        out = tol_gate(list(fcols), out, on_r + "__f", back=False)
+        ob, of = F.col(on_r + "__b"), F.col(on_r + "__f")
+        out = out.withColumn(
+            "__use_fwd",
+            ob.isNull() | (of.isNotNull() & ((of - F.col(on)) < (F.col(on) - ob))),
+        )
         for c in [on_r, *carry.values()]:
-            out = out.withColumn(c, F.when(ok, F.col(c)))
+            out = out.withColumn(
+                c,
+                F.when(F.col("__use_fwd"), F.col(c + "__f"))
+                .otherwise(F.col(c + "__b")),
+            ).drop(c + "__b", c + "__f")
+        out = out.drop("__use_fwd")
+    else:
+        tag_cols = running_match(direction == "backward", "")
+        matched = unioned.withColumns(tag_cols)
+        out = matched.filter(F.col("__side") == 1).drop("__side")
+        out = tol_gate(list(tag_cols), out, on_r, back=direction == "backward")
 
     out = out.withColumnRenamed(on_r, f"{on}{suffix}")
     return DataFrame(out, left.index_cols, False)

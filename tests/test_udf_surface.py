@@ -141,3 +141,44 @@ def test_map_overlap_rows_centered(spark, pdf):
     want = pdf.sort_values("x").reset_index(drop=True)
     want["rm"] = want["x"].rolling(5, center=True, min_periods=1).mean()
     pd.testing.assert_series_equal(got["rm"], want["rm"], check_names=False)
+
+
+def test_merge_asof_directions_vs_pandas(spark):
+    """merge_asof backward/forward/nearest (+tolerance, +by) must match
+    pd.merge_asof row-for-row (reference: _merge_asof.py:17)."""
+    import numpy as np
+    import pandas as pd
+    from dask_expr_spark.operators.asof import merge_asof
+    from dask_expr_spark.sources.io import from_pandas
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 40),
+        "t": np.sort(rng.randint(0, 1000, 40)).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 25),
+        "t": np.sort(rng.randint(0, 1000, 25)).astype("int64"),
+        "v": rng.randint(0, 100, 25).astype("int64"),
+    })
+    # pandas requires global sort on `on`
+    left = left.sort_values("t", kind="mergesort").reset_index(drop=True)
+    right = right.sort_values("t", kind="mergesort").reset_index(drop=True)
+    dl = from_pandas(spark, left, npartitions=3)
+    dr = from_pandas(spark, right, npartitions=2)
+
+    for direction in ["backward", "forward", "nearest"]:
+        for tol in [None, 50]:
+            want = pd.merge_asof(
+                left, right, on="t", by="g", direction=direction,
+                tolerance=tol,
+            )
+            got = (
+                merge_asof(dl, dr, on="t", by=["g"], direction=direction,
+                           tolerance=tol)
+                .to_spark().toPandas()
+                .sort_values(["t", "g"], kind="mergesort").reset_index(drop=True)
+            )
+            want = want.sort_values(["t", "g"], kind="mergesort").reset_index(drop=True)
+            assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist(), \
+                f"direction={direction} tol={tol}"
