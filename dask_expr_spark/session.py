@@ -39,7 +39,11 @@ def get_spark(app_name: str = "dask_expr_spark", cpus: str | int | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # 24g measured faster AND more stable than 90g on local[32] at
+        # sf0.1 (large heaps → multi-second GC pauses that dominate
+        # sub-second queries); override via SPARK_GRAFT_DRIVER_MEM for
+        # bigger local scale factors
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable;
