@@ -1806,6 +1806,14 @@ class GroupBy:
             return sdf.cube(*self._by)
         return sdf.groupBy(*self._by)
 
+    def rolling(self, window: int, order_by=None, min_periods: int | None = None):
+        """reference: groupby().rolling(), _groupby.py:2136 — per-group
+        rolling frame (window partitioned by the group keys)."""
+        from .operators.window import Rolling
+        return Rolling(self._frame, window,
+                       order_by or list(self._frame._index_cols),
+                       partition_by=list(self._by), min_periods=min_periods)
+
     def agg(self, spec=None, **named) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]
         named_norm = {
@@ -1827,6 +1835,9 @@ class GroupBy:
             }
             value_cols = [c for c in value_cols if c in numeric]
         return self.agg({c: fn for c in value_cols})
+
+    def aggregate(self, spec=None, **named) -> DataFrame:
+        return self.agg(spec, **named)
 
     def sum(self): return self._simple("sum")
     def mean(self): return self._simple("mean")
