@@ -331,6 +331,13 @@ class DataFrame(FrameBase):
                     na_position: str = "last") -> "DataFrame":
         by = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        # presortedness: already range-partitioned + sorted on exactly
+        # this ascending key → the physical layout IS the sort; skip
+        # the exchange (reference: _calculate_divisions presorted
+        # detection, _shuffle.py:1412-1423)
+        if (self._known_sorted and list(self._index_cols) == by
+                and all(asc)):
+            return self
         cols = []
         for c, a in zip(by, asc):
             col = F.col(c)
@@ -377,6 +384,11 @@ class DataFrame(FrameBase):
     #    _shuffle.py:795, Repartition _repartition.py:21) --------------------
     def set_index(self, col: str, sorted: bool = False, npartitions: int | None = None) -> "DataFrame":
         sdf = self._sdf
+        # presortedness: re-indexing on the column we're already
+        # range-sorted by is a metadata no-op (reference:
+        # SetIndex._lower fast path, _shuffle.py:881-901)
+        if self._index_cols == (col,) and self._known_sorted:
+            return DataFrame(sdf, (col,), True)
         if not sorted:
             if npartitions:
                 sdf = sdf.repartitionByRange(npartitions, F.col(col))

@@ -215,3 +215,16 @@ def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
         if flags:
             offenders[name] = flags
     assert not offenders, f"scale-hostile plans: {offenders}"
+
+
+def test_presorted_sort_elides_exchange(spark, sf_dir):
+    """sorting by the column the frame is already range-sorted on must
+    not add an exchange (reference: presortedness detection,
+    _shuffle.py:1412-1423) — our known_sorted metadata rule."""
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    idx = li.set_index("l_orderkey")
+    base = plan_of(idx)
+    resorted = idx.sort_values("l_orderkey")
+    again = idx.set_index("l_orderkey")
+    assert plan_of(resorted) == base
+    assert plan_of(again) == base
