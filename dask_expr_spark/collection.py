@@ -1732,6 +1732,14 @@ class Series(FrameBase):
     def add_suffix(self, suffix: str) -> "Series":
         return self.alias(f"{self._name}{suffix}")
 
+    def rolling(self, window: int, order_by=None, min_periods: int | None = None):
+        """reference: Series.rolling (_collection.py:954) — one-column
+        rolling frame over the index order."""
+        return self.to_frame().rolling(
+            window, order_by=order_by or list(self._index_cols),
+            min_periods=min_periods,
+        )
+
 
 class _ILocIndexer:
     """reference: _indexing.py:38 — iloc restricted to COLUMN

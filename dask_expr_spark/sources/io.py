@@ -72,6 +72,39 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     return DataFrame(reader.csv(path))
 
 
+def read_table(spark: SparkSession, path: str, sep: str = "\t",
+               header: bool = True, schema=None, **options) -> DataFrame:
+    """reference: read_table (_collection.py:5092) — delimited text,
+    tab by default."""
+    return read_csv(spark, path, header=header, schema=schema, sep=sep, **options)
+
+
+def read_fwf(spark: SparkSession, path: str, widths: list[int],
+             names: list[str]) -> DataFrame:
+    """reference: read_fwf (_collection.py:5092) — fixed-width fields
+    sliced out of each line with substring (JVM-side, one pass)."""
+    from pyspark.sql import functions as F
+
+    if len(widths) != len(names):
+        raise ValueError("widths and names must have equal length")
+    raw = spark.read.text(path)
+    cols, pos = [], 1
+    for w, n in zip(widths, names):
+        cols.append(F.trim(F.substring(F.col("value"), pos, w)).alias(n))
+        pos += w
+    return DataFrame(raw.select(*cols))
+
+
+def to_sql(df, url: str, table: str, mode: str = "error", **props) -> None:
+    """reference: to_sql (io/sql.py) — JDBC write. Untestable in this
+    container (no JDBC driver baked in), kept signature-compatible."""
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    writer = sdf.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in props.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
     reader = spark.read.options(**options)
     if schema is not None:

@@ -111,3 +111,33 @@ def test_merge_recursive(spark, sf_dir):
     # star-schema fold keeps the dims broadcast — no shuffle of the fact side
     plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_read_table_and_fwf(spark, tmp_path):
+    """read_table (tab-delimited) and read_fwf (fixed-width substring
+    slicing) — reference io parity (_collection.py:5092)."""
+    from dask_expr_spark.sources.io import read_fwf, read_table
+
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("a\tb\n1\tx\n2\ty\n")
+    df = read_table(spark, str(tsv))
+    got = df.compute().sort_values("a").reset_index(drop=True)
+    assert list(got["a"]) == [1, 2] and list(got["b"]) == ["x", "y"]
+
+    fwf = tmp_path / "f.txt"
+    fwf.write_text("12345ab\n67890cd\n")
+    df2 = read_fwf(spark, str(fwf), widths=[5, 2], names=["num", "code"])
+    got2 = df2.compute().sort_values("num").reset_index(drop=True)
+    assert list(got2["num"]) == ["12345", "67890"]
+    assert list(got2["code"]) == ["ab", "cd"]
+
+
+def test_series_rolling(spark):
+    import pandas as pd
+    from dask_expr_spark.sources.io import from_pandas
+
+    pdf = pd.DataFrame({"t": range(8), "v": [1.0, 2, 3, 4, 5, 6, 7, 8]})
+    s = from_pandas(spark, pdf).set_index("t")["v"]
+    got = s.rolling(3).mean(["v"]).compute()["v_rmean"]
+    want = pdf.set_index("t")["v"].rolling(3).mean()
+    assert got.fillna(-1).tolist() == want.fillna(-1).tolist()
