@@ -74,3 +74,48 @@ QUERIES = {
     "stream_tumbling_counts": (stream_tumbling_counts, None),
     "stream_session_counts": (stream_session_counts, None),
 }
+
+
+def stream_stateful_totals(spark, sf_dir):
+    """custom stateful operator (applyInPandasWithState running
+    per-user totals) drained through micro-batches. The FINAL state
+    per user equals the batch groupBy — that final snapshot is what we
+    surface, so this query, though executed with stateful streaming
+    semantics, is value-checkable against a plain SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_st_")
+    (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .to_spark()
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=2)
+    name = "stream_stateful_totals_out"
+    q = S.run_to_memory(S.running_user_totals(stream), name, output_mode="update")
+    try:
+        # last update per user = final state; totals rounded for a
+        # stable cross-engine hash
+        out = spark.sql(
+            f"SELECT user_id, max(n_events) AS n_events, "
+            f"round(max(total_value), 2) AS total_value "
+            f"FROM {name} GROUP BY user_id ORDER BY user_id"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+    return out
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["stream_stateful_totals"] = (stream_stateful_totals, STREAM_STATEFUL_SQL)
