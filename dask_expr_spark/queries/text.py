@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..functions import text as TX
 from ._util import tbl
 
@@ -221,3 +223,69 @@ FROM c GROUP BY lang ORDER BY lang
 
 
 QUERIES["text_chunking"] = (text_chunking, TEXT_CHUNKING_SQL)
+
+
+def pipeline_clean_corpus(spark, sf_dir):
+    """END-TO-END training-corpus cleaning pipeline — the canonical
+    composition the individual north-star ops exist for:
+      1. language-ID (lang_id argmax heuristic)
+      2. quality gate (token count >= 30, en-stopword ratio >= 0.02)
+      3. exact dedup, keep-first (md5 text hash, min doc_id survives)
+      4. per-predicted-language corpus stats
+    Everything stays JVM-side; the dedup is the only shuffle on data
+    (hash of text), the final stats aggregate is map-side partial."""
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    scored = docs.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        TX.token_count(F.col("text")).alias("n_tok"),
+        TX.stopword_ratio(F.col("text"), TX.STOPWORDS["en"]).alias("sw"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    kept = scored.filter((F.col("n_tok") >= 30) & (F.col("sw") >= 0.02))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+PIPELINE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tok,
+    len(list_filter(string_split(lower(text), ' '),
+        x -> x IN ('the','a','of','and','to','in','is')))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sw,
+    md5(text) AS h,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','das','und','zu','ein','ist'))) AS s_de,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('the','a','of','and','to','in','is')))     AS s_en,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('el','la','de','y','que','en','un')))      AS s_es,
+    len(list_filter(string_split(lower(text),' '), x -> x IN ('le','la','de','et','que','un','est')))    AS s_fr
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tok, sw, h,
+    CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         WHEN s_en > s_de THEN 'en'
+         ELSE 'de' END AS pred_lang
+  FROM s
+), kept AS (
+  SELECT * FROM scored WHERE n_tok >= 30 AND sw >= 0.02
+), deduped AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1
+)
+SELECT pred_lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens
+FROM deduped GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+QUERIES["pipeline_clean_corpus"] = (pipeline_clean_corpus, PIPELINE_SQL)
