@@ -330,3 +330,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """per-vector symmetric int8 quantization: q_i = round(127 · x_i /
+    max|x|) → array<tinyint>. Cosine is scale-invariant, so ranking by
+    quantized cosine needs NO dequantization bookkeeping — the
+    per-vector scale cancels. The win at 100 TB: the embedding column
+    shrinks 4× (float32→int8, 8× vs the double arrays pandas hands us),
+    which is 4-8× less scan + shuffle traffic on every ANN stage.
+    Pure column expressions — JVM-side, codegen'd."""
+    m = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    return F.transform(
+        vec, lambda x: F.round(x * 127.0 / m).cast("tinyint")
+    )
+
+
+def cosine_topk_int8(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """cosine_topk over int8-quantized embeddings: same streaming
+    batch-matmul shape, but the corpus flows through the scan/shuffle
+    as array<tinyint>. Scores are approximate (quantization noise
+    ~0.4% per component); recall vs the exact path is asserted in
+    tests/test_similarity.py."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            M = np.asarray([np.asarray(v, dtype="float64") for v in pdf["__q"]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = Mn @ Qn.T
+            for j, qid in enumerate(qids):
+                S[ids == qid, j] = -np.inf
+            top = min(k, len(ids))
+            part = np.argpartition(-S, top - 1, axis=0)[:top]
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                idx = part[:, j]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(ids[idx])
+                out_c.extend(S[idx, j])
+            yield pd.DataFrame(
+                {"query_id": pd.Series(out_q, dtype="int64"),
+                 "neighbor_id": pd.Series(out_n, dtype="int64"),
+                 "cos": pd.Series(out_c, dtype="float64")}
+            )
+
+    quant = vectors.select(id_col, quantize_int8(F.col(vec_col)).alias("__q"))
+    cand = quant.mapInPandas(batches, schema)
+    cand = cand.filter(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("cos") != F.lit(float("-inf")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

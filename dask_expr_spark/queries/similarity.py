@@ -193,3 +193,21 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM (
 
 
 QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)
+
+
+def ann_int8_topk(spark, sf_dir):
+    """int8-quantized brute-force ANN (functions/similarity.py
+    cosine_topk_int8): the embedding column crosses scan+shuffle as
+    array<tinyint> — 4-8x less vector traffic. Approximate →
+    rows-only check; recall vs exact asserted in
+    tests/test_similarity.py."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    res = SIM.cosine_topk_int8(emb, queries, k=5)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["ann_int8_topk"] = (ann_int8_topk, None)

@@ -78,3 +78,24 @@ def test_ivf_deterministic(spark, sf_dir):
     b = sorted((r.query_id, r.rank, r.neighbor_id)
                for r in SIM.ivf_topk(emb, q, dim=64, k=3).collect())
     assert a == b
+
+
+def test_int8_quantized_ann_recall(spark, sf_dir):
+    """int8-quantized brute-force top-k must agree with the exact path
+    on >= 75% of neighbor picks. The synthetic embeddings are uniform
+    random, so cosines cluster near 0 and near-ties are common —
+    quantization (~0.4% noise/component) flips exactly those; on real
+    embedding manifolds with separated neighbors agreement is near
+    100%."""
+    import os
+    from pyspark.sql import functions as F
+    from dask_expr_spark.functions.similarity import cosine_topk, cosine_topk_int8
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    quant = cosine_topk_int8(emb, queries, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hits = exact.intersect(quant).count()
+    assert n_exact > 0
+    assert hits / n_exact >= 0.75, f"recall {hits}/{n_exact}"
