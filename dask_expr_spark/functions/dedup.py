@@ -111,12 +111,11 @@ def ngram_jaccard_pairs(
         )
         prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         pre = ranked.filter(F.col("__rn") <= prefix_len).select("__id", "__sh")
-        pa = pre.select(F.col("__id").alias("id_a"), "__sh")
-        pb = pre.select(F.col("__id").alias("id_b"), "__sh")
+        pa, pb = pre.alias("pa"), pre.alias("pb")
         cand = (
             pa.join(pb, "__sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            .filter(F.col("pa.__id") < F.col("pb.__id"))
+            .select(F.col("pa.__id").alias("id_a"), F.col("pb.__id").alias("id_b"))
             .distinct()
         )
         A = ds.select(F.col("__id").alias("id_a"), "__sh")
@@ -132,16 +131,19 @@ def ngram_jaccard_pairs(
         # attach set sizes (broadcast — one row per doc) and drop
         # impossible pairs inside the join, before the groupBy sees them
         dsn = ds.join(F.broadcast(sizes), "__id")
-        a = dsn.select(F.col("__id").alias("id_a"), "__sh", F.col("__n").alias("__na"))
-        b = dsn.select(F.col("__id").alias("id_b"), "__sh", F.col("__n").alias("__nb"))
+        # alias() self-join keeps both exchange subplans identical so
+        # the shingle scan/distinct is shared, not computed per side
+        a, b = dsn.alias("a"), dsn.alias("b")
         inter = (
             a.join(b, "__sh")
             .filter(
-                (F.col("id_a") < F.col("id_b"))
-                & (F.col("__na") >= threshold * F.col("__nb"))
-                & (F.col("__nb") >= threshold * F.col("__na"))
+                (F.col("a.__id") < F.col("b.__id"))
+                & (F.col("a.__n") >= threshold * F.col("b.__n"))
+                & (F.col("b.__n") >= threshold * F.col("a.__n"))
             )
-            .groupBy("id_a", "id_b")
+            .groupBy(
+                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            )
             .agg(F.count(F.lit(1)).alias("__inter"))
         )
 
@@ -165,10 +167,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: num_perm seeded xxhash64 min-hashes
     over word k-shingles. One explode + one groupBy (partial aggs
-    map-side); signature is an array<bigint> column."""
-    ds = distinct_shingles(df, id_col, text_col, k)
+    map-side); signature is an array<bigint> column.
+
+    Two deliberate non-obvious choices:
+    - NO pre-aggregation distinct(): min over a multiset equals min
+      over its set, so duplicate shingles are absorbed by the map-side
+      partial min — skipping a full shuffle of the exploded shingle
+      rows (the distinct would shuffle every (doc, shingle) string).
+    - the shingle STRING is hashed exactly once; the num_perm
+      permutation hashes are derived by re-hashing the 8-byte base
+      hash with the permutation index as seed (the standard
+      one-hash + universal-rehash MinHash construction). Hashing a
+      fixed-width long num_perm times is far cheaper than hashing a
+      ~20-byte string num_perm times, and two shingles colliding in
+      the base hash (~d²/2⁶⁵) is negligible for similarity estimates.
+    """
+    sh = F.explode(shingles(F.col(text_col), k)).alias("__sh")
+    ds = df.select(F.col(id_col).alias("__id"), sh).select(
+        "__id", F.xxhash64("__sh").alias("__b")
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__b"))).alias(f"__h{i}")
         for i in range(num_perm)
     ]
     sig = ds.groupBy("__id").agg(*aggs)
@@ -200,12 +219,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bhash")
-    a = banded.select(F.col("__id").alias("id_a"), "band", "bhash")
-    b = banded.select(F.col("__id").alias("id_b"), "band", "bhash")
+    # self-join via alias(), NOT per-side column renames: renaming
+    # before the join puts a different projection under each exchange,
+    # so the signature aggregation would be computed twice. With
+    # identical subplans Spark builds/reuses one exchange.
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
 
@@ -228,12 +250,12 @@ def minhash_dedup_pairs(
     """full MinHash+LSH near-dup pipeline: signatures → banded candidate
     pairs → verify by signature agreement ≥ threshold."""
     rows = num_perm // bands
-    # NOT cached: the signature frame feeds banding and both verify
-    # sides, but Catalyst's ReusedExchange de-duplicates the shared
-    # aggregation, and building the InMemoryRelation measures ~13×
-    # slower than the recompute (columnar cache build + lost
-    # whole-stage codegen under the cached subplan). At 100 TB,
-    # checkpoint signatures to parquet instead.
+    # NOT cached: measured on this corpus, cache() of the signature
+    # frame is net slower (eager materialization job + columnar cache
+    # build + lost whole-stage codegen under the cached subplan) than
+    # recomputing the one-explode/one-agg signature per consumer. At
+    # 100 TB, checkpoint signatures to parquet instead — the explode
+    # over the raw text is the expensive stage there.
     sig = minhash_signatures(df, id_col, text_col, k, num_perm)
     cand = lsh_candidate_pairs(sig, bands, rows)
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
@@ -295,12 +317,16 @@ def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("cc"),
     ).select("__id", "__sh64", "cc.chunk", "cc.cval")
-    a = chunks.select(F.col("__id").alias("id_a"), F.col("__sh64").alias("sh_a"), "chunk", "cval")
-    b = chunks.select(F.col("__id").alias("id_b"), F.col("__sh64").alias("sh_b"), "chunk", "cval")
+    a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(b, ["chunk", "cval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh64").alias("sh_a"),
+            F.col("b.__sh64").alias("sh_b"),
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
