@@ -145,12 +145,70 @@ class FrameBase:
     def explain(self, mode: str = "formatted") -> None:
         self._sdf.explain(mode)
 
+    # -- plan diagnostics (reference: pprint/simplify/optimize/analyze,
+    #    _collection.py:399-451, diagnostics/_explain.py:18) ---------------
+    # The reference exposes its Expr tree per optimizer stage; our plan IS
+    # Catalyst's, so these render the matching Catalyst stage instead.
+    def pprint(self) -> None:
+        """print the unoptimized logical plan (reference: Expr.pprint)."""
+        print(self._sdf._jdf.queryExecution().logical().toString())
+
+    def simplify(self) -> "FrameBase":
+        """reference returns the simplified expression; Catalyst's
+        analogue (analyzed + optimized logical plan) is printed, and
+        self is returned unchanged — optimization is not user-staged on
+        Spark."""
+        print(self._sdf._jdf.queryExecution().optimizedPlan().toString())
+        return self
+
+    optimize = simplify
+
+    def lower_once(self) -> "FrameBase":
+        """reference lowers logical→physical one step; print Spark's
+        physical plan and return self."""
+        print(self._sdf._jdf.queryExecution().executedPlan().toString())
+        return self
+
+    def analyze(self) -> None:
+        """reference: runtime expression profiler (diagnostics/_analyze.py:35).
+        Spark's equivalent lives in the UI/event log; print the formatted
+        plan with codegen stage ids as the static part."""
+        self._sdf.explain("formatted")
+
+    def visualize(self, *_, **__) -> None:
+        """reference renders the task graph; text plan is the Spark analogue."""
+        self._sdf.explain("extended")
+
     def persist(self) -> "FrameBase":
         """reference: FromGraph / persist (io/io.py:37)."""
         return type(self)(self._sdf.cache(), self._index_cols, self._known_sorted)
 
     def npartitions(self) -> int:
         return self._sdf.rdd.getNumPartitions()
+
+    @property
+    def partitions(self):
+        """positional partition accessor (reference: FrameBase.partitions,
+        _collection.py:760): ``df.partitions[i]`` → frame with only
+        partition i (filter on spark_partition_id — pruned, not collected)."""
+        return _PartitionAccessor(self)
+
+
+class _PartitionAccessor:
+    def __init__(self, frame: "FrameBase"):
+        self._frame = frame
+
+    def __getitem__(self, i):
+        f = self._frame
+        n = f.npartitions()
+        if isinstance(i, slice):
+            idx = range(*i.indices(n))
+            cond = F.spark_partition_id().isin(list(idx))
+        else:
+            if i < 0:
+                i += n
+            cond = F.spark_partition_id() == int(i)
+        return type(f)(f._sdf.filter(cond), f._index_cols, f._known_sorted)
 
 
 class Scalar:
@@ -1035,6 +1093,23 @@ class DataFrame(FrameBase):
     def to_records(self):
         """reference: to_records, _collection.py:1420 — driver-side."""
         return self.compute().to_records()
+
+    def to_bag(self, index: bool = False, format: str = "tuple"):
+        """reference: to_bag (io/bag.py:7). The Spark analogue of a bag
+        of tuples is the underlying RDD — lazy, partitioned, never
+        collected here."""
+        cols = ([*self._index_cols] if index else []) + self.columns
+        rdd = self._sdf.select(cols).rdd
+        if format == "dict":
+            return rdd.map(lambda r: r.asDict())
+        return rdd.map(tuple)
+
+    def to_sql(self, table: str, url: str, mode: str = "error", **props) -> None:
+        """reference: to_sql (io/sql.py:300) — JDBC writer, see
+        sources.io.to_sql (no JDBC driver ships in this container)."""
+        from .sources.io import to_sql as _to_sql
+
+        _to_sql(self, url, table, mode=mode, **props)
 
     # -- divisions / partition diagnostics (reference: divisions
     #    _expr.py:378, compute_current_divisions _collection.py:2303,

@@ -673,3 +673,33 @@ def test_series_parity_batch(spark, pdf):
     ex = sarr.explode().compute()
     assert len(ex) == 200
     assert len(s.to_string().splitlines()) == 10
+
+
+def test_plan_diagnostics_and_partitions(spark, capsys):
+    pdf = pd.DataFrame({"x": range(40), "y": [i % 4 for i in range(40)]})
+    df = from_pandas(spark, pdf, npartitions=4)
+    # diagnostics render Catalyst stages without executing
+    df.pprint()
+    assert df.simplify() is df
+    assert df.optimize() is df
+    assert df.lower_once() is df
+    df.analyze()
+    df.visualize()
+    out = capsys.readouterr().out
+    assert "Project" in out or "LogicalRDD" in out or "Scan" in out
+    # positional partition accessor: all slices union back to the frame
+    n = df.npartitions()
+    total = sum(len(df.partitions[i].compute()) for i in range(n))
+    assert total == 40
+    assert len(df.partitions[-1].compute()) == len(df.partitions[n - 1].compute())
+    sliced = df.partitions[0:2].compute()
+    assert len(sliced) == len(df.partitions[0].compute()) + len(df.partitions[1].compute())
+
+
+def test_to_bag(spark):
+    pdf = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    df = from_pandas(spark, pdf)
+    tup = sorted(df.to_bag().collect())
+    assert tup == [(1, "a"), (2, "b"), (3, "c")]
+    dicts = df.to_bag(format="dict").collect()
+    assert sorted(d["x"] for d in dicts) == [1, 2, 3]
