@@ -7,16 +7,38 @@ Catalyst + Tungsten are the optimizer and execution engine (SURVEY.md
 map_overlap, MinHash/LSH dedup, ANN similarity, ordered-index metadata.
 """
 
-from .collection import DataFrame, Series, Scalar, GroupBy, concat, from_spark
+from .collection import (
+    DataFrame,
+    GroupBy,
+    Scalar,
+    Series,
+    concat,
+    elemwise,
+    from_spark,
+    isna,
+    map_overlap,
+    map_partitions,
+    melt,
+    pivot_table,
+    repartition,
+    to_datetime,
+    to_numeric,
+    to_timedelta,
+)
+from .operators.asof import merge_asof
+from .operators.merge import merge
 from .session import get_spark
 from .sources.io import (
     from_dict,
+    from_map,
     from_pandas,
     load_tables,
     read_csv,
+    read_fwf,
     read_json,
     read_orc,
     read_parquet,
+    read_table,
     timeseries,
 )
 
@@ -25,5 +47,8 @@ __version__ = "0.1.0"
 __all__ = [
     "DataFrame", "Series", "Scalar", "GroupBy", "concat", "from_spark",
     "get_spark", "read_parquet", "read_csv", "read_json", "read_orc",
-    "from_pandas", "from_dict", "load_tables", "timeseries",
+    "read_table", "read_fwf", "from_pandas", "from_dict", "from_map",
+    "load_tables", "timeseries", "merge", "merge_asof", "melt",
+    "pivot_table", "repartition", "map_partitions", "map_overlap",
+    "elemwise", "isna", "to_datetime", "to_numeric", "to_timedelta",
 ]

@@ -2227,3 +2227,88 @@ def concat(frames: Sequence[DataFrame], join: str = "outer", axis: int = 0) -> D
         for s in sdfs[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
     return DataFrame(out)
+
+
+# --------------------------------------------------------------------------
+# module-level API (reference: module functions in _collection.py — users
+# call dask_expr.merge / melt / to_datetime etc. as free functions)
+# --------------------------------------------------------------------------
+
+
+def isna(obj):
+    """reference: isna (_collection.py:5583)."""
+    return obj.isna()
+
+
+def melt(frame: DataFrame, id_vars, value_vars, var_name: str = "variable",
+         value_name: str = "value") -> DataFrame:
+    """reference: melt (_collection.py:5588)."""
+    return frame.melt(id_vars, value_vars, var_name=var_name, value_name=value_name)
+
+
+def pivot_table(frame: DataFrame, index, columns: str, values, aggfunc: str = "mean",
+                column_values=None) -> DataFrame:
+    """reference: pivot_table (_collection.py:6054)."""
+    return frame.pivot_table(index, columns, values, aggfunc=aggfunc,
+                             column_values=column_values)
+
+
+def repartition(frame: DataFrame, npartitions: int, *cols: str) -> DataFrame:
+    """reference: repartition (_collection.py:6011)."""
+    return frame.repartition(npartitions, *cols)
+
+
+def map_partitions(func: Callable, frame: DataFrame, schema) -> DataFrame:
+    """reference: map_partitions (_collection.py:6179)."""
+    return frame.map_partitions(func, schema)
+
+
+def map_overlap(func: Callable, frame: DataFrame, schema, order_col: str,
+                before: float, after: float, **kw) -> DataFrame:
+    """reference: map_overlap (_collection.py:6247)."""
+    return frame.map_overlap(func, schema, order_col, before, after, **kw)
+
+
+def elemwise(op: Callable, *args, name: str | None = None) -> Series:
+    """apply an elementwise Column function across Series/scalars
+    (reference: elemwise, _collection.py:6383). All Series operands must
+    share an anchor frame (the reference requires co-alignment)."""
+    sers = [a for a in args if isinstance(a, Series)]
+    if not sers:
+        raise ValueError("elemwise needs at least one Series operand")
+    anchor = sers[0]
+    for s in sers[1:]:
+        if s._anchor is not anchor._anchor:
+            raise ValueError("elemwise operands must share an anchor frame")
+    cols = [a._scol if isinstance(a, Series) else F.lit(a) for a in args]
+    out_name = name or anchor._name
+    return anchor._new(op(*cols).alias(out_name), out_name)
+
+
+def to_datetime(s: Series, format: str | None = None, unit: str | None = None) -> Series:
+    """reference: ToDatetime (_expr.py:1459). Strings parse via
+    to_timestamp; numerics need an epoch unit ('s'/'ms')."""
+    if unit is not None:
+        factor = {"s": 1, "ms": 1_000, "us": 1_000_000}[unit]
+        return s._new(F.timestamp_micros((s._scol.cast("double") * (1_000_000 // factor)).cast("long")), s._name)
+    if format is not None:
+        return s._new(F.to_timestamp(s._scol, format), s._name)
+    return s._new(F.to_timestamp(s._scol), s._name)
+
+
+def to_numeric(s: Series, errors: str = "raise") -> Series:
+    """reference: ToNumeric (_expr.py:1440). ANSI cast raises on
+    malformed input at execution (pandas errors='raise'); try_cast
+    yields null (errors='coerce')."""
+    if errors == "coerce":
+        return s._new(s._scol.try_cast("double"), s._name)
+    return s._new(s._scol.cast("double"), s._name)
+
+
+def to_timedelta(s: Series, unit: str = "s") -> Series:
+    """reference: to_timedelta (_collection.py:6168) → DayTimeInterval
+    via make_dt_interval (SURVEY §2.2 mapping)."""
+    factor = {"d": 86400.0, "h": 3600.0, "m": 60.0, "s": 1.0,
+              "ms": 1e-3, "us": 1e-6}[unit]
+    secs = (s._scol.cast("double") * factor).cast("decimal(27,9)")
+    return s._new(F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs), s._name)

@@ -703,3 +703,31 @@ def test_to_bag(spark):
     assert tup == [(1, "a"), (2, "b"), (3, "c")]
     dicts = df.to_bag(format="dict").collect()
     assert sorted(d["x"] for d in dicts) == [1, 2, 3]
+
+
+def test_module_level_api(spark):
+    import dask_expr_spark as dx
+    import pyspark.sql.functions as SF
+
+    df = from_pandas(spark, pd.DataFrame(
+        {"x": [1.0, 2.0, None], "d": ["2024-01-01", "2024-06-02", "2024-12-31"],
+         "n": ["1", "2", "x"]}))
+    ts = dx.to_datetime(df["d"]).to_frame("t").compute()["t"]
+    assert ts.dt.year.tolist() == [2024, 2024, 2024]
+    assert dx.to_numeric(df["n"], errors="coerce").to_frame("v").compute()["v"].isna().sum() == 1
+    td = dx.to_timedelta(df["x"], unit="h")
+    assert td.dtype == "interval day to second"
+    g = dx.elemwise(lambda a, b: SF.greatest(a, b), df["x"], 1.5, name="g")
+    assert sorted(g.to_frame("g").compute()["g"].dropna()) == [1.5, 1.5, 2.0]
+    assert dx.isna(df["x"]).to_frame("m").compute()["m"].sum() == 1
+    left = from_pandas(spark, pd.DataFrame({"k": [1, 2, 4], "w": [10, 20, 40]}))
+    right = from_pandas(spark, pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    assert len(dx.merge(left, right, on="k").compute()) == 2
+    assert len(dx.melt(left, ["k"], ["w"]).compute()) == 3
+    assert dx.repartition(left, 2).npartitions() == 2
+    def _double(it):
+        for p in it:
+            yield p.assign(w2=p.w * 2)
+
+    assert len(dx.map_partitions(_double, left,
+                                 "k long, w long, w2 long").compute()) == 3
