@@ -41,6 +41,23 @@ from pyspark.sql.window import Window
 __all__ = ["DataFrame", "Series", "Scalar", "GroupBy", "from_spark", "concat"]
 
 
+# pandas/numpy dtype names → Spark SQL type names (reference: AsType,
+# _expr.py:1485 accepts pandas dtypes; SURVEY §1.3 type mapping)
+_DTYPE_MAP = {
+    "float64": "double", "float32": "float", "float16": "float",
+    "int64": "bigint", "int32": "int", "int16": "smallint", "int8": "tinyint",
+    "uint64": "bigint", "uint32": "bigint", "uint16": "int", "uint8": "smallint",
+    "bool": "boolean", "object": "string", "str": "string", "string": "string",
+    "datetime64[ns]": "timestamp", "datetime64[us]": "timestamp",
+    "category": "string",
+    "Int64": "bigint", "Int32": "int", "Float64": "double", "boolean": "boolean",
+}
+
+
+def _spark_type(t) -> str:
+    return _DTYPE_MAP.get(str(t), str(t))
+
+
 # --------------------------------------------------------------------------
 # aggregation spec mapping (reference: GroupbyAggregation spec normalization,
 # /root/reference/dask_expr/_groupby.py:374-411; frame reductions
@@ -314,7 +331,9 @@ class DataFrame(FrameBase):
 
     def astype(self, dtypes: Mapping[str, str]) -> "DataFrame":
         return self._wrap(
-            self._sdf.withColumns({c: F.col(c).cast(t) for c, t in dtypes.items()})
+            self._sdf.withColumns(
+                {c: F.col(c).cast(_spark_type(t)) for c, t in dtypes.items()}
+            )
         )
 
     # -- null handling (reference: IsNa/Fillna/Dropna, _expr.py:1534,1349,1108)
@@ -532,10 +551,19 @@ class DataFrame(FrameBase):
         )
         return DataFrame(sdf)
 
-    def get_dummies(self, column: str, values: Sequence[str],
+    def get_dummies(self, column: str, values: Sequence[str] | None = None,
                     prefix: str | None = None) -> "DataFrame":
-        """one-hot encode (reference: get_dummies, _dummies.py:10) with
-        explicit categories — no distinct-scan, deterministic schema."""
+        """one-hot encode (reference: get_dummies, _dummies.py:10).
+        Pass explicit categories for a deterministic schema with no
+        extra scan; values=None runs a distinct-collect first (one
+        small driver round-trip — the schema depends on the data, same
+        trade-off as the reference's requirement that the column be
+        categorical)."""
+        if values is None:
+            values = sorted(
+                r[0] for r in self._sdf.select(column).distinct().collect()
+                if r[0] is not None
+            )
         prefix = prefix if prefix is not None else column
         exprs = {
             f"{prefix}_{v}": (F.col(column) == v).cast("int") for v in values
@@ -1496,7 +1524,7 @@ class Series(FrameBase):
     def gt(self, o): return self._binop(o, lambda a, b: a > b, self._name)
     def ge(self, o): return self._binop(o, lambda a, b: a >= b, self._name)
     def fillna(self, v): return self._new(F.coalesce(self._scol, F.lit(v)))
-    def astype(self, t: str): return self._new(self._scol.cast(t))
+    def astype(self, t: str): return self._new(self._scol.cast(_spark_type(t)))
     def mask(self, cond: "Series", other=None):
         return self._new(F.when(~cond._scol, self._scol).otherwise(F.lit(other)))
     def where(self, cond: "Series", other=None):
@@ -1549,8 +1577,22 @@ class Series(FrameBase):
     def min(self): return self._reduce(F.min(self._scol), f"min_{self._name}")
     def max(self): return self._reduce(F.max(self._scol), f"max_{self._name}")
     def count(self): return self._reduce(F.count(self._scol), f"count_{self._name}")
-    def std(self): return self._reduce(F.stddev_samp(self._scol), f"std_{self._name}")
-    def var(self): return self._reduce(F.var_samp(self._scol), f"var_{self._name}")
+    def _var_expr(self, ddof: int) -> Column:
+        # pandas ddof semantics (reference: Var, _reductions.py:1116):
+        # var_samp is ddof=1; general ddof rescales by (n-1)/(n-ddof)
+        c = self._numeric_scol() if hasattr(self, "_numeric_scol") else self._scol
+        if ddof == 1:
+            return F.var_samp(c)
+        if ddof == 0:
+            return F.var_pop(c)
+        n = F.count(c)
+        return F.var_samp(c) * (n - 1) / (n - F.lit(ddof))
+
+    def std(self, ddof: int = 1):
+        return self._reduce(F.sqrt(self._var_expr(ddof)), f"std_{self._name}")
+
+    def var(self, ddof: int = 1):
+        return self._reduce(self._var_expr(ddof), f"var_{self._name}")
     def median(self): return self._reduce(F.median(self._scol), f"median_{self._name}")
     def nunique(self): return self._reduce(F.countDistinct(self._scol), f"nunique_{self._name}")
     def nunique_approx(self):
@@ -1561,11 +1603,11 @@ class Series(FrameBase):
     def quantile_approx(self, q: float):
         return self._reduce(F.percentile_approx(self._scol, q), f"q_{self._name}")
 
-    def sem(self) -> Scalar:
+    def sem(self, ddof: int = 1) -> Scalar:
         """standard error of the mean (reference: Sem,
         _reductions.py:1118)."""
         return self._reduce(
-            F.stddev_samp(self._scol) / F.sqrt(F.count(self._scol)),
+            F.sqrt(self._var_expr(ddof)) / F.sqrt(F.count(self._scol)),
             f"sem_{self._name}")
 
     def all(self) -> Scalar:
@@ -1588,16 +1630,31 @@ class Series(FrameBase):
         )
         return self._binop(other, lambda x, y: _u(x, y), self._name)
 
-    def skew(self) -> Scalar:
-        """population skewness g1 (reference: Skew, _reductions.py:1002;
-        Spark's F.skewness — for bias-corrected sample skew compose
-        moments via queries/_util.dec_sum)."""
-        return self._reduce(F.skewness(self._scol), f"skew_{self._name}")
+    def skew(self, bias: bool = False) -> Scalar:
+        """sample skewness, pandas bias-corrected by default
+        (reference: Skew, _reductions.py:1002; pandas G1 = g1 ·
+        √(n(n−1))/(n−2), with Spark's F.skewness supplying g1).
+        bias=True returns the population moment g1."""
+        c = self._scol
+        g1 = F.skewness(c)
+        if bias:
+            return self._reduce(g1, f"skew_{self._name}")
+        n = F.count(c)
+        corr = F.sqrt(n * (n - 1)) / (n - 2)
+        return self._reduce(g1 * corr, f"skew_{self._name}")
 
-    def kurtosis(self) -> Scalar:
-        """population excess kurtosis g2 (reference: Kurtosis,
-        _reductions.py:1022)."""
-        return self._reduce(F.kurtosis(self._scol), f"kurt_{self._name}")
+    def kurtosis(self, bias: bool = False) -> Scalar:
+        """sample excess kurtosis, pandas bias-corrected by default
+        (reference: Kurtosis, _reductions.py:1022; pandas G2 =
+        ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)), with Spark's F.kurtosis
+        supplying g2). bias=True returns the population moment g2."""
+        c = self._scol
+        g2 = F.kurtosis(c)
+        if bias:
+            return self._reduce(g2, f"kurt_{self._name}")
+        n = F.count(c)
+        G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        return self._reduce(G2, f"kurt_{self._name}")
 
     kurt = kurtosis
 
@@ -1649,6 +1706,104 @@ class Series(FrameBase):
         )
         return Scalar(sdf)
 
+    # -- ordered ops (reference: Series shift/diff/cum*/ffill/bfill,
+    #    _expr.py:3292-3433, _cumulative.py:11-145) — window over the
+    #    index order, same construction as the frame-level versions ------
+    def _order_window(self, order_by=None):
+        order = order_by or (self._index_cols[0] if self._index_cols else None)
+        if order is None:
+            raise ValueError(
+                "order-dependent op needs an index (set_index) or order_by="
+            )
+        order = [order] if isinstance(order, str) else list(order)
+        return Window.orderBy(*[F.col(c) for c in order])
+
+    def shift(self, periods: int = 1, order_by=None) -> "Series":
+        w = self._order_window(order_by)
+        fn = F.lag if periods >= 0 else F.lead
+        return self._new(fn(self._scol, abs(periods)).over(w), self._name)
+
+    def diff(self, periods: int = 1, order_by=None) -> "Series":
+        w = self._order_window(order_by)
+        return self._new(self._scol - F.lag(self._scol, periods).over(w), self._name)
+
+    def pct_change(self, periods: int = 1, order_by=None) -> "Series":
+        w = self._order_window(order_by)
+        prev = F.lag(self._scol, periods).over(w)
+        return self._new((self._scol - prev) / prev, self._name)
+
+    def _cum(self, agg, order_by) -> "Series":
+        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        return self._new(agg(self._scol).over(w), self._name)
+
+    def cumsum(self, order_by=None) -> "Series":
+        return self._cum(F.sum, order_by)
+
+    def cumprod(self, order_by=None) -> "Series":
+        return self._cum(F.product, order_by)
+
+    def cummax(self, order_by=None) -> "Series":
+        return self._cum(F.max, order_by)
+
+    def cummin(self, order_by=None) -> "Series":
+        return self._cum(F.min, order_by)
+
+    def ffill(self, order_by=None) -> "Series":
+        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        return self._new(F.last(self._scol, ignorenulls=True).over(w), self._name)
+
+    def bfill(self, order_by=None) -> "Series":
+        w = self._order_window(order_by).rowsBetween(0, Window.unboundedFollowing)
+        return self._new(F.first(self._scol, ignorenulls=True).over(w), self._name)
+
+    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+        """value rank with pandas tie semantics (average/min/max/first/
+        dense). Scale design: ranks are computed on the DISTINCT-value
+        frame (cumulative counts over values, a window over |distinct|
+        rows, not |rows|) and equi-joined back — no global per-row
+        window. method='first' additionally breaks ties by position and
+        does need the per-row order; it falls back to a window over the
+        index order."""
+        if method == "first":
+            self._order_window(None)  # raises without an index (positional ties)
+            w = Window.orderBy(
+                self._scol.asc() if ascending else self._scol.desc(),
+                *[F.col(c) for c in self._index_cols],
+            )
+            return self._new(
+                F.when(self._scol.isNotNull(),
+                       F.row_number().over(w).cast("double")), self._name)
+        vals = (
+            self._anchor.select(self._scol.alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        order = F.col("__v").asc() if ascending else F.col("__v").desc()
+        w = Window.orderBy(order)
+        lt = F.coalesce(
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        if method == "average":
+            r = lt + (F.col("__c") + 1) / 2.0
+        elif method == "min":
+            r = (lt + 1).cast("double")
+        elif method == "max":
+            r = (lt + F.col("__c")).cast("double")
+        elif method == "dense":
+            r = F.row_number().over(w).cast("double")
+        else:
+            raise ValueError(f"unsupported rank method {method!r}")
+        ranked = vals.select("__v", r.alias("__rank"))
+        # plain equi-join back; AQE broadcasts when the distinct-value
+        # frame is small (the common case)
+        joined = self._anchor.join(
+            ranked, self._scol == F.col("__v"), "left"
+        ).drop("__v")
+        return Series(joined, F.col("__rank").alias(self._name), self._name,
+                      self._index_cols, self._known_sorted)
+
     def autocorr(self, lag: int = 1, order_by: str | None = None) -> Scalar:
         """lag-k autocorrelation (reference: autocorr,
         _collection.py:4547) — corr of the series with its lagged self
@@ -1698,9 +1853,14 @@ class Series(FrameBase):
                .orderBy(F.col(self._name).asc()).limit(n))
         return DataFrame(sdf, self._index_cols, False)
 
-    def value_counts(self, normalize: bool = False, sort: bool = True) -> "DataFrame":
-        """reference: ValueCounts, _reductions.py:1394."""
-        out = self._anchor.groupBy(self._scol.alias(self._name)).agg(
+    def value_counts(self, normalize: bool = False, sort: bool = True,
+                     dropna: bool = True) -> "DataFrame":
+        """reference: ValueCounts, _reductions.py:1394. dropna=True
+        (pandas default) excludes the null bucket."""
+        anchor = self._anchor
+        if dropna:
+            anchor = anchor.filter(self._scol.isNotNull())
+        out = anchor.groupBy(self._scol.alias(self._name)).agg(
             F.count(F.lit(1)).alias("count")
         )
         if normalize:
@@ -1900,6 +2060,18 @@ class GroupBy:
         if self._mode == "cube":
             return sdf.cube(*self._by)
         return sdf.groupBy(*self._by)
+
+    def __getitem__(self, cols) -> "GroupBy":
+        """column-restricted groupby (reference: GroupBy.__getitem__ →
+        SeriesGroupBy, _groupby.py:1602): ``df.groupby(k)[v].sum()``
+        aggregates only ``v``. Restriction happens by projecting the
+        underlying frame to (keys + selected) — Catalyst prunes the scan."""
+        sel = [cols] if isinstance(cols, str) else list(cols)
+        missing = [c for c in sel if c not in self._frame.columns]
+        if missing:
+            raise KeyError(missing)
+        proj = self._frame[[*self._by, *sel]]
+        return GroupBy(proj, self._by, self._dropna, self._mode)
 
     def rolling(self, window: int, order_by=None, min_periods: int | None = None):
         """reference: groupby().rolling(), _groupby.py:2136 — per-group

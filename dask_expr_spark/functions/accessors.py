@@ -22,6 +22,20 @@ class StringMethods:
     def _c(self):
         return self._s._scol
 
+    def __getitem__(self, i: int):
+        """positional element access (pandas ``.str[i]``): array
+        element for list-typed series (e.g. after split), character
+        for strings. Negative indices supported (element_at / substr
+        from the end)."""
+        if self._s.dtype.startswith("array"):
+            return self._new(F.element_at(self._c, i + 1 if i >= 0 else i))
+        if i >= 0:
+            return self._new(F.substring(self._c, i + 1, 1))
+        return self._new(F.substring(self._c, F.length(self._c) + i + 1, F.lit(1)))
+
+    def get(self, i: int):
+        return self[i]
+
     def lower(self): return self._new(F.lower(self._c))
     def upper(self): return self._new(F.upper(self._c))
     def strip(self): return self._new(F.trim(self._c))

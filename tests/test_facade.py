@@ -295,13 +295,16 @@ def test_stat_reductions_vs_pandas(spark, pdf):
     assert abs(df["x"].cov(df["z"]).compute() - pdf.x.cov(pdf.z)) < 1e-9
     assert abs(df["x"].corr(df["z"]).compute() - pdf.x.corr(pdf.z)) < 1e-9
     assert abs(df["x"].dot(df["z"]).compute() - pdf.x.dot(pdf.z)) < 1e-9
-    # Spark skew/kurt are population moments; compare vs scipy-style formulas
+    # default matches pandas (bias-corrected); bias=True gives the
+    # population moments
     z = pdf.z.to_numpy()
     m = z.mean(); m2 = ((z - m) ** 2).mean()
     g1 = ((z - m) ** 3).mean() / m2 ** 1.5
     g2 = ((z - m) ** 4).mean() / m2 ** 2 - 3
-    assert abs(s.skew().compute() - g1) < 1e-9
-    assert abs(s.kurt().compute() - g2) < 1e-9
+    assert abs(s.skew().compute() - pdf.z.skew()) < 1e-9
+    assert abs(s.kurt().compute() - pdf.z.kurt()) < 1e-9
+    assert abs(s.skew(bias=True).compute() - g1) < 1e-9
+    assert abs(s.kurt(bias=True).compute() - g2) < 1e-9
     small = from_pandas(spark, pdf.iloc[:8])
     assert abs(small["z"].prod().compute() - pdf.z.iloc[:8].prod()) < 1e-9
 
