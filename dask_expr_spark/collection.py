@@ -2015,6 +2015,16 @@ class LocIndexer:
         frame = self._frame
         if not frame._index_cols:
             raise ValueError("loc requires an index (set_index first)")
+        if isinstance(key, tuple) and len(key) == 2:
+            # df.loc[rows, cols] — row-select then project (index kept)
+            rows, cols = key
+            picked = self[rows]
+            if isinstance(cols, slice):
+                if cols != slice(None):
+                    raise ValueError("loc column slices must be ':'")
+                return picked
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            return picked[[*cols]]
         idx = F.col(frame._index_cols[0])
         if isinstance(key, slice):
             if key.step is not None:

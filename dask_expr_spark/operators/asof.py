@@ -37,7 +37,11 @@ def merge_asof(
     allow_exact_matches: bool = True,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    keep_match_on: bool = False,
 ) -> DataFrame:
+    """keep_match_on=True additionally emits the matched right-side
+    `on` value as ``{on}{suffix}`` (pandas drops it; useful for gap
+    computations)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
@@ -122,5 +126,8 @@ def merge_asof(
         out = matched.filter(F.col("__side") == 1).drop("__side")
         out = tol_gate(list(tag_cols), out, on_r, back=direction == "backward")
 
-    out = out.withColumnRenamed(on_r, f"{on}{suffix}")
+    if keep_match_on:
+        out = out.withColumnRenamed(on_r, f"{on}{suffix}")
+    else:
+        out = out.drop(on_r)
     return DataFrame(out, left.index_cols, False)

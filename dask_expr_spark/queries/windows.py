@@ -244,7 +244,7 @@ def asof_purchase_click(spark, sf_dir):
     clicks = ev.filter(ev.event_type == "click")[["user_id", "ts"]]
     joined = purchases.merge_asof(
         clicks, on="ts", by="user_id", direction="backward",
-        allow_exact_matches=True, right_cols=[],
+        allow_exact_matches=True, right_cols=[], keep_match_on=True,
     )
     sdf = joined.to_spark().withColumn(
         "gap_s",
