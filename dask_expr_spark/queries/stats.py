@@ -256,6 +256,48 @@ FROM m ORDER BY day
 ROLLING_MOMENTS_SQL = _roll_moments_sql()
 
 
+
+
+def rank_priority_totals(spark, sf_dir):
+    """global value ranks with pandas tie semantics via Series.rank
+    (average + dense methods; reference has no rank — extension per
+    SURVEY §2.6 note), aggregated per order priority. The rank is
+    computed on the distinct-value frame and joined back — no global
+    per-row window (collection.py Series.rank)."""
+    od = tbl(spark, sf_dir, "orders").set_index("o_orderkey")
+    avg_r = od["o_totalprice"].rank().to_frame("avg_rank")
+    dense_r = od["o_totalprice"].rank(method="dense").to_frame("dense_rank")
+    pri = od[["o_orderpriority"]].reset_index()
+    j = pri.merge(avg_r.reset_index(), on="o_orderkey").merge(
+        dense_r.reset_index(), on="o_orderkey")
+    sdf = (
+        j.to_spark()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("avg_rank").cast("decimal(27,1)")).cast("double").alias("rank_sum"),
+            F.max("dense_rank").alias("max_dense"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return sdf
+
+
+RANK_SQL = """
+WITH r AS (
+  SELECT o_orderpriority,
+         rank() OVER (ORDER BY o_totalprice)
+           + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0 AS avg_rank,
+         dense_rank() OVER (ORDER BY o_totalprice) AS dense_rank
+  FROM orders
+)
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(avg_rank AS DECIMAL(27,1))) AS DOUBLE) AS rank_sum,
+       CAST(max(dense_rank) AS DOUBLE) AS max_dense
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "stats_skew_kurt": (stats_skew_kurt, SKEW_KURT_SQL),
     "rolling_moments_daily": (rolling_moments_daily, ROLLING_MOMENTS_SQL),
@@ -263,4 +305,5 @@ QUERIES = {
     "idxmax_per_priority": (idxmax_per_priority, IDXMAX_SQL),
     "daily_growth": (daily_growth, DAILY_GROWTH_SQL),
     "rolling_median_rev": (rolling_median_rev, ROLLING_MEDIAN_SQL),
+    "rank_priority_totals": (rank_priority_totals, RANK_SQL),
 }

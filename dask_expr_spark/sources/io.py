@@ -72,6 +72,24 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     return DataFrame(reader.csv(path))
 
 
+def from_array(spark: SparkSession, arr, columns: Sequence[str] | None = None,
+               npartitions: int | None = None) -> DataFrame:
+    """numpy array → frame (reference: FromArray, io/io.py:600).
+    1-D → single column 'x'; 2-D → one column per second-axis index."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        pdf = pd.DataFrame({(columns[0] if columns else "x"): arr})
+    elif arr.ndim == 2:
+        names = list(columns) if columns else [str(i) for i in range(arr.shape[1])]
+        pdf = pd.DataFrame(arr, columns=names)
+    else:
+        raise ValueError("from_array supports 1-D and 2-D arrays")
+    return from_pandas(spark, pdf, npartitions=npartitions)
+
+
 def read_table(spark: SparkSession, path: str, sep: str = "\t",
                header: bool = True, schema=None, **options) -> DataFrame:
     """reference: read_table (_collection.py:5092) — delimited text,
