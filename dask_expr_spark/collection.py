@@ -1477,8 +1477,16 @@ class Series(FrameBase):
             return self._new(op(self._scol, other._scol), name)
         return self._new(op(self._scol, F.lit(other)), name)
 
-    def __add__(self, o): return self._binop(o, lambda a, b: a + b, self._name)
-    def __radd__(self, o): return self._binop(o, lambda a, b: b + a, self._name)
+    def __add__(self, o):
+        # pandas semantics: + on string series concatenates
+        if self.dtype == "string":
+            return self._binop(o, lambda a, b: F.concat(a, b), self._name)
+        return self._binop(o, lambda a, b: a + b, self._name)
+
+    def __radd__(self, o):
+        if self.dtype == "string":
+            return self._binop(o, lambda a, b: F.concat(b, a), self._name)
+        return self._binop(o, lambda a, b: b + a, self._name)
     def __sub__(self, o): return self._binop(o, lambda a, b: a - b, self._name)
     def __rsub__(self, o): return self._binop(o, lambda a, b: b - a, self._name)
     def __mul__(self, o): return self._binop(o, lambda a, b: a * b, self._name)

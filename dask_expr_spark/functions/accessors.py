@@ -41,7 +41,12 @@ class StringMethods:
     def strip(self): return self._new(F.trim(self._c))
     def lstrip(self): return self._new(F.ltrim(self._c))
     def rstrip(self): return self._new(F.rtrim(self._c))
-    def len(self): return self._new(F.length(self._c))
+    def len(self):
+        """string length, or element count for list-typed cells
+        (pandas .str.len covers both)."""
+        if self._s.dtype.startswith("array"):
+            return self._new(F.size(self._c))
+        return self._new(F.length(self._c))
     def capitalize(self): return self._new(F.initcap(self._c))
 
     def contains(self, pat: str, regex: bool = True):

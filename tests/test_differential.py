@@ -427,3 +427,66 @@ def test_differential_loc_slice(frames):
     p = pdf.loc[10:20, ["x", "y"]]
     dres = d.loc[10:20, ["x", "y"]]
     _assert_same(p.reset_index(), dres)
+
+
+STR_CASES = [
+    ("str_lstrip", lambda d: (d["s"] + " ").str.rstrip()),
+    ("str_capitalize", lambda d: d["s"].str.capitalize()),
+    ("str_endswith", lambda d: d["s"].str.endswith("_1")),
+    ("str_title", lambda d: d["s"].str.title()),
+    ("str_swapcase", lambda d: d["s"].str.upper().str.swapcase()),
+    ("str_count", lambda d: d["s"].str.count("_")),
+    ("str_isalpha", lambda d: d["s"].str.replace("_", "").str.isalpha()),
+    ("str_isdigit", lambda d: d["s"].str.slice(1, 2).str.isdigit()),
+    ("str_find", lambda d: d["s"].str.find("_")),
+    ("str_repeat", lambda d: d["s"].str.repeat(2)),
+    ("str_removeprefix", lambda d: d["s"].str.removeprefix("w1")),
+    ("str_removesuffix", lambda d: d["s"].str.removesuffix("_2")),
+    ("str_center", lambda d: d["s"].str.center(9, "*")),
+    ("str_ljust", lambda d: d["s"].str.ljust(8, ".")),
+    ("str_rjust", lambda d: d["s"].str.rjust(8, ".")),
+    ("str_pad", lambda d: d["s"].str.pad(8, "left", "0")
+        if not isinstance(d, pd.DataFrame) else d["s"].str.pad(8, "left", "0")),
+    ("str_findall_n", lambda d: d["s"].str.findall(r"\d").str.len()),
+    ("str_match", lambda d: d["s"].str.match(r"w[12]_")),
+    ("str_fullmatch", lambda d: d["s"].str.fullmatch(r"w\d_\d")),
+    ("str_extract", lambda d: d["s"].str.extract(r"w(\d+)", expand=False)
+        if isinstance(d, pd.DataFrame) else d["s"].str.extract(r"w(\d+)")),
+    ("str_partition0", lambda d: d["s"].str.partition("_")[0]
+        if isinstance(d, pd.DataFrame) else d["s"].str.partition("_").str[0]),
+    ("str_join", lambda d: d["s"].str.split("_").str.join("+")),
+    ("str_get", lambda d: d["s"].str.get(1)),
+    ("str_neg_index", lambda d: d["s"].str[-1]),
+    ("str_cat_sep", lambda d: d["s"].str.slice(0, 2).str.cat(d["s"].str.slice(3, 5), sep="|")
+        if isinstance(d, pd.DataFrame) else d["s"].str.slice(0, 2).str.cat(d["s"].str.slice(3, 5), sep="|")),
+]
+
+DT_CASES = [
+    ("dt_minute", lambda d: d["t"].dt.minute),
+    ("dt_second", lambda d: d["t"].dt.second),
+    ("dt_dayofyear", lambda d: d["t"].dt.dayofyear),
+    ("dt_days_in_month", lambda d: d["t"].dt.days_in_month),
+    ("dt_is_month_start", lambda d: d["t"].dt.is_month_start),
+    ("dt_is_month_end", lambda d: d["t"].dt.is_month_end),
+    ("dt_is_quarter_start", lambda d: d["t"].dt.is_quarter_start),
+    ("dt_isocalendar_week", lambda d: d["t"].dt.isocalendar().week.astype("int64")
+        if isinstance(d, pd.DataFrame) else d["t"].dt.week),
+    ("dt_normalize_year", lambda d: d["t"].dt.normalize().dt.year),
+    ("dt_strftime", lambda d: d["t"].dt.strftime("%Y-%m-%d")),
+    ("dt_round_h_day", lambda d: d["t"].dt.round("h").dt.hour),
+    ("dt_ceil_d_day", lambda d: d["t"].dt.ceil("D").dt.day),
+    ("dt_floor_h", lambda d: d["t"].dt.floor("h").dt.hour),
+    ("dt_weekday", lambda d: d["t"].dt.weekday.astype("int64")),
+]
+
+
+@pytest.mark.parametrize("name,fn", STR_CASES, ids=[c[0] for c in STR_CASES])
+def test_differential_str(frames, name, fn):
+    pdf, d = frames
+    _assert_same(fn(pdf), fn(d))
+
+
+@pytest.mark.parametrize("name,fn", DT_CASES, ids=[c[0] for c in DT_CASES])
+def test_differential_dt(frames, name, fn):
+    pdf, d = frames
+    _assert_same(fn(pdf), fn(d))
