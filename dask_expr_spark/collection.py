@@ -274,6 +274,19 @@ class DataFrame(FrameBase):
             return self._wrap(self._sdf.select(*keep))
         raise TypeError(f"cannot index with {type(key)}")
 
+    def __setitem__(self, key: str, value) -> None:
+        """in-place column assignment (reference: Assign via
+        __setitem__, _collection.py:679) — rebinds this wrapper's plan;
+        previously-derived frames are unaffected (lazy plans are
+        immutable, same as the reference's expression graph)."""
+        if isinstance(value, Series):
+            col = value._scol
+        elif callable(value):
+            col = value(self)._scol
+        else:
+            col = F.lit(value)
+        self._sdf = self._sdf.withColumn(key, col)
+
     def __getattr__(self, name: str):
         # column access fallback (reference: _core.py:491-518)
         if not name.startswith("_") and name in self._sdf.columns:
@@ -1713,6 +1726,45 @@ class Series(FrameBase):
             .agg(tie_fn(F.col(idx)).alias(f"{label}_{self._name}"))
         )
         return Scalar(sdf)
+
+    # -- numpy ufunc protocol (reference: UFuncElemwise _expr.py:713,
+    #    elemwise _collection.py:6383) — np.sqrt(series) etc. dispatch
+    #    to the JVM-side Column function, never materializing ------------
+    _UFUNC_UNARY = {
+        "sqrt": "sqrt", "exp": "exp", "log": "log", "log10": "log10",
+        "log2": "log2", "log1p": "log1p", "expm1": "expm1",
+        "sin": "sin", "cos": "cos", "tan": "tan",
+        "arcsin": "asin", "arccos": "acos", "arctan": "atan",
+        "sinh": "sinh", "cosh": "cosh", "tanh": "tanh",
+        "floor": "floor", "ceil": "ceil", "absolute": "abs",
+        "sign": "signum", "negative": None, "rint": "rint",
+        "degrees": "degrees", "radians": "radians", "cbrt": "cbrt",
+        "isnan": "isnan",
+    }
+    _UFUNC_BINARY = {
+        "add": lambda a, b: a + b, "subtract": lambda a, b: a - b,
+        "multiply": lambda a, b: a * b, "true_divide": lambda a, b: a / b,
+        "divide": lambda a, b: a / b, "power": lambda a, b: a ** b,
+        "mod": lambda a, b: a % b, "floor_divide": lambda a, b: F.floor(a / b),
+        "maximum": lambda a, b: F.greatest(a, b),
+        "minimum": lambda a, b: F.least(a, b),
+        "arctan2": lambda a, b: F.atan2(a, b),
+        "hypot": lambda a, b: F.hypot(a, b),
+    }
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__" or kwargs.get("out") is not None:
+            return NotImplemented
+        name = ufunc.__name__
+        cols = [i._scol if isinstance(i, Series) else F.lit(i) for i in inputs]
+        if len(inputs) == 1 and name in self._UFUNC_UNARY:
+            if name == "negative":
+                return self._new(-cols[0], self._name)
+            return self._new(getattr(F, self._UFUNC_UNARY[name])(cols[0]), self._name)
+        if len(inputs) == 2 and name in self._UFUNC_BINARY:
+            anchor = next(i for i in inputs if isinstance(i, Series))
+            return anchor._new(self._UFUNC_BINARY[name](*cols), anchor._name)
+        return NotImplemented
 
     # -- ordered ops (reference: Series shift/diff/cum*/ffill/bfill,
     #    _expr.py:3292-3433, _cumulative.py:11-145) — window over the

@@ -490,3 +490,39 @@ def test_differential_str(frames, name, fn):
 def test_differential_dt(frames, name, fn):
     pdf, d = frames
     _assert_same(fn(pdf), fn(d))
+
+
+UFUNC_CASES = [
+    ("np_sqrt", lambda d: np.sqrt(d["y"].abs())),
+    ("np_exp", lambda d: np.exp(d["y"] / 20)),
+    ("np_log", lambda d: np.log(d["y"].abs() + 1)),
+    ("np_log1p", lambda d: np.log1p(d["y"].abs())),
+    ("np_floor", lambda d: np.floor(d["y"])),
+    ("np_ceil", lambda d: np.ceil(d["y"])),
+    ("np_abs", lambda d: np.abs(d["y"])),
+    ("np_sin", lambda d: np.sin(d["y"])),
+    ("np_arctan", lambda d: np.arctan(d["y"])),
+    ("np_sign", lambda d: np.sign(d["y"])),
+    ("np_maximum", lambda d: np.maximum(d["y"], d["z"])),
+    ("np_minimum", lambda d: np.minimum(d["y"], 3.0)),
+    ("np_arctan2", lambda d: np.arctan2(d["y"], d["z"] + 1)),
+    ("np_add", lambda d: np.add(d["y"], d["z"])),
+    ("np_negative", lambda d: np.negative(d["y"])),
+]
+
+
+@pytest.mark.parametrize("name,fn", UFUNC_CASES, ids=[c[0] for c in UFUNC_CASES])
+def test_differential_ufunc(frames, name, fn):
+    pdf, d = frames
+    _assert_same(fn(pdf), fn(d))
+
+
+def test_setitem(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4, 5, 6]})
+    p = pdf.copy()
+    d = from_pandas(spark, pdf)
+    p["c"] = p["a"] * 2
+    d["c"] = d["a"] * 2
+    p["k"] = 7
+    d["k"] = 7
+    _assert_same(p, d)
