@@ -162,6 +162,16 @@ class FrameBase:
     def explain(self, mode: str = "formatted") -> None:
         self._sdf.explain(mode)
 
+    def __repr__(self) -> str:
+        """lazy repr — schema only, never computes (reference:
+        test_format.py expects a structural summary, not data)."""
+        cols = ", ".join(
+            f"{f.name}: {f.dataType.simpleString()}" for f in self._sdf.schema.fields
+        )
+        idx = f", index={list(self._index_cols)}" if self._index_cols else ""
+        sort = ", sorted" if self._known_sorted else ""
+        return f"<{type(self).__name__} [{cols}]{idx}{sort}>"
+
     # -- plan diagnostics (reference: pprint/simplify/optimize/analyze,
     #    _collection.py:399-451, diagnostics/_explain.py:18) ---------------
     # The reference exposes its Expr tree per optimizer stage; our plan IS
@@ -1453,6 +1463,13 @@ class Series(FrameBase):
         """Spark type name of the column expression (reference: dtype,
         _collection.py:4143 — pandas dtype there)."""
         return self._anchor.select(self._scol).schema.fields[0].dataType.simpleString()
+
+    def __repr__(self) -> str:
+        try:
+            dt = self.dtype
+        except Exception:
+            dt = "?"
+        return f"<Series {self._name!r} [{dt}]>"
 
     def _new(self, scol: Column, name: str | None = None) -> "Series":
         return Series(self._anchor, scol, name or self._name,

@@ -734,3 +734,12 @@ def test_module_level_api(spark):
 
     assert len(dx.map_partitions(_double, left,
                                  "k long, w long, w2 long").compute()) == 3
+
+
+def test_lazy_repr(spark):
+    df = from_pandas(spark, pd.DataFrame({"a": [1], "b": ["x"]}))
+    r = repr(df)
+    assert "a: bigint" in r and "b: string" in r
+    assert repr(df["a"]) == "<Series 'a' [bigint]>"
+    idx = df.set_index("a")
+    assert "index=['a']" in repr(idx)
