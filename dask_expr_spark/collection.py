@@ -501,10 +501,89 @@ class DataFrame(FrameBase):
         sdf = self._sdf.drop(*self._index_cols) if drop else self._sdf
         return DataFrame(sdf, (), False)
 
-    def repartition(self, npartitions: int, *cols: str) -> "DataFrame":
+    def repartition(self, npartitions: int | None = None, *cols: str,
+                    divisions: Sequence | None = None,
+                    partition_size: str | int | None = None,
+                    freq: str | None = None) -> "DataFrame":
+        """reference: Repartition (_repartition.py:21) — count, explicit
+        divisions, target partition bytes, or time frequency.
+
+        - divisions: boundary values over the index column; rows are
+          bucketed by searchsorted bucket id, range-partitioned on it,
+          and sorted within partitions. Contract: rows of one division
+          bucket are never split across partitions and partition order
+          follows division order; Spark's sampling may MERGE adjacent
+          small buckets into one partition (the reference materializes
+          exact divisions — an intentional divergence, AQE-friendly).
+        - partition_size: '128MB'-style target; npartitions is derived
+          from Catalyst's plan-size estimate (file statistics), the
+          analogue of RepartitionSize's memory_usage sampling
+          (_repartition.py:378).
+        - freq: time-truncate the index and range-partition on it
+          (RepartitionFreq, _repartition.py:405).
+        """
+        if sum(x is not None for x in (npartitions, divisions, partition_size, freq)) != 1:
+            raise ValueError(
+                "exactly one of npartitions, divisions, partition_size, freq"
+            )
+        if divisions is not None:
+            if not self._index_cols:
+                raise ValueError("divisions repartition needs an index")
+            idx = F.col(self._index_cols[0])
+            bucket = sum(
+                (idx >= F.lit(b)).cast("int") for b in list(divisions)[1:-1]
+            ) if len(divisions) > 2 else F.lit(0)
+            n = max(len(divisions) - 1, 1)
+            # range-partition on the bucket id ALONE: the partitioner's
+            # value-based bounds then coincide with the bucket labels,
+            # giving exactly division-aligned partitions (adding the
+            # index as a secondary key would re-split buckets to
+            # equalize rows)
+            out = (
+                self._sdf.withColumn("__div", bucket)
+                .repartitionByRange(n, F.col("__div"))
+                .sortWithinPartitions("__div", self._index_cols[0])
+                .drop("__div")
+            )
+            return DataFrame(out, self._index_cols, True)
+        if partition_size is not None:
+            if isinstance(partition_size, str):
+                units = {"kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "b": 1}
+                ps = partition_size.strip().lower()
+                for suffix, mult in sorted(units.items(), key=lambda kv: -len(kv[0])):
+                    if ps.endswith(suffix):
+                        size_bytes = float(ps[: -len(suffix)]) * mult
+                        break
+                else:
+                    size_bytes = float(ps)
+            else:
+                size_bytes = float(partition_size)
+            total = int(
+                self._sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            n = max(1, -(-total // int(size_bytes)))
+            return self._wrap(self._sdf.repartition(n), False)
+        if freq is not None:
+            if not self._index_cols:
+                raise ValueError("freq repartition needs a datetime index")
+            from .operators.window import _FREQ_UNIT
+            unit = _FREQ_UNIT.get(freq, freq)
+            idx = self._index_cols[0]
+            out = (
+                self._sdf.repartitionByRange(F.date_trunc(unit, F.col(idx)))
+                .sortWithinPartitions(idx)
+            )
+            return DataFrame(out, self._index_cols, True)
         if cols:
             return self._wrap(self._sdf.repartition(npartitions, *[F.col(c) for c in cols]), False)
         return self._wrap(self._sdf.repartition(npartitions), False)
+
+    def __dataframe__(self, *args, **kwargs):
+        """DataFrame interchange protocol (reference: _interchange.py via
+        __dataframe__, _collection.py:2722). Buffer access is inherently
+        driver-side, so this materializes via Arrow and delegates to
+        pandas' implementation."""
+        return self.compute().__dataframe__(*args, **kwargs)
 
     def coalesce(self, npartitions: int) -> "DataFrame":
         return self._wrap(self._sdf.coalesce(npartitions))

@@ -743,3 +743,44 @@ def test_lazy_repr(spark):
     assert repr(df["a"]) == "<Series 'a' [bigint]>"
     idx = df.set_index("a")
     assert "index=['a']" in repr(idx)
+
+
+def test_repartition_forms(spark):
+    pdf = pd.DataFrame({"i": range(100), "v": [float(i) for i in range(100)],
+                        "t": pd.date_range("2024-01-01", periods=100, freq="6h")})
+    df = from_pandas(spark, pdf, npartitions=4)
+    # divisions: bucket boundaries over the index
+    dv = df.set_index("i").repartition(divisions=[0, 25, 50, 100])
+    assert dv.npartitions() == 3
+    # contract: a division bucket is never split across partitions, and
+    # partition order follows division order (buckets may merge)
+    seen = []
+    for k in range(dv.npartitions()):
+        rows = dv.partitions[k].compute()
+        if len(rows):
+            buckets = {min(2, v // 25) if v < 50 else 2 for v in rows.index}
+            seen.append((k, min(rows.index), max(rows.index), buckets))
+    total = sum(len(dv.partitions[k].compute()) for k in range(dv.npartitions()))
+    assert total == 100
+    for (k1, _, hi1, b1), (k2, lo2, _, b2) in zip(seen, seen[1:]):
+        assert hi1 < lo2  # ordered, non-overlapping
+        assert not (b1 & b2)  # no bucket split across partitions
+    assert dv.known_sorted
+    # partition_size: derives a count from plan stats
+    ps = df.repartition(partition_size="1MB")
+    assert ps.npartitions() >= 1
+    assert len(ps.compute()) == 100
+    # freq: time-range partitioning
+    fr = df.set_index("t").repartition(freq="D")
+    assert len(fr.compute()) == 100
+    assert fr.known_sorted
+    with pytest.raises(ValueError):
+        df.repartition(3, divisions=[0, 1])
+
+
+def test_interchange_protocol(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": 1})
+    df = from_pandas(spark, pdf, npartitions=2)
+    di = df.__dataframe__()
+    assert di.num_columns() == 2
+    assert di.num_rows() == 3
