@@ -526,3 +526,54 @@ def test_setitem(spark):
     p["k"] = 7
     d["k"] = 7
     _assert_same(p, d)
+
+
+def test_differential_groupby_ordered(frames):
+    pdf, d = frames
+    g, pg = d.groupby("x"), pdf.groupby("x")
+    for ours, theirs in [
+        (g.shift(1), pg["y"].shift(1)),
+        (g.shift(-1), pg["y"].shift(-1)),
+        (g.diff(), pg["y"].diff()),
+        (g.cumsum(), pg["y"].cumsum()),
+        (g.cummax(), pg["y"].cummax()),
+        (g.cummin(), pg["y"].cummin()),
+    ]:
+        got = ours.compute().sort_index()["y"]
+        pdt.assert_series_equal(got, theirs.sort_index(), check_dtype=False,
+                                check_names=False, rtol=1e-9)
+    got = g.cumcount().compute().sort_index()["cumcount"]
+    pdt.assert_series_equal(got, pg.cumcount().sort_index(), check_dtype=False,
+                            check_names=False)
+
+
+def test_differential_groupby_ffill(nframes):
+    pdf, d = nframes
+    got = d.groupby("x").ffill().compute().sort_index()["y"]
+    want = pdf.groupby("x")["y"].ffill().sort_index()
+    pdt.assert_series_equal(got, want, check_dtype=False, check_names=False)
+    got_b = d.groupby("x").bfill().compute().sort_index()["y"]
+    want_b = pdf.groupby("x")["y"].bfill().sort_index()
+    pdt.assert_series_equal(got_b, want_b, check_dtype=False, check_names=False)
+
+
+def test_differential_groupby_headtail(frames):
+    pdf, d = frames
+    got = d.groupby("x").head(2).compute().sort_index()
+    want = pdf.groupby("x", group_keys=False).head(2).sort_index()
+    pdt.assert_frame_equal(got[["x", "y"]], want[["x", "y"]], check_dtype=False,
+                           rtol=1e-9)
+    got_t = d.groupby("x").tail(3).compute().sort_index()
+    want_t = pdf.groupby("x", group_keys=False).tail(3).sort_index()
+    pdt.assert_frame_equal(got_t[["x", "y"]], want_t[["x", "y"]],
+                           check_dtype=False, rtol=1e-9)
+
+
+def test_differential_groupby_rank(frames):
+    pdf, d = frames
+    got = d.groupby("x").rank("y", method="row_number").compute()
+    # pandas equivalent of row_number rank: method='first'
+    want = pdf.assign(rank=pdf.groupby("x")["y"].rank(method="first"))
+    got = got.sort_index()["rank"]
+    pdt.assert_series_equal(got, want.sort_index()["rank"], check_dtype=False,
+                            check_names=False)
