@@ -8,6 +8,7 @@ map_overlap, MinHash/LSH dedup, ANN similarity, ordered-index metadata.
 """
 
 from .collection import (
+    Aggregation,
     DataFrame,
     GroupBy,
     Scalar,
@@ -45,7 +46,7 @@ from .sources.io import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "DataFrame", "Series", "Scalar", "GroupBy", "concat", "from_spark",
+    "Aggregation", "DataFrame", "Series", "Scalar", "GroupBy", "concat", "from_spark",
     "get_spark", "read_parquet", "read_csv", "read_json", "read_orc",
     "read_table", "read_fwf", "from_pandas", "from_dict", "from_map",
     "load_tables", "timeseries", "merge", "merge_asof", "melt",

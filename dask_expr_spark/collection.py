@@ -1656,10 +1656,13 @@ class Series(FrameBase):
         _u = F.pandas_udf(lambda s: s.map(func), return_type)
         return self._new(_u(self._scol))
 
-    def map(self, mapping: Mapping) -> "Series":
-        """dict-based value mapping (reference: Series.map,
-        _collection.py:4199) — literal map + element_at: JVM-side,
-        missing keys → null (pandas NaN semantics)."""
+    def map(self, mapping, return_type: str = "double") -> "Series":
+        """value mapping (reference: Series.map, _collection.py:4199).
+        Dict → literal map + element_at: JVM-side, missing keys → null
+        (pandas NaN semantics). Callable → Arrow pandas UDF (the slow
+        path; return_type= required when not double)."""
+        if callable(mapping):
+            return self.apply(mapping, return_type=return_type)
         pairs: list[Column] = []
         for k, v in mapping.items():
             pairs.append(F.lit(k))
@@ -2198,6 +2201,20 @@ class LocIndexer:
         return frame._wrap(frame._sdf.filter(idx == key))
 
 
+class Aggregation:
+    """user-defined groupby aggregation in chunk/agg/finalize form —
+    API-compatible with the reference (Aggregation, _groupby.py:95).
+    chunk and agg receive pandas SeriesGroupBy objects; finalize the
+    aggregated series. See GroupBy._custom_agg for execution shape."""
+
+    def __init__(self, name: str, chunk: Callable, agg: Callable,
+                 finalize: Callable | None = None):
+        self.chunk = chunk
+        self.agg = agg
+        self.finalize = finalize
+        self.__name__ = name
+
+
 class GroupBy:
     """reference: GroupBy, _groupby.py:1496.
 
@@ -2249,6 +2266,20 @@ class GroupBy:
 
     def agg(self, spec=None, **named) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]
+        # route reference-style Aggregation objects (chunk/agg/finalize)
+        # through the grouped-map path
+        if isinstance(spec, Aggregation):
+            return self._custom_agg([(spec.__name__, c, spec) for c in value_cols])
+        if isinstance(spec, Mapping) and any(
+            isinstance(v, Aggregation) for v in spec.values()
+        ):
+            customs = [(f"{c}_{v.__name__}" if len(spec) > 1 else v.__name__, c, v)
+                       for c, v in spec.items() if isinstance(v, Aggregation)]
+            rest = {c: v for c, v in spec.items() if not isinstance(v, Aggregation)}
+            out = self._custom_agg(customs)
+            if rest:
+                out = out.merge(self.agg(rest), on=list(self._by))
+            return out
         named_norm = {
             k: (v if isinstance(v, tuple) else (v[0], v[1]))
             for k, v in named.items()
@@ -2256,6 +2287,71 @@ class GroupBy:
         triples = _normalize_agg_spec(spec, value_cols, named_norm)
         aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
         return DataFrame(self._grouped().agg(*aggs))
+
+    def _custom_agg(self, aggs) -> DataFrame:
+        """execute reference-style Aggregation objects (_groupby.py:95):
+        chunk → agg (over chunk outputs grouped by key) → finalize.
+
+        Spark-first shape: whole groups are colocated by one exchange
+        (applyInPandas — the same physical plan as groupby.apply), so
+        the chunk/agg chain runs once per group, which is semantically
+        identical for any law-abiding Aggregation. The reference's
+        multi-chunk tree exists because dask groups span partitions;
+        on Spark, colocating the group IS the standard pattern. For
+        huge low-cardinality groups prefer a callable Column spec
+        (JVM-side partial aggregation) instead."""
+        import pandas as pd
+
+        keys = list(self._by)
+
+        def run_one(pdf: "pd.DataFrame", col: str, agg: "Aggregation"):
+            sgb = pdf.groupby(keys, dropna=False)[col]
+            inter = agg.chunk(sgb)
+            inter = inter if isinstance(inter, tuple) else (inter,)
+            regrouped = [s.groupby(level=list(range(len(keys)))) for s in inter]
+            res = agg.agg(*regrouped)
+            if agg.finalize is not None:
+                res = res if isinstance(res, tuple) else (res,)
+                res = agg.finalize(*res)
+            if isinstance(res, pd.Series):
+                return res.iloc[0]
+            return res
+
+        # infer output dtypes by emulating on a small sample (the
+        # reference's _emulate trick, _expr.py:4055) — one tiny job
+        sample = (
+            self._sdf().select(*keys, *{c for _, c, _ in aggs})
+            .limit(50).toPandas()
+        )
+        key_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in self._sdf().schema.fields if f.name in keys
+        )
+        out_types = []
+        for out, col, agg in aggs:
+            try:
+                val = run_one(sample, col, agg) if len(sample) else 0.0
+            except Exception:
+                val = 0.0
+            import numpy as np
+            if isinstance(val, (bool, np.bool_)):
+                t = "boolean"
+            elif isinstance(val, (int, np.integer)):
+                t = "bigint"
+            else:
+                t = "double"
+            out_types.append((out, t))
+        schema = key_schema + ", " + ", ".join(f"`{o}` {t}" for o, t in out_types)
+
+        def apply_fn(key, pdf):
+            row = {k: [v] for k, v in zip(keys, key)}
+            for out, col, agg in aggs:
+                row[out] = [run_one(pdf, col, agg)]
+            return pd.DataFrame(row)
+
+        return DataFrame(
+            self._sdf().groupBy(*keys).applyInPandas(apply_fn, schema=schema)
+        )
 
     def _simple(self, fn: str, numeric_only: bool = True) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]

@@ -182,3 +182,37 @@ def test_merge_asof_directions_vs_pandas(spark):
             want = want.sort_values(["t", "g"], kind="mergesort").reset_index(drop=True)
             assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist(), \
                 f"direction={direction} tol={tol}"
+
+
+def test_custom_aggregation_class(spark):
+    """reference Aggregation(chunk, agg, finalize) — _groupby.py:95."""
+    import dask_expr_spark as dx
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b", "b"], "h": [1, 1, 1, 2, 2],
+                        "v": [1.0, 2, 3, 4, 5]})
+    d = dx.from_pandas(spark, pdf, npartitions=3)
+    custom_mean = dx.Aggregation(
+        "custom_mean",
+        chunk=lambda s: (s.count(), s.sum()),
+        agg=lambda count, sum: (count.sum(), sum.sum()),
+        finalize=lambda count, sum: sum / count,
+    )
+    got = (d[["g", "v"]].groupby("g").agg(custom_mean)
+           .compute().sort_values("g").reset_index(drop=True))
+    want = pdf.groupby("g")["v"].mean().reset_index(drop=True)
+    assert got["custom_mean"].tolist() == want.tolist()
+    # dict spec mixing custom and builtin
+    custom_range = dx.Aggregation(
+        "rng", chunk=lambda s: (s.min(), s.max()),
+        agg=lambda lo, hi: (lo.min(), hi.max()),
+        finalize=lambda lo, hi: hi - lo)
+    got2 = (d[["g", "v"]].groupby("g").agg({"v": custom_range})
+            .compute().sort_values("g").reset_index(drop=True))
+    want2 = (pdf.groupby("g")["v"].max() - pdf.groupby("g")["v"].min()).reset_index(drop=True)
+    assert got2["rng"].tolist() == want2.tolist()
+    # multi-key groupby
+    got3 = (d.groupby(["g", "h"]).agg({"v": custom_range})
+            .compute().sort_values(["g", "h"]).reset_index(drop=True))
+    want3 = (pdf.groupby(["g", "h"])["v"].agg(lambda s: s.max() - s.min())
+             .reset_index(drop=True))
+    assert got3["rng"].tolist() == want3.tolist()
