@@ -13,6 +13,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Queries that already have a green (or no_oracle) row in CORRECTNESS_r01.json.
+# The driver validates only the first 50 registry entries per round, so
+# already-validated queries rotate to the BACK of the registry, giving every
+# not-yet-checked query a row in the next CORRECTNESS file.  Once all queries
+# have been validated at least once, the rotation keeps cycling so regressions
+# still surface within two rounds.
+VALIDATED = frozenset({
+    # round 1 (CORRECTNESS_r01.json)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "join_broadcast_part", "join_semi", "join_anti",
+    "join_outer", "q4_priority_late", "q10_returned_revenue",
+    "q14_type_revenue_ratio", "q15_top_suppliers", "q18_large_orders",
+    "q19_or_predicates", "q7_nation_volume", "q8_market_share",
+    "q9_profit_by_nation", "q12_late_priority_counts",
+    "q13_customer_distribution", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q21_waiting_supplier", "q22_idle_customers",
+    "filter_isin_between", "case_when_buckets", "string_ops", "date_ops",
+    "value_counts_flag", "distinct_pairs", "nunique_by_group", "topk_orders",
+    "fillna_mask", "union_concat", "pivot_status", "minmax_by_group",
+    "quantiles_exact", "stats_var_std", "corr_cov", "transform_pct_of_group",
+    "expanding_running_share", "categorize_segments", "drop_dup_keep_first",
+    "combine_first_balances", "string_ops2", "date_ops2",
+    "approx_distinct_parts", "approx_quantiles_price", "sample_orders",
+    "loc_orderkey_slice", "series_map_status",
+})
+
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from . import approx, dedup, events, ops, relational, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
@@ -23,4 +49,7 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
             if name in out:
                 raise ValueError(f"duplicate query name {name}")
             out[name] = pair
-    return out
+    # Rotation: not-yet-validated queries first (stable within each class).
+    ordered = {n: out[n] for n in out if n not in VALIDATED}
+    ordered.update({n: out[n] for n in out if n in VALIDATED})
+    return ordered
