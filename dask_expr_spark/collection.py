@@ -393,16 +393,22 @@ class DataFrame(FrameBase):
     # -- dedup / sampling (reference: DropDuplicates _reductions.py:599,
     #    Sample _expr.py:1168) ----------------------------------------------
     def drop_duplicates(self, subset: Sequence[str] | None = None,
-                        keep: str = "first") -> "DataFrame":
+                        keep: str = "first",
+                        order_by: Sequence[str] | None = None) -> "DataFrame":
         if subset is None or keep not in ("first", "last"):
             return self._wrap(self._sdf.dropDuplicates(subset))
         if set(subset) >= set(self._sdf.columns):
             return self._wrap(self._sdf.dropDuplicates())
-        # keep= semantics need a deterministic order — use index if known
-        if not self._index_cols:
-            return self._wrap(self._sdf.dropDuplicates(list(subset)))
+        # keep= semantics need a deterministic order — like every other
+        # order-dependent op, refuse rather than silently pick arbitrary rows
+        order_cols = list(order_by) if order_by else list(self._index_cols)
+        if not order_cols:
+            raise ValueError(
+                f"drop_duplicates(keep={keep!r}) with subset= needs a known "
+                "row order: call set_index(...) first or pass order_by="
+            )
         order = [F.col(c).asc() if keep == "first" else F.col(c).desc()
-                 for c in self._index_cols]
+                 for c in order_cols]
         w = Window.partitionBy(*subset).orderBy(*order)
         sdf = (
             self._sdf.withColumn("__rn__", F.row_number().over(w))
@@ -793,12 +799,15 @@ class DataFrame(FrameBase):
         if not cols:
             raise ValueError(f"no applicable columns for {fn}")
         aggs = []
-        for c, t in cols:
-            col = F.col(c).cast("long") if t == "boolean" and fn in ("sum",) \
-                else F.col(c)
-            aggs.append(_agg_expr(fn, c).alias(c) if t != "boolean" or fn not in ("sum",)
-                        else F.sum(col).alias(c))
-        return DataFrame(self._sdf.agg(*aggs))
+        # Booleans count as 0/1 for every numeric reduction (pandas rule);
+        # Spark's avg/var_samp/median reject BooleanType outright.  min/max
+        # (numeric_only=False) keep native boolean semantics like pandas.
+        bool_casts = {c: F.col(c).cast("long") for c, t in cols
+                      if t == "boolean" and numeric_only}
+        sdf = self._sdf.withColumns(bool_casts) if bool_casts else self._sdf
+        for c, _t in cols:
+            aggs.append(_agg_expr(fn, c).alias(c))
+        return DataFrame(sdf.agg(*aggs))
 
     def sum(self): return self._frame_reduce("sum", True)
     def mean(self): return self._frame_reduce("mean", True)
@@ -1960,8 +1969,11 @@ class Series(FrameBase):
         joined = self._anchor.join(
             ranked, self._scol == F.col("__v"), "left"
         ).drop("__v")
+        # the equi-join re-shuffles the anchor; range order is lost, so the
+        # result must not inherit _known_sorted (presorted fast paths would
+        # elide a required sort downstream)
         return Series(joined, F.col("__rank").alias(self._name), self._name,
-                      self._index_cols, self._known_sorted)
+                      self._index_cols, False)
 
     def autocorr(self, lag: int = 1, order_by: str | None = None) -> Scalar:
         """lag-k autocorrelation (reference: autocorr,
@@ -2644,8 +2656,9 @@ def concat(frames: Sequence[DataFrame], join: str = "outer", axis: int = 0) -> D
             seen |= set(f._sdf.columns)
             # coalesce the index key so outer-join nulls don't split it
             out = out.join(f._sdf, on=list(idx), how=how)
-        res = DataFrame(out, tuple(idx), frames[0]._known_sorted)
-        return res
+        # the equi-joins shuffle-hash the rows; global range order is NOT
+        # preserved, so never inherit _known_sorted from the inputs
+        return DataFrame(out, tuple(idx), False)
     sdfs = [f._sdf for f in frames]
     if join == "inner":
         common = set(sdfs[0].columns)

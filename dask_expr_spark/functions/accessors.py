@@ -134,14 +134,16 @@ class StringMethods:
     def casefold(self): return self._new(F.lower(self._c))
 
     def center(self, width: int, fillchar: str = " "):
-        # pandas puts the odd pad char on the LEFT: lpad to
-        # len + ceil(pad/2) first, then rpad to full width
+        # CPython parity rule (str.center): left = marg//2 + (marg & width & 1)
+        # — e.g. 'a'.center(4,'-') == '-a--' but 'ab'.center(5,'-') == '--ab-'
         n = F.length(self._c)
-        half = ((F.lit(width) - n + 1) / 2).cast("int")
+        marg = F.lit(width) - n
+        left = F.floor(marg / 2).cast("int") + \
+            marg.cast("int").bitwiseAND(F.lit(width)).bitwiseAND(F.lit(1))
         padded = F.when(
             n >= width, self._c
         ).otherwise(
-            F.rpad(F.lpad(self._c, (n + F.greatest(half, F.lit(0))).cast("int"), fillchar),
+            F.rpad(F.lpad(self._c, (n + left).cast("int"), fillchar),
                    width, fillchar)
         )
         return self._new(padded)
@@ -388,12 +390,23 @@ class DatetimeMethods:
         )
 
     def round(self, freq: str):
+        # pandas Timestamp.round rounds half to EVEN multiples of the
+        # frequency (banker's rounding), not HALF_UP like Spark F.round;
+        # done in exact integer microseconds so boundary ties are exact.
         unit = {"D": "day", "H": "hour", "h": "hour", "T": "minute",
                 "min": "minute", "S": "second"}.get(freq, freq)
         secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
-        e = F.unix_timestamp(self._c) + F.unix_micros(self._c) % 1000000 / 1e6
-        rounded = F.round(e / secs).cast("long") * secs
-        return self._new(F.timestamp_seconds(rounded).cast("timestamp_ntz"))
+        p = secs * 1_000_000
+        t = F.unix_micros(self._c)
+        rem = F.pmod(t, F.lit(p))
+        base = t - rem
+        base_even = F.pmod(base, F.lit(2 * p)) == 0
+        r = (
+            F.when(rem * 2 < p, base)
+            .when(rem * 2 > p, base + p)
+            .otherwise(F.when(base_even, base).otherwise(base + p))
+        )
+        return self._new(F.timestamp_micros(r).cast("timestamp_ntz"))
 
     def tz_localize(self, tz: str):
         """interpret naive timestamps as wall-clock in tz → UTC instant."""

@@ -443,6 +443,10 @@ STR_CASES = [
     ("str_removeprefix", lambda d: d["s"].str.removeprefix("w1")),
     ("str_removesuffix", lambda d: d["s"].str.removesuffix("_2")),
     ("str_center", lambda d: d["s"].str.center(9, "*")),
+    # odd margin + even width: CPython puts the odd pad char on the RIGHT
+    # here ('w'.center(4,'-') == '-w--'), exercising the parity rule
+    ("str_center_parity", lambda d: d["s"].str.slice(0, 1).str.center(4, "-")),
+    ("str_center_parity2", lambda d: d["s"].str.slice(0, 2).str.center(5, "-")),
     ("str_ljust", lambda d: d["s"].str.ljust(8, ".")),
     ("str_rjust", lambda d: d["s"].str.rjust(8, ".")),
     ("str_pad", lambda d: d["s"].str.pad(8, "left", "0")
@@ -474,6 +478,9 @@ DT_CASES = [
     ("dt_normalize_year", lambda d: d["t"].dt.normalize().dt.year),
     ("dt_strftime", lambda d: d["t"].dt.strftime("%Y-%m-%d")),
     ("dt_round_h_day", lambda d: d["t"].dt.round("h").dt.hour),
+    # the 7h grid hits exact noon (k*7h % 24 == 12) → half-to-even ties on 'D'
+    ("dt_round_d_tie", lambda d: d["t"].dt.round("D").dt.day),
+    ("dt_round_min", lambda d: d["t"].dt.round("min").dt.minute),
     ("dt_ceil_d_day", lambda d: d["t"].dt.ceil("D").dt.day),
     ("dt_floor_h", lambda d: d["t"].dt.floor("h").dt.hour),
     ("dt_weekday", lambda d: d["t"].dt.weekday.astype("int64")),

@@ -69,6 +69,34 @@ def test_drop_duplicates(df, pdf):
     _eq(got, want, sort_by=["y"])
 
 
+def test_drop_duplicates_keep_requires_order(spark):
+    pdf2 = pd.DataFrame({"a": [1, 1, 2], "b": [9.0, 8.0, 7.0]})
+    d = from_pandas(spark, pdf2)
+    with pytest.raises(ValueError, match="drop_duplicates"):
+        d.drop_duplicates(subset=["a"], keep="first")
+    # order_by= and set_index both unlock keep=
+    got = d.drop_duplicates(subset=["a"], keep="last", order_by=["b"]).compute()
+    want = (pdf2.sort_values("b").drop_duplicates(subset=["a"], keep="last")
+            .reset_index(drop=True))
+    pdt.assert_frame_equal(
+        got.sort_values("a").reset_index(drop=True)[["a", "b"]],
+        want.sort_values("a").reset_index(drop=True)[["a", "b"]],
+        check_dtype=False)
+
+
+def test_frame_reduce_with_boolean(spark):
+    pdf2 = pd.DataFrame({"x": [1, 2, 3, 4], "b": [True, False, True, True]})
+    d = from_pandas(spark, pdf2)
+    for fn in ("sum", "mean", "var", "std", "median"):
+        got = getattr(d, fn)().compute()
+        assert got["b"].iloc[0] == pytest.approx(
+            getattr(pdf2["b"], fn)()), fn
+        assert got["x"].iloc[0] == pytest.approx(getattr(pdf2["x"], fn)()), fn
+    # min/max keep native boolean semantics
+    assert bool(d.min().compute()["b"].iloc[0]) == pdf2["b"].min()
+    assert bool(d.max().compute()["b"].iloc[0]) == pdf2["b"].max()
+
+
 def test_merge(spark, df, pdf):
     other = pd.DataFrame({"y": range(15), "label": [f"g{i}" for i in range(15)]})
     right = from_pandas(spark, other)
@@ -609,6 +637,11 @@ def test_concat_axis1(spark):
 
     with pytest.raises(ValueError):
         C.concat([fa, from_pandas(spark, pb)], axis=1)  # unindexed
+
+    # the equi-join destroys range order — known_sorted must NOT survive,
+    # or a later sort on the index would be silently elided
+    assert not C.concat([fa, fb], axis=1).known_sorted
+    assert not fa["a"].rank().known_sorted
 
 
 def test_divisions_and_diagnostics_api(spark, pdf):
