@@ -288,7 +288,7 @@ class DatetimeMethods:
     def is_year_start(self): return self._new(F.dayofyear(self._c) == 1)
     @property
     def microsecond(self):
-        return self._new((F.unix_micros(self._c) % 1_000_000).cast("int"))
+        return self._new((F.unix_micros(self._c.cast("timestamp")) % 1_000_000).cast("int"))
     @property
     def epoch_seconds(self): return self._new(F.unix_timestamp(self._c))
     @property
@@ -357,7 +357,7 @@ class DatetimeMethods:
         # timestamps are µs precision on Spark (ns parquet is read as
         # long at the source layer) → sub-µs part is always 0, matching
         # pandas on µs-resolution data
-        return self._new((F.unix_micros(self._c) % 1000000 % 1000) * 0)
+        return self._new((F.unix_micros(self._c.cast("timestamp")) % 1000000 % 1000) * 0)
 
     def isocalendar(self):
         """struct<year,week,day> (ISO 8601), mirroring the pandas frame.
@@ -397,7 +397,9 @@ class DatetimeMethods:
                 "min": "minute", "S": "second"}.get(freq, freq)
         secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
         p = secs * 1_000_000
-        t = F.unix_micros(self._c)
+        # cast: unix_micros rejects TIMESTAMP_NTZ (session tz is UTC,
+        # so the cast is instant-preserving)
+        t = F.unix_micros(self._c.cast("timestamp"))
         rem = F.pmod(t, F.lit(p))
         base = t - rem
         base_even = F.pmod(base, F.lit(2 * p)) == 0

@@ -245,7 +245,8 @@ class TimeRolling:
         self._partition = [pb] if isinstance(pb, str) else list(pb)
 
     def _w(self):
-        order = F.unix_micros(F.col(self._on))
+        # cast: unix_micros rejects TIMESTAMP_NTZ (parquet timestamps)
+        order = F.unix_micros(F.col(self._on).cast("timestamp"))
         w = (Window.partitionBy(*self._partition).orderBy(order)
              if self._partition else Window.orderBy(order))
         return w.rangeBetween(-self._micros, 0)

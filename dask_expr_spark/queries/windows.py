@@ -196,7 +196,8 @@ def window_user_sessions(spark, sf_dir):
             "new_sess",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+                | (F.unix_micros(F.col("ts").cast("timestamp"))
+                   - F.unix_micros(F.col("prev_ts").cast("timestamp"))
                    > 1800 * 1_000_000),
                 1,
             ).otherwise(0),
@@ -248,7 +249,8 @@ def asof_purchase_click(spark, sf_dir):
     )
     sdf = joined.to_spark().withColumn(
         "gap_s",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")))
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts_right").cast("timestamp")))
         / F.lit(1_000_000.0),
     )
     out = (
