@@ -290,12 +290,28 @@ class DataFrame(FrameBase):
         previously-derived frames are unaffected (lazy plans are
         immutable, same as the reference's expression graph)."""
         if isinstance(value, Series):
+            if value._anchor is not self._sdf:
+                self._sdf = self._align_foreign(self._sdf, key, value)
+                return
             col = value._scol
         elif callable(value):
             col = value(self)._scol
         else:
             col = F.lit(value)
         self._sdf = self._sdf.withColumn(key, col)
+
+    def _align_foreign(self, sdf: SparkDF, key: str, value: "Series") -> SparkDF:
+        """Align a Series from another frame by index equi-join
+        (reference: are_co_aligned + OpAlignPartitions, _expr.py:3140,
+        3632) — left join, unmatched labels yield null like pandas."""
+        if not self._index_cols or tuple(value._index_cols) != self._index_cols:
+            raise ValueError(
+                "assigning a series from a different frame requires both "
+                "to share an index (set_index on the same column(s) first)"
+            )
+        idx = list(self._index_cols)
+        right = value._anchor.select(*idx, value._scol.alias(key))
+        return sdf.drop(key).join(right, on=idx, how="left")
 
     def __getattr__(self, name: str):
         # column access fallback (reference: _core.py:491-518)
@@ -321,13 +337,13 @@ class DataFrame(FrameBase):
     def assign(self, **kwargs) -> "DataFrame":
         sdf = self._sdf
         exprs: dict[str, Column] = {}
+        joined = False
         for name, val in kwargs.items():
             if isinstance(val, Series):
                 if val._anchor is not self._sdf:
-                    raise ValueError(
-                        "assign from a different frame requires join on index; "
-                        "use merge() explicitly"
-                    )
+                    sdf = self._align_foreign(sdf, name, val)
+                    joined = True
+                    continue
                 exprs[name] = val._scol
             elif isinstance(val, Column):
                 exprs[name] = val
@@ -335,7 +351,9 @@ class DataFrame(FrameBase):
                 exprs[name] = val(self)._scol
             else:
                 exprs[name] = F.lit(val)
-        return self._wrap(sdf.withColumns(exprs))
+        out = sdf.withColumns(exprs) if exprs else sdf
+        # an index equi-join re-shuffles the rows; range order is lost
+        return self._wrap(out, known_sorted=False if joined else None)
 
     def drop(self, columns: str | Sequence[str]) -> "DataFrame":
         cols = [columns] if isinstance(columns, str) else list(columns)
@@ -818,107 +836,122 @@ class DataFrame(FrameBase):
     def max(self): return self._frame_reduce("max", False)
 
     # -- ordered / window ops (SURVEY.md §2.6) -------------------------------
-    def _order_window(self, order_by: str | Sequence[str] | None):
+    # Ungrouped ordered ops run the range-bucketed two-pass plans in
+    # operators/ordered.py (sample bounds once, per-bucket window, tiny
+    # broadcast combine) — never a global single-partition
+    # Window.orderBy(). Reference: the partition-serial cumulative chain
+    # (_cumulative.py:11-145) and map_overlap boundary copies
+    # (_rolling.py), re-expressed without serial task dependencies.
+    def _order_cols(self, order_by: str | Sequence[str] | None) -> list[str]:
         order_by = order_by or self._index_cols
         if not order_by:
             raise ValueError(
                 "order-dependent op needs an index (set_index) or order_by="
             )
-        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-        return Window.orderBy(*[F.col(c) for c in order_by])
+        return [order_by] if isinstance(order_by, str) else list(order_by)
 
     def shift(self, periods: int = 1, columns: Sequence[str] | None = None,
-              order_by=None) -> "DataFrame":
-        """reference: Shift, _expr.py:3389 — global-order lag/lead."""
-        w = self._order_window(order_by)
-        cols = columns or self.columns
-        fn = F.lag if periods >= 0 else F.lead
-        n = abs(periods)
-        return self._wrap(
-            self._sdf.withColumns({c: fn(F.col(c), n).over(w) for c in cols})
+              order_by=None, freq: str | None = None) -> "DataFrame":
+        """reference: Shift, _expr.py:3389 — global-order lag/lead,
+        per-bucket with |periods| boundary rows padded from neighbors.
+        freq= shifts the timestamp INDEX by periods*freq instead of
+        displacing rows (reference: ShiftIndex, _expr.py:3433) — a
+        monotone add, so sortedness is preserved."""
+        from .operators import ordered
+        if freq is not None:
+            from .operators.window import freq_micros
+            micros = freq_micros(freq) * periods
+            idx = self._order_cols(order_by)
+            dtypes = dict(self._sdf.dtypes)
+            out = self._sdf.withColumns({
+                c: F.timestamp_micros(
+                    F.unix_micros(F.col(c).cast("timestamp")) + F.lit(micros)
+                ).cast(dtypes[c])
+                for c in idx
+            })
+            return self._wrap(out)
+        if periods == 0:
+            return self._wrap(self._sdf)
+        out = ordered.with_lagged(
+            self._sdf, columns or self.columns, self._order_cols(order_by),
+            periods, lambda c, l: l,
         )
+        return self._wrap(out, known_sorted=False)
 
     def diff(self, periods: int = 1, columns: Sequence[str] | None = None,
              order_by=None) -> "DataFrame":
-        w = self._order_window(order_by)
-        cols = columns or self.columns
-        return self._wrap(
-            self._sdf.withColumns(
-                {c: F.col(c) - F.lag(F.col(c), periods).over(w) for c in cols}
-            )
+        """reference: Diff, _expr.py:3417."""
+        from .operators import ordered
+        out = ordered.with_lagged(
+            self._sdf, columns or self.columns, self._order_cols(order_by),
+            periods, lambda c, l: c - l,
         )
+        return self._wrap(out, known_sorted=False)
+
+    def _cum_frame(self, fn: str, columns, order_by) -> "DataFrame":
+        from .operators import ordered
+        out = ordered.cumulative(
+            self._sdf, {c: fn for c in (columns or self.columns)},
+            self._order_cols(order_by), mask_nulls=True,
+        )
+        return self._wrap(out, known_sorted=False)
 
     def cumsum(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
         """reference: CumSum, _cumulative.py:11 (partition-serial chain) —
-        on Spark: running-total window, shuffle-free when already
-        range-partitioned on the order key."""
-        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
-        cols = columns or self.columns
-        return self._wrap(
-            self._sdf.withColumns({c: F.sum(F.col(c)).over(w) for c in cols})
-        )
+        per-bucket running window + broadcast per-bucket offsets."""
+        return self._cum_frame("sum", columns, order_by)
 
     def cumprod(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
         """reference: CumProd, _cumulative.py:30 — F.product is a true
-        window aggregate in Spark, so this stays JVM-side (no log/exp
+        window/agg function in Spark, so this stays JVM-side (no log/exp
         trick, signs and zeros handled natively)."""
-        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
-        cols = columns or self.columns
-        return self._wrap(
-            self._sdf.withColumns({c: F.product(F.col(c)).over(w) for c in cols})
-        )
+        return self._cum_frame("product", columns, order_by)
 
     def cummax(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
         """reference: CumMax, _cumulative.py:48."""
-        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
-        cols = columns or self.columns
-        return self._wrap(
-            self._sdf.withColumns({c: F.max(F.col(c)).over(w) for c in cols})
-        )
+        return self._cum_frame("max", columns, order_by)
 
     def cummin(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
         """reference: CumMin, _cumulative.py:56."""
-        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
-        cols = columns or self.columns
-        return self._wrap(
-            self._sdf.withColumns({c: F.min(F.col(c)).over(w) for c in cols})
-        )
+        return self._cum_frame("min", columns, order_by)
 
     def pct_change(self, periods: int = 1, columns: Sequence[str] | None = None,
                    order_by=None) -> "DataFrame":
         """fractional change vs the periods-th prior row (reference:
-        pct_change, _collection.py:2802) — lag window, one shuffle."""
-        w = self._order_window(order_by)
-        cols = columns or self.columns
-        def pc(c):
-            prev = F.lag(F.col(c), periods).over(w)
-            return (F.col(c) - prev) / prev
-        return self._wrap(self._sdf.withColumns({c: pc(c) for c in cols}))
-
-    def ffill(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
-        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
-        cols = columns or self.columns
-        return self._wrap(
-            self._sdf.withColumns(
-                {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
-            )
+        pct_change, _collection.py:2802)."""
+        from .operators import ordered
+        out = ordered.with_lagged(
+            self._sdf, columns or self.columns, self._order_cols(order_by),
+            periods, lambda c, l: (c - l) / l,
         )
+        return self._wrap(out, known_sorted=False)
 
-    def bfill(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
-        w = self._order_window(order_by).rowsBetween(0, Window.unboundedFollowing)
-        cols = columns or self.columns
-        return self._wrap(
-            self._sdf.withColumns(
-                {c: F.first(F.col(c), ignorenulls=True).over(w) for c in cols}
-            )
+    def ffill(self, columns: Sequence[str] | None = None, order_by=None,
+              limit: int | None = None) -> "DataFrame":
+        """reference: FFill, _expr.py:3340 (limit= matches)."""
+        from .operators import ordered
+        out = ordered.fill(
+            self._sdf, list(columns or self.columns),
+            self._order_cols(order_by), "ffill", limit,
         )
+        return self._wrap(out, known_sorted=False)
+
+    def bfill(self, columns: Sequence[str] | None = None, order_by=None,
+              limit: int | None = None) -> "DataFrame":
+        """reference: BFill, _expr.py:3373 (limit= matches)."""
+        from .operators import ordered
+        out = ordered.fill(
+            self._sdf, list(columns or self.columns),
+            self._order_cols(order_by), "bfill", limit,
+        )
+        return self._wrap(out, known_sorted=False)
 
     def rolling(self, window: int, order_by=None, partition_by=None,
-                min_periods: int | None = None):
-        """reference: RollingReduction, _rolling.py:43."""
+                min_periods: int | None = None, center: bool = False):
+        """reference: RollingReduction, _rolling.py:43 (center= matches)."""
         from .operators.window import Rolling
         return Rolling(self, window, order_by or list(self._index_cols),
-                       partition_by, min_periods)
+                       partition_by, min_periods, center=center)
 
     def expanding(self, order_by=None, partition_by=None):
         """expanding (cumulative) window — rolling with an unbounded
@@ -1688,6 +1721,11 @@ class Series(FrameBase):
         from .functions.accessors import DatetimeMethods
         return DatetimeMethods(self)
 
+    @property
+    def cat(self):
+        from .functions.accessors import CategoricalMethods
+        return CategoricalMethods(self)
+
     # -- reductions → Scalar (reference: Reduction, _reductions.py:761) ------
     def _reduce(self, col: Column, name: str) -> Scalar:
         return Scalar(self._anchor.select(col.alias(name)))
@@ -1875,72 +1913,124 @@ class Series(FrameBase):
         return NotImplemented
 
     # -- ordered ops (reference: Series shift/diff/cum*/ffill/bfill,
-    #    _expr.py:3292-3433, _cumulative.py:11-145) — window over the
-    #    index order, same construction as the frame-level versions ------
-    def _order_window(self, order_by=None):
+    #    _expr.py:3292-3433, _cumulative.py:11-145) — range-bucketed
+    #    two-pass plans over the index order (operators/ordered.py),
+    #    same machinery as the frame-level versions. The result is
+    #    anchored on the two-pass output frame; assign/binops re-align
+    #    it to other frames via the index equi-join rule. -----------------
+    def _ordered_frame(self, order_by):
+        """(projected frame, order cols, value col name) for the
+        range-bucketed ordered machinery."""
         order = order_by or (self._index_cols[0] if self._index_cols else None)
         if order is None:
             raise ValueError(
                 "order-dependent op needs an index (set_index) or order_by="
             )
         order = [order] if isinstance(order, str) else list(order)
-        return Window.orderBy(*[F.col(c) for c in order])
+        keep = list(dict.fromkeys([*self._index_cols, *order]))
+        val = self._name if self._name not in keep else "__ord_val"
+        return self._anchor.select(*keep, self._scol.alias(val)), order, val
 
-    def shift(self, periods: int = 1, order_by=None) -> "Series":
-        w = self._order_window(order_by)
-        fn = F.lag if periods >= 0 else F.lead
-        return self._new(fn(self._scol, abs(periods)).over(w), self._name)
+    def _from_ordered(self, sdf: SparkDF, val: str) -> "Series":
+        return Series(sdf, F.col(val).alias(self._name), self._name,
+                      self._index_cols, False)
+
+    def shift(self, periods: int = 1, order_by=None,
+              freq: str | None = None) -> "Series":
+        from .operators import ordered
+        if freq is not None:
+            # ShiftIndex (reference _expr.py:3433): move the timestamp
+            # index labels, keep each value with its row
+            from .operators.window import freq_micros
+            micros = freq_micros(freq) * periods
+            idx = order_by or (self._index_cols[0] if self._index_cols else None)
+            if idx is None:
+                raise ValueError("shift(freq=) needs an index or order_by=")
+            dtypes = dict(self._anchor.dtypes)
+            anchor = self._anchor.withColumn(
+                idx,
+                F.timestamp_micros(
+                    F.unix_micros(F.col(idx).cast("timestamp")) + F.lit(micros)
+                ).cast(dtypes[idx]),
+            )
+            return Series(anchor, self._scol, self._name, self._index_cols,
+                          self._known_sorted)
+        if periods == 0:
+            return self._new(self._scol, self._name)
+        base, order, val = self._ordered_frame(order_by)
+        out = ordered.with_lagged(base, [val], order, periods, lambda c, l: l)
+        return self._from_ordered(out, val)
 
     def diff(self, periods: int = 1, order_by=None) -> "Series":
-        w = self._order_window(order_by)
-        return self._new(self._scol - F.lag(self._scol, periods).over(w), self._name)
+        from .operators import ordered
+        base, order, val = self._ordered_frame(order_by)
+        out = ordered.with_lagged(base, [val], order, periods,
+                                  lambda c, l: c - l)
+        return self._from_ordered(out, val)
 
     def pct_change(self, periods: int = 1, order_by=None) -> "Series":
-        w = self._order_window(order_by)
-        prev = F.lag(self._scol, periods).over(w)
-        return self._new((self._scol - prev) / prev, self._name)
+        from .operators import ordered
+        base, order, val = self._ordered_frame(order_by)
+        out = ordered.with_lagged(base, [val], order, periods,
+                                  lambda c, l: (c - l) / l)
+        return self._from_ordered(out, val)
 
-    def _cum(self, agg, order_by) -> "Series":
-        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
-        return self._new(agg(self._scol).over(w), self._name)
+    def _cum(self, fn: str, order_by) -> "Series":
+        from .operators import ordered
+        base, order, val = self._ordered_frame(order_by)
+        out = ordered.cumulative(base, {val: fn}, order, mask_nulls=True)
+        return self._from_ordered(out, val)
 
     def cumsum(self, order_by=None) -> "Series":
-        return self._cum(F.sum, order_by)
+        return self._cum("sum", order_by)
 
     def cumprod(self, order_by=None) -> "Series":
-        return self._cum(F.product, order_by)
+        return self._cum("product", order_by)
 
     def cummax(self, order_by=None) -> "Series":
-        return self._cum(F.max, order_by)
+        return self._cum("max", order_by)
 
     def cummin(self, order_by=None) -> "Series":
-        return self._cum(F.min, order_by)
+        return self._cum("min", order_by)
 
-    def ffill(self, order_by=None) -> "Series":
-        w = self._order_window(order_by).rowsBetween(Window.unboundedPreceding, 0)
-        return self._new(F.last(self._scol, ignorenulls=True).over(w), self._name)
+    def ffill(self, order_by=None, limit: int | None = None) -> "Series":
+        from .operators import ordered
+        base, order, val = self._ordered_frame(order_by)
+        out = ordered.fill(base, [val], order, "ffill", limit)
+        return self._from_ordered(out, val)
 
-    def bfill(self, order_by=None) -> "Series":
-        w = self._order_window(order_by).rowsBetween(0, Window.unboundedFollowing)
-        return self._new(F.first(self._scol, ignorenulls=True).over(w), self._name)
+    def bfill(self, order_by=None, limit: int | None = None) -> "Series":
+        from .operators import ordered
+        base, order, val = self._ordered_frame(order_by)
+        out = ordered.fill(base, [val], order, "bfill", limit)
+        return self._from_ordered(out, val)
 
     def rank(self, method: str = "average", ascending: bool = True) -> "Series":
         """value rank with pandas tie semantics (average/min/max/first/
         dense). Scale design: ranks are computed on the DISTINCT-value
         frame (cumulative counts over values, a window over |distinct|
         rows, not |rows|) and equi-joined back — no global per-row
-        window. method='first' additionally breaks ties by position and
-        does need the per-row order; it falls back to a window over the
-        index order."""
+        window. method='first' additionally breaks ties by position; it
+        runs the range-bucketed global row_number (per-bucket
+        row_number + broadcast counts of better-ranked buckets,
+        operators/ordered.py) keyed on the index order."""
         if method == "first":
-            self._order_window(None)  # raises without an index (positional ties)
-            w = Window.orderBy(
-                self._scol.asc() if ascending else self._scol.desc(),
-                *[F.col(c) for c in self._index_cols],
+            from .operators import ordered
+            if not self._index_cols:
+                raise ValueError(
+                    "rank(method='first') needs an index (set_index) "
+                    "for positional tie-breaking"
+                )
+            base = self._anchor.select(
+                *self._index_cols, self._scol.alias("__v")
             )
-            return self._new(
-                F.when(self._scol.isNotNull(),
-                       F.row_number().over(w).cast("double")), self._name)
+            out = ordered.row_number_global(
+                base, "__v", list(self._index_cols), ascending, "__rank"
+            )
+            return Series(
+                out, F.col("__rank").cast("double").alias(self._name),
+                self._name, self._index_cols, False,
+            )
         vals = (
             self._anchor.select(self._scol.alias("__v"))
             .filter(F.col("__v").isNotNull())
@@ -1979,12 +2069,14 @@ class Series(FrameBase):
         """lag-k autocorrelation (reference: autocorr,
         _collection.py:4547) — corr of the series with its lagged self
         over the index order."""
+        from .operators import ordered
         order = order_by or (self._index_cols[0] if self._index_cols else None)
         if order is None:
             raise ValueError("autocorr needs an index or order_by=")
-        w = Window.orderBy(F.col(order))
-        lagged = F.lag(self._scol, lag).over(w)
-        sdf = self._anchor.select(self._scol.alias("__x"), lagged.alias("__y"))
+        base = self._anchor.select(
+            F.col(order), self._scol.alias("__x"), self._scol.alias("__y")
+        )
+        sdf = ordered.with_lagged(base, ["__y"], [order], lag, lambda c, l: l)
         return Scalar(sdf.agg(F.corr("__x", "__y").alias(f"autocorr_{self._name}")))
 
     def is_monotonic_increasing(self, order_by: str | None = None) -> Scalar:
@@ -2138,12 +2230,13 @@ class Series(FrameBase):
     def add_suffix(self, suffix: str) -> "Series":
         return self.alias(f"{self._name}{suffix}")
 
-    def rolling(self, window: int, order_by=None, min_periods: int | None = None):
+    def rolling(self, window: int, order_by=None, min_periods: int | None = None,
+                center: bool = False):
         """reference: Series.rolling (_collection.py:954) — one-column
         rolling frame over the index order."""
         return self.to_frame().rolling(
             window, order_by=order_by or list(self._index_cols),
-            min_periods=min_periods,
+            min_periods=min_periods, center=center,
         )
 
 
@@ -2268,13 +2361,15 @@ class GroupBy:
         proj = self._frame[[*self._by, *sel]]
         return GroupBy(proj, self._by, self._dropna, self._mode)
 
-    def rolling(self, window: int, order_by=None, min_periods: int | None = None):
+    def rolling(self, window: int, order_by=None, min_periods: int | None = None,
+                center: bool = False):
         """reference: groupby().rolling(), _groupby.py:2136 — per-group
         rolling frame (window partitioned by the group keys)."""
         from .operators.window import Rolling
         return Rolling(self._frame, window,
                        order_by or list(self._frame._index_cols),
-                       partition_by=list(self._by), min_periods=min_periods)
+                       partition_by=list(self._by), min_periods=min_periods,
+                       center=center)
 
     def agg(self, spec=None, **named) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]

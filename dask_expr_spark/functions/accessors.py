@@ -417,3 +417,86 @@ class DatetimeMethods:
     def total_seconds(self):
         """seconds in a day-time interval column (pandas timedelta)."""
         return self._new(self._c.cast("double"))
+
+
+class CategoricalMethods:
+    """pandas ``.cat`` accessor analogue (reference:
+    CategoricalAccessor, _categorical.py:21).
+
+    Spark has no categorical dtype; the engine's convention
+    (SURVEY.md §1.3, same rule as ``DataFrame.categorize()``) is
+    dictionary-encoding to dense int codes assigned in sorted-value
+    order. ``categories`` therefore computes the distinct values —
+    a driver round-trip bounded by the column's cardinality, exactly
+    like the reference's ``as_known()`` (it, too, must compute the
+    categories to know them)."""
+
+    def __init__(self, series):
+        self._s = series
+
+    @property
+    def known(self) -> bool:
+        # categories are always derivable (computed, never stored)
+        return True
+
+    def as_known(self):
+        return self._s
+
+    def as_unknown(self):
+        return self._s
+
+    def _dict(self):
+        from pyspark.sql.window import Window
+        s = self._s
+        return (
+            s._anchor.select(s._scol.alias("__val"))
+            .where(F.col("__val").isNotNull())
+            .distinct()
+            .withColumn(
+                "__code",
+                (F.row_number().over(Window.orderBy(F.col("__val"))) - 1).cast("int"),
+            )
+        )
+
+    @property
+    def codes(self):
+        """dense int codes in sorted-category order; null → -1 (pandas
+        convention). Dictionary is distinct-bounded and broadcast."""
+        from ..collection import Series
+        s = self._s
+        joined = s._anchor.join(
+            F.broadcast(self._dict()), s._scol == F.col("__val"), "left"
+        ).drop("__val")
+        return Series(
+            joined, F.coalesce(F.col("__code"), F.lit(-1)).alias(s._name),
+            s._name, s._index_cols, False,
+        )
+
+    @property
+    def categories(self) -> list:
+        """sorted distinct non-null values (driver-side, like the
+        reference's known categories index)."""
+        return [r[0] for r in self._dict().select("__val").orderBy("__val").collect()]
+
+    def rename_categories(self, new):
+        """mapping {old: new} (lazy) or list aligned to sorted
+        categories (computes the categories first)."""
+        s = self._s
+        if not isinstance(new, dict):
+            cats = self.categories
+            if len(new) != len(cats):
+                raise ValueError(
+                    f"new categories ({len(new)}) != existing ({len(cats)})"
+                )
+            new = dict(zip(cats, new))
+        pairs = []
+        for k, v in new.items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(v))
+        mapped = F.element_at(F.create_map(*pairs), s._scol)
+        return s._new(F.coalesce(mapped, s._scol))
+
+    def remove_unused_categories(self):
+        """no-op: categories are always derived from the present values,
+        so none can be unused."""
+        return self._s

@@ -73,19 +73,43 @@ def merge_asof(
     # matches are allowed (so a left row can see a same-timestamp right
     # row), after them otherwise
     side_order = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
+    carry_all = [on_r, *carry.values()]
 
-    def running_match(ascending: bool, tag: str):
-        order = [F.col(on).asc() if ascending else F.col(on).desc(), side_order]
-        w = (
-            Window.partitionBy(*by).orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, 0)
-            if by
-            else Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-        )
-        return {
-            c + tag: F.last(F.col(c), ignorenulls=True).over(w)
-            for c in [on_r, *carry.values()]
-        }
+    def match_frame(passes):
+        """Frame with columns ``c+tag`` = running last-non-null match
+        for each (ascending, tag) pass. With `by`: one hash exchange,
+        per-group window. Without `by`: range-bucketed two-pass carry
+        (operators/ordered.py _fill_cols) — per-bucket window + tiny
+        broadcast cross-bucket offsets, never a global single-partition
+        window. Cross-bucket the side order is irrelevant: equal `on`
+        values share a bucket, so carries from earlier buckets have
+        strictly smaller `on`."""
+        if by:
+            out = unioned
+            for ascending, tag in passes:
+                order = [F.col(on).asc() if ascending else F.col(on).desc(),
+                         side_order]
+                w = (Window.partitionBy(*by).orderBy(*order)
+                     .rowsBetween(Window.unboundedPreceding, 0))
+                out = out.withColumns({
+                    c + tag: F.last(F.col(c), ignorenulls=True).over(w)
+                    for c in carry_all
+                })
+            return out
+        from . import ordered
+        sdfb, nb, _ = ordered.with_buckets(unioned, [on])
+        copies = {c + tag: F.col(c) for _, tag in passes for c in carry_all
+                  if tag}
+        if copies:
+            sdfb = sdfb.withColumns(copies)
+        for ascending, tag in passes:
+            order = [F.col(on).asc() if ascending else F.col(on).desc(),
+                     side_order]
+            sdfb = ordered._fill_cols(
+                sdfb, nb, [c + tag for c in carry_all], order,
+                F.struct(F.col(on)), back=ascending, drop_bucket=False,
+            )
+        return sdfb.drop(ordered.B)
 
     def tol_gate(cols: dict, frame, matched_on: str, back: bool):
         """null out a match farther than `tolerance`."""
@@ -103,8 +127,9 @@ def merge_asof(
         # both window passes over the SAME union frame — one hash
         # exchange on `by`, two in-partition sorts, no self-join. The
         # closer match wins; ties go backward (pandas convention).
-        bcols, fcols = running_match(True, "__b"), running_match(False, "__f")
-        matched = unioned.withColumns({**bcols, **fcols})
+        matched = match_frame([(True, "__b"), (False, "__f")])
+        bcols = [c + "__b" for c in carry_all]
+        fcols = [c + "__f" for c in carry_all]
         out = matched.filter(F.col("__side") == 1).drop("__side")
         out = tol_gate(list(bcols), out, on_r + "__b", back=True)
         out = tol_gate(list(fcols), out, on_r + "__f", back=False)
@@ -121,10 +146,9 @@ def merge_asof(
             ).drop(c + "__b", c + "__f")
         out = out.drop("__use_fwd")
     else:
-        tag_cols = running_match(direction == "backward", "")
-        matched = unioned.withColumns(tag_cols)
+        matched = match_frame([(direction == "backward", "")])
         out = matched.filter(F.col("__side") == 1).drop("__side")
-        out = tol_gate(list(tag_cols), out, on_r, back=direction == "backward")
+        out = tol_gate(list(carry_all), out, on_r, back=direction == "backward")
 
     if keep_match_on:
         out = out.withColumnRenamed(on_r, f"{on}{suffix}")

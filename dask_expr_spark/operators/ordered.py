@@ -1,0 +1,378 @@
+"""Distributed ungrouped ordered operations (range-bucketed two-pass).
+
+A global ``Window.orderBy()`` with no ``partitionBy`` funnels every row
+through ONE partition — correct, but a scale-killer at 100 TB. The
+reference proves a distributed form exists (its partition-serial
+cumulative chain, /root/reference/dask_expr/_cumulative.py:11-145, and
+its map_overlap boundary copies, _rolling.py). The Spark-first
+re-expression used by every helper here:
+
+  1. **sample** order-key boundaries once (bottom-k of a random key =
+     uniform sample; quantiles computed driver-side from ~64 rows per
+     bucket). One column-pruned scan, no global sort.
+  2. **bucket** each row with a deterministic literal-comparison chain —
+     equal keys NEVER split across buckets, so ties stay co-located.
+  3. run the per-bucket window — ONE hash exchange on ``__ord_b``,
+     B-way parallel, whole-stage-codegen.
+  4. combine across buckets through a TINY per-bucket aggregate
+     (B rows) whose running offsets are broadcast-joined back — the
+     only single-partition work is over B rows, never the row stream.
+
+Cumulative ops use per-bucket partials + broadcast offsets (step 4);
+bounded ops (shift / diff / rolling / fill-with-limit) instead copy the
+few boundary rows each bucket needs from its neighbors ("padding") and
+drop them after the window — the reference's overlap copies, expressed
+as one small union instead of a task graph.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from typing import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+B = "__ord_b"
+PAD = "__ord_pad"
+
+
+def _shuffle_partitions(sdf: SparkDF) -> int:
+    try:
+        return max(1, int(sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        return 32
+
+
+def sample_bounds(sdf: SparkDF, order_col: str, num_buckets: int,
+                  seed: int = 7, per_bucket: int = 64) -> list:
+    """Range boundaries for `order_col` from a uniform sample.
+
+    bottom-k rows by an iid random key == simple random sample of size
+    k, fetched with TakeOrdered (per-partition top-k + driver merge —
+    no global sort, scan prunes to the one column)."""
+    if num_buckets <= 1:
+        return []
+    k = num_buckets * per_bucket
+    samp = [
+        r[0]
+        for r in sdf.select(order_col)
+        .where(F.col(order_col).isNotNull())
+        .orderBy(F.rand(seed))
+        .limit(k)
+        .collect()
+    ]
+    if len(samp) < 2:
+        return []
+    samp.sort()
+    out: list = []
+    for i in range(1, num_buckets):
+        v = samp[min(len(samp) - 1, i * len(samp) // num_buckets)]
+        if not out or v > out[-1]:  # dedupe: skewed keys → fewer buckets
+            out.append(v)
+    return out
+
+
+def with_buckets(
+    sdf: SparkDF, order_cols: Sequence[str], num_buckets: int | None = None
+) -> tuple[SparkDF, int, Callable[[Column], Column]]:
+    """Add a deterministic range-bucket column ``__ord_b``.
+
+    Buckets on the FIRST order column (later columns only break ties,
+    and equal first-keys always share a bucket). Nulls land in bucket 0,
+    matching Spark's asc-nulls-first window order. Returns
+    (frame + __ord_b, n_buckets, bucket_fn) where bucket_fn maps any
+    expression of the same type to its bucket id (used for value-offset
+    padding, e.g. time-rolling reach)."""
+    oc = order_cols[0]
+    nb = num_buckets or _shuffle_partitions(sdf)
+    dtype = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}[oc]
+    bounds = sample_bounds(sdf, oc, nb)
+    if not bounds:
+        return sdf.withColumn(B, F.lit(0)), 1, lambda e: F.lit(0)
+
+    def bucket_fn(e: Column) -> Column:
+        return functools.reduce(
+            operator.add,
+            [F.when(e >= F.lit(v).cast(dtype), 1).otherwise(0) for v in bounds],
+        )
+
+    return sdf.withColumn(B, bucket_fn(F.col(oc))), len(bounds) + 1, bucket_fn
+
+
+def _asc(order_cols: Sequence[str]) -> list[Column]:
+    return [F.col(c).asc() for c in order_cols]
+
+
+def _desc(order_cols: Sequence[str]) -> list[Column]:
+    return [F.col(c).desc() for c in order_cols]
+
+
+def padded(sdfb: SparkDF, nb: int, order_cols: Sequence[str],
+           before: int = 0, after: int = 0) -> SparkDF:
+    """Flag frame with ``__ord_pad`` and copy each bucket's missing
+    row-context in: the `before` nearest preceding rows (drawn from ANY
+    earlier bucket, so buckets smaller than the window still see far
+    enough back) and the `after` nearest following rows.
+
+    Candidate pool = per-bucket head/tail rows (≤ n·B rows), fanned to
+    every later/earlier bucket with sequence+explode (narrow, no join —
+    far buckets are needed when intermediate buckets hold < n rows),
+    then trimmed to the n nearest per target — all tiny relative to the
+    row stream."""
+    parts = [sdfb.withColumn(PAD, F.lit(False))]
+    if nb > 1 and (before or after):
+        for n, take_desc, earlier in ((before, True, True), (after, False, False)):
+            if not n:
+                continue
+            order = _desc(order_cols) if take_desc else _asc(order_cols)
+            w = Window.partitionBy(B).orderBy(*order)
+            edge = (
+                sdfb.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn")
+            )
+            if earlier:
+                edge = edge.filter(F.col(B) < nb - 1)
+                tgts = F.sequence(F.col(B) + 1, F.lit(nb - 1))
+            else:
+                edge = edge.filter(F.col(B) > 0)
+                tgts = F.sequence(F.lit(0), F.col(B) - 1)
+            fanned = (
+                edge.withColumn("__tgt", F.explode(tgts))
+                .drop(B)
+                .withColumnRenamed("__tgt", B)
+            )
+            w2 = Window.partitionBy(B).orderBy(*order)
+            trimmed = (
+                fanned.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn")
+            )
+            parts.append(trimmed.withColumn(PAD, F.lit(True)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*parts[0].columns))
+    return out
+
+
+def padded_range(sdfb: SparkDF, nb: int, reach_bucket: Column) -> SparkDF:
+    """Value-offset padding (time-rolling): copy each row into every
+    LATER bucket whose range its reach [key, key+offset] touches.
+    `reach_bucket` = bucket id of (key + offset), computed with the
+    bucket_fn returned by `with_buckets`. With window-span ≪ bucket
+    span (the 100 TB shape) only a boundary fringe duplicates."""
+    base = sdfb.withColumn(PAD, F.lit(False))
+    if nb <= 1:
+        return base
+    hi = F.least(reach_bucket, F.lit(nb - 1))
+    # filter BEFORE sequence: Spark's sequence(a, b) with a > b counts
+    # DOWN, which would fabricate a bogus target bucket
+    dup = (
+        sdfb.filter(hi > F.col(B))
+        .withColumn("__tgt", F.explode(F.sequence(F.col(B) + 1, hi)))
+        .drop(B)
+        .withColumnRenamed("__tgt", B)
+        .withColumn(PAD, F.lit(True))
+    )
+    return base.unionByName(dup.select(*base.columns))
+
+
+_AGGS = {"sum": F.sum, "product": F.product, "max": F.max, "min": F.min}
+
+
+def _combine(fn: str, loc: Column, off: Column) -> Column:
+    if fn == "max":
+        return F.greatest(loc, off)  # null-skipping, like the window agg
+    if fn == "min":
+        return F.least(loc, off)
+    both = loc + off if fn == "sum" else loc * off
+    return F.when(off.isNull(), loc).when(loc.isNull(), off).otherwise(both)
+
+
+def cumulative(sdf: SparkDF, col_fns: dict[str, str],
+               order_cols: Sequence[str], ascending: bool = True,
+               num_buckets: int | None = None,
+               mask_nulls: bool = False) -> SparkDF:
+    """Replace each column in `col_fns` ({col: sum|product|max|min})
+    with its running value over the global `order_cols` order.
+
+    Two-pass: per-bucket running window, then per-bucket totals (B rows)
+    whose running combination over earlier buckets is broadcast back —
+    the reference's cumulative chain (_cumulative.py:11-145) without a
+    serial task dependency.
+
+    mask_nulls=True keeps the pandas cum* convention: the accumulation
+    skips nulls but the OUTPUT at a null row stays null (expanding-sum
+    style carries want False)."""
+
+    def _mask(c: Column, v: Column) -> Column:
+        return F.when(c.isNotNull(), v) if mask_nulls else v
+
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    order = _asc(order_cols) if ascending else _desc(order_cols)
+    w = (
+        Window.partitionBy(B).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = sdfb.withColumns(
+        {f"__loc_{c}": _AGGS[fn](F.col(c)).over(w) for c, fn in col_fns.items()}
+    )
+    if nb == 1:
+        out = local.withColumns(
+            {c: _mask(F.col(c), F.col(f"__loc_{c}")) for c in col_fns}
+        )
+        return out.drop(B, *[f"__loc_{c}" for c in col_fns])
+    totals = sdfb.groupBy(B).agg(
+        *[_AGGS[fn](F.col(c)).alias(c) for c, fn in col_fns.items()]
+    )
+    woff = (
+        Window.orderBy(F.col(B).asc() if ascending else F.col(B).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        F.col(B),
+        *[_AGGS[fn](F.col(c)).over(woff).alias(f"__off_{c}")
+          for c, fn in col_fns.items()],
+    )
+    joined = local.join(F.broadcast(offs), B, "left")
+    out = joined.withColumns(
+        {c: _mask(F.col(c),
+                  _combine(fn, F.col(f"__loc_{c}"), F.col(f"__off_{c}")))
+         for c, fn in col_fns.items()}
+    )
+    return out.drop(
+        B,
+        *[f"__loc_{c}" for c in col_fns],
+        *[f"__off_{c}" for c in col_fns],
+    )
+
+
+def with_lagged(sdf: SparkDF, cols: Sequence[str], order_cols: Sequence[str],
+                periods: int, make: Callable[[Column, Column], Column],
+                num_buckets: int | None = None) -> SparkDF:
+    """shift/diff/pct_change core: per-bucket lag/lead with |periods|
+    boundary rows padded in from neighboring buckets. make(col, lagged)
+    produces the replacement column."""
+    n = abs(periods)
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    fr = padded(
+        sdfb, nb, order_cols,
+        before=n if periods >= 0 else 0,
+        after=n if periods < 0 else 0,
+    )
+    w = Window.partitionBy(B).orderBy(*_asc(order_cols))
+    fn = F.lag if periods >= 0 else F.lead
+    out = fr.withColumns(
+        {c: make(F.col(c), fn(F.col(c), n).over(w)) for c in cols}
+    )
+    return out.filter(~F.col(PAD)).drop(B, PAD)
+
+
+def _fill_cols(sdfb: SparkDF, nb: int, cols: Sequence[str],
+               order_exprs: Sequence[Column], nn_key: Column,
+               back: bool, drop_bucket: bool = True) -> SparkDF:
+    """Unlimited fill core over a pre-bucketed frame: per-bucket
+    last-non-null (window) + per-bucket last-non-null VALUE (max_by /
+    min_by on `nn_key`, null keys skipped) whose running carry over
+    earlier (later for bfill) buckets is broadcast back."""
+    w = (
+        Window.partitionBy(B).orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = sdfb.withColumns(
+        {f"__loc_{c}": F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
+    )
+    if nb == 1:
+        out = local.withColumns({c: F.col(f"__loc_{c}") for c in cols})
+        out = out.drop(*[f"__loc_{c}" for c in cols])
+        return out.drop(B) if drop_bucket else out
+    mb = F.max_by if back else F.min_by
+    lastvals = sdfb.groupBy(B).agg(
+        *[mb(F.col(c), F.when(F.col(c).isNotNull(), nn_key)).alias(c)
+          for c in cols]
+    )
+    woff = (
+        Window.orderBy(F.col(B).asc() if back else F.col(B).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = lastvals.select(
+        F.col(B),
+        *[F.last(F.col(c), ignorenulls=True).over(woff).alias(f"__off_{c}")
+          for c in cols],
+    )
+    joined = local.join(F.broadcast(offs), B, "left")
+    out = joined.withColumns(
+        {c: F.coalesce(F.col(f"__loc_{c}"), F.col(f"__off_{c}")) for c in cols}
+    )
+    out = out.drop(
+        *[f"__loc_{c}" for c in cols],
+        *[f"__off_{c}" for c in cols],
+    )
+    return out.drop(B) if drop_bucket else out
+
+
+def fill(sdf: SparkDF, cols: Sequence[str], order_cols: Sequence[str],
+         direction: str = "ffill", limit: int | None = None,
+         num_buckets: int | None = None) -> SparkDF:
+    """ffill/bfill over the global `order_cols` order (reference:
+    FFill/BFill, _expr.py:3340,3373).
+
+    limit=k becomes a BOUNDED window (last non-null within the previous
+    k rows) over k padded boundary rows — no carry chain needed; the
+    unlimited form runs the two-pass carry in `_fill_cols`."""
+    back = direction == "ffill"
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    order = _asc(order_cols) if back else _desc(order_cols)
+    if limit is not None:
+        fr = padded(
+            sdfb, nb, order_cols,
+            before=limit if back else 0,
+            after=0 if back else limit,
+        )
+        w = (
+            Window.partitionBy(B).orderBy(*order)
+            .rowsBetween(-limit, 0)
+        )
+        out = fr.withColumns(
+            {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
+        )
+        return out.filter(~F.col(PAD)).drop(B, PAD)
+    key = F.struct(*[F.col(c) for c in order_cols])
+    return _fill_cols(sdfb, nb, cols, order, key, back)
+
+
+def row_number_global(sdf: SparkDF, value_col: str,
+                      tiebreaks: Sequence[str], ascending: bool,
+                      out_col: str,
+                      num_buckets: int | None = None) -> SparkDF:
+    """Global row_number over (value, tiebreaks), nulls excluded (null
+    rank), computed as per-bucket row_number + broadcast counts of
+    rows in better-ranked buckets — rank(method='first') without a
+    per-row global window."""
+    sdfb, nb, _ = with_buckets(sdf, [value_col], num_buckets)
+    v = F.col(value_col)
+    vord = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+    w = Window.partitionBy(B).orderBy(vord, *[F.col(c) for c in tiebreaks])
+    local = sdfb.withColumn("__rn", F.row_number().over(w))
+    if nb == 1:
+        return (
+            local.withColumn(out_col, F.when(v.isNotNull(), F.col("__rn")))
+            .drop(B, "__rn")
+        )
+    totals = sdfb.groupBy(B).agg(F.count(v).alias("__cnt"))
+    woff = (
+        Window.orderBy(F.col(B).asc() if ascending else F.col(B).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        F.col(B), F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offs), B, "left")
+        .withColumn(out_col, F.when(v.isNotNull(), F.col("__rn") + F.col("__off")))
+        .drop(B, "__rn", "__off")
+    )

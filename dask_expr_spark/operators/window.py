@@ -30,7 +30,8 @@ class Rolling:
 
     def __init__(self, frame: DataFrame, window: int, order_by: str | Sequence[str],
                  partition_by: str | Sequence[str] | None = None,
-                 min_periods: int | None = None, unbounded_start: bool = False):
+                 min_periods: int | None = None, unbounded_start: bool = False,
+                 center: bool = False):
         self._frame = frame
         self._window = window
         self._order = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -44,18 +45,105 @@ class Rolling:
         self._partition = [pb] if isinstance(pb, str) else list(pb)
         self._min_periods = min_periods if min_periods is not None else window
         self._unbounded_start = unbounded_start
+        if center and unbounded_start:
+            raise ValueError("center= is not defined for expanding windows")
+        self._center = center
 
-    def _w(self):
-        w = Window.orderBy(*[F.col(c) for c in self._order])
+    def _frame_bounds(self) -> tuple[int, int]:
+        """window frame (start, end) in rows. center=True puts the
+        label at the center, extra reach on the PAST side for even
+        windows — pandas convention (reference: _rolling.py:43)."""
+        if self._center:
+            return -(self._window // 2), (self._window - 1) // 2
+        return -(self._window - 1), 0
+
+    def _prep(self):
+        """(sdf, window, finish) for the window methods.
+
+        Grouped: plain partitionBy window (one hash exchange, scales).
+        Ungrouped bounded: range-bucket on the order key + pad window-1
+        boundary rows from neighbors (operators/ordered.py), per-bucket
+        window, drop pads — never a global single-partition window.
+        Ungrouped expanding: handled per-agg via running-sum cumulants
+        (`_exp_unq`); only the holistic ops (median/quantile/apply) keep
+        the global window, as they need the full prefix by definition."""
+        sdf = self._frame.to_spark()
+        if self._unbounded_start:
+            start, end = Window.unboundedPreceding, 0
+        else:
+            start, end = self._frame_bounds()
+        order = [F.col(c) for c in self._order]
         if self._partition:
-            w = Window.partitionBy(*self._partition).orderBy(
-                *[F.col(c) for c in self._order]
-            )
-        start = Window.unboundedPreceding if self._unbounded_start else -(self._window - 1)
-        return w.rowsBetween(start, 0)
+            w = (Window.partitionBy(*self._partition).orderBy(*order)
+                 .rowsBetween(start, end))
+            return sdf, w, lambda out: out
+        if self._unbounded_start:
+            w = Window.orderBy(*order).rowsBetween(start, end)
+            return sdf, w, lambda out: out
+        from . import ordered
+        sdfb, nb, _ = ordered.with_buckets(sdf, self._order)
+        fr = ordered.padded(sdfb, nb, self._order, before=-start, after=end)
+        w = (Window.partitionBy(ordered.B).orderBy(*order)
+             .rowsBetween(start, end))
+        return fr, w, (
+            lambda out: out.filter(~F.col(ordered.PAD)).drop(ordered.B, ordered.PAD)
+        )
+
+    def _wrap(self, sdf) -> DataFrame:
+        return self._frame._wrap(
+            sdf, known_sorted=None if self._partition else False
+        )
+
+    def _exp_unq_p(self) -> bool:
+        return self._unbounded_start and not self._partition
+
+    def _exp_unq(self, cols: Sequence[str], suffix: str, kind: str) -> DataFrame:
+        """Ungrouped expanding aggs from range-bucketed running sums
+        (ordered.cumulative) — per-bucket prefix window + broadcast
+        cross-bucket offsets, no global window."""
+        from . import ordered
+        sdf = self._frame.to_spark()
+        temps, fns = {}, {}
+        for c in cols:
+            col = F.col(c)
+            if kind in ("min", "max"):
+                temps[f"__t1_{c}"] = col
+                fns[f"__t1_{c}"] = kind
+                continue
+            temps[f"__n_{c}"] = F.when(col.isNotNull(), F.lit(1)).otherwise(0).cast("long")
+            fns[f"__n_{c}"] = "sum"
+            if kind != "count":
+                temps[f"__s1_{c}"] = col.cast("double")
+                fns[f"__s1_{c}"] = "sum"
+            if kind in ("var", "std"):
+                temps[f"__s2_{c}"] = (col * col).cast("double")
+                fns[f"__s2_{c}"] = "sum"
+        sdf = ordered.cumulative(sdf.withColumns(temps), fns, self._order)
+        out = {}
+        for c in cols:
+            if kind in ("min", "max"):
+                val = F.col(f"__t1_{c}")
+                out[f"{c}_{suffix}"] = val
+                continue
+            n = F.col(f"__n_{c}")
+            if kind == "count":
+                val = n
+            elif kind == "sum":
+                val = F.col(f"__s1_{c}")
+            elif kind == "mean":
+                val = F.col(f"__s1_{c}") / F.nullif(n.cast("double"), F.lit(0.0))
+            else:  # var / std
+                nd = n.cast("double")
+                v = (F.col(f"__s2_{c}") - F.col(f"__s1_{c}") * F.col(f"__s1_{c}") / nd) / (nd - 1)
+                v = F.when(n >= 2, v)
+                val = F.sqrt(v) if kind == "std" else v
+            if self._min_periods > 1:
+                val = F.when(n >= self._min_periods, val)
+            out[f"{c}_{suffix}"] = val
+        return self._wrap(sdf.withColumns(out).drop(*temps.keys()))
 
     def _apply(self, agg_fn, cols: Sequence[str], suffix: str) -> DataFrame:
-        w = self._w()
+        sdf, w, finish = self._prep()
         exprs = {}
         for c in cols:
             val = agg_fn(F.col(c), w)
@@ -64,19 +152,48 @@ class Rolling:
                     F.count(F.col(c)).over(w) >= self._min_periods, val
                 )
             exprs[f"{c}_{suffix}"] = val
-        return self._frame._wrap(self._frame.to_spark().withColumns(exprs))
+        return self._wrap(finish(sdf.withColumns(exprs)))
 
-    def sum(self, cols): return self._apply(lambda c, w: F.sum(c).over(w), cols, "rsum")
-    def mean(self, cols): return self._apply(lambda c, w: F.avg(c).over(w), cols, "rmean")
-    def min(self, cols): return self._apply(lambda c, w: F.min(c).over(w), cols, "rmin")
-    def max(self, cols): return self._apply(lambda c, w: F.max(c).over(w), cols, "rmax")
-    def count(self, cols): return self._apply(lambda c, w: F.count(c).over(w), cols, "rcount")
-    def std(self, cols): return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "rstd")
-    def var(self, cols): return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "rvar")
+    def sum(self, cols):
+        if self._exp_unq_p():
+            return self._exp_unq(cols, "rsum", "sum")
+        return self._apply(lambda c, w: F.sum(c).over(w), cols, "rsum")
+
+    def mean(self, cols):
+        if self._exp_unq_p():
+            return self._exp_unq(cols, "rmean", "mean")
+        return self._apply(lambda c, w: F.avg(c).over(w), cols, "rmean")
+
+    def min(self, cols):
+        if self._exp_unq_p():
+            return self._exp_unq(cols, "rmin", "min")
+        return self._apply(lambda c, w: F.min(c).over(w), cols, "rmin")
+
+    def max(self, cols):
+        if self._exp_unq_p():
+            return self._exp_unq(cols, "rmax", "max")
+        return self._apply(lambda c, w: F.max(c).over(w), cols, "rmax")
+
+    def count(self, cols):
+        if self._exp_unq_p():
+            return self._exp_unq(cols, "rcount", "count")
+        return self._apply(lambda c, w: F.count(c).over(w), cols, "rcount")
+
+    def std(self, cols):
+        if self._exp_unq_p():
+            return self._exp_unq(cols, "rstd", "std")
+        return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "rstd")
+
+    def var(self, cols):
+        if self._exp_unq_p():
+            return self._exp_unq(cols, "rvar", "var")
+        return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "rvar")
 
     def median(self, cols):
         """rolling median — F.percentile IS window-framable in Spark
-        (F.median is not), JVM-side, no UDF."""
+        (F.median is not), JVM-side, no UDF. (Ungrouped expanding
+        median is holistic over the whole prefix and keeps the global
+        window — inherently non-decomposable.)"""
         return self._apply(
             lambda c, w: F.percentile(c, F.lit(0.5)).over(w), cols, "rmedian"
         )
@@ -94,7 +211,7 @@ class Rolling:
         Python round-trips. func receives a numpy array."""
         import numpy as np
 
-        w = self._w()
+        sdf, w, finish = self._prep()
         minp = self._min_periods
 
         def make_udf():
@@ -111,14 +228,14 @@ class Rolling:
         out = {}
         for c in cols:
             out[f"{c}_rapply"] = udf(F.collect_list(F.col(c)).over(w))
-        return self._frame._wrap(self._frame.to_spark().withColumns(out))
+        return self._wrap(finish(sdf.withColumns(out)))
 
     def agg_expr(self, **exprs: Column) -> DataFrame:
         """Escape hatch: arbitrary window aggregates over the rolling frame.
         Each value is a function Column→window→Column applied via .over()."""
-        w = self._w()
+        sdf, w, finish = self._prep()
         out = {name: e.over(w) for name, e in exprs.items()}
-        return self._frame._wrap(self._frame.to_spark().withColumns(out))
+        return self._wrap(finish(sdf.withColumns(out)))
 
     # -- higher moments / pairwise (reference: RollingSkew/Kurt/Cov,
     #    _rolling.py:43 family). Computed from decimal-exact power sums
@@ -138,8 +255,7 @@ class Rolling:
         return sums
 
     def _formula(self, cols, order: int, scale: int, template: str, suffix: str) -> DataFrame:
-        w = self._w()
-        sdf = self._frame.to_spark()
+        sdf, w, finish = self._prep()
         tmp: dict[str, Column] = {}
         out: dict[str, Column] = {}
         for c in cols:
@@ -152,9 +268,7 @@ class Rolling:
             if self._min_periods > 1:
                 val = F.when(F.col(f"_{c}_n") >= self._min_periods, val)
             out[f"{c}_{suffix}"] = val
-        return self._frame._wrap(
-            sdf.withColumns(out).drop(*tmp.keys())
-        )
+        return self._wrap(finish(sdf.withColumns(out).drop(*tmp.keys())))
 
     def skew(self, cols, scale: int = 2):
         """rolling population skewness g1 (same convention as the
@@ -179,18 +293,18 @@ class Rolling:
         }
 
     def _pairwise(self, a: str, b: str, template: str, name: str, scale: int) -> DataFrame:
-        w = self._w()
-        sdf = self._frame.to_spark().withColumns(self._pair_sums(a, b, w, scale))
+        sdf, w, finish = self._prep()
+        sdf = sdf.withColumns(self._pair_sums(a, b, w, scale))
         names = {"n": "_p_n", "sx": "_p_sx", "sy": "_p_sy",
                  "sxx": "_p_sxx", "syy": "_p_syy", "sxy": "_p_sxy"}
         val = F.expr(template.format(**names))
         if self._min_periods > 1:
             val = F.when(F.col("_p_n") >= self._min_periods, val)
-        return self._frame._wrap(
+        return self._wrap(finish(
             sdf.withColumn(name, val).drop(
                 "_p_n", "_p_sx", "_p_sy", "_p_sxx", "_p_syy", "_p_sxy"
             )
-        )
+        ))
 
     def cov(self, a: str, b: str, scale: int = 2, name: str | None = None):
         """rolling sample covariance of two columns."""
@@ -244,17 +358,50 @@ class TimeRolling:
         pb = partition_by or []
         self._partition = [pb] if isinstance(pb, str) else list(pb)
 
-    def _w(self):
+    def _prep(self):
+        """(sdf, window, finish). Ungrouped time-rolling range-buckets
+        on the timestamp and copies each row into the later buckets its
+        [t, t+window] reach touches (ordered.padded_range) — per-bucket
+        range window, no global single-partition window."""
+        sdf = self._frame.to_spark()
         # cast: unix_micros rejects TIMESTAMP_NTZ (parquet timestamps)
         order = F.unix_micros(F.col(self._on).cast("timestamp"))
-        w = (Window.partitionBy(*self._partition).orderBy(order)
-             if self._partition else Window.orderBy(order))
-        return w.rangeBetween(-self._micros, 0)
+        if self._partition:
+            w = (Window.partitionBy(*self._partition).orderBy(order)
+                 .rangeBetween(-self._micros, 0))
+            return sdf, w, lambda out: out
+        from . import ordered
+        sdfb, nb, bucket_fn = ordered.with_buckets(sdf, [self._on])
+        dtype = dict(sdf.dtypes)[self._on]
+        reach = bucket_fn(
+            F.timestamp_micros(order + F.lit(self._micros)).cast(dtype)
+        )
+        fr = ordered.padded_range(sdfb, nb, reach)
+        w = (Window.partitionBy(ordered.B).orderBy(order)
+             .rangeBetween(-self._micros, 0))
+        return fr, w, (
+            lambda out: out.filter(~F.col(ordered.PAD)).drop(ordered.B, ordered.PAD)
+        )
+
+    def _w(self):
+        """Grouped window spec for external aggregate expressions
+        (decimal-exact sums in oracle-paired queries)."""
+        if not self._partition:
+            raise ValueError(
+                "_w() is only defined for partitioned time-rolling; "
+                "ungrouped frames go through _prep()'s bucketed plan"
+            )
+        order = F.unix_micros(F.col(self._on).cast("timestamp"))
+        return (Window.partitionBy(*self._partition).orderBy(order)
+                .rangeBetween(-self._micros, 0))
 
     def _apply(self, agg_fn, cols: Sequence[str], suffix: str) -> DataFrame:
-        w = self._w()
+        sdf, w, finish = self._prep()
         exprs = {f"{c}_{suffix}": agg_fn(F.col(c), w) for c in cols}
-        return self._frame._wrap(self._frame.to_spark().withColumns(exprs))
+        return self._frame._wrap(
+            finish(sdf.withColumns(exprs)),
+            known_sorted=None if self._partition else False,
+        )
 
     def sum(self, cols): return self._apply(lambda c, w: F.sum(c).over(w), cols, "tsum")
     def mean(self, cols): return self._apply(lambda c, w: F.avg(c).over(w), cols, "tmean")
@@ -263,6 +410,18 @@ class TimeRolling:
     def max(self, cols): return self._apply(lambda c, w: F.max(c).over(w), cols, "tmax")
     def var(self, cols): return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "tvar")
     def std(self, cols): return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "tstd")
+
+
+def freq_micros(freq: str) -> int:
+    """'15min' / '2h' / '1d' → microseconds (shared by shift(freq=) and
+    TimeRolling)."""
+    unit_seconds = {"s": 1, "min": 60, "t": 60, "h": 3600, "d": 86400,
+                    "w": 7 * 86400}
+    num = "".join(ch for ch in freq if ch.isdigit()) or "1"
+    unit = freq[len(num):].strip().lower() if freq[:len(num)].isdigit() else freq.strip().lower()
+    if unit not in unit_seconds:
+        raise ValueError(f"unsupported freq {freq!r} (use s/min/h/d/w)")
+    return int(num) * unit_seconds[unit] * 1_000_000
 
 
 _FREQ_UNIT = {

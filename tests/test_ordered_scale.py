@@ -1,0 +1,234 @@
+"""Scale-path tests for the range-bucketed ungrouped ordered ops
+(dask_expr_spark/operators/ordered.py).
+
+Two angles:
+1. differential vs pandas with bucket counts FORCED far above the
+   row count per bucket, so padding/carry crosses many bucket
+   boundaries (periods > bucket size, fill gaps > bucket size);
+2. plan-shape: the row-stream window must be hash-partitioned on the
+   bucket id — a single-partition Exchange may only feed the tiny
+   per-bucket offsets aggregate (reference analogue: the
+   partition-serial cumulative chain, _cumulative.py:11-145).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+from dask_expr_spark import merge_asof
+from dask_expr_spark.sources.io import from_pandas
+
+
+def _pdf(n=120, seed=7, with_nulls=True):
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame(
+        {
+            "i": range(n),
+            "y": rng.randn(n) * 10 + 5,
+            "z": rng.randint(0, 5, n).astype("int64"),
+        }
+    )
+    if with_nulls:
+        # long null runs (7+) so fills must carry across bucket borders
+        pdf.loc[(pdf.index % 13) < 6, "y"] = np.nan
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    pdf = _pdf().set_index("i")
+    d = from_pandas(spark, _pdf(), npartitions=6).set_index("i")
+    return pdf, d
+
+
+def _cmp_series(got: pd.Series, want: pd.Series):
+    got = got.sort_index()
+    want = want.sort_index()
+    pdt.assert_series_equal(
+        got.astype("float64"), want.astype("float64"),
+        check_names=False, check_index=False, atol=1e-9, rtol=1e-9,
+    )
+
+
+def test_shift_periods_exceed_bucket(frames):
+    """|periods| larger than the typical bucket size: padding must pull
+    rows from several earlier/later buckets, not just the neighbor."""
+    pdf, d = frames
+    for p in (1, 13, -17):
+        _cmp_series(d["y"].shift(p).compute(), pdf["y"].shift(p))
+
+
+def test_frame_ordered_ops_multi_bucket(frames):
+    pdf, d = frames
+    got = d.diff(columns=["y", "z"], periods=4).compute().sort_index()
+    want = pdf[["y", "z"]].diff(4)
+    _cmp_series(got["y"], want["y"])
+    _cmp_series(got["z"], want["z"])
+    got = d.cumsum(columns=["z"]).compute().sort_index()
+    _cmp_series(got["z"], pdf["z"].cumsum())
+    got = d.cummax(columns=["y"]).compute().sort_index()
+    _cmp_series(got["y"], pdf["y"].cummax())
+
+
+def test_fill_limit(frames):
+    """ffill/bfill limit= (reference _expr.py:3340,3373): null runs are
+    longer than the limit, and the limit window crosses buckets."""
+    pdf, d = frames
+    for lim in (1, 3, 8):
+        _cmp_series(d["y"].ffill(limit=lim).compute(), pdf["y"].ffill(limit=lim))
+        _cmp_series(d["y"].bfill(limit=lim).compute(), pdf["y"].bfill(limit=lim))
+    _cmp_series(d["y"].ffill().compute(), pdf["y"].ffill())
+    _cmp_series(d["y"].bfill().compute(), pdf["y"].bfill())
+    got = d.ffill(columns=["y"], limit=2).compute().sort_index()
+    _cmp_series(got["y"], pdf["y"].ffill(limit=2))
+
+
+def test_expanding_ungrouped_cumulants(frames):
+    """ungrouped expanding aggs route through running-sum cumulants,
+    not a global window."""
+    pdf, d = frames
+    e = d.expanding()
+    _cmp_series(e.count(["y"]).compute().sort_index()["y_rcount"],
+                pdf["y"].expanding(min_periods=1).count())
+    _cmp_series(e.sum(["y"]).compute().sort_index()["y_rsum"],
+                pdf["y"].expanding(min_periods=1).sum())
+    _cmp_series(e.mean(["y"]).compute().sort_index()["y_rmean"],
+                pdf["y"].expanding(min_periods=1).mean())
+    _cmp_series(e.max(["y"]).compute().sort_index()["y_rmax"],
+                pdf["y"].expanding(min_periods=1).max())
+    got = e.var(["y"]).compute().sort_index()["y_rvar"]
+    want = pdf["y"].expanding(min_periods=1).var()
+    pdt.assert_series_equal(got.astype("float64"), want.astype("float64"),
+                            check_names=False, check_index=False,
+                            atol=1e-7, rtol=1e-7)
+
+
+def test_time_rolling_ungrouped(spark):
+    """ungrouped time-rolling: rows are copied into every later bucket
+    their [t, t+window] reach touches (ordered.padded_range)."""
+    from dask_expr_spark.operators.window import TimeRolling
+
+    n = 150
+    rng = np.random.RandomState(3)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.cumsum(rng.randint(1, 40, n)), unit="min"
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": rng.randn(n)})
+    d = from_pandas(spark, pdf, npartitions=5)
+    got = (
+        TimeRolling(d, "90min", on="ts")
+        .sum(["v"]).compute().sort_values("ts")["v_tsum"]
+    )
+    # closed="both": Spark's rangeBetween is inclusive at both ends
+    # (same convention as SQL RANGE BETWEEN, which the oracle uses)
+    want = pdf.set_index("ts")["v"].rolling("90min", closed="both").sum()
+    pdt.assert_series_equal(got.reset_index(drop=True),
+                            want.reset_index(drop=True),
+                            check_names=False, atol=1e-9, rtol=1e-9)
+
+
+def test_merge_asof_no_by(spark):
+    """ungrouped merge_asof: cross-bucket carry instead of a global
+    window (reference: _merge_asof.py:17)."""
+    rng = np.random.RandomState(11)
+    lts = np.sort(rng.randint(0, 10_000, 200))
+    # unique right keys: among equal keys pandas picks by row position,
+    # which a distributed frame doesn't define (same restriction as
+    # drop_duplicates keep= without an index)
+    rts = np.unique(rng.randint(0, 10_000, 80))
+    lpdf = pd.DataFrame({"t": lts, "lv": np.arange(len(lts))})
+    rpdf = pd.DataFrame({"t": rts, "rv": rng.randn(len(rts))})
+    ld = from_pandas(spark, lpdf, npartitions=4)
+    rd = from_pandas(spark, rpdf, npartitions=3)
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            merge_asof(ld, rd, on="t", direction=direction)
+            .compute().sort_values(["t", "lv"]).reset_index(drop=True)
+        )
+        want = pd.merge_asof(lpdf, rpdf, on="t", direction=direction)
+        pdt.assert_series_equal(got["rv"], want["rv"], check_names=False)
+    got = (
+        merge_asof(ld, rd, on="t", tolerance=50)
+        .compute().sort_values(["t", "lv"]).reset_index(drop=True)
+    )
+    want = pd.merge_asof(lpdf, rpdf, on="t", tolerance=50)
+    pdt.assert_series_equal(got["rv"], want["rv"], check_names=False)
+
+
+def _plan(df) -> str:
+    return df.to_spark()._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_no_single_partition_row_stream(frames):
+    """shift: NO single-partition exchange anywhere (pure pad+window).
+    cumsum/ffill: the row-stream window is partitioned on the bucket id;
+    any SinglePartition exchange feeds only the B-row offsets plan."""
+    _, d = frames
+    shift_plan = _plan(d.shift(columns=["y"], periods=2))
+    assert "Exchange SinglePartition" not in shift_plan
+    assert "hashpartitioning(__ord_b" in shift_plan
+
+    for lazy in (d.cumsum(columns=["z"]), d.ffill(columns=["y"])):
+        plan = _plan(lazy)
+        assert "hashpartitioning(__ord_b" in plan
+        # the single-partition stage exists only for the tiny per-bucket
+        # offsets window; the big side stays bucket-partitioned
+        assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_plan_rolling_bucketed(frames):
+    _, d = frames
+    plan = _plan(d.rolling(5, order_by="i").mean(["y"]))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__ord_b" in plan
+
+
+def test_rolling_center(frames):
+    """rolling center= (reference _rolling.py:43): label at the window
+    center, extra reach on the past side for even windows."""
+    pdf, d = frames
+    for w in (3, 4, 5):
+        got = (d.rolling(w, center=True).mean(["y"])
+               .compute().sort_index()["y_rmean"])
+        _cmp_series(got, pdf["y"].rolling(w, center=True).mean())
+    got = (d.rolling(4, center=True, min_periods=2).sum(["y"])
+           .compute().sort_index()["y_rsum"])
+    _cmp_series(got, pdf["y"].rolling(4, center=True, min_periods=2).sum())
+
+
+def test_shift_freq(spark):
+    """shift(freq=) = ShiftIndex (reference _expr.py:3433): timestamp
+    index moves, values stay with their rows."""
+    ts = pd.date_range("2024-05-01", periods=40, freq="45min")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(40.0)})
+    d = from_pandas(spark, pdf, npartitions=3).set_index("ts")
+    got = d.shift(periods=2, freq="1h").compute().sort_index()
+    want = pdf.set_index("ts").shift(2, freq="h")
+    pdt.assert_index_equal(got.index, want.index)
+    _cmp_series(got["v"], want["v"])
+    gs = d["v"].shift(periods=-3, freq="15min").compute().sort_index()
+    ws = pdf.set_index("ts")["v"].shift(-3, freq="15min")
+    pdt.assert_series_equal(gs, ws, check_names=False, check_freq=False)
+
+
+def test_cat_accessor(spark):
+    """.cat accessor (reference: CategoricalAccessor, _categorical.py:21)."""
+    pdf = pd.DataFrame({
+        "i": range(30),
+        "g": [["red", "green", "blue", None][i % 4] for i in range(30)],
+    })
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    s = d["g"]
+    assert s.cat.categories == ["blue", "green", "red"]
+    got = s.cat.codes.compute().sort_index()
+    want = pdf.set_index("i")["g"].astype("category").cat.codes
+    pdt.assert_series_equal(got.astype("int64"), want.astype("int64"),
+                            check_names=False)
+    ren = s.cat.rename_categories({"red": "RED"}).compute().sort_index()
+    want_r = pdf.set_index("i")["g"].astype("category").cat.rename_categories(
+        {"red": "RED"}).astype(object)
+    pdt.assert_series_equal(ren, want_r, check_names=False)
+    assert s.cat.known and s.cat.as_known() is s
