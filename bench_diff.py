@@ -1,0 +1,83 @@
+"""Compare a bench run against a prior round's BENCH_r{N}.json.
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench_now.json   # or pipe directly
+    python bench_diff.py [baseline.json] [current.json]
+
+Defaults: baseline = newest BENCH_r*.json in the repo root, current =
+run bench.py in-process. Flags per-query regressions > 1.3x and prints
+a one-line verdict, exit code 1 when any query regressed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+THRESHOLD = 1.3
+
+
+def _load_baseline(path: str | None) -> dict:
+    if path is None:
+        cands = sorted(
+            glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        )
+        if not cands:
+            raise SystemExit("no BENCH_r*.json baseline found")
+        path = cands[-1]
+    with open(path) as f:
+        d = json.load(f)
+    parsed = d.get("parsed", d)
+    return {"name": os.path.basename(path), "queries": parsed["queries"],
+            "total": parsed["value"]}
+
+
+def _load_current(path: str | None) -> dict:
+    if path is not None:
+        with open(path) as f:
+            d = json.load(f)
+        d = d.get("parsed", d)
+        return {"queries": d["queries"], "total": d["value"]}
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1]
+    d = json.loads(out)
+    return {"queries": d["queries"], "total": d["value"]}
+
+
+def main() -> int:
+    base = _load_baseline(sys.argv[1] if len(sys.argv) > 1 else None)
+    cur = _load_current(sys.argv[2] if len(sys.argv) > 2 else None)
+    regressions, improvements = [], []
+    rows = []
+    for q, t0 in sorted(base["queries"].items()):
+        t1 = cur["queries"].get(q)
+        if t1 is None:
+            rows.append(f"  {q:35s} {t0:7.2f}s -> (missing)")
+            continue
+        ratio = t1 / t0 if t0 else float("inf")
+        rows.append(f"  {q:35s} {t0:7.2f}s -> {t1:7.2f}s  ({ratio:5.2f}x)")
+        if ratio > THRESHOLD:
+            regressions.append((q, ratio))
+        elif ratio < 1 / THRESHOLD:
+            improvements.append((q, ratio))
+    print(f"baseline {base['name']}: total {base['total']:.2f}s -> {cur['total']:.2f}s")
+    print("\n".join(rows))
+    if regressions:
+        print(f"REGRESSIONS (> {THRESHOLD}x): "
+              + ", ".join(f"{q} {r:.2f}x" for q, r in regressions))
+    if improvements:
+        print(f"improvements: " + ", ".join(f"{q} {r:.2f}x" for q, r in improvements))
+    if not regressions:
+        print("OK: no per-query regression above threshold")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

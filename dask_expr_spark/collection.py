@@ -1099,26 +1099,38 @@ class DataFrame(FrameBase):
         )
 
     def reduction(self, chunk: Callable, aggregate: Callable,
-                  chunk_schema, agg_schema) -> "DataFrame":
-        """custom two-stage reduction (reference: CustomReduction,
+                  chunk_schema, agg_schema, combine: Callable | None = None,
+                  combine_schema=None, split_every: int = 8) -> "DataFrame":
+        """custom reduction (reference: CustomReduction,
         _reductions.py:835; API reduction() _collection.py:2120):
-        chunk() per partition (parallel, Arrow-batched), aggregate()
-        over the concatenated chunk results (single small task)."""
+        chunk() per partition (parallel, Arrow-batched), optional
+        combine() tree level (reference's combine=, fan-in
+        `split_every`) shrinking the partials before aggregate() runs
+        over the concatenated results in one small task."""
         import pandas as pd
 
         def chunk_wrapper(it):
             for pdf in it:
                 yield chunk(pdf)
 
-        def agg_wrapper(it):
-            parts = [p for p in it if len(p)]
-            merged = pd.concat(parts) if parts else None
-            if merged is None:
-                return
-            yield aggregate(merged)
+        def _merge_wrapper(fn):
+            def run(it):
+                parts = [p for p in it if len(p)]
+                if not parts:
+                    return
+                yield fn(pd.concat(parts))
+            return run
 
         partials = self._sdf.mapInPandas(chunk_wrapper, chunk_schema)
-        out = partials.repartition(1).mapInPandas(agg_wrapper, agg_schema)
+        if combine is not None:
+            ncomb = max(1, int(self._sdf.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "32")) // max(split_every, 2))
+            partials = partials.repartition(ncomb).mapInPandas(
+                _merge_wrapper(combine), combine_schema or chunk_schema
+            )
+        out = partials.repartition(1).mapInPandas(
+            _merge_wrapper(aggregate), agg_schema
+        )
         return DataFrame(out)
 
     # -- materialization -----------------------------------------------------
@@ -2800,9 +2812,49 @@ def repartition(frame: DataFrame, npartitions: int, *cols: str) -> DataFrame:
     return frame.repartition(npartitions, *cols)
 
 
-def map_partitions(func: Callable, frame: DataFrame, schema) -> DataFrame:
-    """reference: map_partitions (_collection.py:6179)."""
-    return frame.map_partitions(func, schema)
+def map_partitions(func: Callable, frame: DataFrame, *others: DataFrame,
+                   schema) -> DataFrame:
+    """reference: map_partitions (_collection.py:6179; multi-frame form
+    _expr.py:580 — func(df1, df2, ...) over co-partitioned frames).
+
+    Multi-frame Spark shape: the frames are co-located by a full-outer
+    index equi-join (the engine's co-alignment rule — the reference
+    instead requires equal divisions), then ONE mapInPandas splits each
+    Arrow batch back into per-frame slices and calls func. Columns keep
+    their frame-local names; a duplicate non-index name across frames
+    is an error (same restriction as concat(axis=1))."""
+    if not others:
+        return frame.map_partitions(func, schema)
+    idx = list(frame._index_cols)
+    if not idx:
+        raise ValueError(
+            "multi-frame map_partitions needs indexed frames (set_index)"
+        )
+    frames = [frame, *others]
+    colsets = []
+    joined = None
+    seen = set(idx)
+    for f in frames:
+        if list(f._index_cols) != idx:
+            raise ValueError(
+                f"map_partitions index mismatch: {f._index_cols} vs {idx}"
+            )
+        data_cols = [c for c in f._sdf.columns if c not in idx]
+        dup = [c for c in data_cols if c in seen]
+        if dup:
+            raise ValueError(f"duplicate columns across frames: {dup}")
+        seen |= set(data_cols)
+        colsets.append(data_cols)
+        joined = f._sdf if joined is None else joined.join(
+            f._sdf, on=idx, how="full"
+        )
+
+    def split_call(it):
+        for pdf in it:
+            parts = [pdf[idx + cs] for cs in colsets]
+            yield func(*parts)
+
+    return DataFrame(joined.mapInPandas(split_call, schema=schema), idx, False)
 
 
 def map_overlap(func: Callable, frame: DataFrame, schema, order_col: str,

@@ -3,15 +3,22 @@
 Design: media are opaque `binary` columns + typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas UDFs over mapInPandas so bytes never round-trip through Python
-row-by-row. The actual codec work is STUBBED (Pillow/torchaudio/ffmpeg
-are not in this container): `decode_image_meta` derives deterministic
-fake metadata from the bytes, and `sample_frames` slices byte windows.
-The Spark-side contract — schemas, batch iteration, partitioning —
-is real and tested (tests/test_multimodal.py).
+row-by-row.
+
+Decode levels (auto-selected):
+- **Pillow**, when importable (optional dependency) — full decode.
+- **pure-stdlib header parsing** otherwise — real width/height/format
+  from PNG IHDR, JPEG SOFn markers, GIF logical screen, BMP header and
+  WEBP VP8/VP8L/VP8X chunks. No codec library needed; unrecognized
+  payloads get null dimensions and format 'unknown'.
+Full pixel work beyond Pillow (video keyframes via ffmpeg, audio via
+torchaudio) remains stubbed: `sample_frames` slices byte windows with
+the real 1→M fan-out shape.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import Callable
 
@@ -20,6 +27,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional full decoder
+    from PIL import Image as _PILImage  # pragma: no cover
+except ImportError:
+    _PILImage = None
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -32,28 +44,76 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """STUB decode — deterministic metadata from byte length.
-    Replace with PIL.Image.open(io.BytesIO(payload)) when the codec
-    libraries are available."""
-    n = len(payload)
-    return (n % 1024, (n * 7) % 768, "png" if n % 2 == 0 else "jpeg")
+def _parse_image_header(p: bytes) -> tuple[int | None, int | None, str]:
+    """(width, height, format) from the container header — pure stdlib,
+    no pixel decode. Covers PNG / JPEG / GIF / BMP / WEBP."""
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+            w, h = struct.unpack(">II", p[16:24])
+            return w, h, "png"
+        if p[:2] == b"\xff\xd8":  # JPEG: scan for a SOFn marker
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = p[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    return w, h, "jpeg"
+                seglen = struct.unpack(">H", p[i + 2 : i + 4])[0]
+                i += 2 + seglen
+            return None, None, "jpeg"
+        if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            w, h = struct.unpack("<HH", p[6:10])
+            return w, h, "gif"
+        if p[:2] == b"BM" and len(p) >= 26:
+            w, h = struct.unpack("<ii", p[18:26])
+            return abs(w), abs(h), "bmp"
+        if p[:4] == b"RIFF" and p[8:12] == b"WEBP" and len(p) >= 30:
+            chunk = p[12:16]
+            if chunk == b"VP8X":
+                w = int.from_bytes(p[24:27], "little") + 1
+                h = int.from_bytes(p[27:30], "little") + 1
+                return w, h, "webp"
+            if chunk == b"VP8L":
+                bits = int.from_bytes(p[21:25], "little")
+                return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
+            if chunk == b"VP8 ":
+                w, h = struct.unpack("<HH", p[26:30])
+                return w & 0x3FFF, h & 0x3FFF, "webp"
+            return None, None, "webp"
+    except (struct.error, IndexError):
+        pass
+    return None, None, "unknown"
+
+
+def _decode_one(p: bytes) -> tuple[int | None, int | None, str]:
+    if _PILImage is not None:
+        import io
+        try:
+            with _PILImage.open(io.BytesIO(p)) as im:
+                return im.width, im.height, (im.format or "unknown").lower()
+        except Exception:
+            return None, None, "unknown"
+    return _parse_image_header(p)
 
 
 def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     """binary column → typed metadata struct via mapInPandas
-    (Arrow-batched; one Python roundtrip per batch, not per row)."""
+    (Arrow-batched; one Python roundtrip per batch, not per row).
+    Uses Pillow when installed, stdlib header parsing otherwise."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[bin_col]
-            meta = [_fake_decode(p if p is not None else b"") for p in payloads]
+            meta = [_decode_one(p if p is not None else b"") for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                    "width": [m[0] for m in meta],
-                    "height": [m[1] for m in meta],
+                    "width": pd.array([m[0] for m in meta], dtype="Int64"),
+                    "height": pd.array([m[1] for m in meta], dtype="Int64"),
                     "format": [m[2] for m in meta],
                 }
             )

@@ -116,12 +116,28 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def multimodal_decode(spark, sf_dir):
-    """multimodal plumbing: text→binary payload → Arrow-batched
-    mapInPandas decode stub (functions/multimodal.py) → metadata agg.
-    The decode is a deterministic fake; the schema/batching/shuffle
-    shape is the real deliverable."""
+    """multimodal decode: synthesize REAL PNG/GIF container headers
+    deterministically from doc_id (so DuckDB can predict the result),
+    push them through the Arrow-batched header parser
+    (functions/multimodal.py decode_image_meta) and aggregate the
+    parsed metadata — the parse itself is under test, not a stub."""
+    import pandas as pd
+    import struct
+
+    @F.pandas_udf("binary")
+    def payload(ids):
+        def mk(i):
+            i = int(i)
+            w, h = i % 1024 + 1, (i * 7) % 768 + 1
+            if i % 2 == 0:  # 36-byte PNG: magic + IHDR len/type + dims
+                return (b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR"
+                        + struct.pack(">II", w, h) + b"\x08\x06" + b"\x00" * 10)
+            # 18-byte GIF: magic + logical screen descriptor
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+        return ids.apply(mk)
+
     docs = tbl(spark, sf_dir, "documents").to_spark()
-    with_bin = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    with_bin = docs.select("doc_id", payload("doc_id").alias("payload"))
     meta = MM.decode_image_meta(with_bin, "doc_id", "payload")
     return (
         meta.groupBy("format")
@@ -138,10 +154,10 @@ def multimodal_decode(spark, sf_dir):
 MULTIMODAL_SQL = """
 WITH m AS (
   SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_bytes,
-         CAST(length(text) % 1024 AS BIGINT) AS width,
-         CAST((length(text) * 7) % 768 AS BIGINT) AS height,
-         CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+         CASE WHEN doc_id % 2 = 0 THEN 36 ELSE 18 END AS n_bytes,
+         CAST(doc_id % 1024 + 1 AS BIGINT) AS width,
+         CAST((doc_id * 7) % 768 + 1 AS BIGINT) AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format
   FROM documents
 )
 SELECT format, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -91,13 +91,13 @@ def text_token_frequencies(spark, sf_dir):
         docs.assign(token=lambda d: d["text"].str.split(" ", regex=False))
         .explode("token")[["token"]]
     )
-    out = (
+    # no stabilizing orderBy: the driver's value-hash is
+    # order-insensitive, and a global sort here only costs an exchange
+    return (
         res.to_spark()
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy("token")
     )
-    return out
 
 
 TOKEN_FREQ_SQL = """

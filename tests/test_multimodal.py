@@ -1,7 +1,10 @@
 """Multimodal plumbing tests: binary columns through Arrow-batched
-mapInPandas — schema, fan-out, determinism (decode itself is a stub)."""
+mapInPandas — schema, fan-out, real header parsing (stdlib path; full
+pixel decode needs the optional Pillow)."""
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import functions as F
 
@@ -14,6 +17,21 @@ def _with_payload(spark, sf_dir):
     return docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
 
 
+def _png(w, h):
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x08\x06" + b"\x00" * 10
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+
+
+def _jpeg(w, h):
+    # SOI + APP0 stub + SOF0 with height/width
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
 def test_decode_meta_schema_and_values(spark, sf_dir):
     src = _with_payload(spark, sf_dir)
     meta = MM.decode_image_meta(src, "doc_id", "payload")
@@ -22,8 +40,25 @@ def test_decode_meta_schema_and_values(spark, sf_dir):
     rows = meta.collect()
     assert len(rows) == src.count()
     for r in rows[:50]:
-        assert r.width == r.n_bytes % 1024
-        assert r.format in ("png", "jpeg")
+        # utf-8 text payloads are not images → parsed as unknown
+        assert r.format == "unknown" and r.width is None
+
+
+def test_decode_meta_real_headers(spark):
+    payloads = [
+        (1, _png(640, 480), "png", 640, 480),
+        (2, _gif(12, 34), "gif", 12, 34),
+        (3, _jpeg(800, 600), "jpeg", 800, 600),
+        (4, b"not an image", "unknown", None, None),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, p) for i, p, *_ in payloads], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in MM.decode_image_meta(sdf, "doc_id", "payload").collect()}
+    for i, p, fmt, w, h in payloads:
+        assert got[i].format == fmt
+        assert got[i].width == w and got[i].height == h
+        assert got[i].n_bytes == len(p)
 
 
 def test_frame_sampling_fanout(spark, sf_dir):

@@ -216,3 +216,55 @@ def test_custom_aggregation_class(spark):
     want3 = (pdf.groupby(["g", "h"])["v"].agg(lambda s: s.max() - s.min())
              .reset_index(drop=True))
     assert got3["rng"].tolist() == want3.tolist()
+
+
+def test_reduction_with_combine(df, pdf):
+    """reference reduction(chunk, combine, aggregate)
+    (_reductions.py:835): combine shrinks partials tree-style before
+    the final aggregate."""
+    part_schema = T.StructType([
+        T.StructField("s", T.DoubleType()), T.StructField("n", T.LongType())])
+    agg_schema = T.StructType([T.StructField("mean", T.DoubleType())])
+
+    def chunk(p):
+        return pd.DataFrame({"s": [p["x"].sum()], "n": [len(p)]})
+
+    def combine(p):
+        return pd.DataFrame({"s": [p["s"].sum()], "n": [p["n"].sum()]})
+
+    def aggregate(p):
+        return pd.DataFrame({"mean": [p["s"].sum() / p["n"].sum()]})
+
+    got = df.reduction(chunk, aggregate, part_schema, agg_schema,
+                       combine=combine).compute()
+    assert got["mean"][0] == pytest.approx(pdf.x.mean())
+
+
+def test_map_partitions_multi_frame(spark, pdf):
+    """multi-frame map_partitions (reference _expr.py:580):
+    func(df1, df2) over index-aligned frames."""
+    from dask_expr_spark.collection import map_partitions
+
+    pdf2 = pd.DataFrame({"k": pdf["k"], "x": pdf["x"]})
+    pdf2["i"] = range(len(pdf2))
+    left = pdf2[["i", "x"]]
+    right = pdf2[["i", "k"]].assign(w=pdf2["x"] * 10)
+    dl = from_pandas(spark, left, npartitions=4).set_index("i")
+    dr = from_pandas(spark, right.drop(columns="k"), npartitions=3).set_index("i")
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()), T.StructField("tot", T.DoubleType())])
+
+    def fn(a, b):
+        m = a.merge(b, on="i")
+        return pd.DataFrame({"i": m["i"], "tot": m["x"] + m["w"]})
+
+    got = (map_partitions(fn, dl, dr, schema=schema)
+           .compute().sort_index())
+    want = (left["x"] + right["w"]).rename("tot")
+    assert list(got["tot"]) == list(want)
+
+    # index mismatch raises
+    with pytest.raises(ValueError):
+        map_partitions(fn, dl, from_pandas(spark, right, npartitions=2),
+                       schema=schema)
