@@ -686,10 +686,18 @@ class DataFrame(FrameBase):
         trade-off as the reference's requirement that the column be
         categorical)."""
         if values is None:
-            values = sorted(
-                r[0] for r in self._sdf.select(column).distinct().collect()
-                if r[0] is not None
-            )
+            # bounded driver round-trip: limit()+1 caps the collect so a
+            # high-cardinality column errors instead of OOMing the driver
+            cap = 10_000
+            rows = (self._sdf.select(column).distinct()
+                    .limit(cap + 1).collect())
+            if len(rows) > cap:
+                raise ValueError(
+                    f"get_dummies({column!r}): more than {cap} distinct "
+                    "values — pass values= explicitly (a one-hot schema "
+                    "this wide is almost certainly a mistake)"
+                )
+            values = sorted(r[0] for r in rows if r[0] is not None)
         prefix = prefix if prefix is not None else column
         exprs = {
             f"{prefix}_{v}": (F.col(column) == v).cast("int") for v in values
@@ -788,7 +796,9 @@ class DataFrame(FrameBase):
     # -- concat-axis-0 handled by module-level concat() ----------------------
 
     # -- reductions (frame-level; reference _reductions.py:761+) -------------
-    def count(self) -> Scalar:
+    def count(self, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_reduce("count")
         return Scalar(self._sdf.select(F.count(F.lit(1)).alias("count")))
 
     def __len__(self) -> int:
@@ -827,13 +837,64 @@ class DataFrame(FrameBase):
             aggs.append(_agg_expr(fn, c).alias(c))
         return DataFrame(sdf.agg(*aggs))
 
-    def sum(self): return self._frame_reduce("sum", True)
-    def mean(self): return self._frame_reduce("mean", True)
-    def var(self): return self._frame_reduce("var", True)
-    def std(self): return self._frame_reduce("std", True)
+    def _row_reduce(self, fn: str) -> "Series":
+        """axis=1 reductions (reference: axis=1 branch of the frame
+        reductions, _collection.py:2407) — pure JVM higher-order
+        functions over a per-row array of the numeric columns; no UDF,
+        stays inside whole-stage codegen."""
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal", "boolean"}
+        cols = [f.name for f in self._sdf.schema.fields
+                if f.name not in self._index_cols
+                and f.dataType.simpleString().split("(")[0] in num]
+        if not cols:
+            raise ValueError(f"no numeric columns for {fn}(axis=1)")
+        arr = F.array(*[F.col(c).cast("double") for c in cols])
+        vals = F.filter(arr, lambda x: ~x.isNull())
+        n = F.size(vals).cast("double")
+        s = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x)
+        if fn == "sum":
+            out = s  # pandas: all-NaN row sums to 0.0 (min_count=0)
+        elif fn == "count":
+            out = n.cast("long")
+        elif fn == "mean":
+            out = F.when(n > 0, s / n)
+        elif fn in ("min", "max"):
+            out = F.array_min(arr) if fn == "min" else F.array_max(arr)
+        elif fn in ("var", "std"):
+            s2 = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x * x)
+            v = F.when(n >= 2, (s2 - s * s / n) / (n - 1))
+            out = F.sqrt(v) if fn == "std" else v
+        elif fn == "prod":
+            out = F.aggregate(vals, F.lit(1.0), lambda acc, x: acc * x)
+        elif fn == "nunique":
+            # NUniqueColumns (reference _expr.py:1798)
+            out = F.size(F.array_distinct(vals)).cast("long")
+        elif fn in ("any", "all"):
+            flags = F.filter(
+                F.array(*[F.col(c).cast("boolean") for c in cols]),
+                lambda x: ~x.isNull(),
+            )
+            hof = F.exists if fn == "any" else (
+                lambda a, p: ~F.exists(a, lambda x: ~p(x)))
+            out = hof(flags, lambda x: x)
+        else:
+            raise ValueError(f"unsupported axis=1 reduction {fn!r}")
+        return Series(self._sdf, out.alias(fn), fn, self._index_cols,
+                      self._known_sorted)
+
+    def _reduce_dispatch(self, fn: str, axis, numeric_only: bool):
+        if axis in (1, "columns"):
+            return self._row_reduce(fn)
+        return self._frame_reduce(fn, numeric_only)
+
+    def sum(self, axis: int = 0): return self._reduce_dispatch("sum", axis, True)
+    def mean(self, axis: int = 0): return self._reduce_dispatch("mean", axis, True)
+    def var(self, axis: int = 0): return self._reduce_dispatch("var", axis, True)
+    def std(self, axis: int = 0): return self._reduce_dispatch("std", axis, True)
     def median(self): return self._frame_reduce("median", True)
-    def min(self): return self._frame_reduce("min", False)
-    def max(self): return self._frame_reduce("max", False)
+    def min(self, axis: int = 0): return self._reduce_dispatch("min", axis, False)
+    def max(self, axis: int = 0): return self._reduce_dispatch("max", axis, False)
 
     # -- ordered / window ops (SURVEY.md §2.6) -------------------------------
     # Ungrouped ordered ops run the range-bucketed two-pass plans in
@@ -962,12 +1023,19 @@ class DataFrame(FrameBase):
                        partition_by=partition_by, min_periods=1,
                        unbounded_start=True)
 
-    def nunique(self) -> "DataFrame":
+    def nunique(self, axis: int = 0):
         """distinct count per column (frame-level NUnique,
-        _collection.py:3808)."""
+        _collection.py:3808); axis=1 = NUniqueColumns (_expr.py:1798)."""
+        if axis in (1, "columns"):
+            return self._row_reduce("nunique")
         return DataFrame(
             self._sdf.agg(*[F.countDistinct(c).alias(c) for c in self.columns])
         )
+
+    def prod(self, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._row_reduce("prod")
+        return self._frame_reduce("prod", True)
 
     def resample(self, freq: str, on: str | None = None):
         """reference: ResampleReduction, _resample.py:23."""
@@ -2043,26 +2111,32 @@ class Series(FrameBase):
                 out, F.col("__rank").cast("double").alias(self._name),
                 self._name, self._index_cols, False,
             )
+        # rank arithmetic over the DISTINCT-value frame: running count
+        # of values below (and running distinct index for dense) come
+        # from the bucketed cumulative — even the distinct frame never
+        # funnels through one partition
+        from .operators import ordered
         vals = (
             self._anchor.select(self._scol.alias("__v"))
             .filter(F.col("__v").isNotNull())
             .groupBy("__v")
             .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__cum", F.col("__c"))
+            .withColumn("__one", F.lit(1).cast("long"))
         )
-        order = F.col("__v").asc() if ascending else F.col("__v").desc()
-        w = Window.orderBy(order)
-        lt = F.coalesce(
-            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
+        vals = ordered.cumulative(
+            vals, {"__cum": "sum", "__one": "sum"}, ["__v"],
+            ascending=ascending,
         )
+        lt = F.col("__cum") - F.col("__c")  # count of better-ranked rows
         if method == "average":
             r = lt + (F.col("__c") + 1) / 2.0
         elif method == "min":
             r = (lt + 1).cast("double")
         elif method == "max":
-            r = (lt + F.col("__c")).cast("double")
+            r = F.col("__cum").cast("double")
         elif method == "dense":
-            r = F.row_number().over(w).cast("double")
+            r = F.col("__one").cast("double")
         else:
             raise ValueError(f"unsupported rank method {method!r}")
         ranked = vals.select("__v", r.alias("__rank"))
@@ -2101,14 +2175,21 @@ class Series(FrameBase):
         return self._is_monotonic(order_by, decreasing=True)
 
     def _is_monotonic(self, order_by, decreasing: bool) -> Scalar:
+        from .operators import ordered
         order = order_by or (self._index_cols[0] if self._index_cols else None)
         if order is None:
             raise ValueError("is_monotonic needs an index or order_by=")
-        w = Window.orderBy(F.col(order))
-        prev = F.lag(self._scol).over(w)
-        cmp = (self._scol <= prev) if decreasing else (self._scol >= prev)
+        # bucketed lag: per-bucket comparison with one padded boundary
+        # row — no global window for what is a one-pass predicate
+        base = self._anchor.select(
+            F.col(order), self._scol.alias("__x"), self._scol.alias("__prev")
+        )
+        lagged = ordered.with_lagged(base, ["__prev"], [order], 1,
+                                     lambda c, l: l)
+        prev, cur = F.col("__prev"), F.col("__x")
+        cmp = (cur <= prev) if decreasing else (cur >= prev)
         ok = F.when(prev.isNull(), True).otherwise(cmp)
-        sdf = self._anchor.select(ok.alias("__ok"))
+        sdf = lagged.select(ok.alias("__ok"))
         return Scalar(sdf.agg(F.min("__ok").alias("is_monotonic")))
 
     def mode(self) -> Scalar:
@@ -2812,10 +2893,12 @@ def repartition(frame: DataFrame, npartitions: int, *cols: str) -> DataFrame:
     return frame.repartition(npartitions, *cols)
 
 
-def map_partitions(func: Callable, frame: DataFrame, *others: DataFrame,
-                   schema) -> DataFrame:
+def map_partitions(func: Callable, frame: DataFrame, *others,
+                   schema=None) -> DataFrame:
     """reference: map_partitions (_collection.py:6179; multi-frame form
     _expr.py:580 — func(df1, df2, ...) over co-partitioned frames).
+    The schema may be passed as the last positional argument
+    (single-frame form) or via schema=.
 
     Multi-frame Spark shape: the frames are co-located by a full-outer
     index equi-join (the engine's co-alignment rule — the reference
@@ -2823,6 +2906,12 @@ def map_partitions(func: Callable, frame: DataFrame, *others: DataFrame,
     Arrow batch back into per-frame slices and calls func. Columns keep
     their frame-local names; a duplicate non-index name across frames
     is an error (same restriction as concat(axis=1))."""
+    if others and not isinstance(others[-1], DataFrame):
+        if schema is not None:
+            raise TypeError("schema given both positionally and by keyword")
+        schema, others = others[-1], others[:-1]
+    if schema is None:
+        raise TypeError("map_partitions requires schema")
     if not others:
         return frame.map_partitions(func, schema)
     idx = list(frame._index_cols)

@@ -232,3 +232,48 @@ def test_cat_accessor(spark):
         {"red": "RED"}).astype(object)
     pdt.assert_series_equal(ren, want_r, check_names=False)
     assert s.cat.known and s.cat.as_known() is s
+
+
+def test_axis1_reductions(spark):
+    """axis=1 row-wise reductions (reference axis=1 branch,
+    _collection.py:2407) — JVM array higher-order fns, no UDF."""
+    pdf = pd.DataFrame({
+        "i": range(40),
+        "a": [float(i) if i % 5 else np.nan for i in range(40)],
+        "b": np.arange(40.0) * 2,
+        "c": [np.nan if i % 7 == 0 else float(i) * 3 for i in range(40)],
+        "s": [f"x{i}" for i in range(40)],  # ignored (non-numeric)
+    })
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    num = pdf.set_index("i")[["a", "b", "c"]]
+    _cmp_series(d.sum(axis=1).compute(), num.sum(axis=1))
+    _cmp_series(d.mean(axis=1).compute(), num.mean(axis=1))
+    _cmp_series(d.min(axis=1).compute(), num.min(axis=1))
+    _cmp_series(d.max(axis=1).compute(), num.max(axis=1))
+    _cmp_series(d.count(axis=1).compute(), num.count(axis=1))
+    got = d.var(axis=1).compute().sort_index()
+    want = num.var(axis=1)
+    pdt.assert_series_equal(got.astype("float64"), want.astype("float64"),
+                            check_names=False, check_index=False,
+                            atol=1e-9, rtol=1e-9)
+    _cmp_series(d.std(axis=1).compute(), num.std(axis=1))
+
+
+def test_get_dummies_cardinality_cap(spark):
+    pdf = pd.DataFrame({"i": range(10), "g": [f"v{i%3}" for i in range(10)]})
+    d = from_pandas(spark, pdf, npartitions=2)
+    out = d.get_dummies("g").compute()
+    assert {"g_v0", "g_v1", "g_v2"} <= set(out.columns)
+
+
+def test_axis1_extended(spark):
+    pdf = pd.DataFrame({
+        "i": range(25),
+        "a": [float(i % 4) for i in range(25)],
+        "b": [float(i % 4) if i % 3 else np.nan for i in range(25)],
+        "c": np.arange(25.0),
+    })
+    d = from_pandas(spark, pdf, npartitions=2).set_index("i")
+    num = pdf.set_index("i")
+    _cmp_series(d.prod(axis=1).compute(), num.prod(axis=1))
+    _cmp_series(d.nunique(axis=1).compute(), num.nunique(axis=1))
