@@ -23,6 +23,26 @@ HEADLINE = [
     "join_broadcast_part",
     "join_semi",
 ]
+def _scale_probe_ordered(spark, sf_dir):
+    """ungrouped ordered ops over the full lineitem order stream —
+    exercises the range-bucketed two-pass machinery
+    (operators/ordered.py) at bench scale; not a registry query (the
+    registry rotation window is full this round)."""
+    from dask_expr_spark.sources.io import read_parquet
+
+    li = (read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+          [["l_orderkey", "l_linenumber", "l_extendedprice"]]
+          .set_index("l_orderkey"))
+    run = li.cumsum(columns=["l_extendedprice"],
+                    order_by=["l_orderkey", "l_linenumber"])
+    prev = run.shift(columns=["l_extendedprice"], periods=1,
+                     order_by=["l_orderkey", "l_linenumber"])
+    return prev.to_spark().agg(
+        {"l_extendedprice": "sum"})
+
+
+LOCAL_PROBES = {"scale_probe_ordered_cumsum_shift": _scale_probe_ordered}
+
 # extended set appended when present in the registry
 OPTIONAL = [
     "window_user_sessions",
@@ -66,11 +86,12 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
-    for name in names:
+    runnables = [(n, registry[n][0]) for n in names]
+    runnables += list(LOCAL_PROBES.items())
+    for name, fn in runnables:
         # drop caches left by previous queries (dedup/LSH ops cache
         # reused frames) so queries are measured in isolation
         spark.catalog.clearCache()
-        fn, _ = registry[name]
         best = None
         for _ in range(repeats):
             t0 = time.perf_counter()

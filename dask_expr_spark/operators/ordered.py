@@ -93,12 +93,14 @@ def with_buckets(
     bounds = sample_bounds(sdf, oc, nb)
     if not bounds:
         return sdf.withColumn(B, F.lit(0)), 1, lambda e: F.lit(0)
+    # array + filter-count, not a when-chain: a chain of B branches
+    # overflows whole-stage codegen's method limit around B≈1000; the
+    # array form is one expression at any B (same pattern as
+    # collection.map_overlap)
+    barr = F.array(*[F.lit(v).cast(dtype) for v in bounds])
 
     def bucket_fn(e: Column) -> Column:
-        return functools.reduce(
-            operator.add,
-            [F.when(e >= F.lit(v).cast(dtype), 1).otherwise(0) for v in bounds],
-        )
+        return F.size(F.filter(barr, lambda b: e >= b))
 
     return sdf.withColumn(B, bucket_fn(F.col(oc))), len(bounds) + 1, bucket_fn
 

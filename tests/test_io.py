@@ -75,7 +75,7 @@ def test_orc_roundtrip(spark, tmp_path):
     pdf = pd.DataFrame({"a": range(30), "b": [i * 1.5 for i in range(30)]})
     df = from_pandas(spark, pdf)
     out = str(tmp_path / "rt_orc")
-    df.to_spark().write.orc(out)
+    df.to_orc(out)  # writer (reference io/orc.py:61)
     back = read_orc(spark, out).compute().sort_values("a").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
 
