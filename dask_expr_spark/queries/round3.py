@@ -1,0 +1,256 @@
+"""Round-3 query batch: oracle-paired queries for the operators added
+in round 2 (range-bucketed ordered ops, ffill limit=, rolling center=,
+shift(freq=), .cat accessor, axis=1 reductions, ungrouped merge_asof).
+
+NOT yet wired into collect_queries(): the driver validates only the
+first 50 registry entries per round and round 2's window is exactly
+full (see queries/__init__.py VALIDATED + tests/test_registry.py).
+Wire-up for round 3: import this module in collect_queries(), add the
+round-2-validated names to VALIDATED, and these land in the check
+window. Kept green meanwhile by tests/test_round3_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# -- ungrouped cumulative over the full order stream (two-pass plan) ----
+CUMSUM_GLOBAL_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+@q("ordered_cumsum_global", CUMSUM_GLOBAL_SQL)
+def ordered_cumsum_global(spark, sf_dir):
+    """ungrouped running total (operators/ordered.py cumulative) —
+    decimal-cast so the bucketed partial+offset addition is exact and
+    matches DuckDB's sequential window sum bit-for-bit."""
+    od = tbl(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+    dec = od.assign(running_total=F.col("o_totalprice").cast("decimal(18,2)"))
+    out = dec[["o_orderkey", "running_total"]].cumsum(
+        columns=["running_total"], order_by="o_orderkey"
+    )
+    return out.to_spark().select(
+        "o_orderkey", F.col("running_total").cast("double").alias("running_total")
+    )
+
+
+# -- ungrouped shift: previous order's price over the global order -----
+SHIFT_GLOBAL_SQL = """
+SELECT o_orderkey,
+       lag(o_totalprice, 3) OVER (ORDER BY o_orderkey) AS prev3_price
+FROM orders
+"""
+
+
+@q("ordered_shift_global", SHIFT_GLOBAL_SQL)
+def ordered_shift_global(spark, sf_dir):
+    """ungrouped shift (bucket + boundary padding) — value copy, no
+    float arithmetic, so hashes match exactly."""
+    od = tbl(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+    shifted = od.assign(prev3_price=F.col("o_totalprice")).shift(
+        columns=["prev3_price"], periods=3, order_by="o_orderkey"
+    )
+    return shifted.to_spark().select("o_orderkey", "prev3_price")
+
+
+# -- ffill limit= over event values ------------------------------------
+FFILL_LIMIT_SQL = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CASE WHEN event_id % 5 < 2 THEN NULL ELSE value END AS v
+  FROM events
+), f AS (
+  SELECT event_id,
+         coalesce(v,
+           CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN lag(v, 1) OVER w
+                WHEN lag(v, 2) OVER w IS NOT NULL THEN lag(v, 2) OVER w
+           END) AS filled
+  FROM e WINDOW w AS (ORDER BY ts, event_id)
+)
+SELECT count(filled) AS n_filled FROM f
+"""
+
+
+@q("ordered_ffill_limit", FFILL_LIMIT_SQL)
+def ordered_ffill_limit(spark, sf_dir):
+    """ffill(limit=2) over the global event order (reference
+    _expr.py:3340 limit semantics; bounded pad window)."""
+    ev = tbl(spark, sf_dir, "events")
+    holey = ev.assign(
+        v=F.when(F.col("event_id") % 5 < 2, None).otherwise(F.col("value"))
+    )
+    filled = holey.ffill(columns=["v"], order_by=["ts", "event_id"], limit=2)
+    return filled.to_spark().agg(F.count("v").alias("n_filled"))
+
+
+# -- rolling center= per user ------------------------------------------
+ROLL_CENTER_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(CAST(value AS DECIMAL(27,6)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)
+           AS csum,
+         count(value)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS cnt
+  FROM events
+)
+SELECT user_id, max(CASE WHEN cnt = 5 THEN csum END) AS max_center_sum
+FROM r GROUP BY user_id
+"""
+
+
+@q("rolling_center_user", ROLL_CENTER_SQL)
+def rolling_center_user(spark, sf_dir):
+    """rolling(center=True) (reference _rolling.py:43): window spans
+    [i-2, i+2] for window=5; decimal-exact sum, min_periods=5 matches
+    the oracle's cnt=5 gate."""
+    ev = tbl(spark, sf_dir, "events")
+    r = ev.rolling(5, order_by=["ts", "event_id"], partition_by="user_id",
+                   center=True)
+    summed = r.agg_expr(
+        csum=F.sum(F.col("value").cast("decimal(27,6)")),
+        cnt=F.count(F.col("value")),
+    )
+    sdf = summed.to_spark().withColumn(
+        "csum", F.when(F.col("cnt") == 5, F.col("csum").cast("double"))
+    )
+    return (
+        sdf.groupBy("user_id")
+        .agg(F.max("csum").alias("max_center_sum"))
+    )
+
+
+# -- shift(freq=): revenue lag alignment --------------------------------
+SHIFT_FREQ_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day + INTERVAL 2 DAY AS shifted_day, n FROM d
+"""
+
+
+@q("shift_freq_days", SHIFT_FREQ_SQL)
+def shift_freq_days(spark, sf_dir):
+    """shift(freq=) = ShiftIndex (reference _expr.py:3433): the daily
+    index moves by 2 days, counts stay with their rows."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.assign(day=F.date_trunc("day", F.col("ts")))
+        .groupby("day").agg(n=("day", "count"))
+    )
+    shifted = daily.set_index("day", sorted=False).shift(periods=2, freq="1d")
+    return shifted.to_spark().select(
+        F.col("day").alias("shifted_day"), "n"
+    )
+
+
+# -- .cat codes ---------------------------------------------------------
+CAT_CODES_SQL = """
+WITH c AS (
+  SELECT c_mktsegment,
+         dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS code
+  FROM customer
+)
+SELECT code, c_mktsegment AS segment, count(*) AS n
+FROM c GROUP BY code, c_mktsegment
+"""
+
+
+@q("cat_codes_segments", CAT_CODES_SQL)
+def cat_codes_segments(spark, sf_dir):
+    """Series.cat.codes (reference _categorical.py:21): dense codes in
+    sorted-category order, dictionary broadcast back."""
+    cu = tbl(spark, sf_dir, "customer")
+    codes = cu["c_mktsegment"].cat.codes.alias("code")
+    sdf = codes._anchor.select(
+        codes._scol.alias("code"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        sdf.groupBy("code", "segment").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -- axis=1 row stats ---------------------------------------------------
+AXIS1_SQL = """
+WITH r AS (
+  SELECT l_orderkey,
+         least(l_quantity, l_discount, l_tax) AS rmin,
+         greatest(l_quantity, l_discount, l_tax) AS rmax
+  FROM lineitem
+)
+SELECT count(*) AS n, CAST(sum(CAST(rmin AS DECIMAL(27,4))) AS DOUBLE) AS sum_min,
+       CAST(sum(CAST(rmax AS DECIMAL(27,4))) AS DOUBLE) AS sum_max
+FROM r
+"""
+
+
+@q("axis1_row_stats", AXIS1_SQL)
+def axis1_row_stats(spark, sf_dir):
+    """axis=1 reductions (JVM array higher-order fns): per-row min/max
+    across measures, then exact aggregation."""
+    li = tbl(spark, sf_dir, "lineitem")[["l_quantity", "l_discount", "l_tax"]]
+    rmin = li.min(axis=1).alias("rmin")
+    rmax = li.max(axis=1).alias("rmax")
+    sdf = rmin._anchor.select(rmin._scol.alias("rmin"), rmax._scol.alias("rmax"))
+    return sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rmin").cast("decimal(27,4)")).cast("double").alias("sum_min"),
+        F.sum(F.col("rmax").cast("decimal(27,4)")).cast("double").alias("sum_max"),
+    )
+
+
+# -- ungrouped merge_asof (backward) vs DuckDB ASOF JOIN ----------------
+ASOF_NOBY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS day_val
+  FROM events GROUP BY 1
+)
+SELECT o.o_orderkey, d.day_val
+FROM orders o ASOF LEFT JOIN daily d
+  ON CAST(o.o_orderdate AS TIMESTAMP) >= d.day
+"""
+
+
+@q("asof_orders_daily_noby", ASOF_NOBY_SQL)
+def asof_orders_daily_noby(spark, sf_dir):
+    """merge_asof WITHOUT by (range-bucketed cross-bucket carry) vs
+    DuckDB's native ASOF JOIN."""
+    from ..operators.asof import merge_asof
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.assign(day=F.date_trunc("day", F.col("ts")))
+        .groupby("day")
+        .agg(day_val=(
+            "day",
+            lambda c: F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
+        ))
+    )
+    od = tbl(spark, sf_dir, "orders")[["o_orderkey", "o_orderdate"]].assign(
+        day=F.col("o_orderdate").cast("timestamp")
+    )
+    joined = merge_asof(od, daily, on="day", direction="backward",
+                        right_cols=["day_val"])
+    return joined.to_spark().select("o_orderkey", "day_val")

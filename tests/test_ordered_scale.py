@@ -277,3 +277,29 @@ def test_axis1_extended(spark):
     num = pdf.set_index("i")
     _cmp_series(d.prod(axis=1).compute(), num.prod(axis=1))
     _cmp_series(d.nunique(axis=1).compute(), num.nunique(axis=1))
+
+
+def test_many_buckets_stress(spark):
+    """bucket count far above row count per bucket (array-form bucket
+    expression, padding chains through many near-empty buckets)."""
+    from dask_expr_spark.operators import ordered
+
+    n = 400
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"i": range(n), "y": rng.randn(n)})
+    pdf.loc[(pdf.index % 9) < 4, "y"] = np.nan
+    sdf = from_pandas(spark, pdf, npartitions=4).to_spark()
+
+    out = ordered.cumulative(sdf, {"y": "sum"}, ["i"], num_buckets=150,
+                             mask_nulls=True)
+    got = out.toPandas().set_index("i")["y"].sort_index()
+    _cmp_series(got, pdf.set_index("i")["y"].cumsum())
+
+    lag = ordered.with_lagged(sdf, ["y"], ["i"], 7, lambda c, l: l,
+                              num_buckets=150)
+    got = lag.toPandas().set_index("i")["y"].sort_index()
+    _cmp_series(got, pdf.set_index("i")["y"].shift(7))
+
+    fill = ordered.fill(sdf, ["y"], ["i"], "ffill", limit=5, num_buckets=150)
+    got = fill.toPandas().set_index("i")["y"].sort_index()
+    _cmp_series(got, pdf.set_index("i")["y"].ffill(limit=5))
