@@ -84,7 +84,9 @@ def main() -> None:
     spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(F.col("id").cast("double"))).collect()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # best-of-3: this box carries background load, and best-of-2 let
+    # one noisy run masquerade as a per-query regression (seen vs r01)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     runnables = [(n, registry[n][0]) for n in names]
     runnables += list(LOCAL_PROBES.items())

@@ -2085,7 +2085,8 @@ class Series(FrameBase):
         out = ordered.fill(base, [val], order, "bfill", limit)
         return self._from_ordered(out, val)
 
-    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False) -> "Series":
         """value rank with pandas tie semantics (average/min/max/first/
         dense). Scale design: ranks are computed on the DISTINCT-value
         frame (cumulative counts over values, a window over |distinct|
@@ -2107,10 +2108,16 @@ class Series(FrameBase):
             out = ordered.row_number_global(
                 base, "__v", list(self._index_cols), ascending, "__rank"
             )
-            return Series(
-                out, F.col("__rank").cast("double").alias(self._name),
-                self._name, self._index_cols, False,
-            )
+            if pct:
+                # one column-pruned count at build time (the crossJoin
+                # form trips Catalyst's attribute rewrite on the shared
+                # lineage; a literal is also cheaper) — same eager
+                # precedent as ordered.sample_bounds
+                ntot = base.where(F.col("__v").isNotNull()).count()
+                expr = (F.col("__rank") / F.lit(float(ntot))).alias(self._name)
+            else:
+                expr = F.col("__rank").cast("double").alias(self._name)
+            return Series(out, expr, self._name, self._index_cols, False)
         # rank arithmetic over the DISTINCT-value frame: running count
         # of values below (and running distinct index for dense) come
         # from the bucketed cumulative — even the distinct frame never
@@ -2139,6 +2146,14 @@ class Series(FrameBase):
             r = F.col("__one").cast("double")
         else:
             raise ValueError(f"unsupported rank method {method!r}")
+        if pct:
+            # pandas: dense pct divides by the DISTINCT count, others by
+            # the non-null row count — one broadcast row either way
+            tot = vals.agg(
+                F.sum("__c").alias("__tr"), F.max("__one").alias("__td")
+            )
+            vals = vals.crossJoin(F.broadcast(tot))
+            r = r / (F.col("__td") if method == "dense" else F.col("__tr"))
         ranked = vals.select("__v", r.alias("__rank"))
         # plain equi-join back; AQE broadcasts when the distinct-value
         # frame is small (the common case)

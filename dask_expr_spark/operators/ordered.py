@@ -23,12 +23,20 @@ bounded ops (shift / diff / rolling / fill-with-limit) instead copy the
 few boundary rows each bucket needs from its neighbors ("padding") and
 drop them after the window — the reference's overlap copies, expressed
 as one small union instead of a task graph.
+
+Cost note (measured): the row-stream branch and the tiny
+totals/edge branch are separate consumers of the bucketed frame, and
+Catalyst's ReuseExchange does not match them after column pruning, so
+the input is scanned/shuffled twice (column-pruned both times). This
+is the deliberate cache-free trade-off — an InMemoryRelation build
+measured ~6x the recompute at bench scale (same finding as
+functions/dedup.py cache_shingles). At true 100 TB, checkpoint the
+upstream frame to parquet first (one scan, pruned rereads), exactly
+the reference's materialize-divisions guidance.
 """
 
 from __future__ import annotations
 
-import functools
-import operator
 from typing import Callable, Sequence
 
 from pyspark.sql import Column
@@ -352,9 +360,14 @@ def row_number_global(sdf: SparkDF, value_col: str,
                       out_col: str,
                       num_buckets: int | None = None) -> SparkDF:
     """Global row_number over (value, tiebreaks), nulls excluded (null
-    rank), computed as per-bucket row_number + broadcast counts of
-    rows in better-ranked buckets — rank(method='first') without a
-    per-row global window."""
+    rank), computed as per-bucket row_number + per-bucket offsets —
+    rank(method='first') without a per-row global window.
+
+    The offsets (≤B integers) are collected at build time and inlined
+    as a literal map expression rather than broadcast-joined: one tiny
+    job instead of a shuffle+broadcast, and it sidesteps a Catalyst
+    self-join attribute-dedup bug (AQE + broadcast over shared lineage
+    intermittently fails to rebind the pruned attributes)."""
     sdfb, nb, _ = with_buckets(sdf, [value_col], num_buckets)
     v = F.col(value_col)
     vord = v.asc_nulls_last() if ascending else v.desc_nulls_last()
@@ -365,16 +378,20 @@ def row_number_global(sdf: SparkDF, value_col: str,
             local.withColumn(out_col, F.when(v.isNotNull(), F.col("__rn")))
             .drop(B, "__rn")
         )
-    totals = sdfb.groupBy(B).agg(F.count(v).alias("__cnt"))
-    woff = (
-        Window.orderBy(F.col(B).asc() if ascending else F.col(B).desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = totals.select(
-        F.col(B), F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
-    )
+    counts = {
+        int(r[0]): int(r[1])
+        for r in sdfb.groupBy(B).agg(F.count(v).alias("__cnt")).collect()
+    }
+    acc, offs = 0, {}
+    for b in sorted(counts, reverse=not ascending):
+        offs[b] = acc
+        acc += counts[b]
+    pairs: list = []
+    for b, o in offs.items():
+        pairs.append(F.lit(b))
+        pairs.append(F.lit(o))
+    off = F.coalesce(F.element_at(F.create_map(*pairs), F.col(B)), F.lit(0))
     return (
-        local.join(F.broadcast(offs), B, "left")
-        .withColumn(out_col, F.when(v.isNotNull(), F.col("__rn") + F.col("__off")))
-        .drop(B, "__rn", "__off")
+        local.withColumn(out_col, F.when(v.isNotNull(), F.col("__rn") + off))
+        .drop(B, "__rn")
     )

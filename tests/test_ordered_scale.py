@@ -303,3 +303,17 @@ def test_many_buckets_stress(spark):
     fill = ordered.fill(sdf, ["y"], ["i"], "ffill", limit=5, num_buckets=150)
     got = fill.toPandas().set_index("i")["y"].sort_index()
     _cmp_series(got, pdf.set_index("i")["y"].ffill(limit=5))
+
+
+def test_rank_pct(frames):
+    pdf, d = frames
+    for method in ("average", "min", "max", "dense", "first"):
+        got = d["y"].rank(method=method, pct=True).compute()
+        want = pdf["y"].rank(method=method, pct=True)
+        got = got.sort_index() if method == "first" else \
+            pd.Series(sorted(got.dropna())).reset_index(drop=True)
+        want = want.sort_index() if method == "first" else \
+            pd.Series(sorted(want.dropna())).reset_index(drop=True)
+        pdt.assert_series_equal(got.astype("float64"),
+                                want.astype("float64"),
+                                check_names=False, check_index=False)
