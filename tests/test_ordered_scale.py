@@ -317,3 +317,29 @@ def test_rank_pct(frames):
         pdt.assert_series_equal(got.astype("float64"),
                                 want.astype("float64"),
                                 check_names=False, check_index=False)
+
+
+def test_fresh_session_first_execution():
+    """Regression guard: rank(method='first') intermittently failed on
+    the FIRST execution in a fresh Spark session (Catalyst attribute
+    rebind under AQE on the broadcast-offsets self-join — since
+    replaced by a literal map). A shared pytest session can never see
+    this class, so drive a clean interpreter."""
+    import subprocess
+    import sys
+
+    code = """
+import pandas as pd, numpy as np
+from dask_expr_spark.session import get_spark
+from dask_expr_spark.sources.io import from_pandas
+spark = get_spark("fresh_first", cpus=4)
+pdf = pd.DataFrame({"i": range(100), "y": np.random.RandomState(0).randn(100)})
+d = from_pandas(spark, pdf, npartitions=5).set_index("i")
+got = d["y"].rank(method="first").compute().sort_index()
+want = pdf.set_index("i")["y"].rank(method="first")
+assert np.allclose(got, want)
+print("FRESH_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert "FRESH_OK" in out.stdout, out.stderr[-2000:]
