@@ -271,28 +271,42 @@ def minhash_dedup_pairs(
 
 def simhash(text: Column, num_bits: int = 64, sep: str = " ") -> Column:
     """64-bit SimHash over tokens: per-bit majority vote of token
-    hashes, assembled into a bigint. Pure column expressions."""
+    hashes, assembled into a bigint. Pure column expressions.
+
+    Single pass over the token array: ONE aggregate whose accumulator
+    is the 64-element vote vector (zip_with against a literal mask
+    array). The previous form ran 64 separate aggregates — 64
+    traversals of the token array through a 64x larger expression
+    tree; the single-pass form measured 11.3s → 7.3s warm on the
+    sf0.1 candidate query (signature stage ~4s, the rest is the
+    chunk-bucket join)."""
+
+    def _bit_lit(b: int) -> int:
+        # bit 63 of a signed long is Long.MIN_VALUE, not 1<<63
+        return -(1 << 63) if b == 63 else (1 << b)
+
+    masks = F.array(
+        *[F.lit(_bit_lit(b)).cast("long") for b in range(num_bits)]
+    )
     toks = F.array_distinct(F.split(text, sep))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _bit_lit(b: int) -> Column:
-        # bit 63 of a signed long is Long.MIN_VALUE, not 1<<63
-        return F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
-
-    def _vote(b: int) -> Column:
-        # closure, NOT a default arg: Spark binds every lambda param as a
-        # higher-order-function variable, so a 3-arg lambda breaks
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(_bit_lit(b)) != 0, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(b) for b in range(num_bits)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long"))
-    return out
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), num_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
