@@ -2338,6 +2338,12 @@ class Series(FrameBase):
     def add_suffix(self, suffix: str) -> "Series":
         return self.alias(f"{self._name}{suffix}")
 
+    def expanding(self, order_by=None):
+        """one-column expanding frame (pandas Series.expanding())."""
+        return self.to_frame().expanding(
+            order_by=order_by or list(self._index_cols)
+        )
+
     def rolling(self, window: int, order_by=None, min_periods: int | None = None,
                 center: bool = False):
         """reference: Series.rolling (_collection.py:954) — one-column
@@ -2478,6 +2484,15 @@ class GroupBy:
                        order_by or list(self._frame._index_cols),
                        partition_by=list(self._by), min_periods=min_periods,
                        center=center)
+
+    def expanding(self, order_by=None):
+        """per-group expanding window — rolling with an unbounded start
+        partitioned by the group keys (pandas groupby().expanding())."""
+        from .operators.window import Rolling
+        return Rolling(self._frame, window=1,
+                       order_by=order_by or list(self._frame._index_cols),
+                       partition_by=list(self._by), min_periods=1,
+                       unbounded_start=True)
 
     def agg(self, spec=None, **named) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]

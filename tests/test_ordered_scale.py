@@ -343,3 +343,18 @@ print("FRESH_OK")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=300)
     assert "FRESH_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_groupby_expanding(spark):
+    pdf = pd.DataFrame({
+        "i": range(60),
+        "g": [i % 3 for i in range(60)],
+        "y": np.arange(60.0),
+    })
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    got = (d.groupby("g").expanding().sum(["y"])
+           .compute().sort_index()["y_rsum"])
+    want = (pdf.set_index("i").groupby("g")["y"]
+            .expanding(min_periods=1).sum().reset_index("g", drop=True)
+            .sort_index())
+    _cmp_series(got, want)
