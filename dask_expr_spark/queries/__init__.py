@@ -39,6 +39,15 @@ VALIDATED = frozenset({
     "loc_orderkey_slice", "series_map_status",
 })
 
+# Round-3 wiring checklist (after CORRECTNESS_r02 lands):
+# 1. confirm the r02 rows are green, then add the 50 names that led
+#    this round's registry (every name NOT in VALIDATED above) to
+#    VALIDATED;
+# 2. import queries.round3 in collect_queries() below — its 8
+#    oracle-paired queries (already green vs DuckDB at sf0.001/0.01,
+#    tests/test_round3_queries.py) then land inside the driver's
+#    50-query window.
+
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from . import approx, dedup, events, ops, relational, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
