@@ -144,3 +144,35 @@ def rolling_hash_fingerprint(text: Column, k: int = 3) -> Column:
     """xxhash64-based min-shingle fingerprint (faster than md5; engine
     internal — not reproducible outside Spark)."""
     return F.array_min(F.transform(shingles(text, k), lambda s: F.xxhash64(s)))
+
+
+def repetition_ratio(text: Column, k: int = 2, sep: str = " ") -> Column:
+    """1 − distinct k-grams / total k-grams: ≈0 for natural text, →1
+    for boilerplate/spam — a standard training-data repetition filter
+    (used e.g. in Gopher/C4-style quality rules). Pure column
+    expressions; exact-integer division so it is engine-reproducible."""
+    sh = shingles(text, k, sep)
+    n = F.size(sh)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+# deliberately simple, dialect-portable patterns (Java regex + RE2):
+# the point is the SCAN SHAPE (regexp_count over a text column, no
+# Python), not recall of every PII variant
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone_us": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """per-pattern match counts (JVM regexp_count) — the scrub/filter
+    step of a training-data pipeline flags or redacts on these."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }

@@ -254,3 +254,91 @@ def asof_orders_daily_noby(spark, sf_dir):
     joined = merge_asof(od, daily, on="day", direction="backward",
                         right_cols=["day_val"])
     return joined.to_spark().select("o_orderkey", "day_val")
+
+
+# -- repetition filter (training-data quality) --------------------------
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i ->
+             array_to_string(toks[i:i+1], ' ')) AS grams
+  FROM t
+), r AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / len(grams)
+              ELSE 0.0 END AS rep
+  FROM g
+)
+SELECT CAST(floor(rep * 10) AS BIGINT) AS bucket,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM r GROUP BY bucket
+"""
+
+
+@q("text_repetition_buckets", REPETITION_SQL)
+def text_repetition_buckets(spark, sf_dir):
+    """bigram repetition ratio (functions/text.py repetition_ratio)
+    bucketed by decile — the Gopher/C4-style repetition filter as a
+    distributed scan + groupBy."""
+    from ..functions import text as T
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    r = docs.select(
+        "doc_id", T.repetition_ratio(F.col("text"), k=2).alias("rep")
+    )
+    return (
+        r.withColumn("bucket", F.floor(F.col("rep") * 10).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+# -- PII pattern scan ---------------------------------------------------
+PII_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email,
+         len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4,
+         len(regexp_extract_all(text,
+             '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS phone_us
+  FROM documents
+)
+SELECT CAST(sum(email) AS BIGINT) AS n_email,
+       CAST(sum(ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(phone_us) AS BIGINT) AS n_phone,
+       CAST(sum(CASE WHEN email + ipv4 + phone_us > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM p
+"""
+
+
+@q("text_pii_scan", PII_SQL)
+def text_pii_scan(spark, sf_dir):
+    """PII pattern counts (functions/text.py pii_counts) — the
+    flag/redact scan of a training-data pipeline, pure JVM
+    regexp_count."""
+    from ..functions import text as T
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    c = T.pii_counts(F.col("text"))
+    p = docs.select(
+        "doc_id",
+        c["email"].alias("email"),
+        c["ipv4"].alias("ipv4"),
+        c["phone_us"].alias("phone_us"),
+    )
+    return p.agg(
+        F.sum("email").cast("long").alias("n_email"),
+        F.sum("ipv4").cast("long").alias("n_ipv4"),
+        F.sum("phone_us").cast("long").alias("n_phone"),
+        F.sum(
+            F.when(F.col("email") + F.col("ipv4") + F.col("phone_us") > 0, 1)
+            .otherwise(0)
+        ).cast("long").alias("n_flagged"),
+    )
