@@ -176,3 +176,49 @@ def pii_counts(text: Column) -> dict[str, Column]:
         name: F.regexp_count(text, F.lit(pat))
         for name, pat in PII_PATTERNS.items()
     }
+
+
+def ngram_contamination(
+    df, id_col: str, text_col: str, bench, bench_text_col: str,
+    k: int = 8, sep: str = " ", hashed: bool = True,
+):
+    """Benchmark decontamination: per document, the fraction of its
+    k-gram shingles that appear anywhere in a benchmark corpus —
+    filter/flag docs above a threshold before training.
+
+    Spark shape: distinct benchmark shingles (tiny relative to the
+    corpus — benchmarks are small by definition) are broadcast into an
+    equi-join against the exploded document shingles; one pass over
+    the corpus, no shuffle of the big side beyond the per-doc count
+    aggregation. hashed=True joins on 8-byte xxhash64 keys instead of
+    shingle strings (the 100 TB default; hashed=False keeps raw
+    strings so external engines can reproduce results exactly).
+
+    Returns a frame (id_col, n_shingles, n_contaminated, ratio).
+    """
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    doc_sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(F.col(text_col), k, sep)).alias("__sh"),
+        )
+        .select("__id", key(F.col("__sh")).alias("__k"))
+    )
+    bench_sh = (
+        bench.select(F.explode(shingles(F.col(bench_text_col), k, sep)).alias("__sh"))
+        .select(key(F.col("__sh")).alias("__k"))
+        .distinct()
+    )
+    marked = doc_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "__k", "left"
+    )
+    out = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") / F.col("n_shingles").cast("double")).alias("ratio"),
+    )

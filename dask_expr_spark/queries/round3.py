@@ -342,3 +342,59 @@ def text_pii_scan(spark, sf_dir):
             .otherwise(0)
         ).cast("long").alias("n_flagged"),
     )
+
+
+# -- benchmark decontamination ------------------------------------------
+CONTAMINATION_SQL = """
+WITH bench AS (
+  SELECT DISTINCT s AS sh
+  FROM (
+    SELECT unnest(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS s
+    FROM (SELECT string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id % 10 = 0)
+  )
+), doc_sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id % 10 <> 0)
+), per AS (
+  SELECT d.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+  FROM doc_sh d LEFT JOIN bench b USING (sh)
+  GROUP BY d.doc_id
+)
+SELECT CAST(floor(CAST(n_cont AS DOUBLE) / n_shingles * 10) AS BIGINT)
+         AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_cont) AS BIGINT) AS total_cont
+FROM per GROUP BY bucket
+"""
+
+
+@q("text_contamination_buckets", CONTAMINATION_SQL)
+def text_contamination_buckets(spark, sf_dir):
+    """decontamination (functions/text.py ngram_contamination): every
+    10th doc plays the benchmark, the rest are probed for 3-gram
+    overlap; contamination ratio bucketed by decile. hashed=False so
+    DuckDB joins the same shingle strings."""
+    from ..functions import text as T
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    per = T.ngram_contamination(
+        corpus, "doc_id", "text", bench, "text", k=3, hashed=False
+    )
+    return (
+        per.withColumn(
+            "bucket", F.floor(F.col("ratio") * 10).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_contaminated").cast("long").alias("total_cont"),
+        )
+    )
