@@ -888,6 +888,51 @@ class DataFrame(FrameBase):
             return self._row_reduce(fn)
         return self._frame_reduce(fn, numeric_only)
 
+    def _row_arg_extreme(self, largest: bool) -> "Series":
+        """idxmin/idxmax(axis=1): per-row column NAME of the extreme
+        numeric value — array_min/max over (value, name) structs, pure
+        JVM, null values filtered out first (pandas skipna). Ties →
+        first column in frame order (struct comparison breaks ties on
+        the name position)."""
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal", "boolean"}
+        cols = [f.name for f in self._sdf.schema.fields
+                if f.name not in self._index_cols
+                and f.dataType.simpleString().split("(")[0] in num]
+        if not cols:
+            raise ValueError("no numeric columns for idxmin/idxmax(axis=1)")
+        # position sign flips for max so ties resolve to the FIRST
+        # column (pandas): max picks max(v) then max(p-term) = min p
+        arr = F.array(*[
+            F.struct(
+                F.col(c).cast("double").alias("v"),
+                F.lit(-i if largest else i).alias("p"),
+            )
+            for i, c in enumerate(cols)
+        ])
+        vals = F.filter(arr, lambda s: ~s.getField("v").isNull())
+        ext = F.array_max(vals) if largest else F.array_min(vals)
+        name_map = F.array(*[F.lit(c) for c in cols])
+        pos = -ext.getField("p") if largest else ext.getField("p")
+        out = F.when(F.size(vals) > 0, F.element_at(name_map, pos + 1))
+        fn = "idxmax" if largest else "idxmin"
+        return Series(self._sdf, out.alias(fn), fn, self._index_cols,
+                      self._known_sorted)
+
+    def idxmax(self, axis: int = 1) -> "Series":
+        """row-wise argmax column name (the frame-level axis=0 form
+        lives on Series/GroupBy, matching the reference's split)."""
+        if axis not in (1, "columns"):
+            raise ValueError("DataFrame.idxmax supports axis=1; use "
+                             "Series.idxmax for per-column argmax")
+        return self._row_arg_extreme(True)
+
+    def idxmin(self, axis: int = 1) -> "Series":
+        if axis not in (1, "columns"):
+            raise ValueError("DataFrame.idxmin supports axis=1; use "
+                             "Series.idxmin for per-column argmin")
+        return self._row_arg_extreme(False)
+
     def sum(self, axis: int = 0): return self._reduce_dispatch("sum", axis, True)
     def mean(self, axis: int = 0): return self._reduce_dispatch("mean", axis, True)
     def var(self, axis: int = 0): return self._reduce_dispatch("var", axis, True)

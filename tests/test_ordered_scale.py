@@ -358,3 +358,20 @@ def test_groupby_expanding(spark):
             .expanding(min_periods=1).sum().reset_index("g", drop=True)
             .sort_index())
     _cmp_series(got, want)
+
+
+def test_idx_extreme_axis1(spark):
+    pdf = pd.DataFrame({
+        "i": range(30),
+        "a": [float(i % 5) for i in range(30)],
+        "b": [float((i + 2) % 5) for i in range(30)],
+        "c": [np.nan if i % 4 == 0 else float((i + 3) % 5) for i in range(30)],
+    })
+    d = from_pandas(spark, pdf, npartitions=2).set_index("i")
+    num = pdf.set_index("i")
+    got = d.idxmax(axis=1).compute().sort_index()
+    want = num.idxmax(axis=1)
+    assert list(got) == list(want)
+    got = d.idxmin(axis=1).compute().sort_index()
+    want = num.idxmin(axis=1)
+    assert list(got) == list(want)
