@@ -1,0 +1,83 @@
+"""Property-based differential tests: random frames through the
+range-bucketed ordered ops vs pandas (hypothesis; few examples — each
+example runs Spark jobs, the value is the randomized null patterns and
+parameters, not volume)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pandas.testing as pdt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dask_expr_spark.sources.io import from_pandas
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+
+def _frame(seed: int, n: int, null_every: int) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame({"i": range(n), "y": rng.randn(n) * 5})
+    if null_every:
+        pdf.loc[pdf.index % null_every == 0, "y"] = np.nan
+    return pdf
+
+
+def _cmp(got: pd.Series, want: pd.Series):
+    pdt.assert_series_equal(
+        got.sort_index().astype("float64"), want.sort_index().astype("float64"),
+        check_names=False, check_index=False, atol=1e-9, rtol=1e-9,
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(5, 80),
+    null_every=st.sampled_from([0, 2, 3, 7]),
+    periods=st.integers(-6, 6),
+)
+def test_shift_diff_property(spark, seed, n, null_every, periods):
+    pdf = _frame(seed, n, null_every)
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    _cmp(d["y"].shift(periods).compute(), pdf.set_index("i")["y"].shift(periods))
+    if periods != 0:
+        _cmp(d["y"].diff(periods).compute(), pdf.set_index("i")["y"].diff(periods))
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(5, 80),
+    null_every=st.sampled_from([2, 3, 5]),
+    limit=st.sampled_from([None, 1, 2, 5]),
+)
+def test_fill_property(spark, seed, n, null_every, limit):
+    pdf = _frame(seed, n, null_every)
+    s = pdf.set_index("i")["y"]
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    _cmp(d["y"].ffill(limit=limit).compute(), s.ffill(limit=limit))
+    _cmp(d["y"].bfill(limit=limit).compute(), s.bfill(limit=limit))
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(6, 60),
+    w=st.integers(1, 7),
+    center=st.booleans(),
+)
+def test_rolling_property(spark, seed, n, w, center):
+    pdf = _frame(seed, n, 4)
+    s = pdf.set_index("i")["y"]
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    got = (d.rolling(w, center=center).mean(["y"])
+           .compute().sort_index()["y_rmean"])
+    _cmp(got, s.rolling(w, center=center).mean())
