@@ -1082,10 +1082,13 @@ class DataFrame(FrameBase):
             return self._row_reduce("prod")
         return self._frame_reduce("prod", True)
 
-    def resample(self, freq: str, on: str | None = None):
-        """reference: ResampleReduction, _resample.py:23."""
+    def resample(self, freq: str, on: str | None = None,
+                 closed: str = "left", label: str = "left"):
+        """reference: ResampleReduction, _resample.py:23 (closed/label
+        options match pandas)."""
         from .operators.window import Resampler
-        return Resampler(self, freq, on or self._index_cols[0])
+        return Resampler(self, freq, on or self._index_cols[0],
+                         closed, label)
 
     def merge_asof(self, right: "DataFrame", on: str, **kw) -> "DataFrame":
         """reference: merge_asof, _merge_asof.py:17."""

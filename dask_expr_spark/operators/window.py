@@ -434,30 +434,50 @@ _FREQ_UNIT = {
 
 class Resampler:
     """Time-bin regridding (reference: ResampleReduction,
-    _resample.py:23) — date_trunc + groupBy, fully parallel."""
+    _resample.py:23) — date_trunc + groupBy, fully parallel.
 
-    def __init__(self, frame: DataFrame, freq: str, on: str):
+    closed/label follow pandas: closed='right' assigns a boundary
+    timestamp to the PRECEDING interval (t0, t1]; label='right' labels
+    each bin by its right edge."""
+
+    def __init__(self, frame: DataFrame, freq: str, on: str,
+                 closed: str = "left", label: str = "left"):
         self._frame = frame
         self._freq = freq
         self._on = on
         unit = _FREQ_UNIT.get(freq)
         if unit is None:
             raise ValueError(f"unsupported resample freq {freq!r}")
+        if closed not in ("left", "right") or label not in ("left", "right"):
+            raise ValueError("closed/label must be 'left' or 'right'")
         self._unit = unit
+        self._closed = closed
+        self._label = label
+
+    def _bucket(self) -> Column:
+        ts = F.col(self._on)
+        if self._closed == "right":
+            # boundary instants belong to the preceding bin: truncate
+            # ts - 1µs (timestamps are µs precision engine-wide)
+            ts = F.timestamp_micros(
+                F.unix_micros(ts.cast("timestamp")) - 1
+            ).cast(dict(self._frame.to_spark().dtypes)[self._on])
+        b = F.date_trunc(self._unit, ts)
+        if self._label == "right":
+            b = b + F.expr(f"INTERVAL 1 {self._unit.upper()}")
+        return b
 
     def agg(self, spec=None, **named) -> DataFrame:
-        bucket = F.date_trunc(self._unit, F.col(self._on)).alias(self._on)
-        sdf = self._frame.to_spark().withColumn(self._on, bucket)
+        sdf = self._frame.to_spark().withColumn(self._on, self._bucket())
         return DataFrame(sdf, (), False).groupby(self._on).agg(spec, **named)
 
     def ohlc(self, col: str) -> DataFrame:
         """open/high/low/close (reference: ResampleOhlc, _resample.py)."""
         sdf = self._frame.to_spark()
-        bucket = F.date_trunc(self._unit, F.col(self._on))
         # first/last need a deterministic order — use min_by/max_by on the
         # raw timestamp (total order ties broken by value for determinism)
         out = (
-            sdf.groupBy(bucket.alias(self._on))
+            sdf.groupBy(self._bucket().alias(self._on))
             .agg(
                 F.min_by(F.col(col), F.col(self._on)).alias("open"),
                 F.max(F.col(col)).alias("high"),
@@ -468,5 +488,6 @@ class Resampler:
         return DataFrame(out)
 
 
-def resample(frame: DataFrame, freq: str, on: str) -> Resampler:
-    return Resampler(frame, freq, on)
+def resample(frame: DataFrame, freq: str, on: str, closed: str = "left",
+             label: str = "left") -> Resampler:
+    return Resampler(frame, freq, on, closed, label)

@@ -375,3 +375,22 @@ def test_idx_extreme_axis1(spark):
     got = d.idxmin(axis=1).compute().sort_index()
     want = num.idxmin(axis=1)
     assert list(got) == list(want)
+
+
+def test_resample_closed_label(spark):
+    """resample closed=/label= (reference ResampleReduction options):
+    boundary rows move bins under closed='right'; labels move under
+    label='right'."""
+    ts = pd.date_range("2024-01-01", periods=48, freq="30min")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(48.0)})
+    d = from_pandas(spark, pdf, npartitions=3)
+    for closed in ("left", "right"):
+        for label in ("left", "right"):
+            got = (d.resample("h", on="ts", closed=closed, label=label)
+                   .agg(v_sum=("v", "sum")).compute()
+                   .sort_values("ts").reset_index(drop=True))
+            want = (pdf.set_index("ts")["v"]
+                    .resample("h", closed=closed, label=label).sum()
+                    .reset_index())
+            assert list(got["ts"]) == list(want["ts"]), (closed, label)
+            assert list(got["v_sum"]) == list(want["v"]), (closed, label)
