@@ -2392,6 +2392,16 @@ class Series(FrameBase):
             order_by=order_by or list(self._index_cols)
         )
 
+    def resample(self, freq: str, closed: str = "left",
+                 label: str = "left"):
+        """one-column resampler over the (timestamp) index
+        (reference: Series resample, _resample.py)."""
+        if not self._index_cols:
+            raise ValueError("Series.resample needs a timestamp index")
+        return self.to_frame().resample(
+            freq, on=self._index_cols[0], closed=closed, label=label
+        )
+
     def rolling(self, window: int, order_by=None, min_periods: int | None = None,
                 center: bool = False):
         """reference: Series.rolling (_collection.py:954) — one-column

@@ -471,6 +471,41 @@ class Resampler:
         sdf = self._frame.to_spark().withColumn(self._on, self._bucket())
         return DataFrame(sdf, (), False).groupby(self._on).agg(spec, **named)
 
+    # -- convenience reductions over every numeric column (reference:
+    #    Resample{Sum,Mean,Min,Max,Count,Var,Std,Median,First,Last,
+    #    NUnique,Size}, _resample.py:23-291) --------------------------
+    def _spec_agg(self, fn: str) -> DataFrame:
+        sdf = self._frame.to_spark()
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal", "boolean"}
+        cols = [
+            f.name for f in sdf.schema.fields
+            if f.name != self._on
+            and (fn in ("count", "first", "last", "nunique")
+                 or f.dataType.simpleString().split("(")[0] in num)
+        ]
+        if not cols:
+            raise ValueError(f"no applicable columns for resample.{fn}")
+        return self.agg({c: fn for c in cols})
+
+    def sum(self): return self._spec_agg("sum")
+    def mean(self): return self._spec_agg("mean")
+    def min(self): return self._spec_agg("min")
+    def max(self): return self._spec_agg("max")
+    def count(self): return self._spec_agg("count")
+    def var(self): return self._spec_agg("var")
+    def std(self): return self._spec_agg("std")
+    def median(self): return self._spec_agg("median")
+    def first(self): return self._spec_agg("first")
+    def last(self): return self._spec_agg("last")
+    def nunique(self): return self._spec_agg("nunique")
+
+    def size(self) -> DataFrame:
+        sdf = self._frame.to_spark()
+        out = (sdf.groupBy(self._bucket().alias(self._on))
+               .agg(F.count(F.lit(1)).alias("size")))
+        return DataFrame(out)
+
     def ohlc(self, col: str) -> DataFrame:
         """open/high/low/close (reference: ResampleOhlc, _resample.py)."""
         sdf = self._frame.to_spark()

@@ -394,3 +394,28 @@ def test_resample_closed_label(spark):
                     .reset_index())
             assert list(got["ts"]) == list(want["ts"]), (closed, label)
             assert list(got["v_sum"]) == list(want["v"]), (closed, label)
+
+
+def test_resample_convenience(spark):
+    ts = pd.date_range("2024-02-01", periods=36, freq="40min")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(36.0),
+                        "w": np.arange(36.0) * 2})
+    d = from_pandas(spark, pdf, npartitions=2)
+    got = (d.resample("h", on="ts").sum().compute()
+           .sort_values("ts").reset_index(drop=True))
+    want = pdf.set_index("ts").resample("h").sum().reset_index()
+    want = want[want.v.notna() | (want.v == 0)]
+    # pandas emits empty bins (gap filling); we emit observed bins only
+    want = pdf.set_index("ts").resample("h").sum()
+    want = want[(want != 0).any(axis=1) | (want.index.isin(pdf.ts))]
+    got2 = got.set_index("ts")
+    for c in ("v", "w"):
+        assert np.allclose(got2[c], want.loc[got2.index, c])
+    sz = (d.resample("h", on="ts").size().compute()
+          .sort_values("ts").reset_index(drop=True))
+    wsz = pdf.set_index("ts").resample("h").size()
+    assert list(sz["size"]) == list(wsz[wsz > 0])
+    sr = (d.set_index("ts")["v"].resample("h").mean().compute()
+          .sort_values("ts").reset_index(drop=True))
+    wm = pdf.set_index("ts")["v"].resample("h").mean().dropna()
+    assert np.allclose(sr["v"], wm)
