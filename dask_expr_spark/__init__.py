@@ -27,6 +27,7 @@ from .collection import (
     to_timedelta,
 )
 from .operators.asof import merge_asof
+from .operators.rangejoin import merge_range
 from .operators.merge import merge
 from .session import get_spark
 from .sources.io import (
@@ -49,7 +50,7 @@ __all__ = [
     "Aggregation", "DataFrame", "Series", "Scalar", "GroupBy", "concat", "from_spark",
     "get_spark", "read_parquet", "read_csv", "read_json", "read_orc",
     "read_table", "read_fwf", "from_pandas", "from_dict", "from_map",
-    "load_tables", "timeseries", "merge", "merge_asof", "melt",
+    "load_tables", "timeseries", "merge", "merge_asof", "merge_range", "melt",
     "pivot_table", "repartition", "map_partitions", "map_overlap",
     "elemwise", "isna", "to_datetime", "to_numeric", "to_timedelta",
 ]

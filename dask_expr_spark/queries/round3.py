@@ -398,3 +398,49 @@ def text_contamination_buckets(spark, sf_dir):
             F.sum("n_contaminated").cast("long").alias("total_cont"),
         )
     )
+
+
+# -- range (interval) join ----------------------------------------------
+RANGE_JOIN_SQL = """
+WITH w AS (
+  SELECT user_id AS wu,
+         epoch_us(ts) - 600000000 AS lo,
+         epoch_us(ts) + 600000000 AS hi
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS p
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, count(*) AS n_in_window
+FROM c JOIN w ON c.user_id = w.wu AND c.p BETWEEN w.lo AND w.hi
+GROUP BY c.user_id
+"""
+
+
+@q("range_join_purchase_windows", RANGE_JOIN_SQL)
+def range_join_purchase_windows(spark, sf_dir):
+    """interval join (operators/rangejoin.py merge_range): clicks
+    falling inside ±10min windows around same-user purchases — the
+    bin-bucketed equi-join shape, not a nested loop."""
+    from ..operators.rangejoin import merge_range
+
+    ev = tbl(spark, sf_dir, "events").to_spark()
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("wu"),
+            (us - 600_000_000).alias("lo"),
+            (us + 600_000_000).alias("hi"),
+        )
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("p"))
+    )
+    joined = merge_range(clicks, windows, "p", "lo", "hi")
+    return (
+        joined.filter(F.col("user_id") == F.col("wu"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )

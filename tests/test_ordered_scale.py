@@ -419,3 +419,33 @@ def test_resample_convenience(spark):
           .sort_values("ts").reset_index(drop=True))
     wm = pdf.set_index("ts")["v"].resample("h").mean().dropna()
     assert np.allclose(sr["v"], wm)
+
+
+def test_merge_range(spark):
+    """bin-bucketed interval join (operators/rangejoin.py) vs a pandas
+    brute force — no nested-loop join in the plan."""
+    from dask_expr_spark import merge_range
+
+    rng = np.random.RandomState(21)
+    pts = pd.DataFrame({"p": rng.randint(0, 1000, 300), "pid": range(300)})
+    lo = rng.randint(0, 950, 40)
+    iv = pd.DataFrame({"lo": lo, "hi": lo + rng.randint(5, 80, 40),
+                       "iid": range(40)})
+    lsdf = from_pandas(spark, pts, npartitions=3).to_spark()
+    rsdf = from_pandas(spark, iv, npartitions=2).to_spark()
+    out = merge_range(lsdf, rsdf, "p", "lo", "hi")
+    assert "BroadcastNestedLoopJoin" not in \
+        out._jdf.queryExecution().executedPlan().toString()
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    want = sorted(
+        (prow.pid, irow.iid)
+        for _, prow in pts.iterrows()
+        for _, irow in iv.iterrows()
+        if irow.lo <= prow.p <= irow.hi
+    )
+    assert got == want
+
+    left = merge_range(lsdf, rsdf, "p", "lo", "hi", how="left")
+    n_unmatched = sum(1 for r in left.collect() if r.iid is None)
+    matched_pids = {g[0] for g in got}
+    assert n_unmatched == 300 - len(matched_pids)
