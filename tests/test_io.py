@@ -141,3 +141,27 @@ def test_series_rolling(spark):
     got = s.rolling(3).mean(["v"]).compute()["v_rmean"]
     want = pdf.set_index("t")["v"].rolling(3).mean()
     assert got.fillna(-1).tolist() == want.fillna(-1).tolist()
+
+
+def test_jdbc_roundtrip_derby(spark):
+    """read_jdbc/to_sql against the Derby jar Spark bundles for its
+    metastore (in-memory DB, embedded driver — single-JVM local mode,
+    which is exactly where this test runs)."""
+    from dask_expr_spark.sources.io import read_jdbc
+
+    url = "jdbc:derby:memory:dx_jdbc_test;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    pdf = pd.DataFrame({"k": list(range(20)), "v": [i * 1.5 for i in range(20)]})
+    df = from_pandas(spark, pdf)
+    df.to_sql("roundtrip", url, mode="overwrite", **drv)
+    back = read_jdbc(spark, url, "roundtrip", **drv).compute()
+    back = back.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+
+    # partitioned read path (partitionColumn pruning contract)
+    part = read_jdbc(
+        spark, url, "roundtrip", partition_column="k",
+        num_partitions=4, lower_bound=0, upper_bound=20, **drv,
+    )
+    assert part.to_spark().rdd.getNumPartitions() == 4
+    assert sorted(r.k for r in part.to_spark().collect()) == list(range(20))
