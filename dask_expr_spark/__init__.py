@@ -39,6 +39,7 @@ from .sources.io import (
     read_fwf,
     read_json,
     read_orc,
+    read_xml,
     read_parquet,
     read_table,
     timeseries,
@@ -48,7 +49,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Aggregation", "DataFrame", "Series", "Scalar", "GroupBy", "concat", "from_spark",
-    "get_spark", "read_parquet", "read_csv", "read_json", "read_orc",
+    "get_spark", "read_parquet", "read_csv", "read_json", "read_orc", "read_xml",
     "read_table", "read_fwf", "from_pandas", "from_dict", "from_map",
     "load_tables", "timeseries", "merge", "merge_asof", "merge_range", "melt",
     "pivot_table", "repartition", "map_partitions", "map_overlap",

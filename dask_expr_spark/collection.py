@@ -1277,6 +1277,16 @@ class DataFrame(FrameBase):
     def to_orc(self, path: str, mode: str = "overwrite") -> None:
         self._sdf.write.mode(mode).orc(path)
 
+    def to_xml(self, path: str, mode: str = "overwrite",
+               row_tag: str = "row", root_tag: str = "rows",
+               **options) -> None:
+        """XML writer (Spark 4 built-in xml datasource)."""
+        w = (self._sdf.write.format("xml").mode(mode)
+             .option("rowTag", row_tag).option("rootTag", root_tag))
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save(path)
+
     def pipe(self, func: Callable, *args, **kwargs):
         """reference: pipe, _collection.py:2126 — plain function chaining."""
         return func(self, *args, **kwargs)

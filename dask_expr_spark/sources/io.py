@@ -134,6 +134,16 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return DataFrame(spark.read.orc(path))
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             **options) -> DataFrame:
+    """XML source (Spark 4 built-in xml datasource; extension beyond
+    the reference's format list — schema inferred per rowTag)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return DataFrame(reader.load(path))
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               num_partitions: int | None = None,

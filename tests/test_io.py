@@ -165,3 +165,15 @@ def test_jdbc_roundtrip_derby(spark):
     )
     assert part.to_spark().rdd.getNumPartitions() == 4
     assert sorted(r.k for r in part.to_spark().collect()) == list(range(20))
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML datasource (extension format)."""
+    from dask_expr_spark import read_xml
+    pdf = pd.DataFrame({"a": range(10), "b": [f"v{i}" for i in range(10)]})
+    df = from_pandas(spark, pdf)
+    out = str(tmp_path / "rt_xml")
+    df.to_xml(out, row_tag="rec", root_tag="recs")
+    back = (read_xml(spark, out, row_tag="rec").compute()
+            .sort_values("a").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back[["a", "b"]], pdf, check_dtype=False)
