@@ -40,6 +40,8 @@ from .sources.io import (
     read_json,
     read_orc,
     read_xml,
+    read_text,
+    read_binary_files,
     read_parquet,
     read_table,
     timeseries,
@@ -50,6 +52,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Aggregation", "DataFrame", "Series", "Scalar", "GroupBy", "concat", "from_spark",
     "get_spark", "read_parquet", "read_csv", "read_json", "read_orc", "read_xml",
+    "read_text", "read_binary_files",
     "read_table", "read_fwf", "from_pandas", "from_dict", "from_map",
     "load_tables", "timeseries", "merge", "merge_asof", "merge_range", "melt",
     "pivot_table", "repartition", "map_partitions", "map_overlap",

@@ -134,6 +134,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return DataFrame(spark.read.orc(path))
 
 
+def read_text(spark: SparkSession, path: str,
+              line_sep: str | None = None,
+              whole_text: bool = False) -> DataFrame:
+    """raw text ingestion: one row per line (or per file with
+    whole_text=True) in a `value` column — the first step of a text
+    training-data pipeline before text.* filters run."""
+    return DataFrame(
+        spark.read.text(path, wholetext=whole_text, lineSep=line_sep)
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """binary-file ingestion (images/audio/video): one row per file
+    with (path, modificationTime, length, content) — feeds
+    functions/multimodal.py decode/frame/embed steps. Spark's
+    binaryFile source prunes `content` when only metadata is
+    selected."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return DataFrame(reader.load(path))
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
              **options) -> DataFrame:
     """XML source (Spark 4 built-in xml datasource; extension beyond

@@ -177,3 +177,28 @@ def test_xml_roundtrip(spark, tmp_path):
     back = (read_xml(spark, out, row_tag="rec").compute()
             .sort_values("a").reset_index(drop=True))
     pd.testing.assert_frame_equal(back[["a", "b"]], pdf, check_dtype=False)
+
+
+def test_read_text_and_binary_files(spark, tmp_path):
+    """raw text + binaryFile ingestion (the multimodal/corpus entry
+    points; binaryFile metadata-only reads prune `content`)."""
+    from dask_expr_spark import read_binary_files, read_text
+
+    (tmp_path / "a.txt").write_text("hello\nworld\n")
+    (tmp_path / "b.txt").write_text("spark\n")
+    txt = read_text(spark, str(tmp_path / "*.txt")).compute()
+    assert sorted(txt["value"]) == ["hello", "spark", "world"]
+
+    whole = read_text(spark, str(tmp_path / "a.txt"), whole_text=True).compute()
+    assert list(whole["value"]) == ["hello\nworld\n"]
+
+    (tmp_path / "img1.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "img2.bin").write_bytes(b"\xff" * 10)
+    bf = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    got = {r["path"].split("/")[-1]: r for r in bf.to_spark().collect()}
+    assert got["img1.bin"]["length"] == 3
+    assert bytes(got["img2.bin"]["content"]) == b"\xff" * 10
+    # metadata-only projection prunes content from the scan
+    plan = (bf.to_spark().select("path", "length")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "content" not in plan.split("ReadSchema")[-1][:200]
