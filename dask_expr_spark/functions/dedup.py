@@ -345,3 +345,34 @@ def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", hamming).select("id_a", "id_b", "hamming")
+
+
+def minhash_sig_expr(text: Column, k: int = 3, num_perm: int = 32,
+                     sep: str = " ") -> Column:
+    """MinHash signature as ONE pure column expression (array<bigint>)
+    — no explode/groupBy, so it also runs on STREAMING frames where a
+    pre-aggregation before stateful ops is not allowed. Same
+    one-hash + universal-rehash construction as minhash_signatures
+    (hash the shingle once, derive permutations by rehashing the
+    8-byte base hash with the permutation index)."""
+    base = F.transform(
+        F.array_distinct(shingles(text, k, sep)), lambda s: F.xxhash64(s)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(base, lambda h: F.xxhash64(i, h))
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 4) -> Column:
+    """array<struct<band,bkey>>: xxhash64 of each signature band —
+    works on batch and streaming frames alike."""
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(F.slice(sig, j * rows + 1, rows)).alias("bkey"),
+        )
+        for j in range(bands)
+    ])

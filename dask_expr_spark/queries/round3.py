@@ -444,3 +444,35 @@ def range_join_purchase_windows(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_in_window"))
     )
+
+
+@q("stream_near_dedup", None)
+def stream_near_dedup(spark, sf_dir):
+    """streaming MinHash-LSH near-dup candidates
+    (streaming/ops.py near_dedup_candidates_stream): pure-expression
+    signatures + per-(band,bucket) state, candidates flagged online.
+    Stateful micro-batch semantics → rows-only check; exact batch
+    parity asserted in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_nd_")
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs.to_spark().select("doc_id", "text").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    name = "stream_near_dedup_out"
+    q_ = S.run_to_memory(S.near_dedup_candidates_stream(stream), name,
+                         output_mode="append")
+    try:
+        out = spark.sql(
+            f"SELECT doc_id, matched_doc, band FROM {name} "
+            "ORDER BY doc_id, matched_doc, band"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q_.stop()
+    return out

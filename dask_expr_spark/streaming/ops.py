@@ -174,3 +174,63 @@ def stream_stream_purchase_after_click(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}"))
     )
     return p.join(c, cond, "inner")
+
+
+NEAR_DUP_STATE_SCHEMA = T.StructType([T.StructField("first_doc", T.LongType())])
+NEAR_DUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("matched_doc", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+    ]
+)
+
+
+def near_dedup_candidates_stream(
+    stream: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 8, rows: int = 4, k: int = 3,
+) -> DataFrame:
+    """STREAMING near-duplicate candidates: MinHash+LSH online.
+
+    The signature and band keys are pure column expressions
+    (functions/dedup.py minhash_sig_expr — legal before a stateful op,
+    unlike an aggregation), then per-(band, bucket) state remembers the
+    bucket's first document and every later arrival is emitted as a
+    candidate pair (doc_id, matched_doc, band). Candidates are verified
+    offline (exact Jaccard on the flagged pairs) — the standard
+    online-flag/offline-verify split. State is one long per occupied
+    bucket, partitioned by the bucket key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.dedup import lsh_band_keys, minhash_sig_expr
+
+    sig = minhash_sig_expr(F.col(text_col), k=k, num_perm=bands * rows)
+    banded = (
+        stream.select(F.col(id_col).alias("doc_id"),
+                      F.explode(lsh_band_keys(sig, bands, rows)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bkey").alias("bkey"))
+    )
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        band, _bkey = key
+        first = state.get[0] if state.exists else None
+        # min doc first: deterministic under any intra-batch order
+        docs = sorted({int(d) for pdf in pdfs for d in pdf["doc_id"]})
+        if first is None and docs:
+            first = docs.pop(0)
+            state.update((first,))
+        dups = [d for d in docs if d != first]
+        if dups:
+            yield pd.DataFrame(
+                {"doc_id": dups, "matched_doc": [first] * len(dups),
+                 "band": [int(band)] * len(dups)}
+            )
+
+    return banded.groupBy("band", "bkey").applyInPandasWithState(
+        update,
+        outputStructType=NEAR_DUP_OUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -177,3 +177,47 @@ def test_foreach_batch_sink(spark, stream_dir, tmp_path):
     q.stop()
     assert len(totals) >= 4  # one per staged file
     assert sum(totals) == spark.read.schema(S.EVENTS_SCHEMA).parquet(stream_dir).count()
+
+
+def test_near_dedup_candidates_stream(spark, sf_dir, tmp_path):
+    """streaming MinHash-LSH near-dup candidates: pure-expression
+    signatures + per-bucket state. Parity: one micro-batch makes
+    first=min(doc_id) per bucket deterministic, so the emitted pairs
+    must equal the batch LSH buckets' (min, other) pairs."""
+    import os
+    import uuid
+
+    from dask_expr_spark.functions.dedup import lsh_band_keys, minhash_sig_expr
+    from dask_expr_spark.sources.io import read_parquet
+
+    src = str(tmp_path / "docs_stream")
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet")).to_spark()
+    docs.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = S.near_dedup_candidates_stream(stream)
+    name = f"nd_{uuid.uuid4().hex[:8]}"
+    q = S.run_to_memory(out, name, output_mode="append")
+    try:
+        got = {(r.doc_id, r.matched_doc, r.band)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+        batch = spark.read.schema(schema).parquet(src)
+        sig = minhash_sig_expr(F.col("text"), k=3, num_perm=32)
+        banded = (batch.select("doc_id",
+                               F.explode(lsh_band_keys(sig, 8, 4)).alias("bb"))
+                  .select("doc_id", "bb.band", "bb.bkey"))
+        want = set()
+        rows = banded.collect()
+        firsts = {}
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            key = (r.band, r.bkey)
+            if key not in firsts:
+                firsts[key] = r.doc_id
+            elif r.doc_id != firsts[key]:
+                want.add((r.doc_id, firsts[key], r.band))
+        assert got == want
+        assert len(want) > 0  # the corpus does contain near-dup buckets
+    finally:
+        q.stop()
