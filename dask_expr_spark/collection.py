@@ -435,6 +435,38 @@ class DataFrame(FrameBase):
         )
         return self._wrap(sdf)
 
+    def duplicated(self, subset: Sequence[str] | None = None,
+                   keep: str = "first",
+                   order_by: Sequence[str] | None = None) -> "Series":
+        """boolean dup marker (pandas duplicated). keep=False marks
+        every member of a >1 group (one hash window, order-free);
+        keep='first'/'last' needs a row order — same index/order_by
+        requirement as drop_duplicates(keep=)."""
+        subset = list(subset) if subset else self.columns
+        if keep is False or keep == False:  # noqa: E712 — pandas API literal
+            w = Window.partitionBy(*subset)
+            out = self._sdf.withColumn(
+                "__dup", F.count(F.lit(1)).over(w) > 1
+            )
+            return Series(out, F.col("__dup").alias("duplicated"),
+                          "duplicated", self._index_cols, False)
+        if keep not in ("first", "last"):
+            raise ValueError("keep must be 'first', 'last', or False")
+        order_cols = list(order_by) if order_by else list(self._index_cols)
+        if not order_cols:
+            raise ValueError(
+                f"duplicated(keep={keep!r}) needs a known row order: "
+                "set_index(...) first or pass order_by="
+            )
+        order = [F.col(c).asc() if keep == "first" else F.col(c).desc()
+                 for c in order_cols]
+        w = Window.partitionBy(*subset).orderBy(*order)
+        out = self._sdf.withColumn(
+            "__dup", F.row_number().over(w) > 1
+        )
+        return Series(out, F.col("__dup").alias("duplicated"),
+                      "duplicated", self._index_cols, False)
+
     def distinct(self) -> "DataFrame":
         return self._wrap(self._sdf.distinct())
 
@@ -2401,6 +2433,11 @@ class Series(FrameBase):
         return self.to_frame().expanding(
             order_by=order_by or list(self._index_cols)
         )
+
+    def duplicated(self, keep: str = "first") -> "Series":
+        """boolean marker of repeated values (pandas Series.duplicated)
+        — delegates to the frame form on the value column."""
+        return self.to_frame().duplicated(subset=[self._name], keep=keep)
 
     def resample(self, freq: str, closed: str = "left",
                  label: str = "left"):

@@ -449,3 +449,20 @@ def test_merge_range(spark):
     n_unmatched = sum(1 for r in left.collect() if r.iid is None)
     matched_pids = {g[0] for g in got}
     assert n_unmatched == 300 - len(matched_pids)
+
+
+def test_duplicated(spark):
+    pdf = pd.DataFrame({
+        "i": range(20),
+        "g": [i % 6 for i in range(20)],
+        "h": [i % 3 for i in range(20)],
+    })
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    num = pdf.set_index("i")
+    for keep in ("first", "last", False):
+        got = d.duplicated(subset=["g", "h"], keep=keep).compute().sort_index()
+        want = num.duplicated(subset=["g", "h"], keep=keep)
+        assert list(got) == list(want), keep
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        from_pandas(spark, pdf, npartitions=2).duplicated(subset=["g"])
