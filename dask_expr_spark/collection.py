@@ -210,6 +210,16 @@ class FrameBase:
         """reference: FromGraph / persist (io/io.py:37)."""
         return type(self)(self._sdf.cache(), self._index_cols, self._known_sorted)
 
+    def checkpoint(self, eager: bool = True) -> "FrameBase":
+        """materialize and TRUNCATE lineage (localCheckpoint) — the
+        scale lever before fan-out consumers (the ordered two-pass,
+        dedup self-joins): downstream branches reread the materialized
+        partitions instead of recomputing the plan per branch (see
+        SCALE.md 'known trade-off'). The reference's analogue is
+        materialized divisions / persisted intermediates."""
+        return type(self)(self._sdf.localCheckpoint(eager),
+                          self._index_cols, self._known_sorted)
+
     def npartitions(self) -> int:
         return self._sdf.rdd.getNumPartitions()
 

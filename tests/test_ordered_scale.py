@@ -466,3 +466,14 @@ def test_duplicated(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         from_pandas(spark, pdf, npartitions=2).duplicated(subset=["g"])
+
+
+def test_checkpoint_fanout(spark):
+    """checkpoint() truncates lineage so the ordered two-pass's
+    branches reread materialized partitions instead of recomputing."""
+    pdf = pd.DataFrame({"i": range(40), "y": np.arange(40.0)})
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i").checkpoint()
+    got = d.cumsum(columns=["y"]).compute().sort_index()["y"]
+    _cmp_series(got, pdf.set_index("i")["y"].cumsum())
+    plan = _plan(d.cumsum(columns=["y"]))
+    assert "FileScan" not in plan  # branches read the checkpoint, not the source
