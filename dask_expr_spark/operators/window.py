@@ -57,6 +57,16 @@ class Rolling:
             return -(self._window // 2), (self._window - 1) // 2
         return -(self._window - 1), 0
 
+    def _numeric_cols(self) -> list:
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal", "boolean"}
+        skip = set(self._order) | set(self._partition)
+        return [
+            f.name for f in self._frame.to_spark().schema.fields
+            if f.name not in skip
+            and f.dataType.simpleString().split("(")[0] in num
+        ]
+
     def _prep(self):
         """(sdf, window, finish) for the window methods.
 
@@ -97,7 +107,7 @@ class Rolling:
     def _exp_unq_p(self) -> bool:
         return self._unbounded_start and not self._partition
 
-    def _exp_unq(self, cols: Sequence[str], suffix: str, kind: str) -> DataFrame:
+    def _exp_unq(self, cols, suffix: str, kind: str) -> DataFrame:
         """Ungrouped expanding aggs from range-bucketed running sums
         (ordered.cumulative) — per-bucket prefix window + broadcast
         cross-bucket offsets, no global window."""
@@ -142,7 +152,8 @@ class Rolling:
             out[f"{c}_{suffix}"] = val
         return self._wrap(sdf.withColumns(out).drop(*temps.keys()))
 
-    def _apply(self, agg_fn, cols: Sequence[str], suffix: str) -> DataFrame:
+    def _apply(self, agg_fn, cols, suffix: str) -> DataFrame:
+        cols = list(cols) if cols else self._numeric_cols()
         sdf, w, finish = self._prep()
         exprs = {}
         for c in cols:
@@ -154,42 +165,49 @@ class Rolling:
             exprs[f"{c}_{suffix}"] = val
         return self._wrap(finish(sdf.withColumns(exprs)))
 
-    def sum(self, cols):
+    def sum(self, cols=None):
         if self._exp_unq_p():
-            return self._exp_unq(cols, "rsum", "sum")
+            return self._exp_unq(list(cols) if cols else self._numeric_cols(),
+                                 "rsum", "sum")
         return self._apply(lambda c, w: F.sum(c).over(w), cols, "rsum")
 
-    def mean(self, cols):
+    def mean(self, cols=None):
         if self._exp_unq_p():
-            return self._exp_unq(cols, "rmean", "mean")
+            return self._exp_unq(list(cols) if cols else self._numeric_cols(),
+                                 "rmean", "mean")
         return self._apply(lambda c, w: F.avg(c).over(w), cols, "rmean")
 
-    def min(self, cols):
+    def min(self, cols=None):
         if self._exp_unq_p():
-            return self._exp_unq(cols, "rmin", "min")
+            return self._exp_unq(list(cols) if cols else self._numeric_cols(),
+                                 "rmin", "min")
         return self._apply(lambda c, w: F.min(c).over(w), cols, "rmin")
 
-    def max(self, cols):
+    def max(self, cols=None):
         if self._exp_unq_p():
-            return self._exp_unq(cols, "rmax", "max")
+            return self._exp_unq(list(cols) if cols else self._numeric_cols(),
+                                 "rmax", "max")
         return self._apply(lambda c, w: F.max(c).over(w), cols, "rmax")
 
-    def count(self, cols):
+    def count(self, cols=None):
         if self._exp_unq_p():
-            return self._exp_unq(cols, "rcount", "count")
+            return self._exp_unq(list(cols) if cols else self._numeric_cols(),
+                                 "rcount", "count")
         return self._apply(lambda c, w: F.count(c).over(w), cols, "rcount")
 
-    def std(self, cols):
+    def std(self, cols=None):
         if self._exp_unq_p():
-            return self._exp_unq(cols, "rstd", "std")
+            return self._exp_unq(list(cols) if cols else self._numeric_cols(),
+                                 "rstd", "std")
         return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "rstd")
 
-    def var(self, cols):
+    def var(self, cols=None):
         if self._exp_unq_p():
-            return self._exp_unq(cols, "rvar", "var")
+            return self._exp_unq(list(cols) if cols else self._numeric_cols(),
+                                 "rvar", "var")
         return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "rvar")
 
-    def median(self, cols):
+    def median(self, cols=None):
         """rolling median — F.percentile IS window-framable in Spark
         (F.median is not), JVM-side, no UDF. (Ungrouped expanding
         median is holistic over the whole prefix and keeps the global
