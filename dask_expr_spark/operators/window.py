@@ -413,7 +413,13 @@ class TimeRolling:
         return (Window.partitionBy(*self._partition).orderBy(order)
                 .rangeBetween(-self._micros, 0))
 
-    def _apply(self, agg_fn, cols: Sequence[str], suffix: str) -> DataFrame:
+    def _apply(self, agg_fn, cols, suffix: str) -> DataFrame:
+        if not cols:
+            num = {"int", "bigint", "smallint", "tinyint", "double",
+                   "float", "decimal", "boolean"}
+            cols = [f.name for f in self._frame.to_spark().schema.fields
+                    if f.name != self._on and f.name not in self._partition
+                    and f.dataType.simpleString().split("(")[0] in num]
         sdf, w, finish = self._prep()
         exprs = {f"{c}_{suffix}": agg_fn(F.col(c), w) for c in cols}
         return self._frame._wrap(
@@ -421,13 +427,13 @@ class TimeRolling:
             known_sorted=None if self._partition else False,
         )
 
-    def sum(self, cols): return self._apply(lambda c, w: F.sum(c).over(w), cols, "tsum")
-    def mean(self, cols): return self._apply(lambda c, w: F.avg(c).over(w), cols, "tmean")
-    def count(self, cols): return self._apply(lambda c, w: F.count(c).over(w), cols, "tcount")
-    def min(self, cols): return self._apply(lambda c, w: F.min(c).over(w), cols, "tmin")
-    def max(self, cols): return self._apply(lambda c, w: F.max(c).over(w), cols, "tmax")
-    def var(self, cols): return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "tvar")
-    def std(self, cols): return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "tstd")
+    def sum(self, cols=None): return self._apply(lambda c, w: F.sum(c).over(w), cols, "tsum")
+    def mean(self, cols=None): return self._apply(lambda c, w: F.avg(c).over(w), cols, "tmean")
+    def count(self, cols=None): return self._apply(lambda c, w: F.count(c).over(w), cols, "tcount")
+    def min(self, cols=None): return self._apply(lambda c, w: F.min(c).over(w), cols, "tmin")
+    def max(self, cols=None): return self._apply(lambda c, w: F.max(c).over(w), cols, "tmax")
+    def var(self, cols=None): return self._apply(lambda c, w: F.var_samp(c).over(w), cols, "tvar")
+    def std(self, cols=None): return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "tstd")
 
 
 def freq_micros(freq: str) -> int:
