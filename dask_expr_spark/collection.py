@@ -487,9 +487,21 @@ class DataFrame(FrameBase):
         return [self._wrap(s) for s in self._sdf.randomSplit(list(weights), seed=seed)]
 
     # -- explode (reference: ExplodeFrame, _expr.py:1814) --------------------
-    def explode(self, column: str) -> "DataFrame":
+    def explode(self, column: str, pos: str | None = None,
+                outer: bool = False) -> "DataFrame":
+        """one row per array element (reference: ExplodeSeries/Frame,
+        _expr.py:1809). pos= adds the element's position column;
+        outer=True keeps empty/null arrays as a null row."""
         others = [c for c in self._sdf.columns if c != column]
-        return self._wrap(self._sdf.select(*others, F.explode(column).alias(column)))
+        if pos is not None:
+            fn = F.posexplode_outer if outer else F.posexplode
+            return self._wrap(
+                self._sdf.select(
+                    *others, fn(column).alias(pos, column)
+                )
+            )
+        fn = F.explode_outer if outer else F.explode
+        return self._wrap(self._sdf.select(*others, fn(column).alias(column)))
 
     # -- sorting / limits (reference: SortValues _shuffle.py:964,
     #    Head/Tail _expr.py:2421, NFirst/NLast _reductions.py:1373) ----------
