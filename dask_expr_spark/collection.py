@@ -1331,6 +1331,23 @@ class DataFrame(FrameBase):
     def to_orc(self, path: str, mode: str = "overwrite") -> None:
         self._sdf.write.mode(mode).orc(path)
 
+    def to_table(self, name: str, mode: str = "overwrite",
+                 bucket_by: str | Sequence[str] | None = None,
+                 num_buckets: int = 8,
+                 sort_by: str | Sequence[str] | None = None) -> None:
+        """catalog table write; bucket_by pre-partitions on the join
+        key so later equi-joins between co-bucketed tables run
+        EXCHANGE-FREE sort-merge (asserted in test_scale_ops) — the
+        Spark analogue of the reference's fully-indexed merge."""
+        w = self._sdf.write.mode(mode)
+        if bucket_by:
+            bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+            w = w.bucketBy(num_buckets, *bucket_by)
+            if sort_by:
+                sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+                w = w.sortBy(*sort_by)
+        w.saveAsTable(name)
+
     def to_xml(self, path: str, mode: str = "overwrite",
                row_tag: str = "row", root_tag: str = "rows",
                **options) -> None:

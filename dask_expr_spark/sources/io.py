@@ -271,3 +271,10 @@ def from_map(spark: SparkSession, func, inputs: Sequence, schema,
                 yield out
 
     return DataFrame(desc.mapInPandas(run, schema))
+
+
+def from_table(spark: SparkSession, name: str) -> DataFrame:
+    """catalog table reader — pairs with DataFrame.to_table; bucketed
+    tables come back with their bucket spec so co-bucketed joins stay
+    exchange-free."""
+    return DataFrame(spark.table(name))

@@ -169,3 +169,30 @@ def test_global_shuffle_is_permutation(spark, sf_dir):
         .count()
     )
     assert mismatch == 0
+
+
+def test_to_table_from_table_bucketed(spark):
+    """the to_table/from_table facade preserves the bucket spec: a join
+    of co-bucketed tables is an exchange-free sort-merge join."""
+    import pandas as pd
+
+    from dask_expr_spark.sources.io import from_pandas, from_table
+
+    pdf = pd.DataFrame({"k": list(range(100)) * 2, "v": range(200)})
+    d = from_pandas(spark, pdf)
+    d.to_table("fct_bt_a", bucket_by="k", sort_by="k")
+    d.to_table("fct_bt_b", bucket_by="k", sort_by="k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = from_table(spark, "fct_bt_a").to_spark().join(
+            from_table(spark, "fct_bt_b").to_spark(), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS fct_bt_a")
+        spark.sql("DROP TABLE IF EXISTS fct_bt_b")
