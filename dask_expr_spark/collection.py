@@ -302,6 +302,9 @@ class DataFrame(FrameBase):
         if isinstance(value, Series):
             if value._anchor is not self._sdf:
                 self._sdf = self._align_foreign(self._sdf, key, value)
+                # the index equi-join re-shuffles rows: range order is
+                # lost (mirror assign()'s `joined` handling)
+                self._known_sorted = False
                 return
             col = value._scol
         elif callable(value):
@@ -313,14 +316,33 @@ class DataFrame(FrameBase):
     def _align_foreign(self, sdf: SparkDF, key: str, value: "Series") -> SparkDF:
         """Align a Series from another frame by index equi-join
         (reference: are_co_aligned + OpAlignPartitions, _expr.py:3140,
-        3632) — left join, unmatched labels yield null like pandas."""
+        3632) — left join, unmatched labels yield null like pandas.
+        Duplicate index labels on the source side would fan out the left
+        frame's rows, so they raise at runtime (pandas: 'cannot reindex
+        on an axis with duplicate labels'); the guard is a grouped
+        right side + raise_error folded into the value expression, so
+        it stays lazy and can't be pruned away."""
         if not self._index_cols or tuple(value._index_cols) != self._index_cols:
             raise ValueError(
                 "assigning a series from a different frame requires both "
                 "to share an index (set_index on the same column(s) first)"
             )
         idx = list(self._index_cols)
-        right = value._anchor.select(*idx, value._scol.alias(key))
+        right = (
+            value._anchor
+            .groupBy(*idx)
+            .agg(F.first(value._scol).alias(key),
+                 F.count(F.lit(1)).alias("__dup_cnt"))
+            .select(
+                *idx,
+                F.when(
+                    F.col("__dup_cnt") > 1,
+                    F.raise_error(F.lit(
+                        "cannot reindex on an axis with duplicate labels"
+                    )),
+                ).otherwise(F.col(key)).alias(key),
+            )
+        )
         return sdf.drop(key).join(right, on=idx, how="left")
 
     def __getattr__(self, name: str):
@@ -917,7 +939,9 @@ class DataFrame(FrameBase):
             out = F.array_min(arr) if fn == "min" else F.array_max(arr)
         elif fn in ("var", "std"):
             s2 = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x * x)
-            v = F.when(n >= 2, (s2 - s * s / n) / (n - 1))
+            # clamp at 0: float64 cancellation on large-magnitude values
+            # can produce tiny negative variances (→ NaN std)
+            v = F.when(n >= 2, F.greatest((s2 - s * s / n) / (n - 1), F.lit(0.0)))
             out = F.sqrt(v) if fn == "std" else v
         elif fn == "prod":
             out = F.aggregate(vals, F.lit(1.0), lambda acc, x: acc * x)
@@ -1023,11 +1047,21 @@ class DataFrame(FrameBase):
             micros = freq_micros(freq) * periods
             idx = self._order_cols(order_by)
             dtypes = dict(self._sdf.dtypes)
+            # only timestamp/date order columns move; integer tiebreak
+            # columns in a composite order must not be routed through a
+            # timestamp cast (it would corrupt their values)
+            ts = [c for c in idx
+                  if dtypes[c].split("(")[0] in ("timestamp", "timestamp_ntz", "date")]
+            if not ts:
+                raise TypeError(
+                    f"shift(freq=) needs a timestamp/date order column; "
+                    f"got {[(c, dtypes[c]) for c in idx]}"
+                )
             out = self._sdf.withColumns({
                 c: F.timestamp_micros(
                     F.unix_micros(F.col(c).cast("timestamp")) + F.lit(micros)
                 ).cast(dtypes[c])
-                for c in idx
+                for c in ts
             })
             return self._wrap(out)
         if periods == 0:
@@ -1113,13 +1147,14 @@ class DataFrame(FrameBase):
         return Rolling(self, window, order_by or list(self._index_cols),
                        partition_by, min_periods, center=center)
 
-    def expanding(self, order_by=None, partition_by=None):
+    def expanding(self, order_by=None, partition_by=None,
+                  min_periods: int = 1):
         """expanding (cumulative) window — rolling with an unbounded
         start (reference exposes via cumulative ops, _cumulative.py)."""
         from .operators.window import Rolling
 
         return Rolling(self, window=1, order_by=order_by or list(self._index_cols),
-                       partition_by=partition_by, min_periods=1,
+                       partition_by=partition_by, min_periods=min_periods,
                        unbounded_start=True)
 
     def nunique(self, axis: int = 0):
@@ -2155,7 +2190,14 @@ class Series(FrameBase):
             idx = order_by or (self._index_cols[0] if self._index_cols else None)
             if idx is None:
                 raise ValueError("shift(freq=) needs an index or order_by=")
+            if not isinstance(idx, str):  # composite order: shift the ts head
+                idx = idx[0]
             dtypes = dict(self._anchor.dtypes)
+            if dtypes[idx].split("(")[0] not in ("timestamp", "timestamp_ntz", "date"):
+                raise TypeError(
+                    f"shift(freq=) needs a timestamp/date order column; "
+                    f"{idx!r} is {dtypes[idx]}"
+                )
             anchor = self._anchor.withColumn(
                 idx,
                 F.timestamp_micros(
@@ -2467,10 +2509,11 @@ class Series(FrameBase):
     def add_suffix(self, suffix: str) -> "Series":
         return self.alias(f"{self._name}{suffix}")
 
-    def expanding(self, order_by=None):
+    def expanding(self, order_by=None, min_periods: int = 1):
         """one-column expanding frame (pandas Series.expanding())."""
         return self.to_frame().expanding(
-            order_by=order_by or list(self._index_cols)
+            order_by=order_by or list(self._index_cols),
+            min_periods=min_periods,
         )
 
     def duplicated(self, keep: str = "first") -> "Series":

@@ -269,7 +269,17 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(text: Column, num_bits: int = 64, sep: str = " ") -> Column:
+def md5_token_hash(tok: Column) -> Column:
+    """60-bit token hash derived from md5 — the cross-engine-portable
+    alternative to xxhash64 (DuckDB can compute the identical value as
+    ('0x' || substr(md5(t),1,15))::BIGINT), used so the driver can
+    hash-oracle the SimHash pipeline end-to-end. xxhash64 stays the
+    production default (cheaper; no cryptographic work per token)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column, num_bits: int = 64, sep: str = " ",
+            token_hash=None) -> Column:
     """64-bit SimHash over tokens: per-bit majority vote of token
     hashes, assembled into a bigint. Pure column expressions.
 
@@ -289,7 +299,8 @@ def simhash(text: Column, num_bits: int = 64, sep: str = " ") -> Column:
         *[F.lit(_bit_lit(b)).cast("long") for b in range(num_bits)]
     )
     toks = F.array_distinct(F.split(text, sep))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hash_fn = token_hash or (lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, hash_fn)
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), num_bits),
@@ -310,11 +321,17 @@ def simhash(text: Column, num_bits: int = 64, sep: str = " ") -> Column:
 
 
 def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
-                         chunk_bits: int = 16) -> DataFrame:
-    """near-dup candidates: docs sharing any 16-bit SimHash chunk
-    (Hamming distance ≤ 3 over 64 bits guarantees one equal chunk)."""
-    with_sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh64"))
-    n_chunks = 64 // chunk_bits
+                         chunk_bits: int = 16, num_bits: int = 64,
+                         token_hash=None) -> DataFrame:
+    """near-dup candidates: docs sharing any chunk_bits-wide SimHash
+    chunk (Hamming distance ≤ num_bits/chunk_bits − 1 guarantees one
+    equal chunk; the 64/16 default gives the Hamming ≤ 3 guarantee)."""
+    with_sh = df.select(
+        F.col(id_col).alias("__id"),
+        simhash(F.col(text_col), num_bits=num_bits,
+                token_hash=token_hash).alias("__sh64"),
+    )
+    n_chunks = num_bits // chunk_bits
     mask = (1 << chunk_bits) - 1
     chunks = with_sh.select(
         "__id",

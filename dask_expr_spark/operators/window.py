@@ -145,7 +145,8 @@ class Rolling:
             else:  # var / std
                 nd = n.cast("double")
                 v = (F.col(f"__s2_{c}") - F.col(f"__s1_{c}") * F.col(f"__s1_{c}") / nd) / (nd - 1)
-                v = F.when(n >= 2, v)
+                # clamp: float64 cancellation can go slightly negative
+                v = F.when(n >= 2, F.greatest(v, F.lit(0.0)))
                 val = F.sqrt(v) if kind == "std" else v
             if self._min_periods > 1:
                 val = F.when(n >= self._min_periods, val)

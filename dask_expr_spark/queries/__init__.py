@@ -37,23 +37,33 @@ VALIDATED = frozenset({
     "combine_first_balances", "string_ops2", "date_ops2",
     "approx_distinct_parts", "approx_quantiles_price", "sample_orders",
     "loc_orderkey_slice", "series_map_status",
+    # round 2 (CORRECTNESS_r02.json — the 43 hash-green rows; the 7
+    # no_oracle rows stay OUT so they lead the round-3 window with
+    # their new containment / state-check oracles)
+    "melt_measures", "rollup_revenue", "cube_priority_status",
+    "except_inactive_customers", "intersect_active_parts",
+    "dummies_by_nation", "window_shift_diff", "window_cumsum_user",
+    "window_rolling_mean", "window_rank_latest", "resample_hourly",
+    "window_user_sessions", "asof_purchase_click", "window_ffill_gaps",
+    "rolling_time_window", "sliding_window_counts", "funnel_stages",
+    "weekly_retention", "json_props_stats", "text_stats_by_lang",
+    "text_quality_buckets", "text_token_frequencies",
+    "text_fingerprint_dups", "text_lang_id", "text_chunking",
+    "pipeline_clean_corpus", "dedup_exact_docs", "dedup_ngram_jaccard",
+    "ann_cosine_topk", "ann_centroids", "multimodal_decode",
+    "dedup_embedding_cosine", "stream_stateful_totals",
+    "stats_skew_kurt", "rolling_moments_daily", "pivot_table_priority",
+    "idxmax_per_priority", "daily_growth", "rolling_median_rev",
+    "rank_priority_totals", "split_train_val", "stratified_sample_docs",
+    "global_shuffle_head",
 })
-
-# Round-3 wiring checklist (after CORRECTNESS_r02 lands):
-# 1. confirm the r02 rows are green, then add the 50 names that led
-#    this round's registry (every name NOT in VALIDATED above) to
-#    VALIDATED;
-# 2. import queries.round3 in collect_queries() below — its 8
-#    oracle-paired queries (already green vs DuckDB at sf0.001/0.01,
-#    tests/test_round3_queries.py) then land inside the driver's
-#    50-query window.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from . import approx, dedup, events, ops, relational, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
+    from . import approx, dedup, events, ops, relational, round3, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
 
     out: dict = {}
-    for mod in (tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
+    for mod in (round3, tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")
