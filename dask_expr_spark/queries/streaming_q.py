@@ -1,35 +1,64 @@
-"""Streaming query surfaced through the driver contract: stages the
-events table as a file-source stream, drains it through a watermarked
-tumbling-window aggregation, and returns the materialized result.
-Genuinely non-SQL-expressible as a batch oracle statement (stateful
-micro-batch execution) → rows-only check; batch parity is asserted in
-tests/test_streaming.py."""
+"""Streaming queries surfaced through the driver contract.
+
+All three stage the events table as a file-source stream, drain it
+through Structured Streaming, and surface the FINAL state — which
+equals a batch aggregation over the same files, so each one is
+value-checkable against a plain SQL oracle (the
+stream_stateful_totals pattern the round-2 verdict asked to extend).
+
+For the watermarked update-mode query (tumbling counts) the staging
+writes TIME-ORDERED files (4 contiguous ts ranges, written
+sequentially so the file source replays them oldest-first): with
+in-order arrival the 2-hour watermark never drops an event, so the
+last update per window = the batch count. Out-of-order/late-drop
+behavior is exercised separately in tests/test_streaming.py.
+"""
 
 from __future__ import annotations
 
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
+
+def _stage_time_ordered(spark, sf_dir, prefix: str, n_files: int = 4) -> str:
+    """write events as n_files parquet files covering contiguous,
+    ascending ts ranges, sequentially (ascending mod-times) — the file
+    stream source then replays them in event-time order. The min/max
+    collect is 2 values (bounded driver work, same class as the
+    ordered-op bucket sampling)."""
+    from ..sources.io import read_parquet
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).to_spark()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / n_files
+    for i in range(n_files):
+        a = lo + span * i
+        b = hi if i == n_files - 1 else lo + span * (i + 1)
+        cond = (F.col("ts") >= F.lit(a)) & (
+            F.col("ts") <= F.lit(b) if i == n_files - 1 else F.col("ts") < F.lit(b)
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+    return src
+
 
 def stream_tumbling_counts(spark, sf_dir):
-    from ..sources.io import read_parquet
+    """watermarked tumbling-window counts (streaming/ops.py
+    tumbling_counts) drained in update mode over a time-ordered file
+    replay; the last update per (window, event_type) is the final
+    count, hash-checked against the batch hourly aggregation."""
     from ..streaming import ops as S
 
-    src = tempfile.mkdtemp(prefix="stream_q_")
-    (
-        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
-        .to_spark()
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(src)
-    )
-    stream = S.read_event_stream(spark, src, max_files_per_trigger=2)
+    src = _stage_time_ordered(spark, sf_dir, "stream_q_")
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
     name = "stream_tumbling_counts_out"
     q = S.run_to_memory(S.tumbling_counts(stream), name, output_mode="update")
     try:
-        # snapshot the in-memory sink into a concrete DataFrame
+        # max(n) per key = last (monotone) update = final window count
         out = spark.sql(
-            f"SELECT ws, event_type, max(n) AS n, count(*) AS n_updates "
+            f"SELECT ws, event_type, max(n) AS n, round(max(total), 2) AS total "
             f"FROM {name} GROUP BY ws, event_type ORDER BY ws, event_type"
         )
         out = spark.createDataFrame(out.collect(), out.schema)
@@ -38,23 +67,23 @@ def stream_tumbling_counts(spark, sf_dir):
     return out
 
 
+STREAM_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS ws, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2 ORDER BY ws, event_type
+"""
+
+
 def stream_session_counts(spark, sf_dir):
     """session-window streaming aggregation (F.session_window + state
-    store): sessions close after 30 min of user inactivity. Stateful
-    micro-batch semantics → rows-only check; batch session parity is
-    asserted in tests/test_streaming.py."""
-    from ..sources.io import read_parquet
+    store): sessions close after 30 min of user inactivity. Complete
+    mode keeps all state, so the final emitted sessions equal the
+    batch gaps-and-islands sessionization — hash-checked against that
+    SQL oracle."""
     from ..streaming import ops as S
 
-    src = tempfile.mkdtemp(prefix="stream_sq_")
-    (
-        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
-        .to_spark()
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(src)
-    )
-    stream = S.read_event_stream(spark, src, max_files_per_trigger=2)
+    src = _stage_time_ordered(spark, sf_dir, "stream_sq_")
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
     name = "stream_session_counts_out"
     # session windows merge as events arrive → update mode is unsupported;
     # complete mode emits the final merged sessions
@@ -62,7 +91,7 @@ def stream_session_counts(spark, sf_dir):
     try:
         out = spark.sql(
             f"SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events "
-            f"FROM {name} GROUP BY user_id ORDER BY user_id LIMIT 500"
+            f"FROM {name} GROUP BY user_id ORDER BY user_id"
         )
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -70,9 +99,36 @@ def stream_session_counts(spark, sf_dir):
     return out
 
 
+# gaps-and-islands with a >= 30 min break rule: Spark's session_window
+# is [start, last_ts + gap), so an event exactly gap after the previous
+# one starts a NEW session.
+STREAM_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+per_session AS (
+  SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
-    "stream_tumbling_counts": (stream_tumbling_counts, None),
-    "stream_session_counts": (stream_session_counts, None),
+    "stream_tumbling_counts": (stream_tumbling_counts, STREAM_TUMBLING_SQL),
+    "stream_session_counts": (stream_session_counts, STREAM_SESSION_SQL),
 }
 
 
@@ -82,8 +138,6 @@ def stream_stateful_totals(spark, sf_dir):
     per user equals the batch groupBy — that final snapshot is what we
     surface, so this query, though executed with stateful streaming
     semantics, is value-checkable against a plain SQL oracle."""
-    from pyspark.sql import functions as F
-
     from ..sources.io import read_parquet
     from ..streaming import ops as S
 
