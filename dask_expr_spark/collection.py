@@ -729,9 +729,71 @@ class DataFrame(FrameBase):
         return DataFrame(joined.select(*out_cols), self._index_cols, False)
 
     # -- groupby (reference: GroupBy, _groupby.py:1496) ----------------------
-    def groupby(self, by: str | Sequence[str], dropna: bool = True) -> "GroupBy":
-        by = [by] if isinstance(by, str) else list(by)
-        return GroupBy(self, by, dropna=dropna)
+    def groupby(self, by=None, dropna: bool = True, level=None,
+                sort: bool = False, observed: bool = True) -> "GroupBy":
+        """reference: _clean_by_expr (_groupby.py:1322) — `by` accepts
+        column name(s), Series expressions (``df.groupby(df.x // 7)``),
+        raw Columns, and/or index levels via ``level=`` (position or
+        name). A derived grouper is materialized as a key column named
+        after the Series (its source column for expressions); if that
+        name collides with an existing column the grouper REPLACES it —
+        matching the pandas result for the usual selected-column case
+        (``df.groupby(df.x // 7).y.sum()``).
+
+        ``sort=True`` orders the aggregation output by the group keys.
+        Unlike pandas the default is False: a distributed frame has no
+        inherent row order, and the extra range exchange on every agg
+        is wasted work unless the caller actually wants ordered output.
+        ``observed=False`` (emit unobserved categorical combinations)
+        is not supported — Spark only sees observed keys."""
+        if not observed:
+            raise NotImplementedError(
+                "observed=False (rows for unobserved categorical "
+                "combinations) is not supported; Spark aggregates "
+                "observed keys only"
+            )
+        items: list = []
+        if level is not None:
+            levels = [level] if isinstance(level, (int, str)) else list(level)
+            for lv in levels:
+                if isinstance(lv, int):
+                    if not self._index_cols:
+                        raise ValueError("groupby(level=) needs a set index")
+                    items.append(self._index_cols[lv])
+                else:
+                    if lv not in self._index_cols:
+                        raise KeyError(f"index level {lv!r} not found in "
+                                       f"{list(self._index_cols)}")
+                    items.append(lv)
+        if by is not None:
+            items.extend([by] if isinstance(by, (str, Series, Column)) else list(by))
+        if not items:
+            raise TypeError("groupby needs by= and/or level=")
+        keys: list[str] = []
+        sdf = self._sdf
+        for i, b in enumerate(items):
+            if isinstance(b, str):
+                if b not in sdf.columns:
+                    raise KeyError(b)
+                keys.append(b)
+            elif isinstance(b, Series):
+                name = b._name or f"__by{i}"
+                if b._anchor is self._sdf:
+                    sdf = sdf.withColumn(name, b._scol)
+                else:
+                    sdf = self._align_foreign(sdf, name, b)
+                keys.append(name)
+            elif isinstance(b, Column):
+                name = f"__by{i}"
+                sdf = sdf.withColumn(name, b)
+                keys.append(name)
+            else:
+                raise TypeError(
+                    f"cannot group by {type(b).__name__}; pass column "
+                    "name(s), Series, Column, or level="
+                )
+        frame = self if sdf is self._sdf else self._wrap(sdf)
+        return GroupBy(frame, keys, dropna=dropna, sort=sort)
 
     def rollup(self, *cols: str) -> "GroupBy":
         """hierarchical grouping-sets agg — absent in the reference
@@ -2630,11 +2692,18 @@ class GroupBy:
     """
 
     def __init__(self, frame: DataFrame, by: list[str], dropna: bool = True,
-                 mode: str = "groupby"):
+                 mode: str = "groupby", sort: bool = False):
         self._frame = frame
         self._by = by
         self._dropna = dropna
         self._mode = mode
+        self._sort = sort
+
+    def _finish(self, sdf: SparkDF) -> DataFrame:
+        """apply the sort= contract to an aggregation output."""
+        if self._sort:
+            sdf = sdf.orderBy(*self._by)
+        return DataFrame(sdf)
 
     def _sdf(self) -> SparkDF:
         sdf = self._frame._sdf
@@ -2660,7 +2729,7 @@ class GroupBy:
         if missing:
             raise KeyError(missing)
         proj = self._frame[[*self._by, *sel]]
-        return GroupBy(proj, self._by, self._dropna, self._mode)
+        return GroupBy(proj, self._by, self._dropna, self._mode, self._sort)
 
     def rolling(self, window: int, order_by=None, min_periods: int | None = None,
                 center: bool = False):
@@ -2703,7 +2772,7 @@ class GroupBy:
         } if named else None
         triples = _normalize_agg_spec(spec, value_cols, named_norm)
         aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
-        return DataFrame(self._grouped().agg(*aggs))
+        return self._finish(self._grouped().agg(*aggs))
 
     def _custom_agg(self, aggs) -> DataFrame:
         """execute reference-style Aggregation objects (_groupby.py:95):
@@ -2797,7 +2866,7 @@ class GroupBy:
     def median(self): return self._simple("median")
 
     def size(self) -> DataFrame:
-        return DataFrame(
+        return self._finish(
             self._sdf().groupBy(*self._by).agg(F.count(F.lit(1)).alias("size"))
         )
 

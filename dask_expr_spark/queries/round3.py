@@ -476,3 +476,35 @@ def stream_near_dedup(spark, sf_dir):
     finally:
         q_.stop()
     return out
+
+
+# -- groupby by-expression key (round 3: _clean_by_expr parity) ---------
+GROUPBY_EXPR_SQL = """
+SELECT CAST(o_custkey // 100 AS BIGINT) AS cust_bucket,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2
+ORDER BY cust_bucket, o_orderpriority
+"""
+
+
+@q("groupby_expr_buckets", GROUPBY_EXPR_SQL)
+def groupby_expr_buckets(spark, sf_dir):
+    """groupby(by=[Series expr, name], sort=True) — the reference's
+    _clean_by_expr surface (_groupby.py:1322): the derived bucket key
+    is materialized as a key column, aggregated in one exchange, and
+    sort=True orders the output by the keys."""
+    od = tbl(spark, sf_dir, "orders")
+    dec = od.assign(__p=F.col("o_totalprice").cast("decimal(18,2)"))
+    bucket = (dec["o_custkey"] // 100).alias("cust_bucket")
+    out = dec.groupby([bucket, "o_orderpriority"], sort=True).agg(
+        n=("o_orderkey", "count"), revenue=("__p", "sum")
+    )
+    return out.to_spark().select(
+        F.col("cust_bucket").cast("long").alias("cust_bucket"),
+        "o_orderpriority",
+        "n",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
