@@ -355,6 +355,100 @@ def fill(sdf: SparkDF, cols: Sequence[str], order_cols: Sequence[str],
     return _fill_cols(sdfb, nb, cols, order, key, back)
 
 
+def expanding_holistic(sdf: SparkDF, value_cols: Sequence[str],
+                       order_cols: Sequence[str], make_result,
+                       out_fields: Sequence[tuple[str, str]],
+                       ordered_prefix: bool = False,
+                       num_buckets: int | None = None) -> SparkDF:
+    """Ungrouped expanding HOLISTIC ops (median / quantile / apply)
+    with no global window on the row stream.
+
+    Algebraic expanding aggs decompose into running sums
+    (`cumulative`); median/quantile/apply need the entire value prefix
+    by definition (reference: the pandas expanding semantics behind
+    _rolling.py:43 with an unbounded start). Distributed form:
+
+      1. range-bucket the rows (`with_buckets`);
+      2. per-bucket VALUE arrays — one hash agg, nulls dropped,
+         value-sorted (quantiles) or (order,value)-sorted when the
+         caller needs positional order (`ordered_prefix`, apply);
+      3. per-bucket PREFIX arrays: flatten earlier buckets' arrays
+         with a window over the B-row arrays frame — the only
+         single-partition stage, and it carries ≤B rows of
+         value-only arrays, never the row stream;
+      4. cogrouped applyInPandas per bucket: (bucket rows, prefix
+         values) → exact pandas-side expanding computation.
+
+    Parallelism is B-way. The prefix for the LAST bucket holds the
+    whole column's values — 8 bytes/value, values only, never whole
+    rows; that is the inherent cost of an EXACT holistic prefix (any
+    engine pays it). At true 100 TB prefer grouped expanding or
+    approximate quantiles (SCALE.md).
+
+    make_result(prefix: dict[col, np.ndarray float64],
+                rows: pd.DataFrame  # bucket rows in global order
+               ) -> dict[out_name, array-like aligned to rows]
+    out_fields: [(name, spark_type_ddl), ...]
+    """
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    aggs = []
+    for c in value_cols:
+        col = F.col(c).cast("double")
+        if ordered_prefix:
+            entry = F.when(
+                col.isNotNull(),
+                F.struct(*[F.col(o) for o in order_cols], col.alias("__v")),
+            )
+            arr = F.transform(
+                F.array_sort(F.collect_list(entry)), lambda s: s["__v"]
+            )
+        else:
+            arr = F.array_sort(F.collect_list(col))
+        aggs.append(arr.alias(f"__arr_{c}"))
+    arrs = sdfb.groupBy(B).agg(*aggs)
+    wpre = Window.orderBy(B).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = arrs.select(
+        F.col(B),
+        *[
+            F.flatten(F.collect_list(F.col(f"__arr_{c}")).over(wpre))
+            .alias(f"__pre_{c}")
+            for c in value_cols
+        ],
+    )
+
+    base_fields = [f"`{f.name}` {f.dataType.simpleString()}"
+                   for f in sdf.schema.fields]
+    out_schema = ", ".join(
+        base_fields + [f"`{n}` {t}" for n, t in out_fields]
+    )
+    base_cols = [f.name for f in sdf.schema.fields]
+    ocols = list(order_cols)
+    vcols = list(value_cols)
+
+    def fn(left, right):
+        import numpy as np
+
+        left = left.sort_values(ocols, kind="stable", na_position="first")
+        pre = {}
+        for c in vcols:
+            if len(right):
+                pre[c] = np.asarray(right[f"__pre_{c}"].iloc[0],
+                                    dtype="float64")
+            else:
+                pre[c] = np.empty(0, dtype="float64")
+        res = make_result(pre, left)
+        out = left[base_cols].copy()
+        for name, _ in out_fields:
+            out[name] = res[name]
+        return out
+
+    return (
+        sdfb.groupBy(B)
+        .cogroup(prefix.groupBy(B))
+        .applyInPandas(fn, out_schema)
+    )
+
+
 def row_number_global(sdf: SparkDF, value_col: str,
                       tiebreaks: Sequence[str], ascending: bool,
                       out_col: str,

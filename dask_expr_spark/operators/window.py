@@ -74,9 +74,12 @@ class Rolling:
         Ungrouped bounded: range-bucket on the order key + pad window-1
         boundary rows from neighbors (operators/ordered.py), per-bucket
         window, drop pads — never a global single-partition window.
-        Ungrouped expanding: handled per-agg via running-sum cumulants
-        (`_exp_unq`); only the holistic ops (median/quantile/apply) keep
-        the global window, as they need the full prefix by definition."""
+        Ungrouped expanding: never reaches here — algebraic aggs route
+        through running-sum cumulants (`_exp_unq`, `_formula_exp`,
+        `_pairwise_exp`) and the holistic ops through the bucketed
+        prefix plan (`_exp_holistic_quantile` / `_exp_holistic_apply`).
+        The global-window branch below remains ONLY for the raw
+        `agg_expr` escape hatch on an ungrouped expanding frame."""
         sdf = self._frame.to_spark()
         if self._unbounded_start:
             start, end = Window.unboundedPreceding, 0
@@ -210,26 +213,75 @@ class Rolling:
 
     def median(self, cols=None):
         """rolling median — F.percentile IS window-framable in Spark
-        (F.median is not), JVM-side, no UDF. (Ungrouped expanding
-        median is holistic over the whole prefix and keeps the global
-        window — inherently non-decomposable.)"""
+        (F.median is not), JVM-side, no UDF. Ungrouped expanding
+        median runs the bucketed prefix plan (`_exp_holistic_quantile`)."""
+        if self._exp_unq_p():
+            return self._exp_holistic_quantile(
+                list(cols) if cols else self._numeric_cols(), 0.5, "rmedian"
+            )
         return self._apply(
             lambda c, w: F.percentile(c, F.lit(0.5)).over(w), cols, "rmedian"
         )
 
     def quantile(self, q: float, cols):
+        if self._exp_unq_p():
+            return self._exp_holistic_quantile(list(cols), q, f"rq{int(q*100)}")
         return self._apply(
             lambda c, w: F.percentile(c, F.lit(q)).over(w), cols, f"rq{int(q*100)}"
         )
+
+    def _exp_holistic_quantile(self, cols, q: float, suffix: str) -> DataFrame:
+        """Ungrouped expanding median/quantile without a global window:
+        range-bucketed prefix-value arrays + per-bucket exact insertion
+        (operators/ordered.expanding_holistic). Linear interpolation,
+        nulls skipped, min_periods counts non-null — pandas-exact."""
+        import bisect
+
+        minp = self._min_periods
+
+        def make(pre, rows):
+            import numpy as np
+            import pandas as pd
+
+            out = {}
+            for c in cols:
+                vals = pd.to_numeric(rows[c], errors="coerce").astype("float64").to_numpy()
+                buf = sorted(pre[c].tolist())
+                res = np.full(len(vals), np.nan)
+                for i, v in enumerate(vals):
+                    if not np.isnan(v):
+                        bisect.insort(buf, v)
+                    n = len(buf)
+                    if n and n >= minp:
+                        idx = q * (n - 1)
+                        lo = int(idx)
+                        frac = idx - lo
+                        val = buf[lo]
+                        if frac:
+                            val += frac * (buf[lo + 1] - buf[lo])
+                        res[i] = val
+                out[f"{c}_{suffix}"] = res
+            return out
+
+        from . import ordered
+        out = ordered.expanding_holistic(
+            self._frame.to_spark(), cols, self._order, make,
+            [(f"{c}_{suffix}", "double") for c in cols],
+        )
+        return self._wrap(out)
 
     def apply(self, func, cols: Sequence[str], return_type: str = "double") -> DataFrame:
         """rolling window with an arbitrary Python function (reference:
         RollingApply, _rolling.py:118). Spark shape: collect_list over
         the window frame (JVM), then ONE Arrow-batched pandas UDF maps
         func over each window array — vectorized transfer, no per-row
-        Python round-trips. func receives a numpy array."""
+        Python round-trips. func receives a numpy array (nulls dropped,
+        matching collect_list; min_periods gates on the non-null count).
+        Ungrouped expanding apply runs the bucketed prefix plan."""
         import numpy as np
 
+        if self._exp_unq_p():
+            return self._exp_holistic_apply(func, list(cols), return_type)
         sdf, w, finish = self._prep()
         minp = self._min_periods
 
@@ -248,6 +300,36 @@ class Rolling:
         for c in cols:
             out[f"{c}_rapply"] = udf(F.collect_list(F.col(c)).over(w))
         return self._wrap(finish(sdf.withColumns(out)))
+
+    def _exp_holistic_apply(self, func, cols, return_type: str) -> DataFrame:
+        """Ungrouped expanding apply: ordered prefix-value arrays +
+        per-bucket func calls over the growing prefix (no global
+        window). func sees the null-dropped values in global order —
+        same contract as the bounded rolling apply above."""
+        minp = self._min_periods
+
+        def make(pre, rows):
+            import numpy as np
+            import pandas as pd
+
+            out = {}
+            for c in cols:
+                vals = pd.to_numeric(rows[c], errors="coerce").astype("float64").to_numpy()
+                nn = ~np.isnan(vals)
+                combined = np.concatenate([pre[c], vals[nn]])
+                cum = len(pre[c]) + np.cumsum(nn)
+                out[f"{c}_rapply"] = [
+                    func(combined[:k]) if k >= minp else None for k in cum
+                ]
+            return out
+
+        from . import ordered
+        out = ordered.expanding_holistic(
+            self._frame.to_spark(), cols, self._order, make,
+            [(f"{c}_rapply", return_type) for c in cols],
+            ordered_prefix=True,
+        )
+        return self._wrap(out)
 
     def agg_expr(self, **exprs: Column) -> DataFrame:
         """Escape hatch: arbitrary window aggregates over the rolling frame.
@@ -274,6 +356,8 @@ class Rolling:
         return sums
 
     def _formula(self, cols, order: int, scale: int, template: str, suffix: str) -> DataFrame:
+        if self._exp_unq_p():
+            return self._formula_exp(cols, order, scale, template, suffix)
         sdf, w, finish = self._prep()
         tmp: dict[str, Column] = {}
         out: dict[str, Column] = {}
@@ -288,6 +372,37 @@ class Rolling:
                 val = F.when(F.col(f"_{c}_n") >= self._min_periods, val)
             out[f"{c}_{suffix}"] = val
         return self._wrap(finish(sdf.withColumns(out).drop(*tmp.keys())))
+
+    def _formula_exp(self, cols, order: int, scale: int, template: str,
+                     suffix: str) -> DataFrame:
+        """Ungrouped expanding skew/kurt: the decimal power sums are
+        RUNNING sums, so they route through ordered.cumulative
+        (per-bucket prefix + broadcast offsets) — no global window."""
+        from . import ordered
+        sdf = self._frame.to_spark()
+        tmp: dict[str, Column] = {}
+        fns: dict[str, str] = {}
+        for c in cols:
+            col = F.col(c)
+            tmp[f"_{c}_n"] = F.when(col.isNotNull(), F.lit(1)).otherwise(0).cast("long")
+            fns[f"_{c}_n"] = "sum"
+            p = col
+            for i in range(1, order + 1):
+                digits = min(scale * i + 2, 18)
+                tmp[f"_{c}_s{i}"] = p.cast(f"decimal(38,{digits})")
+                fns[f"_{c}_s{i}"] = "sum"
+                p = p * col
+        sdf = ordered.cumulative(sdf.withColumns(tmp), fns, self._order)
+        sdf = sdf.withColumns({k: F.col(k).cast("double") for k in tmp})
+        out: dict[str, Column] = {}
+        for c in cols:
+            names = {"n": f"_{c}_n"}
+            names.update({f"s{i}": f"_{c}_s{i}" for i in range(1, order + 1)})
+            val = F.expr(template.format(**names))
+            if self._min_periods > 1:
+                val = F.when(F.col(f"_{c}_n") >= self._min_periods, val)
+            out[f"{c}_{suffix}"] = val
+        return self._wrap(sdf.withColumns(out).drop(*tmp.keys()))
 
     def skew(self, cols, scale: int = 2):
         """rolling population skewness g1 (same convention as the
@@ -312,6 +427,8 @@ class Rolling:
         }
 
     def _pairwise(self, a: str, b: str, template: str, name: str, scale: int) -> DataFrame:
+        if self._exp_unq_p():
+            return self._pairwise_exp(a, b, template, name, scale)
         sdf, w, finish = self._prep()
         sdf = sdf.withColumns(self._pair_sums(a, b, w, scale))
         names = {"n": "_p_n", "sx": "_p_sx", "sy": "_p_sy",
@@ -324,6 +441,34 @@ class Rolling:
                 "_p_n", "_p_sx", "_p_sy", "_p_sxx", "_p_syy", "_p_sxy"
             )
         ))
+
+    def _pairwise_exp(self, a: str, b: str, template: str, name: str,
+                      scale: int) -> DataFrame:
+        """Ungrouped expanding cov/corr via running pair sums
+        (ordered.cumulative) — no global window. Same null convention
+        as the windowed path (n counts non-null `a`)."""
+        from . import ordered
+        sdf = self._frame.to_spark()
+        ca, cb = F.col(a), F.col(b)
+        d2 = min(2 * scale + 2, 18)
+        d1 = min(scale + 2, 18)
+        tmp = {
+            "_p_n": F.when(ca.isNotNull(), F.lit(1)).otherwise(0).cast("long"),
+            "_p_sx": ca.cast(f"decimal(38,{d1})"),
+            "_p_sy": cb.cast(f"decimal(38,{d1})"),
+            "_p_sxx": (ca * ca).cast(f"decimal(38,{d2})"),
+            "_p_syy": (cb * cb).cast(f"decimal(38,{d2})"),
+            "_p_sxy": (ca * cb).cast(f"decimal(38,{d2})"),
+        }
+        fns = {k: "sum" for k in tmp}
+        sdf = ordered.cumulative(sdf.withColumns(tmp), fns, self._order)
+        sdf = sdf.withColumns({k: F.col(k).cast("double") for k in tmp})
+        names = {"n": "_p_n", "sx": "_p_sx", "sy": "_p_sy",
+                 "sxx": "_p_sxx", "syy": "_p_syy", "sxy": "_p_sxy"}
+        val = F.expr(template.format(**names))
+        if self._min_periods > 1:
+            val = F.when(F.col("_p_n") >= self._min_periods, val)
+        return self._wrap(sdf.withColumn(name, val).drop(*tmp.keys()))
 
     def cov(self, a: str, b: str, scale: int = 2, name: str | None = None):
         """rolling sample covariance of two columns."""

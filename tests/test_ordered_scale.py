@@ -106,6 +106,82 @@ def test_expanding_ungrouped_cumulants(frames):
                             atol=1e-7, rtol=1e-7)
 
 
+def test_expanding_ungrouped_holistic(frames):
+    """ungrouped expanding median/quantile/apply: bucketed prefix plan
+    (ordered.expanding_holistic), pandas-exact with nulls."""
+    pdf, d = frames
+    e = d.expanding()
+    _cmp_series(e.median(["y"]).compute().sort_index()["y_rmedian"],
+                pdf["y"].expanding(min_periods=1).median())
+    _cmp_series(e.quantile(0.6, ["y"]).compute().sort_index()["y_rq60"],
+                pdf["y"].expanding(min_periods=1).quantile(0.6))
+    e3 = d.expanding(min_periods=3)
+    _cmp_series(e3.median(["z"]).compute().sort_index()["z_rmedian"],
+                pdf["z"].expanding(min_periods=3).median())
+    # apply: func sees the null-dropped prefix (engine contract, same
+    # as the bounded rolling apply) — compare against pandas with the
+    # NaNs stripped inside the func
+    got = (e3.apply(lambda a: float(np.ptp(a)), ["y"])
+           .compute().sort_index()["y_rapply"])
+    want = pdf["y"].expanding(min_periods=3).apply(
+        lambda a: float(np.ptp(a[~np.isnan(a)])), raw=True
+    )
+    _cmp_series(got, want)
+
+
+def test_expanding_ungrouped_moments(frames, spark):
+    """ungrouped expanding skew/kurt/cov/corr route through running
+    decimal power sums (ordered.cumulative), no global window."""
+    pdf, d = frames
+    e = d.expanding(min_periods=4)
+    got = e.skew(["z"]).compute().sort_index()["z_rskew"]
+    m = pdf["z"].expanding(min_periods=4)
+    n = pdf["z"].expanding(min_periods=4).count()
+    # engine convention: population g1/g2 (rounded 6dp) vs pandas'
+    # sample-adjusted — convert pandas' to population form
+    ps = m.skew()
+    want = (ps * (n - 2) / np.sqrt(n * (n - 1))).round(6)
+    _cmp_series(got.dropna(), want.dropna())
+    # cov/corr: pair-sum convention needs null-free pairs to agree
+    # with pandas (same convention as the windowed rolling cov);
+    # scale=7 keeps the decimal quantization below the 6dp rounding
+    full = pdf.fillna({"y": 0.5})
+    dfull = from_pandas(spark, full.reset_index(), npartitions=6).set_index("i")
+
+    def _cmp6(got, want):
+        pdt.assert_series_equal(
+            got.astype("float64"), want.astype("float64"),
+            check_names=False, check_index=False, atol=2e-6, rtol=0,
+        )
+
+    got = (dfull.expanding(min_periods=4).cov("y", "z", scale=7)
+           .compute().sort_index()["y_z_rcov"])
+    pairs = full[["y", "z"]].expanding(min_periods=4).cov()
+    want = pairs.xs("y", level=1)["z"].round(6)
+    _cmp6(got.dropna(), want.dropna())
+    got = (dfull.expanding(min_periods=4).corr("y", "z", scale=7)
+           .compute().sort_index()["y_z_rcorr"])
+    pairs = full[["y", "z"]].expanding(min_periods=4).corr()
+    want = pairs.xs("y", level=1)["z"].round(6)
+    _cmp6(got.dropna(), want.dropna())
+
+
+def test_plan_expanding_holistic_bucketed(frames):
+    """the last global row-stream window is gone: expanding
+    median/apply/skew plans hash-partition on the bucket id; any
+    single-partition stage feeds only the B-row arrays/offsets side."""
+    _, d = frames
+    for lazy in (
+        d.expanding().median(["y"]),
+        d.expanding().apply(lambda a: a.sum(), ["y"]),
+        d.expanding().skew(["y"]),
+        d.expanding().cov("y", "z"),
+    ):
+        plan = _plan(lazy)
+        assert "hashpartitioning(__ord_b" in plan
+        assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_time_rolling_ungrouped(spark):
     """ungrouped time-rolling: rows are copied into every later bucket
     their [t, t+window] reach touches (ordered.padded_range)."""
