@@ -1203,11 +1203,14 @@ class DataFrame(FrameBase):
         return self._wrap(out, known_sorted=False)
 
     def rolling(self, window: int, order_by=None, partition_by=None,
-                min_periods: int | None = None, center: bool = False):
-        """reference: RollingReduction, _rolling.py:43 (center= matches)."""
+                min_periods: int | None = None, center: bool = False,
+                win_type: str | None = None):
+        """reference: RollingReduction, _rolling.py:43 (center= and
+        win_type= weighted windows match)."""
         from .operators.window import Rolling
         return Rolling(self, window, order_by or list(self._index_cols),
-                       partition_by, min_periods, center=center)
+                       partition_by, min_periods, center=center,
+                       win_type=win_type)
 
     def expanding(self, order_by=None, partition_by=None,
                   min_periods: int = 1):
@@ -2594,12 +2597,12 @@ class Series(FrameBase):
         )
 
     def rolling(self, window: int, order_by=None, min_periods: int | None = None,
-                center: bool = False):
+                center: bool = False, win_type: str | None = None):
         """reference: Series.rolling (_collection.py:954) — one-column
         rolling frame over the index order."""
         return self.to_frame().rolling(
             window, order_by=order_by or list(self._index_cols),
-            min_periods=min_periods, center=center,
+            min_periods=min_periods, center=center, win_type=win_type,
         )
 
 
@@ -2732,14 +2735,14 @@ class GroupBy:
         return GroupBy(proj, self._by, self._dropna, self._mode, self._sort)
 
     def rolling(self, window: int, order_by=None, min_periods: int | None = None,
-                center: bool = False):
+                center: bool = False, win_type: str | None = None):
         """reference: groupby().rolling(), _groupby.py:2136 — per-group
         rolling frame (window partitioned by the group keys)."""
         from .operators.window import Rolling
         return Rolling(self._frame, window,
                        order_by or list(self._frame._index_cols),
                        partition_by=list(self._by), min_periods=min_periods,
-                       center=center)
+                       center=center, win_type=win_type)
 
     def expanding(self, order_by=None):
         """per-group expanding window — rolling with an unbounded start

@@ -460,10 +460,22 @@ class CategoricalMethods:
 
     @property
     def codes(self):
-        """dense int codes in sorted-category order; null → -1 (pandas
-        convention). Dictionary is distinct-bounded and broadcast."""
+        """dense int codes — explicit-category order when set
+        (add/remove/set_categories), else sorted-value order; null →
+        -1 (pandas convention). Explicit categories become a literal
+        map (no job); derived ones a distinct-bounded broadcast."""
         from ..collection import Series
         s = self._s
+        cats = self._explicit()
+        if cats is not None:
+            pairs = []
+            for i, c in enumerate(cats):
+                pairs.append(F.lit(c))
+                pairs.append(F.lit(i))
+            mapped = (F.coalesce(
+                F.element_at(F.create_map(*pairs), s._scol), F.lit(-1))
+                if cats else F.lit(-1))
+            return s._new(mapped.cast("int").alias(s._name))
         joined = s._anchor.join(
             F.broadcast(self._dict()), s._scol == F.col("__val"), "left"
         ).drop("__val")
@@ -474,8 +486,12 @@ class CategoricalMethods:
 
     @property
     def categories(self) -> list:
-        """sorted distinct non-null values (driver-side, like the
-        reference's known categories index)."""
+        """explicit category list when set, else sorted distinct
+        non-null values (driver-side, like the reference's known
+        categories index)."""
+        cats = self._explicit()
+        if cats is not None:
+            return list(cats)
         return [r[0] for r in self._dict().select("__val").orderBy("__val").collect()]
 
     def rename_categories(self, new):
@@ -497,6 +513,66 @@ class CategoricalMethods:
         return s._new(F.coalesce(mapped, s._scol))
 
     def remove_unused_categories(self):
-        """no-op: categories are always derived from the present values,
-        so none can be unused."""
-        return self._s
+        """drops explicit categories not present in the data; with
+        derived categories it is a no-op (none can be unused)."""
+        if self._explicit() is None:
+            return self._s
+        present = set(self.categories) & set(
+            r[0] for r in self._dict().select("__val").collect()
+        )
+        return self._restate(None, [c for c in self._explicit() if c in present])
+
+    # -- explicit-category surface (reference: _categorical.py:21 —
+    #    add/remove/set_categories, as_ordered/as_unordered).
+    #    Spark has no categorical dtype; the engine normally DERIVES
+    #    categories from the present values. These methods carry an
+    #    explicit category list (and ordered flag) on the returned
+    #    Series so accessor chains (`s.cat.set_categories(c).cat.codes`)
+    #    honor pandas' category order and membership rules. The list is
+    #    plan-side metadata only — no data movement until codes/
+    #    categories are asked for.
+    def _explicit(self):
+        return getattr(self._s, "_cat_categories", None)
+
+    def _restate(self, scol, cats, ordered=None):
+        s = self._s
+        out = s._new(scol) if scol is not None else s._new(s._scol)
+        out._cat_categories = list(cats) if cats is not None else None
+        out._cat_ordered = (ordered if ordered is not None
+                            else getattr(s, "_cat_ordered", False))
+        return out
+
+    @property
+    def ordered(self) -> bool:
+        return getattr(self._s, "_cat_ordered", False)
+
+    def as_ordered(self):
+        return self._restate(None, self._explicit(), ordered=True)
+
+    def as_unordered(self):
+        return self._restate(None, self._explicit(), ordered=False)
+
+    def add_categories(self, new):
+        new = [new] if not isinstance(new, (list, tuple)) else list(new)
+        cats = list(self.categories)
+        dup = [c for c in new if c in cats]
+        if dup:
+            raise ValueError(f"new categories must not include old categories: {dup}")
+        return self._restate(None, cats + new)
+
+    def remove_categories(self, removals):
+        removals = ([removals] if not isinstance(removals, (list, tuple))
+                    else list(removals))
+        cats = list(self.categories)
+        missing = [c for c in removals if c not in cats]
+        if missing:
+            raise ValueError(f"removals must all be in old categories: {missing}")
+        s = self._s
+        scol = F.when(~s._scol.isin(removals), s._scol).alias(s._name)
+        return self._restate(scol, [c for c in cats if c not in removals])
+
+    def set_categories(self, new, ordered: bool | None = None):
+        new = list(new)
+        s = self._s
+        scol = F.when(s._scol.isin(new), s._scol).alias(s._name)
+        return self._restate(scol, new, ordered=ordered)

@@ -24,14 +24,58 @@ from pyspark.sql.window import Window
 from ..collection import DataFrame
 
 
+def window_weights(win_type: str, n: int, std: float | None = None):
+    """Symmetric window weights (the scipy.signal.get_window shapes the
+    reference accepts, _rolling.py:43-233) — computed here from the
+    published closed forms so no scipy dependency is needed."""
+    import numpy as np
+
+    if win_type == "triang":
+        if n % 2 == 0:
+            k = np.arange(1, n // 2 + 1)
+            w = (2 * k - 1.0) / n
+            w = np.concatenate([w, w[::-1]])
+        else:
+            k = np.arange(1, (n + 1) // 2 + 1)
+            w = 2.0 * k / (n + 1)
+            w = np.concatenate([w, w[-2::-1]])
+    elif win_type == "gaussian":
+        if std is None:
+            raise ValueError("win_type='gaussian' needs std= (pass to the agg, e.g. .mean(std=3))")
+        k = np.arange(n) - (n - 1) / 2.0
+        w = np.exp(-(k ** 2) / (2.0 * std * std))
+    elif win_type == "boxcar":
+        w = np.ones(n)
+    elif win_type == "bartlett":
+        k = np.arange(n)
+        w = np.where(n == 1, 1.0, 1.0 - np.abs(2.0 * k / max(n - 1, 1) - 1.0))
+    elif win_type == "hann":
+        k = np.arange(n)
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * k / max(n - 1, 1))
+    elif win_type == "hamming":
+        k = np.arange(n)
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * k / max(n - 1, 1))
+    elif win_type == "blackman":
+        k = np.arange(n)
+        w = (0.42 - 0.5 * np.cos(2 * np.pi * k / max(n - 1, 1))
+             + 0.08 * np.cos(4 * np.pi * k / max(n - 1, 1)))
+    else:
+        raise NotImplementedError(
+            f"win_type={win_type!r} not supported "
+            "(triang/gaussian/boxcar/bartlett/hann/hamming/blackman)"
+        )
+    return [float(v) for v in w]
+
+
 class Rolling:
     """Row-count rolling frame (reference: RollingReduction,
-    _rolling.py:43; `center`/time-based variants via rangeBetween)."""
+    _rolling.py:43; `center`/time-based variants via rangeBetween;
+    `win_type` weighted windows for sum/mean)."""
 
     def __init__(self, frame: DataFrame, window: int, order_by: str | Sequence[str],
                  partition_by: str | Sequence[str] | None = None,
                  min_periods: int | None = None, unbounded_start: bool = False,
-                 center: bool = False):
+                 center: bool = False, win_type: str | None = None):
         self._frame = frame
         self._window = window
         self._order = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -48,6 +92,9 @@ class Rolling:
         if center and unbounded_start:
             raise ValueError("center= is not defined for expanding windows")
         self._center = center
+        if win_type and unbounded_start:
+            raise ValueError("win_type= is not defined for expanding windows")
+        self._win_type = win_type
 
     def _frame_bounds(self) -> tuple[int, int]:
         """window frame (start, end) in rows. center=True puts the
@@ -156,7 +203,15 @@ class Rolling:
             out[f"{c}_{suffix}"] = val
         return self._wrap(sdf.withColumns(out).drop(*temps.keys()))
 
+    def _no_win_type(self):
+        if self._win_type:
+            raise NotImplementedError(
+                "win_type windows support sum/mean only (same subset "
+                "pandas documents beyond var/std)"
+            )
+
     def _apply(self, agg_fn, cols, suffix: str) -> DataFrame:
+        self._no_win_type()
         cols = list(cols) if cols else self._numeric_cols()
         sdf, w, finish = self._prep()
         exprs = {}
@@ -169,13 +224,69 @@ class Rolling:
             exprs[f"{c}_{suffix}"] = val
         return self._wrap(finish(sdf.withColumns(exprs)))
 
-    def sum(self, cols=None):
+    def _weighted(self, kind: str, cols, std=None) -> DataFrame:
+        """win_type weighted sum/mean (reference: _rolling.py:43-233,
+        pandas roll_weighted_sum/mean semantics): each window position
+        carries a fixed weight; NaN values are skipped; min_periods
+        counts valid observations; mean normalizes by the valid
+        weights' sum. Pure JVM higher-order functions (collect_list of
+        structs keeps null positions so weights stay aligned) — no UDF,
+        and the ungrouped form reuses the range-bucketed pad plan."""
+        cols = list(cols) if cols else self._numeric_cols()
+        n = self._window
+        wvals = window_weights(self._win_type, n, std)
+        warr = F.array(*[F.lit(v) for v in wvals])
+        start, end = self._frame_bounds()
+
+        sdf = self._frame.to_spark()
+        order = [F.col(c) for c in self._order]
+        if self._partition:
+            base = Window.partitionBy(*self._partition).orderBy(*order)
+            finish = lambda out: out  # noqa: E731
+        else:
+            from . import ordered
+            sdfb, nb, _ = ordered.with_buckets(sdf, self._order)
+            sdf = ordered.padded(sdfb, nb, self._order, before=-start, after=end)
+            base = Window.partitionBy(ordered.B).orderBy(*order)
+            finish = lambda out: out.filter(~F.col(ordered.PAD)).drop(ordered.B, ordered.PAD)  # noqa: E731
+        wfull = base.rowsBetween(start, end)
+        wbefore = base.rowsBetween(start, -1)
+        minp = self._min_periods
+
+        exprs = {}
+        for c in cols:
+            arr = F.collect_list(F.struct(F.col(c).cast("double").alias("v"))).over(wfull)
+            before = F.count(F.lit(1)).over(wbefore)
+            m = F.size(arr)
+            # rows clipped off the frame's front shift the weight slice:
+            # element j of the frame sits at full-window position
+            # (-start - before) + j
+            wts = F.slice(warr, F.lit(-start) - before + F.lit(1), m)
+            pairs = F.zip_with(
+                arr, wts, lambda s, wt: F.struct(s["v"].alias("v"), wt.alias("w"))
+            )
+            valid = F.filter(pairs, lambda p: p["v"].isNotNull())
+            cnt = F.size(valid)
+            swx = F.aggregate(valid, F.lit(0.0), lambda a, p: a + p["v"] * p["w"])
+            if kind == "mean":
+                sw = F.aggregate(valid, F.lit(0.0), lambda a, p: a + p["w"])
+                val = swx / sw
+            else:
+                val = swx
+            exprs[f"{c}_r{kind}"] = F.when(cnt >= F.lit(minp), val)
+        return self._wrap(finish(sdf.withColumns(exprs)))
+
+    def sum(self, cols=None, std=None):
+        if self._win_type:
+            return self._weighted("sum", cols, std)
         if self._exp_unq_p():
             return self._exp_unq(list(cols) if cols else self._numeric_cols(),
                                  "rsum", "sum")
         return self._apply(lambda c, w: F.sum(c).over(w), cols, "rsum")
 
-    def mean(self, cols=None):
+    def mean(self, cols=None, std=None):
+        if self._win_type:
+            return self._weighted("mean", cols, std)
         if self._exp_unq_p():
             return self._exp_unq(list(cols) if cols else self._numeric_cols(),
                                  "rmean", "mean")
@@ -356,6 +467,7 @@ class Rolling:
         return sums
 
     def _formula(self, cols, order: int, scale: int, template: str, suffix: str) -> DataFrame:
+        self._no_win_type()
         if self._exp_unq_p():
             return self._formula_exp(cols, order, scale, template, suffix)
         sdf, w, finish = self._prep()
@@ -427,6 +539,7 @@ class Rolling:
         }
 
     def _pairwise(self, a: str, b: str, template: str, name: str, scale: int) -> DataFrame:
+        self._no_win_type()
         if self._exp_unq_p():
             return self._pairwise_exp(a, b, template, name, scale)
         sdf, w, finish = self._prep()

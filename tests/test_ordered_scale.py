@@ -182,6 +182,104 @@ def test_plan_expanding_holistic_bucketed(frames):
         assert plan.count("Exchange SinglePartition") <= 1
 
 
+def _ref_weighted(vals, w, minp, kind, center=False):
+    """pandas roll_weighted_sum/mean semantics: fixed per-position
+    weights, NaN skipped, min_periods counts valid obs, mean divides
+    by the valid weights' sum."""
+    n = len(w)
+    out = np.full(len(vals), np.nan)
+    lead = (n - 1) // 2 if center else 0
+    for i in range(len(vals)):
+        end = i + lead
+        acc = accw = 0.0
+        cnt = 0
+        for p in range(n):
+            j = end - n + 1 + p
+            if 0 <= j < len(vals) and not np.isnan(vals[j]):
+                acc += vals[j] * w[p]
+                accw += w[p]
+                cnt += 1
+        if cnt >= minp:
+            out[i] = acc if kind == "sum" else acc / accw
+    return out
+
+
+def test_window_weights_formulas():
+    """spot-check the closed forms against scipy's published values
+    (scipy itself isn't installed here; these are the documented
+    get_window outputs)."""
+    from dask_expr_spark.operators.window import window_weights
+
+    np.testing.assert_allclose(window_weights("triang", 5),
+                               [1 / 3, 2 / 3, 1.0, 2 / 3, 1 / 3])
+    np.testing.assert_allclose(window_weights("triang", 4),
+                               [0.25, 0.75, 0.75, 0.25])
+    np.testing.assert_allclose(window_weights("hann", 5),
+                               [0.0, 0.5, 1.0, 0.5, 0.0], atol=1e-12)
+    np.testing.assert_allclose(window_weights("bartlett", 5),
+                               [0.0, 0.5, 1.0, 0.5, 0.0], atol=1e-12)
+    g = window_weights("gaussian", 5, std=1.0)
+    np.testing.assert_allclose(g, np.exp(-np.array([-2, -1, 0, 1, 2]) ** 2 / 2.0))
+    try:
+        from scipy.signal import get_window  # pragma: no cover
+        np.testing.assert_allclose(window_weights("triang", 7),
+                                   get_window("triang", 7, fftbins=False))
+    except ImportError:
+        pass
+
+
+def test_rolling_win_type(frames):
+    """weighted rolling sum/mean (reference _rolling.py:43-233):
+    differential vs the pandas weighted-window semantics, with nulls,
+    ungrouped (bucketed pad plan) and center=."""
+    from dask_expr_spark.operators.window import window_weights
+
+    pdf, d = frames
+    y = pdf["y"].to_numpy()
+    for wt, n, kw in (("triang", 5, {}), ("gaussian", 6, {"std": 2.0}),
+                      ("hamming", 4, {})):
+        w = window_weights(wt, n, kw.get("std"))
+        got = (d.rolling(n, win_type=wt).mean(["y"], **kw)
+               .compute().sort_index()["y_rmean"])
+        _cmp_series(got, pd.Series(_ref_weighted(y, w, n, "mean")))
+        got = (d.rolling(n, win_type=wt, min_periods=2).sum(["y"], **kw)
+               .compute().sort_index()["y_rsum"])
+        _cmp_series(got, pd.Series(_ref_weighted(y, w, 2, "sum")))
+    # center= alignment
+    w = window_weights("triang", 4)
+    got = (d.rolling(4, win_type="triang", center=True, min_periods=2)
+           .mean(["y"]).compute().sort_index()["y_rmean"])
+    _cmp_series(got, pd.Series(_ref_weighted(y, w, 2, "mean", center=True)))
+    # boxcar == unweighted mean
+    got = (d.rolling(5, win_type="boxcar", min_periods=1).mean(["y"])
+           .compute().sort_index()["y_rmean"])
+    _cmp_series(got, pdf["y"].rolling(5, min_periods=1).mean())
+    # plan: ungrouped weighted stays bucket-partitioned
+    plan = _plan(d.rolling(5, win_type="triang").mean(["y"]))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__ord_b" in plan
+    # unsupported agg raises
+    with pytest.raises(NotImplementedError):
+        d.rolling(5, win_type="triang").var(["y"])
+
+
+def test_rolling_win_type_grouped(spark):
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"g": rng.randint(0, 3, 90), "i": range(90),
+                        "v": rng.randn(90)})
+    pdf.loc[pdf.index % 7 == 0, "v"] = np.nan
+    d = from_pandas(spark, pdf, npartitions=4)
+    from dask_expr_spark.operators.window import window_weights
+    w = window_weights("triang", 3)
+    got = (d.groupby("g").rolling(3, order_by="i", win_type="triang")
+           .mean(["v"]).compute())
+    got = got.sort_values("i")
+    for g, sub in pdf.groupby("g"):
+        want = _ref_weighted(sub.sort_values("i")["v"].to_numpy(), w, 3, "mean")
+        gs = got[got["g"] == g].sort_values("i")["v_rmean"].to_numpy()
+        np.testing.assert_allclose(gs, want, atol=1e-9, equal_nan=True)
+
+
 def test_time_rolling_ungrouped(spark):
     """ungrouped time-rolling: rows are copied into every later bucket
     their [t, t+window] reach touches (ordered.padded_range)."""
@@ -308,6 +406,58 @@ def test_cat_accessor(spark):
         {"red": "RED"}).astype(object)
     pdt.assert_series_equal(ren, want_r, check_names=False)
     assert s.cat.known and s.cat.as_known() is s
+
+
+def test_cat_accessor_explicit_categories(spark):
+    """add/remove/set_categories + as_ordered/as_unordered (reference:
+    _categorical.py:21) — explicit category lists carried on the
+    Series, pandas-equivalent codes/membership."""
+    pdf = pd.DataFrame({
+        "i": range(24),
+        "g": [["red", "green", "blue", None][i % 4] for i in range(24)],
+    })
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    s = d["g"]
+    ps = pdf.set_index("i")["g"].astype("category")
+
+    # add_categories: appended to the end, values unchanged
+    added = s.cat.add_categories(["yellow"])
+    pa = ps.cat.add_categories(["yellow"])
+    assert added.cat.categories == list(pa.cat.categories)
+    pdt.assert_series_equal(
+        added.cat.codes.compute().sort_index().astype("int64"),
+        pa.cat.codes.astype("int64"), check_names=False)
+    with pytest.raises(ValueError):
+        s.cat.add_categories(["red"])
+
+    # remove_categories: removed values -> null, codes re-densified
+    rem = s.cat.remove_categories(["green"])
+    pr = ps.cat.remove_categories(["green"])
+    pdt.assert_series_equal(
+        rem.compute().sort_index(), pr.astype(object), check_names=False)
+    pdt.assert_series_equal(
+        rem.cat.codes.compute().sort_index().astype("int64"),
+        pr.cat.codes.astype("int64"), check_names=False)
+    with pytest.raises(ValueError):
+        s.cat.remove_categories(["missing"])
+
+    # set_categories: membership filter + explicit order
+    st = s.cat.set_categories(["red", "blue", "purple"])
+    pt = ps.cat.set_categories(["red", "blue", "purple"])
+    assert st.cat.categories == list(pt.cat.categories)
+    pdt.assert_series_equal(
+        st.compute().sort_index(), pt.astype(object), check_names=False)
+    pdt.assert_series_equal(
+        st.cat.codes.compute().sort_index().astype("int64"),
+        pt.cat.codes.astype("int64"), check_names=False)
+
+    # ordered flag round-trip
+    assert not s.cat.ordered
+    assert s.cat.as_ordered().cat.ordered
+    assert s.cat.as_ordered().cat.as_unordered().cat.ordered is False
+    # remove_unused_categories drops the unused explicit entry
+    assert added.cat.remove_unused_categories().cat.categories == \
+        ["blue", "green", "red"]
 
 
 def test_axis1_reductions(spark):
