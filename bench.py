@@ -41,7 +41,36 @@ def _scale_probe_ordered(spark, sf_dir):
         {"l_extendedprice": "sum"})
 
 
-LOCAL_PROBES = {"scale_probe_ordered_cumsum_shift": _scale_probe_ordered}
+def _scale_probe_ordered_ckpt(spark, sf_dir):
+    """same probe with the one-flag parquet checkpoint on
+    (dask_expr_spark.ordered.checkpoint): the bucketed frame is
+    spilled once and both two-pass consumers reread it pruned —
+    measures the single-scan plan the 100 TB guidance recommends."""
+    from dask_expr_spark.operators.ordered import CHECKPOINT_CONF
+    spark.conf.set(CHECKPOINT_CONF, "true")
+    try:
+        return _scale_probe_ordered(spark, sf_dir)
+    finally:
+        spark.conf.set(CHECKPOINT_CONF, "false")
+
+
+def _scale_probe_expanding_holistic(spark, sf_dir):
+    """ungrouped expanding median over the order stream — exercises the
+    bucketed prefix plan (ordered.expanding_holistic) that replaced the
+    last global row-stream window in round 3."""
+    from dask_expr_spark.sources.io import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_totalprice"]]
+    med = o.expanding(order_by="o_orderkey").median(["o_totalprice"])
+    return med.to_spark().agg({"o_totalprice_rmedian": "sum"})
+
+
+LOCAL_PROBES = {
+    "scale_probe_ordered_cumsum_shift": _scale_probe_ordered,
+    "scale_probe_ordered_ckpt": _scale_probe_ordered_ckpt,
+    "scale_probe_expanding_median": _scale_probe_expanding_holistic,
+}
 
 # extended set appended when present in the registry
 OPTIONAL = [

@@ -84,6 +84,32 @@ def sample_bounds(sdf: SparkDF, order_col: str, num_buckets: int,
     return out
 
 
+CHECKPOINT_CONF = "dask_expr_spark.ordered.checkpoint"
+
+
+def _maybe_materialize(sdfb: SparkDF) -> SparkDF:
+    """The documented 100 TB mitigation for the two-pass double-scan
+    (module docstring 'Cost note'), as a one-flag action: with
+    ``spark.conf.set("dask_expr_spark.ordered.checkpoint", "true")``
+    the bucketed frame is spilled to parquet ONCE and both consumers
+    (row-stream window + tiny totals/edges branch) reread it with
+    column pruning — one scan of the upstream plan instead of two.
+
+    EAGER at plan-build time (like the bounds sampling) and leaves the
+    spill under the JVM's java.io.tmpdir until process exit — intended
+    for one-shot large jobs, default off."""
+    try:
+        mode = sdfb.sparkSession.conf.get(CHECKPOINT_CONF, "false")
+    except Exception:
+        return sdfb
+    if str(mode).lower() not in ("true", "parquet", "1"):
+        return sdfb
+    import tempfile
+    path = tempfile.mkdtemp(prefix="des_ordered_ckpt_")
+    sdfb.write.mode("overwrite").parquet(path)
+    return sdfb.sparkSession.read.parquet(path)
+
+
 def with_buckets(
     sdf: SparkDF, order_cols: Sequence[str], num_buckets: int | None = None
 ) -> tuple[SparkDF, int, Callable[[Column], Column]]:
@@ -100,7 +126,7 @@ def with_buckets(
     dtype = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}[oc]
     bounds = sample_bounds(sdf, oc, nb)
     if not bounds:
-        return sdf.withColumn(B, F.lit(0)), 1, lambda e: F.lit(0)
+        return _maybe_materialize(sdf.withColumn(B, F.lit(0))), 1, lambda e: F.lit(0)
     # array + filter-count, not a when-chain: a chain of B branches
     # overflows whole-stage codegen's method limit around B≈1000; the
     # array form is one expression at any B (same pattern as
@@ -110,7 +136,8 @@ def with_buckets(
     def bucket_fn(e: Column) -> Column:
         return F.size(F.filter(barr, lambda b: e >= b))
 
-    return sdf.withColumn(B, bucket_fn(F.col(oc))), len(bounds) + 1, bucket_fn
+    sdfb = _maybe_materialize(sdf.withColumn(B, bucket_fn(F.col(oc))))
+    return sdfb, len(bounds) + 1, bucket_fn
 
 
 def _asc(order_cols: Sequence[str]) -> list[Column]:

@@ -1,13 +1,12 @@
 """Round-3 query batch: oracle-paired queries for the operators added
-in round 2 (range-bucketed ordered ops, ffill limit=, rolling center=,
-shift(freq=), .cat accessor, axis=1 reductions, ungrouped merge_asof).
+in rounds 2-3 (range-bucketed ordered ops, ffill limit=, rolling
+center=, shift(freq=), .cat accessor incl. explicit categories,
+axis=1 reductions, ungrouped merge_asof, groupby by-expression,
+win_type weighted rolling, bucketed expanding median).
 
-NOT yet wired into collect_queries(): the driver validates only the
-first 50 registry entries per round and round 2's window is exactly
-full (see queries/__init__.py VALIDATED + tests/test_registry.py).
-Wire-up for round 3: import this module in collect_queries(), add the
-round-2-validated names to VALIDATED, and these land in the check
-window. Kept green meanwhile by tests/test_round3_queries.py.
+Wired into collect_queries() since round 3; the batch leads the
+driver's 50-query validation window (queries/__init__.py VALIDATED
+rotation). Also kept green by tests/test_round3_queries.py.
 """
 
 from __future__ import annotations
@@ -507,4 +506,90 @@ def groupby_expr_buckets(spark, sf_dir):
         "o_orderpriority",
         "n",
         F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+# -- win_type weighted rolling (round 3: _rolling.py:43-233 parity) -----
+# oracle = the identical oldest-first lag chain: both engines evaluate
+# (((0 + x0*w0) + x1*w1) + ...) left-to-right in double, so the sums
+# are bit-identical before the stabilizing 4dp round.
+_W5 = ["(1.0/3)", "(2.0/3)", "1.0", "(2.0/3)", "(1.0/3)"]
+ROLLING_TRIANG_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       round(0.0 + lag(rev, 4) OVER w * {w0} + lag(rev, 3) OVER w * {w1}
+                 + lag(rev, 2) OVER w * {w2} + lag(rev, 1) OVER w * {w3}
+                 + rev * {w4}, 4) AS rev_rsum
+FROM d
+WINDOW w AS (ORDER BY day)
+ORDER BY day
+""".format(w0=_W5[0], w1=_W5[1], w2=_W5[2], w3=_W5[3], w4=_W5[4])
+
+
+@q("rolling_weighted_triang", ROLLING_TRIANG_SQL)
+def rolling_weighted_triang(spark, sf_dir):
+    """triangular-weighted rolling sum of daily revenue
+    (rolling(win_type='triang'), reference _rolling.py:43-233) — pure
+    JVM higher-order functions over the range-bucketed pad plan; the
+    default min_periods=window nulls the first 4 days, matching the
+    oracle's null-propagating lag chain."""
+    od = tbl(spark, sf_dir, "orders")
+    dec = od.assign(rev=F.col("o_totalprice").cast("decimal(18,2)"))
+    daily = dec.groupby("o_orderdate").agg(rev=("rev", "sum"))
+    daily = daily.assign(rev=F.col("rev").cast("double"))
+    daily = daily.rename(columns={"o_orderdate": "day"})
+    out = daily.rolling(5, order_by="day", win_type="triang").sum(["rev"])
+    return out.to_spark().select(
+        "day", F.round(F.col("rev_rsum"), 4).alias("rev_rsum")
+    ).orderBy("day")
+
+
+# -- ungrouped expanding median (round 3: the bucketed prefix plan) -----
+EXPANDING_MEDIAN_SQL = """
+SELECT o_orderkey,
+       round(median(o_totalprice) OVER (ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+       AS o_totalprice_rmedian
+FROM orders
+"""
+
+
+@q("expanding_median_global", EXPANDING_MEDIAN_SQL)
+def expanding_median_global(spark, sf_dir):
+    """ungrouped expanding median over the full order stream —
+    exercises ordered.expanding_holistic (per-bucket sorted prefix
+    arrays + cogrouped exact insertion), the plan that replaced the
+    last global row-stream window; linear-interpolated like DuckDB's
+    window median."""
+    od = tbl(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+    out = od.expanding(order_by="o_orderkey").median(["o_totalprice"])
+    return out.to_spark().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice_rmedian"), 4).alias("o_totalprice_rmedian"),
+    )
+
+
+# -- explicit .cat categories (round 3: _categorical.py:21 parity) ------
+CAT_CODES_SQL = """
+SELECT o_orderkey,
+       CAST(CASE o_orderpriority
+            WHEN '3-MEDIUM' THEN 0 WHEN '1-URGENT' THEN 1 ELSE -1
+       END AS INT) AS prio_code
+FROM orders
+"""
+
+
+@q("cat_codes_explicit", CAT_CODES_SQL)
+def cat_codes_explicit(spark, sf_dir):
+    """set_categories + codes: explicit category order compiles to a
+    literal map, membership misses -> -1 (pandas convention)."""
+    od = tbl(spark, sf_dir, "orders")
+    s = od.set_index("o_orderkey")["o_orderpriority"]
+    codes = s.cat.set_categories(["3-MEDIUM", "1-URGENT"]).cat.codes
+    return codes.to_frame().to_spark().withColumnRenamed(
+        "o_orderpriority", "prio_code"
     )

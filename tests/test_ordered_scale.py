@@ -182,6 +182,30 @@ def test_plan_expanding_holistic_bucketed(frames):
         assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_ordered_checkpoint_knob(spark, tmp_path):
+    """dask_expr_spark.ordered.checkpoint=true spills the bucketed
+    frame to parquet once: identical results, and the plan reads the
+    spill instead of scanning the upstream plan twice."""
+    from dask_expr_spark.operators.ordered import CHECKPOINT_CONF
+
+    pdf = _pdf(80, seed=3)
+    src = str(tmp_path / "src.parquet")
+    pdf.to_parquet(src)
+    from dask_expr_spark.sources.io import read_parquet
+    d = read_parquet(spark, src).set_index("i")
+    want = d.cumsum(columns=["z"]).compute().sort_index()["z"]
+    spark.conf.set(CHECKPOINT_CONF, "true")
+    try:
+        lazy = d.cumsum(columns=["z"])
+        plan = _plan(lazy)
+        assert "des_ordered_ckpt_" in plan
+        assert "src.parquet" not in plan  # upstream scanned once, eagerly
+        got = lazy.compute().sort_index()["z"]
+    finally:
+        spark.conf.set(CHECKPOINT_CONF, "false")
+    _cmp_series(got, want)
+
+
 def _ref_weighted(vals, w, minp, kind, center=False):
     """pandas roll_weighted_sum/mean semantics: fixed per-position
     weights, NaN skipped, min_periods counts valid obs, mean divides

@@ -217,6 +217,73 @@ def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
     assert not offenders, f"scale-hostile plans: {offenders}"
 
 
+def test_plan_construction_is_lazy(spark, sf_dir):
+    """building facade plans (no .compute()) must trigger NO Spark
+    jobs — the lazy contract. Documented exceptions, tested below:
+    ungrouped-ordered bucketing (bounds sampling), rank (per-bucket
+    counts), get_dummies (category collect), Scalar.compute."""
+    import os as _os
+
+    from dask_expr_spark import concat
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    li = read_parquet(spark, _os.path.join(sf_dir, "lineitem.parquet"))
+    o = read_parquet(spark, _os.path.join(sf_dir, "orders.parquet"))
+    sc.setJobGroup("lazy-sweep", "plan building must not run jobs")
+    try:
+        plans = [
+            li[li["l_quantity"] > 10][["l_orderkey", "l_extendedprice"]],
+            li.assign(x=li["l_extendedprice"] * 2),
+            li.merge(o, left_on="l_orderkey", right_on="o_orderkey"),
+            li.groupby("l_returnflag").agg({"l_quantity": "sum"}),
+            li.dropna(),
+            li.drop_duplicates(),
+            li.sort_values("l_extendedprice"),
+            li.fillna(0),
+            li["l_comment"].str.upper(),
+            li.groupby("l_returnflag").rolling(3, order_by="l_orderkey")
+              .mean(["l_quantity"]),
+            li.groupby("l_suppkey").cumsum(order_by="l_orderkey"),
+            concat([li, li]),
+            li.melt(id_vars=["l_orderkey"],
+                    value_vars=["l_quantity", "l_extendedprice"]),
+        ]
+        for p in plans:
+            sdf = p.to_spark() if hasattr(p, "to_spark") else p
+            _ = sdf.schema  # force full analysis
+        ran = list(tracker.getJobIdsForGroup("lazy-sweep"))
+        assert ran == [], f"plan construction ran Spark jobs: {ran}"
+    finally:
+        sc.setJobGroup("default", "")
+
+
+def test_plan_eager_jobs_bounded(spark, sf_dir):
+    """the documented eager plan-build steps stay bounded: bucketing
+    samples ONCE per ordered op (a tiny column-pruned TakeOrdered),
+    rank adds one counts job — nothing proportional to operators
+    stacked downstream."""
+    import os as _os
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    o = read_parquet(spark, _os.path.join(sf_dir, "orders.parquet"))
+    sc.setJobGroup("eager-sweep", "bounded eager plan builds")
+    try:
+        d = o.set_index("o_orderkey")
+        lazy = d.cumsum(columns=["o_totalprice"])
+        after_cumsum = len(tracker.getJobIdsForGroup("eager-sweep"))
+        # downstream chaining must not resample
+        lazy2 = lazy.shift(columns=["o_totalprice"], periods=1)
+        _ = lazy2.to_spark().schema
+        after_chain = len(tracker.getJobIdsForGroup("eager-sweep"))
+    finally:
+        sc.setJobGroup("default", "")
+    assert 1 <= after_cumsum <= 3, after_cumsum
+    # the chained shift adds its own single sampling pass, nothing more
+    assert after_chain - after_cumsum <= 3, (after_cumsum, after_chain)
+
+
 def test_presorted_sort_elides_exchange(spark, sf_dir):
     """sorting by the column the frame is already range-sorted on must
     not add an exchange (reference: presortedness detection,
