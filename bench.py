@@ -66,10 +66,42 @@ def _scale_probe_expanding_holistic(spark, sf_dir):
     return med.to_spark().agg({"o_totalprice_rmedian": "sum"})
 
 
+def _minhash_pipeline(spark, sf_dir):
+    """the production MinHash+LSH candidate pipeline on its own. The
+    registry query dedup_minhash_lsh gained a containment oracle in
+    round 3 (it now ALSO runs the exact-Jaccard join), so its timing is
+    no longer comparable with BENCH_r02; this probe keeps measuring
+    what r02's number measured."""
+    from dask_expr_spark.functions import dedup as DD
+    from dask_expr_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    return DD.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_perm=32, bands=8, threshold=0.7
+    ).select("id_a", "id_b")
+
+
+def _ann_lsh_pipeline(spark, sf_dir):
+    """production hyperplane-LSH ANN pipeline alone (the registry's
+    ann_lsh_bucketed added an exact-top-1 containment oracle in round
+    3; this probe stays comparable with BENCH_r02)."""
+    from dask_expr_spark.functions import similarity as SIM
+    from dask_expr_spark.sources.io import read_parquet
+    from pyspark.sql import functions as F
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.lsh_bucketed_topk(
+        emb, queries, dim=64, k=5, num_tables=24, planes_per_table=4
+    ).select("query_id", "neighbor_id")
+
+
 LOCAL_PROBES = {
     "scale_probe_ordered_cumsum_shift": _scale_probe_ordered,
     "scale_probe_ordered_ckpt": _scale_probe_ordered_ckpt,
     "scale_probe_expanding_median": _scale_probe_expanding_holistic,
+    "dedup_minhash_pipeline": _minhash_pipeline,
+    "ann_lsh_pipeline": _ann_lsh_pipeline,
 }
 
 # extended set appended when present in the registry
@@ -79,11 +111,9 @@ OPTIONAL = [
     "resample_hourly",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "text_stats_by_lang",
     "text_token_frequencies",
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
 ]
 
 
