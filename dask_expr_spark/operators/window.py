@@ -206,8 +206,8 @@ class Rolling:
     def _no_win_type(self):
         if self._win_type:
             raise NotImplementedError(
-                "win_type windows support sum/mean only (same subset "
-                "pandas documents beyond var/std)"
+                "win_type windows support sum/mean/var/std "
+                "(the subset pandas documents)"
             )
 
     def _apply(self, agg_fn, cols, suffix: str) -> DataFrame:
@@ -268,11 +268,23 @@ class Rolling:
             valid = F.filter(pairs, lambda p: p["v"].isNotNull())
             cnt = F.size(valid)
             swx = F.aggregate(valid, F.lit(0.0), lambda a, p: a + p["v"] * p["w"])
-            if kind == "mean":
-                sw = F.aggregate(valid, F.lit(0.0), lambda a, p: a + p["w"])
-                val = swx / sw
-            else:
+            if kind == "sum":
                 val = swx
+            else:
+                sw = F.aggregate(valid, F.lit(0.0), lambda a, p: a + p["w"])
+                if kind == "mean":
+                    val = swx / sw
+                else:  # var / std: unbiased reliability-weight form
+                    # Σw(x-μ)² / (Σw - Σw²/Σw)  — the published
+                    # frequency/reliability-weighted sample variance
+                    sw2 = F.aggregate(valid, F.lit(0.0),
+                                      lambda a, p: a + p["w"] * p["w"])
+                    swxx = F.aggregate(valid, F.lit(0.0),
+                                       lambda a, p: a + p["v"] * p["v"] * p["w"])
+                    num = swxx - swx * swx / sw
+                    den = sw - sw2 / sw
+                    v = F.when(cnt >= 2, F.greatest(num / den, F.lit(0.0)))
+                    val = F.sqrt(v) if kind == "std" else v
             exprs[f"{c}_r{kind}"] = F.when(cnt >= F.lit(minp), val)
         return self._wrap(finish(sdf.withColumns(exprs)))
 
@@ -310,13 +322,17 @@ class Rolling:
                                  "rcount", "count")
         return self._apply(lambda c, w: F.count(c).over(w), cols, "rcount")
 
-    def std(self, cols=None):
+    def std(self, cols=None, std=None):
+        if self._win_type:
+            return self._weighted("std", cols, std)
         if self._exp_unq_p():
             return self._exp_unq(list(cols) if cols else self._numeric_cols(),
                                  "rstd", "std")
         return self._apply(lambda c, w: F.stddev_samp(c).over(w), cols, "rstd")
 
-    def var(self, cols=None):
+    def var(self, cols=None, std=None):
+        if self._win_type:
+            return self._weighted("var", cols, std)
         if self._exp_unq_p():
             return self._exp_unq(list(cols) if cols else self._numeric_cols(),
                                  "rvar", "var")

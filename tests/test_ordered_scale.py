@@ -215,16 +215,24 @@ def _ref_weighted(vals, w, minp, kind, center=False):
     lead = (n - 1) // 2 if center else 0
     for i in range(len(vals)):
         end = i + lead
-        acc = accw = 0.0
+        acc = accw = accw2 = accxx = 0.0
         cnt = 0
         for p in range(n):
             j = end - n + 1 + p
             if 0 <= j < len(vals) and not np.isnan(vals[j]):
                 acc += vals[j] * w[p]
+                accxx += vals[j] * vals[j] * w[p]
                 accw += w[p]
+                accw2 += w[p] * w[p]
                 cnt += 1
         if cnt >= minp:
-            out[i] = acc if kind == "sum" else acc / accw
+            if kind == "sum":
+                out[i] = acc
+            elif kind == "mean":
+                out[i] = acc / accw
+            elif cnt >= 2:  # var/std: unbiased reliability weights
+                v = max((accxx - acc * acc / accw) / (accw - accw2 / accw), 0.0)
+                out[i] = np.sqrt(v) if kind == "std" else v
     return out
 
 
@@ -278,13 +286,21 @@ def test_rolling_win_type(frames):
     got = (d.rolling(5, win_type="boxcar", min_periods=1).mean(["y"])
            .compute().sort_index()["y_rmean"])
     _cmp_series(got, pdf["y"].rolling(5, min_periods=1).mean())
+    # weighted var/std (reliability-weight unbiased form)
+    w = window_weights("gaussian", 5, 1.5)
+    got = (d.rolling(5, win_type="gaussian", min_periods=3)
+           .var(["y"], std=1.5).compute().sort_index()["y_rvar"])
+    _cmp_series(got, pd.Series(_ref_weighted(y, w, 3, "var")))
+    got = (d.rolling(5, win_type="gaussian", min_periods=3)
+           .std(["y"], std=1.5).compute().sort_index()["y_rstd"])
+    _cmp_series(got, pd.Series(_ref_weighted(y, w, 3, "std")))
     # plan: ungrouped weighted stays bucket-partitioned
     plan = _plan(d.rolling(5, win_type="triang").mean(["y"]))
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(__ord_b" in plan
     # unsupported agg raises
     with pytest.raises(NotImplementedError):
-        d.rolling(5, win_type="triang").var(["y"])
+        d.rolling(5, win_type="triang").median(["y"])
 
 
 def test_rolling_win_type_grouped(spark):
