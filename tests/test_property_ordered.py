@@ -84,3 +84,22 @@ def test_rolling_property(spark, seed, n, w, center):
     got = (d.rolling(w, center=center).mean(["y"])
            .compute().sort_index()["y_rmean"])
     _cmp(got, s.rolling(w, center=center).mean())
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(5, 60),
+    null_every=st.sampled_from([0, 3, 5]),
+    q=st.sampled_from([0.25, 0.5, 0.9]),
+    minp=st.integers(1, 4),
+)
+def test_expanding_holistic_property(spark, seed, n, null_every, q, minp):
+    """randomized null patterns / sizes through the bucketed prefix
+    plan (ordered.expanding_holistic) vs pandas expanding quantile."""
+    pdf = _frame(seed, n, null_every)
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    got = (d.expanding(min_periods=minp).quantile(q, ["y"])
+           .compute().sort_index()[f"y_rq{int(q*100)}"])
+    want = pdf.set_index("i")["y"].expanding(min_periods=minp).quantile(q)
+    _cmp(got, want)
