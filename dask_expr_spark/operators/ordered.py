@@ -476,6 +476,133 @@ def expanding_holistic(sdf: SparkDF, value_cols: Sequence[str],
     )
 
 
+def expanding_approx_quantile(sdf: SparkDF, value_cols: Sequence[str],
+                              order_cols: Sequence[str], q: float,
+                              min_periods: int, suffixes: dict,
+                              bins: int = 256,
+                              num_buckets: int | None = None) -> SparkDF:
+    """Approximate expanding quantile with O(bins) cross-bucket state —
+    the TRUE 100 TB path for ungrouped expanding quantiles (the exact
+    form, `expanding_holistic`, necessarily ships the whole value
+    prefix; this ships a histogram).
+
+      1. equi-depth-ish bin edges from one uniform sample
+         (`sample_bounds` — the same eager, column-pruned job the
+         bucketing itself uses);
+      2. per-bucket per-bin counts + min/max (one small hash agg per
+         column, rows ≤ B×bins);
+      3. PREFIX histograms via a window PARTITIONED BY (col, bin) —
+         fully parallel, no single-partition stage anywhere;
+      4. cogrouped applyInPandas: each bucket starts from its prefix
+         histogram, inserts its own values in order, and interpolates
+         the quantile inside the covering bin.
+
+    Rank error ≤ the largest bin's mass (~n/bins with equi-depth
+    edges). Nulls skipped; min_periods counts non-null."""
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    C, BIN = "__aq_c", "__aq_bin"
+
+    edges: dict[str, list] = {}
+    hists = []
+    for ci, c in enumerate(value_cols):
+        ed = sample_bounds(sdf, c, bins)
+        edges[c] = [float(v) for v in ed]
+        barr = F.array(*[F.lit(v).cast("double") for v in edges[c]]) \
+            if edges[c] else F.array().cast("array<double>")
+        col = F.col(c).cast("double")
+        bin_idx = F.size(F.filter(barr, lambda b: col >= b))
+        h = (
+            sdfb.where(col.isNotNull())
+            .groupBy(B, bin_idx.alias(BIN))
+            .agg(F.count(F.lit(1)).alias("__cnt"),
+                 F.min(col).alias("__vmin"),
+                 F.max(col).alias("__vmax"))
+            .withColumn(C, F.lit(ci))
+        )
+        hists.append(h)
+    hist = hists[0]
+    for h in hists[1:]:
+        hist = hist.unionByName(h)
+    # densify: a bucket needs the prefix count of every bin ANY earlier
+    # bucket touched, not only the bins it holds itself — explode each
+    # present (col, bin) combo across all bucket ids (≤ B×cols×bins
+    # rows, tiny), then left-join the real counts back in
+    combos = (
+        hist.select(C, BIN).distinct()
+        .withColumn(B, F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+    )
+    filled = combos.join(hist, [B, C, BIN], "left")
+    wpre = (
+        Window.partitionBy(C, BIN).orderBy(B)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = filled.select(
+        F.col(B), F.col(C), F.col(BIN),
+        F.sum("__cnt").over(wpre).alias("__pcnt"),
+        F.min("__vmin").over(wpre).alias("__pmin"),
+        F.max("__vmax").over(wpre).alias("__pmax"),
+    ).where(F.col("__pcnt").isNotNull())
+
+    base_fields = [f"`{f.name}` {f.dataType.simpleString()}"
+                   for f in sdf.schema.fields]
+    out_schema = ", ".join(
+        base_fields + [f"`{suffixes[c]}` double" for c in value_cols]
+    )
+    base_cols = [f.name for f in sdf.schema.fields]
+    ocols = list(order_cols)
+    vcols = list(value_cols)
+    nedges = {c: len(edges[c]) for c in vcols}
+
+    def fn(left, right):
+        import numpy as np
+        import pandas as pd
+
+        left = left.sort_values(ocols, kind="stable", na_position="first")
+        out = left[base_cols].copy()
+        for ci, c in enumerate(vcols):
+            ed = np.asarray(edges[c], dtype="float64")
+            nb_ = nedges[c] + 1
+            hist = np.zeros(nb_, dtype="int64")
+            vmin, vmax = np.inf, -np.inf
+            sub = right[right[C] == ci]
+            for _, r in sub.iterrows():
+                hist[int(r[BIN])] = int(r["__pcnt"])
+                vmin = min(vmin, float(r["__pmin"]))
+                vmax = max(vmax, float(r["__pmax"]))
+            vals = pd.to_numeric(left[c], errors="coerce").astype("float64").to_numpy()
+            res = np.full(len(vals), np.nan)
+            n = int(hist.sum())
+            for i, v in enumerate(vals):
+                if not np.isnan(v):
+                    k = int(np.searchsorted(ed, v, side="right"))
+                    hist[k] += 1
+                    n += 1
+                    vmin = min(vmin, v)
+                    vmax = max(vmax, v)
+                if n >= min_periods and n > 0:
+                    r_ = q * (n - 1)
+                    cum = 0
+                    for k in range(nb_):
+                        if cum + hist[k] > r_:
+                            break
+                        cum += hist[k]
+                    lo = ed[k - 1] if k > 0 else vmin
+                    hi = ed[k] if k < nb_ - 1 else vmax
+                    cnt = hist[k]
+                    if cnt <= 0:
+                        res[i] = lo
+                    else:
+                        res[i] = lo + (r_ - cum + 0.5) / cnt * (hi - lo)
+            out[suffixes[c]] = res
+        return out
+
+    return (
+        sdfb.groupBy(B)
+        .cogroup(prefix.groupBy(B))
+        .applyInPandas(fn, out_schema)
+    )
+
+
 def row_number_global(sdf: SparkDF, value_col: str,
                       tiebreaks: Sequence[str], ascending: bool,
                       out_col: str,

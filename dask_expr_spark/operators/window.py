@@ -350,11 +350,26 @@ class Rolling:
             lambda c, w: F.percentile(c, F.lit(0.5)).over(w), cols, "rmedian"
         )
 
-    def quantile(self, q: float, cols):
+    def quantile(self, q: float, cols, approx: bool = False, bins: int = 256):
+        """rolling/expanding quantile. `approx=True` on an ungrouped
+        expanding frame switches to the O(bins)-state histogram plan
+        (ordered.expanding_approx_quantile) — the 100 TB form, whose
+        cross-bucket state is a histogram instead of the value prefix
+        and whose plan has NO single-partition stage at all."""
+        suffix = f"rq{int(q * 100)}"
         if self._exp_unq_p():
-            return self._exp_holistic_quantile(list(cols), q, f"rq{int(q*100)}")
+            cols = list(cols)
+            if approx:
+                from . import ordered
+                out = ordered.expanding_approx_quantile(
+                    self._frame.to_spark(), cols, self._order, q,
+                    self._min_periods,
+                    {c: f"{c}_{suffix}" for c in cols}, bins=bins,
+                )
+                return self._wrap(out)
+            return self._exp_holistic_quantile(cols, q, suffix)
         return self._apply(
-            lambda c, w: F.percentile(c, F.lit(q)).over(w), cols, f"rq{int(q*100)}"
+            lambda c, w: F.percentile(c, F.lit(q)).over(w), cols, suffix
         )
 
     def _exp_holistic_quantile(self, cols, q: float, suffix: str) -> DataFrame:

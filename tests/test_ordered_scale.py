@@ -166,6 +166,36 @@ def test_expanding_ungrouped_moments(frames, spark):
     _cmp6(got.dropna(), want.dropna())
 
 
+def test_expanding_approx_quantile(spark):
+    """approx=True expanding quantile (histogram prefix, O(bins)
+    cross-bucket state): every emitted value must sit within a small
+    RANK band of the requested quantile in the true prefix, and the
+    plan must have no single-partition exchange at all."""
+    rng = np.random.RandomState(11)
+    n = 400
+    pdf = pd.DataFrame({"i": range(n), "y": rng.lognormal(3, 1, n)})
+    d = from_pandas(spark, pdf, npartitions=5).set_index("i")
+    for q in (0.5, 0.9):
+        lazy = d.expanding(min_periods=20).quantile(q, ["y"], approx=True, bins=64)
+        plan = _plan(lazy)
+        assert "Exchange SinglePartition" not in plan
+        assert "hashpartitioning(__ord_b" in plan
+        got = lazy.compute().sort_index()[f"y_rq{int(q*100)}"]
+        vals = pdf["y"].to_numpy()
+        for i in range(20, n, 37):
+            prefix = vals[: i + 1]
+            v = got.loc[i]
+            rank = (prefix <= v).mean()
+            assert abs(rank - q) <= 0.08, (i, q, rank, v)
+    # exact and approx agree closely on smooth data
+    exact = (d.expanding(min_periods=20).quantile(0.5, ["y"])
+             .compute().sort_index()["y_rq50"])
+    approx = (d.expanding(min_periods=20).quantile(0.5, ["y"], approx=True, bins=64)
+              .compute().sort_index()["y_rq50"])
+    rel = ((approx - exact).abs() / exact).dropna()
+    assert rel.median() < 0.05
+
+
 def test_plan_expanding_holistic_bucketed(frames):
     """the last global row-stream window is gone: expanding
     median/apply/skew plans hash-partition on the bucket id; any
