@@ -393,3 +393,53 @@ def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 4) -> Column:
         )
         for j in range(bands)
     ])
+
+
+def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
+                         max_iter: int = 20):
+    """Resolve duplicate PAIRS into duplicate GROUPS: undirected
+    connected components by min-label propagation — each node ends up
+    labeled with the smallest id in its component, so a pipeline keeps
+    `id == comp` as the canonical representative and drops the rest.
+
+    Each round is one join + min-aggregate over the edge list; a label
+    spreads one hop per round, so rounds ~ component diameter —
+    near-duplicate clusters are shallow (diameter a handful), and
+    `max_iter` guards pathological chains (for genuinely deep graphs
+    use the published large-star/small-star variant, which the same
+    loop skeleton accommodates). Convergence is checked with one
+    small count per round and labels are localCheckpoint()ed so the
+    plan doesn't grow with iterations — the same deliberately-eager
+    loop shape as the IVF Lloyd step (similarity.py), mirroring the
+    reference's own iterative algorithms.
+
+    Returns (id, comp) for every node that appears in `pairs`.
+    """
+    e = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .groupBy(F.col("d").alias("__mid"))
+            .agg(F.min("comp").alias("__nbr"))
+        )
+        joined = labels.join(msgs, labels["id"] == F.col("__mid"), "left")
+        new = joined.select(
+            F.col("id"),
+            F.least(F.col("comp"), F.coalesce(F.col("__nbr"), F.col("comp"))).alias("comp"),
+            (F.col("__nbr") < F.col("comp")).alias("__chg"),
+        ).localCheckpoint()
+        changed = new.where(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    return labels

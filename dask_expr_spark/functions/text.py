@@ -222,3 +222,37 @@ def ngram_contamination(
         "n_contaminated",
         (F.col("n_contaminated") / F.col("n_shingles").cast("double")).alias("ratio"),
     )
+
+
+def pack_sequences(sdf, id_col: str, tokens_col, max_len: int,
+                   order_by: str | None = None):
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic global order into one token stream and chunk it at
+    `max_len` boundaries. Each document gets the pack it STARTS in,
+    its offset there, and the pack it ends in (documents straddling a
+    boundary span packs; the trainer slices accordingly).
+
+    Spark shape: one running sum over the global order
+    (operators/ordered.cumulative — range-bucketed two-pass, scales to
+    any stream length), then pure integer arithmetic. Exact and
+    SQL-expressible, so the oracle is a plain window cumsum.
+
+    tokens_col: column name (or Column) holding the document's token
+    count. order_by defaults to id_col."""
+    from ..operators import ordered
+
+    order = order_by or id_col
+    tc = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    prep = sdf.withColumn("__cum", tc.cast("long"))
+    cum = ordered.cumulative(prep, {"__cum": "sum"}, [order])
+    start = F.col("__cum") - tc.cast("long")
+    return (
+        cum.withColumn("pack_id", F.floor(start / max_len))
+        .withColumn("pack_offset", start % max_len)
+        .withColumn(
+            "pack_id_end",
+            F.floor((F.when(F.col("__cum") > start, F.col("__cum") - 1)
+                     .otherwise(start)) / max_len),
+        )
+        .drop("__cum")
+    )

@@ -574,7 +574,7 @@ def expanding_median_global(spark, sf_dir):
 
 
 # -- explicit .cat categories (round 3: _categorical.py:21 parity) ------
-CAT_CODES_SQL = """
+CAT_EXPLICIT_SQL = """
 SELECT o_orderkey,
        CAST(CASE o_orderpriority
             WHEN '3-MEDIUM' THEN 0 WHEN '1-URGENT' THEN 1 ELSE -1
@@ -583,7 +583,7 @@ FROM orders
 """
 
 
-@q("cat_codes_explicit", CAT_CODES_SQL)
+@q("cat_codes_explicit", CAT_EXPLICIT_SQL)
 def cat_codes_explicit(spark, sf_dir):
     """set_categories + codes: explicit category order compiles to a
     literal map, membership misses -> -1 (pandas convention)."""
@@ -592,4 +592,96 @@ def cat_codes_explicit(spark, sf_dir):
     codes = s.cat.set_categories(["3-MEDIUM", "1-URGENT"]).cat.codes
     return codes.to_frame().to_spark().withColumnRenamed(
         "o_orderpriority", "prio_code"
+    )
+
+
+# -- sequence packing (LLM-pipeline: concat-and-chunk into packs) -------
+PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum
+  FROM t
+)
+SELECT doc_id, n_tok,
+       CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+       CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset,
+       CAST((cum - 1) // 2048 AS BIGINT) AS pack_id_end
+FROM c ORDER BY doc_id
+"""
+
+
+@q("pack_sequences_2048", PACK_SQL)
+def pack_sequences_2048(spark, sf_dir):
+    """GPT-style sequence packing (functions/text.py pack_sequences):
+    one exact running sum over the doc stream (ordered.cumulative,
+    range-bucketed) + integer arithmetic — each doc's pack id, offset
+    and end pack at a 2048-token context. Integer-exact, so the
+    oracle is a plain SQL window cumsum."""
+    from ..functions import text as TX
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    prep = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tok")
+    )
+    out = TX.pack_sequences(prep, "doc_id", "n_tok", max_len=2048)
+    return out.select("doc_id", "n_tok", "pack_id", "pack_offset",
+                      "pack_id_end").orderBy("doc_id")
+
+
+# -- duplicate-pair → duplicate-group resolution ------------------------
+COMPONENTS_SQL = """
+WITH RECURSIVE ds AS (
+  SELECT DISTINCT doc_id AS id, unnest(
+    CASE WHEN len(string_split(text,' ')) >= 3
+         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+         ELSE [] END) AS sh
+  FROM documents
+),
+sz AS (SELECT id, count(*) AS n FROM ds GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.9
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT re.node, s.b FROM reach re JOIN sym s ON s.a = re.r
+)
+SELECT node AS doc_id, least(node, min(r)) AS group_root
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@q("dedup_connected_groups", COMPONENTS_SQL)
+def dedup_connected_groups(spark, sf_dir):
+    """pairs → groups: exact-Jaccard duplicate pairs resolved into
+    connected components (functions/dedup.py connected_components,
+    min-label propagation) — each doc labeled with the smallest id in
+    its duplicate cluster; the oracle recomputes the transitive
+    closure with a recursive CTE."""
+    from ..functions import dedup as DD
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.9, max_shingle_freq=None
+    )
+    comp = DD.connected_components(pairs.select("id_a", "id_b"))
+    return (
+        comp.select(F.col("id").alias("doc_id"),
+                    F.col("comp").alias("group_root"))
+        .orderBy("doc_id")
     )

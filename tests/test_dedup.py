@@ -66,3 +66,35 @@ def test_exact_dup_groups_counts(spark, sf_dir):
     groups = DD.exact_dup_groups(docs, "text", "doc_id")
     total = groups.agg(F.sum("n_docs")).collect()[0][0]
     assert total == docs.count()
+
+
+def test_connected_components_shapes(spark):
+    """min-label propagation on a synthetic graph: a 5-chain (diameter
+    4, needs several rounds), a triangle, and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),           # triangle
+         (20, 21)],                              # pair
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["comp"]
+           for r in DD.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pack_sequences_arithmetic(spark):
+    """packing invariants: offsets in [0, max_len), consecutive docs'
+    stream positions abut, end pack covers the doc's last token."""
+    from dask_expr_spark.functions.text import pack_sequences
+
+    pdf_rows = [(i, 700 + (i * 137) % 900) for i in range(40)]
+    sdf = spark.createDataFrame(pdf_rows, ["doc_id", "n_tok"])
+    out = (pack_sequences(sdf, "doc_id", "n_tok", max_len=2048)
+           .orderBy("doc_id").collect())
+    pos = 0
+    for r in out:
+        assert r["pack_id"] == pos // 2048
+        assert r["pack_offset"] == pos % 2048
+        pos += r["n_tok"]
+        assert r["pack_id_end"] == (pos - 1) // 2048
