@@ -59,6 +59,18 @@ VALIDATED = frozenset({
 })
 
 
+# ROUND-4 CHECKLIST (same maintenance step as round 3): once
+# CORRECTNESS_r03.json lands, add its green names to VALIDATED — the
+# round-3 window leads with queries/round3.py (19 queries incl.
+# rolling_weighted_triang, expanding_median_global, cat_codes_explicit,
+# pack_sequences_2048, dedup_connected_groups), the 7 oracle-upgraded
+# ex-rows-only queries (dedup_minhash_lsh, dedup_simhash,
+# ann_lsh_bucketed, ann_ivf_topk, ann_int8_topk, stream_tumbling_counts,
+# stream_session_counts), and ~24 rotated r1 reconfirmations. The
+# upgraded approx_* queries (tolerance oracles since r3) re-enter with
+# the r1 rotation.
+
+
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from . import approx, dedup, events, ops, relational, round3, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
 

@@ -191,7 +191,20 @@ def from_pandas(spark: SparkSession, pdf, npartitions: int | None = None,
     if index_col is None and pdf.index.name is not None:
         index_col = pdf.index.name
         pdf = pdf.reset_index()
-    sdf = spark.createDataFrame(pdf)
+    if len(pdf) == 0:
+        # createDataFrame can't infer from zero rows, but the pandas
+        # dtypes are known — build the schema explicitly
+        from pyspark.sql import types as T
+
+        _NP = {"i": T.LongType(), "u": T.LongType(), "f": T.DoubleType(),
+               "b": T.BooleanType(), "M": T.TimestampType()}
+        schema = T.StructType([
+            T.StructField(str(c), _NP.get(pdf[c].dtype.kind, T.StringType()))
+            for c in pdf.columns
+        ])
+        sdf = spark.createDataFrame([], schema)
+    else:
+        sdf = spark.createDataFrame(pdf)
     if npartitions:
         sdf = sdf.repartition(npartitions)
     if index_col:

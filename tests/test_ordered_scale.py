@@ -773,3 +773,40 @@ def test_checkpoint_fanout(spark):
     _cmp_series(got, pdf.set_index("i")["y"].cumsum())
     plan = _plan(d.cumsum(columns=["y"]))
     assert "FileScan" not in plan  # branches read the checkpoint, not the source
+
+
+def test_new_ops_edge_cases(spark):
+    """empty frames, all-null columns and short streams through the
+    round-3 paths (holistic expanding, win_type, approx quantile,
+    connected components, pack_sequences)."""
+    from dask_expr_spark.functions import dedup as DD
+    from dask_expr_spark.functions.text import pack_sequences
+
+    empty = from_pandas(
+        spark,
+        pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                      "y": pd.Series([], dtype="float64")}),
+        npartitions=1,
+    ).set_index("i")
+    assert len(empty.expanding().median(["y"]).compute()) == 0
+
+    allnull = from_pandas(
+        spark, pd.DataFrame({"i": range(10), "y": [np.nan] * 10}),
+        npartitions=2,
+    ).set_index("i")
+    r = allnull.expanding().median(["y"]).compute()
+    assert len(r) == 10 and r["y_rmedian"].isna().all()
+
+    short = from_pandas(
+        spark, pd.DataFrame({"i": range(3), "y": [1.0, 2.0, 3.0]}),
+        npartitions=1,
+    ).set_index("i")
+    got = (short.rolling(5, win_type="triang", min_periods=1)
+           .mean(["y"]).compute().sort_index()["y_rmean"])
+    np.testing.assert_allclose(got, [1.0, 4 / 3, 5 / 3], atol=1e-9)
+
+    ep = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert DD.connected_components(ep).count() == 0
+
+    es = spark.createDataFrame([], "doc_id bigint, n_tok bigint")
+    assert pack_sequences(es, "doc_id", "n_tok", 2048).count() == 0
