@@ -502,8 +502,24 @@ class DataFrame(FrameBase):
     def distinct(self) -> "DataFrame":
         return self._wrap(self._sdf.distinct())
 
-    def sample(self, frac: float, seed: int | None = None) -> "DataFrame":
-        return self._wrap(self._sdf.sample(fraction=frac, seed=seed))
+    def sample(self, frac: float | None = None, seed: int | None = None,
+               n: int | None = None, replace: bool = False,
+               random_state: int | None = None) -> "DataFrame":
+        """reference: Sample, _expr.py:1168. n= raises like the
+        reference (fraction-based only — an exact-n sample needs a
+        global count); replace= maps to withReplacement."""
+        if n is not None:
+            raise ValueError(
+                "sample does not support the number of sampled items n; "
+                "use frac= instead (same restriction as the reference)"
+            )
+        if frac is None:
+            raise ValueError("sample needs frac=")
+        if random_state is not None and seed is None:
+            seed = random_state
+        return self._wrap(
+            self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed)
+        )
 
     def random_split(self, weights: Sequence[float], seed: int | None = None):
         return [self._wrap(s) for s in self._sdf.randomSplit(list(weights), seed=seed)]
@@ -804,14 +820,24 @@ class DataFrame(FrameBase):
         return GroupBy(self, list(cols), dropna=False, mode="cube")
 
     # -- reshape ------------------------------------------------------------
-    def melt(self, id_vars: Sequence[str], value_vars: Sequence[str],
+    def melt(self, id_vars: Sequence[str] | None = None,
+             value_vars: Sequence[str] | None = None,
              var_name: str = "variable", value_name: str = "value") -> "DataFrame":
-        """reference: melt, _collection.py:4047 — Spark-native unpivot."""
+        """reference: melt, _collection.py:4047 — Spark-native unpivot.
+        id_vars/value_vars default like pandas: no ids / all non-id
+        columns."""
+        id_vars = list(id_vars) if id_vars is not None else []
+        if value_vars is None:
+            value_vars = [c for c in self.columns if c not in id_vars]
+        types = {f.name: f.dataType.simpleString()
+                 for f in self._sdf.schema.fields}
+        vals = [F.col(c) for c in value_vars]
+        if len({types[c] for c in value_vars}) > 1:
+            # heterogeneous dtypes: pandas melts to object; Spark's
+            # unpivot needs one type — string is the faithful analogue
+            vals = [F.col(c).cast("string").alias(c) for c in value_vars]
         sdf = self._sdf.unpivot(
-            [F.col(c) for c in id_vars],
-            [F.col(c) for c in value_vars],
-            var_name,
-            value_name,
+            [F.col(c) for c in id_vars], vals, var_name, value_name,
         )
         return DataFrame(sdf)
 
@@ -872,27 +898,45 @@ class DataFrame(FrameBase):
             )
         return self._wrap(out), dicts
 
-    def describe(self, columns: Sequence[str] | None = None) -> "DataFrame":
-        """reference: Describe, _describe.py:16 — count/mean/std/min/max
-        per numeric column, one row per statistic."""
-        numeric = {
-            f.name for f in self._sdf.schema.fields
-            if f.dataType.simpleString() in ("int", "bigint", "smallint",
-                                             "tinyint", "double", "float")
-        }
+    def describe(self, columns: Sequence[str] | None = None,
+                 percentiles: Sequence[float] | None = None,
+                 include=None, exclude=None) -> "DataFrame":
+        """reference: Describe, _describe.py:16 — count/mean/std/min/
+        percentiles/max per numeric column, one row per statistic.
+        percentiles defaults to pandas' [.25, .5, .75]; include/
+        exclude filter by dtype group ('number'/'object' or Spark type
+        names)."""
+        def _grp(t: str) -> str:
+            return ("number" if t in ("int", "bigint", "smallint", "tinyint",
+                                      "double", "float", "decimal")
+                    else "object")
+        types = {f.name: f.dataType.simpleString().split("(")[0]
+                 for f in self._sdf.schema.fields}
+        numeric = {c for c, t in types.items() if _grp(t) == "number"}
         cols = [c for c in (columns or self.columns) if c in numeric]
-        rows = []
-        for stat, fn in [
+        if include is not None:
+            inc = {include} if isinstance(include, str) else set(include)
+            cols = [c for c in cols if types[c] in inc or _grp(types[c]) in inc]
+        if exclude is not None:
+            exc = {exclude} if isinstance(exclude, str) else set(exclude)
+            cols = [c for c in cols if types[c] not in exc and _grp(types[c]) not in exc]
+        pcts = [0.25, 0.5, 0.75] if percentiles is None else list(percentiles)
+        stats = [
             ("count", lambda c: F.count(c).cast("double")),
             ("mean", F.avg),
             ("std", F.stddev_samp),
             ("min", lambda c: F.min(c).cast("double")),
+            *[(f"{int(p*100)}%",
+               (lambda p_: lambda c: F.percentile(c, F.lit(p_)))(p))
+              for p in pcts],
             ("max", lambda c: F.max(c).cast("double")),
-        ]:
+        ]
+        rows = []
+        for stat, fn in stats:
             rows.append(
                 self._sdf.agg(
                     F.lit(stat).alias("statistic"),
-                    *[fn(F.col(c)).alias(c) for c in cols],
+                    *[fn(F.col(c)).cast("double").alias(c) for c in cols],
                 )
             )
         out = rows[0]
@@ -1736,14 +1780,17 @@ class DataFrame(FrameBase):
         for c in self.columns:
             yield c, self[c]
 
-    def memory_usage(self, deep: bool = False) -> "DataFrame":
+    def memory_usage(self, deep: bool = False, index: bool = True) -> "DataFrame":
         """approximate bytes per column (reference: memory_usage /
-        nbytes, _collection.py:1434) — single agg pass."""
+        nbytes, _collection.py:1434) — single agg pass. index=False
+        excludes the index column(s), as in pandas."""
         widths = {"bigint": 8, "double": 8, "int": 4, "float": 4,
                   "smallint": 2, "tinyint": 1, "boolean": 1,
                   "date": 4, "timestamp": 8, "timestamp_ntz": 8}
         aggs = []
-        for f in self._sdf.schema.fields:
+        fields = [f for f in self._sdf.schema.fields
+                  if index or f.name not in self._index_cols]
+        for f in fields:
             t = f.dataType.simpleString()
             if t in widths and not deep:
                 aggs.append((F.count(F.lit(1)) * widths[t]).alias(f.name))
@@ -2443,9 +2490,16 @@ class Series(FrameBase):
         sdf = lagged.select(ok.alias("__ok"))
         return Scalar(sdf.agg(F.min("__ok").alias("is_monotonic")))
 
-    def mode(self) -> Scalar:
-        """most frequent value (reference: Mode, _reductions.py:1270)."""
-        return self._reduce(F.mode(self._scol), f"mode_{self._name}")
+    def mode(self, dropna: bool = True) -> Scalar:
+        """most frequent value (reference: Mode, _reductions.py:1270).
+        dropna=False lets the null bucket win like pandas."""
+        if dropna:
+            return self._reduce(F.mode(self._scol), f"mode_{self._name}")
+        cnt = (self._anchor.groupBy(self._scol.alias("__v"))
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .orderBy(F.col("__n").desc(), F.col("__v").asc_nulls_last())
+               .limit(1).select(F.col("__v").alias(f"mode_{self._name}")))
+        return Scalar(cnt)
 
     def nlargest(self, n: int = 5) -> "DataFrame":
         """top-n values with their index (reference: NLargest,
@@ -2461,9 +2515,10 @@ class Series(FrameBase):
         return DataFrame(sdf, self._index_cols, False)
 
     def value_counts(self, normalize: bool = False, sort: bool = True,
-                     dropna: bool = True) -> "DataFrame":
+                     dropna: bool = True, ascending: bool = False) -> "DataFrame":
         """reference: ValueCounts, _reductions.py:1394. dropna=True
-        (pandas default) excludes the null bucket."""
+        (pandas default) excludes the null bucket; ascending= flips the
+        count order like pandas."""
         anchor = self._anchor
         if dropna:
             anchor = anchor.filter(self._scol.isNotNull())
@@ -2474,7 +2529,8 @@ class Series(FrameBase):
             total = F.sum("count").over(Window.partitionBy())
             out = out.withColumn("proportion", F.col("count") / total).drop("count")
         if sort:
-            out = out.orderBy(F.col("proportion" if normalize else "count").desc())
+            key = F.col("proportion" if normalize else "count")
+            out = out.orderBy(key.asc() if ascending else key.desc())
         return DataFrame(out)
 
     def unique(self) -> "DataFrame":

@@ -817,3 +817,47 @@ def test_interchange_protocol(spark):
     di = df.__dataframe__()
     assert di.num_columns() == 2
     assert di.num_rows() == 3
+
+
+def test_param_parity_round3(spark):
+    """round-3 parameter-parity batch: value_counts(ascending=),
+    sample(replace=/n=raise), mode(dropna=), melt defaults,
+    describe(percentiles=/include=/exclude=), memory_usage(index=)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "i": range(20),
+        "g": [["a", "b", "b", None][k % 4] for k in range(20)],
+        "x": np.arange(20, dtype="float64"),
+    })
+    d = from_pandas(spark, pdf, npartitions=3)
+
+    vc = d["g"].value_counts(ascending=True).compute()
+    assert vc["count"].is_monotonic_increasing
+
+    with pytest.raises(ValueError, match="number of sampled items"):
+        d.sample(n=5)
+    assert d.sample(frac=0.5, replace=True, random_state=1).compute() is not None
+
+    assert d["g"].mode().compute() == "b"
+    allnull = from_pandas(
+        spark, pd.DataFrame({"v": pd.array([None, None, 1], dtype="Int64")}),
+        npartitions=1)
+    assert allnull["v"].mode(dropna=False).compute() is None  # null bucket wins
+
+    m = d.melt(id_vars=["i"]).compute()
+    assert set(m["variable"]) == {"g", "x"}
+    assert len(m) == 40
+
+    desc = d.describe(percentiles=[0.1, 0.5]).compute()
+    assert list(desc["statistic"]) == ["count", "mean", "std", "min",
+                                       "10%", "50%", "max"]
+    assert "x" in desc.columns
+    only_obj = d.describe(include=["number"], exclude=["double"]).compute()
+    assert "x" not in only_obj.columns
+
+    di = d.set_index("i")
+    wide_all = di.memory_usage().compute()
+    wide_noidx = di.memory_usage(index=False).compute()
+    assert "i" in wide_all.columns and "i" not in wide_noidx.columns
