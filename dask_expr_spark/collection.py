@@ -1019,6 +1019,65 @@ class DataFrame(FrameBase):
             aggs.append(_agg_expr(fn, c).alias(c))
         return DataFrame(sdf.agg(*aggs))
 
+    def quantile(self, q=0.5, axis: int = 0, numeric_only: bool = False,
+                 method: str = "default") -> "DataFrame | Series":
+        """reference: Frame.quantile (_collection.py:3819). axis=0 →
+        one row per q with the interpolated percentile of each numeric
+        column (method='tdigest'/'approx' uses the sketch, like the
+        reference's tdigest option); axis=1 → per-row quantile across
+        the numeric columns (JVM array sort + linear interpolation,
+        no UDF)."""
+        if axis in (1, "columns"):
+            return self._row_quantile(float(q))
+        qs = [float(q)] if isinstance(q, (int, float)) else [float(v) for v in q]
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal"}
+        cols = [f.name for f in self._sdf.schema.fields
+                if f.name not in self._index_cols
+                and f.dataType.simpleString().split("(")[0] in num]
+        if not cols:
+            raise ValueError("no numeric columns for quantile")
+        if method in ("tdigest", "approx"):
+            fn = lambda c, p: F.percentile_approx(F.col(c), p)  # noqa: E731
+        else:
+            fn = lambda c, p: F.percentile(F.col(c), F.lit(p))  # noqa: E731
+        rows = [
+            self._sdf.agg(
+                F.lit(p).alias("quantile"),
+                *[fn(c, p).cast("double").alias(c) for c in cols],
+            )
+            for p in qs
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return DataFrame(out)
+
+    def _row_quantile(self, q: float) -> "Series":
+        """axis=1 quantile: sorted per-row array + linear interpolation
+        at q*(n-1), pandas-style, nulls skipped."""
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal", "boolean"}
+        cols = [f.name for f in self._sdf.schema.fields
+                if f.name not in self._index_cols
+                and f.dataType.simpleString().split("(")[0] in num]
+        if not cols:
+            raise ValueError("no numeric columns for quantile(axis=1)")
+        arr = F.array_sort(F.filter(
+            F.array(*[F.col(c).cast("double") for c in cols]),
+            lambda x: ~x.isNull(),
+        ))
+        n = F.size(arr)
+        idx = (n - 1).cast("double") * F.lit(q)
+        lo = F.floor(idx).cast("int")
+        frac = idx - lo.cast("double")
+        base = F.element_at(arr, lo + 1)
+        nxt = F.element_at(arr, F.least(lo + 2, n))
+        name = f"q{int(q * 100)}"
+        val = F.when(n > 0, base + frac * (nxt - base))
+        return Series(self._sdf, val.alias(name), name, self._index_cols,
+                      self._known_sorted)
+
     def _row_reduce(self, fn: str) -> "Series":
         """axis=1 reductions (reference: axis=1 branch of the frame
         reductions, _collection.py:2407) — pure JVM higher-order

@@ -861,3 +861,28 @@ def test_param_parity_round3(spark):
     wide_all = di.memory_usage().compute()
     wide_noidx = di.memory_usage(index=False).compute()
     assert "i" in wide_all.columns and "i" not in wide_noidx.columns
+
+
+def test_frame_quantile(spark):
+    """DataFrame.quantile (reference _collection.py:3819): axis=0
+    per-column rows, list q, tdigest method; axis=1 per-row."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"i": range(50), "a": rng.randn(50) * 10,
+                        "b": rng.rand(50), "s": ["x"] * 50})
+    d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    got = d.quantile([0.25, 0.5, 0.9]).compute().set_index("quantile")
+    for p in (0.25, 0.5, 0.9):
+        for c in ("a", "b"):
+            assert abs(got.loc[p, c] - pdf[c].quantile(p)) < 1e-9
+    assert "s" not in got.columns
+    # sketch method returns a near-quantile data value
+    ap = d.quantile(0.5, method="tdigest").compute()
+    assert abs(ap["a"].iloc[0] - pdf["a"].quantile(0.5)) < 2.0
+    # axis=1 matches pandas row quantile
+    got1 = d.quantile(0.5, axis=1).compute().sort_index()
+    want1 = pdf.set_index("i")[["a", "b"]].quantile(0.5, axis=1)
+    pdt.assert_series_equal(got1.astype("float64"), want1,
+                            check_names=False, atol=1e-9, rtol=0)
