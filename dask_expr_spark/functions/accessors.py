@@ -193,10 +193,54 @@ class StringMethods:
             self._c.rlike(r"^([A-Z][a-z]*)(\s+[A-Z][a-z]*)*$")
         )
 
-    def translate(self, from_str: str, to_str: str):
-        """char-for-char translate (Spark signature; a pandas dict
-        table maps onto (from, to) strings for 1:1 substitutions)."""
-        return self._new(F.translate(self._c, from_str, to_str))
+    def translate(self, table, to_str: str | None = None):
+        """char translate. Spark-style (from_str, to_str) OR a pandas
+        ordinal dict (str.maketrans style): single-char / None values
+        compile to one JVM F.translate (None deletes); multi-char
+        replacement values fall back to an Arrow-batched str.translate
+        (exact pandas semantics)."""
+        if isinstance(table, str):
+            return self._new(F.translate(self._c, table, to_str))
+        norm = {}
+        for k, v in table.items():
+            kc = chr(k) if isinstance(k, int) else k
+            norm[kc] = "" if v is None else (chr(v) if isinstance(v, int) else v)
+        if all(len(v) <= 1 for v in norm.values()):
+            # F.translate deletes chars whose position exceeds len(to):
+            # order the deletions last
+            items = sorted(norm.items(), key=lambda kv: kv[1] == "")
+            src = "".join(k for k, _ in items)
+            dst = "".join(v for _, v in items)
+            return self._new(F.translate(self._c, src, dst))
+        tbl = {ord(k): v for k, v in norm.items()}
+
+        @F.pandas_udf("string")
+        def _tr(s):
+            return s.str.translate(tbl)
+
+        return self._new(_tr(self._c))
+
+    def wrap(self, width: int, **kwargs):
+        """textwrap-exact line wrapping (pandas Series.str.wrap) —
+        Arrow-batched; the one .str member whose semantics (textwrap's
+        break/space rules) aren't regex-expressible bit-for-bit."""
+        import textwrap
+
+        w = textwrap.TextWrapper(width=width, **kwargs)
+
+        @F.pandas_udf("string")
+        def _wrap(s):
+            return s.map(lambda x: "\n".join(w.wrap(x)) if x is not None else None)
+
+        return self._new(_wrap(self._c))
+
+    def decode(self, encoding: str = "utf-8"):
+        """binary → string (pandas Series.str.decode; JVM F.decode)."""
+        return self._new(F.decode(self._c, encoding))
+
+    def encode(self, encoding: str = "utf-8"):
+        """string → binary (pandas Series.str.encode; JVM F.encode)."""
+        return self._new(F.encode(self._c, encoding))
 
     def partition(self, sep: str = " "):
         """array<string> of [head, sep, tail] split at the FIRST sep

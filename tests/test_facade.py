@@ -886,3 +886,36 @@ def test_frame_quantile(spark):
     want1 = pdf.set_index("i")[["a", "b"]].quantile(0.5, axis=1)
     pdt.assert_series_equal(got1.astype("float64"), want1,
                             check_names=False, atol=1e-9, rtol=0)
+
+
+def test_str_wrap_translate_decode(spark):
+    """the last .str exclusions closed: wrap (textwrap-exact),
+    dict-translate, decode/encode round-trip."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"i": range(3), "t": [
+        "the quick brown fox jumps over the lazy dog",
+        "supercalifragilisticexpialidocious word",
+        None,
+    ]}).set_index("i")
+    d = from_pandas(spark, pdf.reset_index(), npartitions=2).set_index("i")
+    got = d["t"].str.wrap(12).compute().sort_index()
+    want = pdf["t"].str.wrap(12)
+    pdt.assert_series_equal(got, want, check_names=False)
+
+    tbl = str.maketrans({"o": "0", "e": None, "q": "kw"})
+    got = d["t"].str.translate(tbl).compute().sort_index()
+    want = pdf["t"].str.translate(tbl)
+    pdt.assert_series_equal(got, want, check_names=False)
+
+    # 1:1 dict stays JVM-side (no BatchEvalPython / ArrowEvalPython)
+    simple = d["t"].str.translate({"o": "0", "e": None})
+    plan = simple._anchor.select(simple._scol)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    got = simple.compute().sort_index()
+    want = pdf["t"].str.translate(str.maketrans({"o": "0", "e": None}))
+    pdt.assert_series_equal(got, want, check_names=False)
+
+    rt = d["t"].str.encode("utf-8").str.decode("utf-8").compute().sort_index()
+    pdt.assert_series_equal(rt, pdf["t"], check_names=False)
