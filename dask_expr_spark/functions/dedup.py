@@ -364,32 +364,62 @@ def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
     return pairs.withColumn("hamming", hamming).select("id_a", "id_b", "hamming")
 
 
+def md5_perm_hash(i: Column, h: Column) -> Column:
+    """portable permutation rehash: 60-bit md5 of "i:h" — DuckDB
+    reproduces it as ('0x' || substr(md5(i || ':' || h), 1, 15))::BIGINT.
+    Companion to md5_token_hash for oracle-checkable MinHash."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", i.cast("string"), h.cast("string"))), 1, 15
+        ), 16, 10,
+    ).cast("long")
+
+
+def md5_band_hash(band_slice: Column) -> Column:
+    """portable band-bucket key: 60-bit md5 of the ':'-joined row mins
+    (DuckDB: md5(string_agg(m, ':' ORDER BY perm)))."""
+    return F.conv(
+        F.substring(
+            F.md5(F.array_join(
+                F.transform(band_slice, lambda x: x.cast("string")), ":"
+            )), 1, 15,
+        ), 16, 10,
+    ).cast("long")
+
+
 def minhash_sig_expr(text: Column, k: int = 3, num_perm: int = 32,
-                     sep: str = " ") -> Column:
+                     sep: str = " ", token_hash=None,
+                     perm_hash=None) -> Column:
     """MinHash signature as ONE pure column expression (array<bigint>)
     — no explode/groupBy, so it also runs on STREAMING frames where a
     pre-aggregation before stateful ops is not allowed. Same
     one-hash + universal-rehash construction as minhash_signatures
     (hash the shingle once, derive permutations by rehashing the
-    8-byte base hash with the permutation index)."""
-    base = F.transform(
-        F.array_distinct(shingles(text, k, sep)), lambda s: F.xxhash64(s)
-    )
+    8-byte base hash with the permutation index). Pass
+    token_hash=md5_token_hash + perm_hash=md5_perm_hash for the
+    DuckDB-reproducible variant (oracle checks); xxhash64 stays the
+    production default."""
+    th = token_hash or (lambda s: F.xxhash64(s))
+    ph = perm_hash or (lambda i, h: F.xxhash64(i, h))
+    base = F.transform(F.array_distinct(shingles(text, k, sep)), th)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(
-            F.transform(base, lambda h: F.xxhash64(i, h))
+            F.transform(base, lambda h: ph(i, h))
         ),
     )
 
 
-def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 4) -> Column:
-    """array<struct<band,bkey>>: xxhash64 of each signature band —
-    works on batch and streaming frames alike."""
+def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 4,
+                  band_hash=None) -> Column:
+    """array<struct<band,bkey>>: hash of each signature band — works on
+    batch and streaming frames alike. band_hash=md5_band_hash for the
+    DuckDB-reproducible variant."""
+    bh = band_hash or (lambda s: F.xxhash64(s))
     return F.array(*[
         F.struct(
             F.lit(j).alias("band"),
-            F.xxhash64(F.slice(sig, j * rows + 1, rows)).alias("bkey"),
+            bh(F.slice(sig, j * rows + 1, rows)).alias("bkey"),
         )
         for j in range(bands)
     ])

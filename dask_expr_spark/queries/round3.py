@@ -445,13 +445,53 @@ def range_join_purchase_windows(spark, sf_dir):
     )
 
 
-@q("stream_near_dedup", None)
+STREAM_NEAR_DEDUP_SQL = """
+WITH ds AS (
+  SELECT DISTINCT doc_id AS id, unnest(
+    CASE WHEN len(string_split(text,' ')) >= 3
+         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+         ELSE [] END) AS sh
+  FROM documents
+),
+base AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM ds
+),
+perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+sig AS (
+  SELECT id, i,
+         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
+                             1, 15))::BIGINT) AS m
+  FROM base CROSS JOIN perms GROUP BY id, i
+),
+bandkeys AS (
+  SELECT id, i // 4 AS band,
+         ('0x' || substr(md5(string_agg(CAST(m AS VARCHAR), ':' ORDER BY i)),
+                         1, 15))::BIGINT AS bkey
+  FROM sig GROUP BY id, i // 4
+),
+grp AS (
+  SELECT band, bkey, id,
+         min(id) OVER (PARTITION BY band, bkey) AS first
+  FROM bandkeys
+)
+SELECT id AS doc_id, first AS matched_doc, CAST(band AS INT) AS band
+FROM grp WHERE id != first
+ORDER BY doc_id, matched_doc, band
+"""
+
+
+@q("stream_near_dedup", STREAM_NEAR_DEDUP_SQL)
 def stream_near_dedup(spark, sf_dir):
     """streaming MinHash-LSH near-dup candidates
     (streaming/ops.py near_dedup_candidates_stream): pure-expression
     signatures + per-(band,bucket) state, candidates flagged online.
-    Stateful micro-batch semantics → rows-only check; exact batch
-    parity asserted in tests/test_streaming.py."""
+    Run with the portable md5 hash family, whose signature/band/bucket
+    pipeline DuckDB reproduces bit-for-bit — with a single source
+    batch the state handler's min-first rule makes each candidate
+    (doc, bucket-min, band), so the FULL streaming output hash-matches
+    the oracle. xxhash64 stays the production default (batch parity
+    asserted in tests/test_streaming.py)."""
     import os
     import tempfile
 
@@ -460,12 +500,15 @@ def stream_near_dedup(spark, sf_dir):
 
     src = tempfile.mkdtemp(prefix="stream_nd_")
     docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
-    docs.to_spark().select("doc_id", "text").coalesce(1) \
+    docs.to_spark().select("doc_id", "text") \
+        .where(F.size(F.split(F.col("text"), " ")) >= 3).coalesce(1) \
         .write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     name = "stream_near_dedup_out"
-    q_ = S.run_to_memory(S.near_dedup_candidates_stream(stream), name,
-                         output_mode="append")
+    q_ = S.run_to_memory(
+        S.near_dedup_candidates_stream(stream, portable_hash=True), name,
+        output_mode="append",
+    )
     try:
         out = spark.sql(
             f"SELECT doc_id, matched_doc, band FROM {name} "

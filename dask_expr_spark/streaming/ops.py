@@ -189,6 +189,7 @@ NEAR_DUP_OUT_SCHEMA = T.StructType(
 def near_dedup_candidates_stream(
     stream: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands: int = 8, rows: int = 4, k: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """STREAMING near-duplicate candidates: MinHash+LSH online.
 
@@ -202,12 +203,20 @@ def near_dedup_candidates_stream(
     bucket, partitioned by the bucket key."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..functions.dedup import lsh_band_keys, minhash_sig_expr
+    from ..functions.dedup import (
+        lsh_band_keys, md5_band_hash, md5_perm_hash, md5_token_hash,
+        minhash_sig_expr,
+    )
 
-    sig = minhash_sig_expr(F.col(text_col), k=k, num_perm=bands * rows)
+    # portable_hash: the md5-derived hash family DuckDB reproduces
+    # bit-for-bit (oracle checks); production keeps xxhash64
+    th, ph, bh = ((md5_token_hash, md5_perm_hash, md5_band_hash)
+                  if portable_hash else (None, None, None))
+    sig = minhash_sig_expr(F.col(text_col), k=k, num_perm=bands * rows,
+                           token_hash=th, perm_hash=ph)
     banded = (
         stream.select(F.col(id_col).alias("doc_id"),
-                      F.explode(lsh_band_keys(sig, bands, rows)).alias("bb"))
+                      F.explode(lsh_band_keys(sig, bands, rows, band_hash=bh)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.bkey").alias("bkey"))
     )
