@@ -63,19 +63,23 @@ VALIDATED = frozenset({
 # CORRECTNESS_r03.json lands, add its green names to VALIDATED — the
 # round-3 window leads with queries/round3.py (19 queries incl.
 # rolling_weighted_triang, expanding_median_global, cat_codes_explicit,
-# pack_sequences_2048, dedup_connected_groups), the 7 oracle-upgraded
+# pack_sequences_2048, dedup_connected_groups), queries/round3b.py (17
+# queries flipping previously pytest-only §2 rows: mode, describe,
+# groupby head/get_group/rolling/expanding, concat axis=1, query/eval,
+# ufunc, dot, combine, is_monotonic, CSV/JSON round-trips, custom
+# reduction, map_partitions, map_overlap), the 7 oracle-upgraded
 # ex-rows-only queries (dedup_minhash_lsh, dedup_simhash,
 # ann_lsh_bucketed, ann_ivf_topk, ann_int8_topk, stream_tumbling_counts,
-# stream_session_counts), and ~24 rotated r1 reconfirmations. The
+# stream_session_counts), and ~7 rotated r1 reconfirmations. The
 # upgraded approx_* queries (tolerance oracles since r3) re-enter with
 # the r1 rotation.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from . import approx, dedup, events, ops, relational, round3, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
+    from . import approx, dedup, events, ops, relational, round3, round3b, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, windows
 
     out: dict = {}
-    for mod in (round3, tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
+    for mod in (round3, round3b, tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,16 +1,17 @@
-"""Keeps the pre-staged round-3 query batch (queries/round3.py) green
-against DuckDB until the registry rotation window frees up and they
-can be wired into collect_queries()."""
+"""Keeps the round-3 query batches (queries/round3.py, round3b.py)
+green against DuckDB — the same compare the driver runs at sf0.01
+(tests default to sf0.001; SPARK_GRAFT_TEST_SF_DIR overrides)."""
 
 from __future__ import annotations
 
 import pytest
 
-from dask_expr_spark.queries import round3
+from dask_expr_spark.queries import round3, round3b
 
 from .oracle import compare, duck_con
 
-_WITH_ORACLE = sorted(n for n, (_f, sql) in round3.QUERIES.items() if sql)
+_ALL = {**round3.QUERIES, **round3b.QUERIES}
+_WITH_ORACLE = sorted(n for n, (_f, sql) in _ALL.items() if sql)
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +23,7 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_round3_oracle_match(name, spark, sf_dir, con):
-    fn, sql = round3.QUERIES[name]
+    fn, sql = _ALL[name]
     sdf = fn(spark, sf_dir)
     oracle = con.execute(sql).df()
     errors = compare(sdf, oracle, name)
