@@ -105,3 +105,44 @@ def global_shuffle(df: DataFrame, id_col: str, seed: str = "s42") -> DataFrame:
         parts.withColumn("shuffle_rank", (off + F.row_number().over(w)).cast("long"))
         .drop("__k", "__pid")
     )
+
+
+def resample_to_mix(df: DataFrame, source_col: str, id_col: str,
+                    target_shares: dict[str, float],
+                    seed: str = "mix42") -> DataFrame:
+    """Domain-mixture resampling (pretraining data reweighting — e.g.
+    The Pile / Llama-style source proportions): downsample each source
+    so the surviving corpus matches `target_shares` as closely as the
+    data allows, deterministically.
+
+    The feasible total is T = min_s(count_s / share_s) — the largest
+    corpus where no source needs MORE rows than it has. Each source
+    then keeps p_s = share_s * T / count_s of its rows, selected by
+    md5-prefix threshold (uniform, engine- and partitioning-
+    independent; same keying as hash_split). Sources absent from
+    target_shares are dropped.
+
+    Spark shape: one tiny groupBy(source) count (|sources| rows), the
+    threshold arithmetic as a window over that tiny frame, broadcast
+    back — the row stream itself sees one narrow filter, no shuffle.
+    The 16-bit prefix quantizes p_s to 1/65536, so realized counts
+    deviate from share_s*T by at most count_s/65536 (binomial-free:
+    the draw is a fixed hash population, not an RNG)."""
+    shares = F.create_map(*[
+        F.lit(x) for kv in target_shares.items() for x in (str(kv[0]), float(kv[1]))
+    ])
+    counts = (df.groupBy(F.col(source_col).alias("__src"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .withColumn("__share", shares[F.col("__src")])
+              .where(F.col("__share").isNotNull()))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    thr = (counts
+           .withColumn("__T", F.min(F.col("__n") / F.col("__share")).over(w))
+           .withColumn("__thr", F.round(
+               F.col("__share") * F.col("__T") / F.col("__n") * 65536)
+               .cast("long"))
+           .select("__src", "__thr"))
+    keyed = df.join(F.broadcast(thr), df[source_col] == F.col("__src"), "inner")
+    u16 = F.conv(F.substring(_hash_key(F.col(id_col), seed), 1, 4), 16, 10) \
+        .cast("long")
+    return keyed.where(u16 < F.col("__thr")).drop("__src", "__thr")

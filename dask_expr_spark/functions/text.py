@@ -256,3 +256,155 @@ def pack_sequences(sdf, id_col: str, tokens_col, max_len: int,
         )
         .drop("__cum")
     )
+
+
+def bigram_lm_train(sdf, id_col: str, text_col: str, sep: str = " ",
+                    checkpoint_path: str | None = None):
+    """Train the add-k bigram LM tables: returns {"uni", "bigc",
+    "vocab"} DataFrames (unigram counts, bigram counts, 1-row vocab
+    size).
+
+    At 100 TB pass `checkpoint_path`: the aggregated tables are
+    written to parquet and reread, so the raw corpus is scanned ONCE
+    for training and never again at scoring time (the inline lazy form
+    recomputes the tokenize+count subtree per consumer — fine at test
+    scale, a 3x corpus rescan at cluster scale)."""
+    toks = sdf.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), sep).alias("__toks"),
+    )
+    big = toks.select(
+        F.explode(F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+        )).alias("__b"),
+    ).select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    uni = (toks.select(F.explode("__toks").alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if checkpoint_path:
+        spark = sdf.sparkSession
+        uni.write.mode("overwrite").parquet(checkpoint_path + "/uni")
+        bigc.write.mode("overwrite").parquet(checkpoint_path + "/bigc")
+        uni = spark.read.parquet(checkpoint_path + "/uni")
+        bigc = spark.read.parquet(checkpoint_path + "/bigc")
+    vocab = uni.agg(F.count(F.lit(1)).alias("__V"))
+    return {"uni": uni, "bigc": bigc, "vocab": vocab}
+
+
+def bigram_lm_scores(sdf, id_col: str, text_col: str,
+                     k_smooth: float = 0.5, sep: str = " ",
+                     model: dict | None = None):
+    """CCNet-style n-gram language-model quality scoring (no reference
+    analogue; public method: Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", 2019 — there a
+    KenLM 5-gram; here a corpus-trained add-k bigram LM, the same
+    filtering signal without a native dependency).
+
+    Scores each document against `model` (bigram_lm_train output;
+    trained on the corpus itself when omitted):
+      avg_logprob = mean over bigrams of ln((c(w1,w2)+k)/(c(w1)+k*V))
+    Low (very negative) = improbable sequences = gibberish; abnormally
+    high = boilerplate. Perplexity = exp(-avg_logprob).
+
+    Spark shape, 100 TB-ready: the model is two aggregated tables (far
+    smaller than the token stream; parquet-checkpointable via
+    bigram_lm_train); scoring is one equi-join of the document bigram
+    stream against them (shuffle on the bigram key; Catalyst
+    broadcasts when the model is small) + one per-doc aggregate. No
+    UDFs, no driver state. Unseen bigrams (scoring with a model
+    trained elsewhere) drop out of the inner join — train on a
+    superset corpus or pre-smooth the model table for OOV handling.
+
+    Returns (doc_id, n_bigrams, avg_logprob). Per-term ln() may differ
+    from another engine's libm by 1 ulp — round for cross-engine
+    comparison."""
+    if model is None:
+        model = bigram_lm_train(sdf, id_col, text_col, sep)
+    toks = sdf.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), sep).alias("__toks"),
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+        )).alias("__b"),
+    ).select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    k = F.lit(float(k_smooth))
+    scored = (
+        big.join(model["bigc"], ["w1", "w2"]).join(model["uni"], "w1")
+        .crossJoin(F.broadcast(model["vocab"]))
+        .withColumn("__lp", F.log((F.col("c12") + k)
+                                  / (F.col("c1") + k * F.col("__V"))))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("__lp").alias("avg_logprob"),
+    )
+
+
+def bm25_index(sdf, id_col: str, text_col: str, sep: str = " ",
+               checkpoint_path: str | None = None):
+    """Build the BM25 inverted-index tables: {"postings" (doc_id, w,
+    tf), "dl" (doc_id, dl), "df" (w, df), "stats" (1 row: N, avgdl)}.
+    dl/df/stats all derive from the aggregated postings — the raw
+    corpus is tokenized once per consumer lazily, or exactly ONCE when
+    `checkpoint_path` is given (postings written to parquet and
+    reread; the real retrieval-system shape: index once, search many
+    — term filters then push down to the postings parquet scan and
+    never touch the corpus)."""
+    toks = sdf.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("w"),
+    )
+    postings = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    if checkpoint_path:
+        spark = sdf.sparkSession
+        postings.write.mode("overwrite").parquet(checkpoint_path + "/postings")
+        postings = spark.read.parquet(checkpoint_path + "/postings")
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return {"postings": postings, "dl": dl, "df": dfreq, "stats": stats}
+
+
+def bm25_topk(sdf, id_col: str, text_col: str, query_terms,
+              k1: float = 1.2, b: float = 0.75, k: int = 20,
+              sep: str = " ", index: dict | None = None):
+    """BM25 ranked retrieval over the corpus (public formula — the
+    Lucene/Robertson-Sparck-Jones variant with the +1 idf floor).
+
+    Pass `index` (bm25_index output, ideally parquet-checkpointed) to
+    search without touching the corpus; the inline form builds it
+    lazily for one-shot use. The per-term postings filter is a
+    broadcast-size isin literal applied BEFORE any shuffle (pushed to
+    the postings parquet scan when indexed), so the expensive stages
+    only ever see rows for the query's terms; the final top-k is
+    TakeOrderedAndProject — no global sort. Everything JVM-side.
+
+    Returns the k best (doc_id, score) — score rounded to 6dp so the
+    TakeOrdered tie-break (score desc, doc_id asc) is reproducible
+    across engines despite libm ln() ulp differences."""
+    if index is None:
+        index = bm25_index(sdf, id_col, text_col, sep)
+    terms = [str(t) for t in query_terms]
+    tf = index["postings"].where(F.col("w").isin(terms))
+    dfreq = index["df"].where(F.col("w").isin(terms))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(index["dl"], "doc_id")
+        .crossJoin(F.broadcast(index["stats"]))
+        .withColumn("__idf", F.log(
+            F.lit(1.0) + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn("__s", F.col("__idf") * F.col("tf") * (k1 + 1)
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    )
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("__s"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))

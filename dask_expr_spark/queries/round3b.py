@@ -405,3 +405,101 @@ def map_overlap_smooth(spark, sf_dir):
 
     return o.map_overlap_rows(fn, schema, order_col="o_orderkey",
                               before=1, after=1, num_buckets=16).to_spark()
+
+
+# -- corpus-trained bigram LM quality scoring (CCNet-style) -------------
+LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+                                       i -> {'w1': ts[i], 'w2': ts[i+1]}),
+                        recursive := true)
+  FROM toks
+),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+),
+voc AS (SELECT count(*) AS v FROM uni),
+bigc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logprob
+FROM big b JOIN bigc USING (w1, w2) JOIN uni ON b.w1 = uni.w CROSS JOIN voc
+GROUP BY b.doc_id
+"""
+
+
+@q("text_lm_perplexity", LM_SQL)
+def text_lm_perplexity(spark, sf_dir):
+    """per-doc add-k bigram LM log-probability, model trained on the
+    corpus itself (functions/text.py bigram_lm_scores)."""
+    from ..functions.text import bigram_lm_scores
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    out = bigram_lm_scores(docs, "doc_id", "text", k_smooth=0.5)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+# -- BM25 ranked retrieval ---------------------------------------------
+BM25_TERMS = ["join", "vector", "window", "slow"]
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM toks
+  WHERE w IN ('join', 'vector', 'window', 'slow') GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+@q("text_bm25_search", BM25_SQL)
+def text_bm25_search(spark, sf_dir):
+    """BM25 top-20 for a fixed 4-term query (functions/text.py
+    bm25_topk — postings pruned to the query terms before any
+    shuffle; TakeOrderedAndProject top-k)."""
+    from ..functions.text import bm25_topk
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    return bm25_topk(docs, "doc_id", "text", BM25_TERMS,
+                     k1=1.2, b=0.75, k=20)
+
+
+# -- domain-mixture resampling -----------------------------------------
+MIX_SQL = """
+WITH shares(src, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+thr AS (
+  SELECT source, CAST(round(share * t / n * 65536) AS BIGINT) AS thr
+  FROM (SELECT source, n, share, min(n / share) OVER () AS t
+        FROM counts JOIN shares ON source = src)
+)
+SELECT source, count(*) AS n_kept
+FROM documents JOIN thr USING (source)
+WHERE ('0x' || substr(md5('mix42' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < thr
+GROUP BY source
+"""
+
+
+@q("mix_sources_target", MIX_SQL)
+def mix_sources_target(spark, sf_dir):
+    """deterministic domain-mixture downsampling to a 50/30/20 target
+    over three sources (functions/sampling.py resample_to_mix) —
+    md5-threshold draw, reproducible on any engine/partitioning."""
+    from ..functions.sampling import resample_to_mix
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    kept = resample_to_mix(docs, "source", "doc_id",
+                           {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
