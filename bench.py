@@ -114,6 +114,9 @@ OPTIONAL = [
     "text_stats_by_lang",
     "text_token_frequencies",
     "ann_cosine_topk",
+    # round 3 additions (no r02 comparable — bench_diff skips them)
+    "text_lm_perplexity",
+    "text_bm25_search",
 ]
 
 
