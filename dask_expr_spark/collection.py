@@ -986,6 +986,23 @@ class DataFrame(FrameBase):
     def __len__(self) -> int:
         return self._sdf.count()
 
+    @property
+    def size(self) -> "Scalar":
+        """rows x data-columns, lazily (reference: FrameBase.size,
+        _collection.py:356 — pandas df.size semantics)."""
+        ncols = max(1, len(self.columns))
+        return Scalar(self._sdf.select(
+            (F.count(F.lit(1)) * ncols).alias("size")))
+
+    @classmethod
+    def from_dict(cls, data: dict, npartitions: int | None = None,
+                  spark=None) -> "DataFrame":
+        """classmethod parity with the reference (FrameBase.from_dict,
+        _collection.py:2381); delegates to sources.io.from_dict."""
+        from .sources.io import from_dict as _fd
+        from .session import get_spark
+        return _fd(spark or get_spark(), data, npartitions=npartitions)
+
     def agg(self, spec=None, **named) -> "DataFrame":
         triples = _normalize_agg_spec(spec, self.columns, named or None)
         aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
@@ -2140,6 +2157,13 @@ class Series(FrameBase):
     def cat(self):
         from .functions.accessors import CategoricalMethods
         return CategoricalMethods(self)
+
+    @property
+    def size(self) -> Scalar:
+        """row count, lazily (pandas Series.size; reference
+        FrameBase.size, _collection.py:356)."""
+        return Scalar(self._anchor.select(
+            F.count(F.lit(1)).alias(f"size_{self._name}")))
 
     # -- reductions → Scalar (reference: Reduction, _reductions.py:761) ------
     def _reduce(self, col: Column, name: str) -> Scalar:

@@ -473,6 +473,34 @@ class Rolling:
         )
         return self._wrap(out)
 
+    def agg(self, spec):
+        """pandas rolling/expanding .agg (reference: RollingAgg,
+        _rolling.py:43 family): a method name, a list of names (each
+        applied to every numeric column), or {col: name | [names]}.
+        Desugars onto the named methods, so every spec rides the same
+        scale-safe plans (bucketed ungrouped windows, cumulant
+        expanding forms) — chained window passes share one exchange."""
+        if isinstance(spec, str):
+            return getattr(self, spec)()
+        base_cols = self._numeric_cols()
+        if isinstance(spec, (list, tuple)):
+            pairs = [(list(base_cols), fn) for fn in spec]
+        elif isinstance(spec, dict):
+            pairs = [([c], fn)
+                     for c, v in spec.items()
+                     for fn in ([v] if isinstance(v, str) else v)]
+        else:
+            raise TypeError(f"unsupported rolling agg spec: {spec!r}")
+        cur, out = self, None
+        for cols, fn in pairs:
+            out = getattr(cur, fn)(cols)
+            cur = Rolling(out, self._window, self._order,
+                          partition_by=self._partition,
+                          min_periods=self._min_periods,
+                          unbounded_start=self._unbounded_start,
+                          center=self._center, win_type=self._win_type)
+        return out
+
     def agg_expr(self, **exprs: Column) -> DataFrame:
         """Escape hatch: arbitrary window aggregates over the rolling frame.
         Each value is a function Column→window→Column applied via .over()."""

@@ -919,3 +919,33 @@ def test_str_wrap_translate_decode(spark):
 
     rt = d["t"].str.encode("utf-8").str.decode("utf-8").compute().sort_index()
     pdt.assert_series_equal(rt, pdf["t"], check_names=False)
+
+
+def test_size_and_from_dict_classmethod(spark):
+    import dask_expr_spark as dx
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": [4.0, 5.0, 6.0]})
+    df = from_pandas(spark, pdf, npartitions=2)
+    assert df.size.compute() == pdf.size
+    assert df["a"].size.compute() == pdf["a"].size
+    d2 = dx.DataFrame.from_dict({"x": [1, 2], "y": ["u", "v"]},
+                                npartitions=1, spark=spark)
+    assert sorted(map(tuple, d2.to_spark().collect())) == [(1, "u"), (2, "v")]
+
+
+def test_rolling_agg_spec(spark):
+    import numpy as np
+    pdf = pd.DataFrame({"i": range(20), "x": np.arange(20) * 1.0,
+                        "y": (np.arange(20) % 5) * 2.0})
+    df = from_pandas(spark, pdf, npartitions=3)
+    got = (df.rolling(3, order_by="i").agg({"x": ["sum", "mean"], "y": "max"})
+           .compute().sort_values("i"))
+    r = pdf.set_index("i").rolling(3, min_periods=3)
+    assert np.allclose(got["x_rsum"].fillna(-1), r["x"].sum().fillna(-1).values)
+    assert np.allclose(got["x_rmean"].fillna(-1), r["x"].mean().fillna(-1).values)
+    assert np.allclose(got["y_rmax"].fillna(-1), r["y"].max().fillna(-1).values)
+    got2 = df.rolling(4, order_by="i").agg(["sum", "min"]).compute().sort_values("i")
+    r2 = pdf.set_index("i").rolling(4, min_periods=4)
+    assert np.allclose(got2["x_rsum"].fillna(-1), r2["x"].sum().fillna(-1).values)
+    assert np.allclose(got2["y_rmin"].fillna(-1), r2["y"].min().fillna(-1).values)
+    e = df.expanding(order_by="i").agg({"x": "sum"}).compute().sort_values("i")
+    assert np.allclose(e["x_rsum"], pdf.set_index("i")["x"].expanding().sum().values)
