@@ -949,3 +949,23 @@ def test_rolling_agg_spec(spark):
     assert np.allclose(got2["y_rmin"].fillna(-1), r2["y"].min().fillna(-1).values)
     e = df.expanding(order_by="i").agg({"x": "sum"}).compute().sort_values("i")
     assert np.allclose(e["x_rsum"], pdf.set_index("i")["x"].expanding().sum().values)
+
+
+def test_module_level_writers(spark, tmp_path):
+    """reference exposes writers as free functions
+    (dask_expr/__init__.py:9-16) — the facade mirrors them."""
+    import dask_expr_spark as dx
+    df = from_pandas(spark, pd.DataFrame({"a": [1, 2, 3],
+                                          "s": ["x", "y", "x"]}),
+                     npartitions=2)
+    dx.to_parquet(df, str(tmp_path / "p"))
+    dx.to_csv(df, str(tmp_path / "c"))
+    dx.to_json(df, str(tmp_path / "j"))
+    dx.to_orc(df, str(tmp_path / "o"))
+    assert len(dx.read_parquet(spark, str(tmp_path / "p")).to_spark().collect()) == 3
+    assert len(dx.to_records(df)) == 3
+    assert dx.to_bag(df).count() == 3
+    gd = dx.get_dummies(df, "s", values=["x", "y"])
+    assert set(gd.columns) >= {"s_x", "s_y"}
+    for n in ("read_sql", "read_sql_table", "read_sql_query", "to_sql"):
+        assert callable(getattr(dx, n))
