@@ -986,6 +986,13 @@ class DataFrame(FrameBase):
     def __len__(self) -> int:
         return self._sdf.count()
 
+    def __dataframe__(self, *args, **kwargs):
+        """DataFrame interchange protocol (reference: __dataframe__,
+        _collection.py:2722 via _interchange.py). Interchange contracts
+        require materialized buffers, so this computes — same as the
+        reference, whose interchange object computes on first access."""
+        return self.compute().__dataframe__(*args, **kwargs)
+
     @property
     def size(self) -> "Scalar":
         """rows x data-columns, lazily (reference: FrameBase.size,

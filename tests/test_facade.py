@@ -969,3 +969,13 @@ def test_module_level_writers(spark, tmp_path):
     assert set(gd.columns) >= {"s_x", "s_y"}
     for n in ("read_sql", "read_sql_table", "read_sql_query", "to_sql"):
         assert callable(getattr(dx, n))
+
+
+def test_dataframe_interchange_protocol(spark):
+    """reference: __dataframe__ (_collection.py:2722) — round-trip
+    through pandas.api.interchange."""
+    import pandas.api.interchange as pi
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    back = pi.from_dataframe(df.__dataframe__())
+    assert list(back.columns) == ["a", "b"] and len(back) == 2
