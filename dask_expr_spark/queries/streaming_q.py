@@ -173,3 +173,54 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 QUERIES["stream_stateful_totals"] = (stream_stateful_totals, STREAM_STATEFUL_SQL)
+
+
+def stream_interval_join(spark, sf_dir):
+    """stream-stream interval join (streaming/ops.py
+    stream_stream_purchase_after_click): purchases matched to a click
+    by the same user within the preceding hour, both sides file-source
+    streams. INNER stream-stream joins emit each match as it is found
+    (no watermark flush needed), and the 2h watermark cannot evict a
+    click still inside the 1h join window under in-order replay — so
+    the drained output equals the batch interval join exactly,
+    hash-checked against that SQL oracle."""
+    import tempfile
+
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).to_spark()
+    side_dirs = {}
+    for kind in ("click", "purchase"):
+        d = tempfile.mkdtemp(prefix=f"stream_ij_{kind}_")
+        (ev.filter(F.col("event_type") == kind)
+           .select("user_id", "ts", "value").coalesce(1)
+           .write.mode("overwrite").parquet(d))
+        side_dirs[kind] = d
+    schema = "user_id long, ts timestamp, value double"
+    clicks = spark.readStream.schema(schema).parquet(side_dirs["click"])
+    purchases = spark.readStream.schema(schema).parquet(side_dirs["purchase"])
+    name = "stream_interval_join_out"
+    q = S.run_to_memory(
+        S.stream_stream_purchase_after_click(clicks, purchases),
+        name, output_mode="append")
+    try:
+        out = spark.sql(
+            f"SELECT c_user AS user_id, c_ts, p_ts, p_value FROM {name} "
+            f"ORDER BY user_id, c_ts, p_ts")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+    return out
+
+
+STREAM_INTERVAL_SQL = """
+SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value AS p_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY c.user_id, c_ts, p_ts
+"""
+
+QUERIES["stream_interval_join"] = (stream_interval_join, STREAM_INTERVAL_SQL)
