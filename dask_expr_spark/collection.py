@@ -143,6 +143,33 @@ class FrameBase:
         self._index_cols = tuple(index_cols)
         self._known_sorted = bool(known_sorted)
 
+    def _ordered_bounds(self, sdf: SparkDF, order_cols: Sequence[str]) -> list:
+        """Sample-and-memoize range-bucket bounds for the first order
+        column (the eager job operators/ordered.py:sample_bounds runs —
+        the analogue of the reference's division sampling,
+        _shuffle.py:1335). The memo dict is SHARED with the results of
+        order-preserving ops, so a chain like cumsum → shift → ffill
+        samples ONCE instead of once per op — on a derived frame the
+        per-op sampling would re-execute the whole upstream plan just
+        to read the order column. Safe because bounds only steer bucket
+        BALANCE: any bound list partitions correctly (equal keys always
+        share a bucket), so reusing the ancestor's sample can never
+        change results, only skew bucket sizes if a downstream op
+        altered the distribution (ordered ops don't)."""
+        from .operators import ordered
+        cache = self.__dict__.setdefault("_bounds_cache", {})
+        nb = ordered._shuffle_partitions(sdf)
+        key = (order_cols[0], nb)
+        if key not in cache:
+            cache[key] = ordered.sample_bounds(sdf, order_cols[0], nb)
+        return cache[key]
+
+    def _share_bounds(self, res):
+        """propagate the bounds memo to an order-preserving result."""
+        res.__dict__["_bounds_cache"] = self.__dict__.setdefault(
+            "_bounds_cache", {})
+        return res
+
     # -- Spark-level access ------------------------------------------------
     def to_spark(self) -> SparkDF:
         return self._sdf
@@ -1255,29 +1282,35 @@ class DataFrame(FrameBase):
             return self._wrap(out)
         if periods == 0:
             return self._wrap(self._sdf)
+        order = self._order_cols(order_by)
         out = ordered.with_lagged(
-            self._sdf, columns or self.columns, self._order_cols(order_by),
+            self._sdf, columns or self.columns, order,
             periods, lambda c, l: l,
+            bounds=self._ordered_bounds(self._sdf, order),
         )
-        return self._wrap(out, known_sorted=False)
+        return self._share_bounds(self._wrap(out, known_sorted=False))
 
     def diff(self, periods: int = 1, columns: Sequence[str] | None = None,
              order_by=None) -> "DataFrame":
         """reference: Diff, _expr.py:3417."""
         from .operators import ordered
+        order = self._order_cols(order_by)
         out = ordered.with_lagged(
-            self._sdf, columns or self.columns, self._order_cols(order_by),
+            self._sdf, columns or self.columns, order,
             periods, lambda c, l: c - l,
+            bounds=self._ordered_bounds(self._sdf, order),
         )
-        return self._wrap(out, known_sorted=False)
+        return self._share_bounds(self._wrap(out, known_sorted=False))
 
     def _cum_frame(self, fn: str, columns, order_by) -> "DataFrame":
         from .operators import ordered
+        order = self._order_cols(order_by)
         out = ordered.cumulative(
             self._sdf, {c: fn for c in (columns or self.columns)},
-            self._order_cols(order_by), mask_nulls=True,
+            order, mask_nulls=True,
+            bounds=self._ordered_bounds(self._sdf, order),
         )
-        return self._wrap(out, known_sorted=False)
+        return self._share_bounds(self._wrap(out, known_sorted=False))
 
     def cumsum(self, columns: Sequence[str] | None = None, order_by=None) -> "DataFrame":
         """reference: CumSum, _cumulative.py:11 (partition-serial chain) —
@@ -1303,31 +1336,35 @@ class DataFrame(FrameBase):
         """fractional change vs the periods-th prior row (reference:
         pct_change, _collection.py:2802)."""
         from .operators import ordered
+        order = self._order_cols(order_by)
         out = ordered.with_lagged(
-            self._sdf, columns or self.columns, self._order_cols(order_by),
+            self._sdf, columns or self.columns, order,
             periods, lambda c, l: (c - l) / l,
+            bounds=self._ordered_bounds(self._sdf, order),
         )
-        return self._wrap(out, known_sorted=False)
+        return self._share_bounds(self._wrap(out, known_sorted=False))
 
     def ffill(self, columns: Sequence[str] | None = None, order_by=None,
               limit: int | None = None) -> "DataFrame":
         """reference: FFill, _expr.py:3340 (limit= matches)."""
         from .operators import ordered
+        order = self._order_cols(order_by)
         out = ordered.fill(
-            self._sdf, list(columns or self.columns),
-            self._order_cols(order_by), "ffill", limit,
+            self._sdf, list(columns or self.columns), order, "ffill", limit,
+            bounds=self._ordered_bounds(self._sdf, order),
         )
-        return self._wrap(out, known_sorted=False)
+        return self._share_bounds(self._wrap(out, known_sorted=False))
 
     def bfill(self, columns: Sequence[str] | None = None, order_by=None,
               limit: int | None = None) -> "DataFrame":
         """reference: BFill, _expr.py:3373 (limit= matches)."""
         from .operators import ordered
+        order = self._order_cols(order_by)
         out = ordered.fill(
-            self._sdf, list(columns or self.columns),
-            self._order_cols(order_by), "bfill", limit,
+            self._sdf, list(columns or self.columns), order, "bfill", limit,
+            bounds=self._ordered_bounds(self._sdf, order),
         )
-        return self._wrap(out, known_sorted=False)
+        return self._share_bounds(self._wrap(out, known_sorted=False))
 
     def rolling(self, window: int, order_by=None, partition_by=None,
                 min_periods: int | None = None, center: bool = False,
@@ -2411,28 +2448,32 @@ class Series(FrameBase):
         if periods == 0:
             return self._new(self._scol, self._name)
         base, order, val = self._ordered_frame(order_by)
-        out = ordered.with_lagged(base, [val], order, periods, lambda c, l: l)
-        return self._from_ordered(out, val)
+        out = ordered.with_lagged(base, [val], order, periods, lambda c, l: l,
+                                  bounds=self._ordered_bounds(base, order))
+        return self._share_bounds(self._from_ordered(out, val))
 
     def diff(self, periods: int = 1, order_by=None) -> "Series":
         from .operators import ordered
         base, order, val = self._ordered_frame(order_by)
         out = ordered.with_lagged(base, [val], order, periods,
-                                  lambda c, l: c - l)
-        return self._from_ordered(out, val)
+                                  lambda c, l: c - l,
+                                  bounds=self._ordered_bounds(base, order))
+        return self._share_bounds(self._from_ordered(out, val))
 
     def pct_change(self, periods: int = 1, order_by=None) -> "Series":
         from .operators import ordered
         base, order, val = self._ordered_frame(order_by)
         out = ordered.with_lagged(base, [val], order, periods,
-                                  lambda c, l: (c - l) / l)
-        return self._from_ordered(out, val)
+                                  lambda c, l: (c - l) / l,
+                                  bounds=self._ordered_bounds(base, order))
+        return self._share_bounds(self._from_ordered(out, val))
 
     def _cum(self, fn: str, order_by) -> "Series":
         from .operators import ordered
         base, order, val = self._ordered_frame(order_by)
-        out = ordered.cumulative(base, {val: fn}, order, mask_nulls=True)
-        return self._from_ordered(out, val)
+        out = ordered.cumulative(base, {val: fn}, order, mask_nulls=True,
+                                 bounds=self._ordered_bounds(base, order))
+        return self._share_bounds(self._from_ordered(out, val))
 
     def cumsum(self, order_by=None) -> "Series":
         return self._cum("sum", order_by)
@@ -2449,14 +2490,16 @@ class Series(FrameBase):
     def ffill(self, order_by=None, limit: int | None = None) -> "Series":
         from .operators import ordered
         base, order, val = self._ordered_frame(order_by)
-        out = ordered.fill(base, [val], order, "ffill", limit)
-        return self._from_ordered(out, val)
+        out = ordered.fill(base, [val], order, "ffill", limit,
+                           bounds=self._ordered_bounds(base, order))
+        return self._share_bounds(self._from_ordered(out, val))
 
     def bfill(self, order_by=None, limit: int | None = None) -> "Series":
         from .operators import ordered
         base, order, val = self._ordered_frame(order_by)
-        out = ordered.fill(base, [val], order, "bfill", limit)
-        return self._from_ordered(out, val)
+        out = ordered.fill(base, [val], order, "bfill", limit,
+                           bounds=self._ordered_bounds(base, order))
+        return self._share_bounds(self._from_ordered(out, val))
 
     def rank(self, method: str = "average", ascending: bool = True,
              pct: bool = False) -> "Series":

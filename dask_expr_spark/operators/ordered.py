@@ -111,7 +111,8 @@ def _maybe_materialize(sdfb: SparkDF) -> SparkDF:
 
 
 def with_buckets(
-    sdf: SparkDF, order_cols: Sequence[str], num_buckets: int | None = None
+    sdf: SparkDF, order_cols: Sequence[str], num_buckets: int | None = None,
+    bounds: list | None = None,
 ) -> tuple[SparkDF, int, Callable[[Column], Column]]:
     """Add a deterministic range-bucket column ``__ord_b``.
 
@@ -124,7 +125,12 @@ def with_buckets(
     oc = order_cols[0]
     nb = num_buckets or _shuffle_partitions(sdf)
     dtype = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}[oc]
-    bounds = sample_bounds(sdf, oc, nb)
+    if bounds is None:
+        bounds = sample_bounds(sdf, oc, nb)
+    # caller-provided bounds (facade memo): ANY bound list partitions
+    # correctly — equal keys still share a bucket — bounds only steer
+    # balance, so a memoized sample from an order-preserving ancestor
+    # frame is both safe and saves the sampling job on derived plans
     if not bounds:
         return _maybe_materialize(sdf.withColumn(B, F.lit(0))), 1, lambda e: F.lit(0)
     # array + filter-count, not a when-chain: a chain of B branches
@@ -233,7 +239,8 @@ def _combine(fn: str, loc: Column, off: Column) -> Column:
 def cumulative(sdf: SparkDF, col_fns: dict[str, str],
                order_cols: Sequence[str], ascending: bool = True,
                num_buckets: int | None = None,
-               mask_nulls: bool = False) -> SparkDF:
+               mask_nulls: bool = False,
+               bounds: list | None = None) -> SparkDF:
     """Replace each column in `col_fns` ({col: sum|product|max|min})
     with its running value over the global `order_cols` order.
 
@@ -249,7 +256,7 @@ def cumulative(sdf: SparkDF, col_fns: dict[str, str],
     def _mask(c: Column, v: Column) -> Column:
         return F.when(c.isNotNull(), v) if mask_nulls else v
 
-    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets, bounds=bounds)
     order = _asc(order_cols) if ascending else _desc(order_cols)
     w = (
         Window.partitionBy(B).orderBy(*order)
@@ -290,12 +297,13 @@ def cumulative(sdf: SparkDF, col_fns: dict[str, str],
 
 def with_lagged(sdf: SparkDF, cols: Sequence[str], order_cols: Sequence[str],
                 periods: int, make: Callable[[Column, Column], Column],
-                num_buckets: int | None = None) -> SparkDF:
+                num_buckets: int | None = None,
+                bounds: list | None = None) -> SparkDF:
     """shift/diff/pct_change core: per-bucket lag/lead with |periods|
     boundary rows padded in from neighboring buckets. make(col, lagged)
     produces the replacement column."""
     n = abs(periods)
-    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets, bounds=bounds)
     fr = padded(
         sdfb, nb, order_cols,
         before=n if periods >= 0 else 0,
@@ -354,7 +362,8 @@ def _fill_cols(sdfb: SparkDF, nb: int, cols: Sequence[str],
 
 def fill(sdf: SparkDF, cols: Sequence[str], order_cols: Sequence[str],
          direction: str = "ffill", limit: int | None = None,
-         num_buckets: int | None = None) -> SparkDF:
+         num_buckets: int | None = None,
+         bounds: list | None = None) -> SparkDF:
     """ffill/bfill over the global `order_cols` order (reference:
     FFill/BFill, _expr.py:3340,3373).
 
@@ -362,7 +371,7 @@ def fill(sdf: SparkDF, cols: Sequence[str], order_cols: Sequence[str],
     k rows) over k padded boundary rows — no carry chain needed; the
     unlimited form runs the two-pass carry in `_fill_cols`."""
     back = direction == "ffill"
-    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets, bounds=bounds)
     order = _asc(order_cols) if back else _desc(order_cols)
     if limit is not None:
         fr = padded(
@@ -386,7 +395,8 @@ def expanding_holistic(sdf: SparkDF, value_cols: Sequence[str],
                        order_cols: Sequence[str], make_result,
                        out_fields: Sequence[tuple[str, str]],
                        ordered_prefix: bool = False,
-                       num_buckets: int | None = None) -> SparkDF:
+                       num_buckets: int | None = None,
+                       bounds: list | None = None) -> SparkDF:
     """Ungrouped expanding HOLISTIC ops (median / quantile / apply)
     with no global window on the row stream.
 
@@ -417,7 +427,7 @@ def expanding_holistic(sdf: SparkDF, value_cols: Sequence[str],
                ) -> dict[out_name, array-like aligned to rows]
     out_fields: [(name, spark_type_ddl), ...]
     """
-    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets)
+    sdfb, nb, _ = with_buckets(sdf, order_cols, num_buckets, bounds=bounds)
     aggs = []
     for c in value_cols:
         col = F.col(c).cast("double")

@@ -141,7 +141,9 @@ class Rolling:
             w = Window.orderBy(*order).rowsBetween(start, end)
             return sdf, w, lambda out: out
         from . import ordered
-        sdfb, nb, _ = ordered.with_buckets(sdf, self._order)
+        sdfb, nb, _ = ordered.with_buckets(
+                sdf, self._order,
+                bounds=self._frame._ordered_bounds(sdf, self._order))
         fr = ordered.padded(sdfb, nb, self._order, before=-start, after=end)
         w = (Window.partitionBy(ordered.B).orderBy(*order)
              .rowsBetween(start, end))
@@ -178,7 +180,8 @@ class Rolling:
             if kind in ("var", "std"):
                 temps[f"__s2_{c}"] = (col * col).cast("double")
                 fns[f"__s2_{c}"] = "sum"
-        sdf = ordered.cumulative(sdf.withColumns(temps), fns, self._order)
+        sdf = ordered.cumulative(sdf.withColumns(temps), fns, self._order,
+            bounds=self._frame._ordered_bounds(sdf, self._order))
         out = {}
         for c in cols:
             if kind in ("min", "max"):
@@ -245,7 +248,9 @@ class Rolling:
             finish = lambda out: out  # noqa: E731
         else:
             from . import ordered
-            sdfb, nb, _ = ordered.with_buckets(sdf, self._order)
+            sdfb, nb, _ = ordered.with_buckets(
+                sdf, self._order,
+                bounds=self._frame._ordered_bounds(sdf, self._order))
             sdf = ordered.padded(sdfb, nb, self._order, before=-start, after=end)
             base = Window.partitionBy(ordered.B).orderBy(*order)
             finish = lambda out: out.filter(~F.col(ordered.PAD)).drop(ordered.B, ordered.PAD)  # noqa: E731
@@ -409,6 +414,8 @@ class Rolling:
         out = ordered.expanding_holistic(
             self._frame.to_spark(), cols, self._order, make,
             [(f"{c}_{suffix}", "double") for c in cols],
+            bounds=self._frame._ordered_bounds(
+                self._frame.to_spark(), self._order),
         )
         return self._wrap(out)
 
@@ -470,6 +477,8 @@ class Rolling:
             self._frame.to_spark(), cols, self._order, make,
             [(f"{c}_rapply", return_type) for c in cols],
             ordered_prefix=True,
+            bounds=self._frame._ordered_bounds(
+                self._frame.to_spark(), self._order),
         )
         return self._wrap(out)
 
@@ -563,7 +572,8 @@ class Rolling:
                 tmp[f"_{c}_s{i}"] = p.cast(f"decimal(38,{digits})")
                 fns[f"_{c}_s{i}"] = "sum"
                 p = p * col
-        sdf = ordered.cumulative(sdf.withColumns(tmp), fns, self._order)
+        sdf = ordered.cumulative(sdf.withColumns(tmp), fns, self._order,
+            bounds=self._frame._ordered_bounds(sdf, self._order))
         sdf = sdf.withColumns({k: F.col(k).cast("double") for k in tmp})
         out: dict[str, Column] = {}
         for c in cols:
@@ -633,7 +643,8 @@ class Rolling:
             "_p_sxy": (ca * cb).cast(f"decimal(38,{d2})"),
         }
         fns = {k: "sum" for k in tmp}
-        sdf = ordered.cumulative(sdf.withColumns(tmp), fns, self._order)
+        sdf = ordered.cumulative(sdf.withColumns(tmp), fns, self._order,
+            bounds=self._frame._ordered_bounds(sdf, self._order))
         sdf = sdf.withColumns({k: F.col(k).cast("double") for k in tmp})
         names = {"n": "_p_n", "sx": "_p_sx", "sy": "_p_sy",
                  "sxx": "_p_sxx", "syy": "_p_syy", "sxy": "_p_sxy"}

@@ -810,3 +810,31 @@ def test_new_ops_edge_cases(spark):
 
     es = spark.createDataFrame([], "doc_id bigint, n_tok bigint")
     assert pack_sequences(es, "doc_id", "n_tok", 2048).count() == 0
+
+
+def test_bounds_sampling_memoized_across_chain(spark, monkeypatch):
+    """a chain of ordered ops samples range bounds ONCE: the memo is
+    shared with order-preserving results, so the derived frames never
+    re-execute their upstream plan just to sample the order column."""
+    import pandas as pd
+
+    import dask_expr_spark.operators.ordered as O
+    from dask_expr_spark.sources.io import from_pandas
+
+    calls = []
+    orig = O.sample_bounds
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(O, "sample_bounds", counting)
+    pdf = pd.DataFrame({"i": range(200), "x": [float(v % 7) for v in range(200)]})
+    df = from_pandas(spark, pdf, npartitions=4).set_index("i")
+    out = (df.cumsum(columns=["x"], order_by="i")
+             .shift(columns=["x"], periods=1, order_by="i")
+             .ffill(columns=["x"], order_by="i"))
+    got = out.compute().sort_index()
+    want = pdf.set_index("i")["x"].cumsum().shift(1).ffill()
+    assert (got["x"].fillna(-1).values == want.fillna(-1).values).all()
+    assert len(calls) == 1, f"expected 1 sampling job, saw {len(calls)}"

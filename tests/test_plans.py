@@ -190,7 +190,12 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
 #                             broadcast) centroid table for cell assignment
 #   dedup_embedding_cosine  — documented exact-quadratic baseline; the
 #                             LSH/IVF variants are the scale path
-_NESTED_LOOP_OK = {"q22_idle_customers", "ann_ivf_topk", "dedup_embedding_cosine"}
+#   monotonic_orders        — cross join of two 1-row boolean scalars
+#   text_lm_perplexity      — 1-row vocab-size scalar broadcast onto the
+#                             bigram stream (scalar attach, not a join)
+#   text_bm25_search        — 1-row (N, avgdl) stats scalar broadcast
+_NESTED_LOOP_OK = {"q22_idle_customers", "ann_ivf_topk", "dedup_embedding_cosine",
+                   "monotonic_orders", "text_lm_perplexity", "text_bm25_search"}
 
 
 def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
