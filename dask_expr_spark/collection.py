@@ -2222,7 +2222,14 @@ class Series(FrameBase):
             return self._scol.cast("long")
         return self._scol
 
-    def sum(self): return self._reduce(F.sum(self._numeric_scol()), f"sum_{self._name}")
+    def sum(self, min_count: int = 0) -> Scalar:
+        """reference: Sum with min_count (_reductions.py:860; pandas:
+        null result when fewer than min_count non-null values)."""
+        c = F.sum(self._numeric_scol())
+        if min_count:
+            c = F.when(F.count(self._scol) >= min_count, c)
+        return self._reduce(c, f"sum_{self._name}")
+
     def mean(self): return self._reduce(F.avg(self._numeric_scol()), f"mean_{self._name}")
     def min(self): return self._reduce(F.min(self._scol), f"min_{self._name}")
     def max(self): return self._reduce(F.max(self._scol), f"max_{self._name}")
@@ -2308,9 +2315,13 @@ class Series(FrameBase):
 
     kurt = kurtosis
 
-    def prod(self) -> Scalar:
-        """reference: Prod, _reductions.py:925 — F.product aggregate."""
-        return self._reduce(F.product(self._scol), f"prod_{self._name}")
+    def prod(self, min_count: int = 0) -> Scalar:
+        """reference: Prod, _reductions.py:925 — F.product aggregate;
+        min_count as in sum."""
+        c = F.product(self._scol)
+        if min_count:
+            c = F.when(F.count(self._scol) >= min_count, c)
+        return self._reduce(c, f"prod_{self._name}")
 
     def cov(self, other: "Series") -> Scalar:
         """sample covariance with another column of the SAME frame
@@ -2844,6 +2855,14 @@ class LocIndexer:
                 return picked
             cols = [cols] if isinstance(cols, str) else list(cols)
             return picked[[*cols]]
+        if callable(key):
+            # reference: loc accepts a callable of the frame
+            # (_indexing.py via pandas semantics; test_indexing.py:134)
+            return self[key(frame)]
+        if isinstance(key, Series):
+            # boolean-mask loc — same-anchor column predicate
+            # (test_indexing.py:126)
+            return frame._wrap(frame._sdf.filter(key._scol))
         idx = F.col(frame._index_cols[0])
         if isinstance(key, slice):
             if key.step is not None:

@@ -979,3 +979,23 @@ def test_dataframe_interchange_protocol(spark):
     df = from_pandas(spark, pdf, npartitions=1)
     back = pi.from_dataframe(df.__dataframe__())
     assert list(back.columns) == ["a", "b"] and len(back) == 2
+
+
+def test_series_min_count(spark):
+    """reference: test_reductions.py::test_series_agg_with_min_count."""
+    df = from_pandas(spark, pd.DataFrame({"a": [1.0, None]}), npartitions=1)
+    assert df["a"].sum(min_count=0).compute() == 1.0
+    assert df["a"].sum(min_count=2).compute() is None
+    assert df["a"].prod(min_count=2).compute() is None
+    assert df["a"].prod(min_count=1).compute() == 1.0
+
+
+def test_loc_with_series_and_callable(spark):
+    """reference: test_indexing.py::test_loc_with_series / _function."""
+    pdf = pd.DataFrame({"i": range(10), "x": range(10)})
+    df = from_pandas(spark, pdf, npartitions=2).set_index("i")
+    got = df.loc[df["x"] % 2 == 0].compute().sort_index()
+    want = pdf.set_index("i").loc[lambda d: d.x % 2 == 0]
+    pdt.assert_frame_equal(got, want)
+    got2 = df.loc[lambda d: d["x"] > 6, :].compute().sort_index()
+    pdt.assert_frame_equal(got2, pdf.set_index("i").loc[lambda d: d.x > 6, :])
