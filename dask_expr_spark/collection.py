@@ -1408,7 +1408,7 @@ class DataFrame(FrameBase):
         return Resampler(self, freq, on or self._index_cols[0],
                          closed, label)
 
-    def merge_asof(self, right: "DataFrame", on: str, **kw) -> "DataFrame":
+    def merge_asof(self, right: "DataFrame", on: str | None = None, **kw) -> "DataFrame":
         """reference: merge_asof, _merge_asof.py:17."""
         from .operators.asof import merge_asof as _asof
         return _asof(self, right, on, **kw)

@@ -30,7 +30,7 @@ from ..collection import DataFrame
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | None = None,
     by: str | Sequence[str] | None = None,
     direction: str = "backward",
     tolerance=None,
@@ -38,12 +38,47 @@ def merge_asof(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
     keep_match_on: bool = False,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    left_index: bool = False,
+    right_index: bool = False,
+    left_by: str | Sequence[str] | None = None,
+    right_by: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """keep_match_on=True additionally emits the matched right-side
     `on` value as ``{on}{suffix}`` (pandas drops it; useful for gap
-    computations)."""
+    computations). The pandas aliases left_on/right_on,
+    left_index/right_index and left_by/right_by (reference:
+    _merge_asof.py:17 signature) normalize onto on/by by renaming the
+    right side."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
+    if on is None:
+        if left_index and right_index:
+            if not left._index_cols or not right._index_cols:
+                raise ValueError(
+                    "left_index/right_index=True needs set_index on both sides")
+            on, r_on = left._index_cols[0], right._index_cols[0]
+        elif left_on and right_on:
+            on, r_on = left_on, right_on
+        else:
+            raise ValueError("pass on=, left_on+right_on, or "
+                             "left_index+right_index")
+        if r_on != on:
+            right = DataFrame(
+                right.to_spark().withColumnRenamed(r_on, on),
+                tuple(on if c == r_on else c for c in right._index_cols),
+                right._known_sorted)
+    if by is None and (left_by or right_by):
+        lb = [left_by] if isinstance(left_by, str) else list(left_by or [])
+        rb = [right_by] if isinstance(right_by, str) else list(right_by or [])
+        if rb and rb != lb:
+            rsdf0 = right.to_spark()
+            for a_, b_ in zip(lb, rb):
+                if a_ != b_:
+                    rsdf0 = rsdf0.withColumnRenamed(b_, a_)
+            right = DataFrame(rsdf0, right._index_cols, right._known_sorted)
+        by = lb
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
 
 

@@ -999,3 +999,27 @@ def test_loc_with_series_and_callable(spark):
     pdt.assert_frame_equal(got, want)
     got2 = df.loc[lambda d: d["x"] > 6, :].compute().sort_index()
     pdt.assert_frame_equal(got2, pdf.set_index("i").loc[lambda d: d.x > 6, :])
+
+
+def test_merge_asof_index_and_on_aliases(spark):
+    """reference: tests/test_merge_asof.py — indexed and
+    left_on/right_on forms."""
+    import dask_expr_spark as dx
+    A = pd.DataFrame({"idx": [1, 3, 7, 9, 10, 13, 14, 17, 20, 24, 25, 28],
+                      "left_val": list("abcd" * 3)})
+    B = pd.DataFrame({"ridx": [1, 2, 3, 6, 7, 10, 12, 14, 16, 19, 23, 26],
+                      "right_val": list("xyz" * 4)})
+    a = from_pandas(spark, A, npartitions=4).set_index("idx")
+    b = from_pandas(spark, B, npartitions=3).set_index("ridx")
+    got = dx.merge_asof(a, b, left_index=True, right_index=True) \
+        .compute().sort_index()
+    want = pd.merge_asof(A.set_index("idx"), B.set_index("ridx"),
+                         left_index=True, right_index=True)
+    assert list(got["right_val"]) == list(want["right_val"])
+    A2 = pd.DataFrame({"a": [1, 5, 10], "lv": ["a", "b", "c"]})
+    B2 = pd.DataFrame({"b": [1, 2, 3, 6, 7], "rv": [1, 2, 3, 6, 7]})
+    got2 = dx.merge_asof(from_pandas(spark, A2, npartitions=2),
+                         from_pandas(spark, B2, npartitions=2),
+                         left_on="a", right_on="b").compute().sort_values("a")
+    want2 = pd.merge_asof(A2, B2, left_on="a", right_on="b")
+    assert list(got2["rv"]) == list(want2["rv"])
