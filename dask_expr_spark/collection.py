@@ -321,6 +321,13 @@ class DataFrame(FrameBase):
             return self._wrap(self._sdf.select(*keep))
         raise TypeError(f"cannot index with {type(key)}")
 
+    def __delitem__(self, key: str) -> None:
+        """del df[col] (reference: test_collection.py:55 test_del) —
+        rebinds the wrapper's plan to a projection without the column."""
+        if key not in self.columns:
+            raise KeyError(key)
+        self._sdf = self._sdf.drop(key)
+
     def __setitem__(self, key: str, value) -> None:
         """in-place column assignment (reference: Assign via
         __setitem__, _collection.py:679) — rebinds this wrapper's plan;
@@ -2208,6 +2215,10 @@ class Series(FrameBase):
         FrameBase.size, _collection.py:356)."""
         return Scalar(self._anchor.select(
             F.count(F.lit(1)).alias(f"size_{self._name}")))
+
+    def pipe(self, func, *args, **kwargs):
+        """reference: pipe (chainable call; test_collection.py:368)."""
+        return func(self, *args, **kwargs)
 
     # -- reductions → Scalar (reference: Reduction, _reductions.py:761) ------
     def _reduce(self, col: Column, name: str) -> Scalar:

@@ -1023,3 +1023,15 @@ def test_merge_asof_index_and_on_aliases(spark):
                          left_on="a", right_on="b").compute().sort_values("a")
     want2 = pd.merge_asof(A2, B2, left_on="a", right_on="b")
     assert list(got2["rv"]) == list(want2["rv"])
+
+
+def test_delitem_and_series_pipe(spark):
+    """reference: test_collection.py test_del / test_pipe."""
+    df = from_pandas(spark, pd.DataFrame({"x": [1, 2], "y": [3, 4]}),
+                     npartitions=1)
+    del df["y"]
+    assert df.columns == ["x"]
+    with pytest.raises(KeyError):
+        del df["zz"]
+    s = df["x"].pipe(lambda s_, k: s_ + k, 10)
+    assert sorted(s.compute().tolist()) == [11, 12]
