@@ -301,6 +301,24 @@ class DataFrame(FrameBase):
     def columns(self) -> list[str]:
         return _data_cols(self._sdf, self._index_cols)
 
+    @columns.setter
+    def columns(self, names) -> None:
+        """df.columns = [...] bulk rename (reference: ColumnsSetter,
+        test_collection.py:2143 — pandas Length-mismatch error)."""
+        old = _data_cols(self._sdf, self._index_cols)
+        names = list(names)
+        if len(names) != len(old):
+            raise ValueError(
+                f"Length mismatch: Expected axis has {len(old)} elements, "
+                f"new values have {len(names)} elements")
+        self._sdf = self._sdf.select(
+            *self._index_cols,
+            *[F.col(o).alias(str(n)) for o, n in zip(old, names)])
+
+    def __contains__(self, key) -> bool:
+        """'x' in df — column membership (pandas semantics)."""
+        return key in self.columns
+
     @property
     def dtypes(self):
         return {f.name: f.dataType.simpleString() for f in self._sdf.schema.fields}

@@ -1035,3 +1035,14 @@ def test_delitem_and_series_pipe(spark):
         del df["zz"]
     s = df["x"].pipe(lambda s_, k: s_ + k, 10)
     assert sorted(s.compute().tolist()) == [11, 12]
+
+
+def test_columns_setter_and_contains(spark):
+    """reference: test_collection.py:2143/2154."""
+    df = from_pandas(spark, pd.DataFrame({"x": [1], "y": [2]}), npartitions=1)
+    assert "x" in df and "zz" not in df
+    df.columns = ["a", "b"]
+    assert df.columns == ["a", "b"]
+    assert df[["a"]].compute().iloc[0, 0] == 1
+    with pytest.raises(ValueError, match="Length mismatch"):
+        df.columns = [1, 2, 3]
