@@ -285,6 +285,21 @@ class Scalar:
         row = self._sdf.collect()
         return row[0][0] if row else None
 
+    def to_column(self) -> Column:
+        """lazy scalar-subquery Column (Spark 4 DataFrame.scalar) —
+        usable inside any same-frame expression without executing the
+        aggregate eagerly."""
+        return self._sdf.scalar()
+
+    def to_series(self, index=None) -> "pd.Series":
+        """materialize as a 1-element pandas Series (reference:
+        to_series, test_collection.py:2415)."""
+        import pandas as pd
+        v = self.compute()
+        name = self._sdf.columns[0]
+        return pd.Series([v], index=[index] if index is not None else None,
+                         name=name)
+
     def to_spark(self) -> SparkDF:
         return self._sdf
 
@@ -2127,6 +2142,13 @@ class Series(FrameBase):
                     self._index_cols, False,
                 )
             return self._new(op(self._scol, other._scol), name)
+        if isinstance(other, Scalar):
+            # lazy scalar subquery (Spark 4 DataFrame.scalar) — the
+            # aggregate runs once and feeds the expression JVM-side;
+            # anchor unchanged, so df["z"] = s - s.min() stays a
+            # same-frame assignment (pandas idiom, reference
+            # test_collection.py:2736 binop_scalar_left)
+            return self._new(op(self._scol, other.to_column()), name)
         return self._new(op(self._scol, F.lit(other)), name)
 
     def __add__(self, o):

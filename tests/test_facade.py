@@ -1046,3 +1046,28 @@ def test_columns_setter_and_contains(spark):
     assert df[["a"]].compute().iloc[0, 0] == 1
     with pytest.raises(ValueError, match="Length mismatch"):
         df.columns = [1, 2, 3]
+
+
+def test_scalar_in_series_arithmetic(spark):
+    """reference: test_collection.py:2736 (binop_scalar_left) — lazy
+    Scalars participate in Series expressions via a Spark scalar
+    subquery (no eager job, anchor unchanged)."""
+    pdf = pd.DataFrame({"x": [0, 1, 0, 1], "y": [0, 0, 1, 1]})
+    df = from_pandas(spark, pdf, npartitions=2)
+    df = df.assign(
+        cell_x=((df["x"] - df["x"].min()) // 1).astype("long"),
+        cell_y=((df["y"].max() - df["y"]) // 1).astype("long"),
+    )
+    got = df.compute().sort_values(["x", "y"]).reset_index(drop=True)
+    want = pdf.copy()
+    want["cell_x"] = ((pdf.x - pdf.x.min()) // 1).astype("int64")
+    want["cell_y"] = ((pdf.y.max() - pdf.y) // 1).astype("int64")
+    pdt.assert_frame_equal(got, want.sort_values(["x", "y"]).reset_index(drop=True))
+
+
+def test_scalar_to_series(spark):
+    """reference: test_collection.py:2415."""
+    df = from_pandas(spark, pd.DataFrame({"a": [1, 2]}), npartitions=1)
+    sc = df["a"].sum()
+    assert sc.to_series().iloc[0] == 3
+    assert list(sc.to_series("xxx").index) == ["xxx"]
