@@ -303,6 +303,38 @@ class Scalar:
     def to_spark(self) -> SparkDF:
         return self._sdf
 
+    # -- lazy scalar algebra (reference: Scalar supports arithmetic,
+    #    _collection.py:4783 family) — combining via scalar subqueries
+    #    keeps everything one plan, no eager jobs ---------------------------
+    def _binop(self, other, op):
+        if isinstance(other, (Series, FrameBase)):
+            # let Series' reflected operator handle Scalar <op> Series
+            return NotImplemented
+        name = self._sdf.columns[0]
+        mine = F.col(name)
+        o = other.to_column() if isinstance(other, Scalar) else F.lit(other)
+        return Scalar(self._sdf.select(op(mine, o).alias(name)))
+
+    def __add__(self, o): return self._binop(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._binop(o, lambda a, b: b + a)
+    def __sub__(self, o): return self._binop(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._binop(o, lambda a, b: b - a)
+    def __mul__(self, o): return self._binop(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._binop(o, lambda a, b: b * a)
+    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b)
+    def __rtruediv__(self, o): return self._binop(o, lambda a, b: b / a)
+    def __floordiv__(self, o): return self._binop(o, lambda a, b: F.floor(a / b))
+    def __mod__(self, o): return self._binop(o, lambda a, b: a % b)
+    def __neg__(self): return self._binop(0, lambda a, b: -a)
+    def __abs__(self): return self._binop(0, lambda a, b: F.abs(a))
+    def __eq__(self, o): return self._binop(o, lambda a, b: a == b)
+    def __ne__(self, o): return self._binop(o, lambda a, b: a != b)
+    def __lt__(self, o): return self._binop(o, lambda a, b: a < b)
+    def __le__(self, o): return self._binop(o, lambda a, b: a <= b)
+    def __gt__(self, o): return self._binop(o, lambda a, b: a > b)
+    def __ge__(self, o): return self._binop(o, lambda a, b: a >= b)
+    __hash__ = object.__hash__
+
 
 def _data_cols(sdf: SparkDF, index_cols: Sequence[str]) -> list[str]:
     return [c for c in sdf.columns if c not in index_cols]

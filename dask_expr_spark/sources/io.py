@@ -65,11 +65,29 @@ def read_parquet(spark: SparkSession, path: str,
 
 
 def read_csv(spark: SparkSession, path: str, header: bool = True,
-             schema=None, **options) -> DataFrame:
+             schema=None, names: Sequence[str] | None = None,
+             usecols=None, **options) -> DataFrame:
+    """names= and usecols= are the pandas-compat aliases the reference
+    accepts (io/csv.py passes through to pandas; test_io.py:103,111):
+    names renames the read columns positionally (pandas' header=None
+    maps to header=False here); usecols selects by position or name —
+    the projection reaches the scan via Catalyst column pruning."""
+    if names is not None:
+        options.setdefault("enforceSchema", False)
     reader = spark.read.options(header=header, inferSchema=schema is None, **options)
     if schema is not None:
         reader = reader.schema(schema)
-    return DataFrame(reader.csv(path))
+    sdf = reader.csv(path)
+    if names is not None:
+        if len(names) != len(sdf.columns):
+            raise ValueError(
+                f"names has {len(names)} entries for {len(sdf.columns)} columns")
+        sdf = sdf.toDF(*[str(n) for n in names])
+    if usecols is not None:
+        picked = [sdf.columns[c] if isinstance(c, int) else str(c)
+                  for c in usecols]
+        sdf = sdf.select(*picked)
+    return DataFrame(sdf)
 
 
 def from_array(spark: SparkSession, arr, columns: Sequence[str] | None = None,

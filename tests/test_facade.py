@@ -1071,3 +1071,15 @@ def test_scalar_to_series(spark):
     sc = df["a"].sum()
     assert sc.to_series().iloc[0] == 3
     assert list(sc.to_series("xxx").index) == ["xxx"]
+
+
+def test_scalar_algebra(spark):
+    """lazy Scalar arithmetic composes through scalar subqueries."""
+    df = from_pandas(spark, pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0]}),
+                     npartitions=2)
+    assert (df["x"].sum() / df["x"].count()).compute() == 2.5
+    assert (df["x"].max() - df["x"].min()).compute() == 3.0
+    assert (10 - df["x"].sum()).compute() == 0.0
+    assert (df["x"].sum() > 5).compute() is True
+    z = df.assign(z=df["x"] - df["x"].sum() / df["x"].count())
+    assert sorted(z.compute()["z"].tolist()) == [-1.5, -0.5, 0.5, 1.5]

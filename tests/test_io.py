@@ -202,3 +202,20 @@ def test_read_text_and_binary_files(spark, tmp_path):
     plan = (bf.to_spark().select("path", "length")
             ._jdf.queryExecution().executedPlan().toString())
     assert "content" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_read_csv_names_usecols(spark, tmp_path):
+    """reference: io/tests/test_io.py:103,111 — pandas-compat names=
+    (positional rename) and usecols= (int or name selection)."""
+    import pandas as pd
+
+    import dask_expr_spark as dx
+    pd.DataFrame({"a": [1, 2], "b": [3, 4], "c": [5, 6]}).to_csv(
+        tmp_path / "f.csv", index=False, header=False)
+    df = dx.read_csv(spark, str(tmp_path / "f.csv"), header=False,
+                     names=["x", "y", "z"], usecols=[0, 1])
+    got = df.compute().sort_values("x").reset_index(drop=True)
+    assert list(got.columns) == ["x", "y"] and got["y"].tolist() == [3, 4]
+    df2 = dx.read_csv(spark, str(tmp_path / "f.csv"), header=False,
+                      names=["x", "y", "z"], usecols=["z"])
+    assert df2.compute()["z"].tolist() == [5, 6]
