@@ -40,11 +40,36 @@ def _nano_ts_columns(path: str) -> list[str]:
         return []
 
 
+def _filters_to_expr(filters) -> str:
+    """dask/pandas read_parquet filters: [(col, op, val)] conjunction,
+    or [[...], [...]] DNF (reference: io/parquet.py filters kwarg) →
+    one SQL predicate Catalyst pushes into the scan."""
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, (list, tuple, set)):
+            return "(" + ", ".join(lit(x) for x in v) + ")"
+        return str(v)
+
+    def one(t):
+        col, op, val = t
+        op = {"==": "=", "in": "IN", "not in": "NOT IN"}.get(op, op)
+        return f"(`{col}` {op} {lit(val)})"
+
+    if isinstance(filters[0], (list, tuple)) and filters and \
+            isinstance(filters[0][0], (list, tuple)):
+        return " OR ".join(
+            "(" + " AND ".join(one(t) for t in grp) + ")" for grp in filters)
+    return " AND ".join(one(t) for t in filters)
+
+
 def read_parquet(spark: SparkSession, path: str,
                  columns: Sequence[str] | None = None,
-                 filters: str | None = None) -> DataFrame:
+                 filters=None) -> DataFrame:
     """reference: ReadParquet (io/parquet.py:712); columns= and filters=
-    are sugar — Catalyst pushes .select/.filter into the scan anyway."""
+    are sugar — Catalyst pushes .select/.filter into the scan anyway.
+    filters accepts a SQL string or the pandas/dask tuple form
+    ([(col, op, val), ...] conjunction; list-of-lists DNF)."""
     from pyspark.sql import functions as F
 
     nano_cols = _nano_ts_columns(path)
@@ -57,6 +82,8 @@ def read_parquet(spark: SparkSession, path: str,
     for c in nano_cols:
         # integer div: nanos exceed 2^53, float division would lose µs
         sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if filters is not None and not isinstance(filters, str):
+        filters = _filters_to_expr(list(filters))
     if filters:
         sdf = sdf.filter(filters)
     if columns:

@@ -219,3 +219,27 @@ def test_read_csv_names_usecols(spark, tmp_path):
     df2 = dx.read_csv(spark, str(tmp_path / "f.csv"), header=False,
                       names=["x", "y", "z"], usecols=["z"])
     assert df2.compute()["z"].tolist() == [5, 6]
+
+
+def test_read_parquet_tuple_filters(spark, sf_dir):
+    """reference: read_parquet filters kwarg (io/parquet.py) — tuple
+    conjunction and DNF list-of-lists, pushed into the scan."""
+    import duckdb
+
+    import dask_expr_spark as dx
+    df = dx.read_parquet(spark, f"{sf_dir}/orders.parquet",
+                         filters=[("o_orderstatus", "==", "F"),
+                                  ("o_totalprice", ">", 100000)])
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet') "
+        f"WHERE o_orderstatus = 'F' AND o_totalprice > 100000").fetchone()[0]
+    assert len(df.to_spark().collect()) == want
+    df2 = dx.read_parquet(spark, f"{sf_dir}/orders.parquet",
+                          filters=[[("o_orderstatus", "in", ["F", "O"])],
+                                   [("o_totalprice", "<", 1000)]])
+    want2 = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet') "
+        f"WHERE o_orderstatus IN ('F','O') OR o_totalprice < 1000").fetchone()[0]
+    assert len(df2.to_spark().collect()) == want2
+    plan = df.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
