@@ -795,15 +795,27 @@ class Resampler:
 
     def __init__(self, frame: DataFrame, freq: str, on: str,
                  closed: str = "left", label: str = "left"):
+        import re
+
         self._frame = frame
         self._freq = freq
         self._on = on
-        unit = _FREQ_UNIT.get(freq)
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq)
+        n = int(m.group(1)) if m and m.group(1) else 1
+        unit = _FREQ_UNIT.get(m.group(2)) if m else None
         if unit is None:
             raise ValueError(f"unsupported resample freq {freq!r}")
+        if n > 1 and unit in ("month", "quarter", "year"):
+            raise ValueError(
+                f"multiples of calendar unit {unit!r} are not supported "
+                f"(variable-length bins); use n=1")
         if closed not in ("left", "right") or label not in ("left", "right"):
             raise ValueError("closed/label must be 'left' or 'right'")
         self._unit = unit
+        self._n = n
+        _US = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+               "week": 604800}
+        self._dur_us = n * _US[unit] * 1_000_000 if unit in _US else None
         self._closed = closed
         self._label = label
 
@@ -815,9 +827,20 @@ class Resampler:
             ts = F.timestamp_micros(
                 F.unix_micros(ts.cast("timestamp")) - 1
             ).cast(dict(self._frame.to_spark().dtypes)[self._on])
-        b = F.date_trunc(self._unit, ts)
+        if self._n > 1:
+            # fixed-width multiple (e.g. "15min", "2h"): epoch-floor —
+            # pandas' origin='start_day' alignment for UTC timestamps
+            d = self._dur_us
+            b = F.timestamp_micros(
+                (F.unix_micros(ts.cast("timestamp")).cast("long") / d)
+                .cast("long") * d)
+        else:
+            b = F.date_trunc(self._unit, ts)
         if self._label == "right":
-            b = b + F.expr(f"INTERVAL 1 {self._unit.upper()}")
+            if self._n > 1:
+                b = F.timestamp_micros(F.unix_micros(b) + self._dur_us)
+            else:
+                b = b + F.expr(f"INTERVAL 1 {self._unit.upper()}")
         return b
 
     def agg(self, spec=None, **named) -> DataFrame:
@@ -852,6 +875,8 @@ class Resampler:
     def first(self): return self._spec_agg("first")
     def last(self): return self._spec_agg("last")
     def nunique(self): return self._spec_agg("nunique")
+    def prod(self): return self._spec_agg("prod")
+    def sem(self): return self._spec_agg("sem")
 
     def size(self) -> DataFrame:
         sdf = self._frame.to_spark()

@@ -584,3 +584,29 @@ def test_differential_groupby_rank(frames):
     got = got.sort_index()["rank"]
     pdt.assert_series_equal(got, want.sort_index()["rank"], check_dtype=False,
                             check_names=False)
+
+
+def test_differential_resample_multiples(spark):
+    """freq multiples (15min/2h) epoch-floor to pandas origin=start_day
+    bins; prod/sem convenience reductions (observed bins only — empty
+    gap bins are not emitted, the documented difference)."""
+    import numpy as np
+
+    ts = pd.date_range("2024-01-01 00:07", periods=40, freq="11min")
+    pdf = pd.DataFrame({"ts": ts, "v": np.arange(40) * 1.0})
+    d = from_pandas(spark, pdf, npartitions=3)
+    for freq in ["2h", "15min", "30min"]:
+        got = (d.resample(freq, on="ts").agg({"v": "sum"})
+               .compute().sort_values("ts").reset_index(drop=True))
+        want = pdf.resample(freq, on="ts")["v"].sum().reset_index()
+        want = want[want["v"].notna()].reset_index(drop=True)
+        assert got["ts"].tolist() == want["ts"].tolist()
+        assert np.allclose(got["v"], want["v"])
+    got2 = (d.resample("30min", on="ts").sem()
+            .compute().sort_values("ts").reset_index(drop=True))
+    want2 = pdf.resample("30min", on="ts")["v"].sem().reset_index()
+    assert np.allclose(got2["v"], want2["v"].values, equal_nan=True)
+    got3 = (d.resample("2h", on="ts").prod()
+            .compute().sort_values("ts").reset_index(drop=True))
+    want3 = pdf.resample("2h", on="ts")["v"].prod().reset_index()
+    assert np.allclose(got3["v"], want3["v"].values)
