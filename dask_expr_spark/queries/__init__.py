@@ -70,9 +70,12 @@ VALIDATED = frozenset({
 # reduction, map_partitions, map_overlap), the 7 oracle-upgraded
 # ex-rows-only queries (dedup_minhash_lsh, dedup_simhash,
 # ann_lsh_bucketed, ann_ivf_topk, ann_int8_topk, stream_tumbling_counts,
-# stream_session_counts), and ~7 rotated r1 reconfirmations. The
-# upgraded approx_* queries (tolerance oracles since r3) re-enter with
-# the r1 rotation.
+# stream_session_counts), the 4 late-r3 additions (text_lm_perplexity,
+# text_bm25_search, mix_sources_target, stream_interval_join), and ~3
+# rotated r1 reconfirmations. The upgraded approx_* queries (tolerance
+# oracles since r3) re-enter with the r1 rotation. NOTE: every
+# registry query was ALSO swept locally vs DuckDB at sf0.01 this round
+# (0 failures), so names outside the driver window are not stale.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
