@@ -1011,6 +1011,41 @@ class DataFrame(FrameBase):
                     else "object")
         types = {f.name: f.dataType.simpleString().split("(")[0]
                  for f in self._sdf.schema.fields}
+        if include == "object":
+            # pandas object describe: count / unique / top / freq
+            # (reference: _describe.py object path). top ties resolve
+            # to the smallest value — deterministic on any engine.
+            ocols = [c for c in (columns or self.columns)
+                     if _grp(types[c]) == "object"]
+            if not ocols:
+                raise ValueError("describe(include='object'): no object columns")
+            # per-value counts via per-column windows (each is a
+            # grouped, fully parallel exchange), folded into ONE agg
+            cnt = self._sdf.select(*[F.col(c) for c in ocols])
+            for c in ocols:
+                cnt = cnt.withColumn(
+                    f"__n_{c}", F.count(F.lit(1)).over(Window.partitionBy(c)))
+            aggs = []
+            for c in ocols:
+                aggs += [
+                    F.count(F.col(c)).cast("string").alias(f"count_{c}"),
+                    F.count_distinct(F.col(c)).cast("string").alias(f"uniq_{c}"),
+                    F.min_by(F.col(c), F.struct(
+                        (-F.col(f"__n_{c}")).alias("n"),
+                        F.col(c).alias("v"))).alias(f"top_{c}"),
+                    F.max(F.col(f"__n_{c}")).cast("string").alias(f"freq_{c}"),
+                ]
+            one = cnt.agg(*aggs)
+            parts = []
+            for label, pre in (("count", "count"), ("unique", "uniq"),
+                               ("top", "top"), ("freq", "freq")):
+                parts.append(one.select(
+                    F.lit(label).alias("statistic"),
+                    *[F.col(f"{pre}_{c}").alias(c) for c in ocols]))
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.unionByName(p_)
+            return DataFrame(out)
         numeric = {c for c, t in types.items() if _grp(t) == "number"}
         cols = [c for c in (columns or self.columns) if c in numeric]
         if include is not None:

@@ -1083,3 +1083,15 @@ def test_scalar_algebra(spark):
     assert (df["x"].sum() > 5).compute() is True
     z = df.assign(z=df["x"] - df["x"].sum() / df["x"].count())
     assert sorted(z.compute()["z"].tolist()) == [-1.5, -0.5, 0.5, 1.5]
+
+
+def test_describe_include_object(spark):
+    """reference: Describe object path (_describe.py) —
+    count/unique/top/freq; top ties resolve to smallest value."""
+    pdf = pd.DataFrame({"s": ["a", "b", "a", "c", None],
+                        "t": ["x", "x", "y", "y", "y"], "n": [1, 2, 3]*1 + [4, 5]})
+    df = from_pandas(spark, pdf, npartitions=2)
+    got = df.describe(include="object").compute().set_index("statistic")
+    assert got.loc["count", "s"] == "4" and got.loc["unique", "s"] == "3"
+    assert got.loc["top", "s"] == "a" and got.loc["freq", "s"] == "2"
+    assert got.loc["top", "t"] == "y" and got.loc["freq", "t"] == "3"
