@@ -275,8 +275,12 @@ def bigram_lm_train(sdf, id_col: str, text_col: str, sep: str = " ",
     )
     big = toks.select(
         F.explode(F.expr(
+            # guard: sequence(1, 0) counts DOWN in Spark, which would
+            # fabricate indices for 0/1-token docs — emit no bigrams
+            "CASE WHEN size(__toks) >= 2 THEN "
             "transform(sequence(1, size(__toks) - 1), "
-            "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+            "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2)) "
+            "ELSE array() END"
         )).alias("__b"),
     ).select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
     uni = (toks.select(F.explode("__toks").alias("w1"))
@@ -328,8 +332,12 @@ def bigram_lm_scores(sdf, id_col: str, text_col: str,
     big = toks.select(
         "doc_id",
         F.explode(F.expr(
+            # guard: sequence(1, 0) counts DOWN in Spark, which would
+            # fabricate indices for 0/1-token docs — emit no bigrams
+            "CASE WHEN size(__toks) >= 2 THEN "
             "transform(sequence(1, size(__toks) - 1), "
-            "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+            "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2)) "
+            "ELSE array() END"
         )).alias("__b"),
     ).select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
     k = F.lit(float(k_smooth))

@@ -96,3 +96,17 @@ def test_bm25_indexed_matches_inline_and_skips_corpus(spark, sf_dir, tmp_path):
     inline = sorted(map(tuple, T.bm25_topk(docs, "doc_id", "text",
                                            ["join", "slow"]).collect()))
     assert sorted(map(tuple, out.collect())) == inline
+
+
+def test_lm_bm25_mix_degenerate_inputs(spark):
+    """empty corpora, 0/1-token docs, and absent sources return empty
+    results instead of erroring (sequence(1,0) counts DOWN in Spark —
+    regression guard for the fabricated-bigram crash)."""
+    from dask_expr_spark.functions.sampling import resample_to_mix
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    one = spark.createDataFrame([(1, "hello", "s0")],
+                                "doc_id long, text string, source string")
+    assert T.bigram_lm_scores(empty, "doc_id", "text").count() == 0
+    assert T.bigram_lm_scores(one, "doc_id", "text").count() == 0
+    assert T.bm25_topk(empty, "doc_id", "text", ["x"]).count() == 0
+    assert resample_to_mix(one, "source", "doc_id", {"zz": 1.0}).count() == 0
