@@ -3441,6 +3441,19 @@ def concat(frames: Sequence[DataFrame], join: str = "outer", axis: int = 0) -> D
     """
     if not frames:
         raise ValueError("no frames")
+    import pandas as pd
+    if any(isinstance(f, (pd.DataFrame, pd.Series)) for f in frames):
+        # reference: concat accepts raw pandas objects mixed in
+        # (test_concat.py:36) — convert against the first facade
+        # frame's session
+        anchor = next(f for f in frames if isinstance(f, FrameBase))
+        from .sources.io import from_pandas as _fp
+        spark = anchor._sdf.sparkSession
+        frames = [
+            _fp(spark, f.to_frame() if isinstance(f, pd.Series) else f)
+            if isinstance(f, (pd.DataFrame, pd.Series)) else f
+            for f in frames
+        ]
     if axis == 1:
         idx = frames[0]._index_cols
         if not idx:

@@ -1095,3 +1095,12 @@ def test_describe_include_object(spark):
     assert got.loc["count", "s"] == "4" and got.loc["unique", "s"] == "3"
     assert got.loc["top", "s"] == "a" and got.loc["freq", "s"] == "2"
     assert got.loc["top", "t"] == "y" and got.loc["freq", "t"] == "3"
+
+
+def test_concat_accepts_pandas_objects(spark):
+    """reference: test_concat.py:36 — raw pandas frames mix into
+    concat and are converted against the session."""
+    import dask_expr_spark as dx
+    df = from_pandas(spark, pd.DataFrame({"x": [1, 2]}), npartitions=1)
+    out = dx.concat([df, pd.DataFrame({"x": [3, 4]})])
+    assert sorted(out.compute()["x"].tolist()) == [1, 2, 3, 4]
