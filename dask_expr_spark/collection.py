@@ -3238,6 +3238,12 @@ class GroupBy:
             exprs[f"{col}{suffix}"] = _agg_expr(fn, col).over(w)
         return self._frame._wrap(self._sdf().withColumns(exprs))
 
+    @property
+    def ngroups(self) -> Scalar:
+        """number of distinct groups, lazily (pandas GroupBy.ngroups)."""
+        return Scalar(self._sdf().select(*self._by).distinct()
+                      .agg(F.count(F.lit(1)).alias("ngroups")))
+
     def get_group(self, value) -> DataFrame:
         """reference: get_group, _groupby.py:1095."""
         if len(self._by) == 1:

@@ -1104,3 +1104,9 @@ def test_concat_accepts_pandas_objects(spark):
     df = from_pandas(spark, pd.DataFrame({"x": [1, 2]}), npartitions=1)
     out = dx.concat([df, pd.DataFrame({"x": [3, 4]})])
     assert sorted(out.compute()["x"].tolist()) == [1, 2, 3, 4]
+
+
+def test_groupby_ngroups(spark):
+    df = from_pandas(spark, pd.DataFrame({"k": [1, 1, 2, 3], "v": range(4)}),
+                     npartitions=2)
+    assert df.groupby("k").ngroups.compute() == 3
