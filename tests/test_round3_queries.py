@@ -6,11 +6,11 @@ from __future__ import annotations
 
 import pytest
 
-from dask_expr_spark.queries import round3, round3b
+from dask_expr_spark.queries import round3, round3b, round3c
 
 from .oracle import compare, duck_con
 
-_ALL = {**round3.QUERIES, **round3b.QUERIES}
+_ALL = {**round3.QUERIES, **round3b.QUERIES, **round3c.QUERIES}
 _WITH_ORACLE = sorted(n for n, (_f, sql) in _ALL.items() if sql)
 
 
