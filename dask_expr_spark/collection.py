@@ -478,9 +478,35 @@ class DataFrame(FrameBase):
                 exprs[name] = val._scol
             elif isinstance(val, Column):
                 exprs[name] = val
+            elif isinstance(val, Scalar):
+                # lazy aggregate result (df.assign(a=df.x.sum()) —
+                # reference test_collection.py:1996): scalar subquery
+                exprs[name] = val.to_column()
             elif callable(val):
                 exprs[name] = val(self)._scol
             else:
+                import numpy as _np
+                import pandas as _pd
+                if isinstance(val, _pd.Series):
+                    # pandas Series aligns by INDEX (reference
+                    # test_collection.py:2043) — route through the
+                    # foreign-series join on a from_pandas frame
+                    from .sources.io import from_pandas as _fp
+                    f = _fp(self._sdf.sparkSession,
+                            val.rename(name).to_frame().reset_index())
+                    icol = val.index.name or "index"
+                    ser = f.set_index(icol)[name]
+                    sdf = self._align_foreign(sdf, name, ser)
+                    joined = True
+                    continue
+                if isinstance(val, (_np.ndarray, list, tuple)) and not (
+                        isinstance(val, (list, tuple)) and len(val) == 0):
+                    raise TypeError(
+                        f"assign({name}=<{type(val).__name__}>): positional "
+                        "array assignment needs a row order a distributed "
+                        "frame doesn't have — wrap it in a pandas Series "
+                        "with the frame's index, or use F.lit(...) for a "
+                        "per-row constant array")
                 exprs[name] = F.lit(val)
         out = sdf.withColumns(exprs) if exprs else sdf
         # an index equi-join re-shuffles the rows; range order is lost

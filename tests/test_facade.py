@@ -1110,3 +1110,17 @@ def test_groupby_ngroups(spark):
     df = from_pandas(spark, pd.DataFrame({"k": [1, 1, 2, 3], "v": range(4)}),
                      npartitions=2)
     assert df.groupby("k").ngroups.compute() == 3
+
+
+def test_assign_pandas_series_scalar_ndarray(spark):
+    """reference: test_collection.py:1996,2043 — assign accepts lazy
+    Scalars (subquery) and pandas Series (index-aligned); raw ndarrays
+    raise (no positional order on a distributed frame)."""
+    import numpy as np
+    pdf = pd.DataFrame({"i": [10, 20, 30], "x": [1, 2, 3]})
+    df = from_pandas(spark, pdf, npartitions=2).set_index("i")
+    ps = pd.Series([7, 8, 9], index=pd.Index([10, 20, 30], name="i"))
+    got = df.assign(a=ps, b=df["x"].sum()).compute().sort_index()
+    assert got["a"].tolist() == [7, 8, 9] and got["b"].tolist() == [6, 6, 6]
+    with pytest.raises(TypeError, match="positional"):
+        df.assign(z=np.array([1, 2, 3]))
