@@ -408,7 +408,18 @@ class DataFrame(FrameBase):
             col = value._scol
         elif callable(value):
             col = value(self)._scol
+        elif isinstance(value, Scalar):
+            col = value.to_column()
         else:
+            import numpy as _np
+            import pandas as _pd
+            if isinstance(value, (_pd.Series, _np.ndarray)):
+                # same alignment rules as assign() — Series joins by
+                # index, ndarray raises (no positional row order)
+                new = self.assign(**{key: value})
+                self._sdf = new._sdf
+                self._known_sorted = new._known_sorted
+                return
             col = F.lit(value)
         self._sdf = self._sdf.withColumn(key, col)
 

@@ -1124,3 +1124,17 @@ def test_assign_pandas_series_scalar_ndarray(spark):
     assert got["a"].tolist() == [7, 8, 9] and got["b"].tolist() == [6, 6, 6]
     with pytest.raises(TypeError, match="positional"):
         df.assign(z=np.array([1, 2, 3]))
+
+
+def test_setitem_pandas_series_scalar(spark):
+    """__setitem__ mirrors assign(): pandas Series index-aligns, lazy
+    Scalar becomes a subquery, ndarray raises."""
+    import numpy as np
+    df = from_pandas(spark, pd.DataFrame({"i": [1, 2], "x": [5, 6]}),
+                     npartitions=1).set_index("i")
+    df["a"] = pd.Series([9, 8], index=pd.Index([1, 2], name="i"))
+    df["b"] = df["x"].sum()
+    got = df.compute().sort_index()
+    assert got["a"].tolist() == [9, 8] and got["b"].tolist() == [11, 11]
+    with pytest.raises(TypeError, match="positional"):
+        df["z"] = np.array([1, 2])
