@@ -2297,7 +2297,17 @@ class Series(FrameBase):
         if upper is not None:
             c = F.least(c, F.lit(upper))
         return self._new(c)
-    def isin(self, values: Iterable): return self._new(self._scol.isin(list(values)))
+    def isin(self, values) -> "Series":
+        """membership test. Literal lists compile to an IN list;
+        a Series from ANOTHER frame becomes a correlated EXISTS
+        subquery (Spark 4 DataFrame.exists) — Catalyst plans it as a
+        left-semi join against the values' distinct set, the same
+        shape the reference's isin fusion produces (_expr.py)."""
+        if isinstance(values, Series):
+            sub = values._anchor.select(values._scol.alias("__v"))
+            return self._new(
+                sub.where(F.col("__v") == self._scol.outer()).exists())
+        return self._new(self._scol.isin(list(values)))
     def isna(self): return self._new(F.isnull(self._scol))
     isnull = isna
     def notnull(self): return self._new(~F.isnull(self._scol))

@@ -1138,3 +1138,14 @@ def test_setitem_pandas_series_scalar(spark):
     assert got["a"].tolist() == [9, 8] and got["b"].tolist() == [11, 11]
     with pytest.raises(TypeError, match="positional"):
         df["z"] = np.array([1, 2])
+
+
+def test_isin_with_series(spark):
+    """reference: test_collection.py:965 isin with dask inputs —
+    correlated EXISTS subquery, planned as a left-semi join."""
+    df = from_pandas(spark, pd.DataFrame({"x": [1, 2, 3]}), npartitions=2)
+    other = from_pandas(spark, pd.DataFrame({"v": [1, 3]}), npartitions=1)
+    filt = df[df["x"].isin(other["v"])]
+    assert sorted(filt.compute()["x"].tolist()) == [1, 3]
+    plan = filt.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
