@@ -549,6 +549,20 @@ class DataFrame(FrameBase):
     def fillna(self, value) -> "DataFrame":
         return self._wrap(self._sdf.fillna(value))
 
+    def isin(self, values) -> "DataFrame":
+        """per-cell membership → boolean frame (pandas df.isin; list or
+        {col: values} dict — columns absent from the dict become
+        all-False, like pandas)."""
+        if isinstance(values, Mapping):
+            exprs = {c: (F.col(c).isin(list(values[c])) if c in values
+                         else F.lit(False)).alias(c)
+                     for c in self.columns}
+        else:
+            vals = list(values)
+            exprs = {c: F.col(c).isin(vals).alias(c) for c in self.columns}
+        return self._wrap(self._sdf.select(
+            *self._index_cols, *[exprs[c] for c in self.columns]))
+
     def dropna(self, how: str = "any", subset: Sequence[str] | None = None,
                thresh: int | None = None) -> "DataFrame":
         return self._wrap(self._sdf.dropna(how=how, thresh=thresh, subset=subset))
@@ -2321,10 +2335,23 @@ class Series(FrameBase):
     def ge(self, o): return self._binop(o, lambda a, b: a >= b, self._name)
     def fillna(self, v): return self._new(F.coalesce(self._scol, F.lit(v)))
     def astype(self, t: str): return self._new(self._scol.cast(_spark_type(t)))
+    def _other_col(self, other) -> Column:
+        """where/mask replacement operand: same-anchor Series keeps its
+        expression, Scalar becomes a subquery, anything else a literal."""
+        if isinstance(other, Series):
+            if other._anchor is not self._anchor:
+                raise ValueError("where/mask other= must share the frame")
+            return other._scol
+        if isinstance(other, Scalar):
+            return other.to_column()
+        return F.lit(other)
+
     def mask(self, cond: "Series", other=None):
-        return self._new(F.when(~cond._scol, self._scol).otherwise(F.lit(other)))
+        return self._new(F.when(~cond._scol, self._scol)
+                         .otherwise(self._other_col(other)))
     def where(self, cond: "Series", other=None):
-        return self._new(F.when(cond._scol, self._scol).otherwise(F.lit(other)))
+        return self._new(F.when(cond._scol, self._scol)
+                         .otherwise(self._other_col(other)))
 
     def apply(self, func: Callable, return_type: str = "double") -> "Series":
         """elementwise Python function via Arrow-batched pandas UDF

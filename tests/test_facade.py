@@ -1149,3 +1149,15 @@ def test_isin_with_series(spark):
     assert sorted(filt.compute()["x"].tolist()) == [1, 3]
     plan = filt.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_frame_isin_and_where_mask_series_other(spark):
+    """pandas df.isin(list/dict); where/mask with Series/Scalar other."""
+    pdf = pd.DataFrame({"x": [1, 2], "y": [30, 10]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    assert (df.isin([1, 30]).compute().values.tolist()
+            == pdf.isin([1, 30]).values.tolist())
+    assert (df.isin({"x": [2]}).compute().values.tolist()
+            == pdf.isin({"x": [2]}).values.tolist())
+    assert df["x"].where(df["x"] > 1, df["y"]).compute().tolist() == [30, 2]
+    assert df["x"].mask(df["x"] > 1, df["y"].max()).compute().tolist() == [1, 30]
