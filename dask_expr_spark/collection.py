@@ -2333,7 +2333,10 @@ class Series(FrameBase):
     def le(self, o): return self._binop(o, lambda a, b: a <= b, self._name)
     def gt(self, o): return self._binop(o, lambda a, b: a > b, self._name)
     def ge(self, o): return self._binop(o, lambda a, b: a >= b, self._name)
-    def fillna(self, v): return self._new(F.coalesce(self._scol, F.lit(v)))
+    def fillna(self, v) -> "Series":
+        """null replacement; accepts a scalar, a same-anchor Series
+        (pandas: fill from another column), or a lazy Scalar."""
+        return self._new(F.coalesce(self._scol, self._other_col(v)))
     def astype(self, t: str): return self._new(self._scol.cast(_spark_type(t)))
     def _other_col(self, other) -> Column:
         """where/mask replacement operand: same-anchor Series keeps its
