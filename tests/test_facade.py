@@ -1161,3 +1161,10 @@ def test_frame_isin_and_where_mask_series_other(spark):
             == pdf.isin({"x": [2]}).values.tolist())
     assert df["x"].where(df["x"] > 1, df["y"]).compute().tolist() == [30, 2]
     assert df["x"].mask(df["x"] > 1, df["y"].max()).compute().tolist() == [1, 30]
+
+
+def test_series_fillna_series_and_scalar(spark):
+    pdf = pd.DataFrame({"x": [1.0, None], "y": [9.0, 7.0]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    assert df["x"].fillna(df["y"]).compute().tolist() == [1.0, 7.0]
+    assert df["x"].fillna(df["y"].mean()).compute().tolist() == [1.0, 8.0]
