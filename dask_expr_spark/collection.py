@@ -546,6 +546,17 @@ class DataFrame(FrameBase):
         )
 
     # -- null handling (reference: IsNa/Fillna/Dropna, _expr.py:1534,1349,1108)
+    def round(self, decimals=0) -> "DataFrame":
+        """per-column rounding (pandas df.round; int or {col: n})."""
+        num = {"double", "float", "decimal"}
+        types = {f.name: f.dataType.simpleString().split("(")[0]
+                 for f in self._sdf.schema.fields}
+        dec = decimals if isinstance(decimals, Mapping) else {
+            c: decimals for c in self.columns if types[c] in num}
+        exprs = {c: F.round(F.col(c), int(n)) for c, n in dec.items()
+                 if c in types}
+        return self._wrap(self._sdf.withColumns(exprs))
+
     def fillna(self, value) -> "DataFrame":
         return self._wrap(self._sdf.fillna(value))
 

@@ -1168,3 +1168,10 @@ def test_series_fillna_series_and_scalar(spark):
     df = from_pandas(spark, pdf, npartitions=1)
     assert df["x"].fillna(df["y"]).compute().tolist() == [1.0, 7.0]
     assert df["x"].fillna(df["y"].mean()).compute().tolist() == [1.0, 8.0]
+
+
+def test_frame_round(spark):
+    pdf = pd.DataFrame({"a": [1, 2], "b": [1.55, 2.44]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    assert df.round({"b": 1}).compute()["b"].tolist() == [1.6, 2.4]
+    assert df.round().compute()["b"].tolist() == [2.0, 2.0]
