@@ -546,6 +546,91 @@ class DataFrame(FrameBase):
         )
 
     # -- null handling (reference: IsNa/Fillna/Dropna, _expr.py:1534,1349,1108)
+    # -- frame-level arithmetic (reference: _method_operators,
+    #    test_collection.py:598 — add/sub/mul/div with scalars, an
+    #    axis=0 Series broadcast, or another indexed frame) -----------------
+    def _numeric_data_cols(self) -> list[str]:
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal"}
+        types = {f.name: f.dataType.simpleString().split("(")[0]
+                 for f in self._sdf.schema.fields}
+        return [c for c in self.columns if types[c] in num]
+
+    def _frame_binop(self, other, op, fill_value=None, reflect=False):
+        def ap(a, b):
+            if fill_value is not None:
+                a = F.coalesce(a, F.lit(fill_value))
+                b = F.coalesce(b, F.lit(fill_value))
+            return op(b, a) if reflect else op(a, b)
+
+        cols = self._numeric_data_cols()
+        if isinstance(other, Series):
+            if other._anchor is not self._sdf:
+                raise ValueError(
+                    "frame <op> Series needs a same-frame column (axis=0 "
+                    "row broadcast); align foreign series with assign first")
+            exprs = {c: ap(F.col(c), other._scol) for c in cols}
+            return self._wrap(self._sdf.withColumns(exprs))
+        if isinstance(other, DataFrame):
+            idx = self._index_cols
+            if not idx or other._index_cols != idx:
+                raise ValueError(
+                    "frame <op> frame aligns on the index — set_index the "
+                    "same column(s) on both sides first")
+            rcols = set(other._numeric_data_cols())
+            left = self._sdf
+            right = other._sdf.select(
+                *idx, *[F.col(c).alias(f"__r_{c}") for c in rcols])
+            joined = left.join(right, list(idx), "full")
+            exprs = {}
+            for c in sorted(set(cols) | rcols):
+                lc = F.col(c) if c in cols else F.lit(None)
+                rc = F.col(f"__r_{c}") if c in rcols else F.lit(None)
+                exprs[c] = ap(lc, rc)
+            out = joined.select(
+                *idx, *[exprs[c].alias(c) for c in sorted(set(cols) | rcols)])
+            return DataFrame(out, idx, False)
+        if isinstance(other, Scalar):
+            lit = other.to_column()
+        else:
+            lit = F.lit(other)
+        return self._wrap(self._sdf.withColumns(
+            {c: ap(F.col(c), lit) for c in cols}))
+
+    def __add__(self, o): return self._frame_binop(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._frame_binop(o, lambda a, b: a + b)
+    def __sub__(self, o): return self._frame_binop(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._frame_binop(o, lambda a, b: a - b, reflect=True)
+    def __mul__(self, o): return self._frame_binop(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._frame_binop(o, lambda a, b: a * b)
+    def __truediv__(self, o): return self._frame_binop(o, lambda a, b: a / b)
+    def __rtruediv__(self, o): return self._frame_binop(o, lambda a, b: a / b, reflect=True)
+    def __pow__(self, o): return self._frame_binop(o, lambda a, b: F.pow(a, b))
+    def __mod__(self, o): return self._frame_binop(o, lambda a, b: a % b)
+
+    def add(self, other, axis=0, fill_value=None):
+        return self._frame_binop(other, lambda a, b: a + b, fill_value)
+
+    def sub(self, other, axis=0, fill_value=None):
+        return self._frame_binop(other, lambda a, b: a - b, fill_value)
+
+    def mul(self, other, axis=0, fill_value=None):
+        return self._frame_binop(other, lambda a, b: a * b, fill_value)
+
+    def div(self, other, axis=0, fill_value=None):
+        return self._frame_binop(other, lambda a, b: a / b, fill_value)
+
+    truediv = div
+
+    def floordiv(self, other, axis=0, fill_value=None):
+        return self._frame_binop(other, lambda a, b: F.floor(a / b), fill_value)
+
+    def mod(self, other, axis=0, fill_value=None):
+        return self._frame_binop(other, lambda a, b: a % b, fill_value)
+
+    def pow(self, other, axis=0, fill_value=None):
+        return self._frame_binop(other, lambda a, b: F.pow(a, b), fill_value)
+
     def round(self, decimals=0) -> "DataFrame":
         """per-column rounding (pandas df.round; int or {col: n})."""
         num = {"double", "float", "decimal"}

@@ -1175,3 +1175,19 @@ def test_frame_round(spark):
     df = from_pandas(spark, pdf, npartitions=1)
     assert df.round({"b": 1}).compute()["b"].tolist() == [1.6, 2.4]
     assert df.round().compute()["b"].tolist() == [2.0, 2.0]
+
+
+def test_frame_arithmetic(spark):
+    """reference: test_collection.py:598 method operators — frame <op>
+    scalar / axis=0 Series broadcast / indexed frame with fill_value."""
+    pdf = pd.DataFrame({"i": [1, 2], "a": [2.0, 4.0], "b": [10.0, 20.0]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    d = df[["a", "b"]]
+    assert (d + 1).compute()["a"].tolist() == [3.0, 5.0]
+    assert (1 - d).compute()["a"].tolist() == [-1.0, -3.0]
+    assert (2 * d).compute()["b"].tolist() == [20.0, 40.0]
+    assert d.sub(d["a"], axis=0).compute()["b"].tolist() == [8.0, 16.0]
+    d1 = df[["i", "a"]].set_index("i")
+    d2 = df[["i", "b"]].set_index("i")
+    s_ = d1.add(d2, fill_value=0).compute().sort_index()
+    assert s_["a"].tolist() == [2.0, 4.0] and s_["b"].tolist() == [10.0, 20.0]
