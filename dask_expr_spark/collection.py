@@ -2422,6 +2422,30 @@ class Series(FrameBase):
     isnull = isna
     def notnull(self): return self._new(~F.isnull(self._scol))
     notna = notnull
+    # named arithmetic methods with fill_value (pandas Series.add/...;
+    # reference: _method_operators, test_collection.py:598)
+    def _named_arith(self, o, op, fill_value=None, reflect=False):
+        def ap(a, b):
+            if fill_value is not None:
+                a = F.coalesce(a, F.lit(fill_value))
+                b = F.coalesce(b, F.lit(fill_value))
+            return op(b, a) if reflect else op(a, b)
+        return self._binop(o, ap, self._name)
+
+    def add(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a + b, fill_value)
+    def sub(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a - b, fill_value)
+    def mul(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a * b, fill_value)
+    def div(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a / b, fill_value)
+    truediv = div
+    def floordiv(self, o, fill_value=None): return self._named_arith(o, lambda a, b: F.floor(a / b), fill_value)
+    def mod(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a % b, fill_value)
+    def pow(self, o, fill_value=None): return self._named_arith(o, lambda a, b: F.pow(a, b), fill_value)
+    def radd(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a + b, fill_value, True)
+    def rsub(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a - b, fill_value, True)
+    def rmul(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a * b, fill_value, True)
+    def rdiv(self, o, fill_value=None): return self._named_arith(o, lambda a, b: a / b, fill_value, True)
+    rtruediv = rdiv
+
     # named comparison methods (reference: _comparison_op, _collection.py:661)
     def eq(self, o): return self._binop(o, lambda a, b: a == b, self._name)
     def ne(self, o): return self._binop(o, lambda a, b: a != b, self._name)

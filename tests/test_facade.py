@@ -1191,3 +1191,11 @@ def test_frame_arithmetic(spark):
     d2 = df[["i", "b"]].set_index("i")
     s_ = d1.add(d2, fill_value=0).compute().sort_index()
     assert s_["a"].tolist() == [2.0, 4.0] and s_["b"].tolist() == [10.0, 20.0]
+
+
+def test_series_named_arithmetic_fill_value(spark):
+    pdf = pd.DataFrame({"x": [1.0, None, 3.0], "y": [10.0, 20.0, None]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    got = df["x"].add(df["y"], fill_value=0).compute().tolist()
+    assert got == pdf.x.add(pdf.y, fill_value=0).tolist()
+    assert df["x"].rsub(1).compute().tolist()[0] == 0.0
