@@ -610,3 +610,36 @@ def test_differential_resample_multiples(spark):
             .compute().sort_values("ts").reset_index(drop=True))
     want3 = pdf.resample("2h", on="ts")["v"].prod().reset_index()
     assert np.allclose(got3["v"], want3["v"].values)
+
+
+def test_property_arithmetic_parity(spark):
+    """hypothesis-style randomized differential check (fixed seeds) for
+    the round-3 arithmetic surface: frame dunders, axis=0 broadcasts,
+    Series named ops with fill_value, and lazy-Scalar operands."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = int(rng.randint(5, 40))
+        pdf = pd.DataFrame({
+            "x": np.round(rng.uniform(-100, 100, n), 2),
+            "y": np.round(rng.uniform(1, 50, n), 2),
+        })
+        pdf.loc[rng.rand(n) < 0.2, "x"] = np.nan
+        d = from_pandas(spark, pdf, npartitions=3)
+        got = (d + 1.5).compute().reset_index(drop=True)
+        want = pdf + 1.5
+        pd.testing.assert_frame_equal(
+            got.sort_values(["y", "x"]).reset_index(drop=True),
+            want.sort_values(["y", "x"]).reset_index(drop=True))
+        got2 = (d.mul(d["y"], axis=0).compute()
+                .sort_values(["y", "x"]).reset_index(drop=True))
+        want2 = (pdf.mul(pdf["y"], axis=0)
+                 .sort_values(["y", "x"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got2, want2)
+        got3 = d["x"].add(d["y"], fill_value=0).compute().sort_values().reset_index(drop=True)
+        want3 = pdf.x.add(pdf.y, fill_value=0).sort_values().reset_index(drop=True)
+        pd.testing.assert_series_equal(got3, want3, check_names=False)
+        got4 = (d["x"] - d["x"].min()).compute().sort_values().reset_index(drop=True)
+        want4 = (pdf.x - pdf.x.min()).sort_values().reset_index(drop=True)
+        pd.testing.assert_series_equal(got4, want4, check_names=False)
