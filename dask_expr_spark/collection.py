@@ -2524,6 +2524,28 @@ class Series(FrameBase):
         """reference: pipe (chainable call; test_collection.py:368)."""
         return func(self, *args, **kwargs)
 
+    def groupby(self, by) -> "GroupBy":
+        """pandas s.groupby(df.k) — groups this column by a same-anchor
+        key Series / column name (reference: Series groupby,
+        _groupby.py); returns a column-restricted GroupBy."""
+        sdf = self._anchor
+        # materialize the KEY first (its expression must see the
+        # original columns, not a rewritten value column), then the
+        # value; a name collision (s.groupby(s // 2)) keeps the key
+        # under a reserved name
+        if isinstance(by, Series):
+            if by._anchor is not self._anchor:
+                raise ValueError(
+                    "Series.groupby key must come from the same frame")
+            kname = by._name if (by._name and by._name != self._name) \
+                else "__by_key"
+            sdf = sdf.withColumn(kname, by._scol)
+            by = kname
+        sdf = sdf.withColumn(self._name, self._scol)
+        frame = DataFrame(sdf, self._index_cols, self._known_sorted)
+        g = frame.groupby(by)
+        return g[[self._name]]
+
     # -- reductions → Scalar (reference: Reduction, _reductions.py:761) ------
     def _reduce(self, col: Column, name: str) -> Scalar:
         return Scalar(self._anchor.select(col.alias(name)))
@@ -3425,10 +3447,15 @@ class GroupBy:
         GroupByApply (_groupby.py:872) via grouped-map Pandas UDF."""
         return DataFrame(self._sdf().groupBy(*self._by).applyInPandas(func, schema))
 
-    def transform(self, spec: Mapping[str, Any], suffix: str = "_t") -> DataFrame:
+    def transform(self, spec, suffix: str = "_t") -> DataFrame:
         """group aggregate broadcast back onto every row (reference:
         GroupByTransform, _groupby.py:1027) — a window aggregate over
-        the group keys: no second join, one shuffle."""
+        the group keys: no second join, one shuffle. spec: a function
+        name applied to every value column (pandas str form) or
+        {col: fn}."""
+        if isinstance(spec, str):
+            spec = {c: spec for c in self._frame.columns
+                    if c not in self._by}
         w = Window.partitionBy(*self._by)
         exprs = {}
         for col, fn in spec.items():

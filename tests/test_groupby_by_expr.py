@@ -87,3 +87,31 @@ def test_groupby_size_sorted(df, pdf):
     got = df.groupby(df["x"] % 5, sort=True).size().compute()
     want = pdf.groupby(pdf.x % 5).size().reset_index(name="size")
     _eq(got.reset_index(drop=True), want)
+
+
+def test_series_groupby(spark):
+    """pandas s.groupby(key) — column name, expression key, derived
+    value, and value-derived key (name collision) forms."""
+    import pandas as pd
+
+    from dask_expr_spark.sources.io import from_pandas
+    pdf = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+    df = from_pandas(spark, pdf, npartitions=2)
+    assert sorted(map(tuple, df["v"].groupby("k").sum().to_spark()
+                  .collect())) == [(1, 3.0), (2, 3.0)]
+    assert sorted(map(tuple, df["v"].groupby(df["k"] % 2).sum().to_spark()
+                  .collect())) == [(0, 3.0), (1, 3.0)]
+    assert sorted(map(tuple, (df["v"] * 2).groupby("k").sum().to_spark()
+                  .collect())) == [(1, 6.0), (2, 6.0)]
+    assert sorted(map(tuple, df["v"].groupby(df["v"] > 1.5).count().to_spark()
+                  .collect())) == [(False, 1), (True, 2)]
+
+
+def test_groupby_transform_str(spark):
+    import pandas as pd
+
+    from dask_expr_spark.sources.io import from_pandas
+    pdf = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    got = df.groupby("k").transform("sum").compute().sort_values("v")
+    assert got["v_t"].tolist() == [3.0, 3.0, 3.0]
