@@ -55,6 +55,16 @@ _DTYPE_MAP = {
 
 
 def _spark_type(t) -> str:
+    if isinstance(t, type):
+        # python builtins and numpy scalar TYPES (np.int64, float, ...)
+        t = t.__name__
+        t = {"int": "int64", "float": "float64"}.get(t, t)
+    else:
+        try:
+            import numpy as _np
+            t = _np.dtype(t).name if isinstance(t, _np.dtype) else str(t)
+        except Exception:
+            t = str(t)
     return _DTYPE_MAP.get(str(t), str(t))
 
 

@@ -1199,3 +1199,13 @@ def test_series_named_arithmetic_fill_value(spark):
     got = df["x"].add(df["y"], fill_value=0).compute().tolist()
     assert got == pdf.x.add(pdf.y, fill_value=0).tolist()
     assert df["x"].rsub(1).compute().tolist()[0] == 0.0
+
+
+def test_astype_type_objects(spark):
+    """astype accepts python/numpy type objects, not just strings."""
+    import numpy as np
+    df = from_pandas(spark, pd.DataFrame({"x": [1.7, 2.2], "s": ["3", "4"]}),
+                     npartitions=1)
+    assert df["x"].astype(np.int64).compute().tolist() == [1, 2]
+    assert df["x"].astype(int).compute().tolist() == [1, 2]
+    assert df["s"].astype(float).compute().tolist() == [3.0, 4.0]
