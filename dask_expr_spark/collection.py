@@ -537,7 +537,10 @@ class DataFrame(FrameBase):
         cols = [columns] if isinstance(columns, str) else list(columns)
         return self._wrap(self._sdf.drop(*cols))
 
-    def rename(self, columns: Mapping[str, str]) -> "DataFrame":
+    def rename(self, columns) -> "DataFrame":
+        if callable(columns):
+            # pandas mapper-function form: df.rename(columns=str.upper)
+            columns = {c: columns(c) for c in self.columns}
         sdf = self._sdf.withColumnsRenamed(dict(columns))
         idx = tuple(columns.get(c, c) for c in self._index_cols)
         return DataFrame(sdf, idx, self._known_sorted)
@@ -640,6 +643,18 @@ class DataFrame(FrameBase):
 
     def pow(self, other, axis=0, fill_value=None):
         return self._frame_binop(other, lambda a, b: F.pow(a, b), fill_value)
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        """pandas df.clip over the numeric columns."""
+        exprs = {}
+        for c in self._numeric_data_cols():
+            e = F.col(c)
+            if lower is not None:
+                e = F.greatest(e, F.lit(lower))
+            if upper is not None:
+                e = F.least(e, F.lit(upper))
+            exprs[c] = e
+        return self._wrap(self._sdf.withColumns(exprs))
 
     def round(self, decimals=0) -> "DataFrame":
         """per-column rounding (pandas df.round; int or {col: n})."""

@@ -77,7 +77,14 @@ class StringMethods:
         return self._new(fn(self._c, width, fillchar))
 
     def zfill(self, width: int): return self._new(F.lpad(self._c, width, "0"))
-    def cat(self, other, sep: str = ""):
+    def cat(self, other=None, sep: str = ""):
+        """pairwise concat with another column; with other=None the
+        pandas REDUCTION form — join every value into one string
+        (sorted for a deterministic distributed order)."""
+        if other is None:
+            from ..collection import Scalar
+            agg = F.array_join(F.array_sort(F.collect_list(self._c)), sep)
+            return Scalar(self._s._anchor.select(agg.alias("cat")))
         return self._new(F.concat_ws(sep, self._c, other._scol))
     def count(self, pat: str):
         return self._new(F.expr(f"size(regexp_extract_all({self._s._name}, '{pat}', 0))"))

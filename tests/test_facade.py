@@ -1209,3 +1209,12 @@ def test_astype_type_objects(spark):
     assert df["x"].astype(np.int64).compute().tolist() == [1, 2]
     assert df["x"].astype(int).compute().tolist() == [1, 2]
     assert df["s"].astype(float).compute().tolist() == [3.0, 4.0]
+
+
+def test_rename_callable_clip_strcat(spark):
+    pdf = pd.DataFrame({"k": ["b", "a", "c"], "v": [1.0, 2.0, 3.0]})
+    df = from_pandas(spark, pdf, npartitions=2)
+    assert df.rename(columns=str.upper).columns == ["K", "V"]
+    assert (df.clip(lower=1.5, upper=2.5).compute()["v"].sort_values().tolist()
+            == [1.5, 2.0, 2.5])
+    assert df["k"].str.cat(sep="|").compute() == "a|b|c"
