@@ -48,9 +48,23 @@ def merge(
     suffixes: tuple[str, str] = ("_x", "_y"),
     broadcast: bool | None = None,
     indicator: bool = False,
+    left_index: bool = False,
+    right_index: bool = False,
 ) -> DataFrame:
     """pandas.merge semantics on a Spark join
-    (reference API: _collection.py:2847,5609)."""
+    (reference API: _collection.py:2847,5609). left_index/right_index
+    join on the frames' set indexes (each normalizes to left_on/
+    right_on — an index column is a plain key column here)."""
+    if left_index:
+        if not left._index_cols:
+            raise ValueError("left_index=True needs set_index on the left")
+        left_on = list(left._index_cols)
+    if right_index:
+        if not right._index_cols:
+            raise ValueError("right_index=True needs set_index on the right")
+        right_on = list(right._index_cols)
+    if left_on is not None and right_on is not None and list(left_on) == list(right_on) and on is None:
+        on, left_on, right_on = left_on, None, None
     spark_how = _HOW.get(how)
     if spark_how is None:
         raise ValueError(f"unsupported how={how!r}")

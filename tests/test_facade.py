@@ -1218,3 +1218,14 @@ def test_rename_callable_clip_strcat(spark):
     assert (df.clip(lower=1.5, upper=2.5).compute()["v"].sort_values().tolist()
             == [1.5, 2.0, 2.5])
     assert df["k"].str.cat(sep="|").compute() == "a|b|c"
+
+
+def test_merge_index_forms(spark):
+    """pandas merge(left_index=True, right_index=True)."""
+    import dask_expr_spark as dx
+    a = from_pandas(spark, pd.DataFrame({"i": [1, 2], "x": [10, 20]}),
+                    npartitions=1).set_index("i")
+    b = from_pandas(spark, pd.DataFrame({"j": [1, 2], "y": [5, 6]}),
+                    npartitions=1).set_index("j")
+    got = dx.merge(a, b, left_index=True, right_index=True).compute()
+    assert sorted(got["y"].tolist()) == [5, 6]
