@@ -796,11 +796,35 @@ class DataFrame(FrameBase):
         return [self._wrap(s) for s in self._sdf.randomSplit(list(weights), seed=seed)]
 
     # -- explode (reference: ExplodeFrame, _expr.py:1814) --------------------
-    def explode(self, column: str, pos: str | None = None,
+    def explode(self, column, pos: str | None = None,
                 outer: bool = False) -> "DataFrame":
         """one row per array element (reference: ExplodeSeries/Frame,
         _expr.py:1809). pos= adds the element's position column;
-        outer=True keeps empty/null arrays as a null row."""
+        outer=True keeps empty/null arrays as a null row. A LIST of
+        columns explodes them aligned (pandas multi-column form —
+        mismatched per-row lengths raise, like pandas)."""
+        if isinstance(column, (list, tuple)) and not isinstance(column, str):
+            cols = list(column)
+            others = [c for c in self._sdf.columns if c not in cols]
+            sizes = [F.size(F.col(c)) for c in cols]
+            mismatch = sum(
+                (sz != sizes[0]).cast("int") for sz in sizes[1:]) > 0
+            # the guard is folded INTO the exploded expression (a
+            # detached check column would be pruned away — same trick
+            # as _align_foreign's duplicate-label guard)
+            zipped = F.when(
+                mismatch,
+                F.raise_error(F.lit(
+                    "columns must have matching element counts")),
+            ).otherwise(F.arrays_zip(*[F.col(c).alias(c) for c in cols]))
+            fn = F.posexplode_outer if outer else F.posexplode
+            ex = self._sdf.select(
+                *others, fn(zipped).alias("__pos", "__z"))
+            out = ex.select(
+                *others,
+                *([F.col("__pos").alias(pos)] if pos else []),
+                *[F.col(f"__z.{c}").alias(c) for c in cols])
+            return self._wrap(out)
         others = [c for c in self._sdf.columns if c != column]
         if pos is not None:
             fn = F.posexplode_outer if outer else F.posexplode

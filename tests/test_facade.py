@@ -1229,3 +1229,17 @@ def test_merge_index_forms(spark):
                     npartitions=1).set_index("j")
     got = dx.merge(a, b, left_index=True, right_index=True).compute()
     assert sorted(got["y"].tolist()) == [5, 6]
+
+
+def test_explode_multi_column(spark):
+    """pandas multi-column aligned explode; mismatched lengths raise."""
+    pdf = pd.DataFrame({"k": [1, 2], "l": [[1, 2], [3]],
+                        "m": [["a", "b"], ["c"]]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    got = df.explode(["l", "m"]).compute().sort_values(["k", "l"]).values.tolist()
+    want = pdf.explode(["l", "m"]).sort_values(["k", "l"]).values.tolist()
+    assert got == want
+    bad = from_pandas(spark, pd.DataFrame({"k": [1], "l": [[1, 2]],
+                                           "m": [["a"]]}), npartitions=1)
+    with pytest.raises(Exception, match="matching element counts"):
+        bad.explode(["l", "m"]).compute()
