@@ -72,6 +72,32 @@ class StringMethods:
     def split(self, pat: str = r"\s+", regex: bool = True):
         return self._new(F.split(self._c, pat if regex else F.lit(pat)))
 
+    def rsplit(self, pat: str = " ", n: int = -1):
+        """split from the RIGHT keeping at most n+1 parts (pandas
+        rsplit; literal separator only — the head re-joins with pat).
+        JVM array ops, no UDF."""
+        parts = F.split(self._c, F.lit(pat))
+        if n is None or n < 0:
+            return self._new(parts)
+        sz = F.size(parts)
+        head = F.array_join(F.slice(parts, 1,
+                                    F.greatest(sz - n, F.lit(1))), pat)
+        tail = F.when(sz > n, F.slice(parts, F.greatest(sz - n, F.lit(1)) + 1,
+                                      F.least(F.lit(n), sz - 1)))\
+            .otherwise(F.expr("array()"))
+        out = F.when(self._c.isNull(), F.lit(None).cast("array<string>"))\
+            .otherwise(F.concat(F.array(head), tail))
+        return self._new(out)
+
+    def normalize(self, form: str = "NFC"):
+        """unicode normalization (pandas str.normalize) — no JVM
+        builtin, so Arrow-batched unicodedata (documented UDF path)."""
+        import unicodedata
+        _u = F.pandas_udf(
+            lambda s: s.map(lambda v: unicodedata.normalize(form, v)
+                            if v is not None else None), "string")
+        return self._new(_u(self._c))
+
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         fn = F.lpad if side == "left" else F.rpad
         return self._new(fn(self._c, width, fillchar))
@@ -465,9 +491,35 @@ class DatetimeMethods:
         """interpret naive timestamps as wall-clock in tz → UTC instant."""
         return self._new(F.to_utc_timestamp(self._c, tz))
 
+    def _interval_frac(self):
+        """sub-second fraction of a day-time interval (extract SECOND
+        keeps micros as a decimal; the long cast truncates them)."""
+        sec = F.expr(f"extract(SECOND FROM {self._s._name})").cast("double")
+        return sec - F.floor(sec)
+
     def total_seconds(self):
-        """seconds in a day-time interval column (pandas timedelta)."""
-        return self._new(self._c.cast("double"))
+        """seconds in a day-time interval column (pandas timedelta).
+        DayTimeInterval cannot cast to double — the long cast yields
+        whole seconds; micros come from extract(SECOND)'s fraction
+        (r3 fix: the old direct double cast raised AnalysisException
+        on any real interval column)."""
+        return self._new(self._c.cast("long").cast("double")
+                         + self._interval_frac())
+
+    # timedelta component members (pandas .dt on timedelta64; the
+    # engine's timedelta analogue is DayTimeInterval — SURVEY §1.3)
+    @property
+    def days(self):
+        return self._new(F.floor(self._c.cast("long") / 86400).cast("int"))
+
+    @property
+    def seconds(self):
+        return self._new((self._c.cast("long") % 86400).cast("int"))
+
+    @property
+    def microseconds(self):
+        return self._new(
+            F.round(self._interval_frac() * 1000000).cast("int"))
 
 
 class CategoricalMethods:

@@ -1243,3 +1243,24 @@ def test_explode_multi_column(spark):
                                            "m": [["a"]]}), npartitions=1)
     with pytest.raises(Exception, match="matching element counts"):
         bad.explode(["l", "m"]).compute()
+
+
+def test_str_rsplit_normalize_and_timedelta_members(spark):
+    """r3: str.rsplit/normalize; .dt days/seconds/microseconds and the
+    total_seconds fix (direct double cast of DayTimeInterval raised)."""
+    pdf = pd.DataFrame({"s": ["a b c d", "x"], "t": ["café", "ok"]})
+    df = from_pandas(spark, pdf, npartitions=1)
+    got = [list(v) for v in df["s"].str.rsplit(" ", n=2).compute()]
+    assert got == pdf["s"].str.rsplit(" ", n=2).tolist()
+    assert (df["t"].str.normalize("NFC").compute().tolist()
+            == pdf["t"].str.normalize("NFC").tolist())
+    td = pd.DataFrame({"d": pd.to_timedelta(
+        ["1 days 02:03:04.000005", "0 days 00:00:01"])})
+    dtd = from_pandas(spark, td, npartitions=1)
+    assert dtd["d"].dt.days.compute().tolist() == td.d.dt.days.tolist()
+    assert dtd["d"].dt.seconds.compute().tolist() == td.d.dt.seconds.tolist()
+    assert (dtd["d"].dt.microseconds.compute().tolist()
+            == td.d.dt.microseconds.tolist())
+    got_ts = dtd["d"].dt.total_seconds().compute().tolist()
+    assert all(abs(a - b) < 1e-6
+               for a, b in zip(got_ts, td.d.dt.total_seconds().tolist()))
