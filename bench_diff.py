@@ -20,6 +20,14 @@ import sys
 
 THRESHOLD = 1.3
 
+# queries renamed/replaced across rounds: baseline name -> current name.
+# r3: the registry dedup_minhash_lsh / ann_lsh_bucketed gained extra
+# oracle stages, so the bench keeps like-for-like *_pipeline probes.
+RENAMED = {
+    "dedup_minhash_lsh": "dedup_minhash_pipeline",
+    "ann_lsh_bucketed": "ann_lsh_pipeline",
+}
+
 
 def _load_baseline(path: str | None) -> dict:
     if path is None:
@@ -58,6 +66,8 @@ def main() -> int:
     rows = []
     for q, t0 in sorted(base["queries"].items()):
         t1 = cur["queries"].get(q)
+        if t1 is None and q in RENAMED:
+            t1 = cur["queries"].get(RENAMED[q])
         if t1 is None:
             rows.append(f"  {q:35s} {t0:7.2f}s -> (missing)")
             continue
