@@ -56,26 +56,62 @@ VALIDATED = frozenset({
     "idxmax_per_priority", "daily_growth", "rolling_median_rev",
     "rank_priority_totals", "split_train_val", "stratified_sample_docs",
     "global_shuffle_head",
+    # round 3 (CORRECTNESS_r03.json — all 50 rows hash-green).  With these
+    # added, every registry query has at least one green driver row OR was
+    # r1/r2-green; the round-4 window therefore leads with the OLDEST
+    # validations (r1-era q3..q22, string/date ops, and the approx_* /
+    # sample_orders queries whose tolerance oracles have never had a green
+    # DRIVER row — only local sweeps).  See rotation note below.
+    "ordered_cumsum_global", "ordered_shift_global", "ordered_ffill_limit",
+    "rolling_center_user", "shift_freq_days", "cat_codes_segments",
+    "axis1_row_stats", "asof_orders_daily_noby", "text_repetition_buckets",
+    "text_pii_scan", "text_contamination_buckets",
+    "range_join_purchase_windows", "stream_near_dedup",
+    "groupby_expr_buckets", "rolling_weighted_triang",
+    "expanding_median_global", "cat_codes_explicit", "pack_sequences_2048",
+    "dedup_connected_groups", "mode_order_priority", "describe_part_size",
+    "groupby_head_orders", "get_group_building", "groupby_rolling_qty",
+    "groupby_expanding_value", "concat_axis1_customer", "query_eval_orders",
+    "ufunc_sqrt_price", "dot_qty_discount", "combine_max_balance",
+    "monotonic_orders", "csv_roundtrip_orders", "json_roundtrip_events",
+    "reduction_mean_price", "map_partitions_md5", "map_overlap_smooth",
+    "text_lm_perplexity", "text_bm25_search", "mix_sources_target",
+    "sources_literal_union", "dropna_thresh_events", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_lsh_bucketed", "ann_ivf_topk", "ann_int8_topk",
+    "stream_tumbling_counts", "stream_session_counts",
+    "stream_interval_join",
 })
 
+# Queries whose driver validation is OLDEST (r1 era) — these lead the
+# round-4 window so the driver reconfirms them before anything newer.
+# In particular approx_distinct_parts / approx_quantiles_price /
+# sample_orders were no_oracle in r1 and gained tolerance oracles in r3,
+# so they have never had a green hash-checked driver row.
+RECONFIRM_FIRST = (
+    "approx_distinct_parts", "approx_quantiles_price", "sample_orders",
+    "q3_shipping_priority", "q4_priority_late", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_profit_by_nation", "q10_returned_revenue",
+    "q12_late_priority_counts", "q13_customer_distribution",
+    "q14_type_revenue_ratio", "q15_top_suppliers", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_or_predicates",
+    "q21_waiting_supplier", "q22_idle_customers", "filter_isin_between",
+    "case_when_buckets", "string_ops", "string_ops2", "date_ops",
+    "date_ops2", "value_counts_flag", "distinct_pairs", "nunique_by_group",
+    "topk_orders", "fillna_mask", "union_concat", "pivot_status",
+    "minmax_by_group", "quantiles_exact", "stats_var_std", "corr_cov",
+    "transform_pct_of_group", "expanding_running_share",
+    "categorize_segments", "drop_dup_keep_first", "combine_first_balances",
+    "loc_orderkey_slice", "series_map_status", "join_broadcast_part",
+    "join_semi", "join_anti", "join_outer",
+)
 
-# ROUND-4 CHECKLIST (same maintenance step as round 3): once
-# CORRECTNESS_r03.json lands, add its green names to VALIDATED — the
-# round-3 window leads with queries/round3.py (19 queries incl.
-# rolling_weighted_triang, expanding_median_global, cat_codes_explicit,
-# pack_sequences_2048, dedup_connected_groups), queries/round3b.py (17
-# queries flipping previously pytest-only §2 rows: mode, describe,
-# groupby head/get_group/rolling/expanding, concat axis=1, query/eval,
-# ufunc, dot, combine, is_monotonic, CSV/JSON round-trips, custom
-# reduction, map_partitions, map_overlap), the 7 oracle-upgraded
-# ex-rows-only queries (dedup_minhash_lsh, dedup_simhash,
-# ann_lsh_bucketed, ann_ivf_topk, ann_int8_topk, stream_tumbling_counts,
-# stream_session_counts), the 4 late-r3 additions (text_lm_perplexity,
-# text_bm25_search, mix_sources_target, stream_interval_join), and ~3
-# rotated r1 reconfirmations. The upgraded approx_* queries (tolerance
-# oracles since r3) re-enter with the r1 rotation. NOTE: every
-# registry query was ALSO swept locally vs DuckDB at sf0.01 this round
-# (0 failures), so names outside the driver window are not stale.
+# ROUND-5 CHECKLIST: once CORRECTNESS_r04.json lands, rotate again —
+# move the reconfirmed r1-era names to the back (update RECONFIRM_FIRST
+# to the next-oldest cohort: the r2-validated window queries).  Every
+# registry query was swept locally vs DuckDB at sf0.01 each round
+# (tests/test_correctness.py), so names outside the driver window are
+# never actually stale — the rotation just keeps the audit trail fresh.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -87,7 +123,10 @@ def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame
             if name in out:
                 raise ValueError(f"duplicate query name {name}")
             out[name] = pair
-    # Rotation: not-yet-validated queries first (stable within each class).
+    # Rotation: never-driver-validated queries first, then the explicit
+    # oldest-validation reconfirmation cohort, then everything else
+    # (stable within each class).
     ordered = {n: out[n] for n in out if n not in VALIDATED}
+    ordered.update({n: out[n] for n in RECONFIRM_FIRST if n in out})
     ordered.update({n: out[n] for n in out if n in VALIDATED})
     return ordered
