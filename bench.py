@@ -66,6 +66,20 @@ def _scale_probe_expanding_holistic(spark, sf_dir):
     return med.to_spark().agg({"o_totalprice_rmedian": "sum"})
 
 
+def _scale_probe_expanding_approx(spark, sf_dir):
+    """the O(bins) APPROXIMATE expanding quantile on the same stream as
+    scale_probe_expanding_median — the documented 100 TB alternative the
+    exact-path guard (ordered.MAX_EXACT_EXPANDING_CONF) points at;
+    benched side-by-side so the trade is measured, not asserted."""
+    from dask_expr_spark.sources.io import read_parquet
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_totalprice"]]
+    med = o.expanding(order_by="o_orderkey").quantile(
+        0.5, ["o_totalprice"], approx=True, bins=256)
+    return med.to_spark().agg({"o_totalprice_rq50": "sum"})
+
+
 def _minhash_pipeline(spark, sf_dir):
     """the production MinHash+LSH candidate pipeline on its own. The
     registry query dedup_minhash_lsh gained a containment oracle in
@@ -100,6 +114,7 @@ LOCAL_PROBES = {
     "scale_probe_ordered_cumsum_shift": _scale_probe_ordered,
     "scale_probe_ordered_ckpt": _scale_probe_ordered_ckpt,
     "scale_probe_expanding_median": _scale_probe_expanding_holistic,
+    "scale_probe_expanding_approx": _scale_probe_expanding_approx,
     "dedup_minhash_pipeline": _minhash_pipeline,
     "ann_lsh_pipeline": _ann_lsh_pipeline,
 }
@@ -146,8 +161,9 @@ def main() -> None:
     spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(F.col("id").cast("double"))).collect()
 
-    # best-of-3: this box carries background load, and best-of-2 let
-    # one noisy run masquerade as a per-query regression (seen vs r01)
+    # MEDIAN of 3 (round 4, VERDICT r3 item 8): min-of-N undersells
+    # steady-state cost and single shots produced phantom ±30% movers
+    # on this shared box; the median is the stable middle ground.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     runnables = [(n, registry[n][0]) for n in names]
@@ -156,15 +172,15 @@ def main() -> None:
         # drop caches left by previous queries (dedup/LSH ops cache
         # reused frames) so queries are measured in isolation
         spark.catalog.clearCache()
-        best = None
+        runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # collect (results are small aggregates) so nothing short-circuits
             df.collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

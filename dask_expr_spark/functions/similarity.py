@@ -35,6 +35,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Ceiling on the query-frame rows cosine_topk / cosine_topk_int8 will
+# collect to the driver (their documented contract: the query side
+# plays the broadcast role). Same enforceable-contract shape as the
+# get_dummies 10k cap (collection.py). Set to -1 to disable.
+MAX_QUERY_ROWS_CONF = "dask_expr_spark.similarity.max_query_rows"
+_MAX_QUERY_ROWS_DEFAULT = 10_000
+
+
+def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small-by-contract) query set as (ids, matrix),
+    refusing with a clear error — before any driver memory is at risk —
+    when it exceeds the configured cap. limit(cap+1) detects overflow
+    without counting the frame."""
+    import numpy as np
+
+    try:
+        cap = int(queries.sparkSession.conf.get(
+            MAX_QUERY_ROWS_CONF, str(_MAX_QUERY_ROWS_DEFAULT)))
+    except Exception:
+        cap = _MAX_QUERY_ROWS_DEFAULT
+    sel = queries.select(id_col, vec_col)
+    if cap >= 0:
+        qrows = sel.limit(cap + 1).collect()
+        if len(qrows) > cap:
+            raise ValueError(
+                "cosine_topk collects the QUERY side to the driver by "
+                f"contract (it plays the broadcast role); this query frame "
+                f"exceeds {MAX_QUERY_ROWS_CONF}={cap} rows. For large query "
+                "sets use lsh_bucketed_topk or ivf_topk (fully "
+                "distributed), or raise the cap (-1 disables)."
+            )
+    else:
+        qrows = sel.collect()
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    return qids, Q
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -55,9 +93,7 @@ def cosine_topk(
     import numpy as np
     from pyspark.sql import types as T
 
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype="int64")
-    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qids, Q = _collect_query_matrix(queries, id_col, vec_col)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     schema = T.StructType(
@@ -361,9 +397,7 @@ def cosine_topk_int8(
     import numpy as np
     from pyspark.sql import types as T
 
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype="int64")
-    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qids, Q = _collect_query_matrix(queries, id_col, vec_col)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     schema = T.StructType([

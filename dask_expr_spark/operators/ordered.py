@@ -86,6 +86,16 @@ def sample_bounds(sdf: SparkDF, order_col: str, num_buckets: int,
 
 CHECKPOINT_CONF = "dask_expr_spark.ordered.checkpoint"
 
+# Ceiling on the TOTAL value count an exact ungrouped expanding
+# holistic op (median/quantile/apply) will accept — the last bucket's
+# prefix array materializes every earlier value in one task, so this is
+# the one §2 operation whose exact form cannot stay fully distributed
+# (any engine pays it). 5e8 doubles ≈ 4 GB in a single task: generous
+# for local/sf work, refused at true 100 TB scale where the
+# approximate path is the right tool. Set to -1 to disable.
+MAX_EXACT_EXPANDING_CONF = "dask_expr_spark.ordered.max_exact_expanding_rows"
+_MAX_EXACT_EXPANDING_DEFAULT = 500_000_000
+
 
 def _maybe_materialize(sdfb: SparkDF) -> SparkDF:
     """The documented 100 TB mitigation for the two-pass double-scan
@@ -444,11 +454,43 @@ def expanding_holistic(sdf: SparkDF, value_cols: Sequence[str],
         aggs.append(arr.alias(f"__arr_{c}"))
     arrs = sdfb.groupBy(B).agg(*aggs)
     wpre = Window.orderBy(B).rowsBetween(Window.unboundedPreceding, -1)
+    # Scale guard (lazy, zero extra jobs): the last bucket's prefix
+    # array holds every earlier value — ~8 B/value in ONE task. Above
+    # the configured ceiling that is an OOM in waiting, so the total
+    # value count (computed on the B-row arrays frame, already
+    # single-partition here) is checked inside the prefix expression
+    # itself with raise_error — same can't-be-pruned idiom as
+    # collection._align_foreign. Disable with -1; the error points at
+    # the O(bins) approximate path / grouped expanding (SCALE.md).
+    try:
+        max_rows = int(sdf.sparkSession.conf.get(
+            MAX_EXACT_EXPANDING_CONF, str(_MAX_EXACT_EXPANDING_DEFAULT)))
+    except Exception:
+        max_rows = _MAX_EXACT_EXPANDING_DEFAULT
+    wall = Window.orderBy(B).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    total_vals = F.sum(F.size(F.col(f"__arr_{value_cols[0]}"))).over(wall)
+    too_big = F.lit(max_rows >= 0) & (total_vals > F.lit(max_rows))
+
+    def _guarded(expr):
+        return F.when(
+            too_big,
+            F.raise_error(F.concat(
+                F.lit("exact ungrouped expanding holistic op over "),
+                total_vals.cast("string"),
+                F.lit(f" values exceeds {MAX_EXACT_EXPANDING_CONF}="
+                      f"{max_rows}; use expanding().quantile(approx=True)"
+                      " (O(bins) prefix), a grouped expanding, or raise"
+                      " the limit (-1 disables) — see SCALE.md"),
+            )),
+        ).otherwise(expr)
+
     prefix = arrs.select(
         F.col(B),
         *[
-            F.flatten(F.collect_list(F.col(f"__arr_{c}")).over(wpre))
-            .alias(f"__pre_{c}")
+            _guarded(
+                F.flatten(F.collect_list(F.col(f"__arr_{c}")).over(wpre))
+            ).alias(f"__pre_{c}")
             for c in value_cols
         ],
     )
