@@ -1055,14 +1055,17 @@ class DataFrame(FrameBase):
         Unlike pandas the default is False: a distributed frame has no
         inherent row order, and the extra range exchange on every agg
         is wasted work unless the caller actually wants ordered output.
-        ``observed=False`` (emit unobserved categorical combinations)
-        is not supported — Spark only sees observed keys."""
-        if not observed:
-            raise NotImplementedError(
-                "observed=False (rows for unobserved categorical "
-                "combinations) is not supported; Spark aggregates "
-                "observed keys only"
-            )
+
+        ``observed=False`` (pandas categorical semantics: emit rows for
+        unobserved category combinations, reference groupby options
+        _groupby.py:1496) is supported when the categorical groupers
+        carry EXPLICIT category lists (``s.cat.set_categories(...)`` /
+        ``add_categories`` — functions/accessors.py): Spark itself only
+        sees observed keys, but the explicit lists are plan-side
+        metadata, so the aggregation output is left-joined onto the
+        cross product of {category list | observed distinct} per key —
+        a tiny broadcast frame — and count/size/nunique→0, sum→0,
+        prod→1 fills applied (pandas' empty-group identities)."""
         items: list = []
         if level is not None:
             levels = [level] if isinstance(level, (int, str)) else list(level)
@@ -1081,6 +1084,7 @@ class DataFrame(FrameBase):
         if not items:
             raise TypeError("groupby needs by= and/or level=")
         keys: list[str] = []
+        cats: dict[str, list] = {}
         sdf = self._sdf
         for i, b in enumerate(items):
             if isinstance(b, str):
@@ -1094,6 +1098,9 @@ class DataFrame(FrameBase):
                 else:
                     sdf = self._align_foreign(sdf, name, b)
                 keys.append(name)
+                explicit = getattr(b, "_cat_categories", None)
+                if explicit is not None:
+                    cats[name] = list(explicit)
             elif isinstance(b, Column):
                 name = f"__by{i}"
                 sdf = sdf.withColumn(name, b)
@@ -1103,8 +1110,16 @@ class DataFrame(FrameBase):
                     f"cannot group by {type(b).__name__}; pass column "
                     "name(s), Series, Column, or level="
                 )
+        if not observed and not cats:
+            raise NotImplementedError(
+                "observed=False needs at least one grouper with an "
+                "explicit category list (s.cat.set_categories/"
+                "add_categories); Spark only sees observed keys, so "
+                "unobserved ones must come from plan-side metadata"
+            )
         frame = self if sdf is self._sdf else self._wrap(sdf)
-        return GroupBy(frame, keys, dropna=dropna, sort=sort)
+        return GroupBy(frame, keys, dropna=dropna, sort=sort,
+                       unobserved=cats if not observed else None)
 
     def rollup(self, *cols: str) -> "GroupBy":
         """hierarchical grouping-sets agg — absent in the reference
@@ -3289,12 +3304,17 @@ class GroupBy:
     """
 
     def __init__(self, frame: DataFrame, by: list[str], dropna: bool = True,
-                 mode: str = "groupby", sort: bool = False):
+                 mode: str = "groupby", sort: bool = False,
+                 unobserved: dict[str, list] | None = None):
         self._frame = frame
         self._by = by
         self._dropna = dropna
         self._mode = mode
         self._sort = sort
+        # observed=False: {key: explicit category list} for categorical
+        # groupers; aggregation outputs are expanded to the full key
+        # cross product (see _expand_unobserved)
+        self._unobserved = unobserved or None
 
     def _finish(self, sdf: SparkDF) -> DataFrame:
         """apply the sort= contract to an aggregation output."""
@@ -3326,7 +3346,8 @@ class GroupBy:
         if missing:
             raise KeyError(missing)
         proj = self._frame[[*self._by, *sel]]
-        return GroupBy(proj, self._by, self._dropna, self._mode, self._sort)
+        return GroupBy(proj, self._by, self._dropna, self._mode, self._sort,
+                       self._unobserved)
 
     def rolling(self, window: int, order_by=None, min_periods: int | None = None,
                 center: bool = False, win_type: str | None = None):
@@ -3369,7 +3390,43 @@ class GroupBy:
         } if named else None
         triples = _normalize_agg_spec(spec, value_cols, named_norm)
         aggs = [_agg_expr(fn, col).alias(out) for out, col, fn in triples]
-        return self._finish(self._grouped().agg(*aggs))
+        agged = self._grouped().agg(*aggs)
+        if self._unobserved and self._mode == "groupby":
+            agged = self._expand_unobserved(
+                agged, {out: fn for out, _c, fn in triples})
+        return self._finish(agged)
+
+    def _expand_unobserved(self, agged: SparkDF,
+                           out_fns: Mapping[str, str]) -> SparkDF:
+        """observed=False: left-join the aggregation output onto the
+        full key cross product — explicit category lists (plan-side
+        metadata, broadcast literal frames) for categorical keys,
+        observed distincts for the rest — then apply pandas'
+        empty-group identities (count/size/nunique→0, sum→0, prod→1;
+        everything else stays null). The cross product is
+        category-bounded, never row-stream-sized."""
+        spark = agged.sparkSession
+        dtypes = dict(agged.dtypes)
+        full = None
+        for k in self._by:
+            if k in self._unobserved:
+                kdf = spark.createDataFrame(
+                    [(v,) for v in self._unobserved[k]], f"`{k}` {dtypes[k]}")
+            else:
+                kdf = agged.select(k).distinct()
+            full = kdf if full is None else full.crossJoin(kdf)
+        joined = F.broadcast(full).join(agged, on=list(self._by), how="left")
+        fills = {"count": F.lit(0), "size": F.lit(0), "nunique": F.lit(0),
+                 "sum": F.lit(0), "prod": F.lit(1), "product": F.lit(1)}
+        out_cols = []
+        for c in joined.columns:
+            fn = out_fns.get(c)
+            if c not in self._by and fn in fills:
+                out_cols.append(
+                    F.coalesce(F.col(c), fills[fn].cast(dtypes[c])).alias(c))
+            else:
+                out_cols.append(F.col(c))
+        return joined.select(*out_cols)
 
     def _custom_agg(self, aggs) -> DataFrame:
         """execute reference-style Aggregation objects (_groupby.py:95):
@@ -3463,9 +3520,11 @@ class GroupBy:
     def median(self): return self._simple("median")
 
     def size(self) -> DataFrame:
-        return self._finish(
-            self._sdf().groupBy(*self._by).agg(F.count(F.lit(1)).alias("size"))
-        )
+        agged = self._sdf().groupBy(*self._by).agg(
+            F.count(F.lit(1)).alias("size"))
+        if self._unobserved and self._mode == "groupby":
+            agged = self._expand_unobserved(agged, {"size": "size"})
+        return self._finish(agged)
 
     def nunique(self) -> DataFrame:
         value_cols = [c for c in self._frame.columns if c not in self._by]

@@ -333,6 +333,34 @@ def bucketed_join_orders(spark, sf_dir):
                  cent_sum(F.col("o_totalprice")).alias("total")))
 
 
+# -- groupby(observed=False) (reference: groupby options,
+#    _groupby.py:1496): unobserved explicit categories emit rows with
+#    pandas' empty-group identities (count→0, sum→0) -------------------
+OBSERVED_SQL = """
+WITH cats(seg) AS (VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'),
+                          ('HOUSEHOLD'), ('MACHINERY'), ('SPACE')),
+agg AS (SELECT c_mktsegment AS seg, count(*) AS n,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents
+        FROM customer GROUP BY c_mktsegment)
+SELECT c.seg, coalesce(n, 0) AS n,
+       CAST(coalesce(cents, 0) AS BIGINT) AS cents
+FROM cats c LEFT JOIN agg USING (seg)
+"""
+
+
+@q("groupby_observed_false", OBSERVED_SQL)
+def groupby_observed_false(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    c = c.assign(cents=F.round(F.col("c_acctbal") * 100).cast("long"))
+    seg = c["c_mktsegment"].cat.set_categories(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+         "SPACE"])
+    g = c.groupby(seg, observed=False).agg(
+        n=("c_custkey", "count"), cents=("cents", "sum"))
+    g = g.rename(columns={"c_mktsegment": "seg"})
+    return g.to_spark().select("seg", "n", "cents")
+
+
 # -- recursive multi-frame merge (reference: JoinRecursive,
 #    _merge.py:701) ----------------------------------------------------
 RECURSIVE_SQL = """
