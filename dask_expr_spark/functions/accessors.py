@@ -399,6 +399,71 @@ class DatetimeMethods:
     # -- batch 3: completes the reference's _datetime.py:15-71 list
     #    (period/tz-object members stay out — no period dtype, tz is a
     #    session property on Spark; see COVERAGE.md) ---------------------
+    # -- period family (reference: _datetime.py:4 ToPeriod/qyear/
+    #    start_time/end_time). Spark has no period dtype, so the
+    #    engine's documented divergence: to_period returns pandas-style
+    #    period LABEL STRINGS ("2000-01", "2000Q1", …) and the
+    #    start/end mapping is exposed as period_start/period_end
+    #    timestamps — together they cover the common
+    #    to_period("M")/("Q") groupby/resample uses without a new dtype.
+    def to_period(self, freq: str = "M"):
+        f = freq.upper().rstrip("S")
+        c = self._c
+        if f in ("M", "ME"):
+            return self._new(F.date_format(c, "yyyy-MM"))
+        if f in ("Q", "QE"):
+            return self._new(F.concat_ws(
+                "Q", F.year(c).cast("string"), F.quarter(c).cast("string")))
+        if f in ("Y", "A", "YE"):
+            return self._new(F.date_format(c, "yyyy"))
+        if f == "D":
+            return self._new(F.date_format(c, "yyyy-MM-dd"))
+        if f == "W":
+            # pandas weekly periods label the WEEK END (Sunday);
+            # render "start/end" like pandas' str(Period)
+            end = F.next_day(F.date_sub(F.to_date(c), 1), "Sun")
+            return self._new(F.concat_ws(
+                "/", F.date_format(F.date_sub(end, 6), "yyyy-MM-dd"),
+                F.date_format(end, "yyyy-MM-dd")))
+        if f == "H":
+            return self._new(F.date_format(c, "yyyy-MM-dd HH:00"))
+        raise ValueError(f"unsupported period freq {freq!r}")
+
+    def period_start(self, freq: str = "M"):
+        """timestamp of the period's first instant (the usable analogue
+        of Period.start_time on the label-string divergence)."""
+        f = freq.upper().rstrip("S")
+        unit = {"M": "month", "ME": "month", "Q": "quarter", "QE": "quarter",
+                "Y": "year", "A": "year", "YE": "year", "D": "day",
+                "W": "week", "H": "hour"}.get(f)
+        if unit is None:
+            raise ValueError(f"unsupported period freq {freq!r}")
+        return self._new(F.date_trunc(unit, self._c))
+
+    def period_end(self, freq: str = "M"):
+        """timestamp of the period's last microsecond (Period.end_time
+        analogue): next period start minus 1µs."""
+        f = freq.upper().rstrip("S")
+        start = self.period_start(freq)._scol
+        step = {"M": (1, "month"), "ME": (1, "month"), "Q": (3, "month"),
+                "QE": (3, "month"), "Y": (12, "month"), "A": (12, "month"),
+                "YE": (12, "month"), "D": (1, "day"), "W": (7, "day"),
+                "H": (1, "hour")}[f]
+        n, unit = step
+        if unit == "month":
+            nxt = F.to_timestamp(F.add_months(start, n))
+        elif unit == "day":
+            nxt = F.to_timestamp(F.date_add(start.cast("date"), n))
+        else:
+            nxt = start + F.expr("INTERVAL 1 HOUR")
+        return self._new(nxt - F.expr("INTERVAL 1 MICROSECOND"))
+
+    @property
+    def qyear(self):
+        """fiscal year of the quarter (reference _datetime.py qyear;
+        calendar quarters here, so it equals the year)."""
+        return self._new(F.year(self._c))
+
     @property
     def weekday(self): return self.dayofweek
 

@@ -361,6 +361,26 @@ def groupby_observed_false(spark, sf_dir):
     return g.to_spark().select("seg", "n", "cents")
 
 
+# -- .dt.to_period labels (reference: _datetime.py:4 ToPeriod) ---------
+PERIOD_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS pm,
+       concat(CAST(year(o_orderdate) AS VARCHAR), 'Q',
+              CAST(quarter(o_orderdate) AS VARCHAR)) AS pq,
+       count(*) AS n, {cent_sum_sql('o_totalprice')} AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+@q("period_monthly_revenue", PERIOD_SQL)
+def period_monthly_revenue(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    o = o.assign(pm=o["o_orderdate"].dt.to_period("M"),
+                 pq=o["o_orderdate"].dt.to_period("Q"))
+    return (o.to_spark().groupBy("pm", "pq")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total")))
+
+
 # -- recursive multi-frame merge (reference: JoinRecursive,
 #    _merge.py:701) ----------------------------------------------------
 RECURSIVE_SQL = """

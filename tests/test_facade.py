@@ -1264,3 +1264,35 @@ def test_str_rsplit_normalize_and_timedelta_members(spark):
     got_ts = dtd["d"].dt.total_seconds().compute().tolist()
     assert all(abs(a - b) < 1e-6
                for a, b in zip(got_ts, td.d.dt.total_seconds().tolist()))
+
+
+def test_dt_to_period_family(spark):
+    """round 4: to_period label strings + period_start/period_end
+    timestamps (reference _datetime.py:4 ToPeriod family; documented
+    divergence — labels, not a period dtype)."""
+    pdf = pd.DataFrame({"t": pd.to_datetime([
+        "2024-02-29 10:31:00", "1999-12-31 23:45:10", "2021-01-01 00:00:00",
+        "2000-03-31 12:29:59", "2026-07-04 06:30:00"])})
+    df = from_pandas(spark, pdf)
+    got = df.assign(
+        pm=lambda d: d["t"].dt.to_period("M"),
+        pq=lambda d: d["t"].dt.to_period("Q"),
+        py=lambda d: d["t"].dt.to_period("Y"),
+        pd_=lambda d: d["t"].dt.to_period("D"),
+        pw=lambda d: d["t"].dt.to_period("W"),
+        ms=lambda d: d["t"].dt.period_start("M"),
+        qs=lambda d: d["t"].dt.period_start("Q"),
+        me=lambda d: d["t"].dt.period_end("M"),
+        qy=lambda d: d["t"].dt.qyear,
+    ).compute().sort_values("t").reset_index(drop=True)
+    want = pdf.sort_values("t").reset_index(drop=True)
+    assert list(got["pm"]) == list(want.t.dt.to_period("M").astype(str))
+    assert list(got["pq"]) == list(want.t.dt.to_period("Q").astype(str))
+    assert list(got["py"]) == list(want.t.dt.to_period("Y").astype(str))
+    assert list(got["pd_"]) == list(want.t.dt.to_period("D").astype(str))
+    assert list(got["pw"]) == list(want.t.dt.to_period("W").astype(str))
+    per_m = want.t.dt.to_period("M")
+    assert list(got["ms"]) == list(per_m.dt.start_time)
+    assert list(got["qs"]) == list(want.t.dt.to_period("Q").dt.start_time)
+    assert list(got["me"]) == list(per_m.dt.end_time.dt.floor("us"))
+    assert list(got["qy"]) == list(want.t.dt.to_period("Q").dt.qyear)
