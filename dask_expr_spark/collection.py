@@ -3673,8 +3673,15 @@ class GroupBy:
         order, w = self._ordered(order_by, what)
         w = w.rowsBetween(Window.unboundedPreceding, 0)
         cols = self._numeric_value_cols(order)
+        # pandas null-masking: a null INPUT row yields a null result but
+        # does not break the running aggregate for later rows (window
+        # aggs already skip nulls; the mask restores the null position —
+        # same contract as the ungrouped ordered.cumulative path)
         return self._frame._wrap(
-            self._sdf().withColumns({c: agg_fn(F.col(c)).over(w) for c in cols})
+            self._sdf().withColumns(
+                {c: F.when(F.col(c).isNotNull(),
+                           agg_fn(F.col(c)).over(w)) for c in cols}
+            )
         )
 
     def cumsum(self, order_by: str | None = None) -> DataFrame:

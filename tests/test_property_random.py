@@ -1,0 +1,185 @@
+"""Randomized (fixed-seed) differential suites — VERDICT r3 item 9.
+
+Extends the arithmetic property check (test_differential.py::
+test_property_arithmetic_parity) to randomized GROUPBY-AGG, JOIN, and
+WINDOW specs: frames, key cardinalities, null rates, and operator
+parameters are all drawn from seeded RNGs and the results compared
+against pandas — the net that catches semantics drift the fixed
+oracles can't.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pandas.testing as pdt
+
+from dask_expr_spark.sources.io import from_pandas
+
+
+def _rand_frame(rng: np.random.RandomState, n: int | None = None,
+                key_card: int | None = None) -> pd.DataFrame:
+    n = n or int(rng.randint(20, 90))
+    key_card = key_card or int(rng.randint(2, 9))
+    pdf = pd.DataFrame({
+        "i": range(n),
+        "k": rng.randint(0, key_card, n).astype("int64"),
+        "k2": rng.choice(list("abcd"), n),
+        "v": np.round(rng.uniform(-100, 100, n), 3),
+        "w": rng.randint(-5, 50, n).astype("int64"),
+    })
+    null_rate = float(rng.uniform(0, 0.3))
+    pdf.loc[rng.rand(n) < null_rate, "v"] = np.nan
+    return pdf
+
+
+def _sorted_frame(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (df[cols].sort_values(cols, na_position="last")
+            .reset_index(drop=True))
+
+
+def _assert_frames(got: pd.DataFrame, want: pd.DataFrame, ctx: str):
+    got, want = _sorted_frame(got), _sorted_frame(want)
+    assert sorted(got.columns) == sorted(want.columns), ctx
+    pdt.assert_frame_equal(got, want[got.columns], check_dtype=False,
+                           check_exact=False, rtol=1e-9, atol=1e-9,
+                           obj=ctx)
+
+
+AGG_FNS = ["sum", "mean", "min", "max", "count", "var", "std", "median",
+           "nunique"]
+
+
+def test_property_groupby_agg_parity(spark):
+    rng = np.random.RandomState(1234)
+    for trial in range(6):
+        pdf = _rand_frame(rng)
+        d = from_pandas(spark, pdf, npartitions=int(rng.randint(1, 6)))
+        keys = ["k"] if rng.rand() < 0.5 else ["k", "k2"]
+        spec = {}
+        for col in ("v", "w"):
+            spec[col] = str(rng.choice(AGG_FNS))
+        want = (pdf.groupby(keys, dropna=True).agg(spec)
+                .reset_index())
+        got = d.groupby(keys).agg(spec).compute()
+        _assert_frames(got, want, f"groupby trial {trial} spec={spec} keys={keys}")
+
+
+def test_property_groupby_named_agg_parity(spark):
+    rng = np.random.RandomState(77)
+    for trial in range(5):
+        pdf = _rand_frame(rng)
+        d = from_pandas(spark, pdf, npartitions=3)
+        fn1, fn2 = (str(f) for f in rng.choice(AGG_FNS, 2))
+        want = (pdf.groupby("k").agg(a=("v", fn1), b=("w", fn2))
+                .reset_index())
+        got = d.groupby("k").agg(a=("v", fn1), b=("w", fn2)).compute()
+        _assert_frames(got, want, f"named-agg trial {trial} ({fn1},{fn2})")
+
+
+def test_property_join_parity(spark):
+    rng = np.random.RandomState(4321)
+    hows = ["inner", "left", "right", "outer"]
+    for trial in range(6):
+        card = int(rng.randint(2, 12))
+        ln, rn = int(rng.randint(5, 60)), int(rng.randint(5, 60))
+        lp = pd.DataFrame({
+            "k": rng.randint(0, card, ln).astype("int64"),
+            "a": np.round(rng.uniform(-10, 10, ln), 3),
+        })
+        rp = pd.DataFrame({
+            "k": rng.randint(0, card, rn).astype("int64"),
+            "b": rng.choice(list("xyz"), rn),
+        })
+        how = hows[trial % 4]
+        want = lp.merge(rp, on="k", how=how)
+        got = (from_pandas(spark, lp, npartitions=2)
+               .merge(from_pandas(spark, rp, npartitions=3), on="k", how=how)
+               .compute())
+        _assert_frames(got, want, f"join trial {trial} how={how} card={card}")
+
+
+def test_property_join_multikey_suffix_parity(spark):
+    rng = np.random.RandomState(99)
+    for trial in range(4):
+        n = int(rng.randint(10, 50))
+        lp = pd.DataFrame({
+            "k1": rng.randint(0, 4, n).astype("int64"),
+            "k2": rng.choice(list("pq"), n),
+            "v": np.round(rng.uniform(0, 5, n), 2),
+        })
+        rp = pd.DataFrame({
+            "k1": rng.randint(0, 4, n).astype("int64"),
+            "k2": rng.choice(list("pq"), n),
+            "v": np.round(rng.uniform(0, 5, n), 2),
+        }).drop_duplicates(["k1", "k2"])
+        want = lp.merge(rp, on=["k1", "k2"], how="left",
+                        suffixes=("_l", "_r"))
+        got = (from_pandas(spark, lp, npartitions=2)
+               .merge(from_pandas(spark, rp, npartitions=2),
+                      on=["k1", "k2"], how="left", suffixes=("_l", "_r"))
+               .compute())
+        _assert_frames(got, want, f"multikey trial {trial}")
+
+
+def test_property_rolling_parity(spark):
+    rng = np.random.RandomState(2468)
+    for trial in range(5):
+        n = int(rng.randint(20, 80))
+        pdf = pd.DataFrame({
+            "i": range(n),
+            "v": np.round(rng.uniform(-50, 50, n), 3),
+        })
+        pdf.loc[rng.rand(n) < 0.15, "v"] = np.nan
+        d = from_pandas(spark, pdf, npartitions=4).set_index("i")
+        p = pdf.set_index("i")
+        win = int(rng.randint(2, 9))
+        mp = int(rng.randint(1, win + 1))
+        fn = str(rng.choice(["mean", "sum", "min", "max", "std"]))
+        r = d["v"].rolling(win, min_periods=mp)
+        got = getattr(r, fn)(["v"]).compute().sort_index()[f"v_r{fn}"]
+        want = getattr(p["v"].rolling(win, min_periods=mp), fn)()
+        pdt.assert_series_equal(got, want, check_names=False,
+                                check_dtype=False, rtol=1e-9, atol=1e-9,
+                                obj=f"rolling trial {trial} {fn} w={win} mp={mp}")
+
+
+def test_property_shift_diff_parity(spark):
+    rng = np.random.RandomState(1357)
+    for trial in range(5):
+        n = int(rng.randint(15, 70))
+        pdf = pd.DataFrame({
+            "i": range(n),
+            "v": np.round(rng.uniform(-50, 50, n), 3),
+        })
+        d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+        p = pdf.set_index("i")
+        periods = int(rng.randint(-6, 7)) or 1
+        got_s = d["v"].shift(periods).compute().sort_index()
+        pdt.assert_series_equal(got_s, p["v"].shift(periods),
+                                check_names=False, check_dtype=False,
+                                obj=f"shift trial {trial} p={periods}")
+        got_d = d["v"].diff(abs(periods)).compute().sort_index()
+        pdt.assert_series_equal(got_d, p["v"].diff(abs(periods)),
+                                check_names=False, check_dtype=False,
+                                obj=f"diff trial {trial} p={periods}")
+
+
+def test_property_grouped_window_parity(spark):
+    rng = np.random.RandomState(8642)
+    for trial in range(4):
+        pdf = _rand_frame(rng, n=int(rng.randint(30, 70)), key_card=4)
+        d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+        p = pdf.set_index("i")
+        pg = p.groupby("k")["v"]
+        g = d.groupby("k")
+        periods = int(rng.randint(1, 4))
+        got = g.shift(periods).compute().sort_index()["v"]
+        pdt.assert_series_equal(got, pg.shift(periods).sort_index(),
+                                check_names=False, check_dtype=False,
+                                obj=f"gshift trial {trial}")
+        got_c = g.cumsum().compute().sort_index()["v"]
+        pdt.assert_series_equal(got_c, pg.cumsum().sort_index(),
+                                check_names=False, check_dtype=False,
+                                rtol=1e-9, obj=f"gcumsum trial {trial}")
