@@ -33,3 +33,18 @@ def test_registry_pairs_well_formed():
     for name, (fn, sql) in qs.items():
         assert callable(fn), name
         assert sql is None or isinstance(sql, str), name
+
+
+def test_coverage_md_fresh():
+    """COVERAGE.md is generated from scripts/gen_coverage.py; a renamed
+    or deleted registry query must fail generation, and the committed
+    file must match the generator's output."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "gen_coverage.py"),
+         "--check"], capture_output=True, text=True, cwd=root)
+    assert res.returncode == 0, res.stdout + res.stderr
