@@ -59,10 +59,66 @@ def window_weights(win_type: str, n: int, std: float | None = None):
         k = np.arange(n)
         w = (0.42 - 0.5 * np.cos(2 * np.pi * k / max(n - 1, 1))
              + 0.08 * np.cos(4 * np.pi * k / max(n - 1, 1)))
+    # -- round 4: the scipy.signal long tail (reference _rolling.py:43
+    #    delegates to scipy.signal.get_window(sym=True); same published
+    #    closed forms here, numpy-only — kaiser via np.kaiser) ---------
+    elif win_type == "kaiser":
+        if std is None:
+            raise ValueError("win_type='kaiser' needs beta= via the agg's "
+                             "std= parameter (e.g. .mean(std=14))")
+        w = np.kaiser(n, float(std))
+    elif win_type == "exponential":
+        tau = float(std) if std is not None else 1.0
+        center = (n - 1) / 2.0  # symmetric (pandas requires sym windows)
+        k = np.arange(n)
+        w = np.exp(-np.abs(k - center) / tau)
+    elif win_type == "tukey":
+        alpha = float(std) if std is not None else 0.5
+        k = np.arange(n)
+        w = np.ones(n)
+        if alpha > 0 and n > 1:
+            edge = alpha * (n - 1) / 2.0
+            lo = k < edge
+            hi = k > (n - 1) - edge
+            w[lo] = 0.5 * (1 + np.cos(np.pi * (2 * k[lo] / (alpha * (n - 1)) - 1)))
+            w[hi] = 0.5 * (1 + np.cos(np.pi * (2 * k[hi] / (alpha * (n - 1))
+                                               - 2 / alpha + 1)))
+    elif win_type == "parzen":
+        k = np.arange(n) - (n - 1) / 2.0
+        nn = n / 2.0
+        a = np.abs(k)
+        w = np.where(
+            a <= nn / 2.0,
+            1 - 6 * (a / nn) ** 2 * (1 - a / nn),
+            2 * (1 - a / nn) ** 3,
+        )
+    elif win_type == "bohman":
+        x = np.abs(np.linspace(-1, 1, n)) if n > 1 else np.zeros(1)
+        w = (1 - x) * np.cos(np.pi * x) + np.sin(np.pi * x) / np.pi
+    elif win_type == "cosine":
+        k = np.arange(n)
+        w = np.sin(np.pi * (k + 0.5) / n)
+    elif win_type in ("nuttall", "blackmanharris", "flattop"):
+        coef = {
+            "nuttall": [0.3635819, 0.4891775, 0.1365995, 0.0106411],
+            "blackmanharris": [0.35875, 0.48829, 0.14128, 0.01168],
+            "flattop": [0.21557895, 0.41663158, 0.277263158, 0.083578947,
+                        0.006947368],
+        }[win_type]
+        k = np.arange(n)
+        fac = 2 * np.pi * k / max(n - 1, 1)
+        w = np.zeros(n)
+        for j, a in enumerate(coef):
+            w += ((-1) ** j) * a * np.cos(j * fac)
+    elif win_type == "barthann":
+        k = np.arange(n)
+        x = np.abs(k / max(n - 1, 1) - 0.5)
+        w = 0.62 - 0.48 * x + 0.38 * np.cos(2 * np.pi * x)
     else:
         raise NotImplementedError(
-            f"win_type={win_type!r} not supported "
-            "(triang/gaussian/boxcar/bartlett/hann/hamming/blackman)"
+            f"win_type={win_type!r} not supported (triang/gaussian/boxcar/"
+            "bartlett/hann/hamming/blackman/kaiser/exponential/tukey/"
+            "parzen/bohman/cosine/nuttall/blackmanharris/flattop/barthann)"
         )
     return [float(v) for v in w]
 

@@ -838,3 +838,56 @@ def test_bounds_sampling_memoized_across_chain(spark, monkeypatch):
     want = pdf.set_index("i")["x"].cumsum().shift(1).ffill()
     assert (got["x"].fillna(-1).values == want.fillna(-1).values).all()
     assert len(calls) == 1, f"expected 1 sampling job, saw {len(calls)}"
+
+
+def test_window_weights_long_tail():
+    """round 4: the scipy.signal long tail, spot-checked against the
+    published get_window(sym=True) values (scipy isn't installed here;
+    kaiser checks against np.kaiser, scipy's own implementation base)."""
+    from dask_expr_spark.operators.window import window_weights
+
+    np.testing.assert_allclose(window_weights("kaiser", 7, std=8.6),
+                               np.kaiser(7, 8.6))
+    np.testing.assert_allclose(window_weights("cosine", 3),
+                               [0.5, 1.0, 0.5], atol=1e-12)
+    np.testing.assert_allclose(window_weights("parzen", 5),
+                               [0.016, 0.424, 1.0, 0.424, 0.016], atol=1e-12)
+    np.testing.assert_allclose(window_weights("tukey", 5, std=0.5),
+                               [0.0, 1.0, 1.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(window_weights("barthann", 5),
+                               [0.0, 0.5, 1.0, 0.5, 0.0], atol=1e-12)
+    b = window_weights("bohman", 5)
+    np.testing.assert_allclose([b[0], b[2], b[4]], [0.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(b[1], 1 / np.pi, atol=1e-12)
+    nut = window_weights("nuttall", 5)
+    np.testing.assert_allclose(nut[2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(nut[0], 0.0003628, atol=1e-7)
+    e = window_weights("exponential", 3, std=1.0)
+    np.testing.assert_allclose(e, [np.exp(-1), 1.0, np.exp(-1)])
+    fl = window_weights("flattop", 5)
+    np.testing.assert_allclose(fl[2], 1.0, atol=1e-6)
+    assert fl[0] < 0  # flattop's signature negative edge lobes
+    bh = window_weights("blackmanharris", 5)
+    np.testing.assert_allclose(bh[2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(bh[0], 6e-5, atol=1e-6)
+
+
+def test_rolling_win_type_long_tail(frames):
+    """end-to-end weighted rolling mean/sum for the round-4 window
+    types — differential vs the pandas weighted semantics with the
+    same driver-side weight vectors."""
+    from dask_expr_spark.operators.window import window_weights
+
+    pdf, d = frames
+    y = pdf["y"].to_numpy()
+    for wt, n, kw in (("kaiser", 5, {"std": 8.6}),
+                      ("exponential", 6, {"std": 2.0}),
+                      ("parzen", 5, {}),
+                      ("nuttall", 4, {})):
+        w = window_weights(wt, n, kw.get("std"))
+        got = (d.rolling(n, win_type=wt).mean(["y"], **kw)
+               .compute().sort_index()["y_rmean"])
+        _cmp_series(got, pd.Series(_ref_weighted(y, w, n, "mean")))
+        got = (d.rolling(n, win_type=wt, min_periods=2).sum(["y"], **kw)
+               .compute().sort_index()["y_rsum"])
+        _cmp_series(got, pd.Series(_ref_weighted(y, w, 2, "sum")))

@@ -194,8 +194,11 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
 #   text_lm_perplexity      — 1-row vocab-size scalar broadcast onto the
 #                             bigram stream (scalar attach, not a join)
 #   text_bm25_search        — 1-row (N, avgdl) stats scalar broadcast
+#   size_len_scalars        — crossJoin of two 1-row count-star footers
+#                             (1x1 by construction)
 _NESTED_LOOP_OK = {"q22_idle_customers", "ann_ivf_topk", "dedup_embedding_cosine",
-                   "monotonic_orders", "text_lm_perplexity", "text_bm25_search"}
+                   "monotonic_orders", "text_lm_perplexity", "text_bm25_search",
+                   "size_len_scalars"}
 
 
 def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
