@@ -234,7 +234,8 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "cube_priority_status", "melt_measures"]),
     ]),
     ("§2.6 Window / ordered", [
-        dict(op="Rolling* (+time-based, center=, win_type 7 types, agg)",
+        dict(op="Rolling* (+time-based, center=, win_type: 17 window types "
+                "incl. the scipy long tail, agg)",
              loc="dask_expr_spark/operators/window.py",
              q=["rolling_center_user", "rolling_weighted_triang",
                 "window_rolling_mean", "rolling_time_window"],
