@@ -2053,6 +2053,22 @@ class DataFrame(FrameBase):
             raise ValueError("to_series needs exactly one data column")
         return self[self.columns[0]]
 
+    def sort_index(self, ascending: bool = True) -> "DataFrame":
+        """order rows by the index column(s) (pandas sort_index;
+        reference sorts via SetIndex/SortValues). Range exchange + local
+        sort — Spark's sampled range partitioner, same plan as
+        sort_values on the index."""
+        if not self._index_cols:
+            raise ValueError("sort_index needs a set index")
+        cols = [F.col(c).asc() if ascending else F.col(c).desc()
+                for c in self._index_cols]
+        return DataFrame(self._sdf.orderBy(*cols), self._index_cols,
+                         ascending)
+
+    def to_dict(self, orient: str = "dict") -> dict | list:
+        """driver-side export (pandas to_dict; reference computes)."""
+        return self.compute().to_dict(orient)
+
     def to_records(self):
         """reference: to_records, _collection.py:1420 — driver-side."""
         return self.compute().to_records()
@@ -2532,6 +2548,27 @@ class Series(FrameBase):
         if isinstance(other, Scalar):
             return other.to_column()
         return F.lit(other)
+
+    def case_when(self, caselist) -> "Series":
+        """pandas 2.2 Series.case_when (reference: test_collection.py:1145):
+        list of (condition, replacement) pairs — the FIRST matching
+        condition wins (pandas applies the reversed list as masks);
+        rows matching none keep the original value. Pure when-chain,
+        JVM-side."""
+        acc = self._scol
+        for cond, repl in reversed(list(caselist)):
+            c = cond._scol if isinstance(cond, Series) else cond
+            r = repl._scol if isinstance(repl, Series) else F.lit(repl)
+            acc = F.when(c, r).otherwise(acc)
+        return self._new(acc)
+
+    def to_numpy(self):
+        """driver-side export (reference: to_numpy via compute)."""
+        out = self.compute()
+        return out.to_numpy() if hasattr(out, "to_numpy") else out
+
+    def tolist(self) -> list:
+        return list(self.to_numpy())
 
     def mask(self, cond: "Series", other=None):
         return self._new(F.when(~cond._scol, self._scol)

@@ -1296,3 +1296,28 @@ def test_dt_to_period_family(spark):
     assert list(got["qs"]) == list(want.t.dt.to_period("Q").dt.start_time)
     assert list(got["me"]) == list(per_m.dt.end_time.dt.floor("us"))
     assert list(got["qy"]) == list(want.t.dt.to_period("Q").dt.qyear)
+
+
+def test_case_when_sort_index_exports(spark):
+    """round 4: Series.case_when (reference test_collection.py:1145),
+    sort_index, to_dict/to_numpy/tolist driver exports."""
+    pdf = pd.DataFrame({"k": [3, 1, 2, 4], "x": [1, 2, 1, 3],
+                        "y": [10.0, 20.0, 30.0, 10.0]})
+    df = from_pandas(spark, pdf, npartitions=2)
+    got = df.assign(
+        cw=lambda d: d["x"].case_when([(d["x"].eq(1), 1), (d["y"] == 10, 2.5)])
+    ).compute().sort_values("k")["cw"]
+    want = pdf.assign(
+        cw=pdf["x"].case_when([(pdf["x"].eq(1), 1), (pdf["y"] == 10, 2.5)])
+    ).sort_values("k")["cw"]
+    assert got.tolist() == want.tolist()
+
+    si = df.set_index("k").sort_index().compute()
+    assert si.index.tolist() == [1, 2, 3, 4]
+    sid = df.set_index("k").sort_index(ascending=False).compute()
+    assert sid.index.tolist() == [4, 3, 2, 1]
+
+    d = df.set_index("k").sort_index().to_dict()
+    assert d["y"][3] == 10.0
+    assert sorted(df["x"].tolist()) == sorted(pdf["x"].tolist())
+    assert sorted(df["y"].to_numpy().tolist()) == sorted(pdf["y"].tolist())
