@@ -183,3 +183,70 @@ def test_property_grouped_window_parity(spark):
         pdt.assert_series_equal(got_c, pg.cumsum().sort_index(),
                                 check_names=False, check_dtype=False,
                                 rtol=1e-9, obj=f"gcumsum trial {trial}")
+
+
+def test_property_resample_parity(spark):
+    rng = np.random.RandomState(555)
+    for trial in range(4):
+        n = int(rng.randint(30, 120))
+        start = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            minutes=int(rng.randint(0, 300)))
+        step = int(rng.randint(7, 95))
+        ts = pd.date_range(start, periods=n, freq=f"{step}min")
+        pdf = pd.DataFrame({"ts": ts,
+                            "v": np.round(rng.uniform(-20, 20, n), 3)})
+        d = from_pandas(spark, pdf, npartitions=3)
+        freq = str(rng.choice(["h", "2h", "D", "30min"]))
+        fn = str(rng.choice(["sum", "mean", "max"]))
+        got = (d.resample(freq, on="ts").agg({"v": fn})
+               .compute().sort_values("ts").reset_index(drop=True))
+        want = getattr(pdf.resample(freq, on="ts")["v"], fn)().reset_index()
+        want = want[want["v"].notna()].reset_index(drop=True)  # gap bins
+        assert got["ts"].tolist() == want["ts"].tolist(), \
+            f"resample trial {trial} {freq}/{fn} bins"
+        assert np.allclose(got["v"], want["v"]), \
+            f"resample trial {trial} {freq}/{fn} values"
+
+
+def test_property_merge_asof_parity(spark):
+    rng = np.random.RandomState(808)
+    for trial in range(5):
+        ln, rn = int(rng.randint(5, 40)), int(rng.randint(3, 30))
+        lt = np.sort(rng.choice(np.arange(0, 200), ln, replace=False))
+        rt = np.sort(rng.choice(np.arange(0, 200), rn, replace=False))
+        lp = pd.DataFrame({"t": lt.astype("int64"),
+                           "a": np.round(rng.uniform(0, 9, ln), 2)})
+        rp = pd.DataFrame({"t": rt.astype("int64"),
+                           "b": np.round(rng.uniform(0, 9, rn), 2)})
+        direction = str(rng.choice(["backward", "forward", "nearest"]))
+        tol = int(rng.randint(1, 40)) if rng.rand() < 0.5 else None
+        kw = dict(on="t", direction=direction)
+        if tol is not None and direction != "nearest":
+            kw["tolerance"] = tol
+        want = pd.merge_asof(lp, rp, **kw)
+        got = (from_pandas(spark, lp, npartitions=2)
+               .merge_asof(from_pandas(spark, rp, npartitions=2), **kw)
+               .compute())
+        _assert_frames(got, want,
+                       f"asof trial {trial} dir={direction} tol={tol}")
+
+
+def test_property_rank_parity(spark):
+    rng = np.random.RandomState(909)
+    for trial in range(5):
+        n = int(rng.randint(15, 70))
+        pdf = pd.DataFrame({"i": range(n),
+                            "v": rng.randint(0, 12, n).astype("float64")})
+        if rng.rand() < 0.4:
+            pdf.loc[rng.rand(n) < 0.2, "v"] = np.nan
+        d = from_pandas(spark, pdf, npartitions=3).set_index("i")
+        p = pdf.set_index("i")
+        method = str(rng.choice(["average", "min", "max", "dense", "first"]))
+        asc = bool(rng.rand() < 0.7)
+        if method == "first" and not asc:
+            asc = True  # pandas raises for first+descending on ties
+        got = d["v"].rank(method=method, ascending=asc).compute().sort_index()
+        want = p["v"].rank(method=method, ascending=asc)
+        pdt.assert_series_equal(got, want, check_names=False,
+                                check_dtype=False,
+                                obj=f"rank trial {trial} {method} asc={asc}")
