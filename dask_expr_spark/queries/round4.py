@@ -381,6 +381,102 @@ def period_monthly_revenue(spark, sf_dir):
                  cent_sum(F.col("o_totalprice")).alias("total")))
 
 
+# -- salted skew ops (task extension, operators/skew.py): salting must
+#    be RESULT-INVARIANT — the oracle is the plain SQL join/agg --------
+SALTED_AGG_SQL = f"""
+SELECT l_suppkey, count(*) AS n,
+       {cent_sum_sql('l_extendedprice')} AS total,
+       CAST(min(l_quantity) AS DOUBLE) AS lo,
+       CAST(max(l_quantity) AS DOUBLE) AS hi
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+@q("salted_agg_suppkey", SALTED_AGG_SQL)
+def salted_agg_suppkey(spark, sf_dir):
+    from ..operators.skew import salted_agg
+    li = tbl(spark, sf_dir, "lineitem")
+    li = li.assign(cents=F.round(F.col("l_extendedprice") * 100).cast("long"))
+    out = salted_agg(
+        li, "l_suppkey",
+        {"n": ("l_orderkey", "count"), "cents": ("cents", "sum"),
+         "lo": ("l_quantity", "min"), "hi": ("l_quantity", "max")},
+        salts=16)
+    return out.to_spark().select(
+        "l_suppkey", "n",
+        (F.col("cents").cast("double") / 100.0).alias("total"),
+        F.col("lo").cast("double"), F.col("hi").cast("double"))
+
+
+SALTED_MERGE_SQL = f"""
+SELECT c_mktsegment, count(*) AS n,
+       {cent_sum_sql('o_totalprice')} AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@q("salted_merge_orders", SALTED_MERGE_SQL)
+def salted_merge_orders(spark, sf_dir):
+    from ..operators.skew import salted_merge
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer").rename(
+        columns={"c_custkey": "o_custkey"})
+    j = salted_merge(o, c, on="o_custkey", salts=8, salt_from="o_orderkey")
+    return (j.to_spark().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total")))
+
+
+# -- end-to-end near-dedup RESOLUTION: pairs → groups → canonical corpus
+#    (keep the min doc_id per duplicate group, drop the rest) ----------
+DEDUP_RESOLVE_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS id, least(s, min(d)) AS root FROM reach GROUP BY s
+),
+dropped AS (SELECT id FROM comp WHERE id <> root)
+SELECT count(*) AS kept,
+       (SELECT count(*) FROM dropped) AS removed
+FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+"""
+
+
+@q("dedup_resolve_corpus", DEDUP_RESOLVE_SQL)
+def dedup_resolve_corpus(spark, sf_dir):
+    """full dedup pipeline: exact-hash pairs → connected components →
+    anti-join non-canonical docs out of the corpus (the resolution
+    step a training pipeline runs after candidate generation)."""
+    from ..functions.dedup import connected_components
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    a = docs.select(F.col("doc_id").alias("id_a"), key.alias("__k"))
+    b = docs.select(F.col("doc_id").alias("id_b"), key.alias("__k"))
+    pairs = (a.join(b, "__k").where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs)
+    dropped = (comp.filter(F.col("id") != F.col("comp"))
+               .select("id").withColumn("__d", F.lit(1)))
+    flagged = docs.join(dropped, docs["doc_id"] == dropped["id"], "left")
+    d = F.coalesce(F.col("__d"), F.lit(0))
+    return flagged.agg(
+        (F.count(F.lit(1)) - F.sum(d)).alias("kept"),
+        F.sum(d).alias("removed"))
+
+
 # -- recursive multi-frame merge (reference: JoinRecursive,
 #    _merge.py:701) ----------------------------------------------------
 RECURSIVE_SQL = """
