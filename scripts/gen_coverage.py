@@ -280,6 +280,7 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/collection.py", t="test_facade (driver-side metadata; no SQL oracle)"),
         dict(op="salted_merge / salted_agg (skew extension)",
              loc="dask_expr_spark/operators/skew.py",
+             q=["salted_agg_suppkey", "salted_merge_orders"],
              t="equivalence-tested test_scale_ops"),
     ]),
     ("§2.8 Set ops / concat", [
@@ -320,7 +321,7 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/dedup.py",
              q=["dedup_exact_docs", "dedup_ngram_jaccard",
                 "dedup_minhash_lsh", "dedup_simhash",
-                "dedup_connected_groups"]),
+                "dedup_connected_groups", "dedup_resolve_corpus"]),
         dict(op="ANN: cosine top-k (capped query side) / LSH / IVF / int8 / centroids",
              loc="dask_expr_spark/functions/similarity.py",
              q=["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
