@@ -3465,6 +3465,18 @@ class GroupBy:
                 out_cols.append(F.col(c))
         return joined.select(*out_cols)
 
+    def _no_unobserved(self, what: str) -> None:
+        """observed=False expansion only applies to built-in agg specs
+        (_expand_unobserved needs the per-column agg kind for pandas'
+        empty-group identities) — refuse rather than silently behave
+        like observed=True."""
+        if self._unobserved:
+            raise NotImplementedError(
+                f"groupby(observed=False).{what} is not supported; "
+                "unobserved-category expansion covers built-in "
+                "aggregation specs (agg/size and friends)"
+            )
+
     def _custom_agg(self, aggs) -> DataFrame:
         """execute reference-style Aggregation objects (_groupby.py:95):
         chunk → agg (over chunk outputs grouped by key) → finalize.
@@ -3590,6 +3602,7 @@ class GroupBy:
     def apply(self, func: Callable, schema) -> DataFrame:
         """Full-group UDF — exact analogue of the reference's
         GroupByApply (_groupby.py:872) via grouped-map Pandas UDF."""
+        self._no_unobserved("apply")
         return DataFrame(self._sdf().groupBy(*self._by).applyInPandas(func, schema))
 
     def transform(self, spec, suffix: str = "_t") -> DataFrame:
@@ -3598,6 +3611,7 @@ class GroupBy:
         the group keys: no second join, one shuffle. spec: a function
         name applied to every value column (pandas str form) or
         {col: fn}."""
+        self._no_unobserved("transform")
         if isinstance(spec, str):
             spec = {c: spec for c in self._frame.columns
                     if c not in self._by}

@@ -79,8 +79,8 @@ def probes():
     def ngram_jaccard(spark, sf_dir):
         docs = read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
         return DD.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.8).select(
-            "id_a", "id_b")
+            docs, "doc_id", "text", k=3, threshold=0.8,
+            prefix_filter=True).select("id_a", "id_b")
 
     return {
         "dedup_ngram_jaccard": ("documents", ngram_jaccard),

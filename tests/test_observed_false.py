@@ -97,3 +97,15 @@ def test_observed_false_requires_explicit_categories(frame):
     _pdf, d = frame
     with pytest.raises(NotImplementedError, match="explicit category"):
         d.groupby("seg", observed=False)
+
+
+def test_observed_false_refuses_udf_paths(frame):
+    """observed=False expansion covers built-in agg specs; the UDF
+    paths refuse instead of silently behaving like observed=True."""
+    _pdf, d = frame
+    s = d["seg"].cat.set_categories(["a", "b", "c", "d"])
+    g = d.groupby(s, observed=False)
+    with pytest.raises(NotImplementedError, match="apply"):
+        g.apply(lambda k, p: p, "seg string, grp string, v double")
+    with pytest.raises(NotImplementedError, match="transform"):
+        g.transform({"v": "mean"})
