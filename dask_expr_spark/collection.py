@@ -3489,6 +3489,7 @@ class GroupBy:
         on Spark, colocating the group IS the standard pattern. For
         huge low-cardinality groups prefer a callable Column spec
         (JVM-side partial aggregation) instead."""
+        self._no_unobserved("agg(Aggregation)")
         import pandas as pd
 
         keys = list(self._by)
