@@ -440,3 +440,101 @@ def cosine_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def semantic_cells(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    num_planes: int = 8,
+    seed: int = 7,
+    num_cells: int = 64,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Partition an embedding corpus into cells for within-cell work
+    (semantic dedup, clustering stats). Two cell assignments:
+
+    - ``method="lsh"``: deterministic hyperplane cells
+      (hyperplane_signature with literal weights) — fully portable, an
+      external engine can reproduce the exact partition from the same
+      seed, and the whole assignment stays in whole-stage codegen;
+    - ``method="ivf"``: Lloyd/k-means coarse cells (the ivf_topk
+      trainer) — closer to SemDeDup's k-means clustering, data-adaptive
+      but iterative.
+
+    Returns (id, cell, __v) with __v cast to double.
+    """
+    vv = vectors.select(F.col(id_col).alias("id"),
+                        as_double(F.col(vec_col)).alias("__v"))
+    if method == "lsh":
+        return vv.select(
+            "id",
+            hyperplane_signature(F.col("__v"), dim, num_planes, seed).alias("cell"),
+            "__v")
+    if method == "ivf":
+        seeds = (vv.orderBy("id").limit(num_cells)
+                 .select(F.col("__v").alias("__cent"))
+                 .withColumn("cell", F.monotonically_increasing_id()))
+        cents = seeds.select("cell", "__cent")
+        for _ in range(lloyd_iters):
+            assigned = _nearest_cells(vv, cents, "id", "__v", 1)
+            per_dim = (
+                assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
+                .groupBy("cell", "pos").agg(F.avg("val").alias("m")))
+            cents = (
+                per_dim.groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
+                .select("cell", F.transform("__p", lambda s: s.getField("m")).alias("__cent")))
+        cents = cents.cache()
+        return _nearest_cells(vv, cents, "id", "__v", 1).select("id", "cell", "__v")
+    raise ValueError(f"unknown cell method {method!r}; use 'lsh' or 'ivf'")
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    method: str = "lsh",
+    num_planes: int = 8,
+    seed: int = 7,
+    num_cells: int = 64,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster the corpus into cells, mark
+    within-cell pairs with cosine >= threshold as semantic duplicates,
+    resolve duplicate groups transitively (dedup.connected_components),
+    and keep the min-id representative of each group.  Divergence from
+    the paper: the representative is the smallest id (deterministic,
+    engine-portable) rather than the member farthest from the cluster
+    centroid.
+
+    Scale contract (100 TB): within-cell comparison is all-pairs, so
+    cell size bounds the cost — size num_planes (2^p cells) or
+    num_cells so the expected cell holds ~10k vectors; the pair stage
+    is then an equi-join on cell with a bounded per-key fanout, never
+    a global cross join.  Cells themselves are one scan (lsh) or
+    Lloyd rounds shuffling only (cells x dim) aggregates (ivf).
+
+    Returns the KEPT rows (id, cell) — anti-join the input on id to
+    get the dropped set.
+    """
+    from .dedup import connected_components
+
+    base = semantic_cells(vectors, dim, id_col, vec_col, method,
+                          num_planes, seed, num_cells, lloyd_iters)
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", cosine(F.col("a.__v"), F.col("b.__v")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("id") != F.col("comp")).select("id")
+    return base.join(dropped, "id", "left_anti").select("id", "cell")

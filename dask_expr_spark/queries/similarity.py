@@ -294,3 +294,68 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 
 QUERIES["ann_int8_topk"] = (ann_int8_topk, ANN_INT8_SQL)
+
+
+def _lsh_cell_sql(dim: int, num_planes: int, seed: int) -> str:
+    """DuckDB expression reproducing functions/similarity.py
+    hyperplane_signature bit-for-bit: the same driver-generated plane
+    weights are inlined as double literals (repr round-trips), the
+    same `dot > 0 -> +2^p` packing."""
+    from ..functions.similarity import _plane_weights
+
+    terms = []
+    for p, w in enumerate(_plane_weights(dim, num_planes, seed)):
+        arr = "[" + ",".join(repr(float(x)) for x in w) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE cells AS (
+  SELECT vec_id AS id, CAST({_lsh_cell_sql(64, 2, 7)} AS BIGINT) AS cell,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.45
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT re.node, s.b FROM reach re JOIN sym s ON s.a = re.r
+),
+dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING min(r) < node
+)
+SELECT cell, count(*) AS n_kept, CAST(sum(id) AS BIGINT) AS id_sum
+FROM cells WHERE id NOT IN (SELECT node FROM dropped)
+GROUP BY cell ORDER BY cell
+"""
+
+
+def semantic_dedup_kept(spark, sf_dir):
+    """SemDeDup semantic dedup (functions/similarity.py semantic_dedup;
+    Abbas et al. 2023): deterministic hyperplane cells (2 planes -> 4
+    cells at this SF), within-cell cosine >= 0.45 pairs resolved into
+    duplicate groups, min-id representative kept.  The oracle
+    reproduces the identical cells from the same inlined plane weights
+    and the transitive closure with a recursive CTE."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    kept = SIM.semantic_dedup(
+        emb, dim=64, id_col="vec_id", vec_col="embedding",
+        threshold=0.45, method="lsh", num_planes=2, seed=7)
+    return (kept.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("id").alias("id_sum"))
+            .orderBy("cell"))
+
+
+QUERIES["semantic_dedup_kept"] = (semantic_dedup_kept, SEMANTIC_DEDUP_SQL)

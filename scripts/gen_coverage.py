@@ -327,6 +327,11 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
                 "ann_int8_topk", "ann_centroids", "dedup_embedding_cosine"],
              t="query-cap guard test_round4_guards"),
+        dict(op="semantic dedup (SemDeDup: cell partition + within-cell "
+                "cosine groups, min-id representative; lsh + ivf cells)",
+             loc="dask_expr_spark/functions/similarity.py (semantic_dedup)",
+             q=["semantic_dedup_kept"],
+             t="ivf-cells variant test_similarity"),
         dict(op="text stats / lang-id / quality / chunking / fingerprint / "
                 "tokens / JSON extraction / repetition / PII / decontamination",
              loc="dask_expr_spark/functions/text.py",

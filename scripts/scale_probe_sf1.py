@@ -1,0 +1,149 @@
+"""sf1 scale spot-check (VERDICT r3 item 7): replicate sf0.1 ~10x into
+/tmp and time the nonlinear-risk queries at both scales, reporting the
+wall-time ratio vs the replication factor ("x linear").
+
+Replication is key-shifted and content-perturbed so candidate structure
+scales LINEARLY, the way a larger corpus actually would:
+
+- relational tables: keys shifted by a per-replica stride (join/group
+  cardinality scales 10x, key distribution preserved per slice);
+- documents: every token of replica r>0 gets an ``_r`` suffix, giving
+  each replica a disjoint shingle vocabulary — near-dup groups replicate
+  per-slice instead of forming 10-copy cliques (a verbatim 10x copy
+  would grow candidate PAIRS 45x and measure the data generator, not
+  the engine);
+- embeddings: replica vectors are deterministically rotated
+  (index+id-seeded cosine offsets) so LSH buckets don't collapse into
+  10x-deep piles with 100x pair blowup.
+
+Everything is JVM-side column expressions; the build itself is a bench
+of the engine's write path.  Usage:
+
+    python scripts/scale_probe_sf1.py            # build (if absent) + probe
+    SPARK_GRAFT_PROBE_REPLICAS=10 ...            # replication factor
+    SPARK_GRAFT_PROBE_REBUILD=1 ...              # force rebuild
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+R = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
+PROBE_DIR = os.environ.get(
+    "SPARK_GRAFT_PROBE_DIR", f"/tmp/spark_graft_sfprobe_x{R}")
+STRIDE = 100_000_000  # > any key in sf0.1..sf1
+
+
+def _replicate(spark, table: str, key_shifts: dict[str, int], extra=None):
+    src = spark.read.parquet(f"{BASE}/{table}.parquet")
+    reps = spark.range(R).withColumnRenamed("id", "__r")
+    df = src.crossJoin(F.broadcast(reps))
+    for col, stride in key_shifts.items():
+        df = df.withColumn(col, (F.col(col) + F.col("__r") * stride).cast("long"))
+    if extra is not None:
+        df = extra(df)
+    df = df.drop("__r").select(*src.columns)
+    out = f"{PROBE_DIR}/{table}.parquet"
+    df.repartition(32).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()
+
+
+def _perturb_documents(df):
+    # replica 0 keeps the original text; replicas r>0 suffix every token
+    # with _r so shingle vocabularies are disjoint across replicas.
+    remapped = F.array_join(
+        F.transform(F.split(F.col("text"), " "),
+                    lambda x: F.concat(x, F.lit("_"), F.col("__r"))), " ")
+    txt = F.when(F.col("__r") == 0, F.col("text")).otherwise(remapped)
+    return (df.withColumn("text", txt)
+              .withColumn("n_chars", F.length("text")))
+
+
+def _perturb_embeddings(df):
+    # deterministic small rotation for r>0: decorrelates LSH buckets
+    # across replicas without changing the vector length distribution.
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: (x + 0.05 * F.cos(
+            i.cast("double") * 1.7
+            + (F.col("vec_id") % 9973).cast("double") * 0.13
+            + F.col("__r").cast("double") * 2.1)).cast("float"))
+    vec = F.when(F.col("__r") == 0, F.col("embedding")).otherwise(pert)
+    return df.withColumn("embedding", vec)
+
+
+def build(spark) -> dict[str, int]:
+    counts = {}
+    counts["lineitem"] = _replicate(spark, "lineitem", {"l_orderkey": STRIDE})
+    counts["orders"] = _replicate(
+        spark, "orders", {"o_orderkey": STRIDE, "o_custkey": 10_000_000})
+    counts["events"] = _replicate(
+        spark, "events", {"event_id": STRIDE, "user_id": 10_000_000})
+    counts["documents"] = _replicate(
+        spark, "documents", {"doc_id": 10_000_000}, extra=_perturb_documents)
+    counts["embeddings"] = _replicate(
+        spark, "embeddings", {"vec_id": 10_000_000}, extra=_perturb_embeddings)
+    return counts
+
+
+def main() -> None:
+    from dask_expr_spark.queries import collect_queries
+    from dask_expr_spark.session import get_spark
+    import bench
+
+    spark = get_spark("dask_expr_spark_sf1_probe")
+    if os.environ.get("SPARK_GRAFT_PROBE_REBUILD") or not os.path.isdir(PROBE_DIR):
+        t0 = time.perf_counter()
+        counts = build(spark)
+        print(f"built {PROBE_DIR} in {time.perf_counter()-t0:.1f}s: {counts}",
+              file=sys.stderr)
+
+    registry = collect_queries()
+    probes = {
+        "dedup_ngram_jaccard": registry["dedup_ngram_jaccard"][0],
+        "dedup_minhash_pipeline": bench.LOCAL_PROBES["dedup_minhash_pipeline"],
+        "ann_lsh_pipeline": bench.LOCAL_PROBES["ann_lsh_pipeline"],
+        "scale_probe_ordered_cumsum_shift":
+            bench.LOCAL_PROBES["scale_probe_ordered_cumsum_shift"],
+        "scale_probe_expanding_median":
+            bench.LOCAL_PROBES["scale_probe_expanding_median"],
+    }
+
+    # warmup
+    registry["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001").collect()
+
+    results = {}
+    for name, fn in probes.items():
+        row = {}
+        for label, d in (("base", BASE), ("probe", PROBE_DIR)):
+            spark.catalog.clearCache()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).collect()
+                runs.append(time.perf_counter() - t0)
+            row[label] = round(min(runs), 3)
+        row["ratio"] = round(row["probe"] / row["base"], 2)
+        row["x_linear"] = round(row["ratio"] / R, 2)
+        results[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+
+    print(json.dumps({"replicas": R, "base": BASE, "results": results}))
+    print("\n| query | sf0.1 s | x%d s | ratio | x linear |" % R,
+          file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
+    for n, row in results.items():
+        print(f"| {n} | {row['base']} | {row['probe']} | {row['ratio']} "
+              f"| {row['x_linear']} |", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,55 @@ def test_int8_quantized_ann_recall(spark, sf_dir):
     hits = exact.intersect(quant).count()
     assert n_exact > 0
     assert hits / n_exact >= 0.75, f"recall {hits}/{n_exact}"
+
+
+def test_semantic_dedup_ivf_drops_near_dups(spark, sf_dir):
+    """semantic_dedup with Lloyd/IVF cells: every dropped vector must
+    have a kept (or transitively grouped) near-duplicate — i.e. the
+    kept set plus duplicate groups partition the corpus, and no two
+    KEPT vectors in the same cell are within-threshold duplicates."""
+    emb = _emb(spark, sf_dir)
+    total = emb.count()
+    kept = SIM.semantic_dedup(
+        emb, dim=64, threshold=0.45, method="ivf",
+        num_cells=8, lloyd_iters=2)
+    rows = kept.collect()
+    assert 0 < len(rows) <= total
+    # no within-cell kept pair may still be a duplicate at threshold
+    a = kept.alias("a").join(
+        emb.select(F.col("vec_id").alias("id"),
+                   SIM.as_double(F.col("embedding")).alias("__v")), "id")
+    b = a.select(F.col("id").alias("id_b"), F.col("cell").alias("cell_b"),
+                 F.col("__v").alias("__vb"))
+    leftover = (
+        a.join(b, (F.col("cell") == F.col("cell_b"))
+               & (F.col("id") < F.col("id_b")))
+        .withColumn("cos", SIM.cosine(F.col("__v"), F.col("__vb")))
+        .filter(F.col("cos") >= 0.45)
+        .count())
+    assert leftover == 0
+
+
+def test_semantic_dedup_lsh_matches_bruteforce_groups(spark, sf_dir):
+    """with ONE cell (0 planes would be degenerate; use a plane count
+    whose cells still merge at this SF is flaky — instead check the
+    LSH path is a superset-consistent restriction of the brute-force
+    result: every pair dropped by semantic_dedup is a genuine
+    >=threshold near-dup pair somewhere in the corpus."""
+    emb = _emb(spark, sf_dir)
+    kept = SIM.semantic_dedup(
+        emb, dim=64, threshold=0.45, method="lsh", num_planes=2, seed=7)
+    dropped = emb.select(F.col("vec_id").alias("id")).join(
+        kept.select("id"), "id", "left_anti")
+    # each dropped id participates in at least one exact near-dup pair
+    vv = emb.select(F.col("vec_id").alias("other"),
+                    SIM.as_double(F.col("embedding")).alias("__vo"))
+    dv = dropped.join(
+        emb.select(F.col("vec_id").alias("id"),
+                   SIM.as_double(F.col("embedding")).alias("__vd")), "id")
+    hit = (
+        dv.join(vv, F.col("id") != F.col("other"))
+        .withColumn("cos", SIM.cosine(F.col("__vd"), F.col("__vo")))
+        .filter(F.col("cos") >= 0.45)
+        .select("id").distinct())
+    assert dropped.count() == hit.count()
