@@ -184,3 +184,59 @@ QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }
+
+
+def dedup_substring_spans(spark, sf_dir):
+    """exact substring-duplication scan (functions/dedup.py
+    duplicated_spans; Lee et al. 2021 ExactSubstr): 12-token windows
+    shared by >= 2 docs, overlapping windows merged per doc into spans.
+    Output: per-doc duplicated-token totals for the docs hit, bucketed
+    summary stable under hashing."""
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    spans = DD.duplicated_spans(docs, "doc_id", "text", k=12)
+    return (spans.filter(F.col("dup_tokens") > 0)
+            .select(F.col("id").alias("doc_id"), "total_tokens",
+                    "dup_tokens", "n_spans")
+            .orderBy("doc_id"))
+
+
+SUBSTRING_SPANS_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(string_split(text,' ')[i:i+11], ' ') AS win
+  FROM documents,
+       unnest(generate_series(1, greatest(len(string_split(text,' ')) - 11, 0))) AS t(i)
+),
+d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+dw AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM d)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 12) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM dw
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, island, max(pos) + 12 - min(pos) AS span_len
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(len(string_split(doc.text,' ')) AS INT) AS total_tokens,
+       p.dup_tokens, p.n_spans
+FROM per_doc p JOIN documents doc ON doc.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+QUERIES["dedup_substring_spans"] = (dedup_substring_spans, SUBSTRING_SPANS_SQL)

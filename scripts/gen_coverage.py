@@ -322,6 +322,10 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["dedup_exact_docs", "dedup_ngram_jaccard",
                 "dedup_minhash_lsh", "dedup_simhash",
                 "dedup_connected_groups", "dedup_resolve_corpus"]),
+        dict(op="exact substring-duplication scan (ExactSubstr: k-token "
+                "window hashes shared across docs, per-doc span merge)",
+             loc="dask_expr_spark/functions/dedup.py (duplicated_spans)",
+             q=["dedup_substring_spans"]),
         dict(op="ANN: cosine top-k (capped query side) / LSH / IVF / int8 / centroids",
              loc="dask_expr_spark/functions/similarity.py",
              q=["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
