@@ -132,6 +132,9 @@ OPTIONAL = [
     # round 3 additions (no r02 comparable — bench_diff skips them)
     "text_lm_perplexity",
     "text_bm25_search",
+    # round 4 additions
+    "semantic_dedup_kept",
+    "dedup_substring_spans",
 ]
 
 

@@ -1718,6 +1718,8 @@ class DataFrame(FrameBase):
             return self._row_reduce("prod")
         return self._frame_reduce("prod", True)
 
+    product = prod
+
     def resample(self, freq: str, on: str | None = None,
                  closed: str = "left", label: str = "left"):
         """reference: ResampleReduction, _resample.py:23 (closed/label
@@ -2567,6 +2569,15 @@ class Series(FrameBase):
         out = self.compute()
         return out.to_numpy() if hasattr(out, "to_numpy") else out
 
+    def to_timestamp(self, freq: str = "M", how: str = "start") -> "Series":
+        """period-label strings (.dt.to_period output) back to
+        timestamps (reference: FrameBase.to_timestamp,
+        _collection.py:1910; label-string divergence documented at
+        functions/accessors.py to_period)."""
+        from .functions.accessors import period_label_to_timestamp
+
+        return self._new(period_label_to_timestamp(self._scol, freq, how))
+
     def tolist(self) -> list:
         return list(self.to_numpy())
 
@@ -2760,6 +2771,8 @@ class Series(FrameBase):
         if min_count:
             c = F.when(F.count(self._scol) >= min_count, c)
         return self._reduce(c, f"prod_{self._name}")
+
+    product = prod
 
     def cov(self, other: "Series") -> Scalar:
         """sample covariance with another column of the SAME frame
@@ -3793,6 +3806,8 @@ class GroupBy:
 
     def prod(self) -> DataFrame:
         return self._simple("prod")
+
+    product = prod
 
     def corr(self, col_x: str, col_y: str) -> DataFrame:
         """per-group Pearson correlation (reference: GroupBy corr,

@@ -744,3 +744,43 @@ class CategoricalMethods:
         s = self._s
         scol = F.when(s._scol.isin(new), s._scol).alias(s._name)
         return self._restate(scol, new, ordered=ordered)
+
+
+def period_label_to_timestamp(c, freq: str = "M", how: str = "start"):
+    """Invert DatetimeOps.to_period's label strings back to timestamps
+    (reference: FrameBase.to_timestamp, _collection.py:1910 — there a
+    PeriodIndex conversion; here the documented label-string
+    divergence).  how='start' gives the period's first instant,
+    how='end' its last microsecond."""
+    f = freq.upper().rstrip("S")
+    if f in ("M", "ME"):
+        start, step = F.to_timestamp(c, "yyyy-MM"), (1, "month")
+    elif f in ("Q", "QE"):
+        parts = F.split(c, "Q")
+        start = F.to_timestamp(F.make_date(
+            parts.getItem(0).cast("int"),
+            (parts.getItem(1).cast("int") - 1) * 3 + 1, F.lit(1)))
+        step = (3, "month")
+    elif f in ("Y", "A", "YE"):
+        start, step = F.to_timestamp(c, "yyyy"), (12, "month")
+    elif f == "D":
+        start, step = F.to_timestamp(c, "yyyy-MM-dd"), (1, "day")
+    elif f == "H":
+        start, step = F.to_timestamp(c, "yyyy-MM-dd HH:mm"), None
+    elif f == "W":
+        # labels are "start/end" date pairs
+        parts = F.split(c, "/")
+        start, step = F.to_timestamp(parts.getItem(0), "yyyy-MM-dd"), (7, "day")
+    else:
+        raise ValueError(f"unsupported period freq {freq!r}")
+    if how == "start":
+        return start
+    if how != "end":
+        raise ValueError("how must be 'start' or 'end'")
+    if step is None:
+        nxt = start + F.expr("INTERVAL 1 HOUR")
+    elif step[1] == "month":
+        nxt = F.to_timestamp(F.add_months(start, step[0]))
+    else:
+        nxt = F.to_timestamp(F.date_add(start.cast("date"), step[0]))
+    return nxt - F.expr("INTERVAL 1 MICROSECOND")

@@ -1321,3 +1321,42 @@ def test_case_when_sort_index_exports(spark):
     assert d["y"][3] == 10.0
     assert sorted(df["x"].tolist()) == sorted(pdf["x"].tolist())
     assert sorted(df["y"].to_numpy().tolist()) == sorted(pdf["y"].tolist())
+
+
+def test_series_to_timestamp_inverts_period_labels(spark):
+    """round 4: Series.to_timestamp inverts .dt.to_period label strings
+    (reference FrameBase.to_timestamp, _collection.py:1910) — start and
+    end instants match pandas Period.start_time / end_time."""
+    pdf = pd.DataFrame({"t": pd.to_datetime([
+        "2024-02-29 10:31:00", "1999-12-31 23:45:10",
+        "2000-03-31 12:29:59", "2026-07-04 06:30:00"])})
+    df = from_pandas(spark, pdf)
+    got = df.assign(
+        m_lbl=lambda d: d["t"].dt.to_period("M"),
+        q_lbl=lambda d: d["t"].dt.to_period("Q"),
+        y_lbl=lambda d: d["t"].dt.to_period("Y"),
+        d_lbl=lambda d: d["t"].dt.to_period("D"),
+    ).assign(
+        m_ts=lambda d: d["m_lbl"].to_timestamp("M"),
+        q_ts=lambda d: d["q_lbl"].to_timestamp("Q"),
+        y_ts=lambda d: d["y_lbl"].to_timestamp("Y"),
+        d_ts=lambda d: d["d_lbl"].to_timestamp("D"),
+        m_end=lambda d: d["m_lbl"].to_timestamp("M", how="end"),
+        q_end=lambda d: d["q_lbl"].to_timestamp("Q", how="end"),
+    ).compute().sort_values("t").reset_index(drop=True)
+    want = pdf.sort_values("t").reset_index(drop=True)
+    for f, col in (("M", "m_ts"), ("Q", "q_ts"), ("Y", "y_ts"), ("D", "d_ts")):
+        assert list(got[col]) == list(want.t.dt.to_period(f).dt.start_time), f
+    assert list(got["m_end"]) == list(
+        want.t.dt.to_period("M").dt.end_time.dt.floor("us"))
+    assert list(got["q_end"]) == list(
+        want.t.dt.to_period("Q").dt.end_time.dt.floor("us"))
+
+
+def test_product_aliases(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "x": [2.0, 3.0, 4.0]})
+    df = from_pandas(spark, pdf)
+    assert df["x"].product().compute() == 24.0
+    g = df.groupby("k").product().compute().sort_values("k")
+    assert list(g["x"]) == [6.0, 4.0]
+    assert float(df[["x"]].product().compute().iloc[0]) == 24.0
