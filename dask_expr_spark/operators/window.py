@@ -435,11 +435,15 @@ class Rolling:
 
     def _exp_holistic_quantile(self, cols, q: float, suffix: str) -> DataFrame:
         """Ungrouped expanding median/quantile without a global window:
-        range-bucketed prefix-value arrays + per-bucket exact insertion
-        (operators/ordered.expanding_holistic). Linear interpolation,
-        nulls skipped, min_periods counts non-null — pandas-exact."""
-        import bisect
-
+        range-bucketed prefix-value arrays + per-bucket exact expanding
+        quantile (operators/ordered.expanding_holistic). Linear
+        interpolation, nulls skipped, min_periods counts non-null —
+        pandas-exact BY pandas: the bucket computation concatenates
+        (prefix values, bucket values) and runs pandas' Cython-skiplist
+        expanding().quantile — O((p+m)·log) per bucket, NOT the
+        O((p+m)·m) a per-row sorted-list insert costs (the sf1 probe
+        measured that earlier form 2.1x superlinear at 10x data; this
+        one is ~linear)."""
         minp = self._min_periods
 
         def make(pre, rows):
@@ -449,21 +453,12 @@ class Rolling:
             out = {}
             for c in cols:
                 vals = pd.to_numeric(rows[c], errors="coerce").astype("float64").to_numpy()
-                buf = sorted(pre[c].tolist())
-                res = np.full(len(vals), np.nan)
-                for i, v in enumerate(vals):
-                    if not np.isnan(v):
-                        bisect.insort(buf, v)
-                    n = len(buf)
-                    if n and n >= minp:
-                        idx = q * (n - 1)
-                        lo = int(idx)
-                        frac = idx - lo
-                        val = buf[lo]
-                        if frac:
-                            val += frac * (buf[lo + 1] - buf[lo])
-                        res[i] = val
-                out[f"{c}_{suffix}"] = res
+                full = np.concatenate([pre[c], vals])
+                r = (pd.Series(full)
+                     .expanding(min_periods=max(minp, 1))
+                     .quantile(q, interpolation="linear")
+                     .to_numpy())
+                out[f"{c}_{suffix}"] = r[len(pre[c]):]
             return out
 
         from . import ordered

@@ -117,8 +117,19 @@ def main() -> None:
             bench.LOCAL_PROBES["scale_probe_expanding_median"],
     }
 
-    # warmup
+    # warmup: codegen + the Python/Arrow UDF worker pool (same as
+    # bench.py — an unwarmed pool once charged ~10 s to the first
+    # UDF-bearing probe and produced a phantom sublinear ratio)
     registry["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001").collect()
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(0, 1024, 1, 32).select(
+        _warm(F.col("id").cast("double"))).collect()
 
     results = {}
     for name, fn in probes.items():
@@ -126,11 +137,12 @@ def main() -> None:
         for label, d in (("base", BASE), ("probe", PROBE_DIR)):
             spark.catalog.clearCache()
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, d).collect()
                 runs.append(time.perf_counter() - t0)
-            row[label] = round(min(runs), 3)
+            runs.sort()
+            row[label] = round(runs[len(runs) // 2], 3)
         row["ratio"] = round(row["probe"] / row["base"], 2)
         row["x_linear"] = round(row["ratio"] / R, 2)
         results[name] = row
