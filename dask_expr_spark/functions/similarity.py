@@ -523,18 +523,53 @@ def semantic_dedup(
     Returns the KEPT rows (id, cell) — anti-join the input on id to
     get the dropped set.
     """
+    import numpy as np
+
     from .dedup import connected_components
 
     base = semantic_cells(vectors, dim, id_col, vec_col, method,
                           num_planes, seed, num_cells, lloyd_iters)
-    a, b = base.alias("a"), base.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos", cosine(F.col("a.__v"), F.col("b.__v")))
-        .filter(F.col("cos") >= F.lit(float(threshold)))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
+
+    # within-cell pairwise cosine as ONE chunked numpy matmul per cell
+    # (applyInPandas) — a column-expression cosine join evaluates the
+    # 64-term fold per pair in Catalyst's INTERPRETER (~30x slower than
+    # BLAS); per-cell matmul is the same shape cosine_topk uses.  Row
+    # blocks of `block` rows bound the score matrix at block x |cell|.
+    thr = float(threshold)
+    block = 1024
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        M = np.asarray([np.asarray(v, dtype="float64") for v in pdf["__v"]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": np.empty(0, dtype="int64"),
+                                 "id_b": np.empty(0, dtype="int64")})
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        U = M / norms[:, None]
+        out_a, out_b = [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = U[s:e] @ U.T  # (e-s, n)
+            for r in range(e - s):
+                i = s + r
+                js = np.nonzero(S[r, i + 1:] >= thr)[0] + i + 1
+                if len(js):
+                    out_a.append(np.full(len(js), ids[i]))
+                    out_b.append(ids[js])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.empty(0, dtype="int64"),
+                                 "id_b": np.empty(0, dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b)})
+
+    pairs = base.groupBy("cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long")
     comp = connected_components(pairs)
     dropped = comp.filter(F.col("id") != F.col("comp")).select("id")
     return base.join(dropped, "id", "left_anti").select("id", "cell")

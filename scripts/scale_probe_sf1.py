@@ -107,6 +107,24 @@ def main() -> None:
               file=sys.stderr)
 
     registry = collect_queries()
+
+    def _semantic_dedup(spark, d):
+        # the documented scale contract: cells sized to the corpus
+        # (~250-350 vectors/cell at BOTH points), so the within-cell
+        # pair stage stays bounded while cell COUNT absorbs growth
+        from dask_expr_spark.functions import similarity as SIM
+        planes = 6 if "sfprobe" in d else 3
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return SIM.semantic_dedup(
+            emb, dim=64, threshold=0.45, method="lsh", num_planes=planes,
+            seed=7).groupBy().count()
+
+    def _substring_spans(spark, d):
+        from dask_expr_spark.functions import dedup as DD
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return (DD.duplicated_spans(docs, "doc_id", "text", k=12)
+                .agg({"dup_tokens": "sum"}))
+
     probes = {
         "dedup_ngram_jaccard": registry["dedup_ngram_jaccard"][0],
         "dedup_minhash_pipeline": bench.LOCAL_PROBES["dedup_minhash_pipeline"],
@@ -115,7 +133,14 @@ def main() -> None:
             bench.LOCAL_PROBES["scale_probe_ordered_cumsum_shift"],
         "scale_probe_expanding_median":
             bench.LOCAL_PROBES["scale_probe_expanding_median"],
+        "semantic_dedup_sized_cells": _semantic_dedup,
+        "dedup_substring_spans": _substring_spans,
     }
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    if only:
+        keep = [s.strip() for s in only.split(",")]
+        probes = {n: f for n, f in probes.items()
+                  if any(k in n for k in keep)}
 
     # warmup: codegen + the Python/Arrow UDF worker pool (same as
     # bench.py — an unwarmed pool once charged ~10 s to the first
