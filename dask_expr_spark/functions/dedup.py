@@ -538,3 +538,67 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
                 F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
                 F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"))
     )
+
+
+def connected_components_star(pairs, a_col: str = "id_a", b_col: str = "id_b",
+                              max_iter: int = 50):
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — public): each round is two groupBy-min + join passes over
+    the edge list and the graph collapses toward per-component stars in
+    O(log n) rounds REGARDLESS of diameter — the scale path for deep
+    chains where min-label propagation (`connected_components`) needs
+    diameter rounds.
+
+    large-star(v): connect every strictly LARGER neighbor of v to
+    m = min(N(v) ∪ {v});  small-star on canonical (hi→lo) edges:
+    connect every lo-neighbor of hi, and hi itself, to the minimum.
+    Edges only ever point downward afterward, count never grows, and a
+    stable edge set is a forest of stars rooted at component minima.
+
+    Same contract as `connected_components`: returns (id, comp) for
+    every node appearing in `pairs`, comp = smallest id in the
+    component.  Deliberately eager per round (localCheckpoint + one
+    small convergence count), like the label-propagation form.
+    """
+    raw = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    nodes = (raw.select(F.col("s").alias("id"))
+             .unionByName(raw.select(F.col("d").alias("id")))
+             .distinct().localCheckpoint())
+    # canonical: hi -> lo, self-loops dropped
+    e = (raw.filter(F.col("s") != F.col("d"))
+         .select(F.greatest("s", "d").alias("hi"),
+                 F.least("s", "d").alias("lo"))
+         .distinct().localCheckpoint())
+    for _ in range(max_iter):
+        # ---- large-star: gather FULL neighborhoods (symmetrized) ----
+        sym = e.unionByName(
+            e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        )  # rows (v=hi, nbr=lo)
+        mins = (sym.groupBy("hi")
+                .agg(F.min("lo").alias("__m"))
+                .select(F.col("hi").alias("v"),
+                        F.least("__m", F.col("hi")).alias("m")))
+        large = (sym.join(mins, sym["hi"] == mins["v"])
+                 .where(F.col("lo") > F.col("hi"))
+                 .select(F.col("lo").alias("hi"), F.col("m").alias("lo")))
+        e1 = (large.where(F.col("hi") != F.col("lo"))
+              .unionByName(e).distinct().localCheckpoint())
+        # ---- small-star on canonical edges -------------------------
+        mins2 = (e1.groupBy("hi").agg(F.min("lo").alias("m")))
+        small = (e1.join(mins2, "hi")
+                 .select(F.col("lo").alias("x"), F.col("m"))
+                 .unionByName(mins2.select(F.col("hi").alias("x"),
+                                           F.col("m"))))
+        e2 = (small.where(F.col("x") != F.col("m"))
+              .select(F.col("x").alias("hi"), F.col("m").alias("lo"))
+              .distinct().localCheckpoint())
+        # converged when small-star was a no-op (same canonical set)
+        if e2.count() == e.count() and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
+            break
+        e = e2
+    return (nodes.join(e.select(F.col("hi").alias("id"),
+                                F.col("lo").alias("comp")),
+                       "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp")))

@@ -624,20 +624,44 @@ def expanding_approx_quantile(sdf: SparkDF, value_cols: Sequence[str],
             vals = pd.to_numeric(left[c], errors="coerce").astype("float64").to_numpy()
             res = np.full(len(vals), np.nan)
             n = int(hist.sum())
+            # Fenwick tree over bins: the covering-bin search is
+            # O(log bins) per row instead of a linear bin scan (which
+            # made the "cheap" approximate path SLOWER than the exact
+            # skiplist at 256 bins — 17 s vs 3.5 s at sf0.1)
+            size = 1
+            while size < nb_:
+                size <<= 1
+            tree = [0] * (size + 1)
+
+            def bit_add(i, delta):
+                i += 1
+                while i <= size:
+                    tree[i] += delta
+                    i += i & (-i)
+
+            for k0 in np.nonzero(hist)[0]:
+                bit_add(int(k0), int(hist[k0]))
+
             for i, v in enumerate(vals):
                 if not np.isnan(v):
                     k = int(np.searchsorted(ed, v, side="right"))
                     hist[k] += 1
+                    bit_add(k, 1)
                     n += 1
                     vmin = min(vmin, v)
                     vmax = max(vmax, v)
                 if n >= min_periods and n > 0:
                     r_ = q * (n - 1)
-                    cum = 0
-                    for k in range(nb_):
-                        if cum + hist[k] > r_:
-                            break
-                        cum += hist[k]
+                    # descend: largest k with prefix(k) <= r_, i.e. the
+                    # first bin where cum + hist[k] > r_ (same covering
+                    # bin the linear scan found)
+                    pos, cum, mask = 0, 0, size
+                    while mask:
+                        nxt = pos + mask
+                        if nxt <= size and cum + tree[nxt] <= r_:
+                            pos, cum = nxt, cum + tree[nxt]
+                        mask >>= 1
+                    k = pos
                     lo = ed[k - 1] if k > 0 else vmin
                     hi = ed[k] if k < nb_ - 1 else vmax
                     cnt = hist[k]
