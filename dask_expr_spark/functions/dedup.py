@@ -472,6 +472,14 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
         labels = new.drop("__chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter — labels would be "
+            "WRONG, not approximate). Near-dup graphs are shallow; for "
+            "deep chains use connected_components_star (large-star/"
+            "small-star, O(log n) rounds regardless of diameter) or "
+            "raise max_iter.")
     return labels
 
 

@@ -240,3 +240,27 @@ ORDER BY p.doc_id
 """
 
 QUERIES["dedup_substring_spans"] = (dedup_substring_spans, SUBSTRING_SPANS_SQL)
+
+
+def dedup_connected_groups_star(spark, sf_dir):
+    """same pairs->groups resolution as dedup_connected_groups but via
+    the large-star/small-star algorithm (functions/dedup.py
+    connected_components_star; Kiveris et al. 2014) — O(log n) rounds
+    regardless of component diameter, the deep-graph scale path. Same
+    transitive-closure oracle."""
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.9, max_shingle_freq=None
+    )
+    comp = DD.connected_components_star(pairs.select("id_a", "id_b"))
+    return (
+        comp.select(F.col("id").alias("doc_id"),
+                    F.col("comp").alias("group_root"))
+        .orderBy("doc_id")
+    )
+
+
+from .round3 import COMPONENTS_SQL as _COMPONENTS_SQL  # noqa: E402
+
+QUERIES["dedup_connected_groups_star"] = (
+    dedup_connected_groups_star, _COMPONENTS_SQL)

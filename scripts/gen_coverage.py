@@ -317,11 +317,15 @@ ROWS: list[tuple[str, list[dict]]] = [
     ]),
     ("LLM-data-pipeline operators (task extension)", [
         dict(op="exact dedup / n-gram Jaccard join / MinHash+LSH / SimHash / "
-                "connected components",
+                "connected components (min-label propagation w/ "
+                "non-convergence guard + large-star/small-star for deep "
+                "graphs)",
              loc="dask_expr_spark/functions/dedup.py",
              q=["dedup_exact_docs", "dedup_ngram_jaccard",
                 "dedup_minhash_lsh", "dedup_simhash",
-                "dedup_connected_groups", "dedup_resolve_corpus"]),
+                "dedup_connected_groups", "dedup_connected_groups_star",
+                "dedup_resolve_corpus"],
+             t="deep-chain + union-find differential test_dedup"),
         dict(op="exact substring-duplication scan (ExactSubstr: k-token "
                 "window hashes shared across docs, per-doc span merge)",
              loc="dask_expr_spark/functions/dedup.py (duplicated_spans)",

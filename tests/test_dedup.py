@@ -98,3 +98,68 @@ def test_pack_sequences_arithmetic(spark):
         assert r["pack_offset"] == pos % 2048
         pos += r["n_tok"]
         assert r["pack_id_end"] == (pos - 1) // 2048
+
+
+def test_connected_components_star_deep_chain(spark):
+    """large-star/small-star resolves a 200-node chain (diameter 199)
+    in O(log n) rounds — the case min-label propagation cannot reach
+    within its round budget."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id_a": list(range(199)),
+                        "id_b": list(range(1, 200))})
+    pairs = spark.createDataFrame(pdf)
+    got = {r.id: r.comp
+           for r in DD.connected_components_star(pairs).collect()}
+    assert len(got) == 200
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_label_prop_raises_on_deep_chain(spark):
+    """min-label propagation must REFUSE (not silently return wrong
+    labels) when the diameter exceeds its round budget."""
+    import pandas as pd
+    import pytest
+
+    pdf = pd.DataFrame({"id_a": list(range(60)),
+                        "id_b": list(range(1, 61))})
+    pairs = spark.createDataFrame(pdf)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=5).collect()
+
+
+def test_connected_components_star_matches_label_prop_random(spark):
+    """random shallow graphs: both algorithms agree with each other
+    and with a driver-side union-find."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 80
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+        pairs = spark.createDataFrame(pdf)
+        star = {r.id: r.comp
+                for r in DD.connected_components_star(pairs).collect()}
+        prop = {r.id: r.comp
+                for r in DD.connected_components(pairs).collect()}
+        assert star == prop, f"trial {trial}"
+        # driver-side union-find oracle
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        assert star == want, f"trial {trial} vs union-find"
