@@ -3853,6 +3853,9 @@ def concat(frames: Sequence[DataFrame], join: str = "outer", axis: int = 0) -> D
     """
     if not frames:
         raise ValueError("no frames")
+    if join not in ("inner", "outer"):
+        # reference: test_concat.py test_invalid_joins — only these two
+        raise ValueError(f"'join' must be 'inner' or 'outer', got {join!r}")
     import pandas as pd
     if any(isinstance(f, (pd.DataFrame, pd.Series)) for f in frames):
         # reference: concat accepts raw pandas objects mixed in
