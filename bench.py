@@ -173,8 +173,14 @@ def main() -> None:
     runnables += list(LOCAL_PROBES.items())
     for name, fn in runnables:
         # drop caches left by previous queries (dedup/LSH ops cache
-        # reused frames) so queries are measured in isolation
+        # reused frames) so queries are measured in isolation, and ask
+        # for a full GC OUTSIDE the timed section — after ~30 queries
+        # in one JVM, accumulated garbage charged 1.5-2x inflation to
+        # whichever query happened to trigger the collection (round-4
+        # isolated-session runs measured dedup_substring_spans 7.3 s
+        # vs 13.4 s inside an aged bench session)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
