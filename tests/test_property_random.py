@@ -250,3 +250,110 @@ def test_property_rank_parity(spark):
         pdt.assert_series_equal(got, want, check_names=False,
                                 check_dtype=False,
                                 obj=f"rank trial {trial} {method} asc={asc}")
+
+
+# ---- round 4: randomized nets for the newest pipeline ops ------------
+
+def test_property_duplicated_spans_vs_pandas(spark):
+    """random corpora with planted shared substrings: duplicated_spans
+    must equal a direct pandas/python reimplementation (window sets,
+    span merge, totals)."""
+    from dask_expr_spark.functions.dedup import duplicated_spans
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(3):
+        k = int(rng.randint(3, 6))
+        docs = []
+        for d in range(30):
+            n = int(rng.randint(1, 25))
+            toks = list(rng.choice(vocab, n))
+            docs.append((d, " ".join(toks)))
+        # plant a shared phrase into a few docs
+        phrase = " ".join(rng.choice(vocab, k + 2))
+        for d in rng.choice(30, 5, replace=False):
+            did, txt = docs[d]
+            docs[d] = (did, txt + " " + phrase)
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+        # python oracle
+        win = {}
+        for did, txt in docs:
+            toks = txt.split(" ")
+            for i in range(len(toks) - k + 1):
+                win.setdefault(" ".join(toks[i:i + k]), set()).add(did)
+        dup = {w for w, ds in win.items() if len(ds) >= 2}
+        want = {}
+        for did, txt in docs:
+            toks = txt.split(" ")
+            pos = [i for i in range(len(toks) - k + 1)
+                   if " ".join(toks[i:i + k]) in dup]
+            total = len(toks)
+            if not pos:
+                want[did] = (total, 0, 0)
+                continue
+            spans, start, end = [], pos[0], pos[0] + k
+            for p in pos[1:]:
+                if p > end:
+                    spans.append(end - start)
+                    start, end = p, p + k
+                else:
+                    end = max(end, p + k)
+            spans.append(end - start)
+            want[did] = (total, sum(spans), len(spans))
+
+        sdf = spark.createDataFrame(pdf)
+        got = {r.id: (r.total_tokens, r.dup_tokens, r.n_spans)
+               for r in duplicated_spans(sdf, "doc_id", "text", k=k).collect()}
+        assert got == want, f"trial {trial} k={k}"
+
+
+def test_property_semantic_dedup_vs_numpy(spark):
+    """random embedding sets: semantic_dedup(lsh cells) must keep
+    exactly the min-id representative of each within-cell duplicate
+    component, per a driver-side numpy + union-find oracle using the
+    same plane weights."""
+    from dask_expr_spark.functions.similarity import (_plane_weights,
+                                                      semantic_dedup)
+
+    rng = np.random.RandomState(11)
+    dim, planes, seed, thr = 16, 2, 5, 0.92
+    for trial in range(3):
+        n = 60
+        M = rng.standard_normal((n, dim))
+        # plant near-dup pairs
+        for _ in range(10):
+            i, j = rng.choice(n, 2, replace=False)
+            M[j] = M[i] + rng.standard_normal(dim) * 0.05
+        pdf = pd.DataFrame({
+            "vec_id": range(n),
+            "embedding": [row.astype("float32").tolist() for row in M],
+        })
+        sdf = spark.createDataFrame(pdf)
+        got = sorted(r.id for r in semantic_dedup(
+            sdf, dim=dim, threshold=thr, method="lsh",
+            num_planes=planes, seed=seed).collect())
+
+        # numpy oracle with identical cells
+        Md = np.asarray([np.asarray(v, dtype="float64")
+                         for v in pdf["embedding"]])
+        W = np.asarray(_plane_weights(dim, planes, seed))
+        cells = ((Md @ W.T) > 0).astype(int) @ (1 << np.arange(planes))
+        norms = np.linalg.norm(Md, axis=1)
+        S = (Md @ Md.T) / np.outer(norms, norms)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if cells[i] == cells[j] and S[i, j] >= thr:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        want = sorted(i for i in range(n) if find(i) == i)
+        assert got == want, f"trial {trial}"
