@@ -224,3 +224,60 @@ ORDER BY c.user_id, c_ts, p_ts
 """
 
 QUERIES["stream_interval_join"] = (stream_interval_join, STREAM_INTERVAL_SQL)
+
+
+def stream_semantic_dedup(spark, sf_dir):
+    """streaming semantic-dedup candidates (streaming/ops.py
+    semantic_dedup_candidates_stream): deterministic hyperplane-cell
+    collisions flagged online via per-cell state. The cell signature
+    uses inlined literal plane weights, so DuckDB reproduces the exact
+    partition; with a single source batch the state handler's
+    min-first rule makes every candidate (vec_id, cell-min, cell) and
+    the FULL streaming output hash-matches the oracle."""
+    from pyspark.sql import functions as F
+
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_sem_")
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    emb.to_spark().select("vec_id", "embedding").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>").parquet(src)
+    name = "stream_semantic_dedup_out"
+    q_ = S.run_to_memory(
+        S.semantic_dedup_candidates_stream(stream, dim=64, num_planes=4,
+                                           seed=7),
+        name, output_mode="append",
+    )
+    try:
+        out = spark.sql(
+            f"SELECT vec_id, matched_vec, cell FROM {name} "
+            "ORDER BY vec_id, cell"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q_.stop()
+    return out
+
+
+def _stream_sem_sql() -> str:
+    from .similarity import _lsh_cell_sql
+
+    return f"""
+WITH cells AS (
+  SELECT vec_id, CAST({_lsh_cell_sql(64, 4, 7)} AS BIGINT) AS cell
+  FROM embeddings
+),
+g AS (
+  SELECT vec_id, cell, min(vec_id) OVER (PARTITION BY cell) AS first
+  FROM cells
+)
+SELECT vec_id, first AS matched_vec, cell FROM g
+WHERE vec_id != first
+ORDER BY vec_id, cell
+"""
+
+
+QUERIES["stream_semantic_dedup"] = (stream_semantic_dedup, _stream_sem_sql())

@@ -243,3 +243,56 @@ def near_dedup_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SEM_DUP_OUT_SCHEMA = "vec_id long, matched_vec long, cell long"
+SEM_DUP_STATE_SCHEMA = "first long"
+
+
+def semantic_dedup_candidates_stream(
+    stream: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, num_planes: int = 8, seed: int = 7,
+) -> DataFrame:
+    """STREAMING semantic-dedup candidates: hyperplane-cell collisions
+    online (the streaming face of functions/similarity.semantic_dedup).
+
+    Cell assignment is the same deterministic literal-weight signature
+    as semantic_cells (portable — an external engine reproduces it
+    exactly from the seed); per-cell state remembers the cell's first
+    (minimum) vector id and every later arrival is emitted as a
+    candidate (vec_id, matched_vec, cell).  Candidates verify offline
+    with exact cosine — the same online-flag/offline-verify split as
+    near_dedup_candidates_stream.  State is one long per occupied
+    cell, partitioned by the cell key; size num_planes so cells stay
+    within state-store budget at the stream's cardinality."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.similarity import as_double, hyperplane_signature
+
+    cells = stream.select(
+        F.col(id_col).alias("vec_id"),
+        hyperplane_signature(
+            as_double(F.col(vec_col)), dim, num_planes, seed).alias("cell"),
+    )
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (cell,) = key
+        first = state.get[0] if state.exists else None
+        ids = sorted({int(v) for pdf in pdfs for v in pdf["vec_id"]})
+        if first is None and ids:
+            first = ids.pop(0)
+            state.update((first,))
+        dups = [v for v in ids if v != first]
+        if dups:
+            yield pd.DataFrame(
+                {"vec_id": dups, "matched_vec": [first] * len(dups),
+                 "cell": [int(cell)] * len(dups)}
+            )
+
+    return cells.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType=SEM_DUP_OUT_SCHEMA,
+        stateStructType=SEM_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -221,3 +221,67 @@ def test_near_dedup_candidates_stream(spark, sf_dir, tmp_path):
         assert len(want) > 0  # the corpus does contain near-dup buckets
     finally:
         q.stop()
+
+
+def test_semantic_dedup_candidates_stream_multibatch(spark, tmp_path):
+    """per-cell state survives micro-batches: the cell's first vector
+    comes from the FIRST file, later files' collisions match it even
+    when they carry smaller ids."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_expr_spark.functions.similarity import _plane_weights
+    from dask_expr_spark.streaming import ops as S
+
+    dim, planes, seed = 8, 2, 3
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((40, dim)).astype("float32")
+    src = str(tmp_path / "sem_stream")
+    # batch 1: ids 100..119, batch 2: ids 0..19 (smaller, arrive later)
+    for fname, ids in (("b1", range(100, 120)), ("b2", range(0, 20))):
+        pdf = pd.DataFrame({
+            "vec_id": list(ids),
+            "embedding": [vecs[i % 40].tolist() for i in ids],
+        })
+        from pyspark.sql import functions as SF
+        (spark.createDataFrame(pdf)
+         .select("vec_id", SF.col("embedding").cast("array<float>").alias("embedding"))
+         .coalesce(1).write.mode(
+             "append" if fname == "b2" else "overwrite").parquet(src))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = S.run_to_memory(
+        S.semantic_dedup_candidates_stream(stream, dim=dim,
+                                           num_planes=planes, seed=seed),
+        "sem_stream_out", output_mode="append")
+    try:
+        rows = spark.sql("SELECT * FROM sem_stream_out").collect()
+        got = {(r.vec_id, r.matched_vec, r.cell) for r in rows}
+        # recompute cells driver-side
+        W = np.asarray(_plane_weights(dim, planes, seed))
+        def cell_of(i):
+            bits = (vecs[i % 40].astype("float64") @ W.T) > 0
+            return int((bits.astype(int) * (1 << np.arange(planes))).sum())
+        cells_b1 = {}
+        want = set()
+        for i in range(100, 120):
+            c = cell_of(i)
+            if c in cells_b1:
+                want.add((i, cells_b1[c], c))
+            else:
+                cells_b1[c] = i
+        # batch-2 ids are smaller but must match batch-1 firsts
+        for i in range(0, 20):
+            c = cell_of(i)
+            first = cells_b1.get(c)
+            if first is None:
+                cells_b1[c] = i
+            else:
+                want.add((i, first, c))
+        assert got == want
+        # the order-dependence we're actually asserting: some batch-2
+        # candidate matched a LARGER first from batch 1
+        assert any(m > v for v, m, _ in got)
+    finally:
+        q.stop()
