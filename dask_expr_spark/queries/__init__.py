@@ -107,9 +107,19 @@ RECONFIRM_FIRST = (
 )
 
 # ROUND-5 CHECKLIST: once CORRECTNESS_r04.json lands, rotate again —
-# move the reconfirmed r1-era names to the back (update RECONFIRM_FIRST
-# to the next-oldest cohort: the r2-validated window queries).  Every
-# registry query was swept locally vs DuckDB at sf0.01 each round
+# add its green names to VALIDATED (the r4 window = the 24 round-4
+# queries below + the leading 26 of RECONFIRM_FIRST) and update
+# RECONFIRM_FIRST to the next-oldest cohort (the rest of the r1 list,
+# then the r2-validated window queries).  Round-4 additions that led
+# the window: parquet/orc/jdbc roundtrips, sources_from_array,
+# sources_divisions_repartition, timeseries_stats,
+# repartition/shuffle/persist/enforce-divisions invariance,
+# records_roundtrip_nation, size_len_scalars, toframe_price_total,
+# bucketed_join_orders, groupby_observed_false, period_monthly_revenue,
+# salted_agg_suppkey, salted_merge_orders, dedup_resolve_corpus,
+# merge_recursive_regions, semantic_dedup_kept, dedup_substring_spans,
+# dedup_connected_groups_star, stream_semantic_dedup.  Every registry
+# query was swept locally vs DuckDB at sf0.01 each round
 # (tests/test_correctness.py), so names outside the driver window are
 # never actually stale — the rotation just keeps the audit trail fresh.
 
