@@ -484,7 +484,8 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
 
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
-                     k: int = 20, min_docs: int = 2, sep: str = " ") -> DataFrame:
+                     k: int = 20, min_docs: int = 2, sep: str = " ",
+                     scope: str = "cross_doc") -> DataFrame:
     """Exact substring-duplication scan (Lee et al. 2021,
     arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
     Better" — the ExactSubstr pass, re-expressed Spark-first): every
@@ -502,11 +503,18 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     map-side.  Collision risk of the xxhash64 key at d distinct windows
     is ~d^2/2^65 (negligible below ~10^8 windows per shuffle key space).
 
+    ``scope``: "cross_doc" (default) flags windows shared by
+    >= min_docs DISTINCT documents; "any" additionally flags windows
+    repeated WITHIN one document (>= min_docs total occurrences — the
+    paper's ExactSubstr also removes intra-document repeats).
+
     Returns (id, total_tokens, dup_tokens, n_spans) — docs with no
     duplicated span report 0/0.
     """
     from pyspark.sql.window import Window
 
+    if scope not in ("cross_doc", "any"):
+        raise ValueError("scope must be 'cross_doc' or 'any'")
     toks = F.split(F.col(text_col), sep)
     base = df.select(F.col(id_col).alias("id"),
                      F.size(toks).alias("total_tokens"),
@@ -515,8 +523,10 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
         "id", F.posexplode("__w").alias("pos", "__s")
     ).select("id", "pos", F.xxhash64("__s").alias("h"))
 
+    occ = (F.count_distinct("id") if scope == "cross_doc"
+           else F.count(F.lit(1)))
     dup_h = (wins.groupBy("h")
-             .agg(F.count_distinct("id").alias("nd"))
+             .agg(occ.alias("nd"))
              .filter(F.col("nd") >= min_docs)
              .select("h"))
     dup_wins = wins.join(dup_h, "h", "left_semi").select("id", "pos")

@@ -264,3 +264,94 @@ from .round3 import COMPONENTS_SQL as _COMPONENTS_SQL  # noqa: E402
 
 QUERIES["dedup_connected_groups_star"] = (
     dedup_connected_groups_star, _COMPONENTS_SQL)
+
+
+CHUNK_MINHASH_SQL = """
+WITH chunks AS (
+  SELECT doc_id * 1000 + i AS cid,
+         array_to_string(string_split(text,' ')[(i*24)+1 : (i*24)+32], ' ') AS chunk
+  FROM documents,
+       unnest(generate_series(0,
+         greatest(CAST(ceil((len(string_split(text,' ')) - 8) / 24.0) AS INT), 1) - 1)) AS t(i)
+),
+ds AS (
+  SELECT DISTINCT cid, unnest(
+    CASE WHEN len(string_split(chunk,' ')) >= 3
+         THEN list_transform(generate_series(1, len(string_split(chunk,' ')) - 2),
+                             j -> array_to_string(string_split(chunk,' ')[j:j+2], ' '))
+         ELSE [] END) AS sh
+  FROM chunks
+),
+base AS (
+  SELECT cid, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM ds
+),
+perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+sig AS (
+  SELECT cid, i,
+         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
+                             1, 15))::BIGINT) AS m
+  FROM base CROSS JOIN perms GROUP BY cid, i
+),
+bandkeys AS (
+  SELECT cid, i // 4 AS band,
+         ('0x' || substr(md5(string_agg(CAST(m AS VARCHAR), ':' ORDER BY i)),
+                         1, 15))::BIGINT AS bkey
+  FROM sig GROUP BY cid, i // 4
+),
+grp AS (
+  SELECT band, bkey, cid,
+         min(cid) OVER (PARTITION BY band, bkey) AS first
+  FROM bandkeys
+)
+SELECT cid // 1000 AS doc_a, first // 1000 AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_collisions
+FROM grp
+WHERE cid != first AND cid // 1000 != first // 1000
+GROUP BY 1, 2 ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_chunk_minhash(spark, sf_dir):
+    """PARAGRAPH/CHUNK-level near-dedup (C4/RefinedWeb-style): docs are
+    chunked (chunk_text 32 tokens, overlap 8), each chunk gets a
+    MinHash signature (portable md5 family — functions/dedup.py
+    minhash_sig_expr), banded LSH buckets flag chunk collisions, and
+    collisions aggregate to cross-DOC pair counts.  Catches documents
+    sharing boilerplate paragraphs that whole-doc MinHash dilutes away.
+    The oracle reproduces chunking, signatures, band keys, and the
+    bucket-min rule bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from ..functions import text as TX
+    from ..functions.dedup import (lsh_band_keys, md5_band_hash,
+                                   md5_perm_hash, md5_token_hash,
+                                   minhash_sig_expr)
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(TX.chunk_text(F.col("text"), 32, 8)).alias("ci", "chunk"),
+    ).select((F.col("doc_id") * 1000 + F.col("ci")).alias("cid"), "chunk")
+    sig = minhash_sig_expr(F.col("chunk"), k=3, num_perm=32,
+                           token_hash=md5_token_hash,
+                           perm_hash=md5_perm_hash)
+    banded = chunks.select(
+        "cid", F.explode(lsh_band_keys(sig, 8, 4,
+                                       band_hash=md5_band_hash)).alias("bb")
+    ).select("cid", F.col("bb.band").alias("band"),
+             F.col("bb.bkey").alias("bkey"))
+    w = Window.partitionBy("band", "bkey")
+    grp = banded.withColumn("first", F.min("cid").over(w))
+    return (
+        grp.filter((F.col("cid") != F.col("first"))
+                   & ((F.col("cid") / 1000).cast("long")
+                      != (F.col("first") / 1000).cast("long")))
+        .select(F.floor(F.col("cid") / 1000).alias("doc_a"),
+                F.floor(F.col("first") / 1000).alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup_chunk_minhash"] = (dedup_chunk_minhash, CHUNK_MINHASH_SQL)

@@ -329,9 +329,16 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "dedup_resolve_corpus"],
              t="deep-chain + union-find differential test_dedup"),
         dict(op="exact substring-duplication scan (ExactSubstr: k-token "
-                "window hashes shared across docs, per-doc span merge)",
+                "window hashes shared across docs, per-doc span merge; "
+                "scope='any' also flags intra-doc repeats)",
              loc="dask_expr_spark/functions/dedup.py (duplicated_spans)",
-             q=["dedup_substring_spans"]),
+             q=["dedup_substring_spans"],
+             t="randomized python-oracle net test_property_random; "
+               "scope test test_dedup"),
+        dict(op="paragraph/chunk-level near-dedup (chunk_text + per-chunk "
+                "MinHash LSH, collisions aggregated to doc pairs)",
+             loc="dask_expr_spark/queries/dedup.py (dedup_chunk_minhash)",
+             q=["dedup_chunk_minhash"]),
         dict(op="ANN: cosine top-k (capped query side) / LSH / IVF / int8 / centroids",
              loc="dask_expr_spark/functions/similarity.py",
              q=["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",

@@ -163,3 +163,27 @@ def test_connected_components_star_matches_label_prop_random(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         want = {x: find(x) for x in parent}
         assert star == want, f"trial {trial} vs union-find"
+
+
+def test_duplicated_spans_scope_any_vs_cross_doc(spark):
+    """scope='any' also flags INTRA-document repeats; cross_doc (the
+    default) ignores them."""
+    import pandas as pd
+
+    phrase = "alpha beta gamma delta"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"{phrase} filler one two three {phrase}",  # internal repeat
+            "totally different words here entirely now",
+            "unrelated content without any repeats at all",
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    cross = {r.id: r.dup_tokens
+             for r in DD.duplicated_spans(sdf, "doc_id", "text", k=4).collect()}
+    any_ = {r.id: r.dup_tokens
+            for r in DD.duplicated_spans(sdf, "doc_id", "text", k=4,
+                                         scope="any").collect()}
+    assert cross == {1: 0, 2: 0, 3: 0}
+    assert any_[1] == 8 and any_[2] == 0 and any_[3] == 0
