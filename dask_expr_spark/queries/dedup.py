@@ -319,7 +319,13 @@ def dedup_chunk_minhash(spark, sf_dir):
     collisions aggregate to cross-DOC pair counts.  Catches documents
     sharing boilerplate paragraphs that whole-doc MinHash dilutes away.
     The oracle reproduces chunking, signatures, band keys, and the
-    bucket-min rule bit-for-bit."""
+    bucket-min rule bit-for-bit.
+
+    The md5 family here exists for the oracle; PRODUCTION runs the
+    default xxhash64 family (JVM-native, ~10x cheaper — drop the
+    token_hash/perm_hash/band_hash arguments).  At scale, replace the
+    per-bucket window-min with groupBy-min + join if boilerplate
+    chunks produce mega-buckets (same output, no per-key buffering)."""
     from pyspark.sql.window import Window
 
     from ..functions import text as TX
