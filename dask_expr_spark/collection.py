@@ -1897,10 +1897,18 @@ class DataFrame(FrameBase):
     def collect(self):
         return self._sdf.collect()
 
-    def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None) -> None:
-        w = self._sdf.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(partition_by)
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None,
+                   compression: str = "snappy", append: bool = False,
+                   partition_on=None) -> None:
+        """reference: to_parquet (io/parquet.py:337) — compression=,
+        append=, and partition_on= mirror the reference's knobs;
+        partition_on is the reference's name for partition_by."""
+        if append:
+            mode = "append"
+        w = self._sdf.write.mode(mode).option("compression", compression)
+        pb = partition_by or partition_on
+        if pb:
+            w = w.partitionBy(pb)
         w.parquet(path)
 
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,

@@ -243,3 +243,18 @@ def test_read_parquet_tuple_filters(spark, sf_dir):
     assert len(df2.to_spark().collect()) == want2
     plan = df.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+
+
+def test_parquet_append_compression_partition_on(spark, tmp_path):
+    """round 4: to_parquet append=/compression=/partition_on= parity
+    (reference io/parquet.py:337)."""
+    import pandas as pd
+
+    p = str(tmp_path / "appendpq")
+    a = from_pandas(spark, pd.DataFrame({"k": ["x", "y"], "v": [1, 2]}))
+    b = from_pandas(spark, pd.DataFrame({"k": ["x"], "v": [3]}))
+    a.to_parquet(p, compression="zstd", partition_on="k")
+    b.to_parquet(p, append=True, compression="zstd", partition_on="k")
+    back = read_parquet(spark, p).compute()
+    assert sorted(back["v"]) == [1, 2, 3]
+    assert set(back["k"]) == {"x", "y"}
