@@ -125,6 +125,16 @@ def main() -> None:
         return (DD.duplicated_spans(docs, "doc_id", "text", k=12)
                 .agg({"dup_tokens": "sum"}))
 
+    def _ivf_ann(spark, d):
+        # cells sized to corpus (like the semantic-dedup probe)
+        from dask_expr_spark.functions import similarity as SIM
+        from pyspark.sql import functions as F2
+        cells = 64 if "sfprobe" in d else 16
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        queries = emb.filter(F2.col("vec_id") % 100 == 0)
+        return SIM.ivf_topk(emb, queries, dim=64, k=5, num_cells=cells,
+                            nprobe=4).select("query_id", "neighbor_id")
+
     probes = {
         "dedup_ngram_jaccard": registry["dedup_ngram_jaccard"][0],
         "dedup_minhash_pipeline": bench.LOCAL_PROBES["dedup_minhash_pipeline"],
@@ -135,6 +145,12 @@ def main() -> None:
             bench.LOCAL_PROBES["scale_probe_expanding_median"],
         "semantic_dedup_sized_cells": _semantic_dedup,
         "dedup_substring_spans": _substring_spans,
+        # query-family coverage beyond the nonlinear-risk set
+        "asof_purchase_click": registry["asof_purchase_click"][0],
+        "resample_hourly": registry["resample_hourly"][0],
+        "text_lm_perplexity": registry["text_lm_perplexity"][0],
+        "text_bm25_search": registry["text_bm25_search"][0],
+        "ann_ivf_sized_cells": _ivf_ann,
     }
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
     if only:
