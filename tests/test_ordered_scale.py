@@ -891,3 +891,31 @@ def test_rolling_win_type_long_tail(frames):
         got = (d.rolling(n, win_type=wt, min_periods=2).sum(["y"], **kw)
                .compute().sort_index()["y_rsum"])
         _cmp_series(got, pd.Series(_ref_weighted(y, w, 2, "sum")))
+
+
+def test_constant_order_column_all_ties(spark):
+    """an order column with ONE distinct value collapses every range
+    bucket boundary — cumsum/shift/expanding must still work (single
+    bucket) and match pandas."""
+    pdf = pd.DataFrame({"i": [7] * 25, "j": range(25),
+                        "y": np.arange(25, dtype="float64")})
+    df = from_pandas(spark, pdf, npartitions=3).set_index("i")
+    run = df.cumsum(columns=["y"], order_by=["i", "j"]).compute()
+    got = run.sort_values("j")["y"].to_numpy()
+    np.testing.assert_allclose(got, np.cumsum(np.arange(25.0)))
+    med = (df.expanding(order_by=["i", "j"]).median(["y"])
+           .compute().sort_values("j")["y_rmedian"].to_numpy())
+    want = pd.Series(np.arange(25.0)).expanding().median().to_numpy()
+    np.testing.assert_allclose(med, want)
+
+
+def test_connected_components_star_empty_and_selfloops(spark):
+    from dask_expr_spark.functions import dedup as DD
+
+    ep = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert DD.connected_components_star(ep).count() == 0
+    loops = spark.createDataFrame(
+        pd.DataFrame({"id_a": [3, 4], "id_b": [3, 4]}))
+    got = {r.id: r.comp
+           for r in DD.connected_components_star(loops).collect()}
+    assert got == {3: 3, 4: 4}
