@@ -185,3 +185,82 @@ def embed_binary(df: DataFrame, id_col: str, bin_col: str, dim: int = 16) -> Dat
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, schema)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("image_bytes", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, id_col: str, bin_col: str,
+                  max_side: int = 256) -> DataFrame:
+    """image resize step: payloads whose decoded max dimension exceeds
+    `max_side` are downscaled preserving aspect ratio.  With Pillow
+    installed this is a REAL resize (re-encoded PNG); without it the
+    transform is a clearly-marked deterministic stub (payload passed
+    through, target dims computed from the parsed header) so the
+    Spark-side plumbing — schema, Arrow batching, pass-through of
+    small images — is exercised either way.  Rows whose payload can't
+    be decoded pass through untouched (resized=false)."""
+
+    def _target(w: int, h: int) -> tuple[int, int]:
+        m = max(w, h)
+        if m <= max_side:
+            return w, h
+        return max(1, (w * max_side) // m), max(1, (h * max_side) // m)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            out_b, out_w, out_h, out_r = [], [], [], []
+            for payload in pdf[bin_col]:
+                payload = payload or b""
+                w, h, _fmt = _decode_one(payload)
+                if w is None or h is None:
+                    out_b.append(payload)
+                    out_w.append(None)
+                    out_h.append(None)
+                    out_r.append(False)
+                    continue
+                tw, th = _target(int(w), int(h))
+                if (tw, th) == (w, h):
+                    out_b.append(payload)
+                    out_w.append(w)
+                    out_h.append(h)
+                    out_r.append(False)
+                elif _PILImage is not None:
+                    try:
+                        with _PILImage.open(io.BytesIO(payload)) as im:
+                            buf = io.BytesIO()
+                            im.resize((tw, th)).save(buf, format="PNG")
+                            out_b.append(buf.getvalue())
+                            out_w.append(tw)
+                            out_h.append(th)
+                            out_r.append(True)
+                    except Exception:
+                        out_b.append(payload)
+                        out_w.append(w)
+                        out_h.append(h)
+                        out_r.append(False)
+                else:
+                    # deterministic stub: dims recorded, payload kept
+                    out_b.append(payload)
+                    out_w.append(tw)
+                    out_h.append(th)
+                    out_r.append(True)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"),
+                 "image_bytes": out_b,
+                 "width": pd.array(out_w, dtype="Int32"),
+                 "height": pd.array(out_h, dtype="Int32"),
+                 "resized": pd.Series(out_r, dtype="bool")}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZE_SCHEMA)

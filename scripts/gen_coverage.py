@@ -366,10 +366,12 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/sampling.py",
              q=["split_train_val", "stratified_sample_docs",
                 "global_shuffle_head", "mix_sources_target"]),
-        dict(op="multimodal decode/frames/embed (header parsing real, "
-                "codec decode stubbed)",
+        dict(op="multimodal decode/frames/embed/resize (header parsing "
+                "real, codec decode/resize stubbed without Pillow, real "
+                "with it)",
              loc="dask_expr_spark/functions/multimodal.py",
-             q=["multimodal_decode"]),
+             q=["multimodal_decode"],
+             t="resize plumbing test_multimodal"),
     ]),
 ]
 

@@ -82,3 +82,30 @@ def test_embed_binary_deterministic(spark, sf_dir):
     assert a == b
     assert all(len(v) == 16 for v in a.values())
     assert all(-1.0 <= x <= 1.0 for v in a.values() for x in v)
+
+
+def test_resize_images_plumbing(spark):
+    """resize step: big images get aspect-preserving target dims, small
+    ones pass through, undecodable payloads pass through untouched.
+    (With Pillow absent the resize is the documented deterministic
+    stub — dims computed, payload kept — so assertions hold either
+    way; with Pillow the synthetic headers aren't valid full images,
+    which the implementation treats as pass-through.)"""
+    payloads = [
+        (1, _png(640, 480)),
+        (2, _png(100, 50)),
+        (3, b"not an image"),
+    ]
+    sdf = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: r
+           for r in MM.resize_images(sdf, "doc_id", "payload",
+                                     max_side=256).collect()}
+    r1 = got[1]
+    if r1.resized:  # stub mode (or a Pillow able to decode the fixture)
+        assert (r1.width, r1.height) == (256, 192)
+    else:  # Pillow raised on the header-only fixture → pass-through
+        assert (r1.width, r1.height) == (640, 480)
+    assert (got[2].width, got[2].height, got[2].resized) == (100, 50, False)
+    assert got[2].image_bytes == payloads[1][1]
+    assert got[3].width is None and got[3].resized is False
+    assert got[3].image_bytes == payloads[2][1]
