@@ -264,3 +264,80 @@ def resize_images(df: DataFrame, id_col: str, bin_col: str,
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def _parse_wav_header(p: bytes):
+    """real stdlib RIFF/WAVE parse: channels, sample rate, bit depth,
+    duration from the fmt and data chunks. Returns None for non-WAV."""
+    import struct
+
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", p, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(p):
+            _audio_fmt, nch, rate = struct.unpack_from("<HHI", p, pos + 8)
+            bits = struct.unpack_from("<H", p, pos + 8 + 14)[0]
+            fmt = (nch, rate, bits)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)
+    if fmt is None:
+        return None
+    nch, rate, bits = fmt
+    dur = None
+    if data_size is not None and rate and nch and bits:
+        dur = data_size / (rate * nch * (bits // 8 or 1))
+    return nch, rate, bits, dur
+
+
+def decode_audio_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """audio analogue of decode_image_meta: binary column → typed
+    metadata via mapInPandas. WAV/RIFF headers are parsed for REAL
+    (stdlib struct — channels, sample rate, bit depth, duration);
+    compressed codecs (mp3/ogg/flac) are recognized by magic bytes
+    only, their decode being the documented external-library stub."""
+
+    def _one(p: bytes):
+        wav = _parse_wav_header(p)
+        if wav is not None:
+            nch, rate, bits, dur = wav
+            return "wav", nch, rate, bits, dur
+        if p[:3] == b"ID3" or p[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+            return "mp3", None, None, None, None
+        if p[:4] == b"OggS":
+            return "ogg", None, None, None, None
+        if p[:4] == b"fLaC":
+            return "flac", None, None, None, None
+        return "unknown", None, None, None, None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [p if p is not None else b"" for p in pdf[bin_col]]
+            meta = [_one(p) for p in payloads]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"),
+                 "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                 "format": [m[0] for m in meta],
+                 "n_channels": pd.array([m[1] for m in meta], dtype="Int32"),
+                 "sample_rate": pd.array([m[2] for m in meta], dtype="Int32"),
+                 "bits_per_sample": pd.array([m[3] for m in meta], dtype="Int32"),
+                 "duration_s": pd.array([m[4] for m in meta], dtype="Float64")}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)

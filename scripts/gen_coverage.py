@@ -366,12 +366,12 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/sampling.py",
              q=["split_train_val", "stratified_sample_docs",
                 "global_shuffle_head", "mix_sources_target"]),
-        dict(op="multimodal decode/frames/embed/resize (header parsing "
-                "real, codec decode/resize stubbed without Pillow, real "
-                "with it)",
+        dict(op="multimodal decode/frames/embed/resize + audio metadata "
+                "(image header + WAV/RIFF parse real, codec decode/resize "
+                "stubbed without Pillow/ffmpeg)",
              loc="dask_expr_spark/functions/multimodal.py",
              q=["multimodal_decode"],
-             t="resize plumbing test_multimodal"),
+             t="resize plumbing + WAV parse test_multimodal"),
     ]),
 ]
 

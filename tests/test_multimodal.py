@@ -109,3 +109,34 @@ def test_resize_images_plumbing(spark):
     assert got[2].image_bytes == payloads[1][1]
     assert got[3].width is None and got[3].resized is False
     assert got[3].image_bytes == payloads[2][1]
+
+
+def test_decode_audio_meta_wav_and_magic(spark):
+    """real WAV header parse (stdlib) + magic-byte recognition for
+    compressed codecs."""
+    import struct
+
+    def wav(nch, rate, bits, n_samples):
+        data = b"\x00" * (n_samples * nch * (bits // 8))
+        fmt = struct.pack("<HHIIHH", 1, nch, rate,
+                          rate * nch * bits // 8, nch * bits // 8, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    payloads = [
+        (1, wav(2, 44100, 16, 44100)),   # 1 second stereo
+        (2, b"ID3" + b"\x00" * 40),
+        (3, b"OggS" + b"\x00" * 40),
+        (4, b"fLaC" + b"\x00" * 40),
+        (5, b"who knows"),
+    ]
+    sdf = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: r
+           for r in MM.decode_audio_meta(sdf, "doc_id", "payload").collect()}
+    r = got[1]
+    assert (r.format, r.n_channels, r.sample_rate, r.bits_per_sample) == \
+        ("wav", 2, 44100, 16)
+    assert abs(r.duration_s - 1.0) < 1e-9
+    assert got[2].format == "mp3" and got[3].format == "ogg"
+    assert got[4].format == "flac" and got[5].format == "unknown"
