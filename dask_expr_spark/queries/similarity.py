@@ -359,3 +359,64 @@ def semantic_dedup_kept(spark, sf_dir):
 
 
 QUERIES["semantic_dedup_kept"] = (semantic_dedup_kept, SEMANTIC_DEDUP_SQL)
+
+
+def multimodal_audio_meta(spark, sf_dir):
+    """audio-metadata decode: synthesize REAL RIFF/WAVE containers
+    deterministically from doc_id (channels/rate/samples are doc_id
+    formulas DuckDB can predict), push them through the stdlib WAV
+    parser (functions/multimodal.py decode_audio_meta) and aggregate —
+    the header parse is under test, not a stub."""
+    import struct
+
+    @F.pandas_udf("binary")
+    def payload(ids):
+        def mk(i):
+            i = int(i)
+            if i % 3 == 2:  # every third doc is an mp3-magic stub
+                return b"ID3" + b"\x00" * 13
+            nch = i % 2 + 1
+            rate = 8000 * (i % 4 + 1)
+            bits = 16
+            n_samples = i % 50 + 1
+            data = b"\x00" * (n_samples * nch * (bits // 8))
+            fmt = struct.pack("<HHIIHH", 1, nch, rate,
+                              rate * nch * bits // 8, nch * bits // 8, bits)
+            chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            chunks += b"data" + struct.pack("<I", len(data)) + data
+            return (b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE" + chunks)
+        return ids.apply(mk)
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    with_bin = docs.select("doc_id", payload("doc_id").alias("payload"))
+    meta = MM.decode_audio_meta(with_bin, "doc_id", "payload")
+    return (
+        meta.groupBy("format", "n_channels", "sample_rate")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("duration_s"), 6).alias("total_duration"))
+        .orderBy("format", "n_channels", "sample_rate")
+    )
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 2 THEN 'mp3' ELSE 'wav' END AS format,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE CAST(doc_id % 2 + 1 AS INT) END AS n_channels,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE CAST(8000 * (doc_id % 4 + 1) AS INT) END AS sample_rate,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE (doc_id % 50 + 1) * 1.0 / (8000 * (doc_id % 4 + 1))
+         END AS duration_s
+  FROM documents
+)
+SELECT format, n_channels, sample_rate,
+       count(*) AS n,
+       round(sum(duration_s), 6) AS total_duration
+FROM m GROUP BY format, n_channels, sample_rate
+ORDER BY format, n_channels, sample_rate
+"""
+
+QUERIES["multimodal_audio_meta"] = (multimodal_audio_meta, MULTIMODAL_AUDIO_SQL)

@@ -370,7 +370,7 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "(image header + WAV/RIFF parse real, codec decode/resize "
                 "stubbed without Pillow/ffmpeg)",
              loc="dask_expr_spark/functions/multimodal.py",
-             q=["multimodal_decode"],
+             q=["multimodal_decode", "multimodal_audio_meta"],
              t="resize plumbing + WAV parse test_multimodal"),
     ]),
 ]
