@@ -485,7 +485,8 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
 def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
                      k: int = 20, min_docs: int = 2, sep: str = " ",
-                     scope: str = "cross_doc") -> DataFrame:
+                     scope: str = "cross_doc",
+                     materialize: str = "local") -> DataFrame:
     """Exact substring-duplication scan (Lee et al. 2021,
     arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
     Better" — the ExactSubstr pass, re-expressed Spark-first): every
@@ -508,6 +509,14 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     repeated WITHIN one document (>= min_docs total occurrences — the
     paper's ExactSubstr also removes intra-document repeats).
 
+    ``materialize``: the (id, pos, hash) window table feeds TWO
+    consumers (the occurrence count and the probe side), whose
+    different shuffle keys defeat exchange reuse — "local" (default)
+    localCheckpoints it so the shingle scan runs once (measured 1.75×
+    at sf0.1); "none" recomputes.  At cluster scale the materialized
+    table is ~24 B/token on executor-local disk — if that exceeds
+    local storage, pass "none" or checkpoint to parquet upstream.
+
     Returns (id, total_tokens, dup_tokens, n_spans) — docs with no
     duplicated span report 0/0.
     """
@@ -522,6 +531,10 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     wins = base.select(
         "id", F.posexplode("__w").alias("pos", "__s")
     ).select("id", "pos", F.xxhash64("__s").alias("h"))
+    if materialize == "local":
+        wins = wins.localCheckpoint(eager=False)
+    elif materialize != "none":
+        raise ValueError("materialize must be 'local' or 'none'")
 
     occ = (F.count_distinct("id") if scope == "cross_doc"
            else F.count(F.lit(1)))
