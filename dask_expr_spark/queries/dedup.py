@@ -285,7 +285,7 @@ ds AS (
 base AS (
   SELECT cid, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM ds
 ),
-perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+perms AS (SELECT unnest(generate_series(0, 15)) AS i),
 sig AS (
   SELECT cid, i,
          min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR)),
@@ -338,11 +338,11 @@ def dedup_chunk_minhash(spark, sf_dir):
         "doc_id",
         F.posexplode(TX.chunk_text(F.col("text"), 32, 8)).alias("ci", "chunk"),
     ).select((F.col("doc_id") * 1000 + F.col("ci")).alias("cid"), "chunk")
-    sig = minhash_sig_expr(F.col("chunk"), k=3, num_perm=32,
+    sig = minhash_sig_expr(F.col("chunk"), k=3, num_perm=16,
                            token_hash=md5_token_hash,
                            perm_hash=md5_perm_hash)
     banded = chunks.select(
-        "cid", F.explode(lsh_band_keys(sig, 8, 4,
+        "cid", F.explode(lsh_band_keys(sig, 4, 4,
                                        band_hash=md5_band_hash)).alias("bb")
     ).select("cid", F.col("bb.band").alias("band"),
              F.col("bb.bkey").alias("bkey"))
