@@ -167,7 +167,10 @@ def main() -> None:
     # MEDIAN of 3 (round 4, VERDICT r3 item 8): min-of-N undersells
     # steady-state cost and single shots produced phantom ±30% movers
     # on this shared box; the median is the stable middle ground.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # 5 since round 4: median-of-3 still let one slow run shift the
+    # middle on this shared box (phantom 1.3-1.5x movers on sub-second
+    # queries between same-code runs); median-of-5 costs ~60s total
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     runnables = [(n, registry[n][0]) for n in names]
     runnables += list(LOCAL_PROBES.items())
