@@ -91,6 +91,15 @@ def build(spark) -> dict[str, int]:
         spark, "documents", {"doc_id": 10_000_000}, extra=_perturb_documents)
     counts["embeddings"] = _replicate(
         spark, "embeddings", {"vec_id": 10_000_000}, extra=_perturb_embeddings)
+    # dims copied UNSCALED (facts grow faster than dims in practice) so
+    # the relational queries (q1/q3/q5/q9 probes) run against this dir
+    import shutil
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        src, dst = f"{BASE}/{t}.parquet", f"{PROBE_DIR}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
     return counts
 
 
@@ -151,6 +160,12 @@ def main() -> None:
         "text_lm_perplexity": registry["text_lm_perplexity"][0],
         "text_bm25_search": registry["text_bm25_search"][0],
         "ann_ivf_sized_cells": _ivf_ann,
+        "q1_pricing_summary": registry["q1_pricing_summary"][0],
+        "q3_shipping_priority": registry["q3_shipping_priority"][0],
+        "q5_revenue_by_nation": registry["q5_revenue_by_nation"][0],
+        "q9_profit_by_nation": registry["q9_profit_by_nation"][0],
+        "stream_tumbling_counts": registry["stream_tumbling_counts"][0],
+        "stream_stateful_totals": registry["stream_stateful_totals"][0],
     }
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
     if only:
