@@ -1360,3 +1360,12 @@ def test_product_aliases(spark):
     g = df.groupby("k").product().compute().sort_values("k")
     assert list(g["x"]) == [6.0, 4.0]
     assert float(df[["x"]].product().compute().iloc[0]) == 24.0
+
+
+def test_datasets_module_alias(spark):
+    """reference dask_expr.datasets parity: the module exposes
+    timeseries (datasets.py:184)."""
+    from dask_expr_spark import datasets
+
+    df = datasets.timeseries(spark, start="2000-01-01", end="2000-01-03")
+    assert len(df.compute()) > 0
