@@ -526,7 +526,7 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("scope must be 'cross_doc' or 'any'")
     toks = F.split(F.col(text_col), sep)
     base = df.select(F.col(id_col).alias("id"),
-                     F.size(toks).alias("total_tokens"),
+                     F.coalesce(F.size(toks), F.lit(0)).alias("total_tokens"),
                      shingles(F.col(text_col), k, sep).alias("__w"))
     wins = base.select(
         "id", F.posexplode("__w").alias("pos", "__s")
@@ -629,6 +629,13 @@ def connected_components_star(pairs, a_col: str = "id_a", b_col: str = "id_b",
             e = e2
             break
         e = e2
+    else:
+        # same contract as connected_components: a non-star edge set
+        # would fan out the final join into duplicated, WRONG labels
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — raise max_iter (O(log n) rounds suffice for any "
+            "graph, so this indicates an extreme input).")
     return (nodes.join(e.select(F.col("hi").alias("id"),
                                 F.col("lo").alias("comp")),
                        "id", "left")

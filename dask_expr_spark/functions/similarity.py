@@ -283,6 +283,32 @@ def centroids_by_label(
     )
 
 
+def _train_ivf_cells(vv: DataFrame, id_name: str, vec_alias: str,
+                     num_cells: int, lloyd_iters: int) -> DataFrame:
+    """shared IVF coarse-quantizer trainer (ivf_topk + semantic_cells):
+    deterministic lowest-id seeding (no RNG), then lloyd_iters rounds
+    of distributed Lloyd — assignment is a broadcast compare, centroid
+    recompute shuffles only (cells x dim) aggregates. Returns cached
+    (cell, __cent)."""
+    seeds = (vv.orderBy(id_name).limit(num_cells)
+             .select(F.col(vec_alias).alias("__cent"))
+             .withColumn("cell", F.monotonically_increasing_id()))
+    cents = seeds.select("cell", "__cent")
+    for _ in range(lloyd_iters):
+        assigned = _nearest_cells(vv, cents, id_name, vec_alias, 1)
+        per_dim = (
+            assigned.select("cell", F.posexplode(vec_alias).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        cents = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
+            .select("cell", F.transform("__p", lambda s: s.getField("m")).alias("__cent"))
+        )
+    return cents.cache()
+
+
 def _nearest_cells(frame: DataFrame, cents: DataFrame, id_out: str,
                    vec_alias: str, n_cells: int) -> DataFrame:
     """score every row against every (broadcast) centroid, keep the
@@ -330,27 +356,7 @@ def ivf_topk(
     qv = queries.select(F.col(id_col).alias("query_id"),
                         as_double(F.col(vec_col)).alias("__qv"))
 
-    # 1. seeds: lowest ids — deterministic, no RNG
-    seeds = (vv.orderBy("neighbor_id").limit(num_cells)
-             .select(F.col("__vv").alias("__cent"))
-             .withColumn("cell", F.monotonically_increasing_id()))
-    cents = seeds.select("cell", "__cent")
-
-    # 2. Lloyd refinement, fully distributed
-    for _ in range(lloyd_iters):
-        assigned = _nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
-        per_dim = (
-            assigned.select("cell", F.posexplode("__vv").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-        )
-        cents = (
-            per_dim.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
-            .select("cell", F.transform("__p", lambda s: s.getField("m")).alias("__cent"))
-        )
-
-    cents = cents.cache()
+    cents = _train_ivf_cells(vv, "neighbor_id", "__vv", num_cells, lloyd_iters)
 
     # 3. probe: vectors in 1 cell, queries in nprobe cells
     v_cells = _nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
@@ -474,20 +480,7 @@ def semantic_cells(
             hyperplane_signature(F.col("__v"), dim, num_planes, seed).alias("cell"),
             "__v")
     if method == "ivf":
-        seeds = (vv.orderBy("id").limit(num_cells)
-                 .select(F.col("__v").alias("__cent"))
-                 .withColumn("cell", F.monotonically_increasing_id()))
-        cents = seeds.select("cell", "__cent")
-        for _ in range(lloyd_iters):
-            assigned = _nearest_cells(vv, cents, "id", "__v", 1)
-            per_dim = (
-                assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
-                .groupBy("cell", "pos").agg(F.avg("val").alias("m")))
-            cents = (
-                per_dim.groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__p"))
-                .select("cell", F.transform("__p", lambda s: s.getField("m")).alias("__cent")))
-        cents = cents.cache()
+        cents = _train_ivf_cells(vv, "id", "__v", num_cells, lloyd_iters)
         return _nearest_cells(vv, cents, "id", "__v", 1).select("id", "cell", "__v")
     raise ValueError(f"unknown cell method {method!r}; use 'lsh' or 'ivf'")
 

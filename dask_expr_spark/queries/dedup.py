@@ -338,6 +338,13 @@ def dedup_chunk_minhash(spark, sf_dir):
         "doc_id",
         F.posexplode(TX.chunk_text(F.col("text"), 32, 8)).alias("ci", "chunk"),
     ).select((F.col("doc_id") * 1000 + F.col("ci")).alias("cid"), "chunk")
+    # chunks with < 3 tokens have an EMPTY shingle set: their MinHash
+    # signature would be all-NULL and md5_band_hash's array_join drops
+    # NULLs, collapsing every such chunk onto one constant band key —
+    # spurious collisions the oracle (which simply emits no signature
+    # rows for them) never produces. Filter them on the Spark side to
+    # match.
+    chunks = chunks.filter(F.size(F.split(F.col("chunk"), " ")) >= 3)
     sig = minhash_sig_expr(F.col("chunk"), k=3, num_perm=16,
                            token_hash=md5_token_hash,
                            perm_hash=md5_perm_hash)

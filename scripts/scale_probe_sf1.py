@@ -82,9 +82,13 @@ def _perturb_embeddings(df):
 
 def build(spark) -> dict[str, int]:
     counts = {}
+    # o_custkey is NOT shifted: the customer dim is copied unscaled, so
+    # replicated orders must keep valid FKs (each customer simply owns
+    # R x orders — the "facts grow faster than dims" shape). Shifting
+    # it orphaned 90% of orders at the first join and understated the
+    # relational probe ratios (round-4 review finding).
     counts["lineitem"] = _replicate(spark, "lineitem", {"l_orderkey": STRIDE})
-    counts["orders"] = _replicate(
-        spark, "orders", {"o_orderkey": STRIDE, "o_custkey": 10_000_000})
+    counts["orders"] = _replicate(spark, "orders", {"o_orderkey": STRIDE})
     counts["events"] = _replicate(
         spark, "events", {"event_id": STRIDE, "user_id": 10_000_000})
     counts["documents"] = _replicate(
@@ -122,7 +126,7 @@ def main() -> None:
         # (~250-350 vectors/cell at BOTH points), so the within-cell
         # pair stage stays bounded while cell COUNT absorbs growth
         from dask_expr_spark.functions import similarity as SIM
-        planes = 6 if "sfprobe" in d else 3
+        planes = 6 if d == PROBE_DIR else 3
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return SIM.semantic_dedup(
             emb, dim=64, threshold=0.45, method="lsh", num_planes=planes,
@@ -138,7 +142,7 @@ def main() -> None:
         # cells sized to corpus (like the semantic-dedup probe)
         from dask_expr_spark.functions import similarity as SIM
         from pyspark.sql import functions as F2
-        cells = 64 if "sfprobe" in d else 16
+        cells = 64 if d == PROBE_DIR else 16
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         queries = emb.filter(F2.col("vec_id") % 100 == 0)
         return SIM.ivf_topk(emb, queries, dim=64, k=5, num_cells=cells,
@@ -176,7 +180,10 @@ def main() -> None:
     # warmup: codegen + the Python/Arrow UDF worker pool (same as
     # bench.py — an unwarmed pool once charged ~10 s to the first
     # UDF-bearing probe and produced a phantom sublinear ratio)
-    registry["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = BASE
+    registry["q1_pricing_summary"][0](spark, warm_dir).collect()
     from pyspark.sql import functions as F  # noqa: F811
     from pyspark.sql import types as T
 
