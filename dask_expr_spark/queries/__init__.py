@@ -80,48 +80,64 @@ VALIDATED = frozenset({
     "dedup_simhash", "ann_lsh_bucketed", "ann_ivf_topk", "ann_int8_topk",
     "stream_tumbling_counts", "stream_session_counts",
     "stream_interval_join",
+    # round 4 (CORRECTNESS_r04.json — all 50 rows hash-green: the 24 new
+    # round-4 queries + the leading 26 of the r1-era reconfirmation
+    # cohort, including the three approx/sample tolerance queries that
+    # had never had a green driver row).
+    "parquet_roundtrip_lineitem", "orc_roundtrip_supplier",
+    "sources_from_array", "sources_divisions_repartition",
+    "timeseries_stats", "repartition_invariance_orders",
+    "shuffle_on_invariance", "persist_cached_agg",
+    "enforce_divisions_orders", "records_roundtrip_nation",
+    "jdbc_roundtrip_supplier", "size_len_scalars", "toframe_price_total",
+    "bucketed_join_orders", "groupby_observed_false",
+    "period_monthly_revenue", "salted_agg_suppkey", "salted_merge_orders",
+    "dedup_resolve_corpus", "merge_recursive_regions",
+    "dedup_substring_spans", "dedup_connected_groups_star",
+    "dedup_chunk_minhash", "semantic_dedup_kept", "multimodal_audio_meta",
+    "stream_semantic_dedup",
 })
 
-# Queries whose driver validation is OLDEST (r1 era) — these lead the
-# round-4 window so the driver reconfirms them before anything newer.
-# In particular approx_distinct_parts / approx_quantiles_price /
-# sample_orders were no_oracle in r1 and gained tolerance oracles in r3,
-# so they have never had a green hash-checked driver row.
+# Queries whose driver validation is OLDEST — these lead the round-5
+# window (after any new round-5 queries) so the driver reconfirms them
+# before anything newer.  Cohort = the r1-era names the r4 window did
+# NOT reach, then the oldest r2-validated names in registry order.
 RECONFIRM_FIRST = (
-    "approx_distinct_parts", "approx_quantiles_price", "sample_orders",
-    "q3_shipping_priority", "q4_priority_late", "q5_revenue_by_nation",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_profit_by_nation", "q10_returned_revenue",
-    "q12_late_priority_counts", "q13_customer_distribution",
-    "q14_type_revenue_ratio", "q15_top_suppliers", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q18_large_orders", "q19_or_predicates",
-    "q21_waiting_supplier", "q22_idle_customers", "filter_isin_between",
-    "case_when_buckets", "string_ops", "string_ops2", "date_ops",
-    "date_ops2", "value_counts_flag", "distinct_pairs", "nunique_by_group",
-    "topk_orders", "fillna_mask", "union_concat", "pivot_status",
-    "minmax_by_group", "quantiles_exact", "stats_var_std", "corr_cov",
-    "transform_pct_of_group", "expanding_running_share",
-    "categorize_segments", "drop_dup_keep_first", "combine_first_balances",
-    "loc_orderkey_slice", "series_map_status", "join_broadcast_part",
-    "join_semi", "join_anti", "join_outer",
+    # r1-era remainder (validated r1, never reconfirmed since)
+    "string_ops2", "date_ops", "date_ops2", "value_counts_flag",
+    "distinct_pairs", "nunique_by_group", "topk_orders", "fillna_mask",
+    "union_concat", "pivot_status", "minmax_by_group", "quantiles_exact",
+    "stats_var_std", "corr_cov", "transform_pct_of_group",
+    "expanding_running_share", "categorize_segments",
+    "drop_dup_keep_first", "combine_first_balances", "loc_orderkey_slice",
+    "series_map_status", "join_broadcast_part", "join_semi", "join_anti",
+    "join_outer", "q1_pricing_summary",
+    # oldest r2 cohort (validated r2, never reconfirmed since)
+    "melt_measures", "rollup_revenue", "cube_priority_status",
+    "except_inactive_customers", "intersect_active_parts",
+    "dummies_by_nation", "window_shift_diff", "window_cumsum_user",
+    "window_rolling_mean", "window_rank_latest", "resample_hourly",
+    "window_user_sessions", "asof_purchase_click", "window_ffill_gaps",
+    "rolling_time_window", "sliding_window_counts", "funnel_stages",
+    "weekly_retention", "json_props_stats", "text_stats_by_lang",
+    "text_quality_buckets", "text_token_frequencies",
+    "text_fingerprint_dups", "text_lang_id", "text_chunking",
 )
 
-# ROUND-5 CHECKLIST: once CORRECTNESS_r04.json lands, rotate again —
-# add its green names to VALIDATED (the r4 window = the 24 round-4
-# queries below + the leading 26 of RECONFIRM_FIRST) and update
-# RECONFIRM_FIRST to the next-oldest cohort (the rest of the r1 list,
-# then the r2-validated window queries).  Round-4 additions that led
-# the window: parquet/orc/jdbc roundtrips, sources_from_array,
-# sources_divisions_repartition, timeseries_stats,
-# repartition/shuffle/persist/enforce-divisions invariance,
-# records_roundtrip_nation, size_len_scalars, toframe_price_total,
-# bucketed_join_orders, groupby_observed_false, period_monthly_revenue,
-# salted_agg_suppkey, salted_merge_orders, dedup_resolve_corpus,
-# merge_recursive_regions, semantic_dedup_kept, dedup_substring_spans,
-# dedup_connected_groups_star, stream_semantic_dedup.  Every registry
-# query was swept locally vs DuckDB at sf0.01 each round
-# (tests/test_correctness.py), so names outside the driver window are
-# never actually stale — the rotation just keeps the audit trail fresh.
+# ROUND-6 CHECKLIST: once CORRECTNESS_r05.json lands, rotate again —
+# add its green names to VALIDATED (the r5 window = the new round-5
+# queries + the leading names of RECONFIRM_FIRST above) and update
+# RECONFIRM_FIRST to the next-oldest cohort (the remaining r2 names:
+# pipeline_clean_corpus, dedup_exact_docs, dedup_ngram_jaccard,
+# ann_cosine_topk, ann_centroids, multimodal_decode,
+# dedup_embedding_cosine, stream_stateful_totals, stats_skew_kurt,
+# rolling_moments_daily, pivot_table_priority, idxmax_per_priority,
+# daily_growth, rolling_median_rev, rank_priority_totals,
+# split_train_val, stratified_sample_docs, global_shuffle_head — then
+# the r3 cohort in registry order).  Every registry query is swept
+# locally vs DuckDB at sf0.01 each round (tests/test_correctness.py),
+# so names outside the driver window are never actually stale — the
+# rotation just keeps the audit trail fresh.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
