@@ -194,6 +194,7 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("resized", T.BooleanType()),
+        T.StructField("stubbed", T.BooleanType()),
     ]
 )
 
@@ -203,11 +204,13 @@ def resize_images(df: DataFrame, id_col: str, bin_col: str,
     """image resize step: payloads whose decoded max dimension exceeds
     `max_side` are downscaled preserving aspect ratio.  With Pillow
     installed this is a REAL resize (re-encoded PNG); without it the
-    transform is a clearly-marked deterministic stub (payload passed
-    through, target dims computed from the parsed header) so the
+    payload passes through unchanged and the row is marked
+    stubbed=true / resized=false with width/height describing the
+    PAYLOAD'S actual dims (never the unapplied target dims), so
+    downstream consumers can't mistake a stub for a real resize.  The
     Spark-side plumbing — schema, Arrow batching, pass-through of
     small images — is exercised either way.  Rows whose payload can't
-    be decoded pass through untouched (resized=false)."""
+    be decoded pass through untouched (resized=false, stubbed=false)."""
 
     def _target(w: int, h: int) -> tuple[int, int]:
         m = max(w, h)
@@ -219,7 +222,7 @@ def resize_images(df: DataFrame, id_col: str, bin_col: str,
         import io
 
         for pdf in it:
-            out_b, out_w, out_h, out_r = [], [], [], []
+            out_b, out_w, out_h, out_r, out_s = [], [], [], [], []
             for payload in pdf[bin_col]:
                 payload = payload or b""
                 w, h, _fmt = _decode_one(payload)
@@ -228,6 +231,7 @@ def resize_images(df: DataFrame, id_col: str, bin_col: str,
                     out_w.append(None)
                     out_h.append(None)
                     out_r.append(False)
+                    out_s.append(False)
                     continue
                 tw, th = _target(int(w), int(h))
                 if (tw, th) == (w, h):
@@ -235,6 +239,7 @@ def resize_images(df: DataFrame, id_col: str, bin_col: str,
                     out_w.append(w)
                     out_h.append(h)
                     out_r.append(False)
+                    out_s.append(False)
                 elif _PILImage is not None:
                     try:
                         with _PILImage.open(io.BytesIO(payload)) as im:
@@ -244,23 +249,29 @@ def resize_images(df: DataFrame, id_col: str, bin_col: str,
                             out_w.append(tw)
                             out_h.append(th)
                             out_r.append(True)
+                            out_s.append(False)
                     except Exception:
                         out_b.append(payload)
                         out_w.append(w)
                         out_h.append(h)
                         out_r.append(False)
+                        out_s.append(False)
                 else:
-                    # deterministic stub: dims recorded, payload kept
+                    # no Pillow: payload kept, so width/height report the
+                    # payload's REAL dims and stubbed flags the skipped
+                    # resize (never resized=true with unapplied target dims)
                     out_b.append(payload)
-                    out_w.append(tw)
-                    out_h.append(th)
-                    out_r.append(True)
+                    out_w.append(w)
+                    out_h.append(h)
+                    out_r.append(False)
+                    out_s.append(True)
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"),
                  "image_bytes": out_b,
                  "width": pd.array(out_w, dtype="Int32"),
                  "height": pd.array(out_h, dtype="Int32"),
-                 "resized": pd.Series(out_r, dtype="bool")}
+                 "resized": pd.Series(out_r, dtype="bool"),
+                 "stubbed": pd.Series(out_s, dtype="bool")}
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, RESIZE_SCHEMA)
@@ -290,7 +301,10 @@ def _parse_wav_header(p: bytes):
     while pos + 8 <= len(p):
         cid = p[pos:pos + 4]
         (csize,) = struct.unpack_from("<I", p, pos + 4)
-        if cid == b"fmt " and pos + 8 + 16 <= len(p):
+        # csize >= 16 matters, not just buffer length: a fmt chunk
+        # declaring fewer bytes would otherwise be parsed into the
+        # following chunk's header
+        if cid == b"fmt " and csize >= 16 and pos + 8 + 16 <= len(p):
             _audio_fmt, nch, rate = struct.unpack_from("<HHI", p, pos + 8)
             bits = struct.unpack_from("<H", p, pos + 8 + 14)[0]
             fmt = (nch, rate, bits)
@@ -302,7 +316,9 @@ def _parse_wav_header(p: bytes):
     nch, rate, bits = fmt
     dur = None
     if data_size is not None and rate and nch and bits:
-        dur = data_size / (rate * nch * (bits // 8 or 1))
+        # duration in the bit domain so non-byte-aligned depths
+        # (e.g. 12-bit) don't round through bits//8
+        dur = (data_size * 8) / (rate * nch * bits)
     return nch, rate, bits, dur
 
 

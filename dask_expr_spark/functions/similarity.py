@@ -496,15 +496,25 @@ def semantic_dedup(
     seed: int = 7,
     num_cells: int = 64,
     lloyd_iters: int = 2,
+    resolver: str = "labelprop",
+    max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): cluster the corpus into cells, mark
     within-cell pairs with cosine >= threshold as semantic duplicates,
-    resolve duplicate groups transitively (dedup.connected_components),
-    and keep the min-id representative of each group.  Divergence from
-    the paper: the representative is the smallest id (deterministic,
-    engine-portable) rather than the member farthest from the cluster
-    centroid.
+    resolve duplicate groups transitively, and keep the min-id
+    representative of each group.  Divergence from the paper: the
+    representative is the smallest id (deterministic, engine-portable)
+    rather than the member farthest from the cluster centroid.
+
+    The id column must be integral (the within-cell pair stage emits
+    64-bit id pairs); non-integer ids raise immediately with a
+    zipWithIndex/monotonically_increasing_id hint instead of failing
+    inside the Arrow batch.  `resolver` picks the group resolution:
+    'labelprop' (dedup.connected_components, rounds ~ diameter,
+    bounded by `max_iter`) or 'star' (connected_components_star,
+    O(log n) rounds regardless of diameter — use when duplicate
+    chains may be deeper than max_iter hops).
 
     Scale contract (100 TB): within-cell comparison is all-pairs, so
     cell size bounds the cost — size num_planes (2^p cells) or
@@ -518,7 +528,17 @@ def semantic_dedup(
     """
     import numpy as np
 
-    from .dedup import connected_components
+    from .dedup import connected_components, connected_components_star
+
+    if resolver not in ("labelprop", "star"):
+        raise ValueError(
+            f"unknown resolver {resolver!r}; use 'labelprop' or 'star'")
+    id_type = vectors.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"semantic_dedup requires an integral id column; {id_col!r} is "
+            f"{id_type}. Assign a surrogate id first, e.g. "
+            f"df.withColumn('vec_id', F.monotonically_increasing_id())")
 
     base = semantic_cells(vectors, dim, id_col, vec_col, method,
                           num_planes, seed, num_cells, lloyd_iters)
@@ -563,6 +583,9 @@ def semantic_dedup(
 
     pairs = base.groupBy("cell").applyInPandas(
         cell_pairs, "id_a long, id_b long")
-    comp = connected_components(pairs)
+    if resolver == "star":
+        comp = connected_components_star(pairs, max_iter=max(max_iter, 50))
+    else:
+        comp = connected_components(pairs, max_iter=max_iter)
     dropped = comp.filter(F.col("id") != F.col("comp")).select("id")
     return base.join(dropped, "id", "left_anti").select("id", "cell")

@@ -268,7 +268,7 @@ QUERIES["dedup_connected_groups_star"] = (
 
 CHUNK_MINHASH_SQL = """
 WITH chunks AS (
-  SELECT doc_id * 1000 + i AS cid,
+  SELECT doc_id * 1048576 + i AS cid,
          array_to_string(string_split(text,' ')[(i*24)+1 : (i*24)+32], ' ') AS chunk
   FROM documents,
        unnest(generate_series(0,
@@ -303,10 +303,10 @@ grp AS (
          min(cid) OVER (PARTITION BY band, bkey) AS first
   FROM bandkeys
 )
-SELECT cid // 1000 AS doc_a, first // 1000 AS doc_b,
+SELECT cid // 1048576 AS doc_a, first // 1048576 AS doc_b,
        CAST(count(*) AS BIGINT) AS n_collisions
 FROM grp
-WHERE cid != first AND cid // 1000 != first // 1000
+WHERE cid != first AND cid // 1048576 != first // 1048576
 GROUP BY 1, 2 ORDER BY doc_a, doc_b
 """
 
@@ -337,7 +337,13 @@ def dedup_chunk_minhash(spark, sf_dir):
     chunks = docs.select(
         "doc_id",
         F.posexplode(TX.chunk_text(F.col("text"), 32, 8)).alias("ci", "chunk"),
-    ).select((F.col("doc_id") * 1000 + F.col("ci")).alias("cid"), "chunk")
+    ).select(
+        # 20-bit chunk field: a doc would need >= 2^20 chunks (~25M
+        # tokens at chunk 32 / stride 24) before aliasing into the next
+        # doc_id — vs the old *1000 encoding that aliased at ~24k tokens.
+        (F.shiftleft(F.col("doc_id"), 20) + F.col("ci")).alias("cid"),
+        "chunk",
+    )
     # chunks with < 3 tokens have an EMPTY shingle set: their MinHash
     # signature would be all-NULL and md5_band_hash's array_join drops
     # NULLs, collapsing every such chunk onto one constant band key —
@@ -357,10 +363,10 @@ def dedup_chunk_minhash(spark, sf_dir):
     grp = banded.withColumn("first", F.min("cid").over(w))
     return (
         grp.filter((F.col("cid") != F.col("first"))
-                   & ((F.col("cid") / 1000).cast("long")
-                      != (F.col("first") / 1000).cast("long")))
-        .select(F.floor(F.col("cid") / 1000).alias("doc_a"),
-                F.floor(F.col("first") / 1000).alias("doc_b"))
+                   & (F.shiftright(F.col("cid"), 20)
+                      != F.shiftright(F.col("first"), 20)))
+        .select(F.shiftright(F.col("cid"), 20).alias("doc_a"),
+                F.shiftright(F.col("first"), 20).alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_collisions"))
         .orderBy("doc_a", "doc_b")

@@ -17,6 +17,7 @@ behavior is exercised separately in tests/test_streaming.py.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -233,33 +234,40 @@ def stream_semantic_dedup(spark, sf_dir):
     uses inlined literal plane weights, so DuckDB reproduces the exact
     partition; with a single source batch the state handler's
     min-first rule makes every candidate (vec_id, cell-min, cell) and
-    the FULL streaming output hash-matches the oracle."""
-    from pyspark.sql import functions as F
+    the FULL streaming output hash-matches the oracle.
 
+    The oracle equivalence relies on the whole corpus arriving as ONE
+    micro-batch (hence the coalesce(1) single-file source and no
+    maxFilesPerTrigger): with multiple batches the min-first state
+    rule would emit per-batch-prefix minima instead of the global
+    cell minimum."""
     from ..sources.io import read_parquet
     from ..streaming import ops as S
 
     src = tempfile.mkdtemp(prefix="stream_sem_")
-    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
-    emb.to_spark().select("vec_id", "embedding").coalesce(1) \
-        .write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(
-        "vec_id long, embedding array<float>").parquet(src)
-    name = "stream_semantic_dedup_out"
-    q_ = S.run_to_memory(
-        S.semantic_dedup_candidates_stream(stream, dim=64, num_planes=4,
-                                           seed=7),
-        name, output_mode="append",
-    )
     try:
-        out = spark.sql(
-            f"SELECT vec_id, matched_vec, cell FROM {name} "
-            "ORDER BY vec_id, cell"
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        emb.to_spark().select("vec_id", "embedding").coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(src)
+        name = "stream_semantic_dedup_out"
+        q_ = S.run_to_memory(
+            S.semantic_dedup_candidates_stream(stream, dim=64, num_planes=4,
+                                               seed=7),
+            name, output_mode="append",
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        try:
+            out = spark.sql(
+                f"SELECT vec_id, matched_vec, cell FROM {name} "
+                "ORDER BY vec_id, cell"
+            )
+            out = spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            q_.stop()
+        return out
     finally:
-        q_.stop()
-    return out
+        shutil.rmtree(src, ignore_errors=True)
 
 
 def _stream_sem_sql() -> str:

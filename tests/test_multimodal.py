@@ -87,10 +87,10 @@ def test_embed_binary_deterministic(spark, sf_dir):
 def test_resize_images_plumbing(spark):
     """resize step: big images get aspect-preserving target dims, small
     ones pass through, undecodable payloads pass through untouched.
-    (With Pillow absent the resize is the documented deterministic
-    stub — dims computed, payload kept — so assertions hold either
-    way; with Pillow the synthetic headers aren't valid full images,
-    which the implementation treats as pass-through.)"""
+    Without Pillow (or when Pillow raises on the header-only fixture)
+    the payload passes through and width/height report its REAL dims —
+    resized=true only ever accompanies an actually re-encoded payload;
+    the no-Pillow skip is flagged stubbed=true instead."""
     payloads = [
         (1, _png(640, 480)),
         (2, _png(100, 50)),
@@ -101,13 +101,19 @@ def test_resize_images_plumbing(spark):
            for r in MM.resize_images(sdf, "doc_id", "payload",
                                      max_side=256).collect()}
     r1 = got[1]
-    if r1.resized:  # stub mode (or a Pillow able to decode the fixture)
+    if r1.resized:  # Pillow present and able to decode the fixture
         assert (r1.width, r1.height) == (256, 192)
-    else:  # Pillow raised on the header-only fixture → pass-through
+        assert not r1.stubbed
+        assert r1.image_bytes != payloads[0][1]
+    else:  # no Pillow (stubbed=true) or Pillow raised (stubbed=false):
+        # payload untouched, dims describe the payload
         assert (r1.width, r1.height) == (640, 480)
-    assert (got[2].width, got[2].height, got[2].resized) == (100, 50, False)
+        assert r1.image_bytes == payloads[0][1]
+    assert (got[2].width, got[2].height, got[2].resized,
+            got[2].stubbed) == (100, 50, False, False)
     assert got[2].image_bytes == payloads[1][1]
     assert got[3].width is None and got[3].resized is False
+    assert got[3].stubbed is False
     assert got[3].image_bytes == payloads[2][1]
 
 
@@ -140,3 +146,29 @@ def test_decode_audio_meta_wav_and_magic(spark):
     assert abs(r.duration_s - 1.0) < 1e-9
     assert got[2].format == "mp3" and got[3].format == "ogg"
     assert got[4].format == "flac" and got[5].format == "unknown"
+
+
+def test_wav_header_edge_cases():
+    """csize gating + non-byte-aligned bit depth: a fmt chunk declaring
+    <16 bytes must not be parsed into the next chunk, and 12-bit depth
+    duration must come from the bit domain, not bits//8."""
+    import struct
+
+    from dask_expr_spark.functions.multimodal import _parse_wav_header
+
+    def riff(chunks):
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # 12-bit mono 8000 Hz: 8000 samples -> 12000 bytes of data = 1 s
+    fmt12 = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 12 // 8, 2, 12)
+    good = riff(b"fmt " + struct.pack("<I", len(fmt12)) + fmt12
+                + b"data" + struct.pack("<I", 12000) + b"\x00" * 12000)
+    nch, rate, bits, dur = _parse_wav_header(good)
+    assert (nch, rate, bits) == (1, 8000, 12)
+    assert abs(dur - 1.0) < 1e-9
+
+    # fmt chunk declaring only 4 bytes: must NOT read format fields out
+    # of the following data chunk's bytes
+    short_fmt = riff(b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+                     + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    assert _parse_wav_header(short_fmt) is None

@@ -151,3 +151,33 @@ def test_semantic_dedup_lsh_matches_bruteforce_groups(spark, sf_dir):
         .filter(F.col("cos") >= 0.45)
         .select("id").distinct())
     assert dropped.count() == hit.count()
+
+
+def test_semantic_dedup_star_resolver_matches_labelprop(spark, sf_dir):
+    """resolver='star' (O(log n) rounds) must keep exactly the same id
+    set as the default label-propagation resolver — only the round
+    structure differs, never the groups."""
+    emb = _emb(spark, sf_dir)
+    kept_lp = SIM.semantic_dedup(
+        emb, dim=64, threshold=0.45, method="lsh", num_planes=2, seed=7)
+    kept_star = SIM.semantic_dedup(
+        emb, dim=64, threshold=0.45, method="lsh", num_planes=2, seed=7,
+        resolver="star")
+    a = {r.id for r in kept_lp.collect()}
+    b = {r.id for r in kept_star.collect()}
+    assert a == b
+
+
+def test_semantic_dedup_rejects_non_integer_ids(spark):
+    import pytest
+
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    with pytest.raises(TypeError, match="integral id"):
+        SIM.semantic_dedup(sdf, dim=2)
+    with pytest.raises(ValueError, match="resolver"):
+        SIM.semantic_dedup(
+            spark.createDataFrame([(1, [1.0, 0.0])],
+                                  "vec_id long, embedding array<double>"),
+            dim=2, resolver="bogus")
