@@ -311,18 +311,50 @@ def _train_ivf_cells(vv: DataFrame, id_name: str, vec_alias: str,
 
 def _nearest_cells(frame: DataFrame, cents: DataFrame, id_out: str,
                    vec_alias: str, n_cells: int) -> DataFrame:
-    """score every row against every (broadcast) centroid, keep the
-    n_cells best per row — broadcast nested-loop join + struct top-k,
-    linear in rows, no shuffle of the vector side."""
-    scored = frame.join(F.broadcast(cents)).withColumn(
-        "__sim", cosine(F.col(vec_alias), F.col("__cent"))
-    )
-    w = Window.partitionBy(id_out).orderBy(F.col("__sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("__cr", F.row_number().over(w))
-        .filter(F.col("__cr") <= n_cells)
-        .drop("__cent", "__sim", "__cr")
-    )
+    """assign each row its n_cells nearest (cosine) centroids with NO
+    shuffle: the (num_cells x dim) centroid matrix is small by
+    construction (the coarse quantizer is meant to be broadcast — 4096
+    cells x 1024 dims is 32 MB), so it ships to executors inside an
+    Arrow-batched pandas_udf closure that scores each batch with one
+    BLAS matmul and emits the top-n cell ids per row.  Ties break
+    toward the lowest cell id (stable argsort over cell-sorted
+    columns), matching the former orderBy(sim desc, cell asc) rule.
+
+    This replaced a broadcast-join + Window.partitionBy(row id) plan
+    whose rank step hash-exchanged the rows x num_cells scored frame
+    on the row id with no map-side reduction — at num_cells=4096 a
+    shuffle 4096x the corpus row count, growing with the quantizer
+    instead of the data.  Now the op is map-only: scan, matmul,
+    (n_cells>1: in-row explode)."""
+    import numpy as np
+
+    rows = cents.select("cell", "__cent").collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["cell"])
+    cell_ids = np.asarray([rows[i]["cell"] for i in order], dtype="int64")
+    C = np.asarray([rows[i]["__cent"] for i in order], dtype="float64")
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    Cn = C / norms[:, None]
+    n = min(int(n_cells), len(cell_ids))
+
+    @F.pandas_udf("array<bigint>")
+    def __best_cells(vs: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype="float64") for v in vs])
+        if len(M) == 0:
+            return pd.Series([], dtype=object)
+        vn = np.linalg.norm(M, axis=1)
+        vn[vn == 0] = 1.0
+        S = (M / vn[:, None]) @ Cn.T  # (batch, num_cells)
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :n]
+        picked = cell_ids[idx]
+        return pd.Series(list(picked))
+
+    assigned = frame.withColumn("__cells", __best_cells(F.col(vec_alias)))
+    if n == 1:
+        out = assigned.withColumn("cell", F.col("__cells").getItem(0))
+    else:
+        out = assigned.withColumn("cell", F.explode("__cells"))
+    return out.drop("__cells")
 
 
 def ivf_topk(

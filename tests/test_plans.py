@@ -196,7 +196,7 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
 #   text_bm25_search        — 1-row (N, avgdl) stats scalar broadcast
 #   size_len_scalars        — crossJoin of two 1-row count-star footers
 #                             (1x1 by construction)
-_NESTED_LOOP_OK = {"q22_idle_customers", "ann_ivf_topk", "dedup_embedding_cosine",
+_NESTED_LOOP_OK = {"q22_idle_customers", "dedup_embedding_cosine",
                    "monotonic_orders", "text_lm_perplexity", "text_bm25_search",
                    "size_len_scalars"}
 
@@ -303,3 +303,34 @@ def test_presorted_sort_elides_exchange(spark, sf_dir):
     again = idx.set_index("l_orderkey")
     assert plan_of(resorted) == base
     assert plan_of(again) == base
+
+
+def test_ivf_cell_assignment_is_map_only(spark, sf_dir):
+    """IVF cell assignment (similarity._nearest_cells) must be
+    map-only: scan -> Arrow-batched matmul -> project, with NO
+    exchange keyed on the row id.  The former plan broadcast-joined
+    rows x centroids and ranked with Window.partitionBy(row id) — a
+    shuffle num_cells x the corpus row count that grew with the
+    quantizer instead of the data."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = read_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet")).to_spark()
+    assigned = SIM.semantic_cells(emb, dim=64, id_col="vec_id",
+                                  method="ivf", num_cells=4, lloyd_iters=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan
+    # and the assignment itself stays correct: every vector lands in
+    # exactly one existing cell
+    cents = SIM._train_ivf_cells(
+        emb.select(F.col("vec_id").alias("id"),
+                   SIM.as_double(F.col("embedding")).alias("__v")),
+        "id", "__v", 4, 1)
+    cells = {r.cell for r in cents.select("cell").collect()}
+    got = assigned.groupBy("cell").count().collect()
+    assert {r.cell for r in got} <= cells
+    assert sum(r["count"] for r in got) == emb.count()
