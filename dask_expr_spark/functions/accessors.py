@@ -586,6 +586,55 @@ class DatetimeMethods:
         return self._new(
             F.round(self._interval_frac() * 1000000).cast("int"))
 
+    def components(self):
+        """pandas ``.dt.components`` analogue for day-time interval
+        columns (reference _datetime.py:25): a DataFrame of int
+        columns (days, hours, minutes, seconds, milliseconds,
+        microseconds, nanoseconds).  Pure lazy column math — fully
+        distributed, unlike the two pandas-object escapes below.
+        nanoseconds is constant 0: DayTimeInterval stores microsecond
+        precision (SURVEY §1.3 timedelta mapping)."""
+        from ..collection import DataFrame as _DF
+
+        s = self._s
+        t = self._c.cast("long")  # whole seconds, floor for negatives
+        us = F.round(self._interval_frac() * 1000000).cast("long")
+        cols = {
+            "days": F.floor(t / 86400),
+            "hours": F.floor(F.pmod(t, 86400) / 3600),
+            "minutes": F.floor(F.pmod(t, 3600) / 60),
+            "seconds": F.pmod(t, 60),
+            "milliseconds": F.floor(us / 1000),
+            "microseconds": F.pmod(us, 1000),
+            "nanoseconds": F.lit(0),
+        }
+        return _DF(
+            s._anchor.select(
+                *s._index_cols,
+                *(c.cast("int").alias(n) for n, c in cols.items())),
+            s._index_cols, s._known_sorted)
+
+    def to_pytimedelta(self):
+        """driver-side pandas-object escape (reference _datetime.py:31):
+        computes the Series and returns a numpy object array of
+        datetime.timedelta.  Documented non-distributed converter —
+        for cluster-scale use keep the interval column and the
+        component members above."""
+        import pandas as pd
+
+        pser = pd.Series(self._s.compute())
+        return pser.dt.to_pytimedelta()
+
+    def to_pydatetime(self):
+        """driver-side pandas-object escape (reference _datetime.py:28):
+        computes the Series and returns a numpy object array of
+        datetime.datetime.  Same non-distributed contract as
+        to_pytimedelta."""
+        import pandas as pd
+
+        pser = pd.Series(self._s.compute())
+        return pser.dt.to_pydatetime()
+
 
 class CategoricalMethods:
     """pandas ``.cat`` accessor analogue (reference:

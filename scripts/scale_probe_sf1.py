@@ -121,12 +121,19 @@ def main() -> None:
 
     registry = collect_queries()
 
+    import math
+
+    # the documented scale contract: cells sized to the corpus
+    # (~constant vectors/cell at BOTH points), so the within-cell /
+    # within-bucket pair stage stays bounded while cell COUNT absorbs
+    # growth.  planes: +log2(R) hyperplanes at the probe scale
+    # (R=10 -> 3+3=6, matching the original x10 probe; R=100 -> 10).
+    probe_planes = 3 + int(round(math.log2(R)))
+    probe_cells = max(16, int(16 * R * 0.4))  # R=10 -> 64 (original x10)
+
     def _semantic_dedup(spark, d):
-        # the documented scale contract: cells sized to the corpus
-        # (~250-350 vectors/cell at BOTH points), so the within-cell
-        # pair stage stays bounded while cell COUNT absorbs growth
         from dask_expr_spark.functions import similarity as SIM
-        planes = 6 if d == PROBE_DIR else 3
+        planes = probe_planes if d == PROBE_DIR else 3
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return SIM.semantic_dedup(
             emb, dim=64, threshold=0.45, method="lsh", num_planes=planes,
@@ -142,7 +149,7 @@ def main() -> None:
         # cells sized to corpus (like the semantic-dedup probe)
         from dask_expr_spark.functions import similarity as SIM
         from pyspark.sql import functions as F2
-        cells = 64 if d == PROBE_DIR else 16
+        cells = probe_cells if d == PROBE_DIR else 16
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         queries = emb.filter(F2.col("vec_id") % 100 == 0)
         return SIM.ivf_topk(emb, queries, dim=64, k=5, num_cells=cells,

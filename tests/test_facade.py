@@ -1369,3 +1369,28 @@ def test_datasets_module_alias(spark):
 
     df = datasets.timeseries(spark, start="2000-01-01", end="2000-01-03")
     assert len(df.compute()) > 0
+
+
+def test_dt_timedelta_tail(spark):
+    """round 5: .dt.components / to_pytimedelta / to_pydatetime
+    (reference _datetime.py:25-34) — differential vs pandas."""
+    td = pd.DataFrame({"d": pd.to_timedelta(
+        ["1 days 02:03:04.000005", "0 days 00:00:01",
+         "3 days 23:59:59.999", "0 days 00:42:07.123456"])})
+    dtd = from_pandas(spark, td, npartitions=2)
+    cols = ["days", "hours", "minutes", "seconds",
+            "milliseconds", "microseconds", "nanoseconds"]
+    got = (dtd["d"].dt.components().compute()[cols].astype("int64")
+           .sort_values(cols).reset_index(drop=True))
+    want = (td["d"].dt.components[cols].astype("int64")
+            .sort_values(cols).reset_index(drop=True))
+    assert got.equals(want)
+
+    pytd = dtd["d"].dt.to_pytimedelta()
+    assert sorted(pytd.tolist()) == sorted(td["d"].dt.to_pytimedelta().tolist())
+
+    ts = pd.DataFrame({"t": pd.to_datetime(
+        ["2024-02-29 10:31:00.000001", "1999-12-31 23:45:10.123456"])})
+    dts = from_pandas(spark, ts, npartitions=1)
+    pydt = dts["t"].dt.to_pydatetime()
+    assert sorted(pydt.tolist()) == sorted(ts["t"].dt.to_pydatetime().tolist())
