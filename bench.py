@@ -110,6 +110,36 @@ def _ann_lsh_pipeline(spark, sf_dir):
     ).select("query_id", "neighbor_id")
 
 
+def _semantic_dedup_ivf(spark, sf_dir):
+    """semantic dedup with IVF (Lloyd) cells — exercises the iterative
+    trainer + map-only cell assignment (functions/similarity.py
+    _train_ivf_cells/_nearest_cells), which the registry's LSH-cell
+    semantic_dedup_kept query never touches (round-5 VERDICT item 7:
+    regressions in the Lloyd rounds must surface in bench_diff)."""
+    from dask_expr_spark.functions import similarity as SIM
+    from dask_expr_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    return SIM.semantic_dedup(
+        emb, dim=64, threshold=0.45, method="ivf", num_cells=8,
+        lloyd_iters=2).groupBy().count()
+
+
+def _connected_components_star(spark, sf_dir):
+    """large-star/small-star components over the MinHash candidate
+    pairs — times the O(log n) iterative rounds (functions/dedup.py
+    connected_components_star), the scale path for deep chains."""
+    from dask_expr_spark.functions import dedup as DD
+    from dask_expr_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").to_spark()
+    pairs = DD.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_perm=32, bands=8, threshold=0.7
+    ).select("id_a", "id_b")
+    return DD.connected_components_star(pairs).groupBy().agg(
+        {"comp": "max", "id": "count"})
+
+
 LOCAL_PROBES = {
     "scale_probe_ordered_cumsum_shift": _scale_probe_ordered,
     "scale_probe_ordered_ckpt": _scale_probe_ordered_ckpt,
@@ -117,6 +147,9 @@ LOCAL_PROBES = {
     "scale_probe_expanding_approx": _scale_probe_expanding_approx,
     "dedup_minhash_pipeline": _minhash_pipeline,
     "ann_lsh_pipeline": _ann_lsh_pipeline,
+    # round 5 additions (no prior comparable — bench_diff skips them)
+    "semantic_dedup_ivf": _semantic_dedup_ivf,
+    "components_star_pipeline": _connected_components_star,
 }
 
 # extended set appended when present in the registry
