@@ -43,3 +43,49 @@ def partitions_concat_invariance(spark, sf_dir):
     return (u.to_spark().groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  cent_sum(F.col("o_totalprice")).alias("total")))
+
+
+# -- .dt.components on a day-time interval (round-5 accessor tail;
+#    reference _datetime.py:25) ----------------------------------------
+# interval = ts - epoch anchor; the component decomposition is integer
+# math DuckDB reproduces from epoch seconds/microseconds exactly
+# (timestamps are microsecond-precision, so double epoch is exact).
+COMPONENTS_SQL = """
+WITH iv AS (
+  SELECT CAST(floor(extract(epoch FROM ts - TIMESTAMP '2024-01-01')) AS BIGINT) AS t,
+         CAST(round((extract(epoch FROM ts - TIMESTAMP '2024-01-01')
+               - floor(extract(epoch FROM ts - TIMESTAMP '2024-01-01'))) * 1000000) AS BIGINT) AS us
+  FROM events
+),
+c AS (
+  SELECT CAST(floor(t / 86400) AS INT) AS days,
+         CAST(floor((t % 86400) / 3600) AS INT) AS hours,
+         CAST(floor((t % 3600) / 60) AS INT) AS minutes,
+         CAST(t % 60 AS INT) AS seconds,
+         CAST(floor(us / 1000) AS INT) AS milliseconds,
+         CAST(us % 1000 AS INT) AS microseconds
+  FROM iv
+)
+SELECT hours, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(days) AS BIGINT) AS day_sum,
+       CAST(sum(minutes) AS BIGINT) AS minute_sum,
+       CAST(sum(seconds) AS BIGINT) AS second_sum,
+       CAST(sum(milliseconds) AS BIGINT) AS ms_sum,
+       CAST(sum(microseconds) AS BIGINT) AS us_sum
+FROM c GROUP BY hours ORDER BY hours
+"""
+
+
+@q("timedelta_components_events", COMPONENTS_SQL)
+def timedelta_components_events(spark, sf_dir):
+    e = tbl(spark, sf_dir, "events")
+    iv = e["ts"] - F.lit("2024-01-01 00:00:00").cast("timestamp")
+    comp = iv.dt.components()
+    return (comp.to_spark().groupBy("hours")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("days").cast("long").alias("day_sum"),
+                 F.sum("minutes").cast("long").alias("minute_sum"),
+                 F.sum("seconds").cast("long").alias("second_sum"),
+                 F.sum("milliseconds").cast("long").alias("ms_sum"),
+                 F.sum("microseconds").cast("long").alias("us_sum"))
+            .orderBy("hours"))
