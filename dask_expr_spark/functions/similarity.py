@@ -217,7 +217,8 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_tables: int = 16,
-    planes_per_table: int = 4,
+    planes_per_table: int | str = 4,
+    target_bucket_rows: int = 128,
 ) -> DataFrame:
     """approximate top-k via MULTI-TABLE hyperplane LSH: L independent
     signatures of p planes each; a (query, vector) pair is compared
@@ -225,8 +226,27 @@ def lsh_bucketed_topk(
     1-(1-(1-θ/π)^p)^L — tune (L, p) to the corpus: more planes per
     table shrinks buckets (cheaper, lower recall), more tables raise
     recall. The cross join becomes an equi-join on (table, bucket):
-    hash-partitioned, broadcast-free, linear in corpus size — the
-    100 TB path."""
+    hash-partitioned, broadcast-free — the 100 TB path.
+
+    SIZING IS THE SCALE CONTRACT: per-bucket candidate work is
+    (queries/bucket) × (corpus/bucket) × buckets, so a FIXED p makes
+    the pipeline superlinear once buckets deepen — measured 1.48×
+    linear at a ×100 corpus with p frozen at 4 (SCALE.md), vs 0.04×
+    with p sized to the corpus. Pass ``planes_per_table="auto"`` to
+    size p = ceil(log2(n / target_bucket_rows)) from one count() of
+    the corpus, keeping expected bucket depth ~target_bucket_rows at
+    any scale. Raising p lowers per-table recall, so hold recall by
+    raising ``num_tables`` alongside (the formula above; +1 plane
+    ≈ ×1.6 tables for a 30° pair)."""
+    if planes_per_table == "auto":
+        import math
+
+        n = vectors.count()
+        planes_per_table = max(
+            4, int(math.ceil(math.log2(max(2.0, n / target_bucket_rows)))))
+    elif not isinstance(planes_per_table, int):
+        raise ValueError(
+            f"planes_per_table must be an int or 'auto', got {planes_per_table!r}")
 
     # (id, table, bucket) only — vectors are re-attached per surviving
     # candidate pair, not shuffled through the num_tables-way explode

@@ -145,6 +145,19 @@ def main() -> None:
         return (DD.duplicated_spans(docs, "doc_id", "text", k=12)
                 .agg({"dup_tokens": "sum"}))
 
+    def _lsh_ann_sized(spark, d):
+        # the documented LSH sizing contract: planes_per_table="auto"
+        # keeps expected bucket depth ~target_bucket_rows at any corpus
+        # size (one count() job).  The fixed-planes ann_lsh_pipeline
+        # probe stays in the table as the measured superlinearity trap.
+        from dask_expr_spark.functions import similarity as SIM
+        from pyspark.sql import functions as F2
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        queries = emb.filter(F2.col("vec_id") % 100 == 0)
+        return SIM.lsh_bucketed_topk(
+            emb, queries, dim=64, k=5, num_tables=24,
+            planes_per_table="auto").select("query_id", "neighbor_id")
+
     def _ivf_ann(spark, d):
         # cells sized to corpus (like the semantic-dedup probe)
         from dask_expr_spark.functions import similarity as SIM
@@ -159,6 +172,7 @@ def main() -> None:
         "dedup_ngram_jaccard": registry["dedup_ngram_jaccard"][0],
         "dedup_minhash_pipeline": bench.LOCAL_PROBES["dedup_minhash_pipeline"],
         "ann_lsh_pipeline": bench.LOCAL_PROBES["ann_lsh_pipeline"],
+        "ann_lsh_sized_planes": _lsh_ann_sized,
         "scale_probe_ordered_cumsum_shift":
             bench.LOCAL_PROBES["scale_probe_ordered_cumsum_shift"],
         "scale_probe_expanding_median":

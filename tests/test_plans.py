@@ -186,6 +186,7 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
 
 # queries where a nested-loop/cartesian shape is the DESIGN, not a bug:
 #   q22_idle_customers      — 1-row scalar subquery broadcast cross join
+#   q11_important_stock     — 1-row grand-total scalar broadcast cross join
 #   ann_ivf_topk            — every vector scored against the (tiny,
 #                             broadcast) centroid table for cell assignment
 #   dedup_embedding_cosine  — documented exact-quadratic baseline; the
@@ -196,7 +197,8 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
 #   text_bm25_search        — 1-row (N, avgdl) stats scalar broadcast
 #   size_len_scalars        — crossJoin of two 1-row count-star footers
 #                             (1x1 by construction)
-_NESTED_LOOP_OK = {"q22_idle_customers", "dedup_embedding_cosine",
+_NESTED_LOOP_OK = {"q22_idle_customers", "q11_important_stock",
+                   "dedup_embedding_cosine",
                    "monotonic_orders", "text_lm_perplexity", "text_bm25_search",
                    "size_len_scalars"}
 
