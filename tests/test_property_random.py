@@ -359,7 +359,7 @@ def test_property_semantic_dedup_vs_numpy(spark):
         assert got == want, f"trial {trial}"
 
 
-def test_property_merge_asof_parity(spark):
+def test_property_merge_asof_grid_parity(spark):
     """randomized merge_asof vs pd.merge_asof across the
     direction x tolerance x allow_exact_matches x by grid, with `on`
     values clustered so matches routinely straddle partition/bucket
