@@ -168,6 +168,11 @@ OPTIONAL = [
     # round 4 additions
     "semantic_dedup_kept",
     "dedup_substring_spans",
+    # round 5 additions — the last three TPC-H shapes (no prior
+    # comparable; bench_diff skips them)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
 ]
 
 

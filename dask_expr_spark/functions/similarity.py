@@ -63,8 +63,9 @@ def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
                 "cosine_topk collects the QUERY side to the driver by "
                 f"contract (it plays the broadcast role); this query frame "
                 f"exceeds {MAX_QUERY_ROWS_CONF}={cap} rows. For large query "
-                "sets use lsh_bucketed_topk or ivf_topk (fully "
-                "distributed), or raise the cap (-1 disables)."
+                "sets use cosine_topk_blocked (exact, fully distributed) "
+                "or lsh_bucketed_topk/ivf_topk (approximate, sublinear), "
+                "or raise the cap (-1 disables)."
             )
     else:
         qrows = sel.collect()
@@ -139,6 +140,147 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def _pack_matrix_blocks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_rows: int,
+    ids_name: str,
+    mat_name: str,
+) -> DataFrame:
+    """pack a vector frame into matrix blocks, map-only (no shuffle):
+    one output row per ≤block_rows input rows, carrying (ids:
+    array<bigint>, mat: array<double> row-major, L2-NORMALIZED so a
+    dot product downstream IS the cosine). Buffers across Arrow
+    chunks inside each partition so blocks reach block_rows even when
+    the Arrow batch size is smaller."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(ids_name, T.ArrayType(T.LongType())),
+        T.StructField(mat_name, T.ArrayType(T.DoubleType())),
+    ])
+
+    def pack(it):
+        ids_buf: list = []
+        mat_buf: list = []
+        n = 0
+
+        def emit(ids_cat, mat_cat):
+            return pd.DataFrame({
+                ids_name: [ids_cat.tolist()],
+                mat_name: [mat_cat.reshape(-1).tolist()],
+            })
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            M = np.asarray([np.asarray(v, dtype="float64")
+                            for v in pdf[vec_col]])
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            ids_buf.append(ids)
+            mat_buf.append(Mn)
+            n += len(ids)
+            while n >= block_rows:
+                ids_cat = np.concatenate(ids_buf)
+                mat_cat = np.concatenate(mat_buf)
+                yield emit(ids_cat[:block_rows], mat_cat[:block_rows])
+                ids_buf = [ids_cat[block_rows:]]
+                mat_buf = [mat_cat[block_rows:]]
+                n -= block_rows
+        if n:
+            yield emit(np.concatenate(ids_buf), np.concatenate(mat_buf))
+
+    return df.select(id_col, vec_col).mapInPandas(pack, schema)
+
+
+def cosine_topk_blocked(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    corpus_block_rows: int = 8192,
+    query_block_rows: int = 4096,
+) -> DataFrame:
+    """exact brute-force top-k with NO driver-side query collection —
+    the uncapped alternative to cosine_topk for large query sets
+    (e.g. benchmark-decontamination sweeps where the 'query' side is
+    itself a corpus).
+
+    Scale shape: both sides are packed map-only into L2-normalized
+    matrix blocks (one fat row per ≤block_rows vectors), and the
+    corpus×query BLOCK GRID — not the row-level cross product — is the
+    join: C×Q tasks, each one BLAS matmul emitting its block-local
+    top-k per query (any global top-k row is necessarily in its
+    corpus-block top-k). The merge then ranks only C_blocks × k
+    candidate rows per query via a map-side-partial collect_list +
+    sorted slice — never a row-level shuffle of the n×q score matrix.
+    The quadratic block grid is the honest cost of EXACT brute force;
+    for sublinear candidate generation use lsh_bucketed_topk/ivf_topk.
+    Output: (query_id, neighbor_id, cos, rank) — identical contract to
+    cosine_topk."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    c = _pack_matrix_blocks(vectors, id_col, vec_col,
+                            corpus_block_rows, "__cids", "__cmat")
+    q = _pack_matrix_blocks(queries, id_col, vec_col,
+                            query_block_rows, "__qids", "__qmat")
+    grid = c.crossJoin(q)  # C×Q block rows — the task grid
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(it):
+        for pdf in it:
+            for ci, cm, qi, qm in zip(pdf["__cids"], pdf["__cmat"],
+                                      pdf["__qids"], pdf["__qmat"]):
+                cids = np.asarray(ci, dtype="int64")
+                cmat = np.asarray(cm, dtype="float64").reshape(len(cids), -1)
+                qids = np.asarray(qi, dtype="int64")
+                qmat = np.asarray(qm, dtype="float64").reshape(len(qids), -1)
+                S = cmat @ qmat.T  # (nc, nq); rows pre-normalized
+                for j, qid in enumerate(qids):
+                    S[cids == qid, j] = -np.inf
+                top = min(k, len(cids))
+                part = np.argpartition(-S, top - 1, axis=0)[:top]
+                out_q, out_n, out_c = [], [], []
+                for j, qid in enumerate(qids):
+                    idx = part[:, j]
+                    out_q.extend([qid] * len(idx))
+                    out_n.extend(cids[idx])
+                    out_c.extend(S[idx, j])
+                yield pd.DataFrame({
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cos": pd.Series(out_c, dtype="float64"),
+                })
+
+    cand = (grid.mapInPandas(score, schema)
+            .filter((F.col("query_id") != F.col("neighbor_id"))
+                    & (F.col("cos") != F.lit(float("-inf")))))
+    # bounded merge: ≤ C_blocks × k candidates per query; collect_list
+    # partial-aggregates map-side, struct(-cos, id) sorts cos desc with
+    # deterministic id tie-break (negation is IEEE-exact)
+    top = cand.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(
+                (-F.col("cos")).alias("neg"),
+                F.col("neighbor_id").alias("nid")))),
+            1, k).alias("__top"))
+    return (top.select("query_id", F.posexplode("__top").alias("__pos", "__t"))
+            .select("query_id",
+                    F.col("__t.nid").alias("neighbor_id"),
+                    (-F.col("__t.neg")).alias("cos"),
+                    (F.col("__pos") + 1).cast("int").alias("rank")))
 
 
 def _plane_weights(dim: int, num_planes: int, seed: int) -> list[list[float]]:

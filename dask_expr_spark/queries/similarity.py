@@ -44,6 +44,46 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def ann_cosine_topk_blocked(spark, sf_dir):
+    """exact cosine top-5 with the UNCAPPED blocked kernel
+    (functions/similarity.py cosine_topk_blocked): a 25%-of-corpus
+    query set — far past what the capped cosine_topk contract is for —
+    scored over the corpus×query block grid with tiny block sizes so
+    several grid cells and the bounded candidate merge are all
+    exercised even at sf0.01."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 4 == 0)
+    res = SIM.cosine_topk_blocked(
+        emb, queries, "vec_id", "embedding", k=5,
+        corpus_block_rows=64, query_block_rows=16)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+ANN_TOPK_BLOCKED_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, vv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cos
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def ann_centroids(spark, sf_dir):
     """per-label centroids (IVF coarse-quantizer step, functions/
     similarity.py centroids_by_label) — reported as (label, n, norm)."""
@@ -206,6 +246,7 @@ FROM m GROUP BY format ORDER BY format
 
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, ANN_TOPK_BLOCKED_SQL),
     "ann_centroids": (ann_centroids, ANN_CENTROIDS_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_TOP1_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_TOP1_SQL),

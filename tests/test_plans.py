@@ -197,7 +197,12 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
 #   text_bm25_search        — 1-row (N, avgdl) stats scalar broadcast
 #   size_len_scalars        — crossJoin of two 1-row count-star footers
 #                             (1x1 by construction)
+#   ann_cosine_topk_blocked — the corpus×query BLOCK grid (one fat row
+#                             per ≤block_rows vectors) is deliberately a
+#                             cross join of two tiny-row-count frames;
+#                             exact brute force IS the quadratic grid
 _NESTED_LOOP_OK = {"q22_idle_customers", "q11_important_stock",
+                   "ann_cosine_topk_blocked",
                    "dedup_embedding_cosine",
                    "monotonic_orders", "text_lm_perplexity", "text_bm25_search",
                    "size_len_scalars"}

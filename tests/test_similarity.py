@@ -38,6 +38,45 @@ def test_lsh_bucketed_recall(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_cosine_topk_blocked_matches_capped(spark, sf_dir):
+    """the uncapped blocked kernel must reproduce cosine_topk exactly
+    (same contract, same tie-break) across block sizes that straddle
+    Arrow-chunk and partition boundaries."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    want = sorted((r.query_id, r.neighbor_id, round(r.cos, 9), r.rank)
+                  for r in SIM.cosine_topk(emb, q, k=5).collect())
+    for cb, qb in ((7, 3), (64, 16), (100000, 100000)):
+        got = sorted((r.query_id, r.neighbor_id, round(r.cos, 9), r.rank)
+                     for r in SIM.cosine_topk_blocked(
+                         emb, q, k=5, corpus_block_rows=cb,
+                         query_block_rows=qb).collect())
+        assert got == want, f"blocked ({cb},{qb}) diverges from capped"
+
+
+def test_cosine_topk_blocked_uncapped(spark, sf_dir):
+    """a query set larger than the cosine_topk driver cap must refuse
+    on the capped kernel and succeed on the blocked one — the blocked
+    path never collects the query side."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    spark.conf.set(SIM.MAX_QUERY_ROWS_CONF, "10")
+    try:
+        big_q = emb.filter(F.col("vec_id") % 4 == 0)
+        with pytest.raises(ValueError, match="cosine_topk_blocked"):
+            SIM.cosine_topk(emb, big_q, k=3).collect()
+        res = SIM.cosine_topk_blocked(emb, big_q, k=3,
+                                      corpus_block_rows=64,
+                                      query_block_rows=16)
+        n_q = big_q.count()
+        rows = res.collect()
+        assert len(rows) == n_q * 3
+        assert all(r.query_id != r.neighbor_id for r in rows)
+    finally:
+        spark.conf.unset(SIM.MAX_QUERY_ROWS_CONF)
+
+
 def test_lsh_auto_planes_sizing(spark, sf_dir):
     """planes_per_table='auto' sizes p = ceil(log2(n/target)) so bucket
     depth stays ~constant at any corpus scale (the ×100 probe measured
