@@ -45,14 +45,22 @@ STRIDE = 100_000_000  # > any key in sf0.1..sf1
 def _replicate(spark, table: str, key_shifts: dict[str, int], extra=None):
     src = spark.read.parquet(f"{BASE}/{table}.parquet")
     reps = spark.range(R).withColumnRenamed("id", "__r")
-    df = src.crossJoin(F.broadcast(reps))
+    # spread the UNEXPANDED source across the cores first (a tiny
+    # shuffle of the base rows), then expand map-only and write
+    # straight out — a post-expansion repartition would push the full
+    # R× row set through a shuffle sourced from however few splits the
+    # base parquet has (at R=1000 that was 60 GB through 3 straggling
+    # tasks). Same rule as production: never shuffle what you just
+    # fanned out.
+    n_out = 32 if R <= 20 else 64
+    df = src.repartition(n_out).crossJoin(F.broadcast(reps))
     for col, stride in key_shifts.items():
         df = df.withColumn(col, (F.col(col) + F.col("__r") * stride).cast("long"))
     if extra is not None:
         df = extra(df)
     df = df.drop("__r").select(*src.columns)
     out = f"{PROBE_DIR}/{table}.parquet"
-    df.repartition(32).write.mode("overwrite").parquet(out)
+    df.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).count()
 
 
