@@ -402,10 +402,18 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # JOIN ORDER IS A SHUFFLE-VOLUME CONTRACT: attach the corpus vector
+    # via the shuffle join while the candidate rows are still SKINNY
+    # (16 B/pair), and the query vector via the broadcast join (map-
+    # side, never shuffled). The reverse order — broadcast qv first —
+    # dragged a dim×8-byte query-vector payload through the neighbor_id
+    # exchange: at a ×1000 probe (2 M corpus, 58 M candidates) that was
+    # a ~30 GB shuffle that filled the disk; this order shuffles ~2 GB.
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(vv, "neighbor_id")
+        cand.join(vv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .withColumn("cos", cosine(F.col("__qv"), F.col("__vv")))
+        .select("query_id", "neighbor_id", "cos")  # vectors pruned pre-window
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

@@ -185,6 +185,8 @@ def main() -> None:
             bench.LOCAL_PROBES["scale_probe_ordered_cumsum_shift"],
         "scale_probe_expanding_median":
             bench.LOCAL_PROBES["scale_probe_expanding_median"],
+        "scale_probe_expanding_approx":
+            bench.LOCAL_PROBES["scale_probe_expanding_approx"],
         "semantic_dedup_sized_cells": _semantic_dedup,
         "dedup_substring_spans": _substring_spans,
         # query-family coverage beyond the nonlinear-risk set

@@ -312,6 +312,38 @@ def test_presorted_sort_elides_exchange(spark, sf_dir):
     assert plan_of(again) == base
 
 
+def test_lsh_rank_exchange_is_skinny(spark, sf_dir):
+    """lsh_bucketed_topk's candidate exchanges must never carry a
+    vector payload: the corpus vector attaches via the shuffle join
+    while pairs are skinny, the query vector via broadcast (map-side),
+    and both are pruned before the rank window.  The former join order
+    (broadcast qv first) dragged dim×8 bytes per candidate through the
+    neighbor_id exchange — a ~30 GB shuffle at a ×1000 probe."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = read_parquet(
+        spark, os.path.join(sf_dir, "embeddings.parquet")).to_spark()
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    res = SIM.lsh_bucketed_topk(emb, q, dim=64, k=5,
+                                num_tables=4, planes_per_table=3)
+    plan = plan_of(res)
+    # every Exchange node's detail section (formatted explain prints
+    # "Input [n]: [cols]" under each `(i) Exchange` header): the query
+    # vector must NEVER shuffle (it rides the broadcast), and no
+    # CANDIDATE row (anything keyed by query_id) may shuffle with a
+    # vector attached.  The corpus-vector side of the attach join is
+    # the one exchange allowed to carry __vv — alone, one row per
+    # corpus vector, no query_id.
+    blocks = re.findall(r"^\(\d+\) Exchange\b.*?(?=^\(\d+\) )", plan,
+                        flags=re.M | re.S)
+    assert blocks, plan  # regex must keep matching Spark's format
+    for block in blocks:
+        assert "__qv" not in block, block
+        assert not ("query_id" in block and "__vv" in block), block
+
+
 def test_ivf_cell_assignment_is_map_only(spark, sf_dir):
     """IVF cell assignment (similarity._nearest_cells) must be
     map-only: scan -> Arrow-batched matmul -> project, with NO
