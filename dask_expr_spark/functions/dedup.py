@@ -128,9 +128,12 @@ def ngram_jaccard_pairs(
         )
     else:
         # size-band pruning: J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so
-        # attach set sizes (broadcast — one row per doc) and drop
-        # impossible pairs inside the join, before the groupBy sees them
-        dsn = ds.join(F.broadcast(sizes), "__id")
+        # attach set sizes and drop impossible pairs inside the join,
+        # before the groupBy sees them. sizes is one row PER DOC — it
+        # grows with the corpus, so no forced broadcast hint: AQE
+        # broadcasts it while it fits and falls back to a shuffle join
+        # on __id at corpus scale (a forced hint OOMs the driver there)
+        dsn = ds.join(sizes, "__id")
         # alias() self-join keeps both exchange subplans identical so
         # the shingle scan/distinct is shared, not computed per side
         a, b = dsn.alias("a"), dsn.alias("b")

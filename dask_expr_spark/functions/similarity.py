@@ -402,16 +402,19 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    # JOIN ORDER IS A SHUFFLE-VOLUME CONTRACT: attach the corpus vector
-    # via the shuffle join while the candidate rows are still SKINNY
-    # (16 B/pair), and the query vector via the broadcast join (map-
-    # side, never shuffled). The reverse order — broadcast qv first —
-    # dragged a dim×8-byte query-vector payload through the neighbor_id
-    # exchange: at a ×1000 probe (2 M corpus, 58 M candidates) that was
-    # a ~30 GB shuffle that filled the disk; this order shuffles ~2 GB.
+    # JOIN ORDER IS A SHUFFLE-VOLUME CONTRACT: attach each vector while
+    # the candidate rows are still SKINNY (16 B/pair) — corpus vector
+    # first, query vector second. The former order dragged a dim×8-byte
+    # query-vector payload through the neighbor_id exchange with EVERY
+    # candidate pair: at a ×1000 probe (2 M corpus, 58 M candidates)
+    # that was a ~30 GB shuffle that filled the disk; this order
+    # shuffles ~2 GB. No forced broadcast on qv — the query side can
+    # itself be corpus-sized, so AQE broadcasts it while it fits and
+    # falls back to a shuffle join keyed on query_id (which the rank
+    # window below then reuses) when it doesn't.
     scored = (
         cand.join(vv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        .join(qv, "query_id")
         .withColumn("cos", cosine(F.col("__qv"), F.col("__vv")))
         .select("query_id", "neighbor_id", "cos")  # vectors pruned pre-window
     )

@@ -330,18 +330,18 @@ def test_lsh_rank_exchange_is_skinny(spark, sf_dir):
                                 num_tables=4, planes_per_table=3)
     plan = plan_of(res)
     # every Exchange node's detail section (formatted explain prints
-    # "Input [n]: [cols]" under each `(i) Exchange` header): the query
-    # vector must NEVER shuffle (it rides the broadcast), and no
-    # CANDIDATE row (anything keyed by query_id) may shuffle with a
-    # vector attached.  The corpus-vector side of the attach join is
-    # the one exchange allowed to carry __vv — alone, one row per
-    # corpus vector, no query_id.
+    # "Input [n]: [cols]" under each `(i) Exchange` header): no
+    # CANDIDATE PAIR (a row with BOTH query_id and neighbor_id) may
+    # shuffle with a vector attached — pairs are ~corpus × bucket-depth
+    # many, so a vector payload multiplies the dominant exchange by
+    # dim×8 bytes.  Each SIDE's own exchange legitimately carries its
+    # vector (one row per vector, the unavoidable attach volume).
     blocks = re.findall(r"^\(\d+\) Exchange\b.*?(?=^\(\d+\) )", plan,
                         flags=re.M | re.S)
     assert blocks, plan  # regex must keep matching Spark's format
     for block in blocks:
-        assert "__qv" not in block, block
-        assert not ("query_id" in block and "__vv" in block), block
+        is_pair = "query_id" in block and "neighbor_id" in block
+        assert not (is_pair and ("__qv" in block or "__vv" in block)), block
 
 
 def test_ivf_cell_assignment_is_map_only(spark, sf_dir):
