@@ -171,6 +171,29 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def ann_lsh_auto_planes(spark, sf_dir):
+    """the LSH plane-sizing contract end-to-end: planes_per_table=
+    "auto" derives p = ceil(log2(n / target_bucket_rows)) from one
+    corpus count() (functions/similarity.py lsh_bucketed_topk — the
+    ×1000-probe fix for fixed-p superlinearity, SCALE.md). Same
+    CONTAINMENT oracle as ann_lsh_bucketed: exact top-1 per query,
+    kept only when the auto-sized candidate join found it — the sizing
+    is deterministic given the corpus count, so coverage is a fixed
+    property of the data and any sizing drift flips the row set."""
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = SIM.lsh_bucketed_topk(
+        emb, queries, dim=64, k=5, num_tables=24,
+        planes_per_table="auto", target_bucket_rows=64
+    ).select("query_id", "neighbor_id")
+    exact1 = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=1)
+    return (
+        exact1.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+        .orderBy("query_id")
+    )
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN (functions/similarity.py ivf_topk):
     deterministic seeding + one distributed Lloyd round, vectors in 1
@@ -249,6 +272,7 @@ QUERIES = {
     "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, ANN_TOPK_BLOCKED_SQL),
     "ann_centroids": (ann_centroids, ANN_CENTROIDS_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_TOP1_SQL),
+    "ann_lsh_auto_planes": (ann_lsh_auto_planes, ANN_TOP1_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_TOP1_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_SQL),
 }
