@@ -76,14 +76,27 @@ def _perturb_documents(df):
 
 
 def _perturb_embeddings(df):
-    # deterministic small rotation for r>0: decorrelates LSH buckets
-    # across replicas without changing the vector length distribution.
+    # per-replica SIGNED PERMUTATION of the dimensions — an orthogonal
+    # transform, so every WITHIN-replica pairwise cosine is preserved
+    # EXACTLY (the base corpus's near-dup structure replicates per
+    # slice) while cross-replica pairs decorrelate to ~0 cosine. The
+    # earlier additive 0.05-rotation left the R copies of each base
+    # vector mutually near-dup: at R=1000 every vector sat in a
+    # 1000-deep TRUE-duplicate clique, the genuine pair count grew
+    # ~R² (any correct engine must emit them all), and the ×1000
+    # semantic-dedup probe measured the generator, not the engine.
+    # a_r odd ⇒ i ↦ (i·a+b) mod dim is a bijection.
+    dim = 64
+    a = (F.col("__r") % 31) * 2 + 1
+    b = F.col("__r") % dim
     pert = F.transform(
-        F.col("embedding"),
-        lambda x, i: (x + 0.05 * F.cos(
-            i.cast("double") * 1.7
-            + (F.col("vec_id") % 9973).cast("double") * 0.13
-            + F.col("__r").cast("double") * 2.1)).cast("float"))
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.when(((F.col("__r") * 2654435761 + i * 40503) % 7) < 3,
+                   F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.element_at(F.col("embedding"),
+                           ((i * a + b) % dim).cast("int") + 1)
+        ).cast("float"))
     vec = F.when(F.col("__r") == 0, F.col("embedding")).otherwise(pert)
     return df.withColumn("embedding", vec)
 
@@ -140,12 +153,17 @@ def main() -> None:
     probe_cells = max(16, int(16 * R * 0.4))  # R=10 -> 64 (original x10)
 
     def _semantic_dedup(spark, d):
+        # resolver="star" at BOTH scales: at ×1000 the duplicate graph
+        # picks up rare cross-replica edges that chain components past
+        # labelprop's diameter guard (which correctly REFUSED rather
+        # than emit wrong labels) — large-star/small-star is the
+        # documented deep-chain path and keeps base/probe comparable.
         from dask_expr_spark.functions import similarity as SIM
         planes = probe_planes if d == PROBE_DIR else 3
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return SIM.semantic_dedup(
             emb, dim=64, threshold=0.45, method="lsh", num_planes=planes,
-            seed=7).groupBy().count()
+            seed=7, resolver="star").groupBy().count()
 
     def _substring_spans(spark, d):
         from dask_expr_spark.functions import dedup as DD
