@@ -1899,13 +1899,39 @@ class DataFrame(FrameBase):
 
     def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None,
                    compression: str = "snappy", append: bool = False,
-                   partition_on=None) -> None:
+                   partition_on=None, sort_by=None, cluster: bool = False) -> None:
         """reference: to_parquet (io/parquet.py:337) — compression=,
         append=, and partition_on= mirror the reference's knobs;
-        partition_on is the reference's name for partition_by."""
+        partition_on is the reference's name for partition_by.
+
+        sort_by= orders rows WITHIN each output file so parquet
+        row-group min/max statistics are tight on those columns — the
+        Spark analogue of the reference writing a sorted index with
+        known divisions (its reader then prunes row groups from the
+        statistics; Spark's scan does the same from the footer).
+        cluster=True additionally range-partitions on sort_by first
+        (repartitionByRange), making file ranges globally disjoint so a
+        later filter on the leading sort column skips whole FILES at
+        planning time, not just row groups.  At 100 TB, clustering the
+        write on the dominant filter column is the cheapest read-side
+        accelerator there is; it costs one range shuffle at write time.
+        cluster=<int> pins the range-bucket count (True lets AQE pick —
+        at scale that's right; an explicit count is for fixed layouts).
+        """
         if append:
             mode = "append"
-        w = self._sdf.write.mode(mode).option("compression", compression)
+        sdf = self._sdf
+        if sort_by:
+            cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            if cluster:
+                if isinstance(cluster, bool):
+                    sdf = sdf.repartitionByRange(*cols)
+                else:
+                    sdf = sdf.repartitionByRange(int(cluster), *cols)
+            sdf = sdf.sortWithinPartitions(*cols)
+        elif cluster:
+            raise ValueError("cluster=True requires sort_by=")
+        w = sdf.write.mode(mode).option("compression", compression)
         pb = partition_by or partition_on
         if pb:
             w = w.partitionBy(pb)

@@ -125,10 +125,11 @@ RECONFIRM_FIRST = (
 )
 
 # ROUND-6 CHECKLIST: once CORRECTNESS_r05.json lands, rotate again —
-# add its green names to VALIDATED (the r5 window = the 7 new round-5
+# add its green names to VALIDATED (the r5 window = the 8 new round-5
 # queries — partitions_concat_invariance, timedelta_components_events,
 # q2_min_cost_supplier, q11_important_stock, q20_potential_promotion,
-# ann_cosine_topk_blocked, ann_lsh_auto_planes — + the leading 43
+# ann_cosine_topk_blocked, ann_lsh_auto_planes,
+# parquet_clustered_roundtrip — + the leading 42
 # names of RECONFIRM_FIRST above) and update
 # RECONFIRM_FIRST to the next-oldest cohort (the remaining r2 names:
 # pipeline_clean_corpus, dedup_exact_docs, dedup_ngram_jaccard,

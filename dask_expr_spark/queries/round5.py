@@ -89,3 +89,38 @@ def timedelta_components_events(spark, sf_dir):
                  F.sum("milliseconds").cast("long").alias("ms_sum"),
                  F.sum("microseconds").cast("long").alias("us_sum"))
             .orderBy("hours"))
+
+
+# -- clustered parquet write (sort_by= + cluster=) ----------------------
+# reference: to_parquet writes a sorted index with known divisions
+# (io/parquet.py:337); the Spark analogue is range-partition + sort
+# within files so footer min/max stats prune files/row-groups.  The
+# oracle aggregates the same date slice straight from the source, so a
+# row lost or duplicated by the range shuffle + sorted write flips the
+# value hash.
+CLUSTERED_RT_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+@q("parquet_clustered_roundtrip", CLUSTERED_RT_SQL)
+def parquet_clustered_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+
+    o = tbl(spark, sf_dir, "orders")[
+        ["o_orderdate", "o_orderpriority", "o_totalprice"]]
+    path = os.path.join(tempfile.gettempdir(), "rt_orders_clustered")
+    o.to_parquet(path, sort_by="o_orderdate", cluster=True)
+    from ..sources.io import read_parquet
+
+    back = read_parquet(spark, path)
+    back = back[(back["o_orderdate"] >= "1995-01-01")
+                & (back["o_orderdate"] < "1996-01-01")]
+    return (back.to_spark().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total")))

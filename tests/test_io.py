@@ -258,3 +258,49 @@ def test_parquet_append_compression_partition_on(spark, tmp_path):
     back = read_parquet(spark, p).compute()
     assert sorted(back["v"]) == [1, 2, 3]
     assert set(back["k"]) == {"x", "y"}
+
+
+def test_parquet_clustered_write_disjoint_files(spark, sf_dir, tmp_path):
+    """round 5: to_parquet(sort_by=, cluster=True) range-partitions then
+    sorts within files, so per-file min/max footer stats on the cluster
+    column are disjoint — a filter on it prunes whole files at planning
+    time. Asserted from the parquet footers themselves."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "clustered")
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    # explicit bucket count: at sf0.001 AQE would coalesce the tiny
+    # range shuffle to one file and there'd be nothing to assert
+    o[["o_orderkey", "o_totalprice"]].to_parquet(
+        p, sort_by="o_orderkey", cluster=4)
+
+    ranges = []
+    for f in sorted(os.listdir(p)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(p, f)).metadata
+        idx = md.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        # sort_by=: row groups within a file are ordered too
+        assert mins == sorted(mins)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1  # range shuffle actually split the data
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # file key-ranges disjoint (boundary may touch)
+
+    # row preservation through the range shuffle + sorted write
+    n_src = o.compute().shape[0]
+    assert read_parquet(spark, p).compute().shape[0] == n_src
+
+
+def test_parquet_cluster_requires_sort_by(spark, tmp_path):
+    df = from_pandas(spark, pd.DataFrame({"a": [1, 2]}))
+    with pytest.raises(ValueError, match="sort_by"):
+        df.to_parquet(str(tmp_path / "x"), cluster=True)
