@@ -107,6 +107,23 @@ def global_shuffle(df: DataFrame, id_col: str, seed: str = "s42") -> DataFrame:
     )
 
 
+def sample_n(df: DataFrame, n: int, id_col: str, seed: str = "s42") -> DataFrame:
+    """Exactly min(n, |df|) rows, uniform without replacement, chosen
+    by md5 order — the exact-count companion to hash_split's
+    fraction-based split (a trainer that needs "exactly 1M eval docs"
+    can't use a fraction).
+
+    Plan: orderBy(hash, id).limit(n) compiles to TakeOrderedAndProject
+    — a per-partition top-n heap followed by one merge of the
+    partition-local candidates. No full sort, no range shuffle; cost
+    is O(rows · log n) map-side.  The merge materializes the n
+    survivors in one place, so for n beyond ~10M rows prefer
+    global_shuffle + a rank filter (same determinism, fully
+    distributed output)."""
+    key = _hash_key(F.col(id_col), seed)
+    return df.orderBy(key, F.col(id_col)).limit(int(n))
+
+
 def resample_to_mix(df: DataFrame, source_col: str, id_col: str,
                     target_shares: dict[str, float],
                     seed: str = "mix42") -> DataFrame:

@@ -1,0 +1,111 @@
+"""Mergeable frequency sketches for high-cardinality columns
+(training-pipeline extension; no reference analogue — dask-expr's
+value_counts (_reductions.py) always shuffles the full distinct
+domain).
+
+At 100 TB a token / url / key column can hold billions of distinct
+values; `groupBy(col).count()` shuffles that entire domain just to
+find the handful of frequent ones.  `heavy_hitters` runs the classic
+two-pass plan instead: a map-only Misra-Gries summary bounds the
+candidate set to ceil(1/phi) values per partition, and a second scan
+recounts only those candidates — both passes shuffle at most a few
+thousand rows regardless of the domain size, and the result is EXACT
+(guaranteed superset at pass 1, exact counts + exact threshold at
+pass 2), so it oracles against plain `GROUP BY ... HAVING`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def heavy_hitters(df: DataFrame, col: str, phi: float,
+                  candidates_per_partition: int | None = None) -> DataFrame:
+    """All values of `col` whose frequency strictly exceeds
+    ``phi * n`` (n = number of non-null values), with EXACT counts.
+    Returns a DataFrame ``(value, freq)``.
+
+    Plan (two scans, no wide shuffle):
+
+    - pass 1 — map-only, Arrow-batched ``mapInPandas``: each partition
+      keeps a Misra-Gries summary with ``m = ceil(1/phi)`` counters
+      (pandas value_counts per batch, merged into the summary; when the
+      summary exceeds m entries, the (m+1)-th largest count is
+      subtracted from every counter and non-positive entries dropped —
+      the standard mergeable reduction, total decrement ≤ n_p/m).
+      Guarantee by pigeonhole: if a value's GLOBAL frequency exceeds
+      phi·n = n/m then in at least one partition its local frequency
+      exceeds n_p/m, so it survives that partition's summary.  The
+      union of partition summaries is therefore a superset of every
+      global heavy hitter.  Each partition also emits one marker row
+      carrying its non-null row count so the total n needs no extra
+      scan.
+    - pass 2 — exact recount restricted to the candidates: the
+      candidate frame (≤ m rows per partition) is broadcast as a
+      semi-join filter, the surviving rows are counted per value
+      (map-side partial aggregation collapses them before the tiny
+      exchange), and ``freq > phi * n`` is applied with n carried as a
+      broadcast 1-row frame — no driver-side action anywhere.
+
+    False positives from pass 1 are removed by pass 2's exact filter;
+    false negatives cannot occur (the superset guarantee), so the
+    output equals ``GROUP BY col HAVING count(*) > phi * n`` exactly.
+
+    NULLs are ignored (they are not a "value"); n counts non-nulls.
+    `candidates_per_partition` overrides m for a wider pass-1 net
+    (never needed for correctness — only if you want the pass-1
+    summary reusable at a smaller phi).
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    m = candidates_per_partition or math.ceil(1.0 / phi)
+    spark_type = df.schema[col].dataType
+    out_schema = T.StructType([
+        T.StructField("val", spark_type),
+        T.StructField("n_part", T.LongType()),
+    ])
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = pd.Series(dtype="int64")
+        n_part = 0
+        for pdf in batches:
+            s = pdf[col].dropna()
+            n_part += len(s)
+            vc = s.value_counts()
+            counters = (
+                vc if counters.empty
+                else pd.concat([counters, vc]).groupby(level=0).sum()
+            )
+            if len(counters) > m:
+                # subtract the (m+1)-th largest count from everything;
+                # ≤ m entries stay strictly positive
+                t = counters.nlargest(m + 1).iloc[-1]
+                counters = counters - t
+                counters = counters[counters > 0]
+        out = pd.DataFrame({"val": counters.index, "n_part": 0})
+        marker = pd.DataFrame({"val": [None], "n_part": [n_part]})
+        yield pd.concat([out, marker], ignore_index=True)
+
+    summary = df.select(col).mapInPandas(_mg, schema=out_schema)
+    # one tiny frame feeds two consumers (candidates + total): keep it
+    # from double-scanning the source
+    summary = summary.cache()
+    keys = summary.where(F.col("val").isNotNull()).select("val").distinct()
+    total = summary.where(F.col("val").isNull()).agg(
+        F.sum("n_part").alias("__total"))
+    exact = (
+        df.join(F.broadcast(keys), df[col] == F.col("val"), "leftsemi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("freq") > F.lit(float(phi)) * F.col("__total"))
+        .select(F.col(col).alias("value"), "freq")
+    )

@@ -125,11 +125,12 @@ RECONFIRM_FIRST = (
 )
 
 # ROUND-6 CHECKLIST: once CORRECTNESS_r05.json lands, rotate again —
-# add its green names to VALIDATED (the r5 window = the 8 new round-5
+# add its green names to VALIDATED (the r5 window = the new round-5
 # queries — partitions_concat_invariance, timedelta_components_events,
 # q2_min_cost_supplier, q11_important_stock, q20_potential_promotion,
 # ann_cosine_topk_blocked, ann_lsh_auto_planes,
-# parquet_clustered_roundtrip — + the leading 42
+# parquet_clustered_roundtrip, heavy_hitter_tokens, sample_n_orders,
+# parquet_zorder_roundtrip — + the leading ~39
 # names of RECONFIRM_FIRST above) and update
 # RECONFIRM_FIRST to the next-oldest cohort (the remaining r2 names:
 # pipeline_clean_corpus, dedup_exact_docs, dedup_ngram_jaccard,
@@ -145,10 +146,10 @@ RECONFIRM_FIRST = (
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from . import approx, dedup, events, ops, relational, round3, round3b, round3c, round4, round5, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, tpch4, windows
+    from . import approx, dedup, events, ops, relational, round3, round3b, round3c, round4, round5, round5b, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, tpch4, windows
 
     out: dict = {}
-    for mod in (round5, tpch4, round4, round3, round3b, round3c, tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
+    for mod in (round5b, round5, tpch4, round4, round3, round3b, round3c, tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,61 @@
+"""Round-5 additions: frequency sketches and exact-n sampling
+(functions/sketches.py, functions/sampling.py).  Both are scale
+operators with exact cross-engine oracles — heavy_hitters' two-pass
+Misra-Gries plan returns exactly the plain GROUP BY / HAVING answer,
+and sample_n keys off the same md5 order the rest of the sampling
+family uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import sampling as S
+from ..functions.sketches import heavy_hitters
+from ._util import tbl
+
+
+def heavy_hitter_tokens(spark, sf_dir):
+    """Exact heavy hitters over the token stream of documents.text
+    (freq > 0.2% of all tokens) via the two-pass Misra-Gries plan —
+    never shuffles the token domain, only ≤ ceil(1/phi) candidates per
+    partition."""
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", phi=0.002).orderBy("value")
+
+
+HEAVY_HITTER_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT tok AS value, count(*) AS freq
+FROM toks
+GROUP BY tok
+HAVING count(*) > 0.002 * (SELECT count(*) FROM toks WHERE tok IS NOT NULL)
+ORDER BY value
+"""
+
+
+def sample_n_orders(spark, sf_dir):
+    """sample_n: exactly 50 orders, uniform without replacement by md5
+    order (TakeOrderedAndProject — per-partition top-n heap, no full
+    sort). Deterministic across engines/partitionings like the rest of
+    the sampling family."""
+    orders = tbl(spark, sf_dir, "orders").to_spark()
+    samp = S.sample_n(orders, 50, "o_orderkey")
+    return samp.select("o_orderkey", "o_orderstatus", "o_totalprice") \
+        .orderBy("o_orderkey")
+
+
+SAMPLE_N_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+  SELECT * FROM orders
+  ORDER BY md5('s42' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+  LIMIT 50
+) ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
+    "sample_n_orders": (sample_n_orders, SAMPLE_N_SQL),
+}

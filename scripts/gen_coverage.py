@@ -362,10 +362,15 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["text_lm_perplexity", "text_bm25_search",
                 "pack_sequences_2048"]),
         dict(op="hash_split / stratified_sample / global_shuffle / "
-                "domain-mixture resampling",
+                "domain-mixture resampling / exact-n sample",
              loc="dask_expr_spark/functions/sampling.py",
              q=["split_train_val", "stratified_sample_docs",
-                "global_shuffle_head", "mix_sources_target"]),
+                "global_shuffle_head", "mix_sources_target",
+                "sample_n_orders"]),
+        dict(op="heavy hitters (two-pass Misra-Gries, exact counts — "
+                "no full-domain shuffle)",
+             loc="dask_expr_spark/functions/sketches.py",
+             q=["heavy_hitter_tokens"]),
         dict(op="multimodal decode/frames/embed/resize + audio metadata "
                 "(image header + WAV/RIFF parse real, codec decode/resize "
                 "stubbed without Pillow/ffmpeg)",

@@ -1,0 +1,99 @@
+"""heavy_hitters (functions/sketches.py): the two-pass Misra-Gries plan
+must return EXACTLY the plain groupBy/HAVING answer on adversarial
+distributions — skew, near-threshold counts, many partitions (the
+pigeonhole superset argument is per-partition), multi-batch summaries,
+and non-string key types."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_expr_spark.functions.sketches import heavy_hitters
+
+
+def _exact(sdf, col, phi):
+    n = sdf.where(F.col(col).isNotNull()).count()
+    rows = (
+        sdf.groupBy(col).agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col(col).isNotNull())
+        .collect()
+    )
+    return sorted((r[col], r["freq"]) for r in rows if r["freq"] > phi * n)
+
+
+def _run(sdf, col, phi, **kw):
+    got = sorted(
+        (r["value"], r["freq"])
+        for r in heavy_hitters(sdf, col, phi, **kw).collect()
+    )
+    assert got == _exact(sdf, col, phi)
+    return got
+
+
+def test_skewed_zipf(spark):
+    # zipf-ish: value k appears ~N/k times — heavy head, long tail
+    rows = [(f"v{k}",) for k in range(1, 200) for _ in range(2000 // k)]
+    sdf = spark.createDataFrame(rows, "tok string").repartition(16)
+    got = _run(sdf, "tok", 0.02)
+    assert ("v1", 2000) in got and len(got) > 3
+
+
+def test_value_spread_across_partitions(spark):
+    # one value diluted so NO partition holds it above the local
+    # threshold alone except by pigeonhole — the superset guarantee's
+    # worst case. 32 partitions, hot value = 12% of every partition.
+    hot = [("hot", i) for i in range(1200)]
+    noise = [(f"n{i}", i) for i in range(8800)]
+    sdf = (
+        spark.createDataFrame(hot + noise, "tok string, i int")
+        .repartition(32, "i")
+        .drop("i")
+    )
+    got = _run(sdf, "tok", 0.1)
+    assert got == [("hot", 1200)]
+
+
+def test_near_threshold_exactness(spark):
+    # freq == phi*n exactly must be EXCLUDED (strict >), one more row
+    # included — the exact pass-2 filter decides, not the sketch.
+    # 100 a's + 900 others => n=1000; phi=0.1 => a (freq 100) is OUT.
+    rows = [("a",)] * 100 + [(f"x{i}",) for i in range(900)]
+    sdf = spark.createDataFrame(rows, "tok string").repartition(8)
+    assert _run(sdf, "tok", 0.1) == []
+    # 101 a's => IN
+    rows = [("a",)] * 101 + [(f"x{i}",) for i in range(899)]
+    sdf = spark.createDataFrame(rows, "tok string").repartition(8)
+    assert _run(sdf, "tok", 0.1) == [("a", 101)]
+
+
+def test_nulls_ignored(spark):
+    rows = [("a",)] * 50 + [(None,)] * 500 + [(f"x{i}",) for i in range(50)]
+    sdf = spark.createDataFrame(rows, "tok string").repartition(4)
+    # n counts non-nulls (100), so a=50 clears phi=0.3
+    assert _run(sdf, "tok", 0.3) == [("a", 50)]
+
+
+def test_integer_keys_and_candidate_override(spark):
+    rows = [(k % 7,) for k in range(7000)]
+    sdf = spark.createDataFrame(rows, "k long").repartition(8)
+    got = _run(sdf, "k", 0.05, candidates_per_partition=64)
+    assert got == [(i, 1000) for i in range(7)]
+
+
+def test_multibatch_summary(spark):
+    # force several Arrow batches through one partition so the
+    # cross-batch counter merge path runs
+    pdf = pd.DataFrame({"tok": ["hh" if i % 9 == 0 else f"t{i}" for i in range(200_000)]})
+    sdf = spark.createDataFrame(pdf).coalesce(2)
+    got = _run(sdf, "tok", 0.05)
+    assert got and got[0][0] == "hh"
+
+
+def test_phi_validation(spark):
+    sdf = spark.createDataFrame([("a",)], "tok string")
+    with pytest.raises(ValueError):
+        heavy_hitters(sdf, "tok", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(sdf, "tok", 1.0)
