@@ -1899,7 +1899,8 @@ class DataFrame(FrameBase):
 
     def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None,
                    compression: str = "snappy", append: bool = False,
-                   partition_on=None, sort_by=None, cluster: bool = False) -> None:
+                   partition_on=None, sort_by=None,
+                   cluster: bool | int | str = False) -> None:
         """reference: to_parquet (io/parquet.py:337) — compression=,
         append=, and partition_on= mirror the reference's knobs;
         partition_on is the reference's name for partition_by.
@@ -1917,20 +1918,44 @@ class DataFrame(FrameBase):
         accelerator there is; it costs one range shuffle at write time.
         cluster=<int> pins the range-bucket count (True lets AQE pick —
         at scale that's right; an explicit count is for fixed layouts).
+        cluster="zorder" interleaves quantile-bucket bits of ALL
+        sort_by columns (Morton order, sources/layout.py) so footer
+        stats prune files for a filter on ANY of them, not just the
+        leading one — the Delta/Iceberg OPTIMIZE ZORDER BY layout from
+        plain DataFrame ops.  Costs one extra column-pruned
+        approxQuantile pass at write time.
         """
         if append:
             mode = "append"
         sdf = self._sdf
         if sort_by:
             cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
-            if cluster:
+            zn = None  # ("zorder", n) pins the z-bucket count
+            if (isinstance(cluster, (tuple, list)) and cluster
+                    and cluster[0] == "zorder"):
+                zn, cluster = int(cluster[1]), "zorder"
+            if isinstance(cluster, str) and cluster == "zorder":
+                if len(cols) < 2:
+                    raise ValueError(
+                        "cluster='zorder' needs >=2 sort_by columns; "
+                        "for one column plain cluster=True is strictly "
+                        "better (exact ranges, no bucketing)")
+                from .sources.layout import zorder_key
+                zk = zorder_key(sdf, cols)
+                sdf = sdf.withColumn("__zorder", zk)
+                sdf = (sdf.repartitionByRange(zn, F.col("__zorder")) if zn
+                       else sdf.repartitionByRange(F.col("__zorder")))
+                sdf = sdf.sortWithinPartitions("__zorder").drop("__zorder")
+            elif cluster:
                 if isinstance(cluster, bool):
                     sdf = sdf.repartitionByRange(*cols)
                 else:
                     sdf = sdf.repartitionByRange(int(cluster), *cols)
-            sdf = sdf.sortWithinPartitions(*cols)
+                sdf = sdf.sortWithinPartitions(*cols)
+            else:
+                sdf = sdf.sortWithinPartitions(*cols)
         elif cluster:
-            raise ValueError("cluster=True requires sort_by=")
+            raise ValueError("cluster= requires sort_by=")
         w = sdf.write.mode(mode).option("compression", compression)
         pb = partition_by or partition_on
         if pb:

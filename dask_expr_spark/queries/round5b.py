@@ -55,7 +55,46 @@ SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
 """
 
 
+def parquet_zorder_roundtrip(spark, sf_dir):
+    """Z-ordered write (cluster='zorder', sources/layout.py) → read
+    back → filter on BOTH z dimensions → aggregate.  The oracle runs
+    the same slice on the source table, so any row lost/duplicated by
+    the quantile bucketing, bit interleave, or range shuffle flips the
+    hash.  (File-level clustering quality is asserted separately in
+    tests/test_io.py.)"""
+    import os
+    import tempfile
+
+    from ..sources.io import read_parquet
+    from ._util import cent_sum
+
+    o = tbl(spark, sf_dir, "orders")[
+        ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]]
+    path = os.path.join(tempfile.gettempdir(), "rt_orders_zorder")
+    o.to_parquet(path, sort_by=["o_orderdate", "o_totalprice"],
+                 cluster="zorder")
+    back = read_parquet(spark, path)
+    back = back[(back["o_orderdate"] >= "1995-01-01")
+                & (back["o_orderdate"] < "1996-01-01")
+                & (back["o_totalprice"] > 150000.0)]
+    return (back.to_spark().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+ZORDER_RT_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND o_totalprice > 150000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
     "sample_n_orders": (sample_n_orders, SAMPLE_N_SQL),
+    "parquet_zorder_roundtrip": (parquet_zorder_roundtrip, ZORDER_RT_SQL),
 }

@@ -46,9 +46,12 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="ReadParquet (+pushdowns)",
              loc="dask_expr_spark/sources/io.py (read_parquet)",
              q=["q1_pricing_summary"], t="pushdown asserted test_plans"),
-        dict(op="ToParquet (+partition_by)",
-             loc="dask_expr_spark/collection.py (to_parquet)",
-             q=["parquet_roundtrip_lineitem"]),
+        dict(op="ToParquet (+partition_by, clustered + z-ordered layouts)",
+             loc="dask_expr_spark/collection.py (to_parquet), "
+                 "dask_expr_spark/sources/layout.py (zorder_key)",
+             q=["parquet_roundtrip_lineitem", "parquet_clustered_roundtrip",
+                "parquet_zorder_roundtrip"],
+             t="footer-stats disjointness/both-dim clustering test_io"),
         dict(op="read_csv/to_csv/read_table/read_fwf (names=/usecols=)",
              loc="dask_expr_spark/sources/io.py", q=["csv_roundtrip_orders"]),
         dict(op="read_json/to_json", loc="dask_expr_spark/sources/io.py",

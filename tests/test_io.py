@@ -304,3 +304,60 @@ def test_parquet_cluster_requires_sort_by(spark, tmp_path):
     df = from_pandas(spark, pd.DataFrame({"a": [1, 2]}))
     with pytest.raises(ValueError, match="sort_by"):
         df.to_parquet(str(tmp_path / "x"), cluster=True)
+
+
+def test_parquet_zorder_write_clusters_both_dims(spark, sf_dir, tmp_path):
+    """round 5: cluster='zorder' (sources/layout.py) interleaves
+    quantile-bucket bits of ALL sort columns, so per-file footer ranges
+    are narrow on EVERY dimension — vs leading-column clustering, where
+    the trailing column's per-file range stays ~global (no pruning).
+    Asserted from the parquet footers on both layouts side by side."""
+    import os
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    def file_range_fracs(path, col):
+        """median per-file (max-min) as a fraction of the global range."""
+        spans, los, his = [], [], []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            st = [md.row_group(rg).column(idx).statistics
+                  for rg in range(md.num_row_groups)]
+            lo, hi = min(s.min for s in st), max(s.max for s in st)
+            spans.append(hi - lo)
+            los.append(lo)
+            his.append(hi)
+        glob = max(his) - min(los)
+        return statistics.median(spans) / glob, len(spans)
+
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_orderdate", "o_totalprice"]]
+    lead = str(tmp_path / "lead")
+    zord = str(tmp_path / "zord")
+    # pinned bucket count: AQE would coalesce the tiny sf0.001 shuffle
+    # to one file and leave nothing to compare
+    o.to_parquet(lead, sort_by=["o_orderdate", "o_totalprice"], cluster=8)
+    o.to_parquet(zord, sort_by=["o_orderdate", "o_totalprice"],
+                 cluster=("zorder", 8))
+
+    lead_price, n_lead = file_range_fracs(lead, "o_totalprice")
+    z_price, n_z = file_range_fracs(zord, "o_totalprice")
+    assert n_lead > 1 and n_z > 1
+    # leading-column layout: price ranges are ~global (no pruning)
+    assert lead_price > 0.8, lead_price
+    # z-order: BOTH dimensions land well under global per file
+    assert z_price < 0.6, z_price
+
+    # row preservation through quantile bucketing + range shuffle
+    assert read_parquet(spark, zord).compute().shape[0] == \
+        o.compute().shape[0]
+
+
+def test_parquet_zorder_needs_two_columns(spark, tmp_path):
+    df = from_pandas(spark, pd.DataFrame({"a": [1, 2], "b": [3, 4]}))
+    with pytest.raises(ValueError, match="zorder"):
+        df.to_parquet(str(tmp_path / "x"), sort_by="a", cluster="zorder")
