@@ -219,6 +219,13 @@ def main() -> None:
         "q9_profit_by_nation": registry["q9_profit_by_nation"][0],
         "stream_tumbling_counts": registry["stream_tumbling_counts"][0],
         "stream_stateful_totals": registry["stream_stateful_totals"][0],
+        # two-pass Misra-Gries: pass-1 summaries and the pass-2 recount
+        # both scan the full token stream; candidates stay ≤ m/partition
+        # regardless of scale (at the probe the per-replica vocab is
+        # disjoint, so no token clears phi of the ×R stream and the
+        # correct output is empty — pass 2 still runs in full because
+        # the CANDIDATE set from pass 1 is never empty)
+        "heavy_hitter_tokens": registry["heavy_hitter_tokens"][0],
     }
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
     if only:
