@@ -289,3 +289,68 @@ ORDER BY vec_id, cell
 
 
 QUERIES["stream_semantic_dedup"] = (stream_semantic_dedup, _stream_sem_sql())
+
+
+def stream_heavy_hitters(spark, sf_dir):
+    """streaming Misra-Gries heavy-hitter sketch (streaming/ops.py
+    heavy_hitter_candidates_stream — state bounded at m counters per
+    shard forever) + offline exact recount: per-user event heavy
+    hitters (> 0.8% of all events).  The stream supplies a GUARANTEED
+    candidate superset (all occurrences of a user hash to one shard,
+    so global freq > n_shard/m survives that shard's summary); the
+    batch side recounts only those candidates and applies the exact
+    threshold — the result equals plain GROUP BY/HAVING and
+    hash-checks against DuckDB regardless of micro-batching."""
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_hh_")
+    try:
+        (read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+         .to_spark().repartition(4).write.mode("overwrite").parquet(src))
+        stream = S.read_event_stream(spark, src, max_files_per_trigger=2)
+        name = "stream_hh_out"
+        q_ = S.run_to_memory(
+            S.heavy_hitter_candidates_stream(stream, "user_id", m=125,
+                                             shards=8),
+            name, output_mode="update",
+        )
+        try:
+            # final snapshot per shard = the emission carrying that
+            # shard's max n_seen (n_seen grows with every batch the
+            # shard receives).  The memory sink holds ≤ shards × m
+            # candidate rows per batch — driver-side selection is the
+            # fixture materialization, not the data path.
+            pdf = spark.table(name).toPandas()
+            mx = pdf.groupby("shard")["n_seen"].transform("max")
+            vals = sorted(set(pdf.loc[pdf["n_seen"] == mx, "value"]))
+            # NOT named "value": events itself has a value column
+            cand = spark.createDataFrame([(v,) for v in vals],
+                                         "__hh_val string")
+        finally:
+            q_.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).to_spark()
+    total = ev.where(F.col("user_id").isNotNull()).agg(
+        F.count(F.lit(1)).alias("__total"))
+    exact = (
+        ev.join(F.broadcast(cand),
+                ev["user_id"].cast("string") == F.col("__hh_val"), "leftsemi")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (exact.crossJoin(F.broadcast(total))
+            .where(F.col("freq") > 0.008 * F.col("__total"))
+            .select("user_id", "freq").orderBy("user_id"))
+
+
+STREAM_HH_SQL = """
+SELECT user_id, count(*) AS freq
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) > 0.008 * (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+ORDER BY user_id
+"""
+
+QUERIES["stream_heavy_hitters"] = (stream_heavy_hitters, STREAM_HH_SQL)

@@ -296,3 +296,69 @@ def semantic_dedup_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUT_SCHEMA = "shard long, value string, lb long, n_seen long"
+HH_STATE_SCHEMA = "keys array<string>, counts array<long>, n long"
+
+
+def heavy_hitter_candidates_stream(stream: DataFrame, col: str,
+                                   m: int, shards: int = 8) -> DataFrame:
+    """STREAMING heavy-hitter sketch: Misra-Gries online, state bounded
+    at `m` counters per shard FOREVER — the streaming companion to
+    functions/sketches.py heavy_hitters (same two-pass contract: this
+    is pass 1; an offline exact recount of the final candidates is
+    pass 2, see queries/streaming_q.py stream_heavy_hitters).
+
+    Values are sharded by a portable md5-derived hash (so an oracle can
+    replicate shard membership); ALL occurrences of a value land in one
+    shard, so any value with global frequency > n_shard/m ≥ its shard's
+    threshold survives that shard's summary — the superset guarantee
+    holds per shard independently, and total state is shards × m
+    counters no matter how many distinct values stream through.
+
+    Each micro-batch emits the shard's current candidates with their
+    Misra-Gries lower-bound counts (true_count - n_shard/m ≤ lb ≤
+    true_count) plus the shard's running element count `n_seen`, so a
+    consumer can both rank candidates and bound the error."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(shards),
+    )
+    keyed = stream.select(F.col(col).cast("string").alias("__v"),
+                          shard.alias("__shard")).where(F.col("__v").isNotNull())
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (sh,) = key
+        if state.exists:
+            keys, counts, n = state.get
+            counters = pd.Series(list(counts), index=list(keys), dtype="int64")
+        else:
+            counters, n = pd.Series(dtype="int64"), 0
+        for pdf in pdfs:
+            s = pdf["__v"]
+            n += len(s)
+            vc = s.value_counts()
+            counters = (vc if counters.empty
+                        else pd.concat([counters, vc]).groupby(level=0).sum())
+            if len(counters) > m:
+                t = counters.nlargest(m + 1).iloc[-1]
+                counters = counters - t
+                counters = counters[counters > 0]
+        state.update((list(counters.index), [int(c) for c in counters],
+                      int(n)))
+        yield pd.DataFrame({
+            "shard": int(sh), "value": counters.index,
+            "lb": counters.to_numpy("int64"), "n_seen": int(n),
+        })
+
+    return keyed.groupBy("__shard").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

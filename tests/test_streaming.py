@@ -285,3 +285,57 @@ def test_semantic_dedup_candidates_stream_multibatch(spark, tmp_path):
         assert any(m > v for v, m, _ in got)
     finally:
         q.stop()
+
+
+def test_heavy_hitter_stream_multibatch_decrement(spark, tmp_path):
+    """streaming Misra-Gries (heavy_hitter_candidates_stream): state
+    must stay bounded at m counters per shard ACROSS micro-batches
+    while the decrement path runs (vocab >> m), and the final summary
+    must (a) contain every true heavy hitter — the superset guarantee —
+    with (b) lb <= true count."""
+    import uuid
+
+    import pandas as pd
+
+    # 3 files -> 3 micro-batches. One hot value (30%), vocab of 600
+    # uniques across batches vs m=16: decrements fire every batch.
+    src = str(tmp_path / "hh_stream")
+    rows = []
+    for b in range(3):
+        rows += [("hot", b)] * 200
+        rows += [(f"u{b}_{i}", b) for i in range(200)]
+    pdf = pd.DataFrame(rows, columns=["k", "b"])
+    for b in range(3):
+        (spark.createDataFrame(pdf[pdf["b"] == b][["k"]])
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = spark.readStream.schema("k string").option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    m, shards = 16, 4
+    out = S.heavy_hitter_candidates_stream(stream, "k", m=m, shards=shards)
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = S.run_to_memory(out, name, output_mode="update")
+    try:
+        emitted = spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        q.stop()
+
+    # state bound: every emission carries <= m candidates per shard
+    per_emission = emitted.groupby(["shard", "n_seen"]).size()
+    assert (per_emission <= m).all(), per_emission.max()
+
+    # final snapshot per shard
+    mx = emitted.groupby("shard")["n_seen"].transform("max")
+    final = emitted[emitted["n_seen"] == mx]
+
+    truth = pdf["k"].value_counts()
+    n = int(truth.sum())
+    # superset guarantee: all of "hot"'s occurrences land in one shard,
+    # where its frequency (>= 30% of that shard's stream) is far above
+    # the shard's n_shard/m threshold — it must survive the summary
+    assert "hot" in set(final["value"])
+    hot_lb = int(final.loc[final["value"] == "hot", "lb"].iloc[0])
+    assert 0 < hot_lb <= int(truth["hot"])
+    # every candidate's lb is a valid lower bound
+    for _, r in final.iterrows():
+        assert r["lb"] <= int(truth.get(r["value"], 0))
