@@ -13,6 +13,12 @@ One session config for correctness + scale:
   coalesces, and the 128 MB advisory partition size mirrors the
   reference's partition_size default
   (/root/reference/dask_expr/_shuffle.py:833).
+- runtime bloom-filter join reduction stays at Spark defaults (ON,
+  10 MB creation / 10 GB probe-scan thresholds): at 100 TB a shuffle
+  join whose build side carries a selective filter gets a
+  might_contain() probe-side pre-filter injected automatically —
+  proven against this session config in
+  tests/test_scale_ops.py::test_runtime_bloom_filter_reduces_shuffle_join.
 """
 
 from __future__ import annotations

@@ -254,3 +254,49 @@ def test_lsh_hot_band_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join reduction must be AVAILABLE to
+    our plans: when a shuffle join's build side carries a selective
+    filter, Catalyst injects a might_contain() pre-filter on the probe
+    side, cutting the probe shuffle before it happens.  The default
+    thresholds (10 MB creation / 10 GB probe scan) mean it fires only
+    at real scale — this test lowers the probe threshold to prove the
+    injection works with our session config, so at 100 TB the engine
+    gets semi-join reduction for free (no hand-built bloom plumbing)."""
+    from pyspark.sql import functions as F2
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold":
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter."
+                           "applicationSideScanSizeThreshold"),
+    }
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    # force a shuffle join (the 100 TB shape; broadcast would bypass
+    # the runtime filter) and let the tiny test scan qualify
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                   "applicationSideScanSizeThreshold", "1KB")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter(F2.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        # and the filtered plan still computes the right answer
+        got = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        want = (
+            li.join(F2.broadcast(o), li.l_orderkey == o.o_orderkey,
+                    "left_semi").count())
+        assert sum(got.values()) == want
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
