@@ -93,8 +93,44 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def hll_rollup_users(spark, sf_dir):
+    """Mergeable HLL sketch rollup (functions/sketches.py hll_rollup /
+    hll_estimate): sketch events per (event_type, day), then answer
+    per-event_type distinct users by UNIONING the day sketches — the
+    raw table is scanned once for the rollup, never for the estimates.
+    Tolerance oracle (the approx_distinct_parts pattern): output =
+    exact distincts (hash-checked) + flags that each sketch estimate
+    sits within 3x the lg_k=12 published error (±7.5%)."""
+    from ..functions.sketches import hll_estimate, hll_rollup
+
+    ev = tbl(spark, sf_dir, "events").to_spark().withColumn(
+        "day", F.to_date("ts"))
+    roll = hll_rollup(ev, ["event_type", "day"], "user_id", lg_k=12)
+    est = hll_estimate(roll, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "exact_users",
+            (F.abs(F.col("distinct_est") - F.col("exact_users"))
+             <= F.col("exact_users").cast("double") * 0.075)
+            .alias("est_ok"))
+        .orderBy("event_type")
+    )
+
+
+HLL_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
     "sample_n_orders": (sample_n_orders, SAMPLE_N_SQL),
     "parquet_zorder_roundtrip": (parquet_zorder_roundtrip, ZORDER_RT_SQL),
+    "hll_rollup_users": (hll_rollup_users, HLL_ROLLUP_SQL),
 }

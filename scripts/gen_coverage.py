@@ -373,9 +373,15 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "global_shuffle_head", "mix_sources_target",
                 "sample_n_orders"]),
         dict(op="heavy hitters (two-pass Misra-Gries, exact counts — "
-                "no full-domain shuffle)",
-             loc="dask_expr_spark/functions/sketches.py",
-             q=["heavy_hitter_tokens"]),
+                "no full-domain shuffle) + streaming variant (bounded state)",
+             loc="dask_expr_spark/functions/sketches.py "
+                 "(+ streaming/ops.py heavy_hitter_candidates_stream)",
+             q=["heavy_hitter_tokens", "stream_heavy_hitters"]),
+        dict(op="mergeable HLL distinct-count rollup (sketch once, "
+                "estimate any slice union without rescanning)",
+             loc="dask_expr_spark/functions/sketches.py (hll_rollup)",
+             q=["hll_rollup_users"],
+             t="overlapping-slice merge test_sketches"),
         dict(op="multimodal decode/frames/embed/resize + audio metadata "
                 "(image header + WAV/RIFF parse real, codec decode/resize "
                 "stubbed without Pillow/ffmpeg)",

@@ -97,3 +97,27 @@ def test_phi_validation(spark):
         heavy_hitters(sdf, "tok", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(sdf, "tok", 1.0)
+
+
+def test_hll_rollup_merges_overlapping_slices(spark):
+    """hll_rollup/hll_estimate: sketch union must deduplicate values
+    shared across slices (the whole point of mergeable sketches —
+    summing per-slice exact distincts would overcount)."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import hll_estimate, hll_rollup
+
+    # 3 days, each day sees users [d*50, d*50 + 500): heavy overlap;
+    # true distinct over all days = 600, naive per-day sum = 1500
+    rows = [(d, u) for d in range(3) for u in range(d * 50, d * 50 + 500)]
+    df = spark.createDataFrame(rows, "day int, user long").repartition(8)
+    roll = hll_rollup(df, ["day"], "user", lg_k=12)
+    assert roll.count() == 3
+    got = hll_estimate(roll).collect()[0]["distinct_est"]
+    exact = df.select("user").distinct().count()
+    assert exact == 600
+    assert abs(got - exact) <= exact * 0.075, got
+    # grouped estimate path: per-day estimates ≈ 500 each
+    per_day = {r["day"]: r["distinct_est"]
+               for r in hll_estimate(roll, ["day"]).collect()}
+    assert all(abs(v - 500) <= 500 * 0.075 for v in per_day.values())
