@@ -207,13 +207,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 8, rows: int = 4
-) -> DataFrame:
-    """banded LSH: docs whose signature agrees on all `rows` hashes of
-    any band become a candidate pair. Collision threshold
-    t ≈ (1/bands)^(1/rows)."""
-    banded = sig.select(
+def _banded_rows(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(__id, band, bhash) rows from a signature frame — the banded-key
+    explode shared by the self-join pipeline (lsh_candidate_pairs) and
+    the incremental index (minhash_index / minhash_dedup_against); the
+    two MUST hash band slices identically or an index built yesterday
+    can't match today's batch."""
+    return sig.select(
         "__id",
         F.explode(
             F.array(
@@ -229,6 +229,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bhash")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """banded LSH: docs whose signature agrees on all `rows` hashes of
+    any band become a candidate pair. Collision threshold
+    t ≈ (1/bands)^(1/rows)."""
+    banded = _banded_rows(sig, bands, rows)
     # self-join via alias(), NOT per-side column renames: renaming
     # before the join puts a different projection under each exchange,
     # so the signature aggregation would be computed twice. With
@@ -276,6 +285,64 @@ def minhash_dedup_pairs(
         .withColumn("est_jaccard", minhash_jaccard_estimate(F.col("__sig_a"), F.col("__sig_b")))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_index(df: DataFrame, id_col: str, text_col: str, k: int = 3,
+                  num_perm: int = 32, bands: int = 8
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Persistent LSH index for INCREMENTAL dedup: returns
+    ``(band_rows, sigs)`` — ``band_rows`` is (id, band, bhash) and
+    ``sigs`` is (id, sig array<bigint>).  Write both to parquet (band
+    rows clustered on (band, bhash) — to_parquet(sort_by=,
+    cluster=True)) ONCE; each day's new batch then dedupes against the
+    index via minhash_dedup_against without ever re-reading the old
+    corpus' text.  This is the production shape at 100 TB: the corpus
+    is scanned once when indexed, and daily batches cost
+    O(batch + matched candidates).
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    band_rows = _banded_rows(sig, bands, rows).select(
+        F.col("__id").alias("id"), "band", "bhash")
+    sigs = sig.select(F.col("__id").alias("id"), F.col("__sig").alias("sig"))
+    return band_rows, sigs
+
+
+def minhash_dedup_against(new_df: DataFrame, index_bands: DataFrame,
+                          index_sigs: DataFrame, id_col: str, text_col: str,
+                          k: int = 3, num_perm: int = 32, bands: int = 8,
+                          threshold: float = 0.7) -> DataFrame:
+    """Dedupe a NEW batch against an existing minhash_index — no
+    self-join over the combined corpus, no rescan of old text.  Plan:
+    signature the batch (one explode + agg over the batch only), band
+    it, equi-join (band, bhash) against the index's band rows, verify
+    candidates by signature agreement ≥ threshold.  Returns
+    (id_new, id_index, est_jaccard).  The candidate equi-join shuffles
+    only the batch's band keys plus the MATCHING index slice; ids may
+    overlap between batch and index (the pair is emitted either way —
+    filter id_new != id_index downstream if re-indexing in place)."""
+    rows = num_perm // bands
+    sig_new = minhash_signatures(new_df, id_col, text_col, k, num_perm)
+    banded_new = _banded_rows(sig_new, bands, rows)
+    cand = (
+        banded_new.join(index_bands.withColumnRenamed("id", "id_index"),
+                        ["band", "bhash"])
+        .select(F.col("__id").alias("id_new"), "id_index")
+        .distinct()
+    )
+    sa = sig_new.select(F.col("__id").alias("id_new"),
+                        F.col("__sig").alias("__sig_a"))
+    sb = index_sigs.select(F.col("id").alias("id_index"),
+                           F.col("sig").alias("__sig_b"))
+    return (
+        cand.join(sa, "id_new")
+        .join(sb, "id_index")
+        .withColumn("est_jaccard",
+                    minhash_jaccard_estimate(F.col("__sig_a"),
+                                             F.col("__sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_index", "est_jaccard")
     )
 
 

@@ -128,8 +128,75 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental dedup (functions/dedup.py minhash_index /
+    minhash_dedup_against): the corpus is split deterministically into
+    an indexed 90% (doc_id % 10 != 0) and a 'new batch' 10%; the batch
+    is deduped against the index ONLY — no self-join over the combined
+    corpus, old text never re-read.  Containment oracle (the
+    dedup_minhash_lsh pattern): output = exact cross-corpus J ≥ 0.9
+    pairs covered by the incremental candidates; any recall miss drops
+    a row and flips the driver hash."""
+    from ..functions import dedup as DD
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    idx_bands, idx_sigs = DD.minhash_index(old, "doc_id", "text",
+                                           k=3, num_perm=32, bands=8)
+    cand = DD.minhash_dedup_against(
+        new, idx_bands, idx_sigs, "doc_id", "text",
+        k=3, num_perm=32, bands=8, threshold=0.7
+    ).select(F.col("id_new"), F.col("id_index"))
+    exact = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.9, max_shingle_freq=None)
+    # exact pairs restricted to (new x old), oriented as (new, old)
+    cross = exact.where(
+        ((F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0))
+        | ((F.col("id_b") % 10 == 0) & (F.col("id_a") % 10 != 0)))
+    oriented = cross.select(
+        F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("id_new"),
+        F.when(F.col("id_a") % 10 == 0, F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("id_index"),
+        F.round(F.col("jaccard"), 6).alias("jaccard"))
+    return (oriented.join(cand, ["id_new", "id_index"], "left_semi")
+            .orderBy("id_new", "id_index"))
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH ds AS (
+  SELECT DISTINCT doc_id AS id, unnest(
+    CASE WHEN len(string_split(text,' ')) >= 3
+         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                             i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+         ELSE [] END) AS sh
+  FROM documents
+),
+sz AS (SELECT id, count(*) AS n FROM ds GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+  FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.9
+)
+SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new,
+       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_index,
+       jaccard
+FROM pairs
+WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+ORDER BY id_new, id_index
+"""
+
+
 QUERIES = {
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
+    "dedup_incremental_minhash": (dedup_incremental_minhash,
+                                  DEDUP_INCREMENTAL_SQL),
     "sample_n_orders": (sample_n_orders, SAMPLE_N_SQL),
     "parquet_zorder_roundtrip": (parquet_zorder_roundtrip, ZORDER_RT_SQL),
     "hll_rollup_users": (hll_rollup_users, HLL_ROLLUP_SQL),

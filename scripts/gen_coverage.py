@@ -372,6 +372,12 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["split_train_val", "stratified_sample_docs",
                 "global_shuffle_head", "mix_sources_target",
                 "sample_n_orders"]),
+        dict(op="incremental corpus dedup: persistent MinHash-LSH index "
+                "+ batch-vs-index candidates (no combined self-join)",
+             loc="dask_expr_spark/functions/dedup.py (minhash_index, "
+                 "minhash_dedup_against)",
+             q=["dedup_incremental_minhash"],
+             t="parquet index roundtrip test_dedup"),
         dict(op="heavy hitters (two-pass Misra-Gries, exact counts — "
                 "no full-domain shuffle) + streaming variant (bounded state)",
              loc="dask_expr_spark/functions/sketches.py "

@@ -187,3 +187,30 @@ def test_duplicated_spans_scope_any_vs_cross_doc(spark):
                                          scope="any").collect()}
     assert cross == {1: 0, 2: 0, 3: 0}
     assert any_[1] == 8 and any_[2] == 0 and any_[3] == 0
+
+
+def test_minhash_index_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """minhash_index persisted to parquet and read back must produce
+    the identical dedup_against result as the in-memory index — the
+    whole point is indexing the corpus ONCE and reusing the files."""
+    from dask_expr_spark.functions import dedup as DD
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    bands_df, sigs_df = DD.minhash_index(old, "doc_id", "text")
+
+    bp, sp = str(tmp_path / "bands"), str(tmp_path / "sigs")
+    bands_df.write.parquet(bp)
+    sigs_df.write.parquet(sp)
+
+    def run(b, s):
+        return sorted(
+            (r["id_new"], r["id_index"], round(r["est_jaccard"], 6))
+            for r in DD.minhash_dedup_against(
+                new, b, s, "doc_id", "text", threshold=0.7).collect())
+
+    mem = run(bands_df, sigs_df)
+    disk = run(spark.read.parquet(bp), spark.read.parquet(sp))
+    assert mem == disk and len(mem) > 0
