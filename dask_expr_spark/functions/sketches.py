@@ -66,9 +66,12 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     m = candidates_per_partition or math.ceil(1.0 / phi)
     spark_type = df.schema[col].dataType
+    # reserved-ish names so a source column called "val"/"n_part"
+    # can't alias into the candidate join (the summary frame never
+    # meets the source frame except through the semi-join condition)
     out_schema = T.StructType([
-        T.StructField("val", spark_type),
-        T.StructField("n_part", T.LongType()),
+        T.StructField("__hh_val", spark_type),
+        T.StructField("__hh_n", T.LongType()),
     ])
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,25 +91,26 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
                 t = counters.nlargest(m + 1).iloc[-1]
                 counters = counters - t
                 counters = counters[counters > 0]
-        out = pd.DataFrame({"val": counters.index, "n_part": 0})
-        marker = pd.DataFrame({"val": [None], "n_part": [n_part]})
+        out = pd.DataFrame({"__hh_val": counters.index, "__hh_n": 0})
+        marker = pd.DataFrame({"__hh_val": [None], "__hh_n": [n_part]})
         yield pd.concat([out, marker], ignore_index=True)
 
     summary = df.select(col).mapInPandas(_mg, schema=out_schema)
     # one tiny frame feeds two consumers (candidates + total): keep it
     # from double-scanning the source
     summary = summary.cache()
-    keys = summary.where(F.col("val").isNotNull()).select("val").distinct()
-    total = summary.where(F.col("val").isNull()).agg(
-        F.sum("n_part").alias("__total"))
+    keys = summary.where(F.col("__hh_val").isNotNull()) \
+        .select("__hh_val").distinct()
+    total = summary.where(F.col("__hh_val").isNull()).agg(
+        F.sum("__hh_n").alias("__hh_total"))
     exact = (
-        df.join(F.broadcast(keys), df[col] == F.col("val"), "leftsemi")
+        df.join(F.broadcast(keys), df[col] == F.col("__hh_val"), "leftsemi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return (
         exact.crossJoin(F.broadcast(total))
-        .where(F.col("freq") > F.lit(float(phi)) * F.col("__total"))
+        .where(F.col("freq") > F.lit(float(phi)) * F.col("__hh_total"))
         .select(F.col(col).alias("value"), "freq")
     )
 

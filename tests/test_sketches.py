@@ -121,3 +121,14 @@ def test_hll_rollup_merges_overlapping_slices(spark):
     per_day = {r["day"]: r["distinct_est"]
                for r in hll_estimate(roll, ["day"]).collect()}
     assert all(abs(v - 500) <= 500 * 0.075 for v in per_day.values())
+
+
+def test_heavy_hitters_on_column_named_val(spark):
+    """source columns named like the sketch's internals must not alias
+    into the candidate join (regression guard for the reserved-name
+    rename)."""
+    rows = [("a",)] * 60 + [(f"x{i}",) for i in range(40)]
+    sdf = spark.createDataFrame(rows, "val string").repartition(4)
+    got = sorted((r["value"], r["freq"])
+                 for r in heavy_hitters(sdf, "val", 0.3).collect())
+    assert got == [("a", 60)]
