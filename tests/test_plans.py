@@ -203,8 +203,11 @@ def test_q21_lone_late_supplier_single_shuffle(spark, sf_dir):
 #                             exact brute force IS the quadratic grid
 #   heavy_hitter_tokens     — 1-row total-count scalar broadcast onto the
 #                             ≤ ceil(1/phi)·P candidate counts
+#   stream_heavy_hitters    — same 1-row total broadcast in its offline
+#                             exact-recount stage
 _NESTED_LOOP_OK = {"q22_idle_customers", "q11_important_stock",
                    "ann_cosine_topk_blocked", "heavy_hitter_tokens",
+                   "stream_heavy_hitters",
                    "dedup_embedding_cosine",
                    "monotonic_orders", "text_lm_perplexity", "text_bm25_search",
                    "size_len_scalars"}
