@@ -194,6 +194,22 @@ def main() -> None:
         return SIM.ivf_topk(emb, queries, dim=64, k=5, num_cells=cells,
                             nprobe=4).select("query_id", "neighbor_id")
 
+    def _incremental_dedup(spark, d):
+        # the PIPELINE only (index build + batch-vs-index candidates +
+        # signature verify), not the exact-Jaccard containment oracle
+        # the registry query adds for correctness checking
+        from pyspark.sql import functions as F2
+
+        from dask_expr_spark.functions import dedup as DD
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        old = docs.where(F2.col("doc_id") % 10 != 0)
+        new = docs.where(F2.col("doc_id") % 10 == 0)
+        ib, isg = DD.minhash_index(old, "doc_id", "text", k=3,
+                                   num_perm=32, bands=8)
+        return DD.minhash_dedup_against(
+            new, ib, isg, "doc_id", "text", k=3, num_perm=32, bands=8,
+            threshold=0.7).select("id_new", "id_index")
+
     probes = {
         "dedup_ngram_jaccard": registry["dedup_ngram_jaccard"][0],
         "dedup_minhash_pipeline": bench.LOCAL_PROBES["dedup_minhash_pipeline"],
@@ -226,6 +242,10 @@ def main() -> None:
         # correct output is empty — pass 2 still runs in full because
         # the CANDIDATE set from pass 1 is never empty)
         "heavy_hitter_tokens": registry["heavy_hitter_tokens"][0],
+        # incremental dedup: index 90% of the corpus, dedupe the other
+        # 10% against it — cost should scale with (batch + index band
+        # rows joined), NOT quadratically in the corpus
+        "dedup_incremental_minhash": _incremental_dedup,
     }
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
     if only:
