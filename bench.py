@@ -173,6 +173,10 @@ OPTIONAL = [
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_potential_promotion",
+    # round 5 sketch/layout family (no prior comparable)
+    "heavy_hitter_tokens",
+    "hll_rollup_users",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -37,9 +37,12 @@ def q2_min_cost_supplier(spark, sf_dir):
 
     unit cost := min(round(l_extendedprice / l_quantity, 4)) over that
     supplier's shipments of the part (the derived partsupp). The
-    correlated min becomes a per-part min aggregate joined back on
-    equality — both sides of the join are post-aggregation frames, so
-    the join is broadcast-sized regardless of fact scale."""
+    correlated min becomes a per-part window min over the aggregated
+    cost frame — NOT an agg + join-back, which Catalyst compiles as
+    two copies of the whole lineitem-agg subtree (round-5 plan audit:
+    the join-back version scanned and aggregated lineitem TWICE; the
+    window shuffles only the post-aggregation frame, bounded by
+    qualifying parts × suppliers, and the fact table is read once)."""
     li = tbl(spark, sf_dir, "lineitem").to_spark()
     part = tbl(spark, sf_dir, "part").to_spark()
     supp = tbl(spark, sf_dir, "supplier").to_spark()
@@ -63,9 +66,10 @@ def q2_min_cost_supplier(spark, sf_dir):
                     ps.l_partkey == target.p_partkey)
               .join(F.broadcast(eur_supp),
                     ps.l_suppkey == F.col("s_suppkey")))
-    min_cost = cost.groupBy("p_partkey").agg(
-        F.min("unit_cost").alias("mc"))
-    return (cost.join(F.broadcast(min_cost), "p_partkey")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (cost.withColumn("mc", F.min("unit_cost").over(w))
                 .filter(F.col("unit_cost") == F.col("mc"))
                 .select(F.col("s_acctbal"), F.col("s_name"), F.col("n_name"),
                         F.col("p_partkey"), F.col("p_brand"),

@@ -378,3 +378,16 @@ def test_ivf_cell_assignment_is_map_only(spark, sf_dir):
     got = assigned.groupBy("cell").count().collect()
     assert {r.cell for r in got} <= cells
     assert sum(r["count"] for r in got) == emb.count()
+
+
+def test_q2_reads_fact_table_once(spark, sf_dir):
+    """TPC-H Q2 shape: the correlated per-part min must be a window
+    over the aggregated cost frame, not an agg + join-back — Catalyst
+    compiles the join-back as TWO copies of the lineitem-agg subtree
+    (round-5 audit caught the double scan)."""
+    from dask_expr_spark.queries import collect_queries
+
+    df = collect_queries()["q2_min_cost_supplier"][0](spark, sf_dir)
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem") == 1, plan.count("lineitem")
