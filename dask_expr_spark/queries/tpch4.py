@@ -107,7 +107,14 @@ def q11_important_stock(spark, sf_dir):
 
     Value sums run in exact cents (BIGINT) so the fraction threshold
     compares identically across engines; the grand total is a 1-row
-    broadcast cross join, never a driver round-trip."""
+    broadcast cross join, never a driver round-trip.  The per-part
+    value frame is persist()ed: it feeds two consumers (the rows and
+    their grand total) and Catalyst otherwise duplicates the whole
+    fact-scan+join+agg subtree per consumer (round-5 plan audit:
+    2 lineitem scans, no AQE stage reuse because the consumers prune
+    different columns).  The cached frame is part-cardinality — a
+    dimension-scale frame, safe to pin even at 100 TB — unlike the
+    raw-fact caches the engine deliberately avoids."""
     li = tbl(spark, sf_dir, "lineitem").to_spark()
     supp = tbl(spark, sf_dir, "supplier").to_spark()
     nation = tbl(spark, sf_dir, "nation").to_spark()
@@ -118,7 +125,8 @@ def q11_important_stock(spark, sf_dir):
     vc = (li.join(F.broadcast(n7_supp), li.l_suppkey == F.col("s_suppkey"))
             .groupBy("l_partkey")
             .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
-                       .cast("long")).alias("vc")))
+                       .cast("long")).alias("vc"))
+            .persist())
     total = vc.agg(F.sum("vc").alias("tot"))
     return (vc.join(F.broadcast(total))
               .filter(F.col("vc").cast("double")
@@ -151,9 +159,11 @@ def q20_potential_promotion(spark, sf_dir):
     above half that part's total for the year — as a semi-join onto
     the supplier dim.
 
-    The per-part total derives from the (supplier, part) aggregate
-    (one wide stage over the filtered fact, no second lineitem scan);
-    quantity sums in exact cents so the half-of-total comparison is
+    The per-part total is a window sum over the (supplier, part)
+    aggregate — NOT an agg + join-back, which Catalyst compiles as two
+    copies of the fact-agg subtree (same round-5 audit finding as Q2);
+    one lineitem scan, window over the post-aggregation frame only.
+    Quantity sums in exact cents so the half-of-total comparison is
     engine-exact."""
     li = tbl(spark, sf_dir, "lineitem").to_spark()
     part = tbl(spark, sf_dir, "part").to_spark()
@@ -165,8 +175,10 @@ def q20_potential_promotion(spark, sf_dir):
               .groupBy("l_suppkey", "l_partkey")
               .agg(F.sum(F.round(F.col("l_quantity") * 100)
                          .cast("long")).alias("qsp")))
-    q_p = q_sp.groupBy("l_partkey").agg(F.sum("qsp").alias("qp"))
-    dominant = (q_sp.join(F.broadcast(q_p), "l_partkey")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey")
+    dominant = (q_sp.withColumn("qp", F.sum("qsp").over(w))
                     .filter(F.col("qsp").cast("double")
                             > F.lit(0.5) * F.col("qp").cast("double"))
                     .select("l_suppkey"))

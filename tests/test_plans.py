@@ -391,3 +391,27 @@ def test_q2_reads_fact_table_once(spark, sf_dir):
     sdf = df.to_spark() if hasattr(df, "to_spark") else df
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem") == 1, plan.count("lineitem")
+
+
+def test_q20_reads_fact_table_once(spark, sf_dir):
+    """same audit finding as Q2: the half-of-total dominance filter is
+    a window over the (supplier, part) aggregate, not an agg +
+    join-back that would duplicate the fact subtree."""
+    from dask_expr_spark.queries import collect_queries
+
+    df = collect_queries()["q20_potential_promotion"][0](spark, sf_dir)
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem") == 1, plan.count("lineitem")
+
+
+def test_q11_consumers_share_cached_aggregate(spark, sf_dir):
+    """Q11's per-part value frame feeds two consumers (rows + grand
+    total); both must read the persisted aggregate, not rebuild the
+    fact-scan subtree (round-5 audit: 2 lineitem scans without it)."""
+    from dask_expr_spark.queries import collect_queries
+
+    df = collect_queries()["q11_important_stock"][0](spark, sf_dir)
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
