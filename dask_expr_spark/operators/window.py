@@ -227,6 +227,13 @@ class Rolling:
             if kind in ("min", "max"):
                 temps[f"__t1_{c}"] = col
                 fns[f"__t1_{c}"] = kind
+                if self._min_periods > 1:
+                    # pandas gates min/max on min_periods too (round-5
+                    # fused-stats differential caught this path skipping
+                    # the gate): count non-nulls alongside the extremum
+                    temps[f"__n_{c}"] = (F.when(col.isNotNull(), F.lit(1))
+                                         .otherwise(0).cast("long"))
+                    fns[f"__n_{c}"] = "sum"
                 continue
             temps[f"__n_{c}"] = F.when(col.isNotNull(), F.lit(1)).otherwise(0).cast("long")
             fns[f"__n_{c}"] = "sum"
@@ -242,6 +249,8 @@ class Rolling:
         for c in cols:
             if kind in ("min", "max"):
                 val = F.col(f"__t1_{c}")
+                if self._min_periods > 1:
+                    val = F.when(F.col(f"__n_{c}") >= self._min_periods, val)
                 out[f"{c}_{suffix}"] = val
                 continue
             n = F.col(f"__n_{c}")
@@ -560,6 +569,172 @@ class Rolling:
                           unbounded_start=self._unbounded_start,
                           center=self._center, win_type=self._win_type)
         return out
+
+    _STATS_PLAIN = ("sum", "mean", "min", "max", "count", "var", "std")
+
+    def stats(self, moments=None, pairs=(), scale: int = 2) -> DataFrame:
+        """Fused multi-statistic pass: every requested per-column moment
+        (sum/mean/min/max/count/var/std/skew/kurt) and pairwise stat
+        (cov/corr) is computed over ONE prepared window frame — or, on
+        an ungrouped expanding frame, one merged ``ordered.cumulative``
+        running-sum pass.
+
+        Why this exists (round-5 plan audit): chaining single-stat
+        calls doubles the input subtree per op, because each ungrouped
+        two-pass plan consumes its input twice — four chained rolling
+        stats compiled to SIXTEEN fact scans.  The fused pass prepares
+        the bucketed/padded frame once and emits all statistics from
+        it.  Output column names match the single-stat methods exactly
+        (``{col}_rskew``, ``{a}_{b}_rcov``, ...), so this is a drop-in
+        plan upgrade, not a semantic change.
+
+        moments: {col: fn | [fns]}; pairs: iterable of
+        (kind, a, b[, name]) with kind in {"cov", "corr"}."""
+        self._no_win_type()
+        moments = {
+            c: ([v] if isinstance(v, str) else list(v))
+            for c, v in (moments or {}).items()
+        }
+        pairs = [
+            (p[0], p[1], p[2],
+             p[3] if len(p) > 3 else f"{p[1]}_{p[2]}_r{p[0]}")
+            for p in pairs
+        ]
+        for c, fns in moments.items():
+            bad = [f for f in fns
+                   if f not in self._STATS_PLAIN + ("skew", "kurt")]
+            if bad:
+                raise ValueError(f"stats() cannot fuse {bad} on {c!r} — "
+                                 "holistic ops (median/quantile/apply) "
+                                 "need their own pass")
+        if any(k not in ("cov", "corr") for k, *_ in pairs):
+            raise ValueError("pairs kinds must be 'cov' or 'corr'")
+        if self._exp_unq_p():
+            return self._stats_exp(moments, pairs, scale)
+
+        sdf, w, finish = self._prep()
+        tmp: dict[str, Column] = {}
+        out: dict[str, Column] = {}
+        for c, fns in moments.items():
+            order = max([3] * ("skew" in fns) + [4] * ("kurt" in fns),
+                        default=0)
+            if order:
+                tmp.update(self._moment_sums(c, w, order, scale))
+            for fn in fns:
+                if fn in ("skew", "kurt"):
+                    o = 3 if fn == "skew" else 4
+                    names = {"n": f"_{c}_n"}
+                    names.update({f"s{i}": f"_{c}_s{i}"
+                                  for i in range(1, o + 1)})
+                    t = ROLL_SKEW_T if fn == "skew" else ROLL_KURT_T
+                    val = F.expr(t.format(**names))
+                    gate = F.col(f"_{c}_n")
+                else:
+                    agg = {"sum": F.sum, "mean": F.avg, "min": F.min,
+                           "max": F.max, "count": F.count,
+                           "var": F.var_samp, "std": F.stddev_samp}[fn]
+                    val = agg(F.col(c)).over(w)
+                    gate = F.count(F.col(c)).over(w)
+                if self._min_periods > 1:
+                    val = F.when(gate >= self._min_periods, val)
+                out[f"{c}_r{fn}"] = val
+        for i, (kind, a, b, name) in enumerate(pairs):
+            ps = {k.replace("_p_", f"_p{i}_"): v
+                  for k, v in self._pair_sums(a, b, w, scale).items()}
+            tmp.update(ps)
+            names = {k: f"_p{i}_{k}"
+                     for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+            t = ROLL_COV_T if kind == "cov" else ROLL_CORR_T
+            val = F.expr(t.format(**names))
+            if self._min_periods > 1:
+                val = F.when(F.col(f"_p{i}_n") >= self._min_periods, val)
+            out[name] = val
+        sdf = sdf.withColumns(tmp)
+        return self._wrap(finish(sdf.withColumns(out).drop(*tmp.keys())))
+
+    def _stats_exp(self, moments, pairs, scale: int) -> DataFrame:
+        """Fused ungrouped-expanding stats: one merged running-sum pass
+        through ordered.cumulative for every requested statistic."""
+        from . import ordered
+        sdf = self._frame.to_spark()
+        tmp: dict[str, Column] = {}
+        fns: dict[str, str] = {}
+        for c, fs in moments.items():
+            col = F.col(c)
+            if any(f in ("min", "max") for f in fs):
+                for f in ("min", "max"):
+                    if f in fs:
+                        tmp[f"_{c}_{f}"] = col
+                        fns[f"_{c}_{f}"] = f
+            order = max(
+                [2] * any(f in ("var", "std") for f in fs)
+                + [1] * any(f in ("sum", "mean") for f in fs)
+                + [3] * ("skew" in fs) + [4] * ("kurt" in fs),
+                default=0)
+            tmp[f"_{c}_n"] = (F.when(col.isNotNull(), F.lit(1))
+                              .otherwise(0).cast("long"))
+            fns[f"_{c}_n"] = "sum"
+            p = col
+            for i in range(1, order + 1):
+                digits = min(scale * i + 2, 18)
+                tmp[f"_{c}_s{i}"] = p.cast(f"decimal(38,{digits})")
+                fns[f"_{c}_s{i}"] = "sum"
+                p = p * col
+        for i, (kind, a, b, _name) in enumerate(pairs):
+            ca, cb = F.col(a), F.col(b)
+            d2 = min(2 * scale + 2, 18)
+            d1 = min(scale + 2, 18)
+            tmp.update({
+                f"_p{i}_n": (F.when(ca.isNotNull(), F.lit(1))
+                             .otherwise(0).cast("long")),
+                f"_p{i}_sx": ca.cast(f"decimal(38,{d1})"),
+                f"_p{i}_sy": cb.cast(f"decimal(38,{d1})"),
+                f"_p{i}_sxx": (ca * ca).cast(f"decimal(38,{d2})"),
+                f"_p{i}_syy": (cb * cb).cast(f"decimal(38,{d2})"),
+                f"_p{i}_sxy": (ca * cb).cast(f"decimal(38,{d2})"),
+            })
+            for k in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+                fns[f"_p{i}_{k}"] = "sum"
+        sdf = ordered.cumulative(sdf.withColumns(tmp), fns, self._order,
+            bounds=self._frame._ordered_bounds(sdf, self._order))
+        numeric = [k for k, f in fns.items() if f == "sum"]
+        sdf = sdf.withColumns({k: F.col(k).cast("double") for k in numeric})
+        out: dict[str, Column] = {}
+        for c, fs in moments.items():
+            n = F.col(f"_{c}_n")
+            for f in fs:
+                if f == "count":
+                    val = n.cast("long")
+                elif f == "sum":
+                    val = F.col(f"_{c}_s1")
+                elif f == "mean":
+                    val = F.col(f"_{c}_s1") / F.nullif(n, F.lit(0.0))
+                elif f in ("min", "max"):
+                    val = F.col(f"_{c}_{f}")
+                elif f in ("var", "std"):
+                    v = (F.col(f"_{c}_s2")
+                         - F.col(f"_{c}_s1") * F.col(f"_{c}_s1") / n) / (n - 1)
+                    v = F.when(n >= 2, F.greatest(v, F.lit(0.0)))
+                    val = F.sqrt(v) if f == "std" else v
+                else:
+                    o = 3 if f == "skew" else 4
+                    names = {"n": f"_{c}_n"}
+                    names.update({f"s{i}": f"_{c}_s{i}"
+                                  for i in range(1, o + 1)})
+                    t = ROLL_SKEW_T if f == "skew" else ROLL_KURT_T
+                    val = F.expr(t.format(**names))
+                if self._min_periods > 1:
+                    val = F.when(n >= self._min_periods, val)
+                out[f"{c}_r{f}"] = val
+        for i, (kind, a, b, name) in enumerate(pairs):
+            names = {k: f"_p{i}_{k}"
+                     for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+            t = ROLL_COV_T if kind == "cov" else ROLL_CORR_T
+            val = F.expr(t.format(**names))
+            if self._min_periods > 1:
+                val = F.when(F.col(f"_p{i}_n") >= self._min_periods, val)
+            out[name] = val
+        return self._wrap(sdf.withColumns(out).drop(*tmp.keys()))
 
     def agg_expr(self, **exprs: Column) -> DataFrame:
         """Escape hatch: arbitrary window aggregates over the rolling frame.

@@ -196,15 +196,13 @@ def rolling_moments_daily(spark, sf_dir):
     from ..collection import DataFrame as _DF
 
     daily = _DF(daily_sdf)
-    res = (
-        daily.rolling(7, order_by="day")
-        .skew(["rev"])
-        .rolling(7, order_by="day")
-        .kurt(["rev"])
-        .rolling(7, order_by="day")
-        .cov("rev", "n_orders", name="rev_orders_rcov")
-        .rolling(7, order_by="day")
-        .corr("rev", "n_orders", name="rev_orders_rcorr")
+    # fused multi-stat pass (round 5): one prepared window frame for
+    # all four statistics — the chained single-stat form compiled to
+    # 16 fact scans (each two-pass stage doubles its input subtree)
+    res = daily.rolling(7, order_by="day").stats(
+        moments={"rev": ["skew", "kurt"]},
+        pairs=[("cov", "rev", "n_orders", "rev_orders_rcov"),
+               ("corr", "rev", "n_orders", "rev_orders_rcorr")],
     )
     return (
         res.to_spark()
