@@ -560,6 +560,16 @@ class Rolling:
                      for fn in ([v] if isinstance(v, str) else v)]
         else:
             raise TypeError(f"unsupported rolling agg spec: {spec!r}")
+        # fuse when every fn is algebraic (round 5): one prepared
+        # window pass instead of chaining, which doubles the input
+        # subtree per stat on the ungrouped two-pass paths
+        fusable = self._STATS_PLAIN + ("skew", "kurt")
+        if not self._win_type and all(fn in fusable for _c, fn in pairs):
+            moments: dict[str, list[str]] = {}
+            for cols, fn in pairs:
+                for c in cols:
+                    moments.setdefault(c, []).append(fn)
+            return self.stats(moments=moments)
         cur, out = self, None
         for cols, fn in pairs:
             out = getattr(cur, fn)(cols)
