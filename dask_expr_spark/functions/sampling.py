@@ -124,6 +124,31 @@ def sample_n(df: DataFrame, n: int, id_col: str, seed: str = "s42") -> DataFrame
     return df.orderBy(key, F.col(id_col)).limit(int(n))
 
 
+def sample_n_weighted(df: DataFrame, n: int, id_col: str, weight_col: str,
+                      seed: str = "s42") -> DataFrame:
+    """Exactly min(n, |rows with weight > 0|) rows, drawn WITHOUT
+    replacement with probability proportional to `weight_col`
+    (Efraimidis–Spirakis A-ES: key = u^(1/w) with u uniform from the
+    md5 hash; top-n keys are the weighted sample).  The training-data
+    use: quality- or recency-weighted corpus subsetting that replays
+    identically across engines, runs, and partitionings.
+
+    Determinism: u derives from the first 12 md5 hex digits of
+    seed||id (48 bits — far below a double's 53-bit mantissa, so the
+    u float and log(u)/w arithmetic are IEEE-identical in Spark and
+    DuckDB).  Plan: TakeOrderedAndProject on log(u)/w descending —
+    per-partition top-n heap, no full sort (same contract as
+    sample_n; for huge n use a threshold split instead).
+    Rows with NULL, zero, or negative weight are excluded."""
+    u = (F.conv(F.substring(_hash_key(F.col(id_col), seed), 1, 12), 16, 10)
+         .cast("double") + F.lit(1.0)) / F.lit(float(16 ** 12 + 2))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w  # monotone in u^(1/w); maximize => sort desc
+    return (df.where(w > 0)
+              .orderBy(key.desc(), F.col(id_col))
+              .limit(int(n)))
+
+
 def resample_to_mix(df: DataFrame, source_col: str, id_col: str,
                     target_shares: dict[str, float],
                     seed: str = "mix42") -> DataFrame:

@@ -193,8 +193,30 @@ ORDER BY id_new, id_index
 """
 
 
+def sample_weighted_orders(spark, sf_dir):
+    """sample_n_weighted: exactly 40 orders drawn without replacement
+    with probability ∝ o_totalprice (Efraimidis–Spirakis keys off the
+    48-bit md5 uniform — IEEE-identical in both engines, so the draw
+    is exact-checkable, not tolerance-checked)."""
+    orders = tbl(spark, sf_dir, "orders").to_spark()
+    samp = S.sample_n_weighted(orders, 40, "o_orderkey", "o_totalprice")
+    return samp.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT *, ln((CAST(('0x' || substr(md5('s42' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
+              / {float(16 ** 12 + 2)}) / CAST(o_totalprice AS DOUBLE) AS k
+  FROM orders
+  WHERE CAST(o_totalprice AS DOUBLE) > 0
+  ORDER BY k DESC, o_orderkey LIMIT 40
+) ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
+    "sample_weighted_orders": (sample_weighted_orders, SAMPLE_WEIGHTED_SQL),
     "dedup_incremental_minhash": (dedup_incremental_minhash,
                                   DEDUP_INCREMENTAL_SQL),
     "sample_n_orders": (sample_n_orders, SAMPLE_N_SQL),

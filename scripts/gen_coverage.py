@@ -367,11 +367,12 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["text_lm_perplexity", "text_bm25_search",
                 "pack_sequences_2048"]),
         dict(op="hash_split / stratified_sample / global_shuffle / "
-                "domain-mixture resampling / exact-n sample",
+                "domain-mixture resampling / exact-n sample / "
+                "weighted sample (A-ES)",
              loc="dask_expr_spark/functions/sampling.py",
              q=["split_train_val", "stratified_sample_docs",
                 "global_shuffle_head", "mix_sources_target",
-                "sample_n_orders"]),
+                "sample_n_orders", "sample_weighted_orders"]),
         dict(op="incremental corpus dedup: persistent MinHash-LSH index "
                 "+ batch-vs-index candidates (no combined self-join)",
              loc="dask_expr_spark/functions/dedup.py (minhash_index, "

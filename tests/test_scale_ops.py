@@ -300,3 +300,27 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """sample_n_weighted: statistical sanity — with weights 100:1, the
+    heavy stratum must dominate the sample far beyond its row share
+    (exact distribution is locked cross-engine by the oracle query;
+    this pins the SEMANTICS of the key formula)."""
+    from pyspark.sql import functions as F2
+
+    from dask_expr_spark.functions.sampling import sample_n_weighted
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, w double").repartition(8)
+    samp = sample_n_weighted(df, 500, "id", "w")
+    heavy = samp.where(F2.col("w") == 100.0).count()
+    # heavy stratum: 10% of rows, ~92% of total weight; binomial-ish
+    # bounds are loose on purpose (the draw is deterministic anyway)
+    assert heavy > 350, heavy
+    assert samp.count() == 500
+    # zero/negative/null weights excluded
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 5.0)], "id long, w double")
+    got = sample_n_weighted(df2, 10, "id", "w").collect()
+    assert [r["id"] for r in got] == [4]
