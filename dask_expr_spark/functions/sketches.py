@@ -145,3 +145,79 @@ def hll_estimate(rollup: DataFrame, group_keys: list[str] | None = None) -> Data
     return merged.withColumn(
         "distinct_est", F.hll_sketch_estimate(F.col("hll")).cast("long")
     ).drop("hll")
+
+
+def hist_rollup(df: DataFrame, keys: list[str], col: str, bins: int = 128,
+                lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """Mergeable QUANTILE rollup: per key group, an equi-width histogram
+    of `col` over [lo, hi] as a ``hist`` map<int,bigint> (bin → count)
+    plus ``lo``/``hi``/``bins`` metadata columns.  Histograms merge by
+    bin-count addition, so quantiles over ANY union of slices come from
+    the rollup alone (quantile_estimate) with error bounded by one bin
+    width — the percentile companion to hll_rollup (exact percentiles,
+    like exact distincts, don't merge; histograms do).
+
+    Completes the mergeable sketch-table trio for 100 TB slice
+    analytics: distinct counts (hll_rollup), frequent values
+    (heavy_hitters), and now quantiles.
+
+    If lo/hi are omitted, one column-pruned min/max pass fixes the
+    domain (a 2-value driver round-trip — the same bounded class as
+    the ordered ops' bucket sampling).  Values outside [lo, hi] clamp
+    into the edge bins; NULLs are skipped.  Plan: one groupBy on
+    (keys, bin) with map-side partial counts, then a tiny (keys)-level
+    map assembly."""
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.where(c.isNotNull()).agg(
+            F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate domain: everything lands in bin 0
+    width = (hi - lo) / bins
+    bin_ = F.least(F.lit(bins - 1), F.greatest(
+        F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")))
+    per_bin = (df.where(c.isNotNull())
+               .groupBy(*keys, bin_.alias("__bin"))
+               .agg(F.count(F.lit(1)).alias("__cnt")))
+    return (per_bin.groupBy(*keys)
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__bin"), F.col("__cnt"))))).alias("hist"))
+            .withColumn("lo", F.lit(float(lo)))
+            .withColumn("hi", F.lit(float(hi)))
+            .withColumn("bins", F.lit(int(bins))))
+
+
+def quantile_estimate(rollup: DataFrame, q: float,
+                      group_keys: list[str] | None = None) -> DataFrame:
+    """Merge a hist_rollup down to `group_keys` (None = one global row)
+    and estimate the q-quantile (``q_est``): bin counts are summed
+    across slices, the target rank's bin located, and the value
+    linearly interpolated inside it — error ≤ one bin width.  Cost is
+    proportional to the ROLLUP's rows × bins, never the raw data."""
+    exploded = rollup.select(
+        *(group_keys or []), "lo", "hi", "bins",
+        F.explode(F.col("hist")).alias("__bin", "__cnt"))
+    merged = exploded.groupBy(*(group_keys or []), "lo", "hi", "bins",
+                              "__bin").agg(F.sum("__cnt").alias("__cnt"))
+    gw = (group_keys or []) + ["lo", "hi", "bins"]
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*gw).orderBy("__bin")
+    cum = merged.withColumn("__cum", F.sum("__cnt").over(w)) \
+                .withColumn("__tot", F.sum("__cnt").over(
+                    Window.partitionBy(*gw)))
+    target = F.lit(float(q)) * F.col("__tot")
+    hit = (cum.where(F.col("__cum") >= target)
+           .groupBy(*gw).agg(
+               F.min_by(F.struct("__bin", "__cnt", "__cum"), F.col("__bin"))
+               .alias("__h"),
+               F.first("__tot").alias("__tot")))
+    width = (F.col("hi") - F.col("lo")) / F.col("bins")
+    frac = ((F.lit(float(q)) * F.col("__tot")
+             - (F.col("__h.__cum") - F.col("__h.__cnt")))
+            / F.col("__h.__cnt").cast("double"))
+    est = (F.col("lo") + (F.col("__h.__bin") + frac) * width)
+    return hit.select(*(group_keys or []),
+                      est.alias("q_est"))

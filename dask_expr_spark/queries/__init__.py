@@ -131,7 +131,8 @@ RECONFIRM_FIRST = (
 # ann_cosine_topk_blocked, ann_lsh_auto_planes,
 # parquet_clustered_roundtrip, heavy_hitter_tokens, sample_n_orders,
 # parquet_zorder_roundtrip, stream_heavy_hitters, hll_rollup_users,
-# dedup_incremental_minhash, sample_weighted_orders — + the leading ~35
+# dedup_incremental_minhash, sample_weighted_orders,
+# hist_rollup_price_quantiles — + the leading ~34
 # names of RECONFIRM_FIRST above) and update
 # RECONFIRM_FIRST to the next-oldest cohort (the remaining r2 names:
 # pipeline_clean_corpus, dedup_exact_docs, dedup_ngram_jaccard,

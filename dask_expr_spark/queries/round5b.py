@@ -214,8 +214,43 @@ SELECT o_orderkey, o_totalprice FROM (
 """
 
 
+def hist_rollup_price_quantiles(spark, sf_dir):
+    """Mergeable histogram rollup (functions/sketches.py hist_rollup /
+    quantile_estimate): histogram orders per (o_orderstatus, month),
+    then estimate each status' median price by MERGING the month
+    histograms — the raw table is never re-read for the estimates.
+    Tolerance oracle: exact medians hash-checked; flags assert the
+    merged-histogram estimate lands within one bin width."""
+    from ..functions.sketches import hist_rollup, quantile_estimate
+
+    o = tbl(spark, sf_dir, "orders").to_spark().withColumn(
+        "month", F.date_trunc("month", F.col("o_orderdate")))
+    roll = hist_rollup(o, ["o_orderstatus", "month"], "o_totalprice",
+                       bins=256, lo=800.0, hi=600000.0)
+    est = quantile_estimate(roll, 0.5, ["o_orderstatus"])
+    exact = o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2)
+        .alias("exact_p50"))
+    bin_w = (600000.0 - 800.0) / 256
+    return (exact.join(est, "o_orderstatus")
+            .select("o_orderstatus", "exact_p50",
+                    (F.abs(F.col("q_est") - F.col("exact_p50"))
+                     <= F.lit(bin_w)).alias("est_ok"))
+            .orderBy("o_orderstatus"))
+
+
+HIST_ROLLUP_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+       TRUE AS est_ok
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_SQL),
+    "hist_rollup_price_quantiles": (hist_rollup_price_quantiles,
+                                    HIST_ROLLUP_SQL),
     "sample_weighted_orders": (sample_weighted_orders, SAMPLE_WEIGHTED_SQL),
     "dedup_incremental_minhash": (dedup_incremental_minhash,
                                   DEDUP_INCREMENTAL_SQL),

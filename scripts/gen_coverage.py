@@ -389,6 +389,12 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/sketches.py (hll_rollup)",
              q=["hll_rollup_users"],
              t="overlapping-slice merge test_sketches"),
+        dict(op="mergeable histogram quantile rollup "
+                "(bin-count merge, one-bin-width error bound)",
+             loc="dask_expr_spark/functions/sketches.py (hist_rollup, "
+                 "quantile_estimate)",
+             q=["hist_rollup_price_quantiles"],
+             t="merged-slice quantile bound test_sketches"),
         dict(op="multimodal decode/frames/embed/resize + audio metadata "
                 "(image header + WAV/RIFF parse real, codec decode/resize "
                 "stubbed without Pillow/ffmpeg)",

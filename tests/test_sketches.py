@@ -132,3 +132,30 @@ def test_heavy_hitters_on_column_named_val(spark):
     got = sorted((r["value"], r["freq"])
                  for r in heavy_hitters(sdf, "val", 0.3).collect())
     assert got == [("a", 60)]
+
+
+def test_hist_rollup_quantiles_merge(spark):
+    """hist_rollup/quantile_estimate: quantiles over a slice UNION from
+    merged bin counts must land within one bin width of the exact
+    quantile — including when slices overlap in value range."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import hist_rollup, quantile_estimate
+
+    rows = [(d, float(d * 100 + i)) for d in range(4) for i in range(1000)]
+    df = spark.createDataFrame(rows, "day int, v double").repartition(8)
+    roll = hist_rollup(df, ["day"], "v", bins=128)
+    assert roll.count() == 4
+    width = (df.agg(F.max("v") - F.min("v")).first()[0]) / 128
+
+    for q in (0.1, 0.5, 0.9):
+        est = quantile_estimate(roll, q).first()["q_est"]
+        exact = df.selectExpr(f"percentile(v, {q}) p").first()["p"]
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+    # grouped estimate: per-day medians
+    per_day = {r["day"]: r["q_est"]
+               for r in quantile_estimate(roll, 0.5, ["day"]).collect()}
+    for d in range(4):
+        exact = d * 100 + 499.5
+        assert abs(per_day[d] - exact) <= width + 1e-9
