@@ -1114,6 +1114,23 @@ class Resampler:
     def prod(self): return self._spec_agg("prod")
     def sem(self): return self._spec_agg("sem")
 
+    def quantile(self, q: float = 0.5) -> DataFrame:
+        """per-bin interpolated quantile of every numeric column
+        (reference: ResampleQuantile, _resample.py:278) — F.percentile
+        is JVM-side and window/group-aggregable, no UDF."""
+        sdf = self._frame.to_spark()
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal"}
+        cols = [f.name for f in sdf.schema.fields
+                if f.name != self._on
+                and f.dataType.simpleString().split("(")[0] in num]
+        if not cols:
+            raise ValueError("no numeric columns for resample.quantile")
+        out = (sdf.groupBy(self._bucket().alias(self._on))
+               .agg(*[F.percentile(F.col(c), F.lit(float(q))).alias(c)
+                      for c in cols]))
+        return DataFrame(out)
+
     def size(self) -> DataFrame:
         sdf = self._frame.to_spark()
         out = (sdf.groupBy(self._bucket().alias(self._on))

@@ -210,6 +210,13 @@ def main() -> None:
             new, ib, isg, "doc_id", "text", k=3, num_perm=32, bands=8,
             threshold=0.7).select("id_new", "id_index")
 
+    def _simhash_pipeline(spark, d):
+        from dask_expr_spark.functions import dedup as DD
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return DD.simhash_bucket_pairs(
+            docs, "doc_id", "text"
+        ).select("id_a", "id_b")
+
     probes = {
         "dedup_ngram_jaccard": registry["dedup_ngram_jaccard"][0],
         "dedup_minhash_pipeline": bench.LOCAL_PROBES["dedup_minhash_pipeline"],
@@ -246,6 +253,10 @@ def main() -> None:
         # 10% against it — cost should scale with (batch + index band
         # rows joined), NOT quadratically in the corpus
         "dedup_incremental_minhash": _incremental_dedup,
+        # SimHash chunk-bucket candidates (the one dedup family without
+        # a ×100 row until round 5) — pipeline only, xxhash production
+        # hashes, no containment oracle side
+        "dedup_simhash_pipeline": _simhash_pipeline,
     }
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
     if only:

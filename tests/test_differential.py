@@ -643,3 +643,17 @@ def test_property_arithmetic_parity(spark):
         got4 = (d["x"] - d["x"].min()).compute().sort_values().reset_index(drop=True)
         want4 = (pdf.x - pdf.x.min()).sort_values().reset_index(drop=True)
         pd.testing.assert_series_equal(got4, want4, check_names=False)
+
+
+def test_differential_resample_quantile(spark):
+    """resample().quantile (round 5, reference ResampleQuantile): per-bin
+    interpolated quantile must match pandas."""
+    pdf = _base_pdf()
+    d = from_pandas(spark, pdf, npartitions=4)
+    for q in (0.25, 0.5, 0.9):
+        ours = d.resample("D", on="t").quantile(q).compute()
+        ours = ours.sort_values(ours.columns[0]).reset_index(drop=True)
+        theirs = pdf.resample("D", on="t")["y"].quantile(q)
+        pdt.assert_series_equal(
+            ours["y"], theirs.reset_index(drop=True), check_names=False,
+            check_dtype=False, rtol=1e-9)
