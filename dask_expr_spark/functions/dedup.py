@@ -399,32 +399,74 @@ def simhash(text: Column, num_bits: int = 64, sep: str = " ",
 
 def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
                          chunk_bits: int = 16, num_bits: int = 64,
-                         token_hash=None) -> DataFrame:
+                         token_hash=None, blocks: int | None = None,
+                         max_hamming: int = 3) -> DataFrame:
     """near-dup candidates: docs sharing any chunk_bits-wide SimHash
     chunk (Hamming distance ≤ num_bits/chunk_bits − 1 guarantees one
-    equal chunk; the 64/16 default gives the Hamming ≤ 3 guarantee)."""
+    equal chunk; the 64/16 default gives the Hamming ≤ 3 guarantee).
+
+    SCALE CONTRACT (round-5 ×100 probe finding): the default 16-bit
+    chunk keys have only 65k values per position — past ~10⁵ docs the
+    buckets birthday-collide and the candidate stage goes quadratic
+    (the SimHash analogue of the frozen-LSH-planes trap; the ×100
+    probe's candidate set exceeded 1 GB).  For large corpora pass
+    ``blocks=B`` to switch to the Manku block-permutation scheme
+    (Manku, Jain & Sarma, WWW'07): the signature splits into B blocks
+    and candidates key on every (B − max_hamming)-sized block
+    combination — a Hamming ≤ max_hamming pair differs in ≤
+    max_hamming blocks, so some combination matches (same guarantee,
+    C(B, max_hamming) tables).  Key width grows from 64/B bits to
+    (B − max_hamming)·64/B bits: blocks=6, max_hamming=3 gives 20
+    tables of ~32-bit keys — collision-free into the billions.  Size
+    B so 2^((B−max_hamming)·64/B) ≫ corpus."""
     with_sh = df.select(
         F.col(id_col).alias("__id"),
         simhash(F.col(text_col), num_bits=num_bits,
                 token_hash=token_hash).alias("__sh64"),
     )
-    n_chunks = num_bits // chunk_bits
-    mask = (1 << chunk_bits) - 1
-    chunks = with_sh.select(
-        "__id",
-        "__sh64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("__sh64"), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("cval"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("cc"),
-    ).select("__id", "__sh64", "cc.chunk", "cc.cval")
+    if blocks is not None:
+        if not (0 < max_hamming < blocks):
+            raise ValueError("need 0 < max_hamming < blocks")
+        from itertools import combinations
+        base, rem = divmod(num_bits, blocks)
+        widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+        offs, off = [], 0
+        for w in widths:
+            offs.append(off)
+            off += w
+        bvals = [
+            F.shiftright(F.col("__sh64"), offs[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            for i in range(blocks)
+        ]
+        combos = list(combinations(range(blocks), blocks - max_hamming))
+        keys = [
+            F.struct(F.lit(ci).alias("chunk"),
+                     F.xxhash64(F.lit(ci), *[bvals[i] for i in combo])
+                     .alias("cval"))
+            for ci, combo in enumerate(combos)
+        ]
+        chunks = with_sh.select(
+            "__id", "__sh64", F.explode(F.array(*keys)).alias("cc")
+        ).select("__id", "__sh64", "cc.chunk", "cc.cval")
+    else:
+        n_chunks = num_bits // chunk_bits
+        mask = (1 << chunk_bits) - 1
+        chunks = with_sh.select(
+            "__id",
+            "__sh64",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk"),
+                            F.shiftright(F.col("__sh64"), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("cval"),
+                        )
+                        for i in range(n_chunks)
+                    ]
+                )
+            ).alias("cc"),
+        ).select("__id", "__sh64", "cc.chunk", "cc.cval")
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(b, ["chunk", "cval"])

@@ -211,11 +211,24 @@ def main() -> None:
             threshold=0.7).select("id_new", "id_index")
 
     def _simhash_pipeline(spark, d):
+        # FROZEN 16-bit chunk keys — the measured superlinearity trap
+        # (birthday collisions past ~1e5 docs); aggregate to a count so
+        # the blown-up candidate set doesn't also blow up the driver
         from dask_expr_spark.functions import dedup as DD
+        from pyspark.sql import functions as F2
         docs = spark.read.parquet(f"{d}/documents.parquet")
-        return DD.simhash_bucket_pairs(
-            docs, "doc_id", "text"
-        ).select("id_a", "id_b")
+        return (DD.simhash_bucket_pairs(docs, "doc_id", "text")
+                .where(F2.col("hamming") <= 3).groupBy().count())
+
+    def _simhash_blocks(spark, d):
+        # the documented sizing contract: Manku blocks=6 (20 tables of
+        # ~32-bit keys) — same Hamming<=3 guarantee, collision-free keys
+        from dask_expr_spark.functions import dedup as DD
+        from pyspark.sql import functions as F2
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return (DD.simhash_bucket_pairs(docs, "doc_id", "text",
+                                        blocks=6, max_hamming=3)
+                .where(F2.col("hamming") <= 3).groupBy().count())
 
     probes = {
         "dedup_ngram_jaccard": registry["dedup_ngram_jaccard"][0],
@@ -257,6 +270,7 @@ def main() -> None:
         # a ×100 row until round 5) — pipeline only, xxhash production
         # hashes, no containment oracle side
         "dedup_simhash_pipeline": _simhash_pipeline,
+        "dedup_simhash_blocks": _simhash_blocks,
     }
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
     if only:

@@ -214,3 +214,23 @@ def test_minhash_index_parquet_roundtrip(spark, sf_dir, tmp_path):
     mem = run(bands_df, sigs_df)
     disk = run(spark.read.parquet(bp), spark.read.parquet(sp))
     assert mem == disk and len(mem) > 0
+
+
+def test_simhash_blocks_recall_equals_chunks(spark, sf_dir):
+    """Manku block-permutation keys (blocks=6, max_hamming=3) must find
+    every Hamming<=3 pair the 16-bit chunk scheme finds — same
+    guarantee, wider keys (the x100 probe showed 16-bit buckets
+    birthday-collide past ~1e5 docs)."""
+    from dask_expr_spark.functions import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def ham3(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()
+                if r["hamming"] <= 3}
+
+    chunk_pairs = ham3(DD.simhash_bucket_pairs(docs, "doc_id", "text"))
+    block_pairs = ham3(DD.simhash_bucket_pairs(
+        docs, "doc_id", "text", blocks=6, max_hamming=3))
+    # both schemes guarantee Hamming<=3 coverage -> identical sets
+    assert chunk_pairs == block_pairs and len(block_pairs) > 0
