@@ -159,3 +159,27 @@ def test_hist_rollup_quantiles_merge(spark):
     for d in range(4):
         exact = d * 100 + 499.5
         assert abs(per_day[d] - exact) <= width + 1e-9
+
+
+def test_sketch_rollups_survive_parquet(spark, tmp_path):
+    """the rollup contract is 'materialize ONCE, estimate forever' —
+    the HLL binary sketches and histogram maps must round-trip through
+    parquet and keep producing the same estimates."""
+    from dask_expr_spark.functions.sketches import (
+        hist_rollup, hll_estimate, hll_rollup, quantile_estimate)
+
+    rows = [(d, u, float(u % 997)) for d in range(3) for u in range(2000)]
+    df = spark.createDataFrame(rows, "day int, user long, v double")
+
+    hp = str(tmp_path / "hll")
+    hll_rollup(df, ["day"], "user").write.parquet(hp)
+    est_mem = hll_estimate(hll_rollup(df, ["day"], "user")).first()["distinct_est"]
+    est_disk = hll_estimate(spark.read.parquet(hp)).first()["distinct_est"]
+    assert est_mem == est_disk
+
+    qp = str(tmp_path / "hist")
+    hist_rollup(df, ["day"], "v", bins=64).write.parquet(qp)
+    q_mem = quantile_estimate(hist_rollup(df, ["day"], "v", bins=64), 0.5) \
+        .first()["q_est"]
+    q_disk = quantile_estimate(spark.read.parquet(qp), 0.5).first()["q_est"]
+    assert abs(q_mem - q_disk) < 1e-9
