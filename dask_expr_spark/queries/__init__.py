@@ -132,7 +132,8 @@ RECONFIRM_FIRST = (
 # parquet_clustered_roundtrip, heavy_hitter_tokens, sample_n_orders,
 # parquet_zorder_roundtrip, stream_heavy_hitters, hll_rollup_users,
 # dedup_incremental_minhash, sample_weighted_orders,
-# hist_rollup_price_quantiles — + the leading ~34
+# hist_rollup_price_quantiles, stream_windowed_distinct — + the
+# leading ~33
 # names of RECONFIRM_FIRST above) and update
 # RECONFIRM_FIRST to the next-oldest cohort (the remaining r2 names:
 # pipeline_clean_corpus, dedup_exact_docs, dedup_ngram_jaccard,

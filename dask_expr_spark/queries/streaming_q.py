@@ -354,3 +354,56 @@ ORDER BY user_id
 """
 
 QUERIES["stream_heavy_hitters"] = (stream_heavy_hitters, STREAM_HH_SQL)
+
+
+def stream_windowed_distinct(spark, sf_dir):
+    """streaming windowed approx-distinct (streaming/ops.py
+    windowed_distinct_users — HLL++ state, bounded per window) drained
+    in update mode over time-ordered replay; tolerance oracle: exact
+    per-(hour, type) counts and distincts hash-checked, flags assert
+    the sketch landed within 3x its 5% default rsd."""
+    from ..streaming import ops as S
+
+    src = _stage_time_ordered(spark, sf_dir, "stream_wd_")
+    try:
+        stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+        name = "stream_windowed_distinct_out"
+        q_ = S.run_to_memory(S.windowed_distinct_users(stream), name,
+                             output_mode="update")
+        try:
+            # last update per key = final window state
+            out = spark.sql(
+                f"SELECT ws, event_type, max(approx_users) AS approx_users, "
+                f"max(n) AS n FROM {name} GROUP BY ws, event_type"
+            )
+            out = spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            q_.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    from ..sources.io import read_parquet
+
+    exact = (read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+             .to_spark()
+             .groupBy(F.date_trunc("hour", F.col("ts")).alias("ws"),
+                      "event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users"),
+                  F.count(F.lit(1)).alias("exact_n")))
+    return (exact.join(out, ["ws", "event_type"])
+            .select("ws", "event_type", "exact_users",
+                    (F.col("n") == F.col("exact_n")).alias("n_ok"),
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= F.greatest(F.lit(1.0),
+                                   F.col("exact_users") * 0.15))
+                    .alias("distinct_ok"))
+            .orderBy("ws", "event_type"))
+
+
+STREAM_WD_SQL = """
+SELECT date_trunc('hour', ts) AS ws, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS n_ok, TRUE AS distinct_ok
+FROM events GROUP BY 1, 2 ORDER BY ws, event_type
+"""
+
+QUERIES["stream_windowed_distinct"] = (stream_windowed_distinct, STREAM_WD_SQL)

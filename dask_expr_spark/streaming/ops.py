@@ -362,3 +362,21 @@ def heavy_hitter_candidates_stream(stream: DataFrame, col: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_distinct_users(stream: DataFrame, window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """tumbling-window APPROXIMATE distinct users (HyperLogLog++ state):
+    exact streaming count-distinct would hold every id per open window
+    in the state store — unbounded at 100 TB event rates; the sketch
+    keeps a few KB per (window, type) regardless of cardinality.  The
+    streaming face of the sketch family (sketches.hll_rollup is the
+    batch rollup)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type",
+                "approx_users", "n")
+    )

@@ -314,12 +314,13 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "stateful totals, stream-static enrich, stream-stream interval join, "
                 "streaming MinHash-LSH near-dedup, streaming semantic dedup "
                 "(hyperplane-cell state), streaming Misra-Gries heavy "
-                "hitters (bounded state), foreachBatch",
+                "hitters (bounded state), windowed approx-distinct "
+                "(HLL++ state), foreachBatch",
              loc="dask_expr_spark/streaming/ops.py",
              q=["stream_tumbling_counts", "stream_session_counts",
                 "stream_interval_join", "stream_near_dedup",
                 "stream_semantic_dedup", "stream_stateful_totals",
-                "stream_heavy_hitters"],
+                "stream_heavy_hitters", "stream_windowed_distinct"],
              t="multi-batch state test_streaming"),
     ]),
     ("LLM-data-pipeline operators (task extension)", [
