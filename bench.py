@@ -176,6 +176,8 @@ OPTIONAL = [
     # round 5 sketch/layout family (no prior comparable)
     "heavy_hitter_tokens",
     "hll_rollup_users",
+    "hist_rollup_price_quantiles",
+    "sample_weighted_orders",
     "dedup_incremental_minhash",
 ]
 
