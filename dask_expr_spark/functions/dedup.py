@@ -399,7 +399,8 @@ def simhash(text: Column, num_bits: int = 64, sep: str = " ",
 
 def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
                          chunk_bits: int = 16, num_bits: int = 64,
-                         token_hash=None, blocks: int | None = None,
+                         token_hash=None,
+                         blocks: int | str | None = "auto",
                          max_hamming: int = 3) -> DataFrame:
     """near-dup candidates: docs sharing any chunk_bits-wide SimHash
     chunk (Hamming distance ≤ num_bits/chunk_bits − 1 guarantees one
@@ -418,7 +419,29 @@ def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
     C(B, max_hamming) tables).  Key width grows from 64/B bits to
     (B − max_hamming)·64/B bits: blocks=6, max_hamming=3 gives 20
     tables of ~32-bit keys — collision-free into the billions.  Size
-    B so 2^((B−max_hamming)·64/B) ≫ corpus."""
+    B so 2^((B−max_hamming)·64/B) ≫ corpus.
+
+    The DEFAULT is ``blocks="auto"`` (round 6): one count() of the
+    corpus picks the measured-good side of the crossover — the dense
+    chunk scheme while the corpus fits comfortably inside the
+    2^chunk_bits key space, the smallest Manku B whose key width
+    clears log2(n) + 8 bits once it doesn't — so callers whose corpus
+    outgrows the chunk-key space are switched instead of silently
+    going quadratic.  Pass ``blocks=None`` to force chunked or an int
+    to force a specific Manku B (both skip the count)."""
+    if blocks == "auto":
+        n = df.count()
+        if n <= (1 << chunk_bits) // 4:
+            blocks = None
+        else:
+            import math
+            need = math.log2(max(2, n)) + 8
+            blocks = next(
+                (b for b in range(max_hamming + 1, 13)
+                 if (b - max_hamming) * num_bits / b >= need), 12)
+    elif blocks is not None and not isinstance(blocks, int):
+        raise ValueError(
+            f"blocks must be an int, None, or 'auto', got {blocks!r}")
     with_sh = df.select(
         F.col(id_col).alias("__id"),
         simhash(F.col(text_col), num_bits=num_bits,

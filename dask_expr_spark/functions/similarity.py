@@ -359,7 +359,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_tables: int = 16,
-    planes_per_table: int | str = 4,
+    planes_per_table: int | str = "auto",
     target_bucket_rows: int = 128,
 ) -> DataFrame:
     """approximate top-k via MULTI-TABLE hyperplane LSH: L independent
@@ -374,12 +374,14 @@ def lsh_bucketed_topk(
     (queries/bucket) × (corpus/bucket) × buckets, so a FIXED p makes
     the pipeline superlinear once buckets deepen — measured 1.48×
     linear at a ×100 corpus with p frozen at 4 (SCALE.md), vs 0.04×
-    with p sized to the corpus. Pass ``planes_per_table="auto"`` to
-    size p = ceil(log2(n / target_bucket_rows)) from one count() of
-    the corpus, keeping expected bucket depth ~target_bucket_rows at
-    any scale. Raising p lowers per-table recall, so hold recall by
-    raising ``num_tables`` alongside (the formula above; +1 plane
-    ≈ ×1.6 tables for a 30° pair)."""
+    with p sized to the corpus. The DEFAULT is therefore
+    ``planes_per_table="auto"`` (round 6 — the measured-bad fixed-p
+    configuration is opt-in only): p = ceil(log2(n /
+    target_bucket_rows)) from one count() of the corpus, keeping
+    expected bucket depth ~target_bucket_rows at any scale. Raising p
+    lowers per-table recall, so hold recall by raising ``num_tables``
+    alongside (the formula above; +1 plane ≈ ×1.6 tables for a 30°
+    pair)."""
     if planes_per_table == "auto":
         import math
 

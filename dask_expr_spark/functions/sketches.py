@@ -46,12 +46,13 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
       global heavy hitter.  Each partition also emits one marker row
       carrying its non-null row count so the total n needs no extra
       scan.
-    - pass 2 — exact recount restricted to the candidates: the
-      candidate frame (≤ m rows per partition) is broadcast as a
-      semi-join filter, the surviving rows are counted per value
-      (map-side partial aggregation collapses them before the tiny
-      exchange), and ``freq > phi * n`` is applied with n carried as a
-      broadcast 1-row frame — no driver-side action anywhere.
+    - pass 2 — exact recount restricted to the candidates: candidates
+      and total n are folded into one single-row aggregate, exploded,
+      and broadcast as an equality-join filter (≡ semi join, keys are
+      distinct — and n rides along to the HAVING filter for free); the
+      surviving rows are counted per value (map-side partial
+      aggregation collapses them before the tiny exchange) — no
+      driver-side action and no cached intermediate anywhere.
 
     False positives from pass 1 are removed by pass 2's exact filter;
     false negatives cannot occur (the superset guarantee), so the
@@ -60,11 +61,13 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
     NULLs are ignored (they are not a "value"); n counts non-nulls.
     `candidates_per_partition` overrides m for a wider pass-1 net
     (never needed for correctness — only if you want the pass-1
-    summary reusable at a smaller phi).
+    summary reusable at a smaller phi).  It is clamped to at least
+    ceil(1/phi): a smaller m would void pass 1's superset guarantee
+    and silently break the EXACT contract.
     """
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
-    m = candidates_per_partition or math.ceil(1.0 / phi)
+    m = max(candidates_per_partition or 0, math.ceil(1.0 / phi))
     spark_type = df.schema[col].dataType
     # reserved-ish names so a source column called "val"/"n_part"
     # can't alias into the candidate join (the summary frame never
@@ -96,21 +99,26 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
         yield pd.concat([out, marker], ignore_index=True)
 
     summary = df.select(col).mapInPandas(_mg, schema=out_schema)
-    # one tiny frame feeds two consumers (candidates + total): keep it
-    # from double-scanning the source
-    summary = summary.cache()
-    keys = summary.where(F.col("__hh_val").isNotNull()) \
-        .select("__hh_val").distinct()
-    total = summary.where(F.col("__hh_val").isNull()).agg(
+    # fold candidates + total into ONE single-row aggregate so the
+    # summary subtree has exactly one consumer — no cache to leak
+    # (round-5 advice: the old two-consumer .cache() pinned executor
+    # storage for the session) and still one pass-1 scan per action.
+    # collect_set drops the null marker values; the total sums the
+    # marker rows (candidate rows carry __hh_n = 0).
+    one = summary.agg(
+        F.collect_set("__hh_val").alias("__hh_keys"),
         F.sum("__hh_n").alias("__hh_total"))
+    keys = one.select(F.explode("__hh_keys").alias("__hh_val"),
+                      "__hh_total")
+    # inner broadcast join ≡ semi join (keys are distinct) but lets the
+    # total ride along to the HAVING filter without a second consumer
     exact = (
-        df.join(F.broadcast(keys), df[col] == F.col("__hh_val"), "leftsemi")
-        .groupBy(col)
+        df.join(F.broadcast(keys), df[col] == F.col("__hh_val"), "inner")
+        .groupBy(col, "__hh_total")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return (
-        exact.crossJoin(F.broadcast(total))
-        .where(F.col("freq") > F.lit(float(phi)) * F.col("__hh_total"))
+        exact.where(F.col("freq") > F.lit(float(phi)) * F.col("__hh_total"))
         .select(F.col(col).alias("value"), "freq")
     )
 
@@ -171,6 +179,10 @@ def hist_rollup(df: DataFrame, keys: list[str], col: str, bins: int = 128,
     if lo is None or hi is None:
         row = df.where(c.isNotNull()).agg(
             F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"hist_rollup: column {col!r} has no non-null values, "
+                "so lo/hi cannot be inferred — pass explicit bounds")
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if not hi > lo:

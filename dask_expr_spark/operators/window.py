@@ -566,10 +566,21 @@ class Rolling:
         fusable = self._STATS_PLAIN + ("skew", "kurt")
         if not self._win_type and all(fn in fusable for _c, fn in pairs):
             moments: dict[str, list[str]] = {}
+            emit: list[str] = []
             for cols, fn in pairs:
                 for c in cols:
-                    moments.setdefault(c, []).append(fn)
-            return self.stats(moments=moments)
+                    if fn not in moments.setdefault(c, []):
+                        moments[c].append(fn)
+                    name = f"{c}_r{fn}"
+                    if name not in emit:
+                        emit.append(name)
+            res = self.stats(moments=moments)
+            # chained emission order is all-columns-per-stat; stats()
+            # emits per-column — reorder so the fuse is a pure plan
+            # upgrade for positional consumers too (round-5 advice)
+            sdf = res.to_spark()
+            keep = [c for c in sdf.columns if c not in set(emit)]
+            return res._wrap(sdf.select(*keep, *emit))
         cur, out = self, None
         for cols, fn in pairs:
             out = getattr(cur, fn)(cols)
@@ -676,14 +687,23 @@ class Rolling:
                     if f in fs:
                         tmp[f"_{c}_{f}"] = col
                         fns[f"_{c}_{f}"] = f
-            order = max(
-                [2] * any(f in ("var", "std") for f in fs)
-                + [1] * any(f in ("sum", "mean") for f in fs)
-                + [3] * ("skew" in fs) + [4] * ("kurt" in fs),
-                default=0)
             tmp[f"_{c}_n"] = (F.when(col.isNotNull(), F.lit(1))
                               .otherwise(0).cast("long"))
             fns[f"_{c}_n"] = "sum"
+            # sum/mean/var/std accumulate in float64, matching the
+            # single-stat _exp_unq path — a decimal(38,scale*i+2) cast
+            # here would round small-magnitude inputs (~1e-5) to zero
+            # before summing (round-5 advice)
+            if any(f in ("sum", "mean", "var", "std") for f in fs):
+                tmp[f"_{c}_d1"] = col.cast("double")
+                fns[f"_{c}_d1"] = "sum"
+            if any(f in ("var", "std") for f in fs):
+                tmp[f"_{c}_d2"] = (col * col).cast("double")
+                fns[f"_{c}_d2"] = "sum"
+            # decimal power sums only for the higher moments, where the
+            # bit-stable-across-engines convention already holds
+            order = max([3] * ("skew" in fs) + [4] * ("kurt" in fs),
+                        default=0)
             p = col
             for i in range(1, order + 1):
                 digits = min(scale * i + 2, 18)
@@ -716,14 +736,14 @@ class Rolling:
                 if f == "count":
                     val = n.cast("long")
                 elif f == "sum":
-                    val = F.col(f"_{c}_s1")
+                    val = F.col(f"_{c}_d1")
                 elif f == "mean":
-                    val = F.col(f"_{c}_s1") / F.nullif(n, F.lit(0.0))
+                    val = F.col(f"_{c}_d1") / F.nullif(n, F.lit(0.0))
                 elif f in ("min", "max"):
                     val = F.col(f"_{c}_{f}")
                 elif f in ("var", "std"):
-                    v = (F.col(f"_{c}_s2")
-                         - F.col(f"_{c}_s1") * F.col(f"_{c}_s1") / n) / (n - 1)
+                    v = (F.col(f"_{c}_d2")
+                         - F.col(f"_{c}_d1") * F.col(f"_{c}_d1") / n) / (n - 1)
                     v = F.when(n >= 2, F.greatest(v, F.lit(0.0)))
                     val = F.sqrt(v) if f == "std" else v
                 else:

@@ -96,56 +96,71 @@ VALIDATED = frozenset({
     "dedup_substring_spans", "dedup_connected_groups_star",
     "dedup_chunk_minhash", "semantic_dedup_kept", "multimodal_audio_meta",
     "stream_semantic_dedup",
+    # round 5 (CORRECTNESS_r05.json — all 50 rows hash-green: the 17 new
+    # round-5 queries below + the leading 33 of the r1/r2-era
+    # reconfirmation cohort, through window_shift_diff).
+    "heavy_hitter_tokens", "hist_rollup_price_quantiles",
+    "sample_weighted_orders", "dedup_incremental_minhash",
+    "sample_n_orders", "parquet_zorder_roundtrip", "hll_rollup_users",
+    "partitions_concat_invariance", "timedelta_components_events",
+    "parquet_clustered_roundtrip", "q2_min_cost_supplier",
+    "q11_important_stock", "q20_potential_promotion",
+    "ann_cosine_topk_blocked", "ann_lsh_auto_planes",
+    "stream_heavy_hitters", "stream_windowed_distinct",
 })
 
-# Queries whose driver validation is OLDEST — these lead the round-5
-# window (after any new round-5 queries) so the driver reconfirms them
-# before anything newer.  Cohort = the r1-era names the r4 window did
-# NOT reach, then the oldest r2-validated names in registry order.
+# Queries whose driver validation is OLDEST — these lead the round-6
+# window (after any new round-6 queries) so the driver reconfirms them
+# before anything newer.  Cohort = the r2-validated names the r5 window
+# did NOT reach (the old cohort was consumed only through
+# window_shift_diff), then the rest of the r2 names, then the r3 cohort
+# in registry order.
 RECONFIRM_FIRST = (
-    # r1-era remainder (validated r1, never reconfirmed since)
-    "string_ops2", "date_ops", "date_ops2", "value_counts_flag",
-    "distinct_pairs", "nunique_by_group", "topk_orders", "fillna_mask",
-    "union_concat", "pivot_status", "minmax_by_group", "quantiles_exact",
-    "stats_var_std", "corr_cov", "transform_pct_of_group",
-    "expanding_running_share", "categorize_segments",
-    "drop_dup_keep_first", "combine_first_balances", "loc_orderkey_slice",
-    "series_map_status", "join_broadcast_part", "join_semi", "join_anti",
-    "join_outer", "q1_pricing_summary",
-    # oldest r2 cohort (validated r2, never reconfirmed since)
-    "melt_measures", "rollup_revenue", "cube_priority_status",
-    "except_inactive_customers", "intersect_active_parts",
-    "dummies_by_nation", "window_shift_diff", "window_cumsum_user",
-    "window_rolling_mean", "window_rank_latest", "resample_hourly",
-    "window_user_sessions", "asof_purchase_click", "window_ffill_gaps",
-    "rolling_time_window", "sliding_window_counts", "funnel_stages",
-    "weekly_retention", "json_props_stats", "text_stats_by_lang",
-    "text_quality_buckets", "text_token_frequencies",
-    "text_fingerprint_dups", "text_lang_id", "text_chunking",
+    # r2 cohort remainder (validated r2, never reconfirmed since)
+    "window_cumsum_user", "window_rolling_mean", "window_rank_latest",
+    "resample_hourly", "window_user_sessions", "asof_purchase_click",
+    "window_ffill_gaps", "rolling_time_window", "sliding_window_counts",
+    "funnel_stages", "weekly_retention", "json_props_stats",
+    "text_stats_by_lang", "text_quality_buckets",
+    "text_token_frequencies", "text_fingerprint_dups", "text_lang_id",
+    "text_chunking", "pipeline_clean_corpus", "dedup_exact_docs",
+    "dedup_ngram_jaccard", "ann_cosine_topk", "ann_centroids",
+    "multimodal_decode", "dedup_embedding_cosine",
+    "stream_stateful_totals", "stats_skew_kurt", "rolling_moments_daily",
+    "pivot_table_priority", "idxmax_per_priority", "daily_growth",
+    "rolling_median_rev", "rank_priority_totals", "split_train_val",
+    "stratified_sample_docs", "global_shuffle_head",
+    # oldest r3 cohort (validated r3, never reconfirmed since)
+    "ordered_cumsum_global", "ordered_shift_global", "ordered_ffill_limit",
+    "rolling_center_user", "shift_freq_days", "cat_codes_segments",
+    "axis1_row_stats", "asof_orders_daily_noby", "text_repetition_buckets",
+    "text_pii_scan", "text_contamination_buckets",
+    "range_join_purchase_windows", "stream_near_dedup",
+    "groupby_expr_buckets", "rolling_weighted_triang",
+    "expanding_median_global", "cat_codes_explicit", "pack_sequences_2048",
+    "dedup_connected_groups", "mode_order_priority", "describe_part_size",
+    "groupby_head_orders", "get_group_building", "groupby_rolling_qty",
+    "groupby_expanding_value", "concat_axis1_customer",
+    "query_eval_orders", "ufunc_sqrt_price", "dot_qty_discount",
+    "combine_max_balance", "monotonic_orders", "csv_roundtrip_orders",
+    "json_roundtrip_events", "reduction_mean_price", "map_partitions_md5",
+    "map_overlap_smooth", "text_lm_perplexity", "text_bm25_search",
+    "mix_sources_target", "sources_literal_union", "dropna_thresh_events",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_bucketed",
+    "ann_ivf_topk", "ann_int8_topk", "stream_tumbling_counts",
+    "stream_session_counts", "stream_interval_join",
 )
 
-# ROUND-6 CHECKLIST: once CORRECTNESS_r05.json lands, rotate again —
-# add its green names to VALIDATED (the r5 window = the new round-5
-# queries — partitions_concat_invariance, timedelta_components_events,
-# q2_min_cost_supplier, q11_important_stock, q20_potential_promotion,
-# ann_cosine_topk_blocked, ann_lsh_auto_planes,
-# parquet_clustered_roundtrip, heavy_hitter_tokens, sample_n_orders,
-# parquet_zorder_roundtrip, stream_heavy_hitters, hll_rollup_users,
-# dedup_incremental_minhash, sample_weighted_orders,
-# hist_rollup_price_quantiles, stream_windowed_distinct — + the
-# leading ~33
-# names of RECONFIRM_FIRST above) and update
-# RECONFIRM_FIRST to the next-oldest cohort (the remaining r2 names:
-# pipeline_clean_corpus, dedup_exact_docs, dedup_ngram_jaccard,
-# ann_cosine_topk, ann_centroids, multimodal_decode,
-# dedup_embedding_cosine, stream_stateful_totals, stats_skew_kurt,
-# rolling_moments_daily, pivot_table_priority, idxmax_per_priority,
-# daily_growth, rolling_median_rev, rank_priority_totals,
-# split_train_val, stratified_sample_docs, global_shuffle_head — then
-# the r3 cohort in registry order).  Every registry query is swept
-# locally vs DuckDB at sf0.01 each round (tests/test_correctness.py),
-# so names outside the driver window are never actually stale — the
-# rotation just keeps the audit trail fresh.
+# ROUND-7 CHECKLIST: once CORRECTNESS_r06.json lands, rotate again —
+# add its green names to VALIDATED (the r6 window = the new round-6
+# queries + the leading names of RECONFIRM_FIRST above, however many
+# the 50-row window reached) and drop the consumed prefix from
+# RECONFIRM_FIRST, appending the r4 cohort (parquet_roundtrip_lineitem
+# … stream_semantic_dedup, registry order) when the r2/r3 names run
+# out.  Every registry query is swept locally vs DuckDB at sf0.01 each
+# round (tests/test_correctness.py), so names outside the driver
+# window are never actually stale — the rotation just keeps the audit
+# trail fresh.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -276,7 +276,8 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["shuffle_on_invariance"], t="exchange-reuse plan test"),
         dict(op="Partitions / pruning / df.partitions[i]",
              loc="dask_expr_spark/collection.py",
-             t="hive-partition pruning asserted test_scale_ops (plan-level; no SQL oracle)"),
+             q=["partitions_concat_invariance"],
+             t="hive-partition pruning asserted test_scale_ops (plan-level)"),
         dict(op="loc / iloc (masks, callables; column-positional iloc)",
              loc="dask_expr_spark/collection.py", q=["loc_orderkey_slice"]),
         dict(op="compute_current_divisions / divisions API",

@@ -234,3 +234,35 @@ def test_simhash_blocks_recall_equals_chunks(spark, sf_dir):
         docs, "doc_id", "text", blocks=6, max_hamming=3))
     # both schemes guarantee Hamming<=3 coverage -> identical sets
     assert chunk_pairs == block_pairs and len(block_pairs) > 0
+
+
+def test_simhash_auto_blocks_switch(spark, sf_dir):
+    """blocks='auto' (the round-6 default) must stay on the chunk
+    scheme while the corpus fits the chunk-key space and switch to
+    Manku block keys once it doesn't — with identical Hamming<=3 pair
+    coverage either way (both schemes carry the same guarantee)."""
+    import pytest
+
+    from dask_expr_spark.functions import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def ham3(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()
+                if r["hamming"] <= 3}
+
+    # tiny chunk_bits=4 -> threshold 2^4/4 = 4 docs, so the corpus
+    # trips the auto-switch; the forced-Manku result must match
+    auto = ham3(DD.simhash_bucket_pairs(docs, "doc_id", "text",
+                                        chunk_bits=4))
+    forced = ham3(DD.simhash_bucket_pairs(docs, "doc_id", "text",
+                                          chunk_bits=4, blocks=6))
+    assert auto == forced
+    # default chunk_bits=16: the sf-test corpus is far below 2^16/4,
+    # auto stays chunked -> equals the explicit chunked result
+    auto16 = ham3(DD.simhash_bucket_pairs(docs, "doc_id", "text"))
+    chunked = ham3(DD.simhash_bucket_pairs(docs, "doc_id", "text",
+                                           blocks=None))
+    assert auto16 == chunked and len(auto16) > 0
+    with pytest.raises(ValueError, match="blocks"):
+        DD.simhash_bucket_pairs(docs, "doc_id", "text", blocks="huge")

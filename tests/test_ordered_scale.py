@@ -986,3 +986,39 @@ def test_expanding_minmax_respects_min_periods(spark):
            .to_spark().orderBy("i").toPandas()["v_rmin"])
     want = pdf["v"].expanding(min_periods=3).min()
     assert got.fillna(-1).tolist() == want.fillna(-1).tolist()
+
+
+def test_fused_expanding_stats_small_magnitude_floats(spark):
+    """the fused ungrouped-expanding stats path must accumulate
+    sum/mean/var/std in float64 like the single-stat path — the old
+    decimal(38,4) running sums rounded ~1e-5 inputs to zero (round-5
+    advice, high)."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_expr_spark.collection import DataFrame as _DF
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"i": range(40),
+                        "v": rng.uniform(1e-6, 5e-5, 40)})
+    d = _DF(spark.createDataFrame(pdf))
+    fused = (d.expanding(order_by="i", min_periods=2)
+             .agg({"v": ["sum", "mean", "var", "std"]})
+             .to_spark().orderBy("i").toPandas())
+    exp = pdf["v"].expanding(min_periods=2)
+    for stat in ("sum", "mean", "var", "std"):
+        got = fused[f"v_r{stat}"].to_numpy()
+        want = getattr(exp, stat)().to_numpy()
+        np.testing.assert_allclose(got[1:], want[1:], rtol=1e-9,
+                                   err_msg=stat)
+    # chained emission order: all columns per stat, not per column —
+    # the fuse must not reorder outputs (round-5 advice, low)
+    d2 = _DF(spark.createDataFrame(
+        pd.DataFrame({"i": range(10), "x": np.arange(10.0),
+                      "y": np.arange(10.0) * 2})))
+    fcols = (d2.rolling(3, order_by="i").agg(["mean", "max"])
+             .to_spark().columns)
+    ccols = (d2.rolling(3, order_by="i").mean(["x", "y"])
+             .rolling(3, order_by="i").max(["x", "y"])
+             .to_spark().columns)
+    assert fcols == ccols, (fcols, ccols)

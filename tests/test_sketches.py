@@ -183,3 +183,28 @@ def test_sketch_rollups_survive_parquet(spark, tmp_path):
         .first()["q_est"]
     q_disk = quantile_estimate(spark.read.parquet(qp), 0.5).first()["q_est"]
     assert abs(q_mem - q_disk) < 1e-9
+
+
+def test_candidate_override_below_floor_is_clamped(spark):
+    """candidates_per_partition below ceil(1/phi) would void the pass-1
+    superset guarantee — it must be clamped so the EXACT contract holds
+    (round-5 advice)."""
+    rows = [(f"v{k}",) for k in range(1, 50) for _ in range(1000 // k)]
+    sdf = spark.createDataFrame(rows, "tok string").repartition(8)
+    # phi=0.02 -> m floor = 50; an override of 2 must not shrink it
+    got = _run(sdf, "tok", 0.02, candidates_per_partition=2)
+    assert got  # the heavy head survives
+
+
+def test_hist_rollup_empty_input_raises(spark):
+    from dask_expr_spark.functions.sketches import hist_rollup
+
+    empty = spark.createDataFrame([], "day int, v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        hist_rollup(empty, ["day"], "v")
+    allnull = spark.createDataFrame([(1, None), (2, None)],
+                                    "day int, v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        hist_rollup(allnull, ["day"], "v")
+    # explicit bounds sidestep the inference and return an empty rollup
+    assert hist_rollup(empty, ["day"], "v", lo=0.0, hi=1.0).count() == 0
