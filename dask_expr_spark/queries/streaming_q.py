@@ -31,10 +31,14 @@ def _stage_time_ordered(spark, sf_dir, prefix: str, n_files: int = 4) -> str:
     ordered-op bucket sampling)."""
     from ..sources.io import read_parquet
 
+    import time
+
     src = tempfile.mkdtemp(prefix=prefix)
     ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).to_spark()
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     span = (hi - lo) / n_files
+    stamped: set[str] = set()
+    base_t = time.time() - n_files * 10
     for i in range(n_files):
         a = lo + span * i
         b = hi if i == n_files - 1 else lo + span * (i + 1)
@@ -42,6 +46,17 @@ def _stage_time_ordered(spark, sf_dir, prefix: str, n_files: int = 4) -> str:
             F.col("ts") <= F.lit(b) if i == n_files - 1 else F.col("ts") < F.lit(b)
         )
         ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        # tie-proof the replay order: the file source processes the
+        # initial listing in MOD-TIME order, and back-to-back writes
+        # can land in one clock tick — then ties break on the random
+        # part-file names and the replay arrives out of order, so the
+        # watermark drops events (observed intermittently in round 6).
+        # Stamp each range's files with explicit ascending mtimes.
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                t = base_t + i * 10
+                os.utime(os.path.join(src, f), (t, t))
+                stamped.add(f)
     return src
 
 
@@ -407,3 +422,64 @@ FROM events GROUP BY 1, 2 ORDER BY ws, event_type
 """
 
 QUERIES["stream_windowed_distinct"] = (stream_windowed_distinct, STREAM_WD_SQL)
+
+
+def stream_hll_rollup(spark, sf_dir):
+    """streaming → persistent mergeable sketch table (streaming/ops.py
+    hll_rollup_sink + compact_hll_rollup): each micro-batch is
+    HLL-sketched per (event_type, day) and appended to a rollup table;
+    after the drain the table is compacted to one row per key and
+    per-event_type distincts answered by sketch union ALONE — the raw
+    events are never replayed.  Tolerance oracle (the hll_rollup_users
+    pattern): exact distincts hash-checked + flags that each estimate
+    sits within 3x the lg_k=12 published error (±7.5%), plus a flag
+    that compaction reduced the table to exactly one row per key."""
+    from ..functions.sketches import hll_estimate
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_hll_src_")
+    roll_path = tempfile.mkdtemp(prefix="stream_hll_roll_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="stream_hll_ckpt_")
+    try:
+        (read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+         .to_spark().repartition(4).write.mode("overwrite").parquet(src))
+        stream = S.read_event_stream(spark, src, max_files_per_trigger=1) \
+            .withColumn("day", F.to_date("ts"))
+        q_ = S.hll_rollup_sink(stream, ["event_type", "day"], "user_id",
+                               roll_path, lg_k=12, checkpoint_dir=ckpt)
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        S.compact_hll_rollup(spark, roll_path, ["event_type", "day"])
+        roll = spark.read.parquet(roll_path)
+        n_keys = roll.count()
+        compact_ok = (roll.groupBy("event_type", "day").count()
+                      .where(F.col("count") > 1).count() == 0) and n_keys > 0
+        est = hll_estimate(roll, ["event_type"])
+        est = spark.createDataFrame(est.collect(), est.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(roll_path), ignore_errors=True)
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).to_spark()
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("distinct_est") - F.col("exact_users"))
+                     <= F.col("exact_users").cast("double") * 0.075)
+                    .alias("est_ok"),
+                    F.lit(bool(compact_ok)).alias("compact_ok"))
+            .orderBy("event_type"))
+
+
+STREAM_HLL_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok, TRUE AS compact_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_hll_rollup"] = (stream_hll_rollup, STREAM_HLL_SQL)

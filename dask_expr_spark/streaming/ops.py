@@ -380,3 +380,64 @@ def windowed_distinct_users(stream: DataFrame, window: str = "1 hour",
         .select(F.col("w.start").alias("ws"), "event_type",
                 "approx_users", "n")
     )
+
+
+def hll_rollup_sink(stream: DataFrame, keys: list, col: str,
+                    rollup_path: str, lg_k: int = 12,
+                    checkpoint_dir: str | None = None) -> Any:
+    """foreachBatch sink maintaining a PERSISTENT mergeable HLL rollup
+    table: each micro-batch is sketched at the (keys) grain
+    (functions/sketches.py hll_rollup — same schema, so batch and
+    streaming rollups compose into one table) and APPENDED to
+    `rollup_path`.  Because HLL sketches merge, append IS merge — the
+    LSM pattern: estimates union all fragment rows per key
+    (hll_estimate already groups + hll_union_agg), and
+    `compact_hll_rollup` rewrites the table back to one row per key
+    when fragments accumulate.  This closes the streaming↔batch sketch
+    gap: sketch the live stream once, answer any slice union from the
+    table forever, never replaying raw events.
+
+    State story at 100 TB event rates: the streaming side holds NO
+    aggregation state at all (each micro-batch sketch is independent);
+    durability lives in the appended parquet fragments, and exactly-
+    once comes from the checkpointed epoch IDs — a replayed batch
+    appends under the same epoch, and compaction-by-epoch dedups it.
+    Returns the started StreamingQuery."""
+    import tempfile
+
+    from ..functions.sketches import hll_rollup
+
+    def _sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (hll_rollup(batch_df, keys, col, lg_k=lg_k)
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(rollup_path))
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="hll_sink_ckpt_")
+    return (stream.writeStream.foreachBatch(_sketch_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start())
+
+
+def compact_hll_rollup(spark: SparkSession, rollup_path: str,
+                       keys: list) -> None:
+    """rewrite a fragment-per-batch HLL rollup table back to one row
+    per key: replayed epochs are deduped first (max one fragment per
+    (keys, epoch) — the exactly-once half of the sink contract), then
+    sketches union-merge.  Local swap via an adjacent temp dir; a
+    cluster deployment would write a new snapshot dir and flip a
+    pointer instead."""
+    import shutil
+
+    roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
+    cols = list(keys) + ["hll"]
+    if "__epoch" in roll.columns:
+        roll = (roll.groupBy(*keys, "__epoch")
+                .agg(F.first("hll").alias("hll")))
+    merged = (roll.select(*cols).groupBy(*keys)
+              .agg(F.hll_union_agg("hll").alias("hll")))
+    tmp = rollup_path.rstrip("/") + "__compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(rollup_path)
+    shutil.move(tmp, rollup_path)

@@ -281,7 +281,9 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="loc / iloc (masks, callables; column-positional iloc)",
              loc="dask_expr_spark/collection.py", q=["loc_orderkey_slice"]),
         dict(op="compute_current_divisions / divisions API",
-             loc="dask_expr_spark/collection.py", t="test_facade (driver-side metadata; no SQL oracle)"),
+             loc="dask_expr_spark/collection.py",
+             q=["current_divisions_slice_concat"],
+             t="test_facade (divisions metadata)"),
         dict(op="salted_merge / salted_agg (skew extension)",
              loc="dask_expr_spark/operators/skew.py",
              q=["salted_agg_suppkey", "salted_merge_orders"],
@@ -316,12 +318,14 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "streaming MinHash-LSH near-dedup, streaming semantic dedup "
                 "(hyperplane-cell state), streaming Misra-Gries heavy "
                 "hitters (bounded state), windowed approx-distinct "
-                "(HLL++ state), foreachBatch",
+                "(HLL++ state), foreachBatch, persistent HLL rollup sink "
+                "(append-merge sketch table + epoch-dedup compaction)",
              loc="dask_expr_spark/streaming/ops.py",
              q=["stream_tumbling_counts", "stream_session_counts",
                 "stream_interval_join", "stream_near_dedup",
                 "stream_semantic_dedup", "stream_stateful_totals",
-                "stream_heavy_hitters", "stream_windowed_distinct"],
+                "stream_heavy_hitters", "stream_windowed_distinct",
+                "stream_hll_rollup"],
              t="multi-batch state test_streaming"),
     ]),
     ("LLM-data-pipeline operators (task extension)", [
@@ -389,7 +393,7 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="mergeable HLL distinct-count rollup (sketch once, "
                 "estimate any slice union without rescanning)",
              loc="dask_expr_spark/functions/sketches.py (hll_rollup)",
-             q=["hll_rollup_users"],
+             q=["hll_rollup_users", "stream_hll_rollup"],
              t="overlapping-slice merge test_sketches"),
         dict(op="mergeable histogram quantile rollup "
                 "(bin-count merge, one-bin-width error bound)",

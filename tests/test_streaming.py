@@ -339,3 +339,70 @@ def test_heavy_hitter_stream_multibatch_decrement(spark, tmp_path):
     # every candidate's lb is a valid lower bound
     for _, r in final.iterrows():
         assert r["lb"] <= int(truth.get(r["value"], 0))
+
+
+def test_hll_rollup_sink_multibatch_and_compaction(spark, tmp_path):
+    """hll_rollup_sink: fragments append per micro-batch; compaction
+    dedups replayed epochs and reduces the table to one row per key;
+    batch hll_rollup rows compose into the same table (the
+    'sketch once, slice forever' pattern end-to-end)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import hll_estimate, hll_rollup
+    from dask_expr_spark.streaming import ops as S
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-01-01")
+    # 3 sequential files -> 3 micro-batches at maxFilesPerTrigger=1;
+    # users overlap across batches so union-merge must dedup them
+    for i in range(3):
+        pdf = pd.DataFrame({
+            "event_id": range(i * 100, i * 100 + 100),
+            "ts": [base + pd.Timedelta(hours=i)] * 100,
+            "user_id": [(i * 50 + j) % 120 for j in range(100)],
+            "event_type": ["click"] * 100,
+            "value": [1.0] * 100,
+            "session_id": ["s"] * 100,
+            "url": ["u"] * 100,
+            "props": ["{}"] * 100,
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1) \
+        .withColumn("day", F.to_date("ts"))
+    q = S.hll_rollup_sink(stream, ["event_type", "day"], "user_id",
+                          roll, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    frags = spark.read.parquet(roll)
+    assert frags.select("__epoch").distinct().count() >= 3
+    exact = spark.read.parquet(src).select("user_id").distinct().count()
+    est = hll_estimate(frags.select("event_type", "day", "hll"),
+                       ["event_type"]).first()["distinct_est"]
+    assert abs(est - exact) <= exact * 0.075
+
+    # replayed epoch: duplicate the epoch-0 fragment, compact, and the
+    # estimate must be unchanged (dedup-by-epoch before merge)
+    frags.where(F.col("__epoch") == 0).write.mode("append").parquet(roll)
+    S.compact_hll_rollup(spark, roll, ["event_type", "day"])
+    compacted = spark.read.parquet(roll)
+    assert (compacted.groupBy("event_type", "day").count()
+            .where("count > 1").count() == 0)
+    est2 = hll_estimate(compacted, ["event_type"]).first()["distinct_est"]
+    assert est2 == est
+
+    # batch rollup rows compose into the same table
+    more = spark.createDataFrame(
+        [("click", pd.Timestamp("2024-01-02").date(), u)
+         for u in range(200, 260)], "event_type string, day date, user_id long")
+    hll_rollup(more, ["event_type", "day"], "user_id") \
+        .write.mode("append").parquet(roll)
+    S.compact_hll_rollup(spark, roll, ["event_type", "day"])
+    est3 = hll_estimate(spark.read.parquet(roll),
+                        ["event_type"]).first()["distinct_est"]
+    exact3 = exact + 60
+    assert abs(est3 - exact3) <= exact3 * 0.075
