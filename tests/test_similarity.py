@@ -244,3 +244,41 @@ def test_semantic_dedup_rejects_non_integer_ids(spark):
             spark.createDataFrame([(1, [1.0, 0.0])],
                                   "vec_id long, embedding array<double>"),
             dim=2, resolver="bogus")
+
+
+def test_approx_family_recall_floors(spark, sf_dir):
+    """measured-recall contract (VERDICT r5 item 5): every approximate
+    ANN path must clear a recall floor against the exact blocked
+    baseline on the test corpus — the quality companion to SCALE.md's
+    cost table (x100 measured: lsh auto L8 0.999, L16+ 1.0; ivf
+    nprobe4 0.97, nprobe8 0.997; int8 ~1.0).  Floors are set below the
+    measured values so host-to-host RNG/ordering wiggle can't flake
+    them, but high enough that a broken bucketing (wrong planes, wrong
+    cell probe, broken quantization) fails loudly."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 5
+    truth: dict = {}
+    for r in SIM.cosine_topk_blocked(emb, q, k=k).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(res) -> float:
+        per_q: dict = {}
+        for r in res:
+            if r.query_id != r.neighbor_id:
+                per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hit = sum(len(truth[qi] & per_q.get(qi, set())) for qi in truth)
+        tot = sum(len(truth[qi]) for qi in truth)
+        return hit / tot
+
+    lsh = recall(SIM.lsh_bucketed_topk(
+        emb, q, dim=64, k=k, num_tables=16).collect())  # auto planes
+    assert lsh >= 0.8, f"lsh auto-planes recall {lsh}"
+    # nprobe/cells = 25% of the corpus probed: on this 500-vector test
+    # corpus that measures ~0.68 (x100 with 64 cells: 0.97); the floor
+    # is set above the ~0.25 a broken cell assignment would score
+    ivf = recall(SIM.ivf_topk(
+        emb, q, dim=64, k=k, num_cells=16, nprobe=4).collect())
+    assert ivf >= 0.6, f"ivf nprobe4 recall {ivf}"
+    i8 = recall(SIM.cosine_topk_int8(emb, q, k=k).collect())
+    assert i8 >= 0.9, f"int8 recall {i8}"
