@@ -110,6 +110,24 @@ def _ann_lsh_pipeline(spark, sf_dir):
     ).select("query_id", "neighbor_id")
 
 
+def _ann_lsh_auto_pipeline(spark, sf_dir):
+    """the PRODUCTION LSH configuration (planes_per_table='auto', the
+    round-6 default) — benched on the x10 corpus where auto-sizing is
+    what keeps bucket depth constant; _ann_lsh_pipeline above keeps the
+    frozen-p sf0.1 number comparable with BENCH_r02."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import similarity as SIM
+    from dask_expr_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.lsh_bucketed_topk(
+        emb, queries, dim=64, k=5, num_tables=24,
+        planes_per_table="auto",
+    ).select("query_id", "neighbor_id")
+
+
 def _semantic_dedup_ivf(spark, sf_dir):
     """semantic dedup with IVF (Lloyd) cells — exercises the iterative
     trainer + map-only cell assignment (functions/similarity.py
@@ -147,10 +165,102 @@ LOCAL_PROBES = {
     "scale_probe_expanding_approx": _scale_probe_expanding_approx,
     "dedup_minhash_pipeline": _minhash_pipeline,
     "ann_lsh_pipeline": _ann_lsh_pipeline,
+    "ann_lsh_auto_pipeline": _ann_lsh_auto_pipeline,
     # round 5 additions (no prior comparable — bench_diff skips them)
     "semantic_dedup_ivf": _semantic_dedup_ivf,
     "components_star_pipeline": _connected_components_star,
 }
+
+# ---------------------------------------------------------------------------
+# x10 corpus for the fast entries (round 6, VERDICT r5 item 3): the
+# measured cross-boot host noise is ±50% on SUB-SECOND entries
+# (SCALE.md), which made half the headline numbers uninformative
+# round-over-round.  Entries whose r5 median ran < 2 s are therefore
+# benched on a x10 key-offset replica universe instead (every fact
+# table replicated with CONSISTENT foreign-key offsets so joins keep
+# their selectivity; dims nation/region shared), under `name + "_x10"`
+# so bench_diff never compares them against the old sub-second
+# numbers.  Multi-second entries keep the sf0.1 corpus and stay
+# comparable with BENCH_r05.
+# ---------------------------------------------------------------------------
+X10_OFF = 1_000_000_000
+X10_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+X10_COPY = ["nation", "region"]
+
+# r5 medians < 2 s (registry entries + probes), benched at x10.
+# Deliberately NOT moved despite being sub-2s: semantic_dedup_kept
+# (its 4-cell geometry exists for the recursive-CTE oracle and goes
+# quadratic within cells at x10 — semantic_dedup_ivf covers the
+# family) and ann_lsh_pipeline (frozen planes kept for BENCH_r02
+# comparability — the x10 LSH entry is ann_lsh_auto_pipeline below,
+# running the production auto-sized default).
+X10_ENTRIES = {
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "join_broadcast_part", "join_semi",
+    "window_user_sessions", "asof_purchase_click", "resample_hourly",
+    "dedup_exact_docs", "text_stats_by_lang", "text_token_frequencies",
+    "ann_cosine_topk", "text_lm_perplexity", "text_bm25_search",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q20_potential_promotion", "heavy_hitter_tokens", "hll_rollup_users",
+    "hist_rollup_price_quantiles", "sample_weighted_orders",
+    "scale_probe_expanding_median",
+    "ann_lsh_auto_pipeline",
+}
+
+
+def _ensure_x10(spark, sf_dir: str, replicas: int = 10) -> str:
+    """materialize the x10 replica universe once per boot (untimed;
+    ~1 min). Key columns get a per-replica stride so every foreign key
+    resolves inside its own replica; documents gain a marker token
+    (near-dup structure preserved, not exact-dup collapsed) and
+    embeddings a deterministic perturbation (realistic ANN buckets)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    dst = os.environ.get("SPARK_GRAFT_BENCH_X10_DIR", "/tmp/dx_bench_x10")
+    os.makedirs(dst, exist_ok=True)
+    for name in X10_COPY:
+        out = os.path.join(dst, f"{name}.parquet")
+        if not glob.glob(os.path.join(out, "*.parquet")) and not (
+                os.path.isfile(out)):
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")) \
+                .write.mode("overwrite").parquet(out)
+    for name, keys in X10_KEYS.items():
+        out = os.path.join(dst, f"{name}.parquet")
+        if glob.glob(os.path.join(out, "*.parquet")) or os.path.isfile(out):
+            continue
+        base = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        reps = []
+        for i in range(replicas):
+            r = base
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * X10_OFF))
+            if name == "documents" and i > 0:
+                r = r.withColumn(
+                    "text", F.concat(F.lit(f"replica{i} "), F.col("text")))
+            if name == "embeddings" and i > 0:
+                r = r.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, j: x + (F.lit(float(i)) * 1e-3)
+                        * F.cos(j.cast("double") + F.lit(float(i)))))
+            reps.append(r)
+        u = reps[0]
+        for r in reps[1:]:
+            u = u.unionByName(r)
+        u.repartition(32).write.mode("overwrite").parquet(out)
+    return dst
 
 # extended set appended when present in the registry
 OPTIONAL = [
@@ -215,10 +325,18 @@ def main() -> None:
     # middle on this shared box (phantom 1.3-1.5x movers on sub-second
     # queries between same-code runs); median-of-5 costs ~60s total
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    x10_dir = _ensure_x10(spark, sf_dir)
     timings: dict[str, float] = {}
     runnables = [(n, registry[n][0]) for n in names]
     runnables += list(LOCAL_PROBES.items())
-    for name, fn in runnables:
+    # sub-2s entries ride the x10 corpus (median-of-3: at multi-second
+    # durations the scheduling jitter is <10% without extra repeats)
+    runnables = [
+        (n + "_x10", fn, x10_dir, min(repeats, 3)) if n in X10_ENTRIES
+        else (n, fn, sf_dir, repeats)
+        for n, fn in runnables
+    ]
+    for name, fn, qdir, reps in runnables:
         # drop caches left by previous queries (dedup/LSH ops cache
         # reused frames) so queries are measured in isolation, and ask
         # for a full GC OUTSIDE the timed section — after ~30 queries
@@ -229,9 +347,9 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         runs = []
-        for _ in range(repeats):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
+            df = fn(spark, qdir)
             # collect (results are small aggregates) so nothing short-circuits
             df.collect()
             runs.append(time.perf_counter() - t0)

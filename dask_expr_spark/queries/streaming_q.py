@@ -483,3 +483,68 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 QUERIES["stream_hll_rollup"] = (stream_hll_rollup, STREAM_HLL_SQL)
+
+
+def stream_hist_rollup(spark, sf_dir):
+    """streaming → persistent mergeable HISTOGRAM rollup
+    (streaming/ops.py hist_rollup_sink + compact_hist_rollup): each
+    micro-batch histogrammed per (event_type, day), fragments appended,
+    table compacted, per-event_type medians answered by bin-count merge
+    alone — the quantile companion to stream_hll_rollup.  Tolerance
+    oracle (the hist_rollup_price_quantiles pattern): exact medians
+    hash-checked + one-bin-width flags + a one-row-per-key compaction
+    flag."""
+    from ..functions.sketches import quantile_estimate
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    BINS, LO, HI = 256, 0.0, 1000.0
+    src = tempfile.mkdtemp(prefix="stream_hist_src_")
+    roll_path = tempfile.mkdtemp(prefix="stream_hist_roll_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="stream_hist_ckpt_")
+    try:
+        (read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+         .to_spark().repartition(4).write.mode("overwrite").parquet(src))
+        stream = S.read_event_stream(spark, src, max_files_per_trigger=1) \
+            .withColumn("day", F.to_date("ts"))
+        q_ = S.hist_rollup_sink(stream, ["event_type", "day"], "value",
+                                roll_path, bins=BINS, lo=LO, hi=HI,
+                                checkpoint_dir=ckpt)
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        S.compact_hist_rollup(spark, roll_path, ["event_type", "day"])
+        roll = spark.read.parquet(roll_path)
+        compact_ok = (roll.groupBy("event_type", "day").count()
+                      .where(F.col("count") > 1).count() == 0) \
+            and roll.count() > 0
+        est = quantile_estimate(roll, 0.5, ["event_type"])
+        est = spark.createDataFrame(est.collect(), est.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(roll_path), ignore_errors=True)
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).to_spark()
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr(
+            "percentile(least(greatest(value, 0.0d), 1000.0d), 0.5)"), 2)
+        .alias("exact_p50"))
+    bin_w = (HI - LO) / BINS
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_p50",
+                    (F.abs(F.col("q_est") - F.col("exact_p50"))
+                     <= F.lit(bin_w)).alias("est_ok"),
+                    F.lit(bool(compact_ok)).alias("compact_ok"))
+            .orderBy("event_type"))
+
+
+STREAM_HIST_SQL = """
+SELECT event_type,
+       round(quantile_cont(least(greatest(value, 0.0), 1000.0), 0.5), 2)
+         AS exact_p50,
+       TRUE AS est_ok, TRUE AS compact_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_hist_rollup"] = (stream_hist_rollup, STREAM_HIST_SQL)

@@ -441,3 +441,61 @@ def compact_hll_rollup(spark: SparkSession, rollup_path: str,
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(rollup_path)
     shutil.move(tmp, rollup_path)
+
+
+def hist_rollup_sink(stream: DataFrame, keys: list, col: str,
+                     rollup_path: str, bins: int, lo: float, hi: float,
+                     checkpoint_dir: str | None = None) -> Any:
+    """foreachBatch sink maintaining a PERSISTENT mergeable histogram
+    rollup table — the quantile companion to hll_rollup_sink, same LSM
+    contract: each micro-batch is histogrammed at the (keys) grain
+    (functions/sketches.py hist_rollup — same schema as the batch
+    rollup) and APPENDED as an epoch-tagged fragment.  Bin counts merge
+    by addition, and quantile_estimate already explodes + sums per
+    (keys, lo, hi, bins), so fragments estimate correctly WITHOUT
+    compaction; `compact_hist_rollup` dedups replayed epochs and folds
+    the fragments back to one row per key.  lo/hi/bins must be fixed
+    up front (a stream can't be min/max pre-scanned — pick the domain
+    from history or business bounds); values outside clamp into the
+    edge bins per the batch contract.  Returns the StreamingQuery."""
+    import tempfile
+
+    from ..functions.sketches import hist_rollup
+
+    def _sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (hist_rollup(batch_df, keys, col, bins=bins, lo=lo, hi=hi)
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(rollup_path))
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="hist_sink_ckpt_")
+    return (stream.writeStream.foreachBatch(_sketch_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start())
+
+
+def compact_hist_rollup(spark: SparkSession, rollup_path: str,
+                        keys: list) -> None:
+    """rewrite a fragment-per-batch histogram rollup to one row per
+    key: dedup replayed epochs (max one fragment per (keys, epoch)),
+    then sum bin counts across fragments.  Same swap mechanics as
+    compact_hll_rollup."""
+    import shutil
+
+    roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
+    base = list(keys) + ["lo", "hi", "bins"]
+    if "__epoch" in roll.columns:
+        roll = (roll.groupBy(*base, "__epoch")
+                .agg(F.first("hist").alias("hist")))
+    merged = (
+        roll.select(*base, F.explode("hist").alias("__bin", "__cnt"))
+        .groupBy(*base, "__bin").agg(F.sum("__cnt").alias("__cnt"))
+        .groupBy(*base)
+        .agg(F.map_from_entries(F.array_sort(F.collect_list(
+            F.struct(F.col("__bin"), F.col("__cnt"))))).alias("hist"))
+        .select(*keys, "hist", "lo", "hi", "bins"))
+    tmp = rollup_path.rstrip("/") + "__compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(rollup_path)
+    shutil.move(tmp, rollup_path)

@@ -318,14 +318,15 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "streaming MinHash-LSH near-dedup, streaming semantic dedup "
                 "(hyperplane-cell state), streaming Misra-Gries heavy "
                 "hitters (bounded state), windowed approx-distinct "
-                "(HLL++ state), foreachBatch, persistent HLL rollup sink "
-                "(append-merge sketch table + epoch-dedup compaction)",
+                "(HLL++ state), foreachBatch, persistent HLL + histogram "
+                "rollup sinks (append-merge sketch tables + epoch-dedup "
+                "compaction)",
              loc="dask_expr_spark/streaming/ops.py",
              q=["stream_tumbling_counts", "stream_session_counts",
                 "stream_interval_join", "stream_near_dedup",
                 "stream_semantic_dedup", "stream_stateful_totals",
                 "stream_heavy_hitters", "stream_windowed_distinct",
-                "stream_hll_rollup"],
+                "stream_hll_rollup", "stream_hist_rollup"],
              t="multi-batch state test_streaming"),
     ]),
     ("LLM-data-pipeline operators (task extension)", [
@@ -399,7 +400,7 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "(bin-count merge, one-bin-width error bound)",
              loc="dask_expr_spark/functions/sketches.py (hist_rollup, "
                  "quantile_estimate)",
-             q=["hist_rollup_price_quantiles"],
+             q=["hist_rollup_price_quantiles", "stream_hist_rollup"],
              t="merged-slice quantile bound test_sketches"),
         dict(op="multimodal decode/frames/embed/resize + audio metadata "
                 "(image header + WAV/RIFF parse real, codec decode/resize "

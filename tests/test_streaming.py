@@ -406,3 +406,75 @@ def test_hll_rollup_sink_multibatch_and_compaction(spark, tmp_path):
                         ["event_type"]).first()["distinct_est"]
     exact3 = exact + 60
     assert abs(est3 - exact3) <= exact3 * 0.075
+
+
+def test_hist_rollup_sink_multibatch_and_compaction(spark, tmp_path):
+    """hist_rollup_sink: same LSM contract as the HLL sink — fragments
+    per micro-batch, estimates correct BEFORE compaction (bin counts
+    merge by addition inside quantile_estimate), replayed epochs
+    deduped by compaction, batch hist_rollup rows compose in."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import (hist_rollup,
+                                                    quantile_estimate)
+    from dask_expr_spark.streaming import ops as S
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-01-01")
+    vals = []
+    for i in range(3):
+        v = [float((i * 100 + j) % 500) for j in range(200)]
+        vals += v
+        pdf = pd.DataFrame({
+            "event_id": range(i * 200, i * 200 + 200),
+            "ts": [base + pd.Timedelta(hours=i)] * 200,
+            "user_id": list(range(200)),
+            "event_type": ["click"] * 200,
+            "value": v,
+            "props": ["{}"] * 200,
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1) \
+        .withColumn("day", F.to_date("ts"))
+    q = S.hist_rollup_sink(stream, ["event_type", "day"], "value",
+                           roll, bins=128, lo=0.0, hi=500.0,
+                           checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    frags = spark.read.parquet(roll)
+    assert frags.select("__epoch").distinct().count() >= 3
+    import numpy as np
+    exact = float(np.quantile(np.array(vals), 0.5, method="inverted_cdf"))
+    width = 500.0 / 128
+    # estimates are correct on the raw fragments (no compaction needed)
+    est = quantile_estimate(
+        frags.select("event_type", "day", "hist", "lo", "hi", "bins"),
+        0.5).first()["q_est"]
+    assert abs(est - exact) <= width + 1e-9
+
+    # replayed epoch: duplicate a fragment, compact, estimate unchanged
+    frags.where(F.col("__epoch") == 0).write.mode("append").parquet(roll)
+    S.compact_hist_rollup(spark, roll, ["event_type", "day"])
+    compacted = spark.read.parquet(roll)
+    assert (compacted.groupBy("event_type", "day").count()
+            .where("count > 1").count() == 0)
+    est2 = quantile_estimate(compacted, 0.5).first()["q_est"]
+    assert abs(est2 - est) < 1e-9
+
+    # batch rollup rows compose into the same table
+    more = spark.createDataFrame(
+        [("click", pd.Timestamp("2024-01-02").date(), float(j % 500))
+         for j in range(300)], "event_type string, day date, value double")
+    hist_rollup(more, ["event_type", "day"], "value",
+                bins=128, lo=0.0, hi=500.0) \
+        .write.mode("append").parquet(roll)
+    S.compact_hist_rollup(spark, roll, ["event_type", "day"])
+    allv = vals + [float(j % 500) for j in range(300)]
+    exact3 = float(np.quantile(np.array(allv), 0.5, method="inverted_cdf"))
+    est3 = quantile_estimate(spark.read.parquet(roll), 0.5).first()["q_est"]
+    assert abs(est3 - exact3) <= width + 1e-9
