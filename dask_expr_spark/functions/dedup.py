@@ -782,3 +782,51 @@ def connected_components_star(pairs, a_col: str = "id_a", b_col: str = "id_b",
                                 F.col("lo").alias("comp")),
                        "id", "left")
             .select("id", F.coalesce("comp", F.col("id")).alias("comp")))
+
+
+def exact_hash_index(df: DataFrame, id_col: str, text_col: str,
+                     normalize: bool = False) -> DataFrame:
+    """Persistent EXACT-dedup index: one (text_hash, keep_id) row per
+    distinct text — the exact companion to minhash_index for the
+    incremental-ingest pattern (index the corpus ONCE, dedupe each
+    day's batch against the index, append only the novel hashes; old
+    text is never re-read).  `normalize=True` hashes
+    lower(trim(text)) so whitespace/case variants collapse.  Size is
+    one 32-hex + id row per distinct text — parquet it clustered on
+    text_hash for equi-join locality."""
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.trim(key))
+    return (df.groupBy(F.md5(key).alias("text_hash"))
+            .agg(F.min(F.col(id_col)).alias("keep_id")))
+
+
+def exact_dedup_against(new_df: DataFrame, index: DataFrame, id_col: str,
+                        text_col: str, normalize: bool = False) -> DataFrame:
+    """Dedupe a NEW batch against an exact_hash_index: returns
+    (id, text_hash, dup_of) where dup_of is the index's keep_id when
+    the text was already in the corpus, the batch's own first (min-id)
+    occurrence for intra-batch duplicates, and NULL for novel texts —
+    so ``where dup_of IS NULL`` is the surviving batch and
+    ``exact_hash_index`` of the survivors appended to the index keeps
+    it current.
+
+    Plan: hash the batch (one scan), per-hash min-id over the BATCH
+    (map-side-combining groupBy, never the corpus), one equi-join
+    against the index on text_hash.  At 100 TB the index join is the
+    only corpus-sized input and it ships only (32-hex, id) rows."""
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.trim(key))
+    batch = new_df.select(F.col(id_col).alias("id"),
+                          F.md5(key).alias("text_hash"))
+    first = batch.groupBy("text_hash").agg(
+        F.min("id").alias("__batch_keep"))
+    idx = index.select("text_hash", F.col("keep_id").alias("__idx_keep"))
+    return (batch.join(first, "text_hash")
+            .join(idx, "text_hash", "left")
+            .select("id", "text_hash",
+                    F.coalesce(
+                        F.col("__idx_keep"),
+                        F.when(F.col("id") != F.col("__batch_keep"),
+                               F.col("__batch_keep"))).alias("dup_of")))

@@ -188,3 +188,57 @@ def resample_to_mix(df: DataFrame, source_col: str, id_col: str,
     u16 = F.conv(F.substring(_hash_key(F.col(id_col), seed), 1, 4), 16, 10) \
         .cast("long")
     return keyed.where(u16 < F.col("__thr")).drop("__src", "__thr")
+
+
+def sample_n_per_group(df: DataFrame, group_col: str, id_col: str, n: int,
+                       seed: str = "s42") -> DataFrame:
+    """Exactly min(n, group size) rows PER GROUP, uniform without
+    replacement, deterministic (md5 order) — training-data class
+    balancing ("10k docs per language", "500 examples per label")
+    where fraction-based stratified_sample can't hit exact counts.
+
+    Plan: one hash-partitioned window rank per group — no global sort,
+    no driver collection; skew is bounded because the heap per group
+    is the group's own rows.  Same id always survives regardless of
+    partitioning, row order, or engine (the sampling-family
+    contract)."""
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_key(F.col(id_col), seed), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(n)).drop("__rn"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
+                       val_fraction: float = 0.1, seed: str = "s42",
+                       resolver: str = "star"
+                       ) -> tuple[DataFrame, DataFrame]:
+    """(train, val) split where DUPLICATE GROUPS move as one unit: ids
+    connected by `pairs` (exact-hash or MinHash/SimHash candidate
+    pairs — any (id_a, id_b) frame) share their component
+    representative's hash, so a document can never land in train while
+    its near-duplicate sits in val — the eval-contamination failure
+    mode of naive per-id splits on deduplicated-but-not-resolved
+    corpora.
+
+    Plan: connected components over the pairs (large-star/small-star
+    by default — O(log n) rounds, diameter-independent), left-join the
+    component id back (ids in no pair represent themselves), then the
+    standard deterministic md5 threshold on the REPRESENTATIVE.  The
+    split stays engine/partitioning-independent and, given the same
+    pairs, reproducible forever."""
+    from .dedup import connected_components, connected_components_star
+
+    cc = (connected_components_star if resolver == "star"
+          else connected_components)
+    comp = cc(pairs).select(F.col("id").alias("__cid"),
+                            F.col("comp").alias("__rep"))
+    tagged = (df.join(comp, df[id_col] == F.col("__cid"), "left")
+              .withColumn("__key",
+                          F.coalesce(F.col("__rep"), df[id_col]))
+              .drop("__cid", "__rep"))
+    lbl = split_column(F.col("__key"), val_fraction, seed)
+    tagged = tagged.withColumn("__split", lbl).drop("__key")
+    return (
+        tagged.filter(F.col("__split") == "train").drop("__split"),
+        tagged.filter(F.col("__split") == "val").drop("__split"),
+    )

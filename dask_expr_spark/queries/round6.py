@@ -50,3 +50,129 @@ def current_divisions_slice_concat(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  cent_sum(F.col("o_totalprice")).alias("total"))
             .orderBy("o_orderstatus"))
+
+
+# -- exact INCREMENTAL dedup vs a persistent hash index (functions/
+#    dedup.py exact_hash_index / exact_dedup_against) — the exact
+#    companion to dedup_incremental_minhash; output is hash-exact ----
+EXACT_INCR_SQL = """
+WITH idx AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+),
+batch AS (
+  SELECT doc_id AS id, md5(text) AS text_hash
+  FROM documents WHERE doc_id % 10 = 0
+),
+first AS (SELECT text_hash, min(id) AS bk FROM batch GROUP BY text_hash)
+SELECT b.id, b.text_hash,
+       COALESCE(i.keep_id,
+                CASE WHEN b.id <> f.bk THEN f.bk END) AS dup_of
+FROM batch b
+JOIN first f ON b.text_hash = f.text_hash
+LEFT JOIN idx i ON b.text_hash = i.text_hash
+ORDER BY b.id
+"""
+
+
+@q("dedup_exact_incremental", EXACT_INCR_SQL)
+def dedup_exact_incremental(spark, sf_dir):
+    """index 90% of the corpus once (exact_hash_index), dedupe the
+    'new batch' 10% against it (exact_dedup_against) — dup_of points
+    at the index representative, the batch's own first occurrence for
+    intra-batch dups, NULL for novel text.  The whole answer is
+    hash-exact (md5 is identical across engines)."""
+    from ..functions import dedup as DD
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    index = DD.exact_hash_index(
+        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return (DD.exact_dedup_against(batch, index, "doc_id", "text")
+            .orderBy("id"))
+
+
+# -- exact-n per-group sampling (functions/sampling.py
+#    sample_n_per_group): deterministic md5 order → EXACT cross-engine
+#    draw, the per-group companion to sample_n_orders -----------------
+SAMPLE_GROUP_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5('s42' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 5
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+@q("sample_n_per_group_orders", SAMPLE_GROUP_SQL)
+def sample_n_per_group_orders(spark, sf_dir):
+    from ..functions import sampling as S
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    samp = S.sample_n_per_group(o, "o_orderpriority", "o_orderkey", 5)
+    return (samp.select("o_orderpriority", "o_orderkey", "o_totalprice")
+            .orderBy("o_orderpriority", "o_orderkey"))
+
+
+# -- leakage-safe split (functions/sampling.py leakage_safe_split):
+#    duplicate groups move as one unit, so near-dups never straddle
+#    train/val.  Pairs here = exact-hash duplicates (SQL-reproducible;
+#    production feeds MinHash/SimHash candidates), components via the
+#    recursive CTE, split threshold = the md5-prefix rule ------------
+LEAKAGE_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (SELECT s AS id, least(s, min(d)) AS rep FROM reach GROUP BY s),
+labeled AS (
+  SELECT doc_id, COALESCE(c.rep, doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT CASE WHEN substring(md5('s42' || CAST(rep AS VARCHAR)), 1, 4)
+                 < '4ccd'
+            THEN 'val' ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM labeled GROUP BY 1 ORDER BY split
+"""
+
+
+@q("split_leakage_safe", LEAKAGE_SQL)
+def split_leakage_safe(spark, sf_dir):
+    """leakage_safe_split over exact-duplicate pairs at
+    val_fraction=0.3 (threshold 0.3*65536 = 19661 = 0x4ccd): output =
+    per-split doc counts + id sums, hash-exact because both the
+    components and the md5 threshold are reproduced in SQL.  The
+    no-straddle invariant itself is property-tested in
+    tests/test_round6_ops.py."""
+    from ..functions import sampling as S
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    a = docs.select(F.col("doc_id").alias("id_a"), key.alias("__k"))
+    b = docs.select(F.col("doc_id").alias("id_b"), key.alias("__k"))
+    pairs = (a.join(b, "__k").where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    train, val = S.leakage_safe_split(docs, "doc_id", pairs,
+                                      val_fraction=0.3)
+    u = (train.withColumn("split", F.lit("train"))
+         .unionByName(val.withColumn("split", F.lit("val"))))
+    return (u.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("split"))

@@ -375,17 +375,23 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "pack_sequences_2048"]),
         dict(op="hash_split / stratified_sample / global_shuffle / "
                 "domain-mixture resampling / exact-n sample / "
-                "weighted sample (A-ES)",
+                "weighted sample (A-ES) / exact-n per group / "
+                "leakage-safe split (dup groups move as one unit)",
              loc="dask_expr_spark/functions/sampling.py",
              q=["split_train_val", "stratified_sample_docs",
                 "global_shuffle_head", "mix_sources_target",
-                "sample_n_orders", "sample_weighted_orders"]),
+                "sample_n_orders", "sample_weighted_orders",
+                "sample_n_per_group_orders", "split_leakage_safe"],
+             t="no-straddle + determinism tests test_round6_ops"),
         dict(op="incremental corpus dedup: persistent MinHash-LSH index "
-                "+ batch-vs-index candidates (no combined self-join)",
+                "+ batch-vs-index candidates (no combined self-join); "
+                "exact-hash variant (exact_hash_index / "
+                "exact_dedup_against)",
              loc="dask_expr_spark/functions/dedup.py (minhash_index, "
-                 "minhash_dedup_against)",
-             q=["dedup_incremental_minhash"],
-             t="parquet index roundtrip test_dedup"),
+                 "minhash_dedup_against, exact_hash_index)",
+             q=["dedup_incremental_minhash", "dedup_exact_incremental"],
+             t="parquet index roundtrip test_dedup; routing semantics "
+               "test_round6_ops"),
         dict(op="heavy hitters (two-pass Misra-Gries, exact counts — "
                 "no full-domain shuffle) + streaming variant (bounded state)",
              loc="dask_expr_spark/functions/sketches.py "

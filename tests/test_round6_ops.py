@@ -1,0 +1,102 @@
+"""Round-6 operator semantics: exact incremental dedup
+(exact_hash_index / exact_dedup_against), exact-n per-group sampling,
+and the leakage-safe split (duplicate groups move as one unit)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_expr_spark.functions import dedup as DD
+from dask_expr_spark.functions import sampling as S
+
+
+def test_exact_dedup_against_semantics(spark):
+    """dup_of routing: index hit -> index keep_id; intra-batch dup ->
+    batch's min id; novel -> NULL.  Normalization collapses
+    case/whitespace variants when asked."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id long, text string")
+    idx = DD.exact_hash_index(corpus, "doc_id", "text")
+    assert idx.count() == 2  # alpha (keep 1), beta (keep 2)
+    batch = spark.createDataFrame(
+        [(10, "alpha"),       # index dup -> 1
+         (11, "gamma"),       # novel
+         (12, "gamma"),       # intra-batch dup -> 11
+         (13, "  Alpha ")],   # novel without normalize
+        "doc_id long, text string")
+    got = {r["id"]: r["dup_of"]
+           for r in DD.exact_dedup_against(batch, idx, "doc_id",
+                                           "text").collect()}
+    assert got == {10: 1, 11: None, 12: 11, 13: None}
+
+    # normalized index + batch: "  Alpha " now hits alpha's row
+    idx_n = DD.exact_hash_index(corpus, "doc_id", "text", normalize=True)
+    got_n = {r["id"]: r["dup_of"]
+             for r in DD.exact_dedup_against(batch, idx_n, "doc_id",
+                                             "text",
+                                             normalize=True).collect()}
+    assert got_n[13] == 1
+
+    # the incremental contract: survivors' hashes appended keep the
+    # index current — re-running the same batch now flags everything
+    survivors = (DD.exact_dedup_against(batch, idx, "doc_id", "text")
+                 .where(F.col("dup_of").isNull()).select("id"))
+    surv = batch.join(survivors, batch["doc_id"] == F.col("id"), "leftsemi")
+    idx2 = idx.unionByName(DD.exact_hash_index(surv, "doc_id", "text"))
+    rerun = {r["id"]: r["dup_of"]
+             for r in DD.exact_dedup_against(batch, idx2, "doc_id",
+                                             "text").collect()}
+    assert all(v is not None for v in rerun.values())
+
+
+def test_sample_n_per_group_exact_and_stable(spark):
+    """exactly min(n, |group|) rows per group; the chosen ids are
+    identical across partitionings and row orders (md5 determinism)."""
+    rows = [(g, g * 1000 + i) for g in range(4) for i in range((g + 1) * 7)]
+    base = spark.createDataFrame(rows, "g int, id long")
+
+    def draw(df):
+        out = S.sample_n_per_group(df, "g", "id", 5).collect()
+        got: dict = {}
+        for r in out:
+            got.setdefault(r["g"], set()).add(r["id"])
+        return got
+
+    a = draw(base.repartition(16))
+    b = draw(base.repartition(3, "g").sortWithinPartitions(
+        F.col("id").desc()))
+    assert a == b
+    sizes = {g: len((g + 1) * 7 * [0]) for g in range(4)}
+    for g, ids in a.items():
+        assert len(ids) == min(5, sizes[g]), (g, ids)
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    """no pair may straddle train/val — including through TRANSITIVE
+    chains (a-b, b-c puts all three on one side); unpaired ids split
+    exactly like plain hash_split."""
+    ids = list(range(1, 201))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    # chain components: (1,2),(2,3) … plus scattered pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 150), (150, 151), (40, 41)],
+        "id_a long, id_b long")
+    train, val = S.leakage_safe_split(df, "id", pairs, val_fraction=0.4)
+    t = {r["id"] for r in train.collect()}
+    v = {r["id"] for r in val.collect()}
+    assert t | v == set(ids) and not (t & v)
+    for comp in ({1, 2, 3}, {10, 150, 151}, {40, 41}):
+        assert comp <= t or comp <= v, comp
+    # unpaired ids follow the plain hash_split labels exactly
+    paired = {1, 2, 3, 10, 150, 151, 40, 41}
+    tr0, va0 = S.hash_split(df, "id", val_fraction=0.4)
+    t0 = {r["id"] for r in tr0.collect()}
+    assert {i for i in t if i not in paired} == \
+        {i for i in t0 if i not in paired}
+    # both resolvers agree
+    tr_l, va_l = S.leakage_safe_split(df, "id", pairs, val_fraction=0.4,
+                                      resolver="labelprop")
+    assert {r["id"] for r in va_l.collect()} == v
