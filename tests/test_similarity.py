@@ -274,11 +274,12 @@ def test_approx_family_recall_floors(spark, sf_dir):
     lsh = recall(SIM.lsh_bucketed_topk(
         emb, q, dim=64, k=k, num_tables=16).collect())  # auto planes
     assert lsh >= 0.8, f"lsh auto-planes recall {lsh}"
-    # nprobe/cells = 25% of the corpus probed: on this 500-vector test
-    # corpus that measures ~0.68 (x100 with 64 cells: 0.97); the floor
-    # is set above the ~0.25 a broken cell assignment would score
+    # nprobe/cells = 50% of the corpus probed: measured 0.88 (sf0.001)
+    # and 0.76 (sf0.01) on these 500-vector corpora where cells hold
+    # ~31 vectors (x100 with 64 cells, nprobe=8: 0.997); the floor sits
+    # above the ~0.5 a broken cell assignment would score at this ratio
     ivf = recall(SIM.ivf_topk(
-        emb, q, dim=64, k=k, num_cells=16, nprobe=4).collect())
-    assert ivf >= 0.6, f"ivf nprobe4 recall {ivf}"
+        emb, q, dim=64, k=k, num_cells=16, nprobe=8).collect())
+    assert ivf >= 0.65, f"ivf nprobe8 recall {ivf}"
     i8 = recall(SIM.cosine_topk_int8(emb, q, k=k).collect())
     assert i8 >= 0.9, f"int8 recall {i8}"
