@@ -191,20 +191,30 @@ def resample_to_mix(df: DataFrame, source_col: str, id_col: str,
 
 
 def sample_n_per_group(df: DataFrame, group_col: str, id_col: str, n: int,
-                       seed: str = "s42") -> DataFrame:
+                       seed: str = "s42", salts: int = 32) -> DataFrame:
     """Exactly min(n, group size) rows PER GROUP, uniform without
     replacement, deterministic (md5 order) — training-data class
     balancing ("10k docs per language", "500 examples per label")
     where fraction-based stratified_sample can't hit exact counts.
 
-    Plan: one hash-partitioned window rank per group — no global sort,
-    no driver collection; skew is bounded because the heap per group
-    is the group's own rows.  Same id always survives regardless of
-    partitioning, row order, or engine (the sampling-family
-    contract)."""
-    w = Window.partitionBy(group_col).orderBy(
-        _hash_key(F.col(id_col), seed), F.col(id_col))
-    return (df.withColumn("__rn", F.row_number().over(w))
+    Plan — two-phase salted top-n, because a plain window over
+    `group_col` puts an ENTIRE group in one task (a single
+    billion-row class at 100 TB would sort in one place): phase 1
+    ranks within (group, salt) — `salts` parallel tasks each holding
+    ~1/salts of the group — and keeps n candidates per salt; phase 2
+    ranks the ≤ n·salts survivors per group and keeps n.  Exact: the
+    global md5-order top-n is contained in the union of per-salt
+    top-ns.  Same id always survives regardless of partitioning, row
+    order, salts, or engine (the sampling-family contract)."""
+    key = _hash_key(F.col(id_col), seed)
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(int(salts)))
+    w1 = Window.partitionBy(group_col, salt.alias("__salt")).orderBy(
+        key, F.col(id_col))
+    pre = (df.withColumn("__rn", F.row_number().over(w1))
+           .where(F.col("__rn") <= int(n)).drop("__rn"))
+    w2 = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (pre.withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= int(n)).drop("__rn"))
 
 
