@@ -811,20 +811,23 @@ def exact_dedup_against(new_df: DataFrame, index: DataFrame, id_col: str,
     ``exact_hash_index`` of the survivors appended to the index keeps
     it current.
 
-    Plan: hash the batch (one scan), per-hash min-id over the BATCH
-    (map-side-combining groupBy, never the corpus), one equi-join
-    against the index on text_hash.  At 100 TB the index join is the
-    only corpus-sized input and it ships only (32-hex, id) rows."""
+    Plan: hash the batch (ONE scan), per-hash min-id over the batch as
+    a whole-partition window min — the window's text_hash exchange is
+    the same partitioning the index join needs, so the batch is
+    shuffled once and scanned once (the groupBy+join-back alternative
+    scanned it twice).  At 100 TB the index join is the only
+    corpus-sized input and it ships only (32-hex, id) rows."""
+    from pyspark.sql.window import Window
+
     key = F.col(text_col)
     if normalize:
         key = F.lower(F.trim(key))
     batch = new_df.select(F.col(id_col).alias("id"),
                           F.md5(key).alias("text_hash"))
-    first = batch.groupBy("text_hash").agg(
-        F.min("id").alias("__batch_keep"))
+    w = Window.partitionBy("text_hash")
+    batch = batch.withColumn("__batch_keep", F.min("id").over(w))
     idx = index.select("text_hash", F.col("keep_id").alias("__idx_keep"))
-    return (batch.join(first, "text_hash")
-            .join(idx, "text_hash", "left")
+    return (batch.join(idx, "text_hash", "left")
             .select("id", "text_hash",
                     F.coalesce(
                         F.col("__idx_keep"),
