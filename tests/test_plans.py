@@ -415,3 +415,38 @@ def test_q11_consumers_share_cached_aggregate(spark, sf_dir):
     sdf = df.to_spark() if hasattr(df, "to_spark") else df
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+
+
+def test_exact_dedup_against_single_batch_scan(spark, sf_dir):
+    """the incoming batch is hashed and scanned ONCE: first-occurrence
+    comes from a whole-partition window min whose text_hash exchange
+    is the same partitioning the index join uses (the groupBy +
+    join-back alternative scanned the batch twice)."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = DD.exact_hash_index(
+        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
+    out = DD.exact_dedup_against(
+        docs.where(F.col("doc_id") % 10 == 0), idx, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan for the batch + one for the index side
+    assert plan.count("documents") == 2, plan.count("documents")
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_n_per_group_two_phase_windows(spark, sf_dir):
+    """the salted exact-n per-group draw compiles to exactly two
+    window passes (per-(group,salt) pre-prune, per-group final) and
+    never a global sort or cartesian — the plan that bounds any one
+    task to ~group/salts rows."""
+    from dask_expr_spark.functions import sampling as S
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = S.sample_n_per_group(o, "o_orderpriority", "o_orderkey", 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan  # no global funnel
