@@ -205,29 +205,62 @@ X10_COPY = ["nation", "region"]
 # running the production auto-sized default).
 X10_ENTRIES = {
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
-    "q6_forecast_revenue", "join_broadcast_part", "join_semi",
-    "window_user_sessions", "asof_purchase_click", "resample_hourly",
-    "dedup_exact_docs", "text_stats_by_lang", "text_token_frequencies",
+    "join_broadcast_part", "join_semi",
+    "window_user_sessions", "asof_purchase_click",
     "ann_cosine_topk", "text_lm_perplexity", "text_bm25_search",
-    "q2_min_cost_supplier", "q11_important_stock",
+    "q2_min_cost_supplier",
     "q20_potential_promotion", "heavy_hitter_tokens", "hll_rollup_users",
-    "hist_rollup_price_quantiles", "sample_weighted_orders",
+    "hist_rollup_price_quantiles",
     "scale_probe_expanding_median",
     "ann_lsh_auto_pipeline",
 }
 
+# entries so sublinear that x10 left them sub-second (r6 measurement:
+# 0.47-0.95 s) ride a x100 replica instead — everything but the
+# embeddings table replicates (the vector entries are x10-bound by the
+# cosine workload itself, not the corpus scan)
+X100_ENTRIES = {
+    "q6_forecast_revenue", "q11_important_stock", "resample_hourly",
+    "dedup_exact_docs", "text_stats_by_lang", "text_token_frequencies",
+    "sample_weighted_orders",
+}
+X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
-def _ensure_x10(spark, sf_dir: str, replicas: int = 10) -> str:
-    """materialize the x10 replica universe once per boot (untimed;
-    ~1 min). Key columns get a per-replica stride so every foreign key
-    resolves inside its own replica; documents gain a marker token
-    (near-dup structure preserved, not exact-dup collapsed) and
-    embeddings a deterministic perturbation (realistic ANN buckets)."""
-    import glob
 
+def _replicate(base, name: str, keys: list, replicas: int):
+    """one-scan replication: explode a 0..replicas-1 sequence, stride
+    every key column by replica*OFF (foreign keys stay consistent),
+    marker-token documents / perturb embeddings so near-dup and ANN
+    structure stays realistic instead of collapsing to exact dups."""
     from pyspark.sql import functions as F
 
-    dst = os.environ.get("SPARK_GRAFT_BENCH_X10_DIR", "/tmp/dx_bench_x10")
+    r = base.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+    for k in keys:
+        r = r.withColumn(k, F.col(k) + F.col("__r").cast("long")
+                         * F.lit(X10_OFF))
+    if name == "documents":
+        r = r.withColumn(
+            "text",
+            F.when(F.col("__r") > 0,
+                   F.concat(F.lit("replica"), F.col("__r").cast("string"),
+                            F.lit(" "), F.col("text")))
+            .otherwise(F.col("text")))
+    if name == "embeddings":
+        r = r.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: x + F.col("__r").cast("double") * F.lit(1e-3)
+                * F.cos(j.cast("double") + F.col("__r").cast("double"))))
+    return r.drop("__r")
+
+
+def _ensure_replica(spark, sf_dir: str, dst: str, replicas: int,
+                    tables: list) -> str:
+    """materialize a replica universe once per boot (untimed)."""
+    import glob
+
     os.makedirs(dst, exist_ok=True)
     for name in X10_COPY:
         out = os.path.join(dst, f"{name}.parquet")
@@ -235,32 +268,29 @@ def _ensure_x10(spark, sf_dir: str, replicas: int = 10) -> str:
                 os.path.isfile(out)):
             spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")) \
                 .write.mode("overwrite").parquet(out)
-    for name, keys in X10_KEYS.items():
+    for name in tables:
+        keys = X10_KEYS[name]
         out = os.path.join(dst, f"{name}.parquet")
         if glob.glob(os.path.join(out, "*.parquet")) or os.path.isfile(out):
             continue
         base = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        reps = []
-        for i in range(replicas):
-            r = base
-            for k in keys:
-                r = r.withColumn(k, F.col(k) + F.lit(i * X10_OFF))
-            if name == "documents" and i > 0:
-                r = r.withColumn(
-                    "text", F.concat(F.lit(f"replica{i} "), F.col("text")))
-            if name == "embeddings" and i > 0:
-                r = r.withColumn(
-                    "embedding",
-                    F.transform(
-                        F.col("embedding"),
-                        lambda x, j: x + (F.lit(float(i)) * 1e-3)
-                        * F.cos(j.cast("double") + F.lit(float(i)))))
-            reps.append(r)
-        u = reps[0]
-        for r in reps[1:]:
-            u = u.unionByName(r)
-        u.repartition(32).write.mode("overwrite").parquet(out)
+        _replicate(base, name, keys, replicas) \
+            .repartition(32).write.mode("overwrite").parquet(out)
     return dst
+
+
+def _ensure_x10(spark, sf_dir: str) -> str:
+    return _ensure_replica(
+        spark, sf_dir,
+        os.environ.get("SPARK_GRAFT_BENCH_X10_DIR", "/tmp/dx_bench_x10"),
+        10, list(X10_KEYS))
+
+
+def _ensure_x100(spark, sf_dir: str) -> str:
+    return _ensure_replica(
+        spark, sf_dir,
+        os.environ.get("SPARK_GRAFT_BENCH_X100_DIR", "/tmp/dx_bench_x100"),
+        100, X100_TABLES)
 
 # extended set appended when present in the registry
 OPTIONAL = [
@@ -326,13 +356,16 @@ def main() -> None:
     # queries between same-code runs); median-of-5 costs ~60s total
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     x10_dir = _ensure_x10(spark, sf_dir)
+    x100_dir = _ensure_x100(spark, sf_dir)
     timings: dict[str, float] = {}
     runnables = [(n, registry[n][0]) for n in names]
     runnables += list(LOCAL_PROBES.items())
-    # sub-2s entries ride the x10 corpus (median-of-3: at multi-second
-    # durations the scheduling jitter is <10% without extra repeats)
+    # fast entries ride the x10/x100 corpora (median-of-3: at
+    # multi-second durations scheduling jitter is <10% without extra
+    # repeats)
     runnables = [
-        (n + "_x10", fn, x10_dir, min(repeats, 3)) if n in X10_ENTRIES
+        (n + "_x100", fn, x100_dir, min(repeats, 3)) if n in X100_ENTRIES
+        else (n + "_x10", fn, x10_dir, min(repeats, 3)) if n in X10_ENTRIES
         else (n, fn, sf_dir, repeats)
         for n, fn in runnables
     ]
@@ -353,6 +386,16 @@ def main() -> None:
             # collect (results are small aggregates) so nothing short-circuits
             df.collect()
             runs.append(time.perf_counter() - t0)
+        # adaptive top-up: entries that are genuinely fast even on the
+        # x100 corpus (pruned columnar scans of 60M rows run ~0.5 s on
+        # 32 cores) get extra repeats instead of yet-more data — a
+        # median-of-7 over a 0.5 s query is cheap and tightens the
+        # sub-second jitter the r5 noise analysis measured
+        if sorted(runs)[len(runs) // 2] < 2.0:
+            for _ in range(max(0, 7 - reps)):
+                t0 = time.perf_counter()
+                fn(spark, qdir).collect()
+                runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 4)
 

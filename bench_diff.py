@@ -28,11 +28,11 @@ RENAMED = {
     "ann_lsh_bucketed": "ann_lsh_pipeline",
 }
 
-# r6: sub-2s entries moved to the x10 corpus (bench.py X10_ENTRIES) so
-# the measured ±50% sub-second host noise can't swamp them; their old
-# sub-second numbers are NOT comparable with the new x10 timings, so
-# they're reported as moved, never ratioed.
-MOVED_SUFFIX = "_x10"
+# r6: sub-2s entries moved to the x10/x100 corpora (bench.py
+# X10_ENTRIES / X100_ENTRIES) so the measured ±50% sub-second host
+# noise can't swamp them; numbers across different corpora are NOT
+# comparable, so moved entries are reported, never ratioed.
+MOVED_SUFFIXES = ("_x10", "_x100")
 
 
 def _load_baseline(path: str | None) -> dict:
@@ -74,17 +74,23 @@ def main() -> int:
         t1 = cur["queries"].get(q)
         if t1 is None and q in RENAMED:
             t1 = cur["queries"].get(RENAMED[q])
-        if t1 is None and (q + MOVED_SUFFIX) in cur["queries"]:
-            moved = cur["queries"][q + MOVED_SUFFIX]
-            rows.append(f"  {q:35s} {t0:7.2f}s -> {moved:7.2f}s "
-                        f"on x10 corpus (not comparable)")
-            continue
-        if t1 is None and q.endswith(MOVED_SUFFIX) and (
-                q[: -len(MOVED_SUFFIX)] in cur["queries"]):
-            t1 = cur["queries"][q[: -len(MOVED_SUFFIX)]]
-            rows.append(f"  {q:35s} {t0:7.2f}s -> {t1:7.2f}s "
-                        f"back on base corpus (not comparable)")
-            continue
+        if t1 is None:
+            moved = next((q + s for s in MOVED_SUFFIXES
+                          if (q + s) in cur["queries"]), None)
+            if moved is None:
+                # the base name may itself carry a suffix (x10 -> x100)
+                stem = next((q[: -len(s)] for s in MOVED_SUFFIXES
+                             if q.endswith(s)), None)
+                if stem is not None:
+                    moved = next(
+                        (c for c in ([stem] + [stem + s
+                                               for s in MOVED_SUFFIXES])
+                         if c != q and c in cur["queries"]), None)
+            if moved is not None:
+                rows.append(f"  {q:35s} {t0:7.2f}s -> "
+                            f"{cur['queries'][moved]:7.2f}s as {moved} "
+                            f"(different corpus, not comparable)")
+                continue
         if t1 is None:
             rows.append(f"  {q:35s} {t0:7.2f}s -> (missing)")
             continue
