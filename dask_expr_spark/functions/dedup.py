@@ -439,6 +439,12 @@ def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
             blocks = next(
                 (b for b in range(max_hamming + 1, 13)
                  if (b - max_hamming) * num_bits / b >= need), 12)
+            # prefer keys made of ≥3 blocks: a 2-of-5 key matches any
+            # mid-Hamming pair far more often than a 3-of-6 key of the
+            # same collision-safe width — measured at a ×10-dense 50k
+            # corpus, B=5 produced 2.1× the candidates of B=6 (56 M vs
+            # 26 M) despite B=6's 2× table count (SCALE.md)
+            blocks = min(12, max(blocks, max_hamming + 3))
     elif blocks is not None and not isinstance(blocks, int):
         raise ValueError(
             f"blocks must be an int, None, or 'auto', got {blocks!r}")
