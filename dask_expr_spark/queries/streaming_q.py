@@ -548,3 +548,73 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 QUERIES["stream_hist_rollup"] = (stream_hist_rollup, STREAM_HIST_SQL)
+
+
+def stream_exact_dedup(spark, sf_dir):
+    """streaming ingest dedup (streaming/ops.py exact_dedup_sink):
+    documents staged as ascending-doc_id files replay as micro-batches;
+    each batch dedupes against the persistent exact-hash index, novel
+    hashes append, survivors land in the kept table.  With ascending
+    arrival the kept set equals EXACTLY the batch answer "min doc_id
+    per md5(text)" — hash-exact oracle over the kept ids per source."""
+    import time
+
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_xd_src_")
+    idx_path = tempfile.mkdtemp(prefix="stream_xd_idx_") + "/t"
+    kept_path = tempfile.mkdtemp(prefix="stream_xd_kept_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="stream_xd_ckpt_")
+    try:
+        docs = read_parquet(spark,
+                            os.path.join(sf_dir, "documents.parquet")
+                            ).to_spark()
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        span = max(1, (hi - lo + 1) // 4)
+        stamped: set = set()
+        base_t = time.time() - 60
+        for i in range(4):
+            a = lo + span * i
+            b = hi + 1 if i == 3 else lo + span * (i + 1)
+            (docs.where((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+             .coalesce(1).write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in stamped:
+                    t = base_t + i * 10
+                    os.utime(os.path.join(src, f), (t, t))
+                    stamped.add(f)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q_ = S.exact_dedup_sink(stream, "doc_id", "text", idx_path,
+                                kept_path=kept_path, checkpoint_dir=ckpt)
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        S.compact_exact_index(spark, idx_path)
+        kept = spark.read.parquet(kept_path)
+        out = (kept.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("id_sum"))
+               .orderBy("source"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for p in (src, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
+        shutil.rmtree(os.path.dirname(kept_path), ignore_errors=True)
+    return out
+
+
+STREAM_XD_SQL = """
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+QUERIES["stream_exact_dedup"] = (stream_exact_dedup, STREAM_XD_SQL)

@@ -499,3 +499,73 @@ def compact_hist_rollup(spark: SparkSession, rollup_path: str,
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(rollup_path)
     shutil.move(tmp, rollup_path)
+
+
+def exact_dedup_sink(stream: DataFrame, id_col: str, text_col: str,
+                     index_path: str, kept_path: str | None = None,
+                     normalize: bool = False,
+                     checkpoint_dir: str | None = None) -> Any:
+    """foreachBatch STREAMING INGEST DEDUP against a persistent
+    exact-hash index (functions/dedup.py exact_hash_index /
+    exact_dedup_against): each micro-batch is deduped against the
+    index, the surviving (novel-text) rows' hashes APPEND to the index
+    — old text is never replayed — and, when `kept_path` is given, the
+    surviving rows themselves append there, so the kept table IS the
+    deduplicated corpus as it streams in.
+
+    Replay safety: appended index fragments carry the epoch id; the
+    per-batch read pre-merges fragments (min keep_id per hash), so a
+    replayed epoch's duplicate fragment cannot multiply join rows, and
+    `compact_exact_index` rewrites the index to one row per hash.
+    State story at 100 TB: the streaming side holds no state at all —
+    durability is the appended parquet, and the per-batch index join
+    ships only (32-hex, id) rows.  Returns the StreamingQuery."""
+    import tempfile
+
+    from ..functions.dedup import exact_dedup_against, exact_hash_index
+
+    def _dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        try:
+            idx = (spark.read.parquet(index_path)
+                   .groupBy("text_hash")
+                   .agg(F.min("keep_id").alias("keep_id")))
+        except Exception:
+            idx = spark.createDataFrame(
+                [], f"text_hash string, keep_id {id_type}")
+        tagged = exact_dedup_against(batch_df, idx, id_col, text_col,
+                                     normalize=normalize)
+        keep_ids = (tagged.where(F.col("dup_of").isNull())
+                    .select(F.col("id").alias("__keep")))
+        survivors = batch_df.join(
+            keep_ids, batch_df[id_col] == F.col("__keep"), "leftsemi")
+        (exact_hash_index(survivors, id_col, text_col,
+                          normalize=normalize)
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(index_path))
+        if kept_path is not None:
+            survivors.withColumn("__epoch", F.lit(int(epoch_id))) \
+                .write.mode("append").parquet(kept_path)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="exact_dedup_ckpt_")
+    return (stream.writeStream.foreachBatch(_dedup_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start())
+
+
+def compact_exact_index(spark: SparkSession, index_path: str) -> None:
+    """rewrite an exact-dedup index to one row per hash (min keep_id
+    across fragments — idempotent under epoch replays).  Same swap
+    mechanics as the sketch-table compactors."""
+    import shutil
+
+    roll = spark.read.option("mergeSchema", "true").parquet(index_path)
+    merged = (roll.groupBy("text_hash")
+              .agg(F.min("keep_id").alias("keep_id")))
+    tmp = index_path.rstrip("/") + "__compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(index_path)
+    shutil.move(tmp, index_path)

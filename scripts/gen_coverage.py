@@ -319,14 +319,15 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "(hyperplane-cell state), streaming Misra-Gries heavy "
                 "hitters (bounded state), windowed approx-distinct "
                 "(HLL++ state), foreachBatch, persistent HLL + histogram "
-                "rollup sinks (append-merge sketch tables + epoch-dedup "
-                "compaction)",
+                "rollup sinks and a streaming exact-dedup ingest sink "
+                "(append-merge tables + epoch-dedup compaction)",
              loc="dask_expr_spark/streaming/ops.py",
              q=["stream_tumbling_counts", "stream_session_counts",
                 "stream_interval_join", "stream_near_dedup",
                 "stream_semantic_dedup", "stream_stateful_totals",
                 "stream_heavy_hitters", "stream_windowed_distinct",
-                "stream_hll_rollup", "stream_hist_rollup"],
+                "stream_hll_rollup", "stream_hist_rollup",
+                "stream_exact_dedup"],
              t="multi-batch state test_streaming"),
     ]),
     ("LLM-data-pipeline operators (task extension)", [

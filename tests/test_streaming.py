@@ -478,3 +478,61 @@ def test_hist_rollup_sink_multibatch_and_compaction(spark, tmp_path):
     exact3 = float(np.quantile(np.array(allv), 0.5, method="inverted_cdf"))
     est3 = quantile_estimate(spark.read.parquet(roll), 0.5).first()["q_est"]
     assert abs(est3 - exact3) <= width + 1e-9
+
+
+def test_exact_dedup_sink_cross_batch_and_replay(spark, tmp_path):
+    """exact_dedup_sink: text first seen in batch 1 is suppressed in
+    later batches; the kept table is exactly min-id-per-hash under
+    in-order replay; a replayed index fragment doesn't change the
+    outcome after compaction."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.streaming import ops as S
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    kept = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["alpha", "beta", "alpha"]}),
+        pd.DataFrame({"doc_id": [4, 5],
+                      "text": ["alpha", "gamma"]}),
+        pd.DataFrame({"doc_id": [6, 7],
+                      "text": ["gamma", "delta"]}),
+    ]
+    base_t = time.time() - 60
+    stamped: set = set()
+    for i, pdf in enumerate(batches):
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(src, f),
+                         (base_t + i * 10, base_t + i * 10))
+                stamped.add(f)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = S.exact_dedup_sink(stream, "doc_id", "text", idx,
+                           kept_path=kept, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept_ids = sorted(r["doc_id"]
+                      for r in spark.read.parquet(kept).collect())
+    assert kept_ids == [1, 2, 5, 7]  # min id per text, in-order arrival
+    # replay: duplicate the epoch-0 index fragment, compact, and the
+    # index still maps each hash to its original keeper
+    frags = spark.read.parquet(idx)
+    frags.where(F.col("__epoch") == 0).write.mode("append").parquet(idx)
+    S.compact_exact_index(spark, idx)
+    comp = spark.read.parquet(idx)
+    assert comp.count() == 4  # alpha beta gamma delta
+    assert comp.groupBy("text_hash").count().where("count > 1").count() == 0
+    keeps = sorted(r["keep_id"] for r in comp.collect())
+    assert keeps == [1, 2, 5, 7]
