@@ -252,3 +252,34 @@ def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
         tagged.filter(F.col("__split") == "train").drop("__split"),
         tagged.filter(F.col("__split") == "val").drop("__split"),
     )
+
+
+def sample_n_weighted_per_group(df: DataFrame, group_col: str, id_col: str,
+                                weight_col: str, n: int,
+                                seed: str = "s42",
+                                salts: int = 32) -> DataFrame:
+    """Exactly min(n, positive-weight rows) PER GROUP, drawn without
+    replacement with probability ∝ `weight_col` (Efraimidis–Spirakis
+    keys, same 48-bit-uniform determinism contract as
+    sample_n_weighted) — quality-weighted per-class corpus balancing
+    ("the 10k best docs per language").
+
+    Same two-phase salted plan as sample_n_per_group: per-(group,salt)
+    pre-prune bounds any one task to ~group/salts rows, then the
+    ≤ n·salts survivors rank per group.  Exact and salt-invariant (the
+    global per-group top-n by A-ES key is contained in the union of
+    per-salt top-ns).  NULL/zero/negative weights are excluded."""
+    u = (F.conv(F.substring(_hash_key(F.col(id_col), seed), 1, 12), 16, 10)
+         .cast("double") + F.lit(1.0)) / F.lit(float(16 ** 12 + 2))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w  # maximize u^(1/w) ⇔ sort log(u)/w descending
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(int(salts)))
+    base = df.where(w > 0)
+    w1 = Window.partitionBy(group_col, salt).orderBy(
+        key.desc(), F.col(id_col))
+    pre = (base.withColumn("__rn", F.row_number().over(w1))
+           .where(F.col("__rn") <= int(n)).drop("__rn"))
+    w2 = Window.partitionBy(group_col).orderBy(key.desc(), F.col(id_col))
+    return (pre.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= int(n)).drop("__rn"))

@@ -176,3 +176,32 @@ def split_leakage_safe(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").alias("id_sum"))
             .orderBy("split"))
+
+
+# -- weighted exact-n PER GROUP (functions/sampling.py
+#    sample_n_weighted_per_group): A-ES keys are engine-exact, so the
+#    per-group draw is hash-exact like sample_weighted_orders ---------
+SAMPLE_WG_SQL = f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY ln((CAST(('0x' || substr(md5('s42' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
+                       / {float(16 ** 12 + 2)}) / CAST(o_totalprice AS DOUBLE) DESC,
+                    o_orderkey
+         ) AS rn
+  FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0
+) WHERE rn <= 8
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+@q("sample_weighted_per_group_orders", SAMPLE_WG_SQL)
+def sample_weighted_per_group_orders(spark, sf_dir):
+    from ..functions import sampling as S
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    samp = S.sample_n_weighted_per_group(
+        o, "o_orderpriority", "o_orderkey", "o_totalprice", 8)
+    return (samp.select("o_orderpriority", "o_orderkey", "o_totalprice")
+            .orderBy("o_orderpriority", "o_orderkey"))

@@ -376,13 +376,15 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "pack_sequences_2048"]),
         dict(op="hash_split / stratified_sample / global_shuffle / "
                 "domain-mixture resampling / exact-n sample / "
-                "weighted sample (A-ES) / exact-n per group / "
-                "leakage-safe split (dup groups move as one unit)",
+                "weighted sample (A-ES) / exact-n per group (uniform + "
+                "weighted) / leakage-safe split (dup groups move as "
+                "one unit)",
              loc="dask_expr_spark/functions/sampling.py",
              q=["split_train_val", "stratified_sample_docs",
                 "global_shuffle_head", "mix_sources_target",
                 "sample_n_orders", "sample_weighted_orders",
-                "sample_n_per_group_orders", "split_leakage_safe"],
+                "sample_n_per_group_orders", "split_leakage_safe",
+                "sample_weighted_per_group_orders"],
              t="no-straddle + determinism tests test_round6_ops"),
         dict(op="incremental corpus dedup: persistent MinHash-LSH index "
                 "+ batch-vs-index candidates (no combined self-join); "
