@@ -796,3 +796,88 @@ def semantic_dedup(
         comp = connected_components(pairs, max_iter=max_iter)
     dropped = comp.filter(F.col("id") != F.col("comp")).select("id")
     return base.join(dropped, "id", "left_anti").select("id", "cell")
+
+
+def pca_whiten(vectors: DataFrame, dim: int, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int | None = None,
+               eps: float = 1e-9) -> DataFrame:
+    """Distributed PCA WHITENING of an embedding column — the
+    preprocessing step the SemDeDup recipe (Abbas et al. 2023, public)
+    applies before clustering, and the standard conditioning for
+    IVF/LSH cells on anisotropic embeddings: project onto the top-k
+    principal axes and scale each to unit variance.
+
+    Plan (the 100 TB shape):
+    - ONE Arrow-batched mapInPandas pass emits per-partition moment
+      rows (n, Σx, ΣxᵀX flattened) — (d² + d + 1) floats per
+      partition, where d is the EMBEDDING dim (64–4096), never the
+      corpus;
+    - the driver combines the ≤ npartitions moment rows and eigendecomposes
+      the d×d covariance (bounded driver work, the same class as the
+      ordered-ops bucket sampling — d=4096 is a ~130 MB symmetric
+      eigenproblem, still laptop-sized);
+    - the (d×k) whitening matrix broadcasts back and the projection is
+      a map-only Arrow-batched matmul.  No shuffle anywhere.
+
+    Returns (id, embedding) with k components of ~unit variance
+    (k=None keeps all d).  Deterministic: eigenvector SIGNS are fixed
+    by forcing each column's largest-|component| entry positive, so
+    the projection replays identically across runs/partitionings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k = int(k or dim)
+    spark = vectors.sparkSession
+    src = vectors.select(F.col(id_col).alias("id"),
+                         as_double(F.col(vec_col)).alias("__v"))
+
+    moment_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("xtx", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _moments(batches):
+        n, s, xtx = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            M = np.asarray([np.asarray(v, dtype="float64")
+                            for v in pdf["__v"]])
+            if len(M):
+                n += len(M)
+                s += M.sum(axis=0)
+                xtx += M.T @ M
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "xtx": [xtx.ravel().tolist()]})
+
+    rows = src.select("__v").mapInPandas(_moments,
+                                         schema=moment_schema).collect()
+    if not rows:
+        raise ValueError("pca_whiten: no vectors")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(dim, dim) for r in rows],
+                 axis=0)
+    mu = s / n
+    cov = (xtx - n * np.outer(mu, mu)) / max(1, n - 1)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    # deterministic signs: largest-|component| entry of each axis > 0
+    flips = np.sign(vecs[np.abs(vecs).argmax(axis=0),
+                         np.arange(vecs.shape[1])])
+    vecs = vecs * np.where(flips == 0, 1.0, flips)
+    W = vecs / np.sqrt(np.maximum(vals, 0.0) + eps)   # (d, k)
+
+    bW = spark.sparkContext.broadcast(W)
+    bmu = spark.sparkContext.broadcast(mu)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _project(vs: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(v, dtype="float64") for v in vs])
+        out = (M - bmu.value) @ bW.value
+        return pd.Series(out.tolist())
+
+    return src.select(F.col("id").alias(id_col),
+                      _project(F.col("__v")).alias(vec_col))

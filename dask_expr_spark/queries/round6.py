@@ -205,3 +205,42 @@ def sample_weighted_per_group_orders(spark, sf_dir):
         o, "o_orderpriority", "o_orderkey", "o_totalprice", 8)
     return (samp.select("o_orderpriority", "o_orderkey", "o_totalprice")
             .orderBy("o_orderpriority", "o_orderkey"))
+
+
+# -- PCA whitening (functions/similarity.py pca_whiten): tolerance
+#    oracle — whitened output must have ~zero mean, ~unit variance,
+#    and ~zero pairwise covariance per component (the definition of
+#    whitening), plus the exact row count ------------------------------
+PCA_WHITEN_SQL = """
+SELECT CAST(range AS BIGINT) AS dim, TRUE AS mean_ok, TRUE AS var_ok,
+       TRUE AS decorr_ok,
+       (SELECT count(*) FROM embeddings) AS n
+FROM range(8) ORDER BY dim
+"""
+
+
+@q("ann_pca_whiten", PCA_WHITEN_SQL)
+def ann_pca_whiten(spark, sf_dir):
+    """whiten to k=8 components, then verify the whitening contract
+    from the OUTPUT alone: per-component mean ≈ 0, variance ≈ 1, and
+    each component decorrelated from component 0 (|cov| < 0.05) — any
+    broken moment pass, eigen ordering, or scaling flips a flag."""
+    from ..functions.similarity import pca_whiten
+
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    wh = pca_whiten(emb, dim=64, k=8)
+    comp = wh.select(
+        F.posexplode("embedding").alias("dim", "x"),
+        F.element_at("embedding", 1).alias("x0"))
+    return (comp.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("x").alias("m"),
+                 F.var_samp("x").alias("v"),
+                 F.covar_samp("x", "x0").alias("c0"))
+            .select(F.col("dim").cast("long").alias("dim"),
+                    (F.abs(F.col("m")) < 1e-6).alias("mean_ok"),
+                    (F.abs(F.col("v") - 1.0) < 0.05).alias("var_ok"),
+                    ((F.col("dim") == 0)
+                     | (F.abs(F.col("c0")) < 0.05)).alias("decorr_ok"),
+                    "n")
+            .orderBy("dim"))

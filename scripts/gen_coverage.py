@@ -352,11 +352,15 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "MinHash LSH, collisions aggregated to doc pairs)",
              loc="dask_expr_spark/queries/dedup.py (dedup_chunk_minhash)",
              q=["dedup_chunk_minhash"]),
-        dict(op="ANN: cosine top-k (capped query side) / LSH / IVF / int8 / centroids",
+        dict(op="ANN: cosine top-k (capped query side) / LSH / IVF / "
+                "int8 / centroids / PCA whitening (distributed moments "
+                "+ map-only projection)",
              loc="dask_expr_spark/functions/similarity.py",
              q=["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
-                "ann_int8_topk", "ann_centroids", "dedup_embedding_cosine"],
-             t="query-cap guard test_round4_guards"),
+                "ann_int8_topk", "ann_centroids", "dedup_embedding_cosine",
+                "ann_pca_whiten"],
+             t="query-cap guard test_round4_guards; numpy differential "
+               "test_similarity (pca_whiten)"),
         dict(op="semantic dedup (SemDeDup: cell partition + within-cell "
                 "cosine groups, min-id representative; lsh + ivf cells)",
              loc="dask_expr_spark/functions/similarity.py (semantic_dedup)",

@@ -283,3 +283,43 @@ def test_approx_family_recall_floors(spark, sf_dir):
     assert ivf >= 0.65, f"ivf nprobe8 recall {ivf}"
     i8 = recall(SIM.cosine_topk_int8(emb, q, k=k).collect())
     assert i8 >= 0.9, f"int8 recall {i8}"
+
+
+def test_pca_whiten_matches_numpy(spark):
+    """pca_whiten equals the single-machine numpy reference (same mean
+    subtraction, eigh, deterministic sign fix) regardless of
+    partitioning, and the whitened covariance is ~identity."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    # anisotropic: stretch two random directions
+    A = rng.normal(size=(16, 16))
+    X = rng.normal(size=(400, 16)) @ A
+    pdf = pd.DataFrame({"vec_id": range(400),
+                        "embedding": [r.tolist() for r in X]})
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = SIM.pca_whiten(df, dim=16, k=6).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    G = np.asarray([np.asarray(v) for v in got["embedding"]])
+
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:6]
+    vals, vecs = vals[order], vecs[:, order]
+    flips = np.sign(vecs[np.abs(vecs).argmax(axis=0), np.arange(6)])
+    vecs = vecs * np.where(flips == 0, 1.0, flips)
+    W = vecs / np.sqrt(np.maximum(vals, 0.0) + 1e-9)
+    want = (X - mu) @ W
+    np.testing.assert_allclose(G, want, rtol=1e-8, atol=1e-8)
+
+    C = np.cov(G, rowvar=False)
+    np.testing.assert_allclose(C, np.eye(6), atol=1e-6)
+
+    # partitioning-invariance of the moment pass
+    got1 = SIM.pca_whiten(spark.createDataFrame(pdf).coalesce(1),
+                          dim=16, k=6).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    G1 = np.asarray([np.asarray(v) for v in got1["embedding"]])
+    np.testing.assert_allclose(G, G1, rtol=1e-9, atol=1e-12)
