@@ -234,7 +234,10 @@ def _replicate(base, name: str, keys: list, replicas: int):
     structure stays realistic instead of collapsing to exact dups."""
     from pyspark.sql import functions as F
 
-    r = base.withColumn(
+    # repartition BEFORE the explode: a small sf0.1 parquet reads as
+    # 1-2 partitions, and exploding x100 inside one task serializes
+    # the whole materialization
+    r = base.repartition(32).withColumn(
         "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
     for k in keys:
         r = r.withColumn(k, F.col(k) + F.col("__r").cast("long")
