@@ -1,0 +1,137 @@
+"""Data-quality operators for training-data pipelines: one-pass table
+profiling and declarative constraint validation (the deequ/
+great-expectations niche, re-expressed as plain Spark aggregates —
+training-pipeline extension; no reference analogue).
+
+Scale shape: profile_table is ONE aggregation job regardless of how
+many columns it profiles (every per-column statistic is an expression
+in a single agg — map-side partial aggregation, one tiny exchange);
+validate() is one aggregation for all row-level checks plus one
+distinct-count per uniqueness key set.  Nothing is per-column jobs, so
+profiling a 500-column table costs one scan, not 500.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  quantiles: tuple = (0.25, 0.5, 0.75),
+                  exact_distinct: bool = False,
+                  relative_error: float = 0.01) -> DataFrame:
+    """Tidy per-column profile: one row per column with
+    (column, dtype, n, nulls, distinct, min_val, max_val, mean,
+    stddev, q25, q50, q75 …; quantile columns are named
+    q{percent:g}) — numeric-only statistics are NULL for other types;
+    min/max are string-rendered so mixed types share one schema.
+
+    distinct is HLL-approximate by default (the 100 TB path; exact
+    count-distinct per column would shuffle each column's domain);
+    pass exact_distinct=True when the domain is known small or an
+    exact audit is required.  Quantiles are approx_percentile at
+    `relative_error` (set 0.0 for exact).  ONE aggregation job for the
+    whole profile."""
+    cols = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nul_{c}"))
+        aggs.append(
+            (F.count_distinct(col) if exact_distinct
+             else F.approx_count_distinct(col, relative_error))
+            .alias(f"__dst_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+        if isinstance(dt, _NUMERIC):
+            d = col.cast("double")
+            aggs.append(F.avg(d).alias(f"__avg_{c}"))
+            aggs.append(F.stddev_samp(d).alias(f"__std_{c}"))
+            for qi, q in enumerate(quantiles):
+                aggs.append(
+                    F.percentile_approx(
+                        d, float(q),
+                        F.lit(2147483647 if relative_error <= 0
+                              else max(2, int(1.0 / relative_error))))
+                    .alias(f"__qi{qi}_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__avg_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__std_{c}"))
+            for qi, _q in enumerate(quantiles):
+                aggs.append(F.lit(None).cast("double")
+                            .alias(f"__qi{qi}_{c}"))
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        entry = [F.lit(c).alias("column"), F.lit(dt).alias("dtype"),
+                 F.col("__n").alias("n"),
+                 F.col(f"__nul_{c}").alias("nulls"),
+                 F.col(f"__dst_{c}").cast("long").alias("distinct"),
+                 F.col(f"__min_{c}").alias("min_val"),
+                 F.col(f"__max_{c}").alias("max_val"),
+                 F.col(f"__avg_{c}").alias("mean"),
+                 F.col(f"__std_{c}").alias("stddev")]
+        entry += [F.col(f"__qi{qi}_{c}").alias(f"q{100 * q:g}")
+                  for qi, q in enumerate(quantiles)]
+        rows.append(F.struct(*entry))
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def validate(df: DataFrame,
+             row_checks: dict[str, Column] | None = None,
+             complete: list[str] | None = None,
+             unique: list[list[str] | str] | None = None) -> DataFrame:
+    """Declarative constraint report: (check, passed, violations, n).
+
+    - row_checks: {name: boolean Column} — a row VIOLATES when the
+      condition is false or NULL (so ``col > 0`` also catches nulls,
+      the usual audit intent; wrap with coalesce to opt out);
+    - complete: columns that must be non-null;
+    - unique: key column(s) (string or list) that must identify rows
+      uniquely — violations counts the EXTRA rows beyond one per key.
+
+    Plan: all row_checks + completeness fold into ONE aggregation;
+    each uniqueness constraint is one count-distinct-style aggregate
+    (n - distinct keys) in the same job via grouping-free exprs."""
+    row_checks = dict(row_checks or {})
+    for c in (complete or []):
+        row_checks.setdefault(f"complete({c})", F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names: list[str] = []
+    for name, cond in row_checks.items():
+        key = f"__v{len(names)}"
+        aggs.append(F.count(
+            F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(key))
+        names.append(name)
+    ukeys = []
+    for u in (unique or []):
+        kcols = [u] if isinstance(u, str) else list(u)
+        key = f"__u{len(ukeys)}"
+        aggs.append(
+            (F.count(F.lit(1))
+             - F.count_distinct(*[F.col(k) for k in kcols])).alias(key))
+        ukeys.append("unique(" + ", ".join(kcols) + ")")
+    one = df.agg(*aggs)
+    entries = []
+    for i, name in enumerate(names):
+        entries.append(F.struct(
+            F.lit(name).alias("check"),
+            (F.col(f"__v{i}") == 0).alias("passed"),
+            F.col(f"__v{i}").alias("violations"),
+            F.col("__n").alias("n")))
+    for i, name in enumerate(ukeys):
+        entries.append(F.struct(
+            F.lit(name).alias("check"),
+            (F.col(f"__u{i}") == 0).alias("passed"),
+            F.col(f"__u{i}").alias("violations"),
+            F.col("__n").alias("n")))
+    if not entries:
+        raise ValueError("validate: no checks given")
+    return one.select(F.explode(F.array(*entries)).alias("r")).select("r.*")

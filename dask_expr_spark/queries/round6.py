@@ -244,3 +244,107 @@ def ann_pca_whiten(spark, sf_dir):
                      | (F.abs(F.col("c0")) < 0.05)).alias("decorr_ok"),
                     "n")
             .orderBy("dim"))
+
+
+# -- data-quality family (functions/quality.py): one-pass table
+#    profile + declarative constraint report ---------------------------
+PROFILE_SQL = """
+WITH s AS (
+  SELECT count(*) AS n FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, s.n,
+         CAST(0 AS BIGINT) AS nulls,
+         CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS "distinct",
+         CAST(min(o.o_orderkey) AS VARCHAR) AS min_val,
+         CAST(max(o.o_orderkey) AS VARCHAR) AS max_val,
+         round(avg(o.o_orderkey), 6) AS mean,
+         TRUE AS q_ok
+  FROM orders o, s GROUP BY s.n
+  UNION ALL
+  SELECT 'o_orderstatus', 'string', s.n, CAST(0 AS BIGINT),
+         CAST(count(DISTINCT o.o_orderstatus) AS BIGINT),
+         CAST(min(o.o_orderstatus) AS VARCHAR),
+         CAST(max(o.o_orderstatus) AS VARCHAR),
+         CAST(NULL AS DOUBLE), TRUE
+  FROM orders o, s GROUP BY s.n
+  UNION ALL
+  SELECT 'o_totalprice', 'double', s.n, CAST(0 AS BIGINT),
+         CAST(count(DISTINCT o.o_totalprice) AS BIGINT),
+         CAST(min(o.o_totalprice) AS VARCHAR),
+         CAST(max(o.o_totalprice) AS VARCHAR),
+         round(avg(o.o_totalprice), 6), TRUE
+  FROM orders o, s GROUP BY s.n
+) ORDER BY "column"
+"""
+
+
+@q("profile_orders_stats", PROFILE_SQL)
+def profile_orders_stats(spark, sf_dir):
+    """one-pass profile of three orders columns with exact distincts;
+    the approximate median is surfaced as a tolerance flag (within 2%
+    of the exact percentile or NULL for the string column), everything
+    else hash-exact.  min/max/mean of o_totalprice are exact because
+    the testdata prices are cent-precision (min/max string-render
+    identically; the mean divides an exact decimal-representable sum)."""
+    from ..functions.quality import profile_table
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    prof = profile_table(o, ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                         quantiles=(0.5,), exact_distinct=True,
+                         relative_error=0.001)
+    exact_med = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("__m"))
+    return (prof.crossJoin(F.broadcast(exact_med))
+            .select("column", "dtype", "n", "nulls", "distinct",
+                    "min_val", "max_val",
+                    F.round("mean", 6).alias("mean"),
+                    F.when(F.col("column") != "o_totalprice", F.lit(True))
+                    .otherwise(F.abs(F.col("q50") - F.col("__m"))
+                               <= 0.02 * F.col("__m")).alias("q_ok"))
+            .orderBy("column"))
+
+
+VALIDATE_SQL = """
+WITH s AS (SELECT count(*) AS n FROM orders)
+SELECT * FROM (
+  SELECT 'complete(o_orderdate)' AS "check", TRUE AS passed,
+         CAST(0 AS BIGINT) AS violations, s.n FROM s
+  UNION ALL
+  SELECT 'positive_price',
+         count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE)) = 0,
+         count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE)),
+         s.n
+  FROM orders, s GROUP BY s.n
+  UNION ALL
+  SELECT 'status_domain',
+         count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) = 0,
+         count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')),
+         s.n
+  FROM orders, s GROUP BY s.n
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         count(*) - count(DISTINCT o_orderkey) = 0,
+         count(*) - count(DISTINCT o_orderkey), s.n
+  FROM orders, s GROUP BY s.n
+) ORDER BY "check"
+"""
+
+
+@q("validate_orders_constraints", VALIDATE_SQL)
+def validate_orders_constraints(spark, sf_dir):
+    """declarative constraint report over orders: completeness, a
+    range check, a domain check, and key uniqueness — all in one
+    aggregation job, hash-exact against the SQL equivalents."""
+    from ..functions.quality import validate
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    return (validate(
+        o,
+        row_checks={
+            "positive_price": F.col("o_totalprice") > 0,
+            "status_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+        },
+        complete=["o_orderdate"],
+        unique=["o_orderkey"],
+    ).orderBy("check"))

@@ -415,6 +415,14 @@ ROWS: list[tuple[str, list[dict]]] = [
                  "quantile_estimate)",
              q=["hist_rollup_price_quantiles", "stream_hist_rollup"],
              t="merged-slice quantile bound test_sketches"),
+        dict(op="data quality: one-pass table profile (nulls/distinct/"
+                "moments/quantiles for ALL columns in one aggregation) + "
+                "declarative constraint report (completeness, row "
+                "predicates, key uniqueness)",
+             loc="dask_expr_spark/functions/quality.py",
+             q=["profile_orders_stats", "validate_orders_constraints"],
+             t="mixed-type/null semantics + single-job plan "
+               "test_round6_ops"),
         dict(op="multimodal decode/frames/embed/resize + audio metadata "
                 "(image header + WAV/RIFF parse real, codec decode/resize "
                 "stubbed without Pillow/ffmpeg)",

@@ -100,3 +100,51 @@ def test_leakage_safe_split_no_straddle(spark):
     tr_l, va_l = S.leakage_safe_split(df, "id", pairs, val_fraction=0.4,
                                       resolver="labelprop")
     assert {r["id"] for r in va_l.collect()} == v
+
+
+def test_profile_table_mixed_types_and_nulls(spark):
+    from dask_expr_spark.functions.quality import profile_table
+
+    pdf = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "b", 40.0)],
+        "id long, s string, v double")
+    prof = {r["column"]: r for r in profile_table(
+        pdf, exact_distinct=True, quantiles=(0.5,)).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"]["n"] == 4 and prof["id"]["nulls"] == 0
+    assert prof["id"]["distinct"] == 4
+    assert prof["s"]["nulls"] == 1 and prof["s"]["distinct"] == 2
+    assert prof["s"]["mean"] is None and prof["s"]["q50"] is None
+    assert prof["s"]["min_val"] == "a" and prof["s"]["max_val"] == "b"
+    assert prof["v"]["nulls"] == 1
+    assert abs(prof["v"]["mean"] - (80.0 / 3)) < 1e-9
+    assert prof["v"]["min_val"] == "10.0"
+    # ONE aggregation job for the whole profile: no join/generate
+    # before the agg and exactly one Aggregate pair (partial+final)
+    plan = profile_table(pdf, exact_distinct=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_validate_reports_violations(spark):
+    import pytest
+
+    from dask_expr_spark.functions.quality import validate
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None), (4, 3.0)],
+        "id long, v double")
+    rep = {r["check"]: r for r in validate(
+        df,
+        row_checks={"v_positive": F.col("v") > 0},
+        complete=["v"],
+        unique=["id"],
+    ).collect()}
+    # v > 0 violated by -1.0 AND the NULL (null-hostile by design)
+    assert rep["v_positive"]["violations"] == 2
+    assert not rep["v_positive"]["passed"]
+    assert rep["complete(v)"]["violations"] == 1
+    assert rep["unique(id)"]["violations"] == 1  # id=2 twice
+    assert all(r["n"] == 4 for r in rep.values())
+    with pytest.raises(ValueError, match="no checks"):
+        validate(df)
