@@ -233,3 +233,46 @@ def quantile_estimate(rollup: DataFrame, q: float,
     est = (F.col("lo") + (F.col("__h.__bin") + frac) * width)
     return hit.select(*(group_keys or []),
                       est.alias("q_est"))
+
+
+def psi_drift(roll_a: DataFrame, roll_b: DataFrame,
+              group_keys: list[str] | None = None,
+              eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two hist_rollup tables with
+    the SAME (lo, hi, bins) domain — the standard train/serve or
+    day-over-day distribution-drift score, answered from the sketch
+    tables alone (raw data never re-read; the drift companion to
+    quantile_estimate).
+
+    Bin counts on each side merge by addition (fragment rollups fine),
+    normalize to shares, and PSI = Σ (p_a − p_b)·ln(p_a / p_b) over
+    bins with `eps` flooring for empty bins.  Rule-of-thumb reading:
+    < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift.
+    Returns (group_keys…, psi, n_a, n_b)."""
+    gk = list(group_keys or [])
+
+    def merged(roll, tag):
+        return (roll.select(*gk, "lo", "hi", "bins",
+                            F.explode("hist").alias("__bin", "__cnt"))
+                .groupBy(*gk, "lo", "hi", "bins", "__bin")
+                .agg(F.sum("__cnt").alias(f"__c{tag}")))
+
+    a = merged(roll_a, "a")
+    b = merged(roll_b, "b")
+    from pyspark.sql.window import Window
+
+    j = a.join(b, gk + ["lo", "hi", "bins", "__bin"], "full_outer") \
+        .fillna({"__ca": 0, "__cb": 0})
+    w = Window.partitionBy(*(gk + ["lo", "hi", "bins"]))
+    j = (j.withColumn("__na", F.sum("__ca").over(w))
+         .withColumn("__nb", F.sum("__cb").over(w)))
+    pa = F.greatest(F.col("__ca") / F.col("__na"), F.lit(float(eps)))
+    pb = F.greatest(F.col("__cb") / F.col("__nb"), F.lit(float(eps)))
+    term = (pa - pb) * F.log(pa / pb)
+    return (j.groupBy(*gk)
+            .agg(F.sum(term).alias("psi"),
+                 F.first("__na").alias("n_a"),
+                 F.first("__nb").alias("n_b"))
+            .select(*gk, "psi",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b")))

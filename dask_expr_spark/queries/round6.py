@@ -348,3 +348,58 @@ def validate_orders_constraints(spark, sf_dir):
         complete=["o_orderdate"],
         unique=["o_orderkey"],
     ).orderBy("check"))
+
+
+# -- PSI drift between two histogram rollups (functions/sketches.py
+#    psi_drift): equi-width binning + PSI algebra are fully
+#    SQL-reproducible, so the score is hash-exact after rounding ------
+PSI_SQL = """
+WITH p AS (
+  SELECT o_orderstatus, o_totalprice,
+         CASE WHEN o_orderdate < TIMESTAMP '1995-06-01' THEN 'a'
+              ELSE 'b' END AS side,
+         least(63, greatest(0,
+           CAST(floor((o_totalprice - 800.0) / ((600000.0 - 800.0) / 64))
+                AS INT))) AS bin
+  FROM orders
+),
+c AS (
+  SELECT o_orderstatus, bin,
+         count(*) FILTER (WHERE side = 'a') AS ca,
+         count(*) FILTER (WHERE side = 'b') AS cb
+  FROM p GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderstatus,
+         sum(ca) OVER (PARTITION BY o_orderstatus) AS na,
+         sum(cb) OVER (PARTITION BY o_orderstatus) AS nb,
+         ca, cb
+  FROM c
+)
+SELECT o_orderstatus,
+       round(sum((greatest(ca / na, 1e-6) - greatest(cb / nb, 1e-6))
+                 * ln(greatest(ca / na, 1e-6) / greatest(cb / nb, 1e-6))),
+             6) AS psi,
+       CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b
+FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("drift_price_psi", PSI_SQL)
+def drift_price_psi(spark, sf_dir):
+    """PSI of price per status between the pre- and post-1995-06
+    halves of orders, answered from two hist_rollup sketch tables —
+    the raw table is scanned once per rollup, never for the score."""
+    from ..functions.sketches import hist_rollup, psi_drift
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    half_a = o.where(F.col("o_orderdate") < "1995-06-01")
+    half_b = o.where(F.col("o_orderdate") >= "1995-06-01")
+    ra = hist_rollup(half_a, ["o_orderstatus"], "o_totalprice",
+                     bins=64, lo=800.0, hi=600000.0)
+    rb = hist_rollup(half_b, ["o_orderstatus"], "o_totalprice",
+                     bins=64, lo=800.0, hi=600000.0)
+    return (psi_drift(ra, rb, ["o_orderstatus"])
+            .select("o_orderstatus", F.round("psi", 6).alias("psi"),
+                    "n_a", "n_b")
+            .orderBy("o_orderstatus"))

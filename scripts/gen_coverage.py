@@ -410,10 +410,12 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["hll_rollup_users", "stream_hll_rollup"],
              t="overlapping-slice merge test_sketches"),
         dict(op="mergeable histogram quantile rollup "
-                "(bin-count merge, one-bin-width error bound)",
+                "(bin-count merge, one-bin-width error bound) + PSI "
+                "drift score between rollups",
              loc="dask_expr_spark/functions/sketches.py (hist_rollup, "
                  "quantile_estimate)",
-             q=["hist_rollup_price_quantiles", "stream_hist_rollup"],
+             q=["hist_rollup_price_quantiles", "stream_hist_rollup",
+                "drift_price_psi"],
              t="merged-slice quantile bound test_sketches"),
         dict(op="data quality: one-pass table profile (nulls/distinct/"
                 "moments/quantiles for ALL columns in one aggregation) + "

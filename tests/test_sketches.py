@@ -208,3 +208,34 @@ def test_hist_rollup_empty_input_raises(spark):
         hist_rollup(allnull, ["day"], "v")
     # explicit bounds sidestep the inference and return an empty rollup
     assert hist_rollup(empty, ["day"], "v", lo=0.0, hi=1.0).count() == 0
+
+
+def test_psi_drift_semantics(spark):
+    """psi_drift: identical distributions score ~0; a clear shift
+    scores above the 0.25 'major' threshold; fragment (uncompacted)
+    rollups merge to the same answer as clean rollups."""
+    import numpy as np
+
+    from dask_expr_spark.functions.sketches import hist_rollup, psi_drift
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(50, 10, 4000)
+    same = rng.normal(50, 10, 4000)
+    shifted = rng.normal(80, 10, 4000)
+
+    def roll(v):
+        df = spark.createDataFrame([("k", float(x)) for x in v],
+                                   "g string, v double")
+        return hist_rollup(df, ["g"], "v", bins=64, lo=0.0, hi=120.0)
+
+    near0 = psi_drift(roll(a), roll(same), ["g"]).first()["psi"]
+    big = psi_drift(roll(a), roll(shifted), ["g"]).first()["psi"]
+    assert near0 < 0.05, near0
+    assert big > 0.25, big
+
+    # fragments (two half-rollups unioned) == one clean rollup
+    half1 = roll(a[:2000])
+    half2 = roll(a[2000:])
+    frag = half1.unionByName(half2)
+    psi_frag = psi_drift(frag, roll(shifted), ["g"]).first()["psi"]
+    assert abs(psi_frag - big) < 1e-12
