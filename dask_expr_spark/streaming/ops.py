@@ -453,8 +453,10 @@ def hist_rollup_sink(stream: DataFrame, keys: list, col: str,
     rollup) and APPENDED as an epoch-tagged fragment.  Bin counts merge
     by addition, and quantile_estimate already explodes + sums per
     (keys, lo, hi, bins), so fragments estimate correctly WITHOUT
-    compaction; `compact_hist_rollup` dedups replayed epochs and folds
-    the fragments back to one row per key.  lo/hi/bins must be fixed
+    compaction — and `sketches.psi_drift` scores drift between two
+    sink tables (e.g. today's vs yesterday's) directly on the
+    fragments too; `compact_hist_rollup` dedups replayed epochs and
+    folds the fragments back to one row per key.  lo/hi/bins must be fixed
     up front (a stream can't be min/max pre-scanned — pick the domain
     from history or business bounds); values outside clamp into the
     edge bins per the batch contract.  Returns the StreamingQuery."""
