@@ -210,7 +210,12 @@ _NESTED_LOOP_OK = {"q22_idle_customers", "q11_important_stock",
                    "stream_heavy_hitters",
                    "dedup_embedding_cosine",
                    "monotonic_orders", "text_lm_perplexity", "text_bm25_search",
-                   "size_len_scalars"}
+                   "size_len_scalars",
+                   # r6: 1-row exact-median scalar attached to the
+                   # 3-row profile for the q_ok tolerance flag — the
+                   # same deliberate broadcast-scalar class as
+                   # heavy_hitter_tokens' total attach
+                   "profile_orders_stats"}
 
 
 def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
