@@ -488,3 +488,92 @@ def test_property_hist_quantile_one_bin_bound(spark):
             ctx = (f"trial={trial} kind={kind} bins={bins} q={q:.3f} "
                    f"explicit={explicit}")
             assert abs(est - exact) <= width + 1e-9, (ctx, est, exact)
+
+
+def test_property_leakage_split_random_graphs(spark):
+    """randomized leakage_safe_split: random edge sets (chains, stars,
+    cliques, self-loops, dangling ids) — components verified against a
+    pure-python union-find, no component ever straddles, unpaired ids
+    match hash_split exactly, both resolvers agree."""
+    from dask_expr_spark.functions import sampling as S
+
+    rng = np.random.RandomState(777)
+    for trial in range(5):
+        n = int(rng.randint(60, 300))
+        ids = list(range(1, n + 1))
+        m = int(rng.randint(0, n))
+        edges = [(int(rng.randint(1, n + 1)), int(rng.randint(1, n + 1)))
+                 for _ in range(m)]
+        frac = float(rng.uniform(0.1, 0.6))
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        pairs = (spark.createDataFrame(edges or [(1, 1)],
+                                       "id_a long, id_b long"))
+        tr, va = S.leakage_safe_split(df, "id", pairs, val_fraction=frac)
+        t = {r["id"] for r in tr.collect()}
+        v = {r["id"] for r in va.collect()}
+        ctx = f"trial={trial} n={n} m={m} frac={frac:.3f}"
+        assert t | v == set(ids) and not (t & v), ctx
+
+        # union-find ground-truth components
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict = {}
+        for i in ids:
+            comps.setdefault(find(i), set()).add(i)
+        for comp in comps.values():
+            assert comp <= t or comp <= v, (ctx, comp)
+        # singletons must match plain hash_split
+        single = {i for i in ids if len(comps[find(i)]) == 1}
+        t0 = {r["id"] for r in S.hash_split(df, "id", frac)[0].collect()}
+        assert {i for i in t if i in single} == \
+            {i for i in t0 if i in single}, ctx
+
+
+def test_property_profile_validate_vs_pandas(spark):
+    """randomized profile_table / validate differential vs pandas on
+    frames with random null rates, constant columns, and negative
+    values."""
+    from dask_expr_spark.functions.quality import profile_table, validate
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(31)
+    for trial in range(4):
+        n = int(rng.randint(30, 400))
+        pdf = pd.DataFrame({
+            "id": range(n),
+            "v": np.round(rng.uniform(-50, 50, n), 3),
+            "k": rng.choice(list("xyz"), n),
+            "c": 7.0,
+        })
+        pdf.loc[rng.rand(n) < rng.uniform(0, 0.4), "v"] = np.nan
+        df = spark.createDataFrame(pdf).repartition(int(rng.randint(1, 7)))
+        prof = {r["column"]: r for r in profile_table(
+            df, exact_distinct=True, quantiles=(0.5,)).collect()}
+        ctx = f"trial={trial} n={n}"
+        assert prof["v"]["n"] == n, ctx
+        assert prof["v"]["nulls"] == int(pdf["v"].isna().sum()), ctx
+        assert prof["v"]["distinct"] == pdf["v"].nunique(), ctx
+        if pdf["v"].notna().any():
+            assert abs(prof["v"]["mean"] - pdf["v"].mean()) < 1e-9, ctx
+            assert abs(prof["v"]["stddev"] - pdf["v"].std()) < 1e-9, ctx
+        # streaming-variance cancellation leaves ~1e-16 on constants
+        assert prof["c"]["distinct"] == 1 and abs(prof["c"]["stddev"]) < 1e-12
+        assert prof["k"]["mean"] is None
+
+        rep = {r["check"]: r for r in validate(
+            df, row_checks={"pos": F.col("v") > 0},
+            complete=["v"], unique=["id"]).collect()}
+        want_pos = int((~(pdf["v"] > 0)).sum())  # False or NaN
+        assert rep["pos"]["violations"] == want_pos, ctx
+        assert rep["complete(v)"]["violations"] == int(pdf["v"].isna().sum())
+        assert rep["unique(id)"]["violations"] == 0
