@@ -38,47 +38,47 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     `relative_error` (set 0.0 for exact).  ONE aggregation job for the
     whole profile."""
     cols = columns or df.columns
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__pt_n")]
     for c in cols:
         dt = df.schema[c].dataType
         col = F.col(c)
-        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nul_{c}"))
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__pt_nul_{c}"))
         aggs.append(
             (F.count_distinct(col) if exact_distinct
              else F.approx_count_distinct(col, relative_error))
-            .alias(f"__dst_{c}"))
-        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+            .alias(f"__pt_dst_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__pt_min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__pt_max_{c}"))
         if isinstance(dt, _NUMERIC):
             d = col.cast("double")
-            aggs.append(F.avg(d).alias(f"__avg_{c}"))
-            aggs.append(F.stddev_samp(d).alias(f"__std_{c}"))
+            aggs.append(F.avg(d).alias(f"__pt_avg_{c}"))
+            aggs.append(F.stddev_samp(d).alias(f"__pt_std_{c}"))
             for qi, q in enumerate(quantiles):
                 aggs.append(
                     F.percentile_approx(
                         d, float(q),
                         F.lit(2147483647 if relative_error <= 0
                               else max(2, int(1.0 / relative_error))))
-                    .alias(f"__qi{qi}_{c}"))
+                    .alias(f"__pt_qi{qi}_{c}"))
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"__avg_{c}"))
-            aggs.append(F.lit(None).cast("double").alias(f"__std_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__pt_avg_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__pt_std_{c}"))
             for qi, _q in enumerate(quantiles):
                 aggs.append(F.lit(None).cast("double")
-                            .alias(f"__qi{qi}_{c}"))
+                            .alias(f"__pt_qi{qi}_{c}"))
     one = df.agg(*aggs)
     rows = []
     for c in cols:
         dt = df.schema[c].dataType.simpleString()
         entry = [F.lit(c).alias("column"), F.lit(dt).alias("dtype"),
-                 F.col("__n").alias("n"),
-                 F.col(f"__nul_{c}").alias("nulls"),
-                 F.col(f"__dst_{c}").cast("long").alias("distinct"),
-                 F.col(f"__min_{c}").alias("min_val"),
-                 F.col(f"__max_{c}").alias("max_val"),
-                 F.col(f"__avg_{c}").alias("mean"),
-                 F.col(f"__std_{c}").alias("stddev")]
-        entry += [F.col(f"__qi{qi}_{c}").alias(f"q{100 * q:g}")
+                 F.col("__pt_n").alias("n"),
+                 F.col(f"__pt_nul_{c}").alias("nulls"),
+                 F.col(f"__pt_dst_{c}").cast("long").alias("distinct"),
+                 F.col(f"__pt_min_{c}").alias("min_val"),
+                 F.col(f"__pt_max_{c}").alias("max_val"),
+                 F.col(f"__pt_avg_{c}").alias("mean"),
+                 F.col(f"__pt_std_{c}").alias("stddev")]
+        entry += [F.col(f"__pt_qi{qi}_{c}").alias(f"q{100 * q:g}")
                   for qi, q in enumerate(quantiles)]
         rows.append(F.struct(*entry))
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
@@ -103,7 +103,7 @@ def validate(df: DataFrame,
     row_checks = dict(row_checks or {})
     for c in (complete or []):
         row_checks.setdefault(f"complete({c})", F.col(c).isNotNull())
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = [F.count(F.lit(1)).alias("__pt_n")]
     names: list[str] = []
     for name, cond in row_checks.items():
         key = f"__v{len(names)}"
@@ -125,13 +125,13 @@ def validate(df: DataFrame,
             F.lit(name).alias("check"),
             (F.col(f"__v{i}") == 0).alias("passed"),
             F.col(f"__v{i}").alias("violations"),
-            F.col("__n").alias("n")))
+            F.col("__pt_n").alias("n")))
     for i, name in enumerate(ukeys):
         entries.append(F.struct(
             F.lit(name).alias("check"),
             (F.col(f"__u{i}") == 0).alias("passed"),
             F.col(f"__u{i}").alias("violations"),
-            F.col("__n").alias("n")))
+            F.col("__pt_n").alias("n")))
     if not entries:
         raise ValueError("validate: no checks given")
     return one.select(F.explode(F.array(*entries)).alias("r")).select("r.*")

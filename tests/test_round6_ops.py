@@ -148,3 +148,23 @@ def test_validate_reports_violations(spark):
     assert all(r["n"] == 4 for r in rep.values())
     with pytest.raises(ValueError, match="no checks"):
         validate(df)
+
+
+def test_profile_and_validate_hostile_column_names(spark):
+    """source columns named like the operators' internals must not
+    alias into the report (same reserved-name contract as
+    heavy_hitters' __hh_ columns)."""
+    from dask_expr_spark.functions.quality import profile_table, validate
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, 3.0, "a")],
+        "__n long, n double, check string")
+    prof = {r["column"]: r for r in profile_table(
+        df, exact_distinct=True, quantiles=(0.5,)).collect()}
+    assert prof["__n"]["n"] == 2 and prof["__n"]["distinct"] == 2
+    assert prof["n"]["mean"] == 2.5
+    assert prof["check"]["distinct"] == 1
+    rep = {r["check"]: r for r in validate(
+        df, row_checks={"n_pos": F.col("n") > 0},
+        unique=["__n"]).collect()}
+    assert rep["n_pos"]["passed"] and rep["unique(__n)"]["passed"]
