@@ -143,6 +143,17 @@ def _semantic_dedup_ivf(spark, sf_dir):
         lloyd_iters=2).groupBy().count()
 
 
+def _profile_lineitem(spark, sf_dir):
+    """one-pass 16-column profile of lineitem (functions/quality.py
+    profile_table, HLL distincts + approx percentiles) — the data-
+    quality family's bench anchor; regression here means per-column
+    state or the single-agg plan broke."""
+    from dask_expr_spark.functions.quality import profile_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile_table(li, exact_distinct=False)
+
+
 def _connected_components_star(spark, sf_dir):
     """large-star/small-star components over the MinHash candidate
     pairs — times the O(log n) iterative rounds (functions/dedup.py
@@ -169,6 +180,8 @@ LOCAL_PROBES = {
     # round 5 additions (no prior comparable — bench_diff skips them)
     "semantic_dedup_ivf": _semantic_dedup_ivf,
     "components_star_pipeline": _connected_components_star,
+    # round 6 (no prior comparable)
+    "profile_lineitem": _profile_lineitem,
 }
 
 # ---------------------------------------------------------------------------
@@ -222,7 +235,8 @@ X10_ENTRIES = {
 X100_ENTRIES = {
     "q6_forecast_revenue", "q11_important_stock", "resample_hourly",
     "dedup_exact_docs", "text_stats_by_lang", "text_token_frequencies",
-    "sample_weighted_orders",
+    "sample_weighted_orders", "drift_price_psi",
+    "dedup_exact_incremental", "sample_n_per_group_orders",
 }
 X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
@@ -322,6 +336,10 @@ OPTIONAL = [
     "hist_rollup_price_quantiles",
     "sample_weighted_orders",
     "dedup_incremental_minhash",
+    # round 6 additions (no prior comparable)
+    "dedup_exact_incremental",
+    "sample_n_per_group_orders",
+    "drift_price_psi",
 ]
 
 

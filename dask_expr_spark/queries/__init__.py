@@ -152,9 +152,14 @@ RECONFIRM_FIRST = (
 )
 
 # ROUND-7 CHECKLIST: once CORRECTNESS_r06.json lands, rotate again —
-# add its green names to VALIDATED (the r6 window = the new round-6
-# queries + the leading names of RECONFIRM_FIRST above, however many
-# the 50-row window reached) and drop the consumed prefix from
+# add its green names to VALIDATED (the r6 window = the 12 new
+# round-6 queries — current_divisions_slice_concat,
+# dedup_exact_incremental, sample_n_per_group_orders,
+# split_leakage_safe, sample_weighted_per_group_orders,
+# ann_pca_whiten, profile_orders_stats, validate_orders_constraints,
+# drift_price_psi, stream_hll_rollup, stream_hist_rollup,
+# stream_exact_dedup — + the leading ~38 names of RECONFIRM_FIRST
+# above) and drop the consumed prefix from
 # RECONFIRM_FIRST, appending the r4 cohort (parquet_roundtrip_lineitem
 # … stream_semantic_dedup, registry order) when the r2/r3 names run
 # out.  Every registry query is swept locally vs DuckDB at sf0.01 each
