@@ -577,3 +577,43 @@ def test_property_profile_validate_vs_pandas(spark):
         assert rep["pos"]["violations"] == want_pos, ctx
         assert rep["complete(v)"]["violations"] == int(pdf["v"].isna().sum())
         assert rep["unique(id)"]["violations"] == 0
+
+
+def test_property_exact_dedup_against_vs_pandas(spark):
+    """randomized exact_dedup_against differential: random corpora and
+    batches with overlapping texts, intra-batch duplicates, and random
+    partitionings — dup_of must match the pandas oracle (index keep_id
+    first, else batch min-id for repeats, else None)."""
+    from dask_expr_spark.functions import dedup as DD
+
+    rng = np.random.RandomState(505)
+    for trial in range(5):
+        vocab = [f"t{k}" for k in range(int(rng.randint(3, 30)))]
+        nc = int(rng.randint(5, 60))
+        nb = int(rng.randint(3, 40))
+        corpus = pd.DataFrame({
+            "doc_id": range(1, nc + 1),
+            "text": rng.choice(vocab, nc)})
+        batch = pd.DataFrame({
+            "doc_id": range(1000, 1000 + nb),
+            "text": rng.choice(vocab, nb)})
+        cdf = spark.createDataFrame(corpus).repartition(
+            int(rng.randint(1, 5)))
+        bdf = spark.createDataFrame(batch).repartition(
+            int(rng.randint(1, 5)))
+        idx = DD.exact_hash_index(cdf, "doc_id", "text")
+        got = {r["id"]: r["dup_of"]
+               for r in DD.exact_dedup_against(bdf, idx, "doc_id",
+                                               "text").collect()}
+        keep = corpus.groupby("text")["doc_id"].min().to_dict()
+        first = batch.groupby("text")["doc_id"].min().to_dict()
+        want = {}
+        for _i, row in batch.iterrows():
+            t, i = row["text"], row["doc_id"]
+            if t in keep:
+                want[i] = keep[t]
+            elif first[t] != i:
+                want[i] = first[t]
+            else:
+                want[i] = None
+        assert got == want, f"trial={trial}"
