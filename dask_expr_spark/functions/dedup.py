@@ -839,3 +839,54 @@ def exact_dedup_against(new_df: DataFrame, index: DataFrame, id_col: str,
                         F.col("__idx_keep"),
                         F.when(F.col("id") != F.col("__batch_keep"),
                                F.col("__batch_keep"))).alias("dup_of")))
+
+
+def exact_dedup_against_bloom(new_df: DataFrame, index: DataFrame,
+                              bloom: DataFrame, id_col: str, text_col: str,
+                              normalize: bool = False,
+                              bloom_params: tuple[int, int, int] | None = None
+                              ) -> DataFrame:
+    """exact_dedup_against with a Bloom prefilter (sketches.bloom_index
+    built over the index's text_hash column): batch rows whose hash is
+    DEFINITELY absent from the index skip the index join entirely —
+    only "maybe present" rows (true dups + the design-fpp false
+    positives) join.  Because Bloom filters have NO false negatives the
+    answer is IDENTICAL to exact_dedup_against — the oracle checks
+    exactly that — while at 100 TB a mostly-novel daily batch turns the
+    corpus-sized index join into a map-only broadcast probe plus a join
+    whose batch side is a few percent of the rows.  The index side
+    still prunes: with the index parquet clustered on text_hash the
+    small maybe-join is exchange-free on the big side.
+
+    `bloom_params` = (m_bits, k, num_shards) from the build keeps the
+    plan collect-free; omitted, they're read from the bloom's first row.
+    """
+    from pyspark.sql.window import Window
+
+    from .sketches import bloom_probe
+
+    key = F.col(text_col)
+    if normalize:
+        key = F.lower(F.trim(key))
+    batch = new_df.select(F.col(id_col).alias("id"),
+                          F.md5(key).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    batch = batch.withColumn("__batch_keep", F.min("id").over(w))
+    kwargs = {}
+    if bloom_params is not None:
+        kwargs = dict(m_bits=bloom_params[0], k=bloom_params[1],
+                      num_shards=bloom_params[2])
+    probed = bloom_probe(batch, bloom, "text_hash",
+                         result_col="__maybe", **kwargs)
+    idx = index.select("text_hash", F.col("keep_id").alias("__idx_keep"))
+    maybe = probed.where(F.col("__maybe")).join(idx, "text_hash", "left")
+    novel = probed.where(~F.col("__maybe")).withColumn(
+        "__idx_keep", F.lit(None).cast(dict(index.dtypes)["keep_id"]))
+    return (maybe.select("id", "text_hash", "__batch_keep", "__idx_keep")
+            .unionByName(novel.select("id", "text_hash", "__batch_keep",
+                                      "__idx_keep"))
+            .select("id", "text_hash",
+                    F.coalesce(
+                        F.col("__idx_keep"),
+                        F.when(F.col("id") != F.col("__batch_keep"),
+                               F.col("__batch_keep"))).alias("dup_of")))

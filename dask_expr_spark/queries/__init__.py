@@ -152,14 +152,16 @@ RECONFIRM_FIRST = (
 )
 
 # ROUND-7 CHECKLIST: once CORRECTNESS_r06.json lands, rotate again —
-# add its green names to VALIDATED (the r6 window = the 12 new
+# add its green names to VALIDATED (the r6 window = the 18 new
 # round-6 queries — current_divisions_slice_concat,
 # dedup_exact_incremental, sample_n_per_group_orders,
 # split_leakage_safe, sample_weighted_per_group_orders,
 # ann_pca_whiten, profile_orders_stats, validate_orders_constraints,
 # drift_price_psi, stream_hll_rollup, stream_hist_rollup,
-# stream_exact_dedup — + the leading ~38 names of RECONFIRM_FIRST
-# above) and drop the consumed prefix from
+# stream_exact_dedup, cms_custkey_counts, kmv_distinct_slices,
+# kmv_intersect_slices, dedup_bloom_incremental, upsert_orders_scd1,
+# upsert_partitioned_roundtrip — + the leading ~32 names of
+# RECONFIRM_FIRST above) and drop the consumed prefix from
 # RECONFIRM_FIRST, appending the r4 cohort (parquet_roundtrip_lineitem
 # … stream_semantic_dedup, registry order) when the r2/r3 names run
 # out.  Every registry query is swept locally vs DuckDB at sf0.01 each
@@ -169,10 +171,10 @@ RECONFIRM_FIRST = (
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    from . import approx, dedup, events, ops, relational, round3, round3b, round3c, round4, round5, round5b, round6, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, tpch4, windows
+    from . import approx, dedup, events, ops, relational, round3, round3b, round3c, round4, round5, round5b, round6, round6b, sampling_q, similarity, stats, streaming_q, text, tpch, tpch2, tpch3, tpch4, windows
 
     out: dict = {}
-    for mod in (round6, round5b, round5, tpch4, round4, round3, round3b, round3c, tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
+    for mod in (round6b, round6, round5b, round5, tpch4, round4, round3, round3b, round3c, tpch, tpch2, tpch3, ops, approx, relational, windows, events, text, dedup, similarity, streaming_q, stats, sampling_q):
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,387 @@
+"""Round-6b batch: the sketch-family completion (count-min point
+frequencies, KMV distinct-with-INTERSECTION) plus the membership /
+incremental-maintenance family (Bloom-prefiltered exact dedup, SCD-1
+upsert, partition-pruned parquet upsert).
+
+Every estimate here is md5-deterministic, so the DuckDB oracles
+reproduce the SKETCH ANSWERS hash-exactly (not just tolerance bands) —
+the same discipline the MinHash/SimHash family established.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ._util import cent_sum, cent_sum_sql, tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# -- count-min rollup (functions/sketches.py cms_rollup/_merge/
+#    _estimate): sketch per o_orderstatus, merged globally, probed with
+#    the 20 heaviest custkeys — estimates reproduced EXACTLY in SQL ----
+_CMS_W, _CMS_D = 512, 4
+
+CMS_SQL = f"""
+WITH cells AS (
+  SELECT t.d,
+         ('0x' || substr(md5('cm:' || CAST(t.d AS VARCHAR) || ':'
+                              || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMS_W} AS b,
+         count(*) AS c
+  FROM orders CROSS JOIN range({_CMS_D}) t(d)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT o_custkey, count(*) AS exact_n FROM orders GROUP BY 1
+  ORDER BY exact_n DESC, o_custkey LIMIT 20
+),
+pos AS (
+  SELECT p.o_custkey, p.exact_n, t.d,
+         ('0x' || substr(md5('cm:' || CAST(t.d AS VARCHAR) || ':'
+                              || CAST(p.o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMS_W} AS b
+  FROM probe p CROSS JOIN range({_CMS_D}) t(d)
+)
+SELECT pos.o_custkey,
+       CAST(min(coalesce(c.c, 0)) AS BIGINT) AS freq_est,
+       CAST(min(pos.exact_n) AS BIGINT) AS exact_n,
+       min(coalesce(c.c, 0)) >= min(pos.exact_n) AS over_ok
+FROM pos LEFT JOIN cells c ON c.d = pos.d AND c.b = pos.b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("cms_custkey_counts", CMS_SQL)
+def cms_custkey_counts(spark, sf_dir):
+    """count-min rollup built per o_orderstatus then MERGED globally
+    (exercising mergeability), probed with the 20 heaviest custkeys.
+    freq_est is hash-exact (md5 buckets reproduce in SQL); over_ok
+    verifies the never-undercount guarantee against exact counts."""
+    from ..functions.sketches import cms_estimate, cms_rollup
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    roll = cms_rollup(o, ["o_orderstatus"], "o_custkey",
+                      width=_CMS_W, depth=_CMS_D)
+    probe = (o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_n"))
+             .orderBy(F.desc("exact_n"), "o_custkey").limit(20))
+    est = cms_estimate(roll, probe, "o_custkey",
+                       width=_CMS_W, depth=_CMS_D)
+    return (est.join(probe, "o_custkey")
+            .select("o_custkey", "freq_est",
+                    F.col("exact_n").cast("long").alias("exact_n"),
+                    (F.col("freq_est") >= F.col("exact_n")).alias("over_ok"))
+            .orderBy("o_custkey"))
+
+
+# -- KMV distinct sketch (functions/sketches.py kmv_rollup/_estimate):
+#    two overlapping orderkey slices; per-slice distinct estimates are
+#    hash-exact reproducible (k smallest md5 hashes + the (k-1)/U_(k)
+#    estimator are both deterministic) --------------------------------
+_KMV_K = 128
+_KMV_SPACE_SQL = "1152921504606846976.0"  # 2^60
+
+_KMV_SRC_SQL = """
+  SELECT 'cheap' AS grp, o_orderkey FROM orders WHERE o_totalprice < 150000
+  UNION ALL
+  SELECT 'mod3' AS grp, o_orderkey FROM orders WHERE o_custkey % 3 = 0
+"""
+
+KMV_SQL = f"""
+WITH src AS ({_KMV_SRC_SQL}),
+h AS (
+  SELECT DISTINCT grp,
+         ('0x' || substr(md5('kmv:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM src
+),
+r AS (SELECT grp, hv,
+             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM h),
+kth AS (SELECT grp,
+               count(*) FILTER (WHERE rn <= {_KMV_K}) AS sz,
+               max(hv) FILTER (WHERE rn = {_KMV_K}) AS hk
+        FROM r GROUP BY 1),
+est AS (SELECT grp,
+               CASE WHEN sz < {_KMV_K} THEN sz
+                    ELSE CAST(floor({_KMV_K - 1}.0 * {_KMV_SPACE_SQL}
+                                    / CAST(hk AS DOUBLE)) AS BIGINT)
+               END AS distinct_est
+        FROM kth),
+ex AS (SELECT grp, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_n
+       FROM src GROUP BY 1)
+SELECT e.grp, e.distinct_est, x.exact_n,
+       abs(e.distinct_est - x.exact_n) <= 0.30 * x.exact_n AS est_ok
+FROM est e JOIN ex x USING (grp) ORDER BY grp
+"""
+
+
+def _kmv_slices(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    a = (o.where(F.col("o_totalprice") < 150000)
+         .withColumn("grp", F.lit("cheap")))
+    b = (o.where(F.col("o_custkey") % 3 == 0)
+         .withColumn("grp", F.lit("mod3")))
+    return a, b
+
+
+@q("kmv_distinct_slices", KMV_SQL)
+def kmv_distinct_slices(spark, sf_dir):
+    from ..functions.sketches import kmv_estimate, kmv_rollup
+
+    a, b = _kmv_slices(spark, sf_dir)
+    roll = kmv_rollup(a.unionByName(b), ["grp"], "o_orderkey", k=_KMV_K)
+    est = kmv_estimate(roll, ["grp"])
+    exact = (a.unionByName(b).groupBy("grp")
+             .agg(F.countDistinct("o_orderkey").alias("exact_n")))
+    return (est.join(exact, "grp")
+            .select("grp", "distinct_est", "exact_n",
+                    (F.abs(F.col("distinct_est") - F.col("exact_n"))
+                     <= 0.30 * F.col("exact_n")).alias("est_ok"))
+            .orderBy("grp"))
+
+
+# -- KMV INTERSECTION (kmv_intersect — the capability HLL sketches
+#    lack): |cheap ∩ mod3| estimated from the two sketches alone;
+#    union sketch, inclusion fraction, and both estimators reproduce
+#    hash-exactly in SQL ------------------------------------------------
+KMV_INTER_SQL = f"""
+WITH src AS ({_KMV_SRC_SQL}),
+h AS (
+  SELECT DISTINCT grp,
+         ('0x' || substr(md5('kmv:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM src
+),
+r AS (SELECT grp, hv,
+             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM h),
+sk AS (SELECT grp, hv FROM r WHERE rn <= {_KMV_K}),
+u AS (SELECT hv FROM (SELECT DISTINCT hv FROM sk) ORDER BY hv LIMIT {_KMV_K}),
+stats AS (
+  SELECT (SELECT count(*) FROM u) AS szu,
+         (SELECT max(hv) FROM u) AS hku,
+         (SELECT count(*) FROM u
+          WHERE hv IN (SELECT hv FROM sk WHERE grp = 'cheap')
+            AND hv IN (SELECT hv FROM sk WHERE grp = 'mod3')) AS rho
+),
+est AS (
+  SELECT rho, szu,
+         CASE WHEN szu < {_KMV_K} THEN szu
+              ELSE CAST(floor({_KMV_K - 1}.0 * {_KMV_SPACE_SQL}
+                              / CAST(hku AS DOUBLE)) AS BIGINT)
+         END AS union_est
+  FROM stats
+),
+est2 AS (
+  SELECT CAST(floor((CAST(rho AS DOUBLE) / CAST(szu AS DOUBLE))
+                    * CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est,
+         union_est
+  FROM est
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+    SELECT o_orderkey FROM src WHERE grp = 'cheap'
+    INTERSECT
+    SELECT o_orderkey FROM src WHERE grp = 'mod3')
+)
+SELECT inter_est, union_est, exact_inter,
+       abs(inter_est - exact_inter) <= 0.35 * exact_inter AS inter_ok
+FROM est2, ex
+"""
+
+
+@q("kmv_intersect_slices", KMV_INTER_SQL)
+def kmv_intersect_slices(spark, sf_dir):
+    from ..functions.sketches import kmv_intersect, kmv_rollup
+
+    a, b = _kmv_slices(spark, sf_dir)
+    ra = kmv_rollup(a, [], "o_orderkey", k=_KMV_K)
+    rb = kmv_rollup(b, [], "o_orderkey", k=_KMV_K)
+    inter = kmv_intersect(ra, rb).withColumn("k", F.lit(_KMV_K))
+    exact = (a.select("o_orderkey").intersect(b.select("o_orderkey"))
+             .agg(F.count(F.lit(1)).alias("exact_inter"))
+             .withColumn("k", F.lit(_KMV_K)))
+    # 1-row ⋈ 1-row on the sketch parameter k: an equi-join (broadcast
+    # hash), not a cartesian attach
+    return (inter.join(exact, "k")
+            .select("inter_est", "union_est", "exact_inter",
+                    (F.abs(F.col("inter_est") - F.col("exact_inter"))
+                     <= 0.35 * F.col("exact_inter")).alias("inter_ok")))
+
+
+# -- Bloom-prefiltered exact incremental dedup (sketches.bloom_index +
+#    dedup.exact_dedup_against_bloom): the oracle is the SAME answer as
+#    the unfiltered path — Bloom filters have no false negatives, so
+#    the prefilter is answer-preserving; any false-negative bug flips
+#    a dup_of to NULL and the hash catches it --------------------------
+BLOOM_INCR_SQL = """
+WITH idx AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+),
+batch AS (
+  SELECT doc_id AS id, md5(text) AS text_hash
+  FROM documents WHERE doc_id % 10 = 0
+),
+first AS (SELECT text_hash, min(id) AS bk FROM batch GROUP BY text_hash)
+SELECT b.id, b.text_hash,
+       COALESCE(i.keep_id,
+                CASE WHEN b.id <> f.bk THEN f.bk END) AS dup_of
+FROM batch b
+JOIN first f ON b.text_hash = f.text_hash
+LEFT JOIN idx i ON b.text_hash = i.text_hash
+ORDER BY b.id
+"""
+
+
+@q("dedup_bloom_incremental", BLOOM_INCR_SQL)
+def dedup_bloom_incremental(spark, sf_dir):
+    from ..functions import dedup as DD
+    from ..functions.sketches import bloom_index
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    index = DD.exact_hash_index(
+        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
+    bloom = bloom_index(index, "text_hash", fpp=0.01)
+    return (DD.exact_dedup_against_bloom(
+        docs.where(F.col("doc_id") % 10 == 0), index, bloom,
+        "doc_id", "text")
+        .orderBy("id"))
+
+
+# -- SCD-1 upsert (functions/maintenance.py upsert): updates replace,
+#    inserts append, intra-batch duplicate keys resolved by order_col
+#    (highest version wins) — aggregate answer is hash-exact -----------
+UPSERT_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 200.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_custkey, o_orderstatus,
+         o_totalprice + 200.0, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       CAST(count(*) FILTER (WHERE o_orderkey > 3000000) AS BIGINT)
+         AS n_inserted
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("upsert_orders_scd1", UPSERT_SQL)
+def upsert_orders_scd1(spark, sf_dir):
+    """two versions of each update row land in the batch (v1 +100,
+    v2 +200); order_col='__v' must pick v2, same-key target rows are
+    replaced, and the +3000000 synthetic keys insert."""
+    from ..functions.maintenance import upsert
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    base = o.where(F.col("o_orderkey") % 97 == 0)
+    inserts = base.withColumn("o_orderkey",
+                              F.col("o_orderkey") + 3000000)
+    v1 = (base.unionByName(inserts)
+          .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+          .withColumn("__v", F.lit(1)))
+    v2 = (base.unionByName(inserts)
+          .withColumn("o_totalprice", F.col("o_totalprice") + 200.0)
+          .withColumn("__v", F.lit(2)))
+    res = upsert(o, v1.unionByName(v2), ["o_orderkey"], order_col="__v")
+    return (res.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total"),
+                 F.count_if(F.col("o_orderkey") > 3000000)
+                 .alias("n_inserted"))
+            .orderBy("o_orderstatus"))
+
+
+# -- partition-pruned upsert-in-place (maintenance.upsert_partitioned):
+#    hive-partitioned parquet roundtrip where only the touched
+#    partitions are read and rewritten; untouched partition FILES are
+#    asserted byte-identical (name+size snapshot) ----------------------
+UPSERT_PART_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 500.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 53 = 0
+    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS touched_ok, TRUE AS untouched_ok
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("upsert_partitioned_roundtrip", UPSERT_PART_SQL)
+def upsert_partitioned_roundtrip(spark, sf_dir):
+    from ..functions.maintenance import upsert_partitioned
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="upsert_part_")
+    path = os.path.join(tmp, "t")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderpriority") \
+            .parquet(path)
+
+        def _snapshot():
+            out = {}
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(root, fn)
+                        out[p] = os.path.getsize(p)
+            return out
+
+        before = _snapshot()
+        updates = (o.where((F.col("o_orderkey") % 53 == 0)
+                           & F.col("o_orderpriority").isin(
+                               "1-URGENT", "3-MEDIUM"))
+                   .withColumn("o_totalprice",
+                               F.col("o_totalprice") + 500.0))
+        touched = upsert_partitioned(spark, path, updates,
+                                     ["o_orderkey"], "o_orderpriority")
+        after = _snapshot()
+        touched_dirs = tuple(f"o_orderpriority={t}" for t in touched)
+        untouched_ok = all(
+            before.get(p) == sz for p, sz in after.items()
+            if not any(d in p for d in touched_dirs)) and all(
+            p in after for p in before
+            if not any(d in p for d in touched_dirs))
+        touched_ok = sorted(touched) == ["1-URGENT", "3-MEDIUM"]
+        back = spark.read.parquet(path)
+        result = (back.groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       cent_sum(F.col("o_totalprice")).alias("total"))
+                  .withColumn("touched_ok", F.lit(bool(touched_ok)))
+                  .withColumn("untouched_ok", F.lit(bool(untouched_ok)))
+                  .orderBy("o_orderstatus"))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -431,6 +431,41 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/multimodal.py",
              q=["multimodal_decode", "multimodal_audio_meta"],
              t="resize plumbing + WAV parse test_multimodal"),
+        dict(op="mergeable count-min frequency rollup (point lookups "
+                "from the sketch alone; never under-counts; probe is a "
+                "map-only broadcast join for arbitrarily large item "
+                "batches)",
+             loc="dask_expr_spark/functions/sketches.py (cms_rollup, "
+                 "cms_merge, cms_estimate)",
+             q=["cms_custkey_counts"],
+             t="randomized never-undercount + merge-exactness "
+               "test_round6b_ops"),
+        dict(op="KMV distinct sketch with set INTERSECTION estimates "
+                "(the capability HLL union sketches lack); bounded "
+                "build via per-partition k-smallest prune",
+             loc="dask_expr_spark/functions/sketches.py (kmv_rollup, "
+                 "kmv_estimate, kmv_intersect)",
+             q=["kmv_distinct_slices", "kmv_intersect_slices"],
+             t="randomized accuracy + merge-associativity "
+               "test_round6b_ops"),
+        dict(op="sharded Bloom membership index (no false negatives, "
+                "OR-mergeable, map-only probe) + answer-preserving "
+                "prefilter for exact incremental dedup",
+             loc="dask_expr_spark/functions/sketches.py (bloom_index, "
+                 "bloom_probe, bloom_merge) + functions/dedup.py "
+                 "(exact_dedup_against_bloom)",
+             q=["dedup_bloom_incremental"],
+             t="randomized no-false-negative + merge==union-build + "
+               "fp-rate tests test_round6b_ops"),
+        dict(op="incremental maintenance: SCD-1 upsert (order_col "
+                "version resolution) + partition-pruned parquet "
+                "upsert-in-place (dynamic partition overwrite, "
+                "partition-move guard)",
+             loc="dask_expr_spark/functions/maintenance.py (upsert, "
+                 "upsert_partitioned)",
+             q=["upsert_orders_scd1", "upsert_partitioned_roundtrip"],
+             t="randomized pandas differential + untouched-files-"
+               "byte-stable + move-guard tests test_round6b_ops"),
     ]),
 ]
 

@@ -215,7 +215,12 @@ _NESTED_LOOP_OK = {"q22_idle_customers", "q11_important_stock",
                    # 3-row profile for the q_ok tolerance flag — the
                    # same deliberate broadcast-scalar class as
                    # heavy_hitter_tokens' total attach
-                   "profile_orders_stats"}
+                   "profile_orders_stats",
+                   # r6b: 1-row exact-intersection count attached to
+                   # the 1-row KMV sketch estimate for the inter_ok
+                   # flag (the join key is the literal sketch
+                   # parameter k, which constant-folds) — same class
+                   "kmv_intersect_slices"}
 
 
 def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):

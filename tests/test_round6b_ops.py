@@ -1,0 +1,305 @@
+"""Round-6b operators: count-min rollup, KMV distinct/intersection
+sketch, sharded Bloom index, and the upsert maintenance family.
+Randomized differential nets against exact answers / pandas oracles,
+plus the structural invariants each sketch's contract promises
+(CMS never under-counts; KMV merges associatively; Bloom has NO false
+negatives and merges to the exact union bitmap; upsert preserves the
+prefilter-free answer and untouched partitions byte-identically)."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_expr_spark.functions.sketches import (
+    bloom_index, bloom_merge, bloom_probe, cms_estimate, cms_merge,
+    cms_rollup, kmv_estimate, kmv_intersect, kmv_merge, kmv_rollup)
+
+
+# ---------------------------------------------------------------- CMS
+
+def _zipf_tokens(rng, n_vals, n_rows):
+    return [f"t{min(int(rng.paretovariate(1.2)), n_vals)}"
+            for _ in range(n_rows)]
+
+
+def test_cms_never_undercounts_randomized(spark):
+    rng = random.Random(60)
+    for trial in range(3):
+        rows = [(tok, rng.choice("ab")) for tok in
+                _zipf_tokens(rng, 500, 4000)]
+        sdf = (spark.createDataFrame(rows, "tok string, g string")
+               .repartition(rng.choice([1, 7, 32])))
+        width, depth = rng.choice([(64, 3), (256, 4), (1024, 2)])
+        roll = cms_rollup(sdf, ["g"], "tok", width=width, depth=depth)
+        probe = sdf.select("tok").distinct()
+        est = cms_estimate(roll, probe, "tok", width=width, depth=depth)
+        exact = sdf.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        j = est.join(exact, "tok")
+        under = j.where(F.col("freq_est") < F.col("n")).count()
+        assert under == 0, f"trial {trial}: CMS under-counted"
+        # classic bound: overestimate ≤ ceil(e/width · n) w.p.
+        # 1-(1/2)^depth per item; allow the tiny tail a slack factor
+        n_tot = len(rows)
+        bound = math.ceil(math.e / width * n_tot)
+        viol = j.where(F.col("freq_est") > F.col("n") + 3 * bound).count()
+        assert viol == 0, f"trial {trial}: CMS blew the error bound"
+
+
+def test_cms_merge_equals_full_build(spark):
+    rows = [(f"t{i % 97}", "a" if i % 2 else "b") for i in range(3000)]
+    sdf = spark.createDataFrame(rows, "tok string, g string")
+    full = cms_rollup(sdf.drop("g"), [], "tok", width=128, depth=4)
+    halves = cms_rollup(sdf, ["g"], "tok", width=128, depth=4)
+    merged = cms_merge(halves, [])
+    a = full.select("cms", "n", "width", "depth").collect()[0]
+    b = merged.select("cms", "n", "width", "depth").collect()[0]
+    assert dict(a["cms"]) == dict(b["cms"])  # cell-exact merge
+    assert a["n"] == b["n"]
+
+
+def test_cms_skips_nulls_and_global_keys(spark):
+    rows = [("x",), ("x",), (None,), ("y",)]
+    sdf = spark.createDataFrame(rows, "tok string")
+    roll = cms_rollup(sdf, [], "tok", width=32, depth=2)
+    assert roll.collect()[0]["n"] == 3
+    probe = spark.createDataFrame([("x",), ("zz",)], "tok string")
+    got = {r["tok"]: r["freq_est"]
+           for r in cms_estimate(roll, probe, "tok",
+                                 width=32, depth=2).collect()}
+    assert got["x"] >= 2
+    # an absent value can only collide upward, never negative
+    assert got["zz"] >= 0
+
+
+# ---------------------------------------------------------------- KMV
+
+def test_kmv_estimate_accuracy_randomized(spark):
+    rng = random.Random(61)
+    for trial, k in [(0, 64), (1, 128)]:
+        n_distinct = rng.randint(2000, 6000)
+        rows = [(rng.randint(0, n_distinct - 1),) for _ in range(12000)]
+        sdf = (spark.createDataFrame(rows, "v bigint")
+               .repartition(rng.choice([1, 5, 32])))
+        roll = kmv_rollup(sdf, [], "v", k=k)
+        est = kmv_estimate(roll).collect()[0]["distinct_est"]
+        exact = sdf.distinct().count()
+        # 4 standard errors of the (k-1)/U_(k) estimator
+        tol = 4.0 / math.sqrt(k - 2)
+        assert abs(est - exact) <= tol * exact, \
+            f"trial {trial}: est {est} vs exact {exact}"
+
+
+def test_kmv_unsaturated_is_exact(spark):
+    sdf = spark.createDataFrame([(i % 37,) for i in range(500)], "v int")
+    roll = kmv_rollup(sdf, [], "v", k=128)
+    assert kmv_estimate(roll).collect()[0]["distinct_est"] == 37
+
+
+def test_kmv_merge_equals_full_build(spark):
+    rows = [(i % 3000, "a" if i % 2 else "b") for i in range(9000)]
+    sdf = spark.createDataFrame(rows, "v bigint, g string")
+    full = kmv_rollup(sdf.drop("g"), [], "v", k=64)
+    split = kmv_rollup(sdf, ["g"], "v", k=64)
+    merged = kmv_merge(split, [])
+    assert (sorted(full.collect()[0]["kmv"])
+            == sorted(merged.collect()[0]["kmv"]))
+
+
+def test_kmv_intersect_randomized(spark):
+    rng = random.Random(62)
+    for trial in range(2):
+        n = 5000
+        overlap = rng.uniform(0.2, 0.7)
+        a_vals = list(range(n))
+        b_vals = list(range(int(n * (1 - overlap)), int(n * (2 - overlap))))
+        a = spark.createDataFrame([(v,) for v in a_vals], "v bigint")
+        b = spark.createDataFrame([(v,) for v in b_vals], "v bigint")
+        ra = kmv_rollup(a, [], "v", k=256)
+        rb = kmv_rollup(b, [], "v", k=256)
+        got = kmv_intersect(ra, rb).collect()[0]
+        exact = len(set(a_vals) & set(b_vals))
+        # intersection estimates carry ~2x the union estimator's
+        # relative error; 5 stderr of k=256 ≈ 31%, floor for tiny sets
+        assert abs(got["inter_est"] - exact) <= max(0.31 * exact, 50), \
+            f"trial {trial}: {got['inter_est']} vs {exact}"
+
+
+# -------------------------------------------------------------- Bloom
+
+def test_bloom_no_false_negatives_randomized(spark):
+    rng = random.Random(63)
+    for trial in range(2):
+        n = rng.randint(500, 3000)
+        keys = rng.sample(range(10 ** 9), n)
+        sdf = spark.createDataFrame([(k,) for k in keys], "k bigint")
+        fpp = rng.choice([0.3, 0.05, 0.01])
+        idx = bloom_index(sdf, "k", fpp=fpp, expected=n)
+        probe = bloom_probe(sdf, idx, "k")
+        fn = probe.where(~F.col("maybe_in_index")).count()
+        assert fn == 0, f"trial {trial}: false negative at fpp={fpp}"
+
+
+def test_bloom_fp_rate_near_design(spark):
+    n = 4000
+    members = spark.range(0, n).withColumnRenamed("id", "k")
+    others = spark.range(n, 3 * n).withColumnRenamed("id", "k")
+    idx = bloom_index(members, "k", fpp=0.02, expected=n)
+    pr = bloom_probe(others, idx, "k")
+    fp = pr.where(F.col("maybe_in_index")).count()
+    rate = fp / (2 * n)
+    assert rate <= 0.06, f"fp rate {rate} far above design 0.02"
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(800, 2000).withColumnRenamed("id", "k")
+    n_union = 2000
+    ia = bloom_index(a, "k", fpp=0.01, expected=n_union)
+    ib = bloom_index(b, "k", fpp=0.01, expected=n_union)
+    merged = bloom_merge(ia, ib)
+    direct = bloom_index(a.unionByName(b), "k", fpp=0.01,
+                         expected=n_union)
+    # md5 positions are deterministic, so OR-merge must produce the
+    # EXACT bitmap of the one-shot union build
+    ma = {r["shard"]: list(r["words"]) for r in merged.collect()}
+    md = {r["shard"]: list(r["words"]) for r in direct.collect()}
+    assert ma == md
+
+
+def test_bloom_probe_empty_shard_is_definite_absent(spark):
+    # a 1-key index leaves most shards empty; keys routing to an
+    # absent shard row must probe False, not null/error
+    one = spark.createDataFrame([(42,)], "k bigint")
+    idx = bloom_index(one, "k", fpp=0.01, expected=1, num_shards=4)
+    pr = bloom_probe(spark.range(0, 200).withColumnRenamed("id", "k"),
+                     idx, "k")
+    assert pr.where(F.col("maybe_in_index").isNull()).count() == 0
+    assert pr.where((F.col("k") == 42) & ~F.col("maybe_in_index")) \
+             .count() == 0
+
+
+def test_bloom_prefiltered_dedup_answer_preserving(spark):
+    from dask_expr_spark.functions.dedup import (
+        exact_dedup_against, exact_dedup_against_bloom, exact_hash_index)
+
+    rng = random.Random(64)
+    texts = [f"doc body {rng.randint(0, 300)}" for _ in range(800)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    index = exact_hash_index(old, "doc_id", "text")
+    bloom = bloom_index(index, "text_hash", fpp=0.1)
+    plain = exact_dedup_against(batch, index, "doc_id", "text")
+    pre = exact_dedup_against_bloom(batch, index, bloom,
+                                    "doc_id", "text")
+    assert plain.exceptAll(pre).count() == 0
+    assert pre.exceptAll(plain).count() == 0
+
+
+# ------------------------------------------------------------- upsert
+
+def _pandas_upsert(target: pd.DataFrame, updates: pd.DataFrame,
+                   key: str) -> pd.DataFrame:
+    kept = target[~target[key].isin(updates[key])]
+    return pd.concat([kept, updates], ignore_index=True)
+
+
+def test_upsert_randomized_differential(spark):
+    from dask_expr_spark.functions.maintenance import upsert
+
+    rng = random.Random(65)
+    for trial in range(3):
+        n = rng.randint(50, 400)
+        tgt = pd.DataFrame({
+            "k": range(n),
+            "v": [rng.random() for _ in range(n)],
+            "s": [rng.choice("xyz") for _ in range(n)]})
+        upd_keys = rng.sample(range(2 * n), rng.randint(1, n))
+        upd = pd.DataFrame({
+            "k": upd_keys,
+            "v": [round(rng.random(), 6) for _ in upd_keys],
+            "s": [rng.choice("pq") for _ in upd_keys]})
+        got = (upsert(spark.createDataFrame(tgt),
+                      spark.createDataFrame(upd), ["k"])
+               .toPandas().sort_values("k").reset_index(drop=True))
+        exp = (_pandas_upsert(tgt, upd, "k")
+               .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "v", "s"]], exp[["k", "v", "s"]],
+            check_dtype=False)
+
+
+def test_upsert_order_col_picks_latest(spark):
+    from dask_expr_spark.functions.maintenance import upsert
+
+    tgt = spark.createDataFrame([(1, "old"), (2, "old")], "k int, v string")
+    upd = spark.createDataFrame(
+        [(1, "v1", 1), (1, "v2", 2), (3, "v1", 1)],
+        "k int, v string, ver int")
+    got = {r["k"]: r["v"]
+           for r in upsert(tgt, upd, ["k"], order_col="ver").collect()}
+    assert got == {1: "v2", 2: "old", 3: "v1"}
+
+
+def test_upsert_partitioned_untouched_files_identical(spark, tmp_path):
+    from dask_expr_spark.functions.maintenance import upsert_partitioned
+
+    rows = [(i, f"p{i % 4}", float(i)) for i in range(400)]
+    sdf = spark.createDataFrame(rows, "k bigint, part string, v double")
+    path = str(tmp_path / "t")
+    sdf.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    def snap(only_untouched=True):
+        out = {}
+        for root, _d, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    if only_untouched and "part=p1" in p:
+                        continue
+                    out[p] = os.path.getsize(p)
+        return out
+
+    before = {p: s for p, s in snap(False).items() if "part=p1" not in p}
+    upd = spark.createDataFrame(
+        [(5, "p1", 99.0), (10001, "p1", 1.0)],
+        "k bigint, part string, v double")
+    touched = upsert_partitioned(spark, path, upd, ["k"], "part")
+    assert touched == ["p1"]
+    after = {p: s for p, s in snap(False).items() if "part=p1" not in p}
+    assert before == after  # untouched partitions byte-stable
+    back = spark.read.parquet(path)
+    assert back.count() == 401
+    assert back.where((F.col("k") == 5)).collect()[0]["v"] == 99.0
+
+
+def test_upsert_partitioned_rejects_partition_moves(spark, tmp_path):
+    from dask_expr_spark.functions.maintenance import upsert_partitioned
+
+    sdf = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, part string, v double")
+    path = str(tmp_path / "t")
+    sdf.write.mode("overwrite").partitionBy("part").parquet(path)
+    mover = spark.createDataFrame([(2, "a", 9.0)],
+                                  "k bigint, part string, v double")
+    with pytest.raises(ValueError, match="partition-moving"):
+        upsert_partitioned(spark, path, mover, ["k"], "part")
+
+
+def test_upsert_partitioned_empty_updates_noop(spark, tmp_path):
+    from dask_expr_spark.functions.maintenance import upsert_partitioned
+
+    sdf = spark.createDataFrame([(1, "a", 1.0)],
+                                "k bigint, part string, v double")
+    path = str(tmp_path / "t")
+    sdf.write.mode("overwrite").partitionBy("part").parquet(path)
+    empty = spark.createDataFrame([], "k bigint, part string, v double")
+    assert upsert_partitioned(spark, path, empty, ["k"], "part") == []
+    assert spark.read.parquet(path).count() == 1
