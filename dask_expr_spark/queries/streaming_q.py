@@ -618,3 +618,83 @@ GROUP BY d.source ORDER BY d.source
 """
 
 QUERIES["stream_exact_dedup"] = (stream_exact_dedup, STREAM_XD_SQL)
+
+
+def stream_drift_psi(spark, sf_dir):
+    """streaming drift MONITOR: the end-to-end composition of
+    hist_rollup_sink + psi_drift — a reference histogram rollup is
+    built in batch over the first half-month of events, the second
+    half streams through the sink as micro-batch fragments, and the
+    PSI drift score per event_type is answered from the two SKETCH
+    tables alone (psi_drift works directly on the un-compacted
+    fragments; the raw events are never re-read for the score).  Batch
+    boundaries don't matter because bin counts merge by addition, so
+    the score is deterministic and the binning + PSI algebra reproduce
+    hash-exactly in SQL after round(6)."""
+    from ..functions.sketches import hist_rollup, psi_drift
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    BINS, LO, HI = 64, 0.0, 500.0
+    SPLIT = "2024-01-16"
+    src = tempfile.mkdtemp(prefix="stream_psi_src_")
+    roll_path = tempfile.mkdtemp(prefix="stream_psi_roll_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="stream_psi_ckpt_")
+    try:
+        ev = read_parquet(spark,
+                          os.path.join(sf_dir, "events.parquet")).to_spark()
+        ref = hist_rollup(ev.where(F.col("ts") < SPLIT), ["event_type"],
+                          "value", bins=BINS, lo=LO, hi=HI)
+        (ev.where(F.col("ts") >= SPLIT)
+         .repartition(4).write.mode("overwrite").parquet(src))
+        stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+        q_ = S.hist_rollup_sink(stream, ["event_type"], "value",
+                                roll_path, bins=BINS, lo=LO, hi=HI,
+                                checkpoint_dir=ckpt)
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        live = spark.read.parquet(roll_path)
+        out = (psi_drift(ref, live, ["event_type"])
+               .select("event_type", F.round("psi", 6).alias("psi"),
+                       "n_a", "n_b")
+               .orderBy("event_type"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(roll_path), ignore_errors=True)
+    return out
+
+
+STREAM_PSI_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS side,
+         least(63, greatest(0,
+           CAST(floor(value / (500.0 / 64)) AS INT))) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+c AS (
+  SELECT event_type, bin,
+         count(*) FILTER (WHERE side = 'a') AS ca,
+         count(*) FILTER (WHERE side = 'b') AS cb
+  FROM p GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb,
+         ca, cb
+  FROM c
+)
+SELECT event_type,
+       round(sum((greatest(ca / na, 1e-6) - greatest(cb / nb, 1e-6))
+                 * ln(greatest(ca / na, 1e-6) / greatest(cb / nb, 1e-6))),
+             6) AS psi,
+       CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_drift_psi"] = (stream_drift_psi, STREAM_PSI_SQL)

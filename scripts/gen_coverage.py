@@ -415,8 +415,9 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/sketches.py (hist_rollup, "
                  "quantile_estimate)",
              q=["hist_rollup_price_quantiles", "stream_hist_rollup",
-                "drift_price_psi"],
-             t="merged-slice quantile bound test_sketches"),
+                "drift_price_psi", "stream_drift_psi"],
+             t="merged-slice quantile bound test_sketches; "
+               "batch-boundary invariance test_streaming"),
         dict(op="data quality: one-pass table profile (nulls/distinct/"
                 "moments/quantiles for ALL columns in one aggregation) + "
                 "declarative constraint report (completeness, row "

@@ -536,3 +536,65 @@ def test_exact_dedup_sink_cross_batch_and_replay(spark, tmp_path):
     assert comp.groupBy("text_hash").count().where("count > 1").count() == 0
     keeps = sorted(r["keep_id"] for r in comp.collect())
     assert keeps == [1, 2, 5, 7]
+
+
+def test_psi_drift_batch_boundary_invariance(spark, tmp_path):
+    """the streaming drift monitor's determinism claim: PSI between a
+    reference rollup and the sink table must be IDENTICAL whether the
+    live side arrived as one batch or many, and before or after
+    compaction — bin counts merge by addition, so batch boundaries
+    cannot leak into the score."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import hist_rollup, psi_drift
+    from dask_expr_spark.streaming import ops as S
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(3):
+        pdf = pd.DataFrame({
+            "event_id": range(i * 150, i * 150 + 150),
+            "ts": [base + pd.Timedelta(hours=i)] * 150,
+            "user_id": list(range(150)),
+            "event_type": ["click" if j % 2 else "view"
+                           for j in range(150)],
+            "value": [float((i * 37 + j * 7) % 400) for j in range(150)],
+            "props": ["{}"] * 150,
+        })
+        rows.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(src)
+    live_all = spark.createDataFrame(pd.concat(rows, ignore_index=True))
+    ref = hist_rollup(
+        live_all.withColumn("value", 400.0 - F.col("value")),
+        ["event_type"], "value", bins=32, lo=0.0, hi=400.0)
+
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = S.hist_rollup_sink(stream, ["event_type"], "value", roll,
+                           bins=32, lo=0.0, hi=400.0,
+                           checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    frags = spark.read.parquet(roll)
+    assert frags.select("__epoch").distinct().count() >= 3
+
+    def score(live):
+        return {r["event_type"]: r["psi"]
+                for r in psi_drift(ref, live, ["event_type"]).collect()}
+
+    multi = score(frags.select("event_type", "hist", "lo", "hi", "bins"))
+    single = score(hist_rollup(live_all, ["event_type"], "value",
+                               bins=32, lo=0.0, hi=400.0))
+    assert set(multi) == {"click", "view"}
+    for k in multi:
+        assert abs(multi[k] - single[k]) < 1e-12
+    S.compact_hist_rollup(spark, roll, ["event_type"])
+    compacted = score(spark.read.parquet(roll))
+    for k in multi:
+        assert abs(multi[k] - compacted[k]) < 1e-12
