@@ -237,6 +237,8 @@ X100_ENTRIES = {
     "dedup_exact_docs", "text_stats_by_lang", "text_token_frequencies",
     "sample_weighted_orders", "drift_price_psi",
     "dedup_exact_incremental", "sample_n_per_group_orders",
+    "cms_custkey_counts", "kmv_distinct_slices",
+    "dedup_bloom_incremental", "upsert_orders_scd1",
 }
 X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
@@ -340,6 +342,11 @@ OPTIONAL = [
     "dedup_exact_incremental",
     "sample_n_per_group_orders",
     "drift_price_psi",
+    # round 6b sketch/maintenance family (no prior comparable)
+    "cms_custkey_counts",
+    "kmv_distinct_slices",
+    "dedup_bloom_incremental",
+    "upsert_orders_scd1",
 ]
 
 

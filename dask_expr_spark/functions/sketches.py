@@ -558,17 +558,25 @@ def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
         (pos / 32).cast("int").alias("__w"),
         F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
         .alias("__m"))
-    words = (bits.groupBy("shard", "__w")
-             .agg(F.bit_or("__m").alias("__v"))
-             .groupBy("shard")
-             .agg(F.map_from_entries(F.array_sort(F.collect_list(
-                 F.struct(F.col("__w").alias("k"),
-                          F.col("__v").alias("v"))))).alias("__map")))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(nwords - 1)),
-        lambda i: F.coalesce(F.try_element_at(F.col("__map"), i.cast("int")),
-                             F.lit(0).cast("long")))
-    return (words.select("shard", dense.alias("words"))
+    cells = (bits.groupBy("shard", "__w")
+             .agg(F.bit_or("__m").alias("__v")))
+
+    # dense word-array assembly happens in ONE Arrow-batched numpy
+    # scatter per shard: a pure-expression alternative (transform over
+    # 0..nwords with a map lookup) is O(nwords^2) because Spark's map
+    # element_at is a linear scan — measured at x10 corpus scale as a
+    # 2.8 s -> 177 s blowup before this fix (SCALE.md)
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        arr = np.zeros(nwords, dtype=np.int64)
+        arr[pdf["__w"].to_numpy()] = pdf["__v"].to_numpy()
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                             "words": [arr.tolist()]})
+
+    words = cells.groupBy("shard").applyInPandas(
+        _pack, schema="shard long, words array<long>")
+    return (words
             .withColumn("m_bits", F.lit(m_shard))
             .withColumn("k", F.lit(k))
             .withColumn("shards", F.lit(num_shards)))

@@ -571,3 +571,101 @@ def compact_exact_index(spark: SparkSession, index_path: str) -> None:
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(index_path)
     shutil.move(tmp, index_path)
+
+
+def cms_rollup_sink(stream: DataFrame, keys: list, col: str,
+                    rollup_path: str, width: int = 2048, depth: int = 4,
+                    seed: str = "cm",
+                    checkpoint_dir: str | None = None) -> Any:
+    """foreachBatch sink maintaining a PERSISTENT mergeable count-min
+    rollup (functions/sketches.py cms_rollup — same schema, so batch
+    and streaming fragments compose): each micro-batch's sketch
+    appends as an epoch-tagged fragment; cell counts merge by addition
+    (cms_merge / cms_estimate already re-aggregate cells), so append
+    IS merge — the same LSM contract as hll_rollup_sink, with
+    compact_cms_rollup folding fragments back to one row per key and
+    deduping replayed epochs.  Zero streaming aggregation state; the
+    frequency table of a 100 TB event stream lives as ≤ depth·width
+    cells per key grain."""
+    import tempfile
+
+    from ..functions.sketches import cms_rollup
+
+    def _sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (cms_rollup(batch_df, keys, col, width=width, depth=depth,
+                    seed=seed)
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(rollup_path))
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cms_sink_ckpt_")
+    return (stream.writeStream.foreachBatch(_sketch_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start())
+
+
+def compact_cms_rollup(spark: SparkSession, rollup_path: str,
+                       keys: list) -> None:
+    """fold a fragment-per-batch count-min rollup to one row per key:
+    dedup replayed epochs, then add cells element-wise (the
+    cms_merge algebra) — same swap mechanics as compact_hll_rollup."""
+    import shutil
+
+    from ..functions.sketches import cms_merge
+
+    roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
+    if "__epoch" in roll.columns:
+        roll = (roll.groupBy(*keys, "width", "depth", "__epoch")
+                .agg(F.first("cms").alias("cms"), F.first("n").alias("n")))
+    merged = cms_merge(roll, list(keys)) \
+        .select(*keys, "cms", "n", "width", "depth")
+    tmp = rollup_path.rstrip("/") + "__compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(rollup_path)
+    shutil.move(tmp, rollup_path)
+
+
+def kmv_rollup_sink(stream: DataFrame, keys: list, col: str,
+                    rollup_path: str, k: int = 128, seed: str = "kmv",
+                    checkpoint_dir: str | None = None) -> Any:
+    """foreachBatch sink maintaining a PERSISTENT mergeable KMV
+    distinct sketch (functions/sketches.py kmv_rollup — same schema):
+    fragments append per micro-batch, arrays union-merge to the k
+    smallest (kmv_merge), and because KMV supports INTERSECTION the
+    compacted table can answer "users in BOTH day X and day Y" — the
+    question the HLL sink can't.  Same LSM/epoch-dedup contract."""
+    import tempfile
+
+    from ..functions.sketches import kmv_rollup
+
+    def _sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (kmv_rollup(batch_df, keys, col, k=k, seed=seed)
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(rollup_path))
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="kmv_sink_ckpt_")
+    return (stream.writeStream.foreachBatch(_sketch_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start())
+
+
+def compact_kmv_rollup(spark: SparkSession, rollup_path: str,
+                       keys: list) -> None:
+    """fold a fragment-per-batch KMV rollup to one row per key: dedup
+    replayed epochs, then union-merge arrays to the k smallest."""
+    import shutil
+
+    from ..functions.sketches import kmv_merge
+
+    roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
+    if "__epoch" in roll.columns:
+        roll = (roll.groupBy(*keys, "k", "__epoch")
+                .agg(F.first("kmv").alias("kmv")))
+    merged = kmv_merge(roll, list(keys)).select(*keys, "kmv", "k")
+    tmp = rollup_path.rstrip("/") + "__compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(rollup_path)
+    shutil.move(tmp, rollup_path)

@@ -435,20 +435,24 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="mergeable count-min frequency rollup (point lookups "
                 "from the sketch alone; never under-counts; probe is a "
                 "map-only broadcast join for arbitrarily large item "
-                "batches)",
+                "batches) + streaming sink (cms_rollup_sink, LSM "
+                "fragments, epoch-dedup compaction)",
              loc="dask_expr_spark/functions/sketches.py (cms_rollup, "
-                 "cms_merge, cms_estimate)",
+                 "cms_merge, cms_estimate) + streaming/ops.py",
              q=["cms_custkey_counts"],
              t="randomized never-undercount + merge-exactness "
-               "test_round6b_ops"),
+               "test_round6b_ops; sink≡batch cell-identity "
+               "test_streaming"),
         dict(op="KMV distinct sketch with set INTERSECTION estimates "
                 "(the capability HLL union sketches lack); bounded "
-                "build via per-partition k-smallest prune",
+                "build via per-partition k-smallest prune; streaming "
+                "sink (kmv_rollup_sink)",
              loc="dask_expr_spark/functions/sketches.py (kmv_rollup, "
-                 "kmv_estimate, kmv_intersect)",
+                 "kmv_estimate, kmv_intersect) + streaming/ops.py",
              q=["kmv_distinct_slices", "kmv_intersect_slices"],
              t="randomized accuracy + merge-associativity "
-               "test_round6b_ops"),
+               "test_round6b_ops; sink≡batch array-identity "
+               "test_streaming"),
         dict(op="sharded Bloom membership index (no false negatives, "
                 "OR-mergeable, map-only probe) + answer-preserving "
                 "prefilter for exact incremental dedup",

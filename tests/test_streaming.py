@@ -598,3 +598,106 @@ def test_psi_drift_batch_boundary_invariance(spark, tmp_path):
     compacted = score(spark.read.parquet(roll))
     for k in multi:
         assert abs(multi[k] - compacted[k]) < 1e-12
+
+
+def _stage_event_files(spark, src, n_files=3, rows_per=200, seed=0):
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    frames = []
+    for i in range(n_files):
+        pdf = pd.DataFrame({
+            "event_id": range(i * rows_per, (i + 1) * rows_per),
+            "ts": [base + pd.Timedelta(hours=i)] * rows_per,
+            "user_id": [(seed + i * 31 + j * 7) % 97 for j in range(rows_per)],
+            "event_type": ["click" if j % 3 else "view"
+                           for j in range(rows_per)],
+            "value": [float(j % 251) for j in range(rows_per)],
+            "props": ["{}"] * rows_per,
+        })
+        frames.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(src)
+    import pandas as pd2  # noqa: F401
+    return frames
+
+
+def test_cms_rollup_sink_multibatch_exact_merge(spark, tmp_path):
+    """cms_rollup_sink: fragments per micro-batch; because count-min
+    cells merge by ADDITION and buckets are md5-deterministic, the
+    compacted streaming sketch must be CELL-IDENTICAL to a one-shot
+    batch build over the same rows — and replayed epochs dedup."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import cms_rollup
+    from dask_expr_spark.streaming import ops as S
+
+    src, roll, ckpt = (str(tmp_path / d) for d in ("src", "roll", "ckpt"))
+    frames = _stage_event_files(spark, src)
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = S.cms_rollup_sink(stream, ["event_type"], "user_id", roll,
+                          width=64, depth=3, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    frags = spark.read.parquet(roll)
+    assert frags.select("__epoch").distinct().count() == 3
+    # replayed epoch appended again → compaction dedups it
+    frags.where(F.col("__epoch") == 1).write.mode("append").parquet(roll)
+    S.compact_cms_rollup(spark, roll, ["event_type"])
+    compacted = spark.read.parquet(roll)
+    assert compacted.count() == 2  # click, view
+
+    all_rows = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    direct = cms_rollup(all_rows, ["event_type"], "user_id",
+                        width=64, depth=3)
+    got = {r["event_type"]: (dict(r["cms"]), r["n"])
+           for r in compacted.collect()}
+    want = {r["event_type"]: (dict(r["cms"]), r["n"])
+            for r in direct.collect()}
+    assert got == want
+
+
+def test_kmv_rollup_sink_multibatch_exact_merge(spark, tmp_path):
+    """kmv_rollup_sink: the compacted streaming sketch must equal the
+    one-shot batch build array-for-array (k smallest md5 hashes are
+    order-independent), and the compacted table must still support
+    kmv_intersect across key groups."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import kmv_intersect, kmv_rollup
+    from dask_expr_spark.streaming import ops as S
+
+    src, roll, ckpt = (str(tmp_path / d) for d in ("src", "roll", "ckpt"))
+    frames = _stage_event_files(spark, src, seed=5)
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = S.kmv_rollup_sink(stream, ["event_type"], "user_id", roll,
+                          k=32, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    frags = spark.read.parquet(roll)
+    frags.where(F.col("__epoch") == 0).write.mode("append").parquet(roll)
+    S.compact_kmv_rollup(spark, roll, ["event_type"])
+    compacted = spark.read.parquet(roll)
+    assert compacted.count() == 2
+
+    all_rows = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    direct = kmv_rollup(all_rows, ["event_type"], "user_id", k=32)
+    got = {r["event_type"]: sorted(r["kmv"]) for r in compacted.collect()}
+    want = {r["event_type"]: sorted(r["kmv"]) for r in direct.collect()}
+    assert got == want
+
+    # intersection straight off the compacted streaming table
+    inter = kmv_intersect(
+        compacted.where(F.col("event_type") == "click"),
+        compacted.where(F.col("event_type") == "view")).collect()[0]
+    exact = (all_rows.where(F.col("event_type") == "click")
+             .select("user_id").intersect(
+                 all_rows.where(F.col("event_type") == "view")
+                 .select("user_id")).count())
+    assert abs(inter["inter_est"] - exact) <= max(0.5 * exact, 10)
