@@ -226,6 +226,7 @@ X10_ENTRIES = {
     "hist_rollup_price_quantiles",
     "scale_probe_expanding_median",
     "ann_lsh_auto_pipeline",
+    "ann_mmr_rerank",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -347,6 +348,7 @@ OPTIONAL = [
     "kmv_distinct_slices",
     "dedup_bloom_incremental",
     "upsert_orders_scd1",
+    "ann_mmr_rerank",
 ]
 
 

@@ -881,3 +881,65 @@ def pca_whiten(vectors: DataFrame, dim: int, id_col: str = "vec_id",
 
     return src.select(F.col("id").alias(id_col),
                       _project(F.col("__v")).alias(vec_col))
+
+
+def mmr_rerank(candidates: DataFrame, query_col: str, id_col: str,
+               rel_col: str, vec_col: str, k: int = 10,
+               lam: float = 0.7) -> DataFrame:
+    """Maximal Marginal Relevance re-rank of retrieval candidates
+    (Carbonell & Goldstein, SIGIR'98): per query, greedily select k
+    items maximizing ``lam·relevance − (1−lam)·max_cos_to_selected`` —
+    the standard diversity pass between ANN retrieval and a RAG
+    context window.  No reference analogue (dask-expr has no retrieval
+    surface).
+
+    Scale shape: ONE shuffle on query_col, then each query's greedy
+    loop runs as an Arrow-batched numpy kernel over its own candidate
+    set (applyInPandas) — per-group cost is O(c²·d) with c = the
+    candidate count the retriever already bounded (e.g. top-50), so a
+    billion queries distribute embarrassingly.  Determinism: vectors
+    L2-normalize in float64, candidates sort by id, ties pick the
+    smallest id — the greedy path reproduces in SQL as k unrolled
+    argmax CTEs (oracle: ann_mmr_rerank).  Step 1's penalty is 0, so
+    the first pick is the pure-relevance argmax.
+
+    Returns (query_col, id_col, rank 1..k, mmr score).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q_field = candidates.schema[query_col]
+    i_field = candidates.schema[id_col]
+    schema = T.StructType([
+        q_field, i_field,
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("mmr", T.DoubleType()),
+    ])
+    oml = 1.0 - lam
+    kk = int(k)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.asarray([np.asarray(v, dtype="float64")
+                        for v in pdf[vec_col]])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rel = pdf[rel_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        maxsim = np.zeros(n)
+        chosen = np.zeros(n, dtype=bool)
+        out_i, out_r, out_m = [], [], []
+        for r in range(min(kk, n)):
+            score = lam * rel - oml * maxsim
+            score[chosen] = -np.inf
+            i = int(np.argmax(score))  # first max = smallest id (sorted)
+            out_i.append(pdf[id_col].iloc[i])
+            out_r.append(r + 1)
+            out_m.append(float(score[i]))
+            chosen[i] = True
+            maxsim = np.maximum(maxsim, V @ V[i])
+        return pd.DataFrame({
+            query_col: [pdf[query_col].iloc[0]] * len(out_i),
+            id_col: out_i, "rank": out_r, "mmr": out_m})
+
+    return (candidates.groupBy(query_col)
+            .applyInPandas(_mmr, schema=schema))

@@ -385,3 +385,84 @@ def upsert_partitioned_roundtrip(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- MMR diversified re-rank (functions/similarity.py mmr_rerank): the
+#    greedy path is deterministic (float64 + smallest-id ties), so the
+#    oracle UNROLLS the k=5 selection steps as argmax CTEs and the
+#    whole rerank is hash-exact — the same discipline as the exact ANN
+#    oracles ---------------------------------------------------------
+_MMR_LAM = 0.7
+_MMR_OML = repr(1.0 - 0.7)  # the exact double Spark computes for 1-lam
+_MMR_K = 5
+
+
+def _mmr_sql() -> str:
+    head = f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+corp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS rel,
+         c.v
+  FROM qv q, corp c WHERE c.id <> q.query_id
+),
+cand AS (
+  SELECT query_id, id, rel,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, id) AS rn
+        FROM scored) WHERE rn <= 20
+),
+m0 AS (SELECT query_id, id, rel, nv, 0.0 AS maxsim FROM cand)"""
+    parts, unions = [head], []
+    prev = "m0"
+    for r in range(1, _MMR_K + 1):
+        parts.append(f"""sel{r} AS (
+  SELECT query_id, id, nv AS sv,
+         {_MMR_LAM} * rel - {_MMR_OML} * maxsim AS mmr
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY ({_MMR_LAM} * rel - {_MMR_OML} * maxsim) DESC, id) AS rn
+        FROM {prev}) WHERE rn = 1)""")
+        unions.append(f"SELECT query_id, id AS neighbor_id, "
+                      f"{r} AS rank, mmr FROM sel{r}")
+        if r < _MMR_K:
+            parts.append(f"""m{r} AS (
+  SELECT m.query_id, m.id, m.rel, m.nv,
+         greatest(m.maxsim, list_dot_product(m.nv, s.sv)) AS maxsim
+  FROM {prev} m JOIN sel{r} s
+    ON m.query_id = s.query_id AND m.id <> s.id)""")
+            prev = f"m{r}"
+    return (",\n".join(parts)
+            + "\nSELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,"
+              " round(mmr, 6) AS mmr FROM (\n"
+            + "\nUNION ALL\n".join(unions)
+            + "\n) ORDER BY query_id, rank")
+
+
+@q("ann_mmr_rerank", _mmr_sql())
+def ann_mmr_rerank(spark, sf_dir):
+    """retrieve top-20 exact cosine candidates per query (the round-2
+    brute-force baseline), then MMR-select 5 at lam=0.7 — the
+    diversity pass a RAG pipeline runs between ANN and the context
+    window; selection order and scores hash-exact vs the unrolled
+    greedy in SQL."""
+    from ..functions import similarity as SIM
+
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cand = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=20)
+    cand = cand.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id")
+    res = SIM.mmr_rerank(cand, "query_id", "neighbor_id", "cos",
+                         "embedding", k=_MMR_K, lam=_MMR_LAM)
+    return (res.select("query_id", "neighbor_id",
+                       F.col("rank").cast("long").alias("rank"),
+                       F.round("mmr", 6).alias("mmr"))
+            .orderBy("query_id", "rank"))

@@ -462,6 +462,14 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["dedup_bloom_incremental"],
              t="randomized no-false-negative + merge==union-build + "
                "fp-rate tests test_round6b_ops"),
+        dict(op="MMR diversified re-rank (Carbonell-Goldstein maximal "
+                "marginal relevance between ANN retrieval and a RAG "
+                "context window; one shuffle + per-query Arrow-batched "
+                "greedy kernel)",
+             loc="dask_expr_spark/functions/similarity.py (mmr_rerank)",
+             q=["ann_mmr_rerank"],
+             t="randomized differential vs pure-python MMR + "
+               "tie-break/diversity-flip tests test_round6b_ops"),
         dict(op="incremental maintenance: SCD-1 upsert (order_col "
                 "version resolution) + partition-pruned parquet "
                 "upsert-in-place (dynamic partition overwrite, "

@@ -303,3 +303,78 @@ def test_upsert_partitioned_empty_updates_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "k bigint, part string, v double")
     assert upsert_partitioned(spark, path, empty, ["k"], "part") == []
     assert spark.read.parquet(path).count() == 1
+
+
+# ---------------------------------------------------------------- MMR
+
+def _mmr_reference(cand, k, lam):
+    """slow pure-python MMR: cand = list of (id, rel, vec)."""
+    import numpy as np
+
+    cand = sorted(cand, key=lambda t: t[0])
+    V = np.asarray([c[2] for c in cand], dtype="float64")
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    chosen, out = set(), []
+    maxsim = [0.0] * len(cand)
+    for r in range(min(k, len(cand))):
+        best, best_s = None, None
+        for i, (cid, rel, _v) in enumerate(cand):
+            if i in chosen:
+                continue
+            s = lam * rel - (1.0 - lam) * maxsim[i]
+            if best is None or s > best_s:  # strict > keeps smallest id
+                best, best_s = i, s
+        out.append((cand[best][0], r + 1, best_s))
+        chosen.add(best)
+        sims = V @ V[best]
+        for i in range(len(cand)):
+            maxsim[i] = max(maxsim[i], float(sims[i]))
+    return out
+
+
+def test_mmr_rerank_randomized_differential(spark):
+    import numpy as np
+
+    from dask_expr_spark.functions.similarity import mmr_rerank
+
+    rng = random.Random(66)
+    rows, want = [], {}
+    for qid in range(6):
+        n = rng.randint(3, 25)
+        cand = []
+        for i in range(n):
+            vec = [rng.gauss(0, 1) for _ in range(8)]
+            rel = rng.uniform(0, 1)
+            cand.append((i, rel, vec))
+        if qid == 0 and n >= 6:
+            # adversarial ties: two identical vectors with identical
+            # relevance — selection must break to the smaller id
+            cand[3] = (3, 0.9, list(cand[2][2]))
+            cand[2] = (2, 0.9, cand[2][2])
+        for cid, rel, vec in cand:
+            rows.append((qid, cid, rel, vec))
+        want[qid] = _mmr_reference(cand, k=5, lam=0.7)
+    sdf = spark.createDataFrame(
+        rows, "qid int, cid int, rel double, vec array<double>")
+    got = mmr_rerank(sdf, "qid", "cid", "rel", "vec", k=5, lam=0.7)
+    for r in got.collect():
+        wid, wrank, wscore = [
+            (c, rk, s) for c, rk, s in want[r["qid"]]
+            if rk == r["rank"]][0]
+        assert r["cid"] == wid, (r["qid"], r["rank"], r["cid"], wid)
+        assert abs(r["mmr"] - wscore) < 1e-9
+
+
+def test_mmr_first_pick_is_pure_relevance_argmax(spark):
+    from dask_expr_spark.functions.similarity import mmr_rerank
+
+    rows = [(1, 10, 0.3, [1.0, 0.0]), (1, 11, 0.8, [0.0, 1.0]),
+            (1, 12, 0.8, [0.5, 0.5])]
+    sdf = spark.createDataFrame(
+        rows, "qid int, cid int, rel double, vec array<double>")
+    got = mmr_rerank(sdf, "qid", "cid", "rel", "vec", k=2, lam=0.3) \
+        .orderBy("rank").collect()
+    assert got[0]["cid"] == 11  # rel tie 11 vs 12 → smaller id
+    # second pick at lam=0.3: 12 scores 0.3·0.8 − 0.7·cos(11,12)≈−0.25,
+    # 10 scores 0.3·0.3 − 0.7·0 = 0.09 → diversity flips to 10
+    assert got[1]["cid"] == 10
