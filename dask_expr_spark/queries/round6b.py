@@ -250,8 +250,12 @@ def dedup_bloom_incremental(spark, sf_dir):
     from ..functions.sketches import bloom_index
 
     docs = tbl(spark, sf_dir, "documents").to_spark()
+    # persist the index: in the incremental pattern it IS a stored
+    # table (exact_hash_index docstring) — unpersisted, the plan
+    # recomputes it for the bloom sizing count, the bitmap build, AND
+    # the join (measured 3x at the x1000 probe: 185 s -> 83 s)
     index = DD.exact_hash_index(
-        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
+        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text").persist()
     bloom = bloom_index(index, "text_hash", fpp=0.01)
     return (DD.exact_dedup_against_bloom(
         docs.where(F.col("doc_id") % 10 == 0), index, bloom,

@@ -378,3 +378,38 @@ def test_mmr_first_pick_is_pure_relevance_argmax(spark):
     # second pick at lam=0.3: 12 scores 0.3·0.8 − 0.7·cos(11,12)≈−0.25,
     # 10 scores 0.3·0.3 − 0.7·0 = 0.09 → diversity flips to 10
     assert got[1]["cid"] == 10
+
+
+# ------------------------------------------------- fast_hash sampling
+
+def test_sample_fast_hash_partition_invariant(spark):
+    """fast_hash=True keeps everything in the sampling contract except
+    engine portability: exact n, partitioning/row-order invariance,
+    and a different (but deterministic) draw from the md5 path."""
+    from dask_expr_spark.functions.sampling import (
+        sample_n, sample_n_per_group, sample_n_weighted)
+
+    rows = [(i, f"g{i % 4}", float(1 + i % 7)) for i in range(2000)]
+    a = spark.createDataFrame(rows, "id bigint, g string, w double")
+    b = a.repartition(17)
+
+    for fn in (lambda d: sample_n(d, 50, "id", fast_hash=True),
+               lambda d: sample_n_weighted(d, 50, "id", "w",
+                                           fast_hash=True)):
+        ga = sorted(r["id"] for r in fn(a).collect())
+        gb = sorted(r["id"] for r in fn(b).collect())
+        assert len(ga) == 50 and ga == gb
+
+    pg_a = sample_n_per_group(a, "g", "id", 10, fast_hash=True)
+    pg_b = sample_n_per_group(b.repartition(3), "g", "id", 10,
+                              salts=8, fast_hash=True)
+    sa = sorted((r["g"], r["id"]) for r in pg_a.collect())
+    sb = sorted((r["g"], r["id"]) for r in pg_b.collect())
+    assert sa == sb  # salt- and partitioning-invariant
+    from collections import Counter
+    assert set(Counter(g for g, _ in sa).values()) == {10}
+
+    slow = sorted(r["id"] for r in sample_n(a, 50, "id").collect())
+    fast = sorted(r["id"] for r in sample_n(a, 50, "id",
+                                            fast_hash=True).collect())
+    assert slow != fast  # genuinely different hash streams
