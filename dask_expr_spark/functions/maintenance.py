@@ -100,3 +100,33 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
         else:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     return parts
+
+
+def table_diff(before: DataFrame, after: DataFrame, keys: list[str],
+               compare_cols: list[str] | None = None) -> DataFrame:
+    """Snapshot diff — the validation companion to upsert: one row
+    (n_added, n_removed, n_changed, n_unchanged) from a single
+    full-outer join on `keys`.  `compare_cols` defaults to every
+    shared non-key column; rows compare null-safely (eqNullSafe), so
+    NULL→value and value→NULL both count as changed.  At scale this is
+    the one-pass audit you run after an incremental merge ("the batch
+    claimed 10k updates — did exactly 10k rows change?")."""
+    if compare_cols is None:
+        compare_cols = [c for c in after.columns
+                        if c in set(before.columns) and c not in keys]
+    a = before.select(*keys, *compare_cols, F.lit(1).alias("__in_a"))
+    b = (after.select(*keys, *[F.col(c).alias(f"__b_{c}")
+                               for c in compare_cols])
+         .withColumn("__in_b", F.lit(1)))
+    j = a.join(b, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    status = (F.when(F.col("__in_a").isNull(), F.lit("added"))
+              .when(F.col("__in_b").isNull(), F.lit("removed"))
+              .when(same, F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (j.select(status.alias("__s"))
+            .groupBy()
+            .agg(*[F.count_if(F.col("__s") == s).alias(f"n_{s}")
+                   for s in ("added", "removed", "changed", "unchanged")]))

@@ -635,3 +635,35 @@ def bloom_probe(df: DataFrame, index: DataFrame, key_col: str,
         result_col,
         F.when(F.col("words").isNull(), F.lit(False)).otherwise(hit))
         .drop("__shard", "words"))
+
+
+def cms_inner_product(roll_a: DataFrame, roll_b: DataFrame,
+                      group_keys: list[str] | None = None) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min rollups over
+    the join columns (Cormode & Muthukrishnan's inner-product
+    estimate): |A ⋈ B| = Σ_v f_A(v)·f_B(v) ≈ min_d Σ_b a_d[b]·b_d[b].
+    Never under-estimates; over-estimate ≤ (e/width)·|A|·|B| w.h.p. —
+    the sketch-only answer to "how big would this join be" that a
+    100 TB planner wants BEFORE committing to the shuffle.  Same
+    (width, depth, seed) required on both sides.  Returns
+    (group_keys…, join_est, n_a, n_b)."""
+    gk = list(group_keys or [])
+
+    def cells(roll, tag):
+        m = cms_merge(roll, gk)
+        return (m.select(*gk, "width", "depth", "n",
+                         F.explode("cms").alias("__k", f"__v{tag}"))
+                .withColumnRenamed("n", f"__n{tag}"))
+
+    a = cells(roll_a, "a")
+    b = cells(roll_b, "b")
+    j = a.join(b, gk + ["width", "depth", "__k"])  # missing cells = 0
+    per_d = (j.groupBy(*gk, (F.col("__k") / F.col("width"))
+                       .cast("int").alias("__d"))
+             .agg(F.sum(F.col("__va") * F.col("__vb")).alias("__dot"),
+                  F.first("__na").alias("__na"),
+                  F.first("__nb").alias("__nb")))
+    return (per_d.groupBy(*gk)
+            .agg(F.min("__dot").alias("join_est"),
+                 F.first("__na").alias("n_a"),
+                 F.first("__nb").alias("n_b")))

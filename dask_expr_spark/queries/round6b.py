@@ -470,3 +470,98 @@ def ann_mmr_rerank(spark, sf_dir):
                        F.col("rank").cast("long").alias("rank"),
                        F.round("mmr", 6).alias("mmr"))
             .orderBy("query_id", "rank"))
+
+
+# -- CMS inner product = equi-join cardinality estimate (sketches.
+#    cms_inner_product): min_d of the per-row dot product of two cell
+#    grids — fully deterministic, reproduced exactly in SQL, and
+#    over_ok checks the never-underestimate guarantee against the real
+#    join count -------------------------------------------------------
+_CMSJ_W, _CMSJ_D = 1024, 4
+
+
+def _cmsj_cells_sql(side_filter: str) -> str:
+    return f"""
+  SELECT t.d,
+         ('0x' || substr(md5('cm:' || CAST(t.d AS VARCHAR) || ':'
+                              || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMSJ_W} AS b,
+         count(*) AS v
+  FROM orders CROSS JOIN range({_CMSJ_D}) t(d)
+  WHERE {side_filter}
+  GROUP BY 1, 2"""
+
+
+CMS_JOIN_SQL = f"""
+WITH ca AS ({_cmsj_cells_sql("o_orderdate < TIMESTAMP '1997-07-01'")}),
+cb AS ({_cmsj_cells_sql("o_orderdate >= TIMESTAMP '1997-07-01'")}),
+dots AS (
+  SELECT ca.d, sum(ca.v * cb.v) AS dot
+  FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+  GROUP BY 1
+),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS join_est FROM dots),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_n
+  FROM (SELECT o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-07-01') a
+  JOIN (SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01') b
+    USING (o_custkey)
+)
+SELECT est.join_est, ex.exact_n,
+       est.join_est >= ex.exact_n AS over_ok
+FROM est, ex
+"""
+
+
+@q("cms_join_cardinality", CMS_JOIN_SQL)
+def cms_join_cardinality(spark, sf_dir):
+    """estimate |first-half ⋈ second-half on o_custkey| from the two
+    CMS sketches alone — the planner's join-size question answered
+    without running the join; join_est hash-exact, over_ok verifies
+    the never-underestimate guarantee vs the real join count."""
+    from ..functions.sketches import cms_inner_product, cms_rollup
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    a = o.where(F.col("o_orderdate") < "1997-07-01")
+    b = o.where(F.col("o_orderdate") >= "1997-07-01")
+    ra = cms_rollup(a, [], "o_custkey", width=_CMSJ_W, depth=_CMSJ_D)
+    rb = cms_rollup(b, [], "o_custkey", width=_CMSJ_W, depth=_CMSJ_D)
+    est = cms_inner_product(ra, rb).select("join_est") \
+        .withColumn("__one", F.lit(1))
+    exact = (a.select("o_custkey")
+             .join(b.select("o_custkey"), "o_custkey")
+             .agg(F.count(F.lit(1)).alias("exact_n"))
+             .withColumn("__one", F.lit(1)))
+    return (est.join(exact, "__one").drop("__one")
+            .select("join_est", "exact_n",
+                    (F.col("join_est") >= F.col("exact_n"))
+                    .alias("over_ok")))
+
+
+# -- table_diff (maintenance.table_diff): audit the SCD-1 upsert — the
+#    oracle derives the expected counts from first principles (every
+#    %97 key changes price, every +3000000 key is added, nothing is
+#    removed) ---------------------------------------------------------
+DIFF_SQL = """
+WITH u AS (SELECT CAST(count(*) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 97 = 0),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+SELECT u.c AS n_added, CAST(0 AS BIGINT) AS n_removed,
+       u.c AS n_changed, t.n - u.c AS n_unchanged
+FROM u, t
+"""
+
+
+@q("diff_after_upsert", DIFF_SQL)
+def diff_after_upsert(spark, sf_dir):
+    from ..functions.maintenance import table_diff, upsert
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    base = o.where(F.col("o_orderkey") % 97 == 0)
+    upd = (base.unionByName(
+        base.withColumn("o_orderkey", F.col("o_orderkey") + 3000000))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 200.0))
+    after = upsert(o, upd, ["o_orderkey"])
+    return table_diff(o, after, ["o_orderkey"])

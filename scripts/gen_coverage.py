@@ -435,14 +435,15 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="mergeable count-min frequency rollup (point lookups "
                 "from the sketch alone; never under-counts; probe is a "
                 "map-only broadcast join for arbitrarily large item "
-                "batches) + streaming sink (cms_rollup_sink, LSM "
-                "fragments, epoch-dedup compaction)",
+                "batches) + inner-product JOIN-CARDINALITY estimates "
+                "(cms_inner_product) + streaming sink (cms_rollup_sink, "
+                "LSM fragments, epoch-dedup compaction)",
              loc="dask_expr_spark/functions/sketches.py (cms_rollup, "
                  "cms_merge, cms_estimate) + streaming/ops.py",
-             q=["cms_custkey_counts"],
-             t="randomized never-undercount + merge-exactness "
-               "test_round6b_ops; sink≡batch cell-identity "
-               "test_streaming"),
+             q=["cms_custkey_counts", "cms_join_cardinality"],
+             t="randomized never-undercount + merge-exactness + "
+               "inner-product bound test_round6b_ops; sink≡batch "
+               "cell-identity test_streaming"),
         dict(op="KMV distinct sketch with set INTERSECTION estimates "
                 "(the capability HLL union sketches lack); bounded "
                 "build via per-partition k-smallest prune; streaming "
@@ -473,12 +474,15 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="incremental maintenance: SCD-1 upsert (order_col "
                 "version resolution) + partition-pruned parquet "
                 "upsert-in-place (dynamic partition overwrite, "
-                "partition-move guard)",
+                "partition-move guard) + table_diff snapshot audit "
+                "(null-safe added/removed/changed/unchanged)",
              loc="dask_expr_spark/functions/maintenance.py (upsert, "
                  "upsert_partitioned)",
-             q=["upsert_orders_scd1", "upsert_partitioned_roundtrip"],
+             q=["upsert_orders_scd1", "upsert_partitioned_roundtrip",
+                "diff_after_upsert"],
              t="randomized pandas differential + untouched-files-"
-               "byte-stable + move-guard tests test_round6b_ops"),
+               "byte-stable + move-guard + diff null-semantics tests "
+               "test_round6b_ops"),
     ]),
 ]
 

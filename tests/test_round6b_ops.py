@@ -413,3 +413,72 @@ def test_sample_fast_hash_partition_invariant(spark):
     fast = sorted(r["id"] for r in sample_n(a, 50, "id",
                                             fast_hash=True).collect())
     assert slow != fast  # genuinely different hash streams
+
+
+# ------------------------------------- CMS inner product / table_diff
+
+def test_cms_inner_product_never_underestimates(spark):
+    from dask_expr_spark.functions.sketches import cms_inner_product
+
+    rng = random.Random(67)
+    for trial in range(2):
+        rows_a = [(rng.randint(0, 200),) for _ in range(3000)]
+        rows_b = [(rng.randint(100, 400),) for _ in range(2500)]
+        a = spark.createDataFrame(rows_a, "v bigint")
+        b = spark.createDataFrame(rows_b, "v bigint")
+        ra = cms_rollup(a, [], "v", width=256, depth=4)
+        rb = cms_rollup(b, [], "v", width=256, depth=4)
+        got = cms_inner_product(ra, rb).collect()[0]
+        exact = a.join(b, "v").count()
+        assert got["join_est"] >= exact, f"trial {trial}: underestimate"
+        # CM inner-product bound: overshoot ≤ (e/width)·|A|·|B| w.h.p.
+        bound = math.e / 256 * len(rows_a) * len(rows_b)
+        assert got["join_est"] <= exact + 3 * bound
+        assert (got["n_a"], got["n_b"]) == (len(rows_a), len(rows_b))
+
+
+def test_cms_inner_product_disjoint_domains(spark):
+    from dask_expr_spark.functions.sketches import cms_inner_product
+
+    a = spark.range(0, 500).withColumnRenamed("id", "v")
+    b = spark.range(100000, 100500).withColumnRenamed("id", "v")
+    ra = cms_rollup(a, [], "v", width=1024, depth=4)
+    rb = cms_rollup(b, [], "v", width=1024, depth=4)
+    est = cms_inner_product(ra, rb).collect()[0]["join_est"]
+    # exact join is 0; the estimate is only hash-collision noise
+    assert est is not None and est <= math.e / 1024 * 500 * 500 * 3
+
+
+def test_table_diff_randomized(spark):
+    from dask_expr_spark.functions.maintenance import table_diff
+
+    rng = random.Random(68)
+    for trial in range(2):
+        n = rng.randint(100, 500)
+        before = [(i, rng.random(), rng.choice("xy")) for i in range(n)]
+        changed = set(rng.sample(range(n), rng.randint(0, n // 2)))
+        removed = set(rng.sample(sorted(set(range(n)) - changed),
+                                 rng.randint(0, n // 4)))
+        added = rng.randint(0, 50)
+        after = [(i, v + 1.0, s) if i in changed else (i, v, s)
+                 for i, v, s in before if i not in removed]
+        after += [(n + j, 0.5, "z") for j in range(added)]
+        d = table_diff(
+            spark.createDataFrame(before, "k int, v double, s string"),
+            spark.createDataFrame(after, "k int, v double, s string"),
+            ["k"]).collect()[0]
+        assert d["n_added"] == added and d["n_removed"] == len(removed)
+        assert d["n_changed"] == len(changed)
+        assert d["n_unchanged"] == n - len(changed) - len(removed)
+
+
+def test_table_diff_null_semantics(spark):
+    from dask_expr_spark.functions.maintenance import table_diff
+
+    before = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, None)], "k int, v string")
+    after = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "k int, v string")
+    d = table_diff(before, after, ["k"]).collect()[0]
+    # null→value and value→null are changes; null→null is unchanged
+    assert (d["n_changed"], d["n_unchanged"]) == (2, 1)
