@@ -240,6 +240,7 @@ X100_ENTRIES = {
     "dedup_exact_incremental", "sample_n_per_group_orders",
     "cms_custkey_counts", "kmv_distinct_slices",
     "dedup_bloom_incremental", "upsert_orders_scd1",
+    "cms_join_cardinality", "diff_after_upsert",
 }
 X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
@@ -349,6 +350,8 @@ OPTIONAL = [
     "dedup_bloom_incremental",
     "upsert_orders_scd1",
     "ann_mmr_rerank",
+    "cms_join_cardinality",
+    "diff_after_upsert",
 ]
 
 

@@ -250,12 +250,16 @@ def dedup_bloom_incremental(spark, sf_dir):
     from ..functions.sketches import bloom_index
 
     docs = tbl(spark, sf_dir, "documents").to_spark()
-    # persist the index: in the incremental pattern it IS a stored
-    # table (exact_hash_index docstring) — unpersisted, the plan
-    # recomputes it for the bloom sizing count, the bitmap build, AND
-    # the join (measured 3x at the x1000 probe: 185 s -> 83 s)
+    # materialize the index: in the incremental pattern it IS a stored
+    # table (exact_hash_index docstring) — as a lazy plan it would be
+    # re-derived by the bloom sizing count, the bitmap build, AND the
+    # join (measured 3x at the x1000 probe: 185 s -> 83 s).
+    # localCheckpoint rather than persist(): persist registers the
+    # subtree in the session cache manager, which silently substitutes
+    # InMemoryRelation into OTHER queries' identical subtrees
     index = DD.exact_hash_index(
-        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text").persist()
+        docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text") \
+        .localCheckpoint(eager=False)
     bloom = bloom_index(index, "text_hash", fpp=0.01)
     return (DD.exact_dedup_against_bloom(
         docs.where(F.col("doc_id") % 10 == 0), index, bloom,

@@ -220,7 +220,11 @@ _NESTED_LOOP_OK = {"q22_idle_customers", "q11_important_stock",
                    # the 1-row KMV sketch estimate for the inter_ok
                    # flag (the join key is the literal sketch
                    # parameter k, which constant-folds) — same class
-                   "kmv_intersect_slices"}
+                   "kmv_intersect_slices",
+                   # r6b: 1-row exact-join-count attached to the 1-row
+                   # CMS inner-product estimate for over_ok — same
+                   # deliberate scalar-attach class
+                   "cms_join_cardinality"}
 
 
 def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
@@ -436,6 +440,9 @@ def test_exact_dedup_against_single_batch_scan(spark, sf_dir):
 
     from dask_expr_spark.functions import dedup as DD
 
+    # a cached identical subtree from an earlier test would substitute
+    # InMemoryRelation and hide the scans this test counts
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     idx = DD.exact_hash_index(
         docs.where(F.col("doc_id") % 10 != 0), "doc_id", "text")
