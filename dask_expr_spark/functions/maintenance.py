@@ -130,3 +130,36 @@ def table_diff(before: DataFrame, after: DataFrame, keys: list[str],
             .groupBy()
             .agg(*[F.count_if(F.col("__s") == s).alias(f"n_{s}")
                    for s in ("added", "removed", "changed", "unchanged")]))
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_mb: int = 128,
+                    partition_col: str | None = None) -> tuple[int, int]:
+    """Small-file compaction: rewrite the parquet table at `path` into
+    ceil(total_bytes / target_mb) files (per partition directory when
+    `partition_col` is given).  Streaming sinks and incremental
+    upserts accrete small files; at 100 TB the file count — not the
+    byte count — starts dominating planning time and open() overhead,
+    so periodic compaction is table maintenance, not optimization.
+    The rewrite is one read + localCheckpoint (the table can't be
+    lazily re-read while being replaced) + one write; data is
+    byte-identical (test-asserted).  Returns (files_before,
+    files_after)."""
+    import math
+    import os
+
+    sizes = []
+    for root, _d, files in os.walk(path):
+        sizes += [os.path.getsize(os.path.join(root, f))
+                  for f in files if f.endswith(".parquet")]
+    if not sizes:
+        return (0, 0)
+    n_target = max(1, math.ceil(sum(sizes) / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    writer = df.repartition(n_target).write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+    after = sum(1 for root, _d, files in os.walk(path)
+                for f in files if f.endswith(".parquet"))
+    return (len(sizes), after)

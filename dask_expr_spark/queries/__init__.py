@@ -161,8 +161,9 @@ RECONFIRM_FIRST = (
 # stream_exact_dedup, cms_custkey_counts, kmv_distinct_slices,
 # kmv_intersect_slices, dedup_bloom_incremental, upsert_orders_scd1,
 # upsert_partitioned_roundtrip, stream_drift_psi, ann_mmr_rerank,
-# cms_join_cardinality, diff_after_upsert — + the leading ~28 names
-# of RECONFIRM_FIRST above) and drop the consumed prefix from
+# cms_join_cardinality, diff_after_upsert, compact_roundtrip_lineitem,
+# stream_upsert_snapshot — + the leading ~25 names of RECONFIRM_FIRST
+# above) and drop the consumed prefix from
 # RECONFIRM_FIRST, appending the r4 cohort (parquet_roundtrip_lineitem
 # … stream_semantic_dedup, registry order) when the r2/r3 names run
 # out.  Every registry query is swept locally vs DuckDB at sf0.01 each

@@ -569,3 +569,36 @@ def diff_after_upsert(spark, sf_dir):
         .withColumn("o_totalprice", F.col("o_totalprice") + 200.0))
     after = upsert(o, upd, ["o_orderkey"])
     return table_diff(o, after, ["o_orderkey"])
+
+
+# -- small-file compaction (maintenance.compact_parquet): 64 shard
+#    files fold to the byte-targeted count; the data is byte-identical
+#    (the aggregate hash proves it) and the file counts are flagged ---
+COMPACT_SQL = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('l_extendedprice')} AS total,
+       TRUE AS compacted_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@q("compact_roundtrip_lineitem", COMPACT_SQL)
+def compact_roundtrip_lineitem(spark, sf_dir):
+    from ..functions.maintenance import compact_parquet
+
+    li = tbl(spark, sf_dir, "lineitem").to_spark()
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    path = os.path.join(tmp, "t")
+    try:
+        li.repartition(64).write.mode("overwrite").parquet(path)
+        before, after = compact_parquet(spark, path, target_mb=64)
+        back = spark.read.parquet(path)
+        ok = before == 64 and after < before
+        out = (back.groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("l_extendedprice")).alias("total"))
+               .withColumn("compacted_ok", F.lit(bool(ok)))
+               .orderBy("l_returnflag"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -698,3 +698,84 @@ FROM t GROUP BY event_type ORDER BY event_type
 """
 
 QUERIES["stream_drift_psi"] = (stream_drift_psi, STREAM_PSI_SQL)
+
+
+def stream_upsert_snapshot(spark, sf_dir):
+    """streaming CDC-apply (streaming/ops.py upsert_sink): orders
+    arrive as 4 time-ordered files — each carries its quarter of novel
+    keys plus a RE-CRAWL of every %10 key with the price bumped by
+    100·batch — and each micro-batch SCD-1-merges into a
+    hive-partitioned snapshot via the partition-pruned upsert.  After
+    the drain, every key exists once and the %10 keys hold the LAST
+    batch's price (+300) — the last-write-wins contract, hash-exact in
+    SQL from first principles."""
+    import time
+
+    from ..sources.io import read_parquet
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_ups_src_")
+    tbl_dir = tempfile.mkdtemp(prefix="stream_ups_tbl_")
+    table_path = os.path.join(tbl_dir, "t")
+    ckpt = tempfile.mkdtemp(prefix="stream_ups_ckpt_")
+    try:
+        o = read_parquet(spark, os.path.join(sf_dir, "orders.parquet")
+                         ).to_spark()
+        stamped: set = set()
+        base_t = time.time() - 60
+        for i in range(4):
+            inserts = o.where((F.col("o_orderkey") % 4 == i)
+                              & (F.col("o_orderkey") % 10 != 0))
+            recrawl = (o.where(F.col("o_orderkey") % 10 == 0)
+                       .withColumn("o_totalprice",
+                                   F.col("o_totalprice") + 100.0 * i))
+            (inserts.unionByName(recrawl)
+             .withColumn("__v", F.lit(i))
+             .coalesce(1).write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in stamped:
+                    t = base_t + i * 10
+                    os.utime(os.path.join(src, f), (t, t))
+                    stamped.add(f)
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q_ = S.upsert_sink(stream, table_path, ["o_orderkey"],
+                           partition_col="o_orderpriority",
+                           order_col="__v", checkpoint_dir=ckpt)
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        snap = spark.read.parquet(table_path)
+        from ._util import cent_sum
+        out = (snap.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"),
+                    F.max(F.when(F.col("o_orderkey") % 10 == 0,
+                                 F.col("__v"))).alias("last_v"))
+               .orderBy("o_orderstatus"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+    return out
+
+
+STREAM_UPSERT_SQL = """
+WITH fin AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 300.0
+              ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total,
+       CAST(3 AS INT) AS last_v
+FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["stream_upsert_snapshot"] = (stream_upsert_snapshot,
+                                     STREAM_UPSERT_SQL)

@@ -669,3 +669,63 @@ def compact_kmv_rollup(spark: SparkSession, rollup_path: str,
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(rollup_path)
     shutil.move(tmp, rollup_path)
+
+
+def upsert_sink(stream: DataFrame, table_path: str, keys: list,
+                partition_col: str | None = None,
+                order_col: str | None = None,
+                checkpoint_dir: str | None = None) -> Any:
+    """foreachBatch sink maintaining an SCD-1 SNAPSHOT table: each
+    micro-batch merges into the parquet table at `table_path` via
+    maintenance.upsert — same-key rows replace (latest batch wins;
+    `order_col` resolves duplicates WITHIN a batch), novel keys
+    insert.  With `partition_col` the merge is partition-pruned
+    (maintenance.upsert_partitioned): a batch touching one day's
+    partitions reads and rewrites only those directories — the
+    streaming CDC-apply pattern where table cost scales with the
+    change, not the table.
+
+    Replayed batches are idempotent for deterministic inputs (the
+    same rows upsert to the same state), which is the foreachBatch
+    exactly-once contract.  The first batch bootstraps the table.
+    Returns the started StreamingQuery."""
+    import os
+    import tempfile
+
+    from ..functions.maintenance import upsert, upsert_partitioned
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.isdir(table_path):
+            out = batch_df
+            if order_col is not None:
+                cols = [c for c in batch_df.columns
+                        if c not in keys and c != order_col]
+                out = (batch_df.groupBy(*keys)
+                       .agg(*[F.max_by(c, order_col).alias(c)
+                              for c in cols],
+                            F.max(order_col).alias(order_col))
+                       .select(*batch_df.columns))
+            w = out.write.mode("overwrite")
+            if partition_col:
+                w = w.partitionBy(partition_col)
+            w.parquet(table_path)
+            return
+        if partition_col:
+            upsert_partitioned(spark, table_path, batch_df, keys,
+                               partition_col, order_col=order_col,
+                               check_moves=False)
+        else:
+            target = spark.read.parquet(table_path)
+            merged = upsert(target, batch_df.select(*target.columns)
+                            if order_col is None else batch_df,
+                            keys, order_col=order_col)
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(table_path)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_sink_ckpt_")
+    return (stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start())

@@ -479,10 +479,12 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/maintenance.py (upsert, "
                  "upsert_partitioned)",
              q=["upsert_orders_scd1", "upsert_partitioned_roundtrip",
-                "diff_after_upsert"],
+                "diff_after_upsert", "stream_upsert_snapshot",
+                "compact_roundtrip_lineitem"],
              t="randomized pandas differential + untouched-files-"
-               "byte-stable + move-guard + diff null-semantics tests "
-               "test_round6b_ops"),
+               "byte-stable + move-guard + diff null-semantics + "
+               "sink replay-idempotence + compaction data-identity "
+               "tests test_round6b_ops"),
     ]),
 ]
 

@@ -482,3 +482,81 @@ def test_table_diff_null_semantics(spark):
     d = table_diff(before, after, ["k"]).collect()[0]
     # null→value and value→null are changes; null→null is unchanged
     assert (d["n_changed"], d["n_unchanged"]) == (2, 1)
+
+
+# ------------------------------------ compaction / streaming upsert
+
+def test_compact_parquet_data_identical(spark, tmp_path):
+    from dask_expr_spark.functions.maintenance import compact_parquet
+
+    rows = [(i, f"s{i % 5}", float(i)) for i in range(5000)]
+    sdf = spark.createDataFrame(rows, "k bigint, s string, v double")
+    path = str(tmp_path / "t")
+    sdf.repartition(40).write.mode("overwrite").parquet(path)
+    before, after = compact_parquet(spark, path, target_mb=512)
+    assert before == 40 and after < 40
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert back.exceptAll(sdf).count() == 0
+    assert sdf.exceptAll(back).count() == 0
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    from dask_expr_spark.functions.maintenance import compact_parquet
+
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(3000)]
+    sdf = spark.createDataFrame(rows, "k bigint, part string, v double")
+    path = str(tmp_path / "t")
+    sdf.repartition(30).write.mode("overwrite") \
+        .partitionBy("part").parquet(path)
+    before, after = compact_parquet(spark, path, target_mb=512,
+                                    partition_col="part")
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    assert sorted(r["part"] for r in
+                  back.select("part").distinct().collect()) \
+        == ["p0", "p1", "p2"]
+
+
+def test_upsert_sink_replay_idempotent(spark, tmp_path):
+    import pandas as pd
+
+    from dask_expr_spark.streaming import ops as S
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table" / "t")
+    for i in range(3):
+        pdf = pd.DataFrame({
+            "k": list(range(i * 10, i * 10 + 10)) + [0, 1],
+            "v": [float(i)] * 12,
+            "ver": [i] * 12,
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = S.upsert_sink(stream, table, ["k"], order_col="ver",
+                          checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    snap1 = {r["k"]: (r["v"], r["ver"])
+             for r in spark.read.parquet(table).collect()}
+    # 30 novel keys; 0 and 1 re-upserted every batch -> last ver wins
+    assert len(snap1) == 30
+    assert snap1[0][1] == 2 and snap1[1][1] == 2
+    assert snap1[5] == (0.0, 0) and snap1[25] == (2.0, 2)
+
+    # replay the whole source against the EXISTING table (fresh
+    # checkpoint = every batch re-applies): state must not change
+    run(str(tmp_path / "ckpt2"))
+    snap2 = {r["k"]: (r["v"], r["ver"])
+             for r in spark.read.parquet(table).collect()}
+    assert snap1 == snap2
