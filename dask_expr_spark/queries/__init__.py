@@ -107,26 +107,31 @@ VALIDATED = frozenset({
     "q11_important_stock", "q20_potential_promotion",
     "ann_cosine_topk_blocked", "ann_lsh_auto_planes",
     "stream_heavy_hitters", "stream_windowed_distinct",
+    # round 6 (CORRECTNESS_r06.json — all 50 rows hash-green: the 24 new
+    # round-6 queries below + the leading 26 of the r2-era
+    # reconfirmation cohort, through stream_stateful_totals).
+    "cms_custkey_counts", "kmv_distinct_slices", "kmv_intersect_slices",
+    "dedup_bloom_incremental", "upsert_orders_scd1",
+    "upsert_partitioned_roundtrip", "ann_mmr_rerank",
+    "cms_join_cardinality", "diff_after_upsert",
+    "compact_roundtrip_lineitem", "current_divisions_slice_concat",
+    "dedup_exact_incremental", "sample_n_per_group_orders",
+    "split_leakage_safe", "sample_weighted_per_group_orders",
+    "ann_pca_whiten", "profile_orders_stats",
+    "validate_orders_constraints", "drift_price_psi",
+    "stream_hll_rollup", "stream_hist_rollup", "stream_exact_dedup",
+    "stream_drift_psi", "stream_upsert_snapshot",
 })
 
-# Queries whose driver validation is OLDEST — these lead the round-6
-# window (after any new round-6 queries) so the driver reconfirms them
-# before anything newer.  Cohort = the r2-validated names the r5 window
-# did NOT reach (the old cohort was consumed only through
-# window_shift_diff), then the rest of the r2 names, then the r3 cohort
-# in registry order.
+# Queries whose driver validation is OLDEST — these lead the round-7
+# window (after any new round-7 queries) so the driver reconfirms them
+# before anything newer.  Cohort = the r2-validated names the r6 window
+# did NOT reach (the old cohort was consumed through
+# stream_stateful_totals), then the r3 cohort in registry order, then
+# the r4 cohort (r2/r3 run out inside the r7/r8 windows).
 RECONFIRM_FIRST = (
     # r2 cohort remainder (validated r2, never reconfirmed since)
-    "window_cumsum_user", "window_rolling_mean", "window_rank_latest",
-    "resample_hourly", "window_user_sessions", "asof_purchase_click",
-    "window_ffill_gaps", "rolling_time_window", "sliding_window_counts",
-    "funnel_stages", "weekly_retention", "json_props_stats",
-    "text_stats_by_lang", "text_quality_buckets",
-    "text_token_frequencies", "text_fingerprint_dups", "text_lang_id",
-    "text_chunking", "pipeline_clean_corpus", "dedup_exact_docs",
-    "dedup_ngram_jaccard", "ann_cosine_topk", "ann_centroids",
-    "multimodal_decode", "dedup_embedding_cosine",
-    "stream_stateful_totals", "stats_skew_kurt", "rolling_moments_daily",
+    "stats_skew_kurt", "rolling_moments_daily",
     "pivot_table_priority", "idxmax_per_priority", "daily_growth",
     "rolling_median_rev", "rank_priority_totals", "split_train_val",
     "stratified_sample_docs", "global_shuffle_head",
@@ -149,27 +154,31 @@ RECONFIRM_FIRST = (
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_bucketed",
     "ann_ivf_topk", "ann_int8_topk", "stream_tumbling_counts",
     "stream_session_counts", "stream_interval_join",
+    # r4 cohort (validated r4, never reconfirmed since; registry order)
+    "parquet_roundtrip_lineitem", "orc_roundtrip_supplier",
+    "sources_from_array", "sources_divisions_repartition",
+    "timeseries_stats", "repartition_invariance_orders",
+    "shuffle_on_invariance", "persist_cached_agg",
+    "enforce_divisions_orders", "records_roundtrip_nation",
+    "jdbc_roundtrip_supplier", "size_len_scalars", "toframe_price_total",
+    "bucketed_join_orders", "groupby_observed_false",
+    "period_monthly_revenue", "salted_agg_suppkey", "salted_merge_orders",
+    "dedup_resolve_corpus", "merge_recursive_regions",
+    "dedup_substring_spans", "dedup_connected_groups_star",
+    "dedup_chunk_minhash", "semantic_dedup_kept", "multimodal_audio_meta",
+    "stream_semantic_dedup",
 )
 
-# ROUND-7 CHECKLIST: once CORRECTNESS_r06.json lands, rotate again —
-# add its green names to VALIDATED (the r6 window = the 18 new
-# round-6 queries — current_divisions_slice_concat,
-# dedup_exact_incremental, sample_n_per_group_orders,
-# split_leakage_safe, sample_weighted_per_group_orders,
-# ann_pca_whiten, profile_orders_stats, validate_orders_constraints,
-# drift_price_psi, stream_hll_rollup, stream_hist_rollup,
-# stream_exact_dedup, cms_custkey_counts, kmv_distinct_slices,
-# kmv_intersect_slices, dedup_bloom_incremental, upsert_orders_scd1,
-# upsert_partitioned_roundtrip, stream_drift_psi, ann_mmr_rerank,
-# cms_join_cardinality, diff_after_upsert, compact_roundtrip_lineitem,
-# stream_upsert_snapshot — + the leading ~25 names of RECONFIRM_FIRST
-# above) and drop the consumed prefix from
-# RECONFIRM_FIRST, appending the r4 cohort (parquet_roundtrip_lineitem
-# … stream_semantic_dedup, registry order) when the r2/r3 names run
-# out.  Every registry query is swept locally vs DuckDB at sf0.01 each
-# round (tests/test_correctness.py), so names outside the driver
-# window are never actually stale — the rotation just keeps the audit
-# trail fresh.
+# ROUND-8 CHECKLIST: once CORRECTNESS_r07.json lands, rotate again —
+# add its green names to VALIDATED (the r7 window = the new round-7
+# queries in round7.py + the leading names of RECONFIRM_FIRST above,
+# up to 50 total) and drop the consumed prefix from RECONFIRM_FIRST.
+# The r4 cohort is already appended; append the r5 cohort
+# (heavy_hitter_tokens … stream_windowed_distinct, registry order)
+# when the queue runs short.  Every registry query is swept locally vs
+# DuckDB at sf0.01 each round (tests/test_correctness.py), so names
+# outside the driver window are never actually stale — the rotation
+# just keeps the audit trail fresh.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
