@@ -1,22 +1,40 @@
-"""Incremental table maintenance: SCD-1 upsert and partition-pruned
-upsert-in-place for parquet tables (training-pipeline extension; no
-reference analogue — dask-expr has no mutation/merge surface at all,
-its to_parquet (io/parquet.py) only appends or overwrites whole
-datasets).
+"""Incremental table maintenance: SCD-1 upsert, partition-pruned
+upsert-in-place, key-bucketed upsert for tables with no natural
+partition column, and crash-safe table swaps (training-pipeline
+extension; no reference analogue — dask-expr has no mutation/merge
+surface at all, its to_parquet (io/parquet.py) only appends or
+overwrites whole datasets).
 
 The 100 TB pattern: a corpus table is maintained incrementally — each
 day a small updates batch (new docs, re-crawled docs, metadata fixes)
 merges into the snapshot.  Rewriting the whole table per batch is a
 100 TB write for a GB of change; `upsert_partitioned` reads ONLY the
-hive partitions the batch touches (partition pruning on the scan,
-dynamic partition overwrite on the write) so cost scales with the
-change, not the table.
+hive partitions the batch touches, and `upsert_bucketed` gives
+key-only tables the same pruning by hashing the upsert keys into
+hive bucket directories (pseudo-partitions).
+
+Durability contract: every in-place rewrite in this module goes
+through `atomic_overwrite` / `_swap_partition_dirs` — the new data is
+fully written to a sibling directory BEFORE anything existing moves,
+old data is renamed aside (never deleted) until the new data is
+promoted, and `recover_table` repairs the one transient state in which
+a crash can leave the table momentarily absent.  No step relies on
+non-replicated executor state (the old localCheckpoint-then-overwrite
+pattern lost the table if an executor died mid-overwrite).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+import math
+import os
+import shutil
+import urllib.parse
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_BUCKET_SPEC = "_bucket_spec.json"
 
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str],
@@ -45,10 +63,150 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str],
     return kept.unionByName(upd)
 
 
+# ---------------------------------------------------------------------------
+# Crash-safe swap machinery.  Three sibling directories per table:
+#   <path>__new      the fully-written replacement (exists only mid-swap)
+#   <path>__old      the whole previous table, renamed aside pre-promote
+#   <path>__oldparts container of individual partition dirs renamed aside
+# Invariant: at EVERY crash point the previous data still exists on disk
+# under one of these names, and recover_table() restores a readable
+# table (rolling the aborted swap back or finishing its cleanup).
+# ---------------------------------------------------------------------------
+
+
+def recover_table(path: str) -> bool:
+    """Repair an interrupted atomic_overwrite / partition swap at
+    `path`.  Idempotent; call before reading a table that a compactor
+    or upsert may have been rewriting when a crash hit.  Returns True
+    if anything was restored (False = nothing to do / cleanup only).
+
+    States handled:
+    - `<path>__old` present, `path` absent → the whole-table promote
+      never happened: the old table is renamed back (the aborted new
+      data in `<path>__new` is dropped — the swap never committed).
+    - `<path>__old` present, `path` present → promote completed; the
+      old copy is leftover trash and is deleted.
+    - `<path>__oldparts/<dir>` present and `<path>/<dir>` absent → a
+      per-partition swap was interrupted between its two renames; the
+      old partition directory is moved back.  Dirs whose replacement
+      exists are trash (their swap committed) and are deleted.
+    - `<path>__new` is always residue of an uncommitted write: deleted.
+    """
+    p = path.rstrip("/")
+    old, oldparts, new = p + "__old", p + "__oldparts", p + "__new"
+    recovered = False
+    if os.path.isdir(old):
+        if os.path.isdir(p):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, p)
+            recovered = True
+    if os.path.isdir(oldparts):
+        if os.path.isdir(p):
+            for d in sorted(os.listdir(oldparts)):
+                dst = os.path.join(p, d)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(oldparts, d), dst)
+                    recovered = True
+        shutil.rmtree(oldparts, ignore_errors=True)
+    if os.path.isdir(new):
+        shutil.rmtree(new, ignore_errors=True)
+    return recovered
+
+
+def atomic_overwrite(path: str, write_new) -> None:
+    """Replace the table at `path` with the output of
+    ``write_new(tmp_path)`` such that a crash at ANY point leaves the
+    table recoverable (recover_table): the replacement is fully
+    written to `<path>__new` first — while `path` is still intact, so
+    a plan that lazily re-reads `path` needs no checkpoint — then the
+    old table renames aside and the new one promotes.  The old copy is
+    deleted only after the promote."""
+    p = path.rstrip("/")
+    recover_table(p)
+    new, old = p + "__new", p + "__old"
+    write_new(new)
+    if not os.path.isdir(p):          # bootstrap: nothing to swap out
+        os.rename(new, p)
+        return
+    os.rename(p, old)
+    os.rename(new, p)
+    shutil.rmtree(old)
+
+
+def _swap_partition_dirs(path: str, new_root: str,
+                         dirnames: list[str]) -> None:
+    """Promote partition directories from `new_root` into `path`,
+    renaming each existing directory aside into `<path>__oldparts`
+    first.  Per-partition atomicity: a crash mid-loop leaves every
+    partition either fully old or fully new, and recover_table
+    restores any directory caught between its two renames."""
+    p = path.rstrip("/")
+    oldparts = p + "__oldparts"
+    os.makedirs(oldparts, exist_ok=True)
+    for d in dirnames:
+        dst = os.path.join(p, d)
+        if os.path.isdir(dst):
+            os.rename(dst, os.path.join(oldparts, d))
+        os.rename(os.path.join(new_root, d), dst)
+    shutil.rmtree(oldparts, ignore_errors=True)
+    shutil.rmtree(new_root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned in-place upsert + the bloom-backed move guard.
+# ---------------------------------------------------------------------------
+
+
+def _key_str(keys: list[str]) -> Column:
+    """':'-joined string rendering of the key tuple (the bloom domain)."""
+    return F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
+
+
+def _move_guard_full_scan(spark: SparkSession, path: str,
+                          keys: list[str], cand: DataFrame) -> int:
+    """Exact fallback of the partition-move guard: count candidate
+    keys present anywhere in the FULL table (one column-pruned
+    distinct scan).  Module-level so tests can assert it only runs
+    when the bloom prefilter reports maybe-hits."""
+    return (cand.join(spark.read.parquet(path).select(*keys).distinct(),
+                      keys, "left_semi").count())
+
+
+def _check_partition_moves(spark: SparkSession, path: str,
+                           target: DataFrame, updates: DataFrame,
+                           keys: list[str], partition_col: str,
+                           key_bloom_path: str | None) -> None:
+    # an update key that exists in the table but only OUTSIDE the
+    # touched partitions is a partition-moving update: the old row
+    # would survive and the key would silently duplicate
+    cand = (updates.select(*keys).distinct()
+            .join(target.select(*keys).distinct(), keys, "left_anti"))
+    if key_bloom_path is not None and os.path.isdir(key_bloom_path):
+        # bloom prefilter: keys the table bloom says are DEFINITELY
+        # absent cannot be moves (no false negatives), so a mostly-
+        # insert batch skips the full-table key scan entirely — guard
+        # cost scales with the batch, not the table
+        from .sketches import bloom_probe
+        idx = spark.read.parquet(key_bloom_path)
+        probed = bloom_probe(cand.withColumn("__mg_key", _key_str(keys)),
+                             idx, "__mg_key", result_col="__maybe")
+        cand = probed.where(F.col("__maybe")).drop("__mg_key", "__maybe")
+        if cand.isEmpty():
+            return
+    outside = _move_guard_full_scan(spark, path, keys, cand)
+    if outside:
+        raise ValueError(
+            f"upsert_partitioned: {outside} update key(s) exist in a "
+            f"partition outside the batch's {partition_col} values — "
+            "a partition-moving update; delete+insert instead")
+
+
 def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                        keys: list[str], partition_col: str,
                        order_col: str | None = None,
-                       check_moves: bool = True) -> list:
+                       check_moves: bool = True,
+                       key_bloom_path: str | None = None) -> list:
     """Merge `updates` into the hive-partitioned parquet table at
     `path` IN PLACE, touching only the partitions the batch contains.
 
@@ -56,18 +214,25 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     (bounded by the partition count, the same driver class as hive
     pruning itself); (2) the target is read with a partition filter —
     Spark's scan prunes to those directories, untouched partitions are
-    never opened; (3) the merged slice is localCheckpoint-materialized
-    (it must not lazily re-read the directories being replaced) and
-    written back with dynamic partition overwrite, which replaces ONLY
-    the directories present in the written frame.
+    never opened; (3) the merged slice is written to `<path>__new`
+    (while the table is still intact — no checkpoint needed) and the
+    touched partition directories swap in via rename-aside
+    (_swap_partition_dirs), so a crash at any point leaves every
+    partition either fully old or fully new and recover_table repairs
+    the transient states.
 
     Updates that would MOVE a row between partitions are rejected (the
     old partition isn't read, so the old row couldn't be removed) —
     mutate partition keys by delete+insert instead.  `check_moves`
-    runs that guard with one column-pruned key scan of the FULL table;
-    disable it for append-only or partition-stable pipelines where the
-    invariant holds by construction and even that scan is unwanted.
-    Returns the list of partition values rewritten."""
+    runs that guard; with `key_bloom_path` (a bloom table built by
+    build_key_bloom and maintained here after every merge) the guard
+    probes the batch keys map-only and falls back to the column-pruned
+    full-table key scan ONLY for bloom maybe-hits, so the per-batch
+    guard cost scales with the batch, not the table.  Disable
+    check_moves only where the invariant holds by construction
+    (upsert_bucketed does: its partition value is a function of the
+    key).  Returns the list of partition values rewritten."""
+    recover_table(path)
     parts = [r[0] for r in
              updates.select(partition_col).distinct().collect()]
     if not parts:
@@ -75,31 +240,131 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     target = spark.read.parquet(path).where(
         F.col(partition_col).isin(parts))
     if check_moves and keys and partition_col not in keys:
-        # an update key that exists in the table but only OUTSIDE the
-        # touched partitions is a partition-moving update: the old row
-        # would survive and the key would silently duplicate
-        outside = (updates.select(*keys).distinct()
-                   .join(target.select(*keys).distinct(), keys, "left_anti")
-                   .join(spark.read.parquet(path).select(*keys).distinct(),
-                         keys, "left_semi").count())
-        if outside:
-            raise ValueError(
-                f"upsert_partitioned: {outside} update key(s) exist in a "
-                f"partition outside the batch's {partition_col} values — "
-                "a partition-moving update; delete+insert instead")
+        _check_partition_moves(spark, path, target, updates, keys,
+                               partition_col, key_bloom_path)
     merged = upsert(target, updates, keys, order_col=order_col)
-    merged = merged.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (merged.write.mode("overwrite")
-         .partitionBy(partition_col).parquet(path))
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        else:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    new_root = path.rstrip("/") + "__new"
+    shutil.rmtree(new_root, ignore_errors=True)
+    (merged.write.mode("overwrite")
+     .partitionBy(partition_col).parquet(new_root))
+    dirs = [d for d in sorted(os.listdir(new_root))
+            if d.startswith(f"{partition_col}=")]
+    _swap_partition_dirs(path, new_root, dirs)
+    if key_bloom_path is not None:
+        bloom_append(spark, key_bloom_path, updates, keys,
+                     table_path=path)
     return parts
+
+
+# ---------------------------------------------------------------------------
+# Key-bucketed tables: pseudo-partitions for tables with no natural
+# partition column, so the streaming CDC-apply sink never rewrites the
+# full snapshot per micro-batch.
+# ---------------------------------------------------------------------------
+
+
+def bucket_expr(keys: list[str], n_buckets: int,
+                seed: str = "bkt") -> Column:
+    """Deterministic md5 bucket of the key tuple (reproducible in SQL
+    as ('0x' || substr(md5('bkt:' || key), 1, 15))::BIGINT % n)."""
+    from .sketches import _md5_long
+    return F.pmod(
+        _md5_long(F.lit(seed), *[F.col(k).cast("string") for k in keys]),
+        F.lit(int(n_buckets))).cast("int")
+
+
+def write_bucketed(df: DataFrame, path: str, keys: list[str],
+                   n_buckets: int, seed: str = "bkt") -> None:
+    """Bootstrap a key-bucketed table: rows land in hive directories
+    ``__bucket=0..n-1`` keyed on md5 of the upsert keys, and the spec
+    (keys, n_buckets, seed) persists as an underscore-prefixed JSON
+    file in the table root (invisible to Spark's parquet reader).
+    Because the bucket is a pure function of the key, same-key rows
+    ALWAYS hash to the same directory — partition moves are impossible
+    by construction, and upsert_bucketed prunes every merge to the
+    directories the batch's keys hash into.  Size n_buckets so a
+    bucket ≈ the table's natural rewrite unit (e.g. 1024 buckets keeps
+    per-batch rewrites at ~0.1% of a uniform table)."""
+    (df.withColumn("__bucket", bucket_expr(keys, n_buckets, seed))
+     .write.mode("overwrite").partitionBy("__bucket").parquet(path))
+    with open(os.path.join(path, _BUCKET_SPEC), "w") as f:
+        json.dump({"keys": list(keys), "n_buckets": int(n_buckets),
+                   "seed": seed}, f)
+
+
+def is_bucketed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _BUCKET_SPEC))
+
+
+def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed table without the internal __bucket column."""
+    return spark.read.parquet(path).drop("__bucket")
+
+
+def upsert_bucketed(spark: SparkSession, path: str, updates: DataFrame,
+                    keys: list[str],
+                    order_col: str | None = None) -> list[int]:
+    """Merge `updates` into the key-bucketed table at `path`
+    (write_bucketed layout), reading and rewriting ONLY the bucket
+    directories the batch's keys hash into — the unpartitioned-table
+    answer to upsert_partitioned's pruning.  check_moves is skipped
+    soundly: the bucket is a function of the key, so a key can never
+    change directory.  Returns the bucket ids rewritten."""
+    spec_path = os.path.join(path, _BUCKET_SPEC)
+    with open(spec_path) as f:
+        spec = json.load(f)
+    if list(spec["keys"]) != list(keys):
+        raise ValueError(
+            f"upsert_bucketed: table at {path} is bucketed on "
+            f"{spec['keys']}, not {keys}")
+    upd = updates.withColumn(
+        "__bucket", bucket_expr(keys, spec["n_buckets"], spec["seed"]))
+    return upsert_partitioned(spark, path, upd, keys, "__bucket",
+                              order_col=order_col, check_moves=False)
+
+
+# ---------------------------------------------------------------------------
+# Per-table key blooms (the move guard's prefilter).
+# ---------------------------------------------------------------------------
+
+
+def build_key_bloom(spark: SparkSession, table_path: str, keys: list[str],
+                    bloom_path: str, fpp: float = 0.01,
+                    expected: int | None = None) -> None:
+    """Build (or rebuild) the sharded bloom index over the table's key
+    tuples at `bloom_path` — one column-pruned scan.  Pass `expected`
+    with growth headroom so incremental bloom_append merges keep the
+    design fpp as the table grows; rebuild when the key count
+    approaches `expected`."""
+    from .sketches import bloom_index
+    kdf = (spark.read.parquet(table_path)
+           .select(_key_str(keys).alias("__k")))
+    idx = bloom_index(kdf, "__k", fpp=fpp, expected=expected)
+    atomic_overwrite(bloom_path,
+                     lambda p: idx.write.mode("overwrite").parquet(p))
+
+
+def bloom_append(spark: SparkSession, bloom_path: str, delta: DataFrame,
+                 keys: list[str], table_path: str | None = None,
+                 fpp: float = 0.01) -> None:
+    """OR the delta batch's keys into the table bloom (same sharding
+    parameters, read from the existing index), keeping the guard's
+    no-false-negative contract across incremental merges.  If the
+    bloom doesn't exist yet and `table_path` is given, bootstrap it
+    from the full table instead."""
+    from .sketches import bloom_index, bloom_merge
+    if not os.path.isdir(bloom_path):
+        if table_path is not None:
+            build_key_bloom(spark, table_path, keys, bloom_path, fpp=fpp)
+        return
+    idx = spark.read.parquet(bloom_path)
+    row = idx.select("m_bits", "k", "shards").first()
+    delta_idx = bloom_index(
+        delta.select(_key_str(keys).alias("__k")), "__k",
+        params=(int(row["m_bits"]), int(row["k"]), int(row["shards"])))
+    merged = bloom_merge(idx, delta_idx)
+    atomic_overwrite(bloom_path,
+                     lambda p: merged.write.mode("overwrite").parquet(p))
 
 
 def table_diff(before: DataFrame, after: DataFrame, keys: list[str],
@@ -136,30 +401,74 @@ def compact_parquet(spark: SparkSession, path: str,
                     target_mb: int = 128,
                     partition_col: str | None = None) -> tuple[int, int]:
     """Small-file compaction: rewrite the parquet table at `path` into
-    ceil(total_bytes / target_mb) files (per partition directory when
-    `partition_col` is given).  Streaming sinks and incremental
-    upserts accrete small files; at 100 TB the file count — not the
-    byte count — starts dominating planning time and open() overhead,
-    so periodic compaction is table maintenance, not optimization.
-    The rewrite is one read + localCheckpoint (the table can't be
-    lazily re-read while being replaced) + one write; data is
-    byte-identical (test-asserted).  Returns (files_before,
-    files_after)."""
-    import math
-    import os
+    ceil(total_bytes / target_mb) files — per partition DIRECTORY when
+    `partition_col` is given (each directory gets its own
+    ceil(dir_bytes / target_mb) target, enforced by salting the
+    repartition inside the partition value, so a wide hive table can
+    never fan out to n_target × n_partitions files).  Streaming sinks
+    and incremental upserts accrete small files; at 100 TB the file
+    count — not the byte count — starts dominating planning time and
+    open() overhead, so periodic compaction is table maintenance, not
+    optimization.
 
-    sizes = []
+    The rewrite goes through atomic_overwrite: the compacted table is
+    fully written to `<path>__new` while the original is still intact
+    (no checkpoint, no reliance on executor-local state), then renames
+    swap it in — a crash at any point leaves a recoverable table
+    (recover_table).  Data is byte-identical (test-asserted).  Returns
+    (files_before, files_after)."""
+    recover_table(path)
+    spec = None
+    spec_path = os.path.join(path, _BUCKET_SPEC)
+    if os.path.exists(spec_path):     # bucketed table: keep the sidecar
+        with open(spec_path) as f:
+            spec = f.read()
+    sizes: dict[str, int] = {}
     for root, _d, files in os.walk(path):
-        sizes += [os.path.getsize(os.path.join(root, f))
-                  for f in files if f.endswith(".parquet")]
+        rel = os.path.relpath(root, path)
+        token = ""
+        if partition_col is not None:
+            token = next((c for c in rel.split(os.sep)
+                          if c.startswith(f"{partition_col}=")), "")
+        for f in files:
+            if f.endswith(".parquet"):
+                sz = os.path.getsize(os.path.join(root, f))
+                sizes[token] = sizes.get(token, 0) + sz
     if not sizes:
         return (0, 0)
-    n_target = max(1, math.ceil(sum(sizes) / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
-    writer = df.repartition(n_target).write.mode("overwrite")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(path)
+    files_before = sum(1 for root, _d, files in os.walk(path)
+                       for f in files if f.endswith(".parquet"))
+    chunk = target_mb * 1024 * 1024
+    df = spark.read.parquet(path)
+    if partition_col is None:
+        n_target = max(1, math.ceil(sum(sizes.values()) / chunk))
+        out = df.repartition(n_target)
+        writer = (lambda p: out.write.mode("overwrite").parquet(p))
+    else:
+        # per-directory file targets: partition value (string-rendered,
+        # matching the hive dir token) → ceil(dir_bytes / chunk)
+        targets = {
+            urllib.parse.unquote(tok.split("=", 1)[1]):
+                max(1, math.ceil(b / chunk))
+            for tok, b in sizes.items() if tok}
+        n_total = sum(targets.values())
+        pairs = [x for v, n in sorted(targets.items())
+                 for x in (F.lit(v), F.lit(n))]
+        n_for_row = F.coalesce(
+            F.element_at(F.create_map(*pairs),
+                         F.col(partition_col).cast("string")),
+            F.lit(1))
+        salt = F.floor(F.rand(42) * n_for_row).cast("int")
+        out = (df.withColumn("__salt", salt)
+               .repartition(n_total, F.col(partition_col),
+                            F.col("__salt"))
+               .drop("__salt"))
+        writer = (lambda p: out.write.mode("overwrite")
+                  .partitionBy(partition_col).parquet(p))
+    atomic_overwrite(path, writer)
+    if spec is not None:
+        with open(spec_path, "w") as f:
+            f.write(spec)
     after = sum(1 for root, _d, files in os.walk(path)
                 for f in files if f.endswith(".parquet"))
-    return (len(sizes), after)
+    return (files_before, after)

@@ -922,7 +922,9 @@ def mmr_rerank(candidates: DataFrame, query_col: str, id_col: str,
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         V = np.asarray([np.asarray(v, dtype="float64")
                         for v in pdf[vec_col]])
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        # clamp zero norms: one all-zero embedding must not inject NaN
+        # similarities that poison the whole group's greedy selection
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         rel = pdf[rel_col].to_numpy(dtype="float64")
         n = len(pdf)
         maxsim = np.zeros(n)

@@ -481,19 +481,25 @@ def kmv_intersect(roll_a: DataFrame, roll_b: DataFrame,
     in both sides' sketches, est = ρ · est(K) — the standard KMV
     inclusion-exclusion (Beyer et al., SIGMOD'07).  When K is
     unsaturated both sides' sketches are their FULL domains and the
-    answer is exact.  Returns (group_keys…, inter_est, union_est)."""
+    answer is exact.  A group present in only ONE rollup intersects
+    empty: inter_est = 0 and union_est = the present side's estimate
+    (the absent side's sketch coalesces to an empty array).  Returns
+    (group_keys…, inter_est, union_est)."""
     gk = list(group_keys or [])
     # union + one aggregation instead of a join: a join on the literal
     # sketch-parameter column k would constant-fold its condition and
     # compile to a nested-loop plan
     a = kmv_merge(roll_a, gk).withColumn("__side", F.lit("a"))
     b = kmv_merge(roll_b, gk).withColumn("__side", F.lit("b"))
+    empty = F.array().cast("array<bigint>")
     j = (a.unionByName(b)
          .groupBy(*gk, "k")
-         .agg(F.first(F.when(F.col("__side") == "a", F.col("kmv")),
-                      ignorenulls=True).alias("__a"),
-              F.first(F.when(F.col("__side") == "b", F.col("kmv")),
-                      ignorenulls=True).alias("__b")))
+         .agg(F.coalesce(
+                  F.first(F.when(F.col("__side") == "a", F.col("kmv")),
+                          ignorenulls=True), empty).alias("__a"),
+              F.coalesce(
+                  F.first(F.when(F.col("__side") == "b", F.col("kmv")),
+                          ignorenulls=True), empty).alias("__b")))
     u = F.slice(F.array_sort(F.array_distinct(
         F.concat(F.col("__a"), F.col("__b")))), 1, F.col("k"))
     j = j.withColumn("__u", u)
@@ -520,7 +526,8 @@ _LN2 = math.log(2.0)
 def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
                 expected: int | None = None,
                 num_shards: int | None = None,
-                seed: str = "bf") -> DataFrame:
+                seed: str = "bf",
+                params: tuple[int, int, int] | None = None) -> DataFrame:
     """Build a sharded Bloom filter over `key_col`: one row per shard
     with a bitmap packed as array<long> of 32-bit words (32-bit chunks
     so the probe's bit test stays in exact pure-JVM double/long math —
@@ -533,16 +540,22 @@ def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
     is what makes the dedup prefilter answer-preserving.  Mergeable:
     bloom_merge ORs same-parameter indexes — the incremental-ingest
     append path.  Hashes are md5-derived (cross-engine deterministic).
+    `params` = (m_bits, k, shards) copied from an EXISTING index row
+    builds a merge-compatible delta index directly (maintenance.
+    bloom_append), skipping the sizing math and its count().
     Returns columns (shard, words, m_bits, k, shards)."""
-    n = int(expected) if expected is not None else \
-        df.where(F.col(key_col).isNotNull()).count()
-    n = max(n, 1)
-    m_total = int(math.ceil(-n * math.log(fpp) / (_LN2 * _LN2)))
-    k = max(1, int(round(m_total / n * _LN2)))
-    if num_shards is None:
-        # ≤ 2^24 bits (2 MiB) per shard bitmap row
-        num_shards = max(1, (m_total + (1 << 24) - 1) >> 24)
-    m_shard = int(math.ceil(m_total / num_shards / 32.0)) * 32
+    if params is not None:
+        m_shard, k, num_shards = (int(x) for x in params)
+    else:
+        n = int(expected) if expected is not None else \
+            df.where(F.col(key_col).isNotNull()).count()
+        n = max(n, 1)
+        m_total = int(math.ceil(-n * math.log(fpp) / (_LN2 * _LN2)))
+        k = max(1, int(round(m_total / n * _LN2)))
+        if num_shards is None:
+            # ≤ 2^24 bits (2 MiB) per shard bitmap row
+            num_shards = max(1, (m_total + (1 << 24) - 1) >> 24)
+        m_shard = int(math.ceil(m_total / num_shards / 32.0)) * 32
     nwords = m_shard // 32
     key = F.col(key_col).cast("string")
     rows = (df.where(key.isNotNull())

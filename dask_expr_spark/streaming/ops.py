@@ -425,10 +425,11 @@ def compact_hll_rollup(spark: SparkSession, rollup_path: str,
     """rewrite a fragment-per-batch HLL rollup table back to one row
     per key: replayed epochs are deduped first (max one fragment per
     (keys, epoch) — the exactly-once half of the sink contract), then
-    sketches union-merge.  Local swap via an adjacent temp dir; a
-    cluster deployment would write a new snapshot dir and flip a
-    pointer instead."""
-    import shutil
+    sketches union-merge.  Crash-safe: the merged table is fully
+    written to a sibling dir before the old one renames aside
+    (maintenance.atomic_overwrite) — a kill at any point leaves the
+    sketch table recoverable via maintenance.recover_table."""
+    from ..functions.maintenance import atomic_overwrite
 
     roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
     cols = list(keys) + ["hll"]
@@ -437,10 +438,8 @@ def compact_hll_rollup(spark: SparkSession, rollup_path: str,
                 .agg(F.first("hll").alias("hll")))
     merged = (roll.select(*cols).groupBy(*keys)
               .agg(F.hll_union_agg("hll").alias("hll")))
-    tmp = rollup_path.rstrip("/") + "__compact"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(rollup_path)
-    shutil.move(tmp, rollup_path)
+    atomic_overwrite(rollup_path,
+                     lambda p: merged.write.mode("overwrite").parquet(p))
 
 
 def hist_rollup_sink(stream: DataFrame, keys: list, col: str,
@@ -481,9 +480,9 @@ def compact_hist_rollup(spark: SparkSession, rollup_path: str,
                         keys: list) -> None:
     """rewrite a fragment-per-batch histogram rollup to one row per
     key: dedup replayed epochs (max one fragment per (keys, epoch)),
-    then sum bin counts across fragments.  Same swap mechanics as
+    then sum bin counts across fragments.  Same crash-safe swap as
     compact_hll_rollup."""
-    import shutil
+    from ..functions.maintenance import atomic_overwrite
 
     roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
     base = list(keys) + ["lo", "hi", "bins"]
@@ -497,10 +496,8 @@ def compact_hist_rollup(spark: SparkSession, rollup_path: str,
         .agg(F.map_from_entries(F.array_sort(F.collect_list(
             F.struct(F.col("__bin"), F.col("__cnt"))))).alias("hist"))
         .select(*keys, "hist", "lo", "hi", "bins"))
-    tmp = rollup_path.rstrip("/") + "__compact"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(rollup_path)
-    shutil.move(tmp, rollup_path)
+    atomic_overwrite(rollup_path,
+                     lambda p: merged.write.mode("overwrite").parquet(p))
 
 
 def exact_dedup_sink(stream: DataFrame, id_col: str, text_col: str,
@@ -560,17 +557,15 @@ def exact_dedup_sink(stream: DataFrame, id_col: str, text_col: str,
 
 def compact_exact_index(spark: SparkSession, index_path: str) -> None:
     """rewrite an exact-dedup index to one row per hash (min keep_id
-    across fragments — idempotent under epoch replays).  Same swap
-    mechanics as the sketch-table compactors."""
-    import shutil
+    across fragments — idempotent under epoch replays).  Same
+    crash-safe swap as the sketch-table compactors."""
+    from ..functions.maintenance import atomic_overwrite
 
     roll = spark.read.option("mergeSchema", "true").parquet(index_path)
     merged = (roll.groupBy("text_hash")
               .agg(F.min("keep_id").alias("keep_id")))
-    tmp = index_path.rstrip("/") + "__compact"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(index_path)
-    shutil.move(tmp, index_path)
+    atomic_overwrite(index_path,
+                     lambda p: merged.write.mode("overwrite").parquet(p))
 
 
 def cms_rollup_sink(stream: DataFrame, keys: list, col: str,
@@ -609,9 +604,8 @@ def compact_cms_rollup(spark: SparkSession, rollup_path: str,
                        keys: list) -> None:
     """fold a fragment-per-batch count-min rollup to one row per key:
     dedup replayed epochs, then add cells element-wise (the
-    cms_merge algebra) — same swap mechanics as compact_hll_rollup."""
-    import shutil
-
+    cms_merge algebra) — same crash-safe swap as compact_hll_rollup."""
+    from ..functions.maintenance import atomic_overwrite
     from ..functions.sketches import cms_merge
 
     roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
@@ -620,10 +614,8 @@ def compact_cms_rollup(spark: SparkSession, rollup_path: str,
                 .agg(F.first("cms").alias("cms"), F.first("n").alias("n")))
     merged = cms_merge(roll, list(keys)) \
         .select(*keys, "cms", "n", "width", "depth")
-    tmp = rollup_path.rstrip("/") + "__compact"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(rollup_path)
-    shutil.move(tmp, rollup_path)
+    atomic_overwrite(rollup_path,
+                     lambda p: merged.write.mode("overwrite").parquet(p))
 
 
 def kmv_rollup_sink(stream: DataFrame, keys: list, col: str,
@@ -655,9 +647,9 @@ def kmv_rollup_sink(stream: DataFrame, keys: list, col: str,
 def compact_kmv_rollup(spark: SparkSession, rollup_path: str,
                        keys: list) -> None:
     """fold a fragment-per-batch KMV rollup to one row per key: dedup
-    replayed epochs, then union-merge arrays to the k smallest."""
-    import shutil
-
+    replayed epochs, then union-merge arrays to the k smallest —
+    same crash-safe swap as compact_hll_rollup."""
+    from ..functions.maintenance import atomic_overwrite
     from ..functions.sketches import kmv_merge
 
     roll = spark.read.option("mergeSchema", "true").parquet(rollup_path)
@@ -665,15 +657,16 @@ def compact_kmv_rollup(spark: SparkSession, rollup_path: str,
         roll = (roll.groupBy(*keys, "k", "__epoch")
                 .agg(F.first("kmv").alias("kmv")))
     merged = kmv_merge(roll, list(keys)).select(*keys, "kmv", "k")
-    tmp = rollup_path.rstrip("/") + "__compact"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(rollup_path)
-    shutil.move(tmp, rollup_path)
+    atomic_overwrite(rollup_path,
+                     lambda p: merged.write.mode("overwrite").parquet(p))
 
 
 def upsert_sink(stream: DataFrame, table_path: str, keys: list,
                 partition_col: str | None = None,
                 order_col: str | None = None,
+                n_buckets: int | None = None,
+                check_moves: bool = True,
+                key_bloom_path: str | None = None,
                 checkpoint_dir: str | None = None) -> Any:
     """foreachBatch sink maintaining an SCD-1 SNAPSHOT table: each
     micro-batch merges into the parquet table at `table_path` via
@@ -683,16 +676,38 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     (maintenance.upsert_partitioned): a batch touching one day's
     partitions reads and rewrites only those directories — the
     streaming CDC-apply pattern where table cost scales with the
-    change, not the table.
+    change, not the table.  With `n_buckets` (no natural partition
+    column) the table is laid out as md5-key hive buckets
+    (maintenance.write_bucketed) and each merge prunes to the bucket
+    directories the batch's keys hash into — the scale path for
+    unpartitioned tables; without either, every batch rewrites the
+    full snapshot (fine for small dimension tables only).
+
+    `check_moves` (default True, partitioned path only) rejects CDC
+    updates that change the partition column — without it the old row
+    survives in the unread partition and the key silently duplicates.
+    Pass `key_bloom_path` to keep the guard map-only per batch
+    (maintenance.build_key_bloom), or check_moves=False only when the
+    pipeline is partition-stable by construction.  The bucketed path
+    needs no guard: a key's bucket is a pure function of the key.
 
     Replayed batches are idempotent for deterministic inputs (the
     same rows upsert to the same state), which is the foreachBatch
-    exactly-once contract.  The first batch bootstraps the table.
+    exactly-once contract — test_streaming kills a query mid-epoch
+    and restarts from the checkpoint to exercise it.  All rewrites go
+    through the crash-safe swap (maintenance.atomic_overwrite /
+    _swap_partition_dirs).  The first batch bootstraps the table.
     Returns the started StreamingQuery."""
     import os
     import tempfile
 
-    from ..functions.maintenance import upsert, upsert_partitioned
+    from ..functions.maintenance import (atomic_overwrite, is_bucketed,
+                                         upsert, upsert_bucketed,
+                                         upsert_partitioned,
+                                         write_bucketed)
+    if partition_col and n_buckets:
+        raise ValueError("upsert_sink: partition_col and n_buckets are "
+                         "mutually exclusive layouts")
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -708,22 +723,30 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
                               for c in cols],
                             F.max(order_col).alias(order_col))
                        .select(*batch_df.columns))
-            w = out.write.mode("overwrite")
-            if partition_col:
-                w = w.partitionBy(partition_col)
-            w.parquet(table_path)
+            if n_buckets:
+                write_bucketed(out, table_path, list(keys), n_buckets)
+            else:
+                w = out.write.mode("overwrite")
+                if partition_col:
+                    w = w.partitionBy(partition_col)
+                w.parquet(table_path)
             return
         if partition_col:
             upsert_partitioned(spark, table_path, batch_df, keys,
                                partition_col, order_col=order_col,
-                               check_moves=False)
+                               check_moves=check_moves,
+                               key_bloom_path=key_bloom_path)
+        elif n_buckets or is_bucketed(table_path):
+            upsert_bucketed(spark, table_path, batch_df, list(keys),
+                            order_col=order_col)
         else:
             target = spark.read.parquet(table_path)
             merged = upsert(target, batch_df.select(*target.columns)
                             if order_col is None else batch_df,
                             keys, order_col=order_col)
-            merged = merged.localCheckpoint(eager=True)
-            merged.write.mode("overwrite").parquet(table_path)
+            atomic_overwrite(
+                table_path,
+                lambda p: merged.write.mode("overwrite").parquet(p))
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_sink_ckpt_")
     return (stream.writeStream.foreachBatch(_apply)

@@ -701,3 +701,114 @@ def test_kmv_rollup_sink_multibatch_exact_merge(spark, tmp_path):
                  all_rows.where(F.col("event_type") == "view")
                  .select("user_id")).count())
     assert abs(inter["inter_est"] - exact) <= max(0.5 * exact, 10)
+
+
+def test_upsert_sink_restart_from_checkpoint_replays_epoch(spark,
+                                                           tmp_path,
+                                                           monkeypatch):
+    """exactly-once under a REAL restart: the sink crashes after fully
+    applying an epoch but before the checkpoint commits; restarting
+    the query from the same checkpoint re-delivers that epoch, and the
+    final snapshot must equal the clean single-delivery state — for
+    both the partitioned and the bucketed layout."""
+    import pandas as pd
+    from pyspark.sql.utils import StreamingQueryException
+
+    from dask_expr_spark.functions import maintenance as M
+
+    def run_layout(tag, sink_kwargs, read_back):
+        src = str(tmp_path / f"src_{tag}")
+        table = str(tmp_path / f"tbl_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for i in range(3):
+            pdf = pd.DataFrame({
+                "k": list(range(i * 10, i * 10 + 10)) + [0],
+                "v": [float(i)] * 11,
+                "part": ["even" if x % 2 == 0 else "odd"
+                         for x in list(range(i * 10, i * 10 + 10)) + [0]],
+                "ver": [i] * 11,
+            })
+            (spark.createDataFrame(pdf).coalesce(1)
+             .write.mode("append").parquet(src))
+        schema = spark.read.parquet(src).schema
+
+        # crash AFTER the first post-bootstrap epoch is fully applied
+        # (upsert done, checkpoint offset not yet committed)
+        state = {"applied": 0}
+        real_part = M.upsert_partitioned
+        real_buck = M.upsert_bucketed
+
+        def crash_after_part(*a, **kw):
+            out = real_part(*a, **kw)
+            state["applied"] += 1
+            if state["applied"] == 1:
+                raise RuntimeError("injected post-apply crash")
+            return out
+
+        def crash_after_buck(*a, **kw):
+            out = real_buck(*a, **kw)
+            state["applied"] += 1
+            if state["applied"] == 1:
+                raise RuntimeError("injected post-apply crash")
+            return out
+
+        monkeypatch.setattr(M, "upsert_partitioned", crash_after_part)
+        monkeypatch.setattr(M, "upsert_bucketed", crash_after_buck)
+
+        def start():
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            return S.upsert_sink(stream, table, ["k"], order_col="ver",
+                                 checkpoint_dir=ckpt, **sink_kwargs)
+
+        q = start()
+        with pytest.raises(StreamingQueryException):
+            q.processAllAvailable()
+        q.stop()
+        assert state["applied"] == 1          # epoch applied, not committed
+
+        monkeypatch.setattr(M, "upsert_partitioned", real_part)
+        monkeypatch.setattr(M, "upsert_bucketed", real_buck)
+        q = start()                           # same checkpoint -> replay
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        snap = {r["k"]: (r["v"], r["ver"]) for r in read_back().collect()}
+        assert len(snap) == 30                # each key exactly once
+        assert snap[0] == (2.0, 2)            # re-upserted key: last wins
+        assert snap[5] == (0.0, 0) and snap[25] == (2.0, 2)
+
+    run_layout("part", {"partition_col": "part"},
+               lambda: spark.read.parquet(str(tmp_path / "tbl_part")))
+    run_layout("buck", {"n_buckets": 8},
+               lambda: M.read_bucketed(spark, str(tmp_path / "tbl_buck")))
+
+
+def test_upsert_sink_check_moves_surfaces_partition_move(spark,
+                                                         tmp_path):
+    """the partitioned CDC-apply sink now guards partition moves by
+    default (round-6 ADVICE: it silently duplicated the key): a batch
+    that moves a key between partitions fails the query instead of
+    corrupting the snapshot."""
+    import pandas as pd
+    from pyspark.sql.utils import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0],
+                         "part": ["a", "a", "b"]})
+    mover = pd.DataFrame({"k": [1], "v": [9.0], "part": ["b"]})
+    spark.createDataFrame(base).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(mover).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = S.upsert_sink(stream, table, ["k"], partition_col="part",
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    with pytest.raises(StreamingQueryException, match="partition-moving"):
+        q.processAllAvailable()
+    q.stop()
+    # the snapshot was not corrupted: k=1 still lives in part a only
+    snap = {r["k"]: r["part"] for r in spark.read.parquet(table).collect()}
+    assert snap[1] == "a" and len(snap) == 3
