@@ -367,6 +367,109 @@ def bloom_append(spark: SparkSession, bloom_path: str, delta: DataFrame,
                      lambda p: merged.write.mode("overwrite").parquet(p))
 
 
+# ---------------------------------------------------------------------------
+# Versioned snapshots: the manifest-pointer commit protocol (the
+# lakehouse pattern in miniature — what Delta/Iceberg do with logs and
+# manifests, expressed over plain parquet directories).  Each write is
+# a NEW immutable directory; readers resolve a tiny JSON pointer whose
+# os.replace flip is atomic, so a writer crash at any point leaves the
+# previous version live and fully readable — and old versions stay
+# queryable (time travel) until vacuumed.
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def _read_manifest(path: str) -> dict | None:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)
+
+
+def snapshot_write(df: DataFrame, path: str) -> int:
+    """Commit `df` as the next version of the snapshot table at
+    `path`: the data lands in a fresh immutable `_v{n}` directory
+    (underscore-prefixed, invisible to a naive parquet scan of the
+    root), then the manifest pointer flips via os.replace — the atomic
+    commit.  A crash before the flip leaves an orphan directory that
+    the next write clears; the live version is never in a partial
+    state.  Returns the committed version number."""
+    import datetime
+
+    os.makedirs(path, exist_ok=True)
+    man = _read_manifest(path) or {"current": -1, "versions": []}
+    n = int(man["current"]) + 1
+    vdir = os.path.join(path, f"_v{n:08d}")
+    if os.path.isdir(vdir):                  # orphan of a crashed commit
+        shutil.rmtree(vdir)
+    df.write.mode("overwrite").parquet(vdir)
+    man["versions"].append({
+        "version": n,
+        "committed_at": datetime.datetime.now(
+            datetime.timezone.utc).isoformat()})
+    man["current"] = n
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(path))    # the atomic commit point
+    return n
+
+
+def snapshot_read(spark: SparkSession, path: str,
+                  version: int | None = None) -> DataFrame:
+    """Read the current (or a time-travel `version`) snapshot.  Raises
+    on a vacuumed or never-committed version — an orphan directory
+    from a crashed write is NOT readable, by design."""
+    man = _read_manifest(path)
+    if man is None:
+        raise ValueError(f"snapshot_read: no manifest at {path} — "
+                         "not a snapshot table (snapshot_write first)")
+    live = {int(v["version"]) for v in man["versions"]}
+    v = int(man["current"]) if version is None else int(version)
+    if v not in live:
+        raise ValueError(
+            f"snapshot_read: version {v} not available at {path} "
+            f"(live versions: {sorted(live)})")
+    return spark.read.parquet(os.path.join(path, f"_v{v:08d}"))
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """The commit log: [{version, committed_at}, …] oldest-first."""
+    man = _read_manifest(path)
+    return list(man["versions"]) if man else []
+
+
+def snapshot_vacuum(path: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest `keep` versions (never the current):
+    the manifest flips first (so a crash mid-delete only strands
+    directories, never dangles pointers), then the directories go.
+    Returns the removed version numbers."""
+    man = _read_manifest(path)
+    if man is None:
+        return []
+    keep = max(1, int(keep))
+    vs = sorted(int(v["version"]) for v in man["versions"])
+    drop = [v for v in vs[:-keep] if v != int(man["current"])]
+    if not drop:
+        return []
+    man["versions"] = [v for v in man["versions"]
+                       if int(v["version"]) not in set(drop)]
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(path))
+    for v in drop:
+        shutil.rmtree(os.path.join(path, f"_v{v:08d}"),
+                      ignore_errors=True)
+    return drop
+
+
 def table_diff(before: DataFrame, after: DataFrame, keys: list[str],
                compare_cols: list[str] | None = None) -> DataFrame:
     """Snapshot diff — the validation companion to upsert: one row

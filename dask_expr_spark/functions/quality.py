@@ -84,6 +84,72 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
+def profile_from_rollups(moments: DataFrame,
+                         hist: DataFrame | None = None,
+                         hll: DataFrame | None = None,
+                         group_keys: list[str] | None = None,
+                         quantiles: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
+    """profile_table's statistics WITHOUT rescanning the raw table —
+    answered from the persisted mergeable rollups alone (the
+    sketch-once-slice-forever completion: at 100 TB the rollup tables
+    are maintained incrementally by the streaming sinks, and the
+    profile of any slice union costs rollup-rows, not table-bytes).
+
+    Inputs are the three rollup tables for ONE column at any finer
+    slicing than `group_keys`:
+    - `moments` (sketches.moments_rollup): n, nulls (n_rows − n),
+      mean, stddev, min_val, max_val — exact under merging;
+    - `hist` (sketches.hist_rollup, optional): q{percent} quantile
+      estimates, error ≤ one bin width;
+    - `hll` (sketches.hll_rollup, optional): distinct estimate — build
+      it over the column CAST TO STRING for fractional types
+      (hll_sketch_agg accepts int/long/string/binary only).
+
+    Returns one row per group: (group_keys…, n, nulls, distinct,
+    min_val, max_val, mean, stddev, q25, q50, q75 …) — the
+    profile_table column layout, minus the per-column explode (this is
+    the one-column incremental path; call once per profiled column).
+    Joins are on the group keys (or a 1-row equi-key when ungrouped —
+    a broadcast hash join, not a cartesian)."""
+    from .sketches import hll_estimate, moments_merge, quantile_estimate
+
+    gk = list(group_keys or [])
+    jk = gk or ["__one"]
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df if gk else df.withColumn("__one", F.lit(1))
+
+    m = moments_merge(moments, gk)
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
+        / (F.col("n") - 1)
+    out = keyed(m.select(
+        *gk,
+        F.col("n_rows").alias("n"),
+        (F.col("n_rows") - F.col("n")).alias("nulls"),
+        F.col("min_v").alias("min_val"),
+        F.col("max_v").alias("max_val"),
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev")))
+    if hll is not None:
+        d = keyed(hll_estimate(hll, gk)
+                  .withColumnRenamed("distinct_est", "distinct"))
+        out = out.join(d, jk)
+    else:
+        out = out.withColumn("distinct", F.lit(None).cast("long"))
+    if hist is not None:
+        for q in quantiles:
+            qdf = keyed(quantile_estimate(hist, float(q), gk)
+                        .withColumnRenamed("q_est", f"q{100 * q:g}"))
+            out = out.join(qdf, jk)
+    else:
+        for q in quantiles:
+            out = out.withColumn(f"q{100 * q:g}",
+                                 F.lit(None).cast("double"))
+    qcols = [f"q{100 * q:g}" for q in quantiles]
+    return out.select(*gk, "n", "nulls", "distinct", "min_val",
+                      "max_val", "mean", "stddev", *qcols)
+
+
 def validate(df: DataFrame,
              row_checks: dict[str, Column] | None = None,
              complete: list[str] | None = None,

@@ -235,6 +235,41 @@ def quantile_estimate(rollup: DataFrame, q: float,
                       est.alias("q_est"))
 
 
+def moments_rollup(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Mergeable MOMENTS rollup — the mean/stddev/min/max/null-count
+    companion to hll_rollup (distincts) and hist_rollup (quantiles):
+    per key group, (n_rows, n, s1, s2, min_v, max_v) where n counts
+    non-nulls and s1/s2 are float64 running sums of x and x².  All six
+    merge by addition (min/max by min/max), so any slice union's
+    moments come from the rollup alone — together the three rollup
+    tables answer a full profile_table row without rescanning raw data
+    (quality.profile_from_rollups).  One aggregation, map-side
+    partial."""
+    c = F.col(col).cast("double")
+    return (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count(c).alias("n"),
+                 F.sum(c).alias("s1"),
+                 F.sum(c * c).alias("s2"),
+                 F.min(c).alias("min_v"),
+                 F.max(c).alias("max_v")))
+
+
+def moments_merge(rollup: DataFrame,
+                  group_keys: list[str] | None = None) -> DataFrame:
+    """Merge a moments_rollup down to `group_keys` (None = one global
+    row): counts and power sums add, min/max fold — cost proportional
+    to the ROLLUP's rows, never the raw data."""
+    gk = list(group_keys or [])
+    return (rollup.groupBy(*gk)
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("n").alias("n"),
+                 F.sum("s1").alias("s1"),
+                 F.sum("s2").alias("s2"),
+                 F.min("min_v").alias("min_v"),
+                 F.max("max_v").alias("max_v")))
+
+
 def psi_drift(roll_a: DataFrame, roll_b: DataFrame,
               group_keys: list[str] | None = None,
               eps: float = 1e-6) -> DataFrame:

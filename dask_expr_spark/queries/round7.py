@@ -1,0 +1,443 @@
+"""Round-7 batch: the durability / incremental-maintenance family
+completed — profile-from-rollups (no raw rescan), key-bucketed upsert
+(partition-pruned merges for unpartitioned tables), versioned
+snapshots with time travel (manifest-pointer commits), per-directory
+compaction targets, grouped KMV intersection (incl. the one-sided-
+group fix), and the bucketed streaming CDC-apply sink.
+
+Oracle discipline as in rounds 5/6: every md5-derived estimate
+reproduces HASH-EXACTLY in SQL; rollup approximations carry tolerance
+flags anchored to exact values computed on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ._util import cent_sum, cent_sum_sql, tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# -- profile_from_rollups (quality.profile_from_rollups over
+#    sketches.moments_rollup + hist_rollup + hll_rollup): the full
+#    per-column profile answered from rollups built at a FINER grain
+#    (status × month) and merged — the raw table is never rescanned.
+#    Exact anchors (n, nulls, min, max, cent-exact mean) hash-exact;
+#    the rollup estimates carry tolerance flags -----------------------
+_PB, _PLO, _PHI = 256, 800.0, 600000.0
+
+PROFILE_ROLLUP_SQL = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS nulls,
+       min(o_totalprice) AS min_val, max(o_totalprice) AS max_val,
+       round({cent_sum_sql('o_totalprice')} / count(*), 2) AS mean_r,
+       TRUE AS mean_ok, TRUE AS std_ok, TRUE AS q50_ok,
+       TRUE AS distinct_ok
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("profile_from_rollups_orders", PROFILE_ROLLUP_SQL)
+def profile_from_rollups_orders(spark, sf_dir):
+    """maintain the three mergeable rollups at (status, month) grain,
+    then profile at status grain from the rollups ALONE: counts/
+    moments/min/max merge exactly (hash-checked vs the raw table), the
+    histogram median lands within one bin width, and the HLL distinct
+    within 10% — the incremental 'profile 100 TB without rescanning
+    it' path."""
+    from ..functions.quality import profile_from_rollups
+    from ..functions.sketches import hist_rollup, hll_rollup, moments_rollup
+
+    o = (tbl(spark, sf_dir, "orders").to_spark()
+         .withColumn("month", F.date_trunc("month", F.col("o_orderdate"))))
+    keys = ["o_orderstatus", "month"]
+    mom = moments_rollup(o, keys, "o_totalprice")
+    hst = hist_rollup(o, keys, "o_totalprice", bins=_PB, lo=_PLO, hi=_PHI)
+    hll = hll_rollup(o.withColumn("__s", F.col("o_totalprice")
+                                  .cast("string")), keys, "__s")
+    prof = profile_from_rollups(mom, hst, hll, ["o_orderstatus"],
+                                quantiles=(0.5,))
+    exact = (o.groupBy("o_orderstatus")
+             .agg((cent_sum(F.col("o_totalprice"))
+                   / F.count(F.lit(1))).alias("__mean_x"),
+                  F.stddev_samp("o_totalprice").alias("__std_x"),
+                  F.expr("percentile(o_totalprice, 0.5)").alias("__p50_x"),
+                  F.countDistinct("o_totalprice").alias("__d_x")))
+    bin_w = (_PHI - _PLO) / _PB
+    j = prof.join(exact, "o_orderstatus")
+    return (j.select(
+        "o_orderstatus", "n", "nulls", "min_val", "max_val",
+        F.round(F.col("__mean_x"), 2).alias("mean_r"),
+        (F.abs(F.col("mean") - F.col("__mean_x"))
+         <= 1e-6 * F.abs(F.col("__mean_x"))).alias("mean_ok"),
+        (F.abs(F.col("stddev") - F.col("__std_x"))
+         <= 1e-6 * F.abs(F.col("__std_x"))).alias("std_ok"),
+        (F.abs(F.col("q50") - F.col("__p50_x"))
+         <= F.lit(bin_w)).alias("q50_ok"),
+        (F.abs(F.col("distinct") - F.col("__d_x"))
+         <= 0.10 * F.col("__d_x")).alias("distinct_ok"))
+        .orderBy("o_orderstatus"))
+
+
+# -- key-bucketed upsert (maintenance.write_bucketed/upsert_bucketed):
+#    an unpartitioned table gets partition-pruned merges via md5 hive
+#    buckets; the touched-bucket COUNT is md5-deterministic and
+#    reproduces exactly in SQL, untouched bucket FILES are asserted
+#    byte-identical ---------------------------------------------------
+_NB = 16
+_BKT_SQL_EXPR = ("('0x' || substr(md5('bkt:' || CAST({k} AS VARCHAR)), "
+                 f"1, 15))::BIGINT % {_NB}")
+
+UPSERT_BUCKETED_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 500.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 53 = 0
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_custkey, o_orderstatus,
+         o_totalprice + 500.0, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 53 = 0
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+),
+nb AS (
+  SELECT CAST(count(DISTINCT {_BKT_SQL_EXPR.format(k='o_orderkey')})
+              AS BIGINT) AS n_buckets_touched
+  FROM upd
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       min(nb.n_buckets_touched) AS n_buckets_touched,
+       TRUE AS untouched_ok
+FROM merged, nb GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("upsert_bucketed_roundtrip", UPSERT_BUCKETED_SQL)
+def upsert_bucketed_roundtrip(spark, sf_dir):
+    import glob
+
+    from ..functions.maintenance import (read_bucketed, upsert_bucketed,
+                                         write_bucketed)
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="upsert_bkt_")
+    path = os.path.join(tmp, "t")
+    try:
+        write_bucketed(o, path, ["o_orderkey"], _NB)
+        before = {f: os.path.getsize(f)
+                  for f in glob.glob(path + "/__bucket=*/*.parquet")}
+        base = o.where(F.col("o_orderkey") % 53 == 0)
+        updates = (base.unionByName(
+            base.withColumn("o_orderkey", F.col("o_orderkey") + 3000000))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 500.0))
+        touched = upsert_bucketed(spark, path, updates, ["o_orderkey"])
+        after = {f: os.path.getsize(f)
+                 for f in glob.glob(path + "/__bucket=*/*.parquet")}
+        tdirs = tuple(f"__bucket={b}{os.sep}" for b in touched)
+        untouched_ok = all(
+            before.get(f) == sz for f, sz in after.items()
+            if not any(d in f for d in tdirs)) and all(
+            f in after for f in before
+            if not any(d in f for d in tdirs))
+        back = read_bucketed(spark, path)
+        out = (back.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"))
+               .withColumn("n_buckets_touched",
+                           F.lit(len(touched)).cast("long"))
+               .withColumn("untouched_ok", F.lit(bool(untouched_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- versioned snapshots (maintenance.snapshot_write/read/vacuum): the
+#    manifest-pointer commit protocol — three commits, every historic
+#    version time-travel-readable, vacuum drops the oldest and keeps
+#    the rest; per-version aggregates reconstruct in SQL from first
+#    principles ------------------------------------------------------
+SNAPSHOT_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_totalprice + 200.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_totalprice + 200.0
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+v1 AS (
+  SELECT o_orderkey, o_totalprice FROM upd
+  UNION ALL
+  SELECT o.o_orderkey, o.o_totalprice FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+),
+states AS (
+  SELECT 0 AS version, o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT 1, o_orderkey, o_totalprice FROM v1
+  UNION ALL
+  SELECT 2, o_orderkey, o_totalprice FROM v1 WHERE o_orderkey % 5 <> 0
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS vacuum_ok
+FROM states GROUP BY version ORDER BY version
+"""
+
+
+@q("snapshot_time_travel", SNAPSHOT_SQL)
+def snapshot_time_travel(spark, sf_dir):
+    """three commits to a snapshot table (base, SCD-1 upsert, delete),
+    read back by VERSION — time travel over the manifest pointer; then
+    vacuum(keep=2) must drop exactly v0 and keep v1/v2 readable."""
+    from ..functions.maintenance import (snapshot_read, snapshot_vacuum,
+                                         snapshot_write, upsert)
+
+    o = (tbl(spark, sf_dir, "orders").to_spark()
+         .select("o_orderkey", "o_totalprice"))
+    tmp = tempfile.mkdtemp(prefix="snap_tt_")
+    path = os.path.join(tmp, "t")
+    try:
+        snapshot_write(o, path)
+        base = o.where(F.col("o_orderkey") % 97 == 0)
+        upd = (base.unionByName(
+            base.withColumn("o_orderkey", F.col("o_orderkey") + 3000000))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 200.0))
+        v1 = upsert(snapshot_read(spark, path, 0), upd, ["o_orderkey"])
+        snapshot_write(v1, path)
+        v2 = (snapshot_read(spark, path, 1)
+              .where(F.col("o_orderkey") % 5 != 0))
+        snapshot_write(v2, path)
+        per_v = [
+            snapshot_read(spark, path, v)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total"))
+            .withColumn("version", F.lit(v).cast("long"))
+            for v in (0, 1, 2)]
+        rows = per_v[0].unionByName(per_v[1]).unionByName(per_v[2]) \
+            .collect()
+        dropped = snapshot_vacuum(path, keep=2)
+        v0_gone = False
+        try:
+            snapshot_read(spark, path, 0)
+        except ValueError:
+            v0_gone = True
+        vacuum_ok = (dropped == [0] and v0_gone
+                     and snapshot_read(spark, path, 1) is not None
+                     and snapshot_read(spark, path, 2) is not None)
+        out = spark.createDataFrame(
+            [(r["version"], r["n"], r["total"], bool(vacuum_ok))
+             for r in rows],
+            "version long, n long, total double, vacuum_ok boolean")
+        return out.orderBy("version")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- grouped KMV intersection with a ONE-SIDED group (the round-6
+#    ADVICE fix): status P exists only on side A, so its intersection
+#    must be 0 and its union the A-side estimate — the whole grouped
+#    computation reproduces hash-exactly in SQL ----------------------
+_K7 = 128
+_SPACE7 = "1152921504606846976.0"  # 2^60
+
+KMV_GROUPED_SQL = f"""
+WITH src AS (
+  SELECT 'a' AS side, o_orderstatus AS g, o_orderkey FROM orders
+  WHERE o_totalprice < 150000
+  UNION ALL
+  SELECT 'b', o_orderstatus, o_orderkey FROM orders
+  WHERE o_custkey % 3 = 0 AND o_orderstatus <> 'P'
+),
+h AS (
+  SELECT DISTINCT side, g,
+         ('0x' || substr(md5('kmv:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM src
+),
+r AS (SELECT side, g, hv,
+             row_number() OVER (PARTITION BY side, g ORDER BY hv) AS rn
+      FROM h),
+sk AS (SELECT side, g, hv FROM r WHERE rn <= {_K7}),
+uu AS (SELECT g, hv,
+              row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+       FROM (SELECT DISTINCT g, hv FROM sk)),
+u AS (SELECT g, hv FROM uu WHERE rn <= {_K7}),
+stats AS (
+  SELECT u.g, count(*) AS szu, max(u.hv) AS hku,
+         count(*) FILTER (WHERE
+           EXISTS (SELECT 1 FROM sk x
+                   WHERE x.side = 'a' AND x.g = u.g AND x.hv = u.hv)
+           AND EXISTS (SELECT 1 FROM sk y
+                       WHERE y.side = 'b' AND y.g = u.g AND y.hv = u.hv)
+         ) AS rho
+  FROM u GROUP BY u.g
+),
+est AS (
+  SELECT g, rho, szu,
+         CASE WHEN szu < {_K7} THEN szu
+              ELSE CAST(floor({_K7 - 1}.0 * {_SPACE7}
+                              / CAST(hku AS DOUBLE)) AS BIGINT)
+         END AS union_est
+  FROM stats
+)
+SELECT g AS o_orderstatus,
+       CAST(floor(CAST(rho AS DOUBLE) / CAST(szu AS DOUBLE)
+                  * CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est,
+       union_est
+FROM est ORDER BY 1
+"""
+
+
+@q("kmv_intersect_grouped", KMV_GROUPED_SQL)
+def kmv_intersect_grouped(spark, sf_dir):
+    from ..functions.sketches import kmv_intersect, kmv_rollup
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    a = o.where(F.col("o_totalprice") < 150000)
+    b = o.where((F.col("o_custkey") % 3 == 0)
+                & (F.col("o_orderstatus") != "P"))
+    ra = kmv_rollup(a, ["o_orderstatus"], "o_orderkey", k=_K7)
+    rb = kmv_rollup(b, ["o_orderstatus"], "o_orderkey", k=_K7)
+    return (kmv_intersect(ra, rb, ["o_orderstatus"])
+            .orderBy("o_orderstatus"))
+
+
+# -- per-directory compaction targets (maintenance.compact_parquet
+#    with partition_col, the round-6 ADVICE fix): each hive dir folds
+#    to its own byte target (here: exactly 1 file), the data is
+#    byte-identical, and the crash-safe swap leaves no debris ---------
+COMPACT_PART_SQL = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS per_dir_ok, TRUE AS reduced_ok
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("compact_partitioned_files", COMPACT_PART_SQL)
+def compact_partitioned_files(spark, sf_dir):
+    import glob
+
+    from ..functions.maintenance import compact_parquet
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="compact_part_")
+    path = os.path.join(tmp, "t")
+    try:
+        (o.repartition(24).write.mode("overwrite")
+         .partitionBy("o_orderstatus").parquet(path))
+        before, after = compact_parquet(spark, path, target_mb=512,
+                                        partition_col="o_orderstatus")
+        dirs = glob.glob(path + "/o_orderstatus=*")
+        per_dir_ok = all(
+            len(glob.glob(d + "/*.parquet")) == 1 for d in dirs)
+        reduced_ok = (after == len(dirs) and before > after
+                      and not os.path.isdir(path + "__new")
+                      and not os.path.isdir(path + "__old"))
+        back = spark.read.parquet(path)
+        out = (back.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"))
+               .withColumn("per_dir_ok", F.lit(bool(per_dir_ok)))
+               .withColumn("reduced_ok", F.lit(bool(reduced_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- bucketed streaming CDC-apply (streaming/ops.py upsert_sink with
+#    n_buckets): the stream_upsert_snapshot scenario on a table with
+#    NO natural partition column — each micro-batch prunes to the md5
+#    bucket directories its keys hash into instead of rewriting the
+#    snapshot; final state hash-exact from first principles ----------
+STREAM_UPSERT_BKT_SQL = """
+WITH fin AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 300.0
+              ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total,
+       CAST(3 AS INT) AS last_v, TRUE AS layout_ok
+FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("stream_upsert_bucketed", STREAM_UPSERT_BKT_SQL)
+def stream_upsert_bucketed(spark, sf_dir):
+    import time
+
+    from ..functions.maintenance import is_bucketed, read_bucketed
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_ubkt_src_")
+    tbl_dir = tempfile.mkdtemp(prefix="stream_ubkt_tbl_")
+    table_path = os.path.join(tbl_dir, "t")
+    ckpt = tempfile.mkdtemp(prefix="stream_ubkt_ckpt_")
+    try:
+        o = tbl(spark, sf_dir, "orders").to_spark()
+        stamped: set = set()
+        base_t = time.time() - 60
+        for i in range(4):
+            inserts = o.where((F.col("o_orderkey") % 4 == i)
+                              & (F.col("o_orderkey") % 10 != 0))
+            recrawl = (o.where(F.col("o_orderkey") % 10 == 0)
+                       .withColumn("o_totalprice",
+                                   F.col("o_totalprice") + 100.0 * i))
+            (inserts.unionByName(recrawl)
+             .withColumn("__v", F.lit(i))
+             .coalesce(1).write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in stamped:
+                    t = base_t + i * 10
+                    os.utime(os.path.join(src, f), (t, t))
+                    stamped.add(f)
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q_ = S.upsert_sink(stream, table_path, ["o_orderkey"],
+                           n_buckets=16, order_col="__v",
+                           checkpoint_dir=ckpt)
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        layout_ok = is_bucketed(table_path) and all(
+            d.startswith(("__bucket=", "_", "."))
+            for d in os.listdir(table_path))
+        snap = read_bucketed(spark, table_path)
+        out = (snap.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"),
+                    F.max(F.when(F.col("o_orderkey") % 10 == 0,
+                                 F.col("__v"))).alias("last_v"))
+               .withColumn("layout_ok", F.lit(bool(layout_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tbl_dir, ignore_errors=True)

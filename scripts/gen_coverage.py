@@ -426,6 +426,14 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["profile_orders_stats", "validate_orders_constraints"],
              t="mixed-type/null semantics + single-job plan "
                "test_round6_ops"),
+        dict(op="mergeable moments rollup (n/nulls/mean/stddev/min/max "
+                "merge exactly) + profile_from_rollups: the full "
+                "per-column profile answered from the persisted "
+                "moments/hist/HLL rollup tables alone — profile 100 TB "
+                "without rescanning it",
+             loc="dask_expr_spark/functions/sketches.py (moments_rollup) "
+                 "+ functions/quality.py (profile_from_rollups)",
+             q=["profile_from_rollups_orders"]),
         dict(op="multimodal decode/frames/embed/resize + audio metadata "
                 "(image header + WAV/RIFF parse real, codec decode/resize "
                 "stubbed without Pillow/ffmpeg)",
@@ -450,7 +458,8 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "sink (kmv_rollup_sink)",
              loc="dask_expr_spark/functions/sketches.py (kmv_rollup, "
                  "kmv_estimate, kmv_intersect) + streaming/ops.py",
-             q=["kmv_distinct_slices", "kmv_intersect_slices"],
+             q=["kmv_distinct_slices", "kmv_intersect_slices",
+                "kmv_intersect_grouped"],
              t="randomized accuracy + merge-associativity "
                "test_round6b_ops; sink≡batch array-identity "
                "test_streaming"),
@@ -473,18 +482,32 @@ ROWS: list[tuple[str, list[dict]]] = [
                "tie-break/diversity-flip tests test_round6b_ops"),
         dict(op="incremental maintenance: SCD-1 upsert (order_col "
                 "version resolution) + partition-pruned parquet "
-                "upsert-in-place (dynamic partition overwrite, "
-                "partition-move guard) + table_diff snapshot audit "
-                "(null-safe added/removed/changed/unchanged)",
+                "upsert-in-place (crash-safe per-partition rename "
+                "swaps, bloom-prefiltered partition-move guard) + "
+                "key-bucketed upsert (md5 hive buckets as pseudo-"
+                "partitions for unpartitioned tables) + table_diff "
+                "snapshot audit + per-directory-target compaction",
              loc="dask_expr_spark/functions/maintenance.py (upsert, "
-                 "upsert_partitioned)",
+                 "upsert_partitioned, upsert_bucketed, compact_parquet)",
              q=["upsert_orders_scd1", "upsert_partitioned_roundtrip",
-                "diff_after_upsert", "stream_upsert_snapshot",
-                "compact_roundtrip_lineitem"],
+                "upsert_bucketed_roundtrip", "diff_after_upsert",
+                "stream_upsert_snapshot", "stream_upsert_bucketed",
+                "compact_roundtrip_lineitem", "compact_partitioned_files"],
              t="randomized pandas differential + untouched-files-"
-               "byte-stable + move-guard + diff null-semantics + "
-               "sink replay-idempotence + compaction data-identity "
-               "tests test_round6b_ops"),
+               "byte-stable + move-guard (bloom scan-skip) + diff "
+               "null-semantics + sink replay-idempotence (incl. "
+               "restart-from-checkpoint) + compaction data-identity + "
+               "crash-injection swap tests test_round6b_ops/"
+               "test_round7_ops/test_streaming"),
+        dict(op="versioned snapshots with TIME TRAVEL: manifest-"
+                "pointer commits (atomic os.replace flip), immutable "
+                "version directories, history log, vacuum — a writer "
+                "crash at any point leaves the previous version live",
+             loc="dask_expr_spark/functions/maintenance.py "
+                 "(snapshot_write, snapshot_read, snapshot_vacuum)",
+             q=["snapshot_time_travel"],
+             t="orphan-directory reclaim + vacuumed-read rejection "
+               "smoke in the query's vacuum_ok flag"),
     ]),
 ]
 

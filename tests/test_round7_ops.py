@@ -363,3 +363,105 @@ def test_mmr_rerank_zero_vector_no_nan(spark):
     assert len(got) == 4
     assert all(not math.isnan(r["mmr"]) for r in got)
     assert got[0]["id"] == 0                  # pure-relevance first pick
+
+
+# --------------------------------------------- snapshot versioning
+
+def test_snapshot_versioning_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    d0 = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}))
+    d1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3],
+                                             "v": [9.0, 2.0, 3.0]}))
+    assert M.snapshot_write(d0, path) == 0
+    assert M.snapshot_write(d1, path) == 1
+    assert M.snapshot_read(spark, path).count() == 3          # current
+    assert {r["v"] for r in
+            M.snapshot_read(spark, path, 0).collect()} == {1.0, 2.0}
+    assert [h["version"] for h in M.snapshot_history(path)] == [0, 1]
+
+
+def test_snapshot_crashed_commit_invisible_and_reclaimed(spark,
+                                                         tmp_path):
+    """a version directory without a manifest flip (crash before the
+    os.replace) must be unreadable, and the NEXT write reclaims its
+    number."""
+    path = str(tmp_path / "snap")
+    d0 = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]}))
+    M.snapshot_write(d0, path)
+    orphan = os.path.join(path, "_v00000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "partial"), "w") as f:
+        f.write("junk")
+    with pytest.raises(ValueError, match="not available"):
+        M.snapshot_read(spark, path, 1)
+    assert M.snapshot_read(spark, path).count() == 1          # live intact
+    assert M.snapshot_write(d0, path) == 1                    # reclaimed
+    assert M.snapshot_read(spark, path, 1).count() == 1
+
+
+def test_snapshot_vacuum_keeps_current(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    d = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]}))
+    for _ in range(4):
+        M.snapshot_write(d, path)
+    assert M.snapshot_vacuum(path, keep=2) == [0, 1]
+    assert [h["version"] for h in M.snapshot_history(path)] == [2, 3]
+    with pytest.raises(ValueError):
+        M.snapshot_read(spark, path, 0)
+    assert M.snapshot_read(spark, path, 2).count() == 1
+    assert M.snapshot_read(spark, path).count() == 1
+    # keep larger than history: no-op
+    assert M.snapshot_vacuum(path, keep=10) == []
+
+
+# ----------------------------------------- profile from rollups
+
+def test_profile_from_rollups_matches_profile_table(spark):
+    """moments/hist/hll rollups built at a finer grain and merged must
+    reproduce profile_table's exact fields and land its approximate
+    fields within the documented bounds."""
+    from dask_expr_spark.functions.quality import (profile_from_rollups,
+                                                   profile_table)
+    from dask_expr_spark.functions.sketches import (hist_rollup,
+                                                    hll_rollup,
+                                                    moments_rollup)
+
+    pdf = pd.DataFrame({
+        "g": ["a", "b"] * 200,
+        "x": [float(i % 37) for i in range(400)],
+    })
+    pdf.loc[::10, "x"] = None                 # nulls must be counted
+    df = spark.createDataFrame(pdf)
+    mom = moments_rollup(df, ["g"], "x")
+    hst = hist_rollup(df, ["g"], "x", bins=64, lo=0.0, hi=37.0)
+    hll = hll_rollup(df.withColumn("__s", F.col("x").cast("string")),
+                     ["g"], "__s")
+    got = profile_from_rollups(mom, hst, hll).collect()[0]
+    ref = profile_table(df, ["x"]).collect()[0]
+    assert got["n"] == ref["n"] and got["nulls"] == ref["nulls"]
+    assert float(got["min_val"]) == float(ref["min_val"])
+    assert float(got["max_val"]) == float(ref["max_val"])
+    assert abs(got["mean"] - ref["mean"]) < 1e-9
+    assert abs(got["stddev"] - ref["stddev"]) < 1e-9
+    exact_p50 = df.agg(F.expr("percentile(x, 0.5)")).collect()[0][0]
+    assert abs(got["q50"] - exact_p50) <= 37.0 / 64
+    exact_d = df.where(F.col("x").isNotNull()).select("x") \
+        .distinct().count()
+    assert abs(got["distinct"] - exact_d) <= max(2, 0.1 * exact_d)
+    # grouped: n splits exactly
+    per_g = {r["g"]: r["n"]
+             for r in profile_from_rollups(mom, hst, hll, ["g"]).collect()}
+    assert per_g == {"a": 200, "b": 200}
+
+
+def test_moments_rollup_merge_exact(spark):
+    from dask_expr_spark.functions.sketches import (moments_merge,
+                                                    moments_rollup)
+
+    pdf = pd.DataFrame({"s": [("x", "y")[i % 2] for i in range(100)],
+                        "v": [float(i) for i in range(100)]})
+    df = spark.createDataFrame(pdf)
+    merged = moments_merge(moments_rollup(df, ["s"], "v")).collect()[0]
+    assert merged["n_rows"] == 100 and merged["n"] == 100
+    assert merged["s1"] == sum(range(100))
+    assert merged["min_v"] == 0.0 and merged["max_v"] == 99.0
