@@ -575,3 +575,168 @@ def compact_parquet(spark: SparkSession, path: str,
     after = sum(1 for root, _d, files in os.walk(path)
                 for f in files if f.endswith(".parquet"))
     return (files_before, after)
+
+
+# ---------------------------------------------------------------------------
+# SCD-2: history-keeping upsert.  Where `upsert` (SCD-1) overwrites,
+# SCD-2 VERSIONS — every attribute change closes the key's current row
+# (valid_to = the change's effective time) and opens a new one, so any
+# historic state reconstructs with scd2_asof.  The training-pipeline
+# use: document metadata that must be reproducible as-of a training
+# run's snapshot date (license flags, quality labels, source weights).
+# No reference analogue (dask-expr has no mutation surface).
+# ---------------------------------------------------------------------------
+
+
+def scd2_init(df: DataFrame, effective_col: str,
+              start_col: str = "valid_from", end_col: str = "valid_to",
+              current_col: str = "is_current") -> DataFrame:
+    """Bootstrap an SCD-2 history table from a plain snapshot:
+    `effective_col` (an orderable ingest/effective timestamp) becomes
+    `start_col`, every row opens current.  One narrow projection, no
+    shuffle."""
+    ecol = df.schema[effective_col].dataType
+    return (df.withColumn(start_col, F.col(effective_col).cast(ecol))
+            .drop(effective_col)
+            .withColumn(end_col, F.lit(None).cast(ecol))
+            .withColumn(current_col, F.lit(True)))
+
+
+def scd2_current(history: DataFrame,
+                 current_col: str = "is_current") -> DataFrame:
+    """The live snapshot: current rows only."""
+    return history.where(F.col(current_col))
+
+
+def scd2_asof(history: DataFrame, ts,
+              start_col: str = "valid_from", end_col: str = "valid_to",
+              current_col: str = "is_current") -> DataFrame:
+    """Time travel over the history: the state as of `ts` — rows whose
+    validity interval covers it (valid_from <= ts < valid_to, open
+    intervals count).  A pure filter: pushes to the scan, so a
+    partition/cluster layout on start_col prunes at 100 TB."""
+    t = F.lit(ts)
+    return history.where(
+        (F.col(start_col) <= t)
+        & (F.col(end_col).isNull() | (t < F.col(end_col)))) \
+        .drop(end_col, current_col)
+
+
+def upsert_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
+                effective_col: str,
+                compare_cols: list[str] | None = None,
+                start_col: str = "valid_from", end_col: str = "valid_to",
+                current_col: str = "is_current") -> DataFrame:
+    """Merge an updates batch into the SCD-2 history `target`
+    (scd2_init layout).  Change detection: an update whose
+    `compare_cols` equal the key's latest surviving values is a no-op
+    (runs of identical values collapse to their first); a changed
+    update closes the current row at the update's effective time and
+    opens a new current row.  Novel keys insert.  Closed history rows
+    are NEVER touched.
+
+    Preconditions (the classic SCD-2 contract): updates must not be
+    retroactive — each update's effective time must be strictly newer
+    than the key's current `start_col` (raises with a count if not;
+    amend history by rebuilding it instead), and (key, effective) pairs
+    in one batch dedupe deterministically (greatest compare-struct
+    wins).
+
+    Plan shape at 100 TB: the only full-width scan of the history is
+    the is_current ∧ batch-key semi-join (a partition layout on
+    `current_col` makes it a pruned read); the re-versioning window
+    runs over batch keys ONLY (cost bounded by the batch + one current
+    row per touched key), and untouched rows pass through an anti-join
+    on the (small) touched-key set, which AQE broadcasts."""
+    attrs = [c for c in target.columns
+             if c not in keys and c not in (start_col, end_col,
+                                            current_col)]
+    if compare_cols is None:
+        compare_cols = attrs
+    # deterministic in-batch dedup of (key, effective) collisions
+    upd = (updates.groupBy(*keys, effective_col)
+           .agg(F.max(F.struct(*attrs)).alias("__s"))
+           .select(*keys, F.col(effective_col).alias(start_col),
+                   *[F.col(f"__s.{c}").alias(c) for c in attrs]))
+    bkeys = upd.select(*keys).distinct()
+    cur = (target.where(F.col(current_col))
+           .join(bkeys, keys, "left_semi")
+           .select(*keys, start_col, *attrs))
+    late = (upd.join(cur.select(*keys,
+                                F.col(start_col).alias("__cur_from")),
+                     keys, "inner")
+            .where(F.col(start_col) <= F.col("__cur_from")).count())
+    if late:
+        raise ValueError(
+            f"upsert_scd2: {late} update(s) are retroactive (effective "
+            f"<= the key's current {start_col}); SCD-2 history is "
+            "append-only — rebuild the history to amend it")
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy(start_col)
+    seg = cur.unionByName(upd.select(*cur.columns))
+    cmp_struct = F.struct(*[F.col(c) for c in compare_cols])
+    # collapse runs of identical values: keep a row iff it differs
+    # from its predecessor (the key's first row always survives)
+    seg = (seg.withColumn("__prev", F.lag(cmp_struct).over(w))
+           .where(F.col("__prev").isNull()
+                  | ~F.col("__prev").eqNullSafe(cmp_struct))
+           .drop("__prev"))
+    seg = (seg.withColumn(end_col, F.lead(start_col).over(w))
+           .withColumn(current_col, F.col(end_col).isNull())
+           .select(*target.columns))
+    untouched = (target.join(bkeys, keys, "left_anti")
+                 .unionByName(
+                     target.where(~F.col(current_col))
+                     .join(bkeys, keys, "left_semi")))
+    return untouched.unionByName(seg)
+
+
+# ---------------------------------------------------------------------------
+# Row-level CDC: the record companion to table_diff's counts.
+# ---------------------------------------------------------------------------
+
+
+def cdc_rows(before: DataFrame, after: DataFrame, keys: list[str],
+             compare_cols: list[str] | None = None) -> DataFrame:
+    """Change-data-capture records between two table states: one row
+    per inserted / deleted / updated key, with `<c>_before` /
+    `<c>_after` for every compared column (nulls on the absent side).
+    Unchanged keys are filtered out — the output is change-sized, not
+    table-sized.  One full-outer join on `keys`, same plan class as
+    table_diff; rows compare null-safely."""
+    if compare_cols is None:
+        compare_cols = [c for c in after.columns
+                        if c in set(before.columns) and c not in keys]
+    a = before.select(
+        *keys, *[F.col(c).alias(f"{c}_before") for c in compare_cols],
+        F.lit(1).alias("__in_a"))
+    b = after.select(
+        *keys, *[F.col(c).alias(f"{c}_after") for c in compare_cols],
+        F.lit(1).alias("__in_b"))
+    j = a.join(b, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"{c}_before").eqNullSafe(F.col(f"{c}_after"))
+    change = (F.when(F.col("__in_a").isNull(), F.lit("insert"))
+              .when(F.col("__in_b").isNull(), F.lit("delete"))
+              .when(same, F.lit(None))
+              .otherwise(F.lit("update")))
+    cols = [x for c in compare_cols
+            for x in (f"{c}_before", f"{c}_after")]
+    return (j.withColumn("change_type", change)
+            .where(F.col("change_type").isNotNull())
+            .select("change_type", *keys, *cols))
+
+
+def snapshot_cdc(spark: SparkSession, path: str, from_version: int,
+                 to_version: int, keys: list[str],
+                 compare_cols: list[str] | None = None) -> DataFrame:
+    """CDC records between two committed snapshot versions (the
+    time-travel tables of snapshot_write) — "what changed between the
+    corpus my last run trained on and today's?" answered as rows, not
+    counts, without any log having been kept: the versions ARE the
+    log."""
+    return cdc_rows(snapshot_read(spark, path, from_version),
+                    snapshot_read(spark, path, to_version), keys,
+                    compare_cols=compare_cols)

@@ -945,3 +945,176 @@ def mmr_rerank(candidates: DataFrame, query_col: str, id_col: str,
 
     return (candidates.groupBy(query_col)
             .applyInPandas(_mmr, schema=schema))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side answer the float paths
+# can't give.  int8 cuts a 64-dim corpus 4× (64 B/vector); PQ with
+# m=8 sub-quantizers cuts it to EIGHT bytes/vector (32×), so a
+# 100 TB float32 embedding column scans as ~3 TB of codes — the
+# difference between "fits in the cluster's page cache" and "doesn't".
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011, public).  No reference analogue (dask-expr has
+# no retrieval surface).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(vectors: DataFrame, dim: int, m: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_rows: int = 20000, kmeans_iters: int = 4,
+             seed: int = 42):
+    """Train a PQ codebook: the corpus splits into `m` subspaces of
+    dim/m components; each gets its own 256-centroid k-means codebook
+    fit on a DETERMINISTIC md5-ranked sample (engine-independent, so
+    the whole pipeline replays identically).  The sample is the only
+    driver-side data (sample_rows × dim doubles, ~10 MB at defaults);
+    the returned codebook is (m, n_centroids, dim/m) — ~130 KB, a
+    broadcast-sized object no matter the corpus size.  Vectors
+    L2-normalize before fitting so ADC scores approximate cosine."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    samp = (vectors.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(int(sample_rows)).collect())
+    X = np.asarray([list(r[1]) for r in samp], dtype="float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = len(X)
+    ncent = min(256, n)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ncent, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = Xs[rng.choice(n, ncent, replace=False)].copy()
+        for _ in range(int(kmeans_iters)):
+            d2 = ((Xs ** 2).sum(1, keepdims=True) - 2 * Xs @ C.T
+                  + (C ** 2).sum(1))
+            assign = d2.argmin(1)
+            for c in range(ncent):
+                mask = assign == c
+                if mask.any():          # empty cluster keeps its seed
+                    C[c] = Xs[mask].mean(0)
+        books[s] = C
+    return books
+
+
+def pq_encode(vectors: DataFrame, codebook,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode the corpus to PQ codes: one map-only Arrow pass, each
+    vector → m uint8 centroid ids (stored array<smallint>; parquet RLE
+    makes them ~m bytes/row).  The codes table is the thing you
+    PERSIST — encode 100 TB once, then every retrieval scans the
+    ~3 TB code table instead of the embeddings."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = vectors.sparkSession
+    bb = spark.sparkContext.broadcast(np.asarray(codebook))
+    m, _ncent, dsub = np.asarray(codebook).shape
+    id_field = vectors.schema[id_col]
+    schema = T.StructType([
+        id_field,
+        T.StructField("pq_code", T.ArrayType(T.ShortType())),
+    ])
+
+    def enc(it):
+        B = bb.value
+        c2 = (B ** 2).sum(2)                        # (m, ncent)
+        for pdf in it:
+            V = np.asarray([np.asarray(v, dtype="float64")
+                            for v in pdf[vec_col]])
+            V = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), m), dtype="int16")
+            for s in range(m):
+                Vs = V[:, s * dsub:(s + 1) * dsub]
+                d2 = c2[s] - 2 * (Vs @ B[s].T)      # +||v||² const
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "pq_code": list(codes)})
+
+    return vectors.select(id_col, vec_col).mapInPandas(enc, schema)
+
+
+def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+            k: int = 5, m: int = 8, id_col: str = "vec_id",
+            vec_col: str = "embedding", sample_rows: int = 20000,
+            kmeans_iters: int = 4, seed: int = 42,
+            codebook=None, codes: DataFrame | None = None) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation
+    (ADC) over PQ codes: per query a (m × 256) lookup table of
+    subvector·centroid dots, then each corpus row scores as m table
+    gathers — no float vector is ever touched at scan time.
+
+    Scale shape: queries collect under the same cap/contract as
+    cosine_topk (they play the broadcast role); the CODE table streams
+    through an Arrow batch kernel emitting per-batch local top-k, and
+    a final window ranks #batches × q × k candidate rows.  Pass
+    `codes` (a persisted pq_encode output) and `codebook` to skip
+    training/encoding — the steady-state 100 TB pattern; without them
+    both are computed inline (one extra pass).  Deterministic: seeded
+    sample + seeded k-means, ties break on neighbor_id.  Output:
+    (query_id, neighbor_id, adc, rank) — `adc` approximates cosine.
+    Measured recall + cost: SCALE.md (scripts/recall_check.py)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if codebook is None:
+        codebook = pq_train(vectors, dim, m=m, id_col=id_col,
+                            vec_col=vec_col, sample_rows=sample_rows,
+                            kmeans_iters=kmeans_iters, seed=seed)
+    codebook = np.asarray(codebook)
+    m = codebook.shape[0]
+    dsub = codebook.shape[2]
+    if codes is None:
+        codes = pq_encode(vectors, codebook, id_col=id_col,
+                          vec_col=vec_col)
+
+    qids, Q = _collect_query_matrix(queries, id_col, vec_col)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[j, s, c] = q_j's s-subvector · centroid c  → Σ_s gathers ≈ cos
+    lut = np.einsum("jsd,scd->jsc",
+                    Qn.reshape(len(Qn), m, dsub), codebook)
+    spark = vectors.sparkSession
+    blut = spark.sparkContext.broadcast(lut)
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def score(it):
+        L = blut.value                                 # (q, m, ncent)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            C = np.asarray(list(pdf["pq_code"]), dtype="int64")
+            S = np.zeros((len(ids), len(qids)))
+            for s in range(m):
+                S += L[:, s, :][:, C[:, s]].T          # (n, q)
+            for j, qid in enumerate(qids):
+                S[ids == qid, j] = -np.inf
+            top = min(k, len(ids))
+            part = np.argpartition(-S, top - 1, axis=0)[:top]
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                idx = part[:, j]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(ids[idx])
+                out_s.extend(S[idx, j])
+            yield pd.DataFrame(
+                {"query_id": pd.Series(out_q, dtype="int64"),
+                 "neighbor_id": pd.Series(out_n, dtype="int64"),
+                 "adc": pd.Series(out_s, dtype="float64")})
+
+    cand = codes.select(id_col, "pq_code").mapInPandas(score, schema)
+    cand = cand.filter((F.col("query_id") != F.col("neighbor_id"))
+                       & (F.col("adc") != F.lit(float("-inf"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc", "rank"))

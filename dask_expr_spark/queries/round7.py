@@ -441,3 +441,250 @@ def stream_upsert_bucketed(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(tbl_dir, ignore_errors=True)
+
+
+# -- SCD-2 history upsert (maintenance.upsert_scd2): two update
+#    batches over an initialized history — change detection, no-op
+#    collapse, chained versioning (every %21 key is a %7 key, so it
+#    versions twice) — the full history reconstructs in SQL from first
+#    principles (the oracle enumerates the expected validity
+#    intervals).  Slice to %10 keys for a bounded hash -------------
+SCD2_HIST_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+rows AS (
+  SELECT k, price, DATE '1995-01-01' AS valid_from,
+         CASE WHEN k % 7 = 0 THEN DATE '1996-01-01' END AS valid_to
+  FROM src
+  UNION ALL
+  SELECT k, round(price + 100.0, 2), DATE '1996-01-01',
+         CASE WHEN k % 21 = 0 THEN DATE '1997-01-01' END
+  FROM src WHERE k % 7 = 0
+  UNION ALL
+  SELECT k, round(price + 300.0, 2), DATE '1997-01-01', NULL
+  FROM src WHERE k % 21 = 0
+)
+SELECT k, price, CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(valid_to AS TIMESTAMP) AS valid_to,
+       valid_to IS NULL AS is_current
+FROM rows ORDER BY k, valid_from
+"""
+
+
+def _scd2_orders_history(spark, sf_dir):
+    import datetime
+
+    from ..functions.maintenance import scd2_init, upsert_scd2
+
+    o = (tbl(spark, sf_dir, "orders").to_spark()
+         .select(F.col("o_orderkey").alias("k"),
+                 F.round(F.col("o_totalprice"), 2).alias("price"),
+                 F.col("o_orderstatus").alias("status")))
+    base = o.withColumn("eff", F.lit(datetime.date(1995, 1, 1)))
+    hist = scd2_init(base, "eff")
+    u1 = (o.where(F.col("k") % 7 == 0)
+          .withColumn("price", F.round(F.col("price") + 100.0, 2)))
+    noop = o.where((F.col("k") % 11 == 0) & (F.col("k") % 7 != 0))
+    b1 = (u1.unionByName(noop)
+          .withColumn("eff", F.lit(datetime.date(1996, 1, 1))))
+    hist = upsert_scd2(hist, b1, ["k"], "eff")
+    b2 = (o.where(F.col("k") % 21 == 0)
+          .withColumn("price", F.round(F.col("price") + 300.0, 2))
+          .withColumn("eff", F.lit(datetime.date(1997, 1, 1))))
+    return upsert_scd2(hist, b2, ["k"], "eff")
+
+
+@q("scd2_history_orders", SCD2_HIST_SQL)
+def scd2_history_orders(spark, sf_dir):
+    """history-keeping upsert: init at 1995, +100 for %7 keys at 1996
+    (plus a no-op batch for %11 keys — must COLLAPSE, changing
+    nothing), +300-over-base for %21 keys at 1997 (a second version of
+    keys already versioned once).  The oracle enumerates the exact
+    expected (value, valid_from, valid_to, is_current) interval set —
+    any wrong close-out date, lost row, or surviving no-op flips the
+    hash."""
+    hist = _scd2_orders_history(spark, sf_dir)
+    return (hist.where(F.col("k") % 10 == 0)
+            .select("k", "price",
+                    F.col("valid_from").cast("timestamp_ntz")
+                    .alias("valid_from"),
+                    F.col("valid_to").cast("timestamp_ntz")
+                    .alias("valid_to"),
+                    "is_current")
+            .orderBy("k", "valid_from"))
+
+
+# -- scd2_asof: time travel over the same history — the state as of
+#    mid-1996 must equal "base with +100 applied to %7 keys", which the
+#    oracle computes directly --------------------------------------
+SCD2_ASOF_SQL = f"""
+WITH state AS (
+  SELECT o_orderstatus AS status,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN round(round(o_totalprice, 2) + 100.0, 2)
+              ELSE round(o_totalprice, 2) END AS price
+  FROM orders
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('price')} AS total
+FROM state GROUP BY status ORDER BY status
+"""
+
+
+@q("scd2_asof_snapshot", SCD2_ASOF_SQL)
+def scd2_asof_snapshot(spark, sf_dir):
+    import datetime
+
+    from ..functions.maintenance import scd2_asof
+
+    hist = _scd2_orders_history(spark, sf_dir)
+    asof = scd2_asof(hist, datetime.date(1996, 6, 1))
+    return (asof.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("price")).alias("total"))
+            .orderBy("status"))
+
+
+# -- row-level CDC between snapshot versions (maintenance.snapshot_cdc
+#    over snapshot_write time travel): v0 = base, v1 = SCD-1 upsert
+#    (updates + inserts), v2 = delete %5 keys; cdc(v0 -> v2) must emit
+#    exactly the insert/update/delete record set the oracle derives
+#    from one full-outer join ---------------------------------------
+CDC_SNAP_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p FROM orders
+),
+upd AS (
+  SELECT k, round(p + 500.0, 2) AS p FROM base WHERE k % 53 = 0
+  UNION ALL
+  SELECT k + 3000000, round(p + 500.0, 2) FROM base WHERE k % 53 = 0
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)
+),
+v2 AS (SELECT * FROM v1 WHERE k % 5 <> 0),
+j AS (
+  SELECT coalesce(a.k, b.k) AS k, a.p AS p_before, b.p AS p_after,
+         a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb
+  FROM base a FULL OUTER JOIN v2 b ON a.k = b.k
+)
+SELECT CASE WHEN NOT ina THEN 'insert'
+            WHEN NOT inb THEN 'delete'
+            ELSE 'update' END AS change_type,
+       k, p_before, p_after
+FROM j
+WHERE NOT ina OR NOT inb OR p_before <> p_after
+ORDER BY change_type, k
+"""
+
+
+@q("cdc_between_snapshots", CDC_SNAP_SQL)
+def cdc_between_snapshots(spark, sf_dir):
+    from ..functions.maintenance import (snapshot_cdc, snapshot_read,
+                                         snapshot_write, upsert)
+
+    o = (tbl(spark, sf_dir, "orders").to_spark()
+         .select(F.col("o_orderkey").alias("k"),
+                 F.round(F.col("o_totalprice"), 2).alias("p")))
+    tmp = tempfile.mkdtemp(prefix="cdc_snap_")
+    path = os.path.join(tmp, "t")
+    try:
+        snapshot_write(o, path)
+        chg = o.where(F.col("k") % 53 == 0)
+        upd = (chg.unionByName(
+            chg.withColumn("k", F.col("k") + 3000000))
+            .withColumn("p", F.round(F.col("p") + 500.0, 2)))
+        v1 = upsert(snapshot_read(spark, path, 0), upd, ["k"])
+        snapshot_write(v1, path)
+        v2 = snapshot_read(spark, path, 1).where(F.col("k") % 5 != 0)
+        snapshot_write(v2, path)
+        out = (snapshot_cdc(spark, path, 0, 2, ["k"])
+               .orderBy("change_type", "k"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- zone-map data skipping (sources/zonemap.py): a date-clustered
+#    table, one footer-only manifest build, then a range read that
+#    provably opens FEWER FILES (pruned_ok) while returning exactly
+#    the plain filter's rows — the oracle is the plain filter --------
+ZONEMAP_SQL = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS pruned_ok, TRUE AS files_ok
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                      AND TIMESTAMP '1996-12-31 23:59:59'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("zonemap_skipping_dates", ZONEMAP_SQL)
+def zonemap_skipping_dates(spark, sf_dir):
+    import datetime
+
+    from ..sources import zonemap as Z
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="zm_q_")
+    path = os.path.join(tmp, "t")
+    try:
+        (o.repartitionByRange(16, "o_orderdate")
+         .sortWithinPartitions("o_orderdate").write.parquet(path))
+        Z.build_zonemap(spark, path, ["o_orderdate"])
+        preds = [("o_orderdate", "between",
+                  (datetime.datetime(1996, 1, 1),
+                   datetime.datetime(1996, 12, 31, 23, 59, 59)))]
+        surv, total = Z.zone_prune(spark, path, preds)
+        got = Z.read_skipping(spark, path, preds)
+        files_ok = (set(f.replace("file://", "")
+                        for f in got.inputFiles()) == set(surv))
+        out = (got.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"))
+               .withColumn("pruned_ok",
+                           F.lit(bool(0 < len(surv) < total)))
+               .withColumn("files_ok", F.lit(bool(files_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- product-quantized ANN (similarity.pq_train/pq_encode/pq_topk):
+#    8-byte-per-vector ADC retrieval; deterministic seeded codebook →
+#    deterministic coverage, so the same CONTAINMENT oracle as the
+#    LSH/IVF paths applies (exact top-1 per query, kept only when the
+#    PQ candidate set found it; full containment measured at both test
+#    SFs, recall table in SCALE.md) ---------------------------------
+
+
+def ann_pq_topk(spark, sf_dir):
+    """PQ/ADC retrieval (m=16 sub-quantizers, 256 centroids each —
+    16 bytes/vector, 32× smaller than the float64 column): codes
+    stream through a lookup-table kernel, no float vector touched at
+    scan time.  Containment oracle as in ann_lsh_bucketed: exact top-1
+    per query, kept only when PQ's top-5 found it — seeded sample +
+    seeded k-means make coverage a fixed property of the data."""
+    from ..functions import similarity as SIM
+
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = SIM.pq_topk(emb, queries, dim=64, k=5, m=16) \
+        .select("query_id", "neighbor_id")
+    exact1 = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=1)
+    return (exact1.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("cos"), 6).alias("cos"))
+            .orderBy("query_id"))
+
+
+from .similarity import ANN_TOP1_SQL  # noqa: E402  (shared oracle)
+
+QUERIES["ann_pq_topk"] = (ann_pq_topk, ANN_TOP1_SQL)

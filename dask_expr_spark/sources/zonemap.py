@@ -1,0 +1,257 @@
+"""File-level zone maps: data skipping over plain parquet.
+
+Spark already prunes row groups from the footers of files it OPENS;
+what it cannot do over a bare directory is skip the open itself.  At
+100 TB a table is O(10^5-10^6) files, and a selective query's real
+planning cost is listing + footer-reading all of them.  Iceberg/Delta
+solve this with file-level min/max manifests; this module builds the
+same thing over plain parquet directories (reference comparison:
+dask-expr reads parquet statistics per-partition in
+io/parquet.py to prune row groups — this is the table-level analogue,
+re-expressed as a Spark job instead of driver-side fsspec walks).
+
+- `build_zonemap(spark, path, cols)` — ONE metadata-only pass: the
+  file list fans out over executors, each task reads just parquet
+  FOOTERS (pyarrow, ~KB of IO per file regardless of file size) and
+  emits per-file n_rows / min / max / null_count for the indexed
+  columns.  The manifest persists under `<path>/_zonemap` (underscore
+  prefix: invisible to Spark's own directory scans) via the crash-safe
+  swap from functions.maintenance.
+- `zone_prune(spark, path, predicates)` — resolves the predicate
+  conjunction against the manifest and returns the surviving file
+  list.  Safety contract: a file is skipped ONLY if the manifest
+  PROVES no row can match — files missing from the manifest (appended
+  since the last build) are always kept, files in the manifest but
+  gone from disk (compacted away) are dropped, so a STALE manifest can
+  cost efficiency, never correctness.
+- `read_skipping(spark, path, predicates)` — reads only the surviving
+  files and re-applies the predicate as a real filter, so results are
+  exactly `read.parquet(path).filter(...)` even if the manifest were
+  wrong.
+
+Zone maps compose with the write layouts: a z-ordered table
+(sources/layout.py) makes min/max ranges tight on EVERY sort column,
+so the same manifest prunes filters on any of them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ZONEMAP_DIR = "_zonemap"
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, dirs, files in os.walk(path):
+        # skip manifest/version/system dirs the way Spark's own file
+        # listing does (a snapshot version dir is its own table — pass
+        # it as `path` to index it)
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.extend(os.path.join(root, f) for f in files
+                   if f.endswith(".parquet") and not f.startswith((".", "_")))
+    return sorted(out)
+
+
+def build_zonemap(spark: SparkSession, path: str, cols: list[str],
+                  zonemap_path: str | None = None) -> DataFrame:
+    """Build (or rebuild) the zone-map manifest for `cols` over every
+    parquet file under `path`.  Footer-only IO, distributed over the
+    file list; the manifest itself is one row per file — metadata-
+    sized, not data-sized.  Returns the manifest DataFrame (also
+    persisted at `zonemap_path`, default `<path>/_zonemap`)."""
+    import pandas as pd
+
+    table_schema = spark.read.parquet(path).schema
+    fields: list[T.StructField] = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in cols:
+        dt = table_schema[c].dataType
+        fields += [T.StructField(f"{c}_min", dt),
+                   T.StructField(f"{c}_max", dt),
+                   T.StructField(f"{c}_nulls", T.LongType())]
+    schema = T.StructType(fields)
+
+    files = _data_files(path)
+    if not files:
+        raise ValueError(f"build_zonemap: no parquet files under {path}")
+    want = list(cols)
+
+    def footer_stats(batches):
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                names = {md.schema.column(i).name: i
+                         for i in range(md.num_columns)}
+                rec: dict = {"file": f, "n_rows": md.num_rows}
+                for c in want:
+                    if c not in names:
+                        # schema evolution: the column is absent from
+                        # this file, so Spark reads it as all-null
+                        rec[f"{c}_min"] = rec[f"{c}_max"] = None
+                        rec[f"{c}_nulls"] = md.num_rows
+                        continue
+                    mn = mx = None
+                    nulls: int | None = 0
+                    # min/max are sound bounds ONLY if every row group
+                    # either contributes stats or is provably all-null
+                    mm_valid = True
+                    for rg in range(md.num_row_groups):
+                        rgmd = md.row_group(rg)
+                        st = rgmd.column(names[c]).statistics
+                        n_ok = st is not None and st.null_count is not None
+                        nulls = (nulls + st.null_count
+                                 if n_ok and nulls is not None else None)
+                        if st is not None and st.has_min_max:
+                            mn = st.min if mn is None else min(mn, st.min)
+                            mx = st.max if mx is None else max(mx, st.max)
+                        elif not (n_ok and st.null_count == rgmd.num_rows):
+                            mm_valid = False  # stats truly missing
+                    if not mm_valid:
+                        mn = mx = None      # pruner will keep the file
+                    rec[f"{c}_min"], rec[f"{c}_max"] = mn, mx
+                    rec[f"{c}_nulls"] = nulls
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    n_slices = max(1, min(len(files), 256))
+    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(n_slices)
+    manifest = fdf.mapInPandas(footer_stats, schema=schema)
+    zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
+    from ..functions.maintenance import atomic_overwrite
+    # no checkpoint needed: the manifest plan reads data-file FOOTERS,
+    # never the manifest itself, and atomic_overwrite keeps the old
+    # manifest intact until the new one is fully written
+    atomic_overwrite(
+        zp, lambda p: manifest.write.mode("overwrite").parquet(p))
+    return spark.read.parquet(zp)
+
+
+def _survives(pred: tuple, mn: Column, mx: Column, nulls: Column,
+              n_rows: Column, stats_ok: Column) -> Column:
+    """True iff the file MAY contain a matching row (prune iff provably
+    not).  Missing stats => survive."""
+    op = pred[1]
+    if op == "isnull":
+        return ~stats_ok | nulls.isNull() | (nulls > 0)
+    if op == "notnull":
+        return ~stats_ok | nulls.isNull() | (nulls < n_rows)
+    all_null = nulls.isNotNull() & (nulls == n_rows)
+    if op == "between":
+        lo, hi = F.lit(pred[2][0]), F.lit(pred[2][1])
+        hit = (mx >= lo) & (mn <= hi)
+    elif op == "=":
+        v = F.lit(pred[2])
+        hit = (mn <= v) & (mx >= v)
+    elif op == "in":
+        hit = F.lit(False)
+        for v in pred[2]:
+            hit = hit | ((mn <= F.lit(v)) & (mx >= F.lit(v)))
+    elif op == "<":
+        hit = mn < F.lit(pred[2])
+    elif op == "<=":
+        hit = mn <= F.lit(pred[2])
+    elif op == ">":
+        hit = mx > F.lit(pred[2])
+    elif op == ">=":
+        hit = mx >= F.lit(pred[2])
+    else:
+        raise ValueError(f"zone_prune: unsupported op {op!r}")
+    # comparison predicates match no row of an all-null file
+    return ~stats_ok | (~all_null & F.coalesce(hit, F.lit(False)))
+
+
+def pred_filter(predicates: list[tuple]) -> Column:
+    """The predicate conjunction as a real filter Column (the residual
+    applied after pruning, so correctness never rests on stats)."""
+    cond = F.lit(True)
+    for p in predicates:
+        c, op = F.col(p[0]), p[1]
+        if op == "isnull":
+            cond = cond & c.isNull()
+        elif op == "notnull":
+            cond = cond & c.isNotNull()
+        elif op == "between":
+            cond = cond & c.between(F.lit(p[2][0]), F.lit(p[2][1]))
+        elif op == "=":
+            cond = cond & (c == F.lit(p[2]))
+        elif op == "in":
+            cond = cond & c.isin(list(p[2]))
+        elif op == "<":
+            cond = cond & (c < F.lit(p[2]))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(p[2]))
+        elif op == ">":
+            cond = cond & (c > F.lit(p[2]))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(p[2]))
+        else:
+            raise ValueError(f"pred_filter: unsupported op {op!r}")
+    return cond
+
+
+def zone_prune(spark: SparkSession, path: str, predicates: list[tuple],
+               zonemap_path: str | None = None
+               ) -> tuple[list[str], int]:
+    """Resolve `predicates` (a conjunction of
+    ``(col, op, value)`` tuples; ops ``= < <= > >= between in isnull
+    notnull``) against the manifest.  Returns
+    ``(surviving_files, files_total)`` where files_total counts the
+    table's CURRENT data files.  Files newer than the manifest always
+    survive; manifest rows for files since removed are ignored.  A
+    MISSING manifest (never built, or invalidated by a whole-table
+    rewrite — compact_parquet/atomic_overwrite swap the table dir, and
+    the manifest rides inside it, so a rewrite naturally drops it)
+    degrades to no pruning: every current file survives."""
+    zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
+    if not os.path.isdir(zp):
+        current = _data_files(path)
+        return current, len(current)
+    man = spark.read.parquet(zp)
+    keep = F.lit(True)
+    for p in predicates:
+        c = p[0]
+        mn_name = f"{c}_min"
+        if mn_name not in man.columns:
+            continue          # un-indexed column: cannot prune on it
+        stats_ok = (F.col(mn_name).isNotNull()
+                    & F.col(f"{c}_max").isNotNull()) | (
+            F.col(f"{c}_nulls").isNotNull()
+            & (F.col(f"{c}_nulls") == F.col("n_rows")))
+        keep = keep & _survives(p, F.col(mn_name), F.col(f"{c}_max"),
+                                F.col(f"{c}_nulls"), F.col("n_rows"),
+                                stats_ok)
+    rows = man.select("file", keep.alias("__keep")).collect()
+    allowed = {r["file"] for r in rows if r["__keep"]}
+    known = {r["file"] for r in rows}
+    current = _data_files(path)
+    survivors = [f for f in current if f in allowed or f not in known]
+    return survivors, len(current)
+
+
+def read_skipping(spark: SparkSession, path: str,
+                  predicates: list[tuple],
+                  zonemap_path: str | None = None) -> DataFrame:
+    """Read `path` applying the predicates with file-level skipping:
+    only surviving files are handed to the scan (for a hive layout,
+    `basePath` keeps partition columns), and the predicate re-applies
+    as a real filter — the plan's scan is over the pruned file set,
+    the result identical to the unpruned filter.  An empty survivor
+    set returns an empty frame with the table schema."""
+    survivors, _total = zone_prune(spark, path, predicates,
+                                   zonemap_path=zonemap_path)
+    flt = pred_filter(predicates)
+    if not survivors:
+        full = spark.read.parquet(path)
+        return full.where(F.lit(False)).where(flt)
+    return (spark.read.option("basePath", path).parquet(*survivors)
+            .where(flt))

@@ -508,6 +508,49 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["snapshot_time_travel"],
              t="orphan-directory reclaim + vacuumed-read rejection "
                "smoke in the query's vacuum_ok flag"),
+        dict(op="SCD-2 history-keeping upsert: change detection with "
+                "no-op collapse, in-batch version chains, retroactive-"
+                "update rejection, as-of time travel + current view — "
+                "reproducible corpus metadata for any training run's "
+                "snapshot date",
+             loc="dask_expr_spark/functions/maintenance.py "
+                 "(scd2_init, upsert_scd2, scd2_asof, scd2_current)",
+             q=["scd2_history_orders", "scd2_asof_snapshot"],
+             t="randomized 3-batch differential vs pandas reference + "
+               "no-op collapse/as-of/retroactive-guard/in-batch-dedup "
+               "tests test_round7_ops"),
+        dict(op="row-level CDC: insert/update/delete records between "
+                "any two table states or committed snapshot versions "
+                "(one full-outer join, change-sized output; the record "
+                "companion to table_diff's counts)",
+             loc="dask_expr_spark/functions/maintenance.py "
+                 "(cdc_rows, snapshot_cdc)",
+             q=["cdc_between_snapshots"],
+             t="null-semantics + adjacent-version composition tests "
+               "test_round7_ops"),
+        dict(op="file-level ZONE MAPS (data skipping): footer-only "
+                "distributed manifest build, predicate-provable file "
+                "pruning with a stale-manifest safety contract "
+                "(unknown files always read, removed files never "
+                "referenced), exact residual filter",
+             loc="dask_expr_spark/sources/zonemap.py (build_zonemap, "
+                 "zone_prune, read_skipping)",
+             q=["zonemap_skipping_dates"],
+             t="inputFiles==survivors + op matrix (= in < <= > >= "
+               "between isnull notnull) + all-null file pruning + "
+               "stale-manifest safety + string/hive-layout tests "
+               "test_round7_ops"),
+        dict(op="product-quantized ANN (PQ/ADC): seeded per-subspace "
+                "256-centroid codebooks, 8-16 bytes/vector persisted "
+                "code tables, lookup-table scan that never touches a "
+                "float vector — the 32x memory path for 100 TB "
+                "embedding columns",
+             loc="dask_expr_spark/functions/similarity.py (pq_train, "
+                 "pq_encode, pq_topk)",
+             q=["ann_pq_topk"],
+             t="partitioning-invariance + persisted-codes-identity + "
+               "recall floor tests test_round7_ops; measured "
+               "recall/cost table SCALE.md"),
     ]),
 ]
 

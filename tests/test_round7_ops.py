@@ -465,3 +465,297 @@ def test_moments_rollup_merge_exact(spark):
     assert merged["n_rows"] == 100 and merged["n"] == 100
     assert merged["s1"] == sum(range(100))
     assert merged["min_v"] == 0.0 and merged["max_v"] == 99.0
+
+
+# ------------------------------------------------- SCD-2 history
+
+def _scd2_reference(events):
+    """pandas oracle: events = [(key, value, ts)] applied in ts order
+    per key with change-collapse; returns {key: [(v, from, to, cur)]}."""
+    out: dict = {}
+    for k, v, ts in sorted(events, key=lambda e: (e[0], e[2])):
+        hist = out.setdefault(k, [])
+        if hist and hist[-1][0] == v:
+            continue
+        if hist:
+            hist[-1] = (hist[-1][0], hist[-1][1], ts, False)
+        hist.append((v, ts, None, True))
+    return out
+
+
+def test_scd2_randomized_differential(spark):
+    """three sequential batches of random updates vs the pandas
+    reference: full history equality (values, validity intervals,
+    currency flags), independent of partitioning."""
+    import random
+
+    rng = random.Random(7)
+    keys = list(range(30))
+    base = [(k, rng.randint(0, 3), 0) for k in keys]
+    events = list(base)
+    hist = M.scd2_init(
+        spark.createDataFrame(base, "k int, v int, ts int"), "ts")
+    t = 0
+    for _ in range(3):
+        t += 10
+        batch = [(k, rng.randint(0, 3), t + rng.randint(0, 5))
+                 for k in rng.sample(keys, 12)]
+        batch += [(100 + t, rng.randint(0, 3), t)]      # novel key
+        events += batch
+        hist = M.upsert_scd2(
+            hist.repartition(5),
+            spark.createDataFrame(batch, "k int, v int, ts int"),
+            ["k"], "ts")
+    want = _scd2_reference(events)
+    got: dict = {}
+    for r in hist.collect():
+        got.setdefault(r["k"], []).append(
+            (r["v"], r["valid_from"], r["valid_to"], r["is_current"]))
+    got = {k: sorted(v, key=lambda x: x[1]) for k, v in got.items()}
+    assert got == want
+
+
+def test_scd2_noop_collapse_and_asof(spark):
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 0)],
+                                 "k int, v string, ts int")
+    hist = M.scd2_init(base, "ts")
+    upd = spark.createDataFrame(
+        [(1, "a", 5), (1, "c", 9), (2, "b", 7)],  # two no-ops, one change
+        "k int, v string, ts int")
+    h2 = M.upsert_scd2(hist, upd, ["k"], "ts")
+    rows = {(r["k"], r["v"]): (r["valid_from"], r["valid_to"],
+                               r["is_current"]) for r in h2.collect()}
+    assert rows == {(1, "a"): (0, 9, False), (1, "c"): (9, None, True),
+                    (2, "b"): (0, None, True)}
+    # as-of reconstruction at every epoch
+    assert {(r["k"], r["v"]) for r in M.scd2_asof(h2, 0).collect()} \
+        == {(1, "a"), (2, "b")}
+    assert {(r["k"], r["v"]) for r in M.scd2_asof(h2, 8).collect()} \
+        == {(1, "a"), (2, "b")}
+    assert {(r["k"], r["v"]) for r in M.scd2_asof(h2, 9).collect()} \
+        == {(1, "c"), (2, "b")}
+    cur = M.scd2_current(h2)
+    assert {(r["k"], r["v"]) for r in cur.collect()} \
+        == {(1, "c"), (2, "b")}
+
+
+def test_scd2_retroactive_rejected(spark):
+    hist = M.scd2_init(spark.createDataFrame([(1, "a", 5)],
+                                             "k int, v string, ts int"),
+                       "ts")
+    for bad_ts in (5, 3):                  # equal and older both reject
+        upd = spark.createDataFrame([(1, "z", bad_ts)],
+                                    "k int, v string, ts int")
+        with pytest.raises(ValueError, match="retroactive"):
+            M.upsert_scd2(hist, upd, ["k"], "ts")
+
+
+def test_scd2_in_batch_chain_and_dedup(spark):
+    """a single batch carrying several effective times for one key
+    versions in order; duplicate (key, ts) pairs dedupe
+    deterministically (greatest compare-struct wins)."""
+    hist = M.scd2_init(spark.createDataFrame([(1, "a", 0)],
+                                             "k int, v string, ts int"),
+                       "ts")
+    upd = spark.createDataFrame(
+        [(1, "b", 2), (1, "c", 4), (1, "x", 6), (1, "z", 6)],
+        "k int, v string, ts int")
+    h2 = M.upsert_scd2(hist, upd, ["k"], "ts")
+    rows = sorted((r["v"], r["valid_from"], r["valid_to"],
+                   r["is_current"]) for r in h2.collect())
+    assert rows == [("a", 0, 2, False), ("b", 2, 4, False),
+                    ("c", 4, 6, False), ("z", 6, None, True)]
+
+
+# ------------------------------------------------- row-level CDC
+
+def test_cdc_rows_matches_manual(spark):
+    before = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, None, "z"), (4, 40.0, "w")],
+        "k int, p double, s string")
+    after = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 25.0, "y"), (3, 30.0, "z"), (5, 50.0, "v")],
+        "k int, p double, s string")
+    got = {r["k"]: (r["change_type"], r["p_before"], r["p_after"])
+           for r in M.cdc_rows(before, after, ["k"]).collect()}
+    assert got == {2: ("update", 20.0, 25.0),
+                   3: ("update", None, 30.0),    # null->value = change
+                   4: ("delete", 40.0, None),
+                   5: ("insert", None, 50.0)}
+    assert 1 not in got                           # unchanged filtered
+
+
+def test_snapshot_cdc_between_versions(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                                 "k int, p double")
+    M.snapshot_write(base, path)
+    v1 = M.upsert(base, spark.createDataFrame(
+        [(3, 33.0), (25, 250.0)], "k int, p double"), ["k"])
+    M.snapshot_write(v1, path)
+    v2 = v1.where(F.col("k") % 7 != 0)
+    M.snapshot_write(v2, path)
+    got = {r["k"]: r["change_type"] for r in
+           M.snapshot_cdc(spark, path, 0, 2, ["k"]).collect()}
+    want = {3: "update", 25: "insert", 0: "delete", 7: "delete",
+            14: "delete"}
+    assert got == want
+    # adjacent-version CDC composes: 0->1 then 1->2
+    g01 = {r["k"]: r["change_type"] for r in
+           M.snapshot_cdc(spark, path, 0, 1, ["k"]).collect()}
+    assert g01 == {3: "update", 25: "insert"}
+
+
+# ------------------------------------------------- zone maps
+
+def _write_clustered(spark, sf_dir, path, n_files=12):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (o.repartitionByRange(n_files, "o_orderdate")
+     .sortWithinPartitions("o_orderdate").write.parquet(path))
+    return o
+
+
+def test_zonemap_prunes_and_matches(spark, sf_dir, tmp_path):
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    o = _write_clustered(spark, sf_dir, path)
+    Z.build_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+    lo = o.agg(F.min("o_orderdate")).collect()[0][0]
+    hi = o.agg(F.max("o_orderdate")).collect()[0][0]
+    mid = lo + (hi - lo) / 3
+    preds = [("o_orderdate", "between", (lo, mid))]
+    surv, total = Z.zone_prune(spark, path, preds)
+    assert 0 < len(surv) < total                  # real pruning
+    got = Z.read_skipping(spark, path, preds)
+    # the plan's scan is over the pruned file set exactly
+    assert set(f.replace("file://", "") for f in got.inputFiles()) \
+        == set(surv)
+    want = spark.read.parquet(path).where(Z.pred_filter(preds))
+    assert got.count() == want.count()
+    a = got.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    b = want.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                  b[sorted(b.columns)])
+
+
+def test_zonemap_ops_and_nulls(spark, tmp_path):
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    # three files: low values, high values, all-null
+    spark.createDataFrame([(i, float(i)) for i in range(10)],
+                          "k int, v double").coalesce(1) \
+        .write.parquet(path)
+    spark.createDataFrame([(i, float(i)) for i in range(100, 110)],
+                          "k int, v double").coalesce(1) \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(i, None) for i in range(200, 210)],
+                          "k int, v double").coalesce(1) \
+        .write.mode("append").parquet(path)
+    Z.build_zonemap(spark, path, ["v"])
+    cases = [
+        ([("v", "=", 105.0)], 1, 1),
+        ([("v", "in", [5.0, 105.0])], 2, 2),
+        ([("v", "<", 3.0)], 1, 3),
+        ([("v", ">=", 100.0)], 1, 10),
+        ([("v", "isnull")], 1, 10),
+        ([("v", "notnull")], 2, 20),
+        ([("v", ">", 500.0)], 0, 0),
+    ]
+    for preds, want_files, want_rows in cases:
+        surv, total = Z.zone_prune(spark, path, preds)
+        assert total == 3
+        assert len(surv) == want_files, (preds, surv)
+        assert Z.read_skipping(spark, path, preds).count() == want_rows
+
+
+def test_zonemap_stale_manifest_is_safe(spark, tmp_path):
+    """files appended after the build are always read; files removed
+    after the build are never referenced."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(i, float(i)) for i in range(10)],
+                          "k int, v double").coalesce(1) \
+        .write.parquet(path)
+    Z.build_zonemap(spark, path, ["v"])
+    spark.createDataFrame([(99, 999.0)], "k int, v double") \
+        .coalesce(1).write.mode("append").parquet(path)
+    got = Z.read_skipping(spark, path, [("v", ">", 900.0)])
+    assert [r["k"] for r in got.collect()] == [99]
+    # compaction rewrites everything: stale manifest must not 404
+    M.compact_parquet(spark, path, target_mb=512)
+    got2 = Z.read_skipping(spark, path, [("v", ">", 900.0)])
+    assert [r["k"] for r in got2.collect()] == [99]
+    # rebuild restores pruning
+    Z.build_zonemap(spark, path, ["v"])
+    surv, total = Z.zone_prune(spark, path, [("v", ">", 900.0)])
+    assert len(surv) == total == 1
+
+
+def test_zonemap_string_and_partitioned(spark, tmp_path):
+    """string min/max prune; hive layout keeps partition columns via
+    basePath."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(40),
+                        "name": [f"name{i:03d}" for i in range(40)],
+                        "part": ["p1" if i < 20 else "p2"
+                                 for i in range(40)]})
+    (spark.createDataFrame(pdf).repartitionByRange(4, "name")
+     .sortWithinPartitions("name")
+     .write.partitionBy("part").parquet(path))
+    Z.build_zonemap(spark, path, ["name"])
+    preds = [("name", "between", ("name005", "name007"))]
+    surv, total = Z.zone_prune(spark, path, preds)
+    assert 0 < len(surv) < total
+    got = Z.read_skipping(spark, path, preds)
+    assert "part" in got.columns                 # basePath preserved it
+    assert sorted(r["name"] for r in got.collect()) \
+        == ["name005", "name006", "name007"]
+
+
+# ------------------------------------------------- product quantization
+
+def test_pq_roundtrip_determinism_and_recall(spark, sf_dir):
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 5
+    truth: dict = {}
+    for r in SIM.cosine_topk_blocked(emb, q, k=k) \
+            .filter(F.col("query_id") != F.col("neighbor_id")).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    res1 = SIM.pq_topk(emb, q, dim=64, k=k, m=16).collect()
+    res2 = SIM.pq_topk(emb.repartition(13), q, dim=64, k=k,
+                       m=16).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id,
+                               round(r.adc, 9)) for r in rows)
+    assert key(res1) == key(res2)               # partitioning-invariant
+    per: dict = {}
+    for r in res1:
+        per.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = sum(len(truth[qi] & per.get(qi, set())) for qi in truth)
+    tot = sum(len(truth[qi]) for qi in truth)
+    assert hit / tot >= 0.6, f"pq m=16 recall {hit / tot}"
+    # the steady-state path: persisted codes + codebook reuse
+    cb = SIM.pq_train(emb, dim=64, m=16)
+    codes = SIM.pq_encode(emb, cb).persist()
+    res3 = SIM.pq_topk(emb, q, dim=64, k=k, m=16, codebook=cb,
+                       codes=codes).collect()
+    codes.unpersist()
+    assert key(res3) == key(res1)
+    # codes are genuinely small: m smallint entries per row
+    row = codes.first()
+    assert len(row["pq_code"]) == 16
+
+
+def test_pq_dim_not_divisible_rejected(spark, sf_dir):
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_train(emb, dim=64, m=7)
