@@ -1043,7 +1043,8 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
             k: int = 5, m: int = 8, id_col: str = "vec_id",
             vec_col: str = "embedding", sample_rows: int = 20000,
             kmeans_iters: int = 4, seed: int = 42,
-            codebook=None, codes: DataFrame | None = None) -> DataFrame:
+            codebook=None, codes: DataFrame | None = None,
+            exact_rerank: int | None = None) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation
     (ADC) over PQ codes: per query a (m × 256) lookup table of
     subvector·centroid dots, then each corpus row scores as m table
@@ -1058,7 +1059,17 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     both are computed inline (one extra pass).  Deterministic: seeded
     sample + seeded k-means, ties break on neighbor_id.  Output:
     (query_id, neighbor_id, adc, rank) — `adc` approximates cosine.
-    Measured recall + cost: SCALE.md (scripts/recall_check.py)."""
+
+    `exact_rerank=C` adds PQ's standard second stage: the ADC scan
+    shortlists top-C per query, the C candidates' FLOAT vectors join
+    back (a candidate-sized join — AQE broadcasts the q×C side, the
+    corpus streams map-side) and exact cosine re-ranks to the final
+    top-k; output gains a `cos` column and ranks by it.  This is the
+    knob that matters when true neighbor gaps are SMALLER than the
+    quantization cell: measured on the ×100 near-dup corpus, plain ADC
+    ties all ~100 replicas of a base vector (recall@10 0.35-0.42) and
+    rerank from C=100 recovers it (SCALE.md).  Measured recall + cost:
+    SCALE.md (scripts/recall_check.py)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1110,11 +1121,31 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                  "neighbor_id": pd.Series(out_n, dtype="int64"),
                  "adc": pd.Series(out_s, dtype="float64")})
 
+    k_outer = k
+    if exact_rerank:
+        k = max(k, int(exact_rerank))   # ADC stage emits the shortlist
+                                        # (score() reads k late-bound)
+
     cand = codes.select(id_col, "pq_code").mapInPandas(score, schema)
     cand = cand.filter((F.col("query_id") != F.col("neighbor_id"))
                        & (F.col("adc") != F.lit(float("-inf"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id"))
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "adc", "rank"))
+    top = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "adc", "rank"))
+    if not exact_rerank:
+        return top
+    # stage 2: exact cosine over the candidate-sized float join
+    nvec = vectors.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__nv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("__qv"))
+    j = (top.drop("rank").join(nvec, "neighbor_id").join(qvec, "query_id")
+         .withColumn("cos", cosine(as_double(F.col("__qv")),
+                                   as_double(F.col("__nv")))))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (j.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k_outer)
+            .select("query_id", "neighbor_id", "cos", "adc", "rank"))

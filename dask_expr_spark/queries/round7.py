@@ -688,3 +688,27 @@ def ann_pq_topk(spark, sf_dir):
 from .similarity import ANN_TOP1_SQL  # noqa: E402  (shared oracle)
 
 QUERIES["ann_pq_topk"] = (ann_pq_topk, ANN_TOP1_SQL)
+
+
+def ann_pq_rerank(spark, sf_dir):
+    """PQ's second stage (exact_rerank=100): the ADC shortlist's float
+    vectors join back candidate-sized and exact cosine re-ranks — the
+    measured fix for the quantization-resolution limit (SCALE.md: 0.35
+    → 1.0 recall on the near-dup corpus at ~1/20 the exact scan's
+    cost).  Containment oracle: exact top-1 per query, kept only when
+    the reranked top-5 found it."""
+    from ..functions import similarity as SIM
+
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = SIM.pq_topk(emb, queries, dim=64, k=5, m=8,
+                         exact_rerank=100) \
+        .select("query_id", "neighbor_id")
+    exact1 = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=1)
+    return (exact1.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("cos"), 6).alias("cos"))
+            .orderBy("query_id"))
+
+
+QUERIES["ann_pq_rerank"] = (ann_pq_rerank, ANN_TOP1_SQL)

@@ -543,11 +543,12 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="product-quantized ANN (PQ/ADC): seeded per-subspace "
                 "256-centroid codebooks, 8-16 bytes/vector persisted "
                 "code tables, lookup-table scan that never touches a "
-                "float vector — the 32x memory path for 100 TB "
-                "embedding columns",
+                "float vector (32x memory path) + exact_rerank second "
+                "stage (candidate-sized float join; measured 0.35 -> "
+                "1.0 recall on the near-dup corpus)",
              loc="dask_expr_spark/functions/similarity.py (pq_train, "
                  "pq_encode, pq_topk)",
-             q=["ann_pq_topk"],
+             q=["ann_pq_topk", "ann_pq_rerank"],
              t="partitioning-invariance + persisted-codes-identity + "
                "recall floor tests test_round7_ops; measured "
                "recall/cost table SCALE.md"),

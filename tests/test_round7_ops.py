@@ -759,3 +759,37 @@ def test_pq_dim_not_divisible_rejected(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         SIM.pq_train(emb, dim=64, m=7)
+
+
+def test_pq_exact_rerank_recovers_exact_order(spark, sf_dir):
+    """PQ's second stage: rerank from an ADC shortlist covering the
+    whole corpus must reproduce the EXACT cosine top-k (same ids, same
+    order) — and at any shortlist size recall >= plain ADC."""
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    k = 5
+    n = emb.count()
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in SIM.cosine_topk(emb, q, k=k).collect()}
+    full = SIM.pq_topk(emb, q, dim=64, k=k, m=8, exact_rerank=n)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in full.collect()}
+    assert got == exact
+    assert set(full.columns) == {"query_id", "neighbor_id", "cos",
+                                 "adc", "rank"}
+
+    def recall(rows):
+        per: dict = {}
+        for r in rows:
+            per.setdefault(r.query_id, set()).add(r.neighbor_id)
+        truth: dict = {}
+        for (qi, _rk), ni in exact.items():
+            truth.setdefault(qi, set()).add(ni)
+        hit = sum(len(truth[qi] & per.get(qi, set())) for qi in truth)
+        return hit / sum(len(truth[qi]) for qi in truth)
+
+    plain = recall(SIM.pq_topk(emb, q, dim=64, k=k, m=8).collect())
+    rr = recall(SIM.pq_topk(emb, q, dim=64, k=k, m=8,
+                            exact_rerank=50).collect())
+    assert rr >= plain - 1e-9, (rr, plain)
