@@ -227,6 +227,12 @@ X10_ENTRIES = {
     "scale_probe_expanding_median",
     "ann_lsh_auto_pipeline",
     "ann_mmr_rerank",
+    # round 7: write-heavy maintenance (3 snapshot copies / clustered
+    # rewrite per run) and the vector entries (embeddings replicate
+    # only in the x10 universe)
+    "upsert_bucketed_roundtrip", "snapshot_time_travel",
+    "cdc_between_snapshots", "zonemap_skipping_dates",
+    "ann_pq_topk", "ann_pq_rerank",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -241,6 +247,8 @@ X100_ENTRIES = {
     "cms_custkey_counts", "kmv_distinct_slices",
     "dedup_bloom_incremental", "upsert_orders_scd1",
     "cms_join_cardinality", "diff_after_upsert",
+    # round 7: orders-only pipelines, strongly sublinear -> x100
+    "scd2_history_orders", "profile_from_rollups_orders",
 }
 X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
@@ -352,6 +360,15 @@ OPTIONAL = [
     "ann_mmr_rerank",
     "cms_join_cardinality",
     "diff_after_upsert",
+    # round 7 additions (no prior comparable)
+    "profile_from_rollups_orders",
+    "upsert_bucketed_roundtrip",
+    "snapshot_time_travel",
+    "scd2_history_orders",
+    "cdc_between_snapshots",
+    "zonemap_skipping_dates",
+    "ann_pq_topk",
+    "ann_pq_rerank",
 ]
 
 

@@ -626,7 +626,8 @@ def upsert_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
                 effective_col: str,
                 compare_cols: list[str] | None = None,
                 start_col: str = "valid_from", end_col: str = "valid_to",
-                current_col: str = "is_current") -> DataFrame:
+                current_col: str = "is_current",
+                retroactive: str = "error") -> DataFrame:
     """Merge an updates batch into the SCD-2 history `target`
     (scd2_init layout).  Change detection: an update whose
     `compare_cols` equal the key's latest surviving values is a no-op
@@ -640,7 +641,12 @@ def upsert_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
     than the key's current `start_col` (raises with a count if not;
     amend history by rebuilding it instead), and (key, effective) pairs
     in one batch dedupe deterministically (greatest compare-struct
-    wins).
+    wins).  `retroactive="skip"` DROPS such rows instead of raising
+    (and saves the guard's count action): the mode the streaming sink
+    uses, where a replayed micro-batch re-delivers already-applied
+    updates whose effective time equals the key's current start — for
+    deterministic inputs the dropped rows are exactly the
+    already-applied ones, making replay idempotent.
 
     Plan shape at 100 TB: the only full-width scan of the history is
     the is_current ∧ batch-key semi-join (a partition layout on
@@ -662,15 +668,24 @@ def upsert_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
     cur = (target.where(F.col(current_col))
            .join(bkeys, keys, "left_semi")
            .select(*keys, start_col, *attrs))
-    late = (upd.join(cur.select(*keys,
-                                F.col(start_col).alias("__cur_from")),
-                     keys, "inner")
-            .where(F.col(start_col) <= F.col("__cur_from")).count())
-    if late:
-        raise ValueError(
-            f"upsert_scd2: {late} update(s) are retroactive (effective "
-            f"<= the key's current {start_col}); SCD-2 history is "
-            "append-only — rebuild the history to amend it")
+    if retroactive == "skip":
+        upd = (upd.join(cur.select(*keys, F.col(start_col)
+                                   .alias("__cur_from")),
+                        keys, "left")
+               .where(F.col("__cur_from").isNull()
+                      | (F.col(start_col) > F.col("__cur_from")))
+               .drop("__cur_from"))
+    else:
+        late = (upd.join(cur.select(*keys,
+                                    F.col(start_col).alias("__cur_from")),
+                         keys, "inner")
+                .where(F.col(start_col) <= F.col("__cur_from")).count())
+        if late:
+            raise ValueError(
+                f"upsert_scd2: {late} update(s) are retroactive "
+                f"(effective <= the key's current {start_col}); SCD-2 "
+                "history is append-only — rebuild the history to amend "
+                "it")
 
     from pyspark.sql import Window
     w = Window.partitionBy(*keys).orderBy(start_col)
@@ -740,3 +755,29 @@ def snapshot_cdc(spark: SparkSession, path: str, from_version: int,
     return cdc_rows(snapshot_read(spark, path, from_version),
                     snapshot_read(spark, path, to_version), keys,
                     compare_cols=compare_cols)
+
+
+def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
+                         partition_col: str) -> list[str]:
+    """Crash-safely REPLACE the partition directories that appear in
+    `df` with its content (upsert_partitioned without the merge — for
+    callers that already computed the full replacement slice).  The
+    slice writes to `<path>__new` while the table is intact, then the
+    touched directories swap in via rename-aside
+    (_swap_partition_dirs); untouched directories are never opened.
+    Bootstraps the table if absent.  Returns the hive dir names
+    rewritten."""
+    recover_table(path)
+    new_root = path.rstrip("/") + "__new"
+    shutil.rmtree(new_root, ignore_errors=True)
+    if not os.path.isdir(path):
+        df.write.mode("overwrite").partitionBy(partition_col) \
+            .parquet(path)
+        return [d for d in sorted(os.listdir(path))
+                if d.startswith(f"{partition_col}=")]
+    df.write.mode("overwrite").partitionBy(partition_col) \
+        .parquet(new_root)
+    dirs = [d for d in sorted(os.listdir(new_root))
+            if d.startswith(f"{partition_col}=")]
+    _swap_partition_dirs(path, new_root, dirs)
+    return dirs

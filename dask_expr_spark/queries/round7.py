@@ -712,3 +712,105 @@ def ann_pq_rerank(spark, sf_dir):
 
 
 QUERIES["ann_pq_rerank"] = (ann_pq_rerank, ANN_TOP1_SQL)
+
+
+# -- streaming SCD-2 CDC-apply (streaming/ops.py scd2_sink): four
+#    micro-batches — %10 keys re-crawl with a new price every batch
+#    (each change closes the old version and opens a new one), other
+#    keys insert once in their k%4 batch — the FULL history aggregate
+#    reconstructs in SQL from first principles (version counts, both
+#    populations' cent-sums, and the closed rows' interval structure
+#    via sums of the validity endpoints) -----------------------------
+STREAM_SCD2_SQL = f"""
+WITH ten AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         round(o_totalprice, 2) AS p
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+others AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         round(o_totalprice, 2) AS p,
+         CAST(o_orderkey % 4 AS BIGINT) AS vf
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+hist AS (
+  SELECT k, s, round(p + 100.0 * g.i, 2) AS price,
+         CAST(g.i AS BIGINT) AS vf,
+         CASE WHEN g.i < 3 THEN CAST(g.i + 1 AS BIGINT) END AS vt
+  FROM ten, (VALUES (0), (1), (2), (3)) AS g(i)
+  UNION ALL
+  SELECT k, s, p, vf, NULL FROM others
+)
+SELECT s AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE vt IS NULL) AS BIGINT) AS n_current,
+       {cent_sum_sql('CASE WHEN vt IS NULL THEN price ELSE 0 END')}
+         AS total_current,
+       {cent_sum_sql('CASE WHEN vt IS NOT NULL THEN price ELSE 0 END')}
+         AS total_closed,
+       CAST(sum(vf) AS BIGINT) AS sum_vf,
+       CAST(sum(vt) AS BIGINT) AS sum_vt
+FROM hist GROUP BY s ORDER BY s
+"""
+
+
+@q("stream_scd2_history", STREAM_SCD2_SQL)
+def stream_scd2_history(spark, sf_dir):
+    import time
+
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_scd2_src_")
+    tbl_dir = tempfile.mkdtemp(prefix="stream_scd2_tbl_")
+    table_path = os.path.join(tbl_dir, "t")
+    ckpt = tempfile.mkdtemp(prefix="stream_scd2_ckpt_")
+    try:
+        o = (tbl(spark, sf_dir, "orders").to_spark()
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_orderstatus").alias("s"),
+                     F.round(F.col("o_totalprice"), 2).alias("price")))
+        stamped: set = set()
+        base_t = time.time() - 60
+        for i in range(4):
+            inserts = o.where((F.col("k") % 4 == i)
+                              & (F.col("k") % 10 != 0))
+            recrawl = (o.where(F.col("k") % 10 == 0)
+                       .withColumn("price", F.round(
+                           F.col("price") + 100.0 * i, 2)))
+            (inserts.unionByName(recrawl)
+             .withColumn("eff", F.lit(i).cast("long"))
+             .coalesce(1).write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in stamped:
+                    t = base_t + i * 10
+                    os.utime(os.path.join(src, f), (t, t))
+                    stamped.add(f)
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q_ = S.scd2_sink(stream, table_path, ["k"], "eff",
+                         n_buckets=16, checkpoint_dir=ckpt)
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        S.compact_scd2_closed(spark, table_path)
+        hist = S.read_scd2(spark, table_path)
+        out = (hist.groupBy("s")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.count_if(F.col("is_current")).alias("n_current"),
+                    cent_sum(F.when(F.col("is_current"), F.col("price"))
+                             .otherwise(0.0)).alias("total_current"),
+                    cent_sum(F.when(~F.col("is_current"), F.col("price"))
+                             .otherwise(0.0)).alias("total_closed"),
+                    F.sum("valid_from").alias("sum_vf"),
+                    F.sum("valid_to").alias("sum_vt"))
+               .select(F.col("s").alias("o_orderstatus"), "n_rows",
+                       "n_current", "total_current", "total_closed",
+                       "sum_vf", "sum_vt")
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tbl_dir, ignore_errors=True)

@@ -752,3 +752,165 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     return (stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", ckpt)
             .outputMode("append").start())
+
+
+def scd2_sink(stream: DataFrame, table_path: str, keys: list,
+              effective_col: str,
+              n_buckets: int = 64,
+              checkpoint_dir: str | None = None) -> Any:
+    """foreachBatch sink maintaining an SCD-2 HISTORY table: where
+    upsert_sink keeps only the latest row per key, this keeps every
+    version — each micro-batch closes changed current rows (valid_to =
+    the change's effective time) and opens new ones, so any past state
+    of the stream reconstructs with maintenance.scd2_asof.
+
+    Layout (the piece that makes history maintenance scale): the table
+    splits into `<path>/current` — an md5-key-BUCKETED table of open
+    rows, so each batch reads and rewrites only the bucket directories
+    its keys hash into (maintenance.overwrite_partitions; never the
+    full live keyset) — and `<path>/closed`, APPEND-ONLY parquet
+    fragments of finished versions tagged with the writing epoch.
+    Closed rows are immutable by SCD-2's nature, so history growth
+    costs appends, never rewrites.  Per-batch cost = touched buckets +
+    closed-version count; table size appears nowhere.
+
+    Exactly-once: closed fragments append BEFORE the current buckets
+    swap, so a crash between the two replays into duplicate closed
+    fragments, never lost ones; replayed rows dedupe on (keys,
+    valid_from) at read time (read_scd2) and fold away in
+    compact_scd2_closed — the same LSM fragment + epoch-dedup
+    compaction contract as the sketch sinks.  The current-side merge
+    runs upsert_scd2(retroactive="skip"), which absorbs a replayed
+    batch's already-applied updates (their effective time equals the
+    key's current valid_from) — deterministic inputs replay to the
+    identical table.  Effective times must be monotone per key across
+    batches (the stream's event-time order); genuinely late updates
+    are dropped by the same skip, so late-capable pipelines should
+    route them to a batch history rebuild instead.
+
+    Returns the started StreamingQuery."""
+    import os
+    import tempfile
+
+    from ..functions.maintenance import (bucket_expr, overwrite_partitions,
+                                         recover_table, scd2_init,
+                                         upsert_scd2)
+
+    cur_path = os.path.join(table_path, "current")
+    closed_path = os.path.join(table_path, "closed")
+    _SPEC = {"keys": list(keys), "n_buckets": int(n_buckets),
+             "seed": "bkt"}
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        os.makedirs(table_path, exist_ok=True)
+        bkt = bucket_expr(list(keys), _SPEC["n_buckets"], _SPEC["seed"])
+        if not os.path.isdir(cur_path):
+            # bootstrap: chain the first batch's own versions against
+            # an empty (schema-only) history
+            target = scd2_init(batch_df.where(F.lit(False)),
+                               effective_col)
+        else:
+            recover_table(cur_path)
+            touched = [r[0] for r in batch_df.select(
+                bkt.alias("__b")).distinct().collect()]
+            cur = (spark.read.parquet(cur_path)
+                   .where(F.col("__bucket").isin(touched))
+                   .drop("__bucket"))
+            vt = cur.schema["valid_from"].dataType
+            target = (cur.withColumn("valid_to",
+                                     F.lit(None).cast(vt))
+                      .withColumn("is_current", F.lit(True)))
+        hist = upsert_scd2(target, batch_df, list(keys),
+                           effective_col, retroactive="skip")
+        # two consumers below: realize the batch-bounded result once
+        # (a lost executor here just fails the batch -> epoch replay)
+        hist = hist.localCheckpoint(eager=True)
+        # 1) closed versions append first (duplicates dedupe on read)
+        closed = hist.where(~F.col("is_current")) \
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+        closed.write.mode("append").parquet(closed_path)
+        # 2) current buckets swap (crash between 1 and 2 replays safely)
+        cur_new = (hist.where(F.col("is_current"))
+                   .drop("valid_to", "is_current")
+                   .withColumn("__bucket", bkt))
+        overwrite_partitions(spark, cur_path, cur_new, "__bucket")
+        spec_file = os.path.join(cur_path, "_bucket_spec.json")
+        if not os.path.exists(spec_file):
+            import json
+            with open(spec_file, "w") as fh:
+                json.dump(_SPEC, fh)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="scd2_sink_ckpt_")
+    return (stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start())
+
+
+def read_scd2(spark: SparkSession, table_path: str,
+              keys: list | None = None) -> DataFrame:
+    """Read an scd2_sink table back as one SCD-2 history frame
+    (keys + attrs + valid_from + valid_to + is_current) — composes
+    with maintenance.scd2_asof / scd2_current.  Closed fragments
+    dedupe on (keys, valid_from) keeping the newest epoch, so a
+    replayed micro-batch's duplicate appends are invisible (the same
+    epoch-dedup contract the sketch sinks' readers have; fold the
+    fragments down with compact_scd2_closed)."""
+    import os
+
+    from ..functions.maintenance import recover_table
+
+    cur_path = os.path.join(table_path, "current")
+    closed_path = os.path.join(table_path, "closed")
+    recover_table(cur_path)
+    cur = spark.read.parquet(cur_path).drop("__bucket")
+    vt = cur.schema["valid_from"].dataType
+    cur = (cur.withColumn("valid_to", F.lit(None).cast(vt))
+           .withColumn("is_current", F.lit(True)))
+    if not os.path.isdir(closed_path):
+        return cur
+    if keys is None:
+        import json
+        with open(os.path.join(cur_path, "_bucket_spec.json")) as fh:
+            keys = json.load(fh)["keys"]
+    closed = spark.read.parquet(closed_path)
+    attrs = [c for c in closed.columns
+             if c not in set(keys) | {"valid_from", "__epoch"}]
+    closed = (closed.groupBy(*keys, "valid_from")
+              .agg(*[F.max_by(c, "__epoch").alias(c) for c in attrs])
+              .select(*cur.columns))
+    return cur.unionByName(closed)
+
+
+def compact_scd2_closed(spark: SparkSession, table_path: str,
+                        keys: list | None = None) -> None:
+    """Fold the closed-version fragments of an scd2_sink table down to
+    one row per (keys, valid_from) — replayed-epoch duplicates drop,
+    small files merge — via the crash-safe swap.  Run periodically,
+    like the sketch-rollup compactors."""
+    import json
+    import os
+
+    from ..functions.maintenance import atomic_overwrite, recover_table
+
+    closed_path = os.path.join(table_path, "closed")
+    recover_table(closed_path)
+    if not os.path.isdir(closed_path):
+        return
+    if keys is None:
+        with open(os.path.join(table_path, "current",
+                               "_bucket_spec.json")) as fh:
+            keys = json.load(fh)["keys"]
+    closed = spark.read.parquet(closed_path)
+    attrs = [c for c in closed.columns
+             if c not in set(keys) | {"valid_from", "__epoch"}]
+    folded = (closed.groupBy(*keys, "valid_from")
+              .agg(*[F.max_by(c, "__epoch").alias(c) for c in attrs],
+                   F.max("__epoch").alias("__epoch"))
+              .select(*closed.columns)
+              .localCheckpoint(eager=True))
+    atomic_overwrite(
+        closed_path,
+        lambda p: folded.write.mode("overwrite").parquet(p))

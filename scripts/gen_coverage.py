@@ -510,15 +510,23 @@ ROWS: list[tuple[str, list[dict]]] = [
                "smoke in the query's vacuum_ok flag"),
         dict(op="SCD-2 history-keeping upsert: change detection with "
                 "no-op collapse, in-batch version chains, retroactive-"
-                "update rejection, as-of time travel + current view — "
-                "reproducible corpus metadata for any training run's "
-                "snapshot date",
+                "update rejection (or replay-absorbing skip), as-of "
+                "time travel + current view — reproducible corpus "
+                "metadata for any training run's snapshot date — PLUS "
+                "the streaming CDC-apply sink (bucket-pruned current "
+                "table + append-only closed fragments with epoch-dedup "
+                "compaction)",
              loc="dask_expr_spark/functions/maintenance.py "
-                 "(scd2_init, upsert_scd2, scd2_asof, scd2_current)",
-             q=["scd2_history_orders", "scd2_asof_snapshot"],
+                 "(scd2_init, upsert_scd2, scd2_asof, scd2_current); "
+                 "dask_expr_spark/streaming/ops.py (scd2_sink, "
+                 "read_scd2, compact_scd2_closed)",
+             q=["scd2_history_orders", "scd2_asof_snapshot",
+                "stream_scd2_history"],
              t="randomized 3-batch differential vs pandas reference + "
                "no-op collapse/as-of/retroactive-guard/in-batch-dedup "
-               "tests test_round7_ops"),
+               "tests test_round7_ops; untouched-bucket byte-identity "
+               "+ worst-interleaving restart-from-checkpoint replay "
+               "tests test_streaming"),
         dict(op="row-level CDC: insert/update/delete records between "
                 "any two table states or committed snapshot versions "
                 "(one full-outer join, change-sized output; the record "

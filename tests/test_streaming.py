@@ -812,3 +812,135 @@ def test_upsert_sink_check_moves_surfaces_partition_move(spark,
     # the snapshot was not corrupted: k=1 still lives in part a only
     snap = {r["k"]: r["part"] for r in spark.read.parquet(table).collect()}
     assert snap[1] == "a" and len(snap) == 3
+
+
+def _scd2_src(spark, src, n_batches=3, n_keys=10):
+    import pandas as pd
+    for i in range(n_batches):
+        pdf = pd.DataFrame({
+            "k": list(range(n_keys)),
+            "v": [float(i) if kk == 0 else (1.0 if kk == 5
+                                            else float(kk))
+                  for kk in range(n_keys)],
+            "eff": [i * 10] * n_keys,
+        })
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("append").parquet(src))
+    return spark.read.parquet(src).schema
+
+
+def _scd2_rows(spark, table):
+    return sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in S.read_scd2(spark, table).collect())
+
+
+def test_scd2_sink_history_and_pruning(spark, tmp_path):
+    """the history sink: only the changing key grows versions, no-op
+    re-deliveries collapse, and a batch touching ONE key rewrites ONLY
+    that key's current bucket (untouched bucket files byte-identical —
+    the per-batch cost contract)."""
+    import glob
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _scd2_src(spark, src)
+
+    def start():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return S.scd2_sink(stream, table, ["k"], "eff", n_buckets=8,
+                           checkpoint_dir=ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    rows = _scd2_rows(spark, table)
+    assert len(rows) == 12                    # 10 keys + 2 closed of k=0
+    k0 = [r for r in rows if r[0] == 0]
+    assert k0 == [(0, 0.0, 0, 10, False), (0, 1.0, 10, 20, False),
+                  (0, 2.0, 20, None, True)]
+    assert all(r[4] and r[3] is None for r in rows if r[0] != 0)
+
+    # single-key batch: untouched buckets byte-identical
+    import pandas as pd
+    before = {f: os.path.getsize(f) for f in
+              glob.glob(f"{table}/current/__bucket=*/*.parquet")}
+    pd3 = pd.DataFrame({"k": [3], "v": [99.0], "eff": [30]})
+    spark.createDataFrame(pd3).coalesce(1).write.mode("append") \
+        .parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    from dask_expr_spark.functions.maintenance import bucket_expr
+    b3 = spark.createDataFrame(pd3).select(
+        bucket_expr(["k"], 8).alias("b")).collect()[0]["b"]
+    after = {f: os.path.getsize(f) for f in
+             glob.glob(f"{table}/current/__bucket=*/*.parquet")}
+    tok = f"__bucket={b3}/"
+    for f, sz in before.items():
+        if tok not in f:
+            assert after.get(f) == sz, f"untouched bucket changed: {f}"
+    rows = _scd2_rows(spark, table)
+    assert (3, 99.0, 30, None, True) in rows
+    assert (3, 3.0, 0, 30, False) in rows
+
+
+def test_scd2_sink_restart_from_checkpoint_replays_epoch(spark,
+                                                         tmp_path,
+                                                         monkeypatch):
+    """exactly-once under a REAL restart: crash AFTER the closed
+    fragments appended but BEFORE the current buckets swap — the worst
+    interleaving — then restart from the checkpoint; the final history
+    must equal the clean single-delivery run's."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    from dask_expr_spark.functions import maintenance as M
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _scd2_src(spark, src)
+
+    clean_src = str(tmp_path / "src2")
+    _scd2_src(spark, clean_src)
+    clean_tbl = str(tmp_path / "tbl2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(clean_src))
+    q = S.scd2_sink(stream, clean_tbl, ["k"], "eff", n_buckets=8,
+                    checkpoint_dir=str(tmp_path / "ckpt2"))
+    q.processAllAvailable()
+    q.stop()
+    want = _scd2_rows(spark, clean_tbl)
+
+    real = M.overwrite_partitions
+    state = {"n": 0}
+
+    def crash_after_closed_append(*a, **kw):
+        state["n"] += 1
+        if state["n"] == 2:       # epoch 1: closed already appended
+            raise RuntimeError("injected crash before current swap")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(M, "overwrite_partitions",
+                        crash_after_closed_append)
+
+    def start():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return S.scd2_sink(stream, table, ["k"], "eff", n_buckets=8,
+                           checkpoint_dir=ckpt)
+
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
+    monkeypatch.setattr(M, "overwrite_partitions", real)
+    q = start()                    # replay epoch 1 from checkpoint
+    q.processAllAvailable()
+    q.stop()
+    assert _scd2_rows(spark, table) == want
+    # compaction folds the replay's duplicate closed fragments away
+    S.compact_scd2_closed(spark, table)
+    assert _scd2_rows(spark, table) == want
