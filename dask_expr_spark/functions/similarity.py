@@ -1149,3 +1149,87 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     return (j.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k_outer)
             .select("query_id", "neighbor_id", "cos", "adc", "rank"))
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 5, m: int = 8, num_cells: int = 16,
+               nprobe: int = 4, lloyd_iters: int = 1,
+               sample_rows: int = 20000, kmeans_iters: int = 4,
+               seed: int = 42,
+               exact_rerank: int | None = None) -> DataFrame:
+    """IVF-PQ: the FAISS-standard composition — IVF cells bound WHICH
+    vectors are scored (nprobe/num_cells of the corpus), PQ codes
+    bound WHAT moves and is read per candidate (m bytes instead of
+    dim floats).  Where ivf_topk ships each candidate's float vector
+    through the cell join, this ships its PQ code: at dim=64/m=8 the
+    corpus side of the shuffle shrinks 64×, which at 100 TB is the
+    difference between a code join and a re-broadcast of the corpus.
+
+    Plan: coarse quantizer trains exactly as ivf_topk
+    (_train_ivf_cells — deterministic seeding, distributed Lloyd);
+    vectors land in 1 cell carrying their code, queries probe nprobe
+    cells carrying their float vector (the small side); the cell join
+    scores each candidate with an Arrow-batched gather
+    (q-subvector · codebook[code] summed over subspaces ≈ cosine).
+    `exact_rerank=C` adds the float re-rank stage of pq_topk —
+    measured recall/cost in SCALE.md.  Output: (query_id, neighbor_id,
+    adc[, cos], rank)."""
+    import numpy as np
+
+    vv = vectors.select(F.col(id_col).alias("neighbor_id"),
+                        as_double(F.col(vec_col)).alias("__vv"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        as_double(F.col(vec_col)).alias("__qv"))
+    cents = _train_ivf_cells(vv, "neighbor_id", "__vv", num_cells,
+                             lloyd_iters)
+    codebook = pq_train(vectors, dim, m=m, id_col=id_col,
+                        vec_col=vec_col, sample_rows=sample_rows,
+                        kmeans_iters=kmeans_iters, seed=seed)
+    spark = vectors.sparkSession
+    bb = spark.sparkContext.broadcast(codebook)
+    dsub = dim // m
+
+    v_cells = _nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
+    v_codes = pq_encode(v_cells.select("neighbor_id", "cell",
+                                       F.col("__vv").alias("__v")),
+                        codebook, id_col="neighbor_id", vec_col="__v") \
+        .join(v_cells.select("neighbor_id", "cell"), "neighbor_id")
+    q_cells = _nearest_cells(qv, cents, "query_id", "__qv", nprobe)
+
+    @F.pandas_udf("double")
+    def __adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        B = bb.value
+        Q = np.asarray([np.asarray(v, dtype="float64") for v in qvs])
+        if len(Q) == 0:
+            return pd.Series([], dtype="float64")
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True),
+                           1e-12)
+        Qs = Q.reshape(len(Q), B.shape[0], dsub)
+        C = np.asarray(list(codes), dtype="int64")       # (n, m)
+        picked = B[np.arange(B.shape[0])[None, :], C]    # (n, m, dsub)
+        return pd.Series(np.einsum("nmd,nmd->n", Qs, picked))
+
+    cand = (q_cells.join(v_codes, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("adc", __adc(F.col("__qv"), F.col("pq_code"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id"))
+    shortlist = max(k, int(exact_rerank)) if exact_rerank else k
+    top = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= shortlist)
+           .select("query_id", "neighbor_id", "adc", "rank"))
+    if not exact_rerank:
+        return top
+    nvec = vectors.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__nv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("__q2"))
+    j = (top.drop("rank").join(nvec, "neighbor_id").join(qvec, "query_id")
+         .withColumn("cos", cosine(as_double(F.col("__q2")),
+                                   as_double(F.col("__nv")))))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (j.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "adc", "rank"))

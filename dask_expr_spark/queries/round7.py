@@ -814,3 +814,28 @@ def stream_scd2_history(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(tbl_dir, ignore_errors=True)
+
+
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (similarity.ivfpq_topk): cells bound WHICH
+    vectors score (nprobe/num_cells of the corpus), PQ codes bound
+    WHAT ships through the cell join (m bytes vs dim floats — 64×
+    less corpus shuffle at dim=64/m=8), and the exact re-rank stage
+    restores float ordering over the shortlist.  Containment oracle as
+    the other ANN paths (deterministic Lloyd seeding + seeded
+    codebooks → deterministic coverage)."""
+    from ..functions import similarity as SIM
+
+    emb = tbl(spark, sf_dir, "embeddings").to_spark()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = SIM.ivfpq_topk(emb, queries, dim=64, k=5, m=16,
+                            num_cells=16, nprobe=12, exact_rerank=100) \
+        .select("query_id", "neighbor_id")
+    exact1 = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=1)
+    return (exact1.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("cos"), 6).alias("cos"))
+            .orderBy("query_id"))
+
+
+QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_TOP1_SQL)

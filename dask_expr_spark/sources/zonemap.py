@@ -57,31 +57,28 @@ def _data_files(path: str) -> list[str]:
     return sorted(out)
 
 
-def build_zonemap(spark: SparkSession, path: str, cols: list[str],
-                  zonemap_path: str | None = None) -> DataFrame:
-    """Build (or rebuild) the zone-map manifest for `cols` over every
-    parquet file under `path`.  Footer-only IO, distributed over the
-    file list; the manifest itself is one row per file — metadata-
-    sized, not data-sized.  Returns the manifest DataFrame (also
-    persisted at `zonemap_path`, default `<path>/_zonemap`)."""
-    import pandas as pd
+def _zonemap_schema(spark: SparkSession, path: str,
+                    cols: list[str]):
+    from pyspark.sql import types as TT
 
     table_schema = spark.read.parquet(path).schema
-    fields: list[T.StructField] = [
-        T.StructField("file", T.StringType()),
-        T.StructField("n_rows", T.LongType()),
-    ]
+    fields = [TT.StructField("file", TT.StringType()),
+              TT.StructField("n_rows", TT.LongType())]
     for c in cols:
         dt = table_schema[c].dataType
-        fields += [T.StructField(f"{c}_min", dt),
-                   T.StructField(f"{c}_max", dt),
-                   T.StructField(f"{c}_nulls", T.LongType())]
-    schema = T.StructType(fields)
+        fields += [TT.StructField(f"{c}_min", dt),
+                   TT.StructField(f"{c}_max", dt),
+                   TT.StructField(f"{c}_nulls", TT.LongType())]
+    return TT.StructType(fields)
 
-    files = _data_files(path)
-    if not files:
-        raise ValueError(f"build_zonemap: no parquet files under {path}")
+
+def _footer_scan(spark: SparkSession, files: list[str],
+                 schema: T.StructType, cols: list[str]) -> DataFrame:
+    """Distributed footer-only stats scan over an explicit file list."""
+    import pandas as pd
+
     want = list(cols)
+    names_out = [f.name for f in schema.fields]
 
     def footer_stats(batches):
         import pyarrow.parquet as pq
@@ -120,12 +117,26 @@ def build_zonemap(spark: SparkSession, path: str, cols: list[str],
                     rec[f"{c}_min"], rec[f"{c}_max"] = mn, mx
                     rec[f"{c}_nulls"] = nulls
                 rows.append(rec)
-            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+            yield pd.DataFrame(rows, columns=names_out)
 
     n_slices = max(1, min(len(files), 256))
     fdf = spark.createDataFrame([(f,) for f in files], "file string") \
         .repartition(n_slices)
-    manifest = fdf.mapInPandas(footer_stats, schema=schema)
+    return fdf.mapInPandas(footer_stats, schema=schema)
+
+
+def build_zonemap(spark: SparkSession, path: str, cols: list[str],
+                  zonemap_path: str | None = None) -> DataFrame:
+    """Build (or rebuild) the zone-map manifest for `cols` over every
+    parquet file under `path`.  Footer-only IO, distributed over the
+    file list; the manifest itself is one row per file — metadata-
+    sized, not data-sized.  Returns the manifest DataFrame (also
+    persisted at `zonemap_path`, default `<path>/_zonemap`)."""
+    files = _data_files(path)
+    if not files:
+        raise ValueError(f"build_zonemap: no parquet files under {path}")
+    schema = _zonemap_schema(spark, path, cols)
+    manifest = _footer_scan(spark, files, schema, cols)
     zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
     from ..functions.maintenance import atomic_overwrite
     # no checkpoint needed: the manifest plan reads data-file FOOTERS,
@@ -255,3 +266,37 @@ def read_skipping(spark: SparkSession, path: str,
         return full.where(F.lit(False)).where(flt)
     return (spark.read.option("basePath", path).parquet(*survivors)
             .where(flt))
+
+
+def update_zonemap(spark: SparkSession, path: str,
+                   zonemap_path: str | None = None) -> tuple[int, int]:
+    """Incrementally refresh the manifest after appends/compactions:
+    footer-scan ONLY files not yet in the manifest, drop rows for
+    files gone from disk, keep everything else as-is — maintaining the
+    manifest costs the CHANGE, not the table (the same contract as
+    upsert_partitioned).  Indexed columns come from the existing
+    manifest; build_zonemap first to define them.  Returns
+    (files_added, files_dropped); (0, 0) when already current."""
+    zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
+    man = spark.read.parquet(zp)
+    cols = sorted({c[:-4] for c in man.columns if c.endswith("_min")})
+    known = {r["file"] for r in man.select("file").collect()}
+    current = set(_data_files(path))
+    new_files = sorted(current - known)
+    gone = known - current
+    if not new_files and not gone:
+        return (0, 0)
+    kept = man.where(F.col("file").isin(sorted(current & known)))
+    if new_files:
+        delta = _footer_scan(spark, new_files,
+                             _zonemap_schema(spark, path, cols), cols)
+        merged = kept.unionByName(delta.select(*man.columns))
+    else:
+        merged = kept
+    # the kept side lazily reads the OLD manifest, which the swap is
+    # about to replace: realize it first (manifest-sized, tiny)
+    merged = merged.localCheckpoint(eager=True)
+    from ..functions.maintenance import atomic_overwrite
+    atomic_overwrite(
+        zp, lambda p: merged.write.mode("overwrite").parquet(p))
+    return (len(new_files), len(gone))

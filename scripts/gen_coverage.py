@@ -546,8 +546,9 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["zonemap_skipping_dates"],
              t="inputFiles==survivors + op matrix (= in < <= > >= "
                "between isnull notnull) + all-null file pruning + "
-               "stale-manifest safety + string/hive-layout tests "
-               "test_round7_ops"),
+               "stale-manifest safety + string/hive-layout + "
+               "incremental update_zonemap (delta-only scan, "
+               "rebuild-equality) tests test_round7_ops"),
         dict(op="product-quantized ANN (PQ/ADC): seeded per-subspace "
                 "256-centroid codebooks, 8-16 bytes/vector persisted "
                 "code tables, lookup-table scan that never touches a "
@@ -560,6 +561,16 @@ ROWS: list[tuple[str, list[dict]]] = [
              t="partitioning-invariance + persisted-codes-identity + "
                "recall floor tests test_round7_ops; measured "
                "recall/cost table SCALE.md"),
+        dict(op="IVF-PQ composed ANN: coarse cells bound WHICH "
+                "vectors score, PQ codes bound WHAT ships through the "
+                "cell join (m bytes vs dim floats), exact re-rank "
+                "restores float ordering — measured recall lands "
+                "exactly on the IVF cell-coverage ceiling",
+             loc="dask_expr_spark/functions/similarity.py "
+                 "(ivfpq_topk)",
+             q=["ann_ivfpq_topk"],
+             t="recall floor + rerank schema/ordering tests "
+               "test_round7_ops; x100 recall table SCALE.md"),
     ]),
 ]
 

@@ -793,3 +793,78 @@ def test_pq_exact_rerank_recovers_exact_order(spark, sf_dir):
     rr = recall(SIM.pq_topk(emb, q, dim=64, k=k, m=8,
                             exact_rerank=50).collect())
     assert rr >= plain - 1e-9, (rr, plain)
+
+
+def test_update_zonemap_incremental(spark, tmp_path):
+    """incremental manifest maintenance: appended files footer-scan in
+    (only the delta), removed files drop, pruning stays sound and
+    equal to a full rebuild."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(i, float(i)) for i in range(10)],
+                          "k int, v double").coalesce(1) \
+        .write.parquet(path)
+    Z.build_zonemap(spark, path, ["v"])
+    assert Z.update_zonemap(spark, path) == (0, 0)     # current: no-op
+
+    spark.createDataFrame([(i, float(i)) for i in range(100, 110)],
+                          "k int, v double").coalesce(1) \
+        .write.mode("append").parquet(path)
+    added, dropped = Z.update_zonemap(spark, path)
+    assert (added, dropped) == (1, 0)
+    # the refreshed manifest prunes the new file correctly
+    surv, total = Z.zone_prune(spark, path, [("v", ">=", 100.0)])
+    assert total == 2 and len(surv) == 1
+    assert Z.read_skipping(spark, path,
+                           [("v", ">=", 100.0)]).count() == 10
+
+    # compaction rewrites the files: update drops the old rows and
+    # scans the new files; equal to a full rebuild
+    M.compact_parquet(spark, path, target_mb=512)
+    Z.build_zonemap(spark, path, ["v"])        # compaction dropped it
+    spark.createDataFrame([(1, 500.0)], "k int, v double").coalesce(1) \
+        .write.mode("append").parquet(path)
+    added, dropped = Z.update_zonemap(spark, path)
+    assert added == 1 and dropped == 0
+    inc = {(r["file"], r["n_rows"]) for r in
+           spark.read.parquet(f"{path}/_zonemap").collect()}
+    Z.build_zonemap(spark, path, ["v"])
+    full = {(r["file"], r["n_rows"]) for r in
+            spark.read.parquet(f"{path}/_zonemap").collect()}
+    assert inc == full
+
+
+def test_ivfpq_recall_and_rerank_schema(spark, sf_dir):
+    """IVF-PQ composition: recall floor vs exact (cells + codes +
+    rerank), plain path returns adc, rerank path adds exact cos and
+    ranks by it (per-query cos non-increasing in rank)."""
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 5
+    truth: dict = {}
+    for r in SIM.cosine_topk_blocked(emb, q, k=k) \
+            .filter(F.col("query_id") != F.col("neighbor_id")).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    plain = SIM.ivfpq_topk(emb, q, dim=64, k=k, m=16, num_cells=16,
+                           nprobe=12)
+    assert set(plain.columns) == {"query_id", "neighbor_id", "adc",
+                                  "rank"}
+    rr = SIM.ivfpq_topk(emb, q, dim=64, k=k, m=16, num_cells=16,
+                        nprobe=12, exact_rerank=100)
+    rows = rr.collect()
+    assert set(rr.columns) == {"query_id", "neighbor_id", "cos", "adc",
+                               "rank"}
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for lst in by_q.values():
+        lst.sort()
+        assert all(a[1] >= b[1] - 1e-12 for a, b in zip(lst, lst[1:]))
+    per = {qi: {r.neighbor_id for r in rows if r.query_id == qi}
+           for qi in truth}
+    hit = sum(len(truth[qi] & per.get(qi, set())) for qi in truth)
+    tot = sum(len(truth[qi]) for qi in truth)
+    assert hit / tot >= 0.8, f"ivfpq rerank recall {hit / tot}"
