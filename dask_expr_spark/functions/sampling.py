@@ -315,3 +315,59 @@ def sample_n_weighted_per_group(df: DataFrame, group_col: str, id_col: str,
     w2 = Window.partitionBy(group_col).orderBy(key.desc(), F.col(id_col))
     return (pre.withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= int(n)).drop("__rn"))
+
+
+def split_temporal(df: DataFrame, ts_col: str, cutoff=None,
+                   val_fraction: float = 0.1,
+                   embargo: str | None = None) -> DataFrame:
+    """Time-ordered train/validation split with an optional EMBARGO
+    gap — the leakage-safe split for time-series / event data, where
+    hash_split is wrong by construction (a random split puts events
+    from the same hour on both sides, so any feature with temporal
+    autocorrelation trains on the future; the standard fix is a
+    strictly-older train set plus a buffer dropped around the
+    boundary — de Prado, "Advances in Financial Machine Learning",
+    2018, public; no reference analogue).
+
+    The boundary: pass `cutoff` (a literal timestamp — exact, the
+    reproducible-pipeline path) or leave None to derive it as the
+    exact (1 - val_fraction) percentile of `ts_col` (ONE agg job;
+    deterministic).  Rows strictly before (cutoff - embargo) train;
+    rows at/after cutoff validate; rows inside the embargo window are
+    DROPPED into split='embargo' so boundary-straddling windows can't
+    leak.  `embargo` is an INTERVAL string (e.g. "7 days").
+
+    Cost: one narrow map (plus the one-row percentile when derived) —
+    no shuffle; at 100 TB a partition/cluster layout on ts_col makes
+    both sides partition-pruned reads.  Returns df + 'split' column
+    ('train' | 'val' | 'embargo')."""
+    from pyspark.sql import types as T
+
+    t = F.col(ts_col)
+    dt = df.schema[ts_col].dataType
+    if cutoff is None:
+        # exact percentile; TIMESTAMP(_NTZ) hops through LTZ→double
+        # (session tz is fixed UTC, order-preserving) and back
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                           T.DateType)):
+            num = t.cast("timestamp_ltz").cast("double")
+            cutv = df.select(F.percentile(
+                num, F.lit(1.0 - float(val_fraction))).alias("__c")
+            ).collect()[0]["__c"]
+            cut_lit = F.timestamp_seconds(F.lit(cutv)).cast(dt)
+        else:
+            cutv = df.select(F.percentile(
+                t, F.lit(1.0 - float(val_fraction))).alias("__c")
+            ).collect()[0]["__c"]
+            cut_lit = F.lit(cutv)
+    else:
+        cut_lit = F.lit(cutoff).cast(dt)
+    if embargo is not None:
+        lo = cut_lit - F.expr(f"INTERVAL {embargo}")
+        split = (F.when(t < lo, F.lit("train"))
+                 .when(t >= cut_lit, F.lit("val"))
+                 .otherwise(F.lit("embargo")))
+    else:
+        split = F.when(t < cut_lit, F.lit("train")).otherwise(
+            F.lit("val"))
+    return df.withColumn("split", split)

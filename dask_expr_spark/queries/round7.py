@@ -839,3 +839,40 @@ def ann_ivfpq_topk(spark, sf_dir):
 
 
 QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_TOP1_SQL)
+
+
+# -- temporal train/val split with embargo (sampling.split_temporal):
+#    the leakage-safe split for event data — strictly-older train, a
+#    dropped buffer around the boundary, reproducible from a literal
+#    cutoff; the oracle is the same CASE from first principles -------
+SPLIT_TEMPORAL_SQL = f"""
+WITH s AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' - INTERVAL 3 DAY
+              THEN 'train'
+              WHEN ts >= TIMESTAMP '2024-01-20' THEN 'val'
+              ELSE 'embargo' END AS split,
+         value, user_id
+  FROM events
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('value')} AS total,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+@q("split_temporal_events", SPLIT_TEMPORAL_SQL)
+def split_temporal_events(spark, sf_dir):
+    import datetime
+
+    from ..functions.sampling import split_temporal
+
+    ev = tbl(spark, sf_dir, "events").to_spark()
+    s = split_temporal(ev, "ts",
+                       cutoff=datetime.datetime(2024, 1, 20),
+                       embargo="3 days")
+    return (s.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("value")).alias("total"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("split"))

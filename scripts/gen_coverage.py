@@ -382,14 +382,18 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "domain-mixture resampling / exact-n sample / "
                 "weighted sample (A-ES) / exact-n per group (uniform + "
                 "weighted) / leakage-safe split (dup groups move as "
-                "one unit)",
+                "one unit) / temporal split with embargo (strictly-"
+                "older train + dropped boundary buffer)",
              loc="dask_expr_spark/functions/sampling.py",
              q=["split_train_val", "stratified_sample_docs",
                 "global_shuffle_head", "mix_sources_target",
                 "sample_n_orders", "sample_weighted_orders",
                 "sample_n_per_group_orders", "split_leakage_safe",
-                "sample_weighted_per_group_orders"],
-             t="no-straddle + determinism tests test_round6_ops"),
+                "sample_weighted_per_group_orders",
+                "split_temporal_events"],
+             t="no-straddle + determinism tests test_round6_ops; "
+               "strict-partition + derived-percentile fraction tests "
+               "test_round7_ops"),
         dict(op="incremental corpus dedup: persistent MinHash-LSH index "
                 "+ batch-vs-index candidates (no combined self-join); "
                 "exact-hash variant (exact_hash_index / "

@@ -868,3 +868,37 @@ def test_ivfpq_recall_and_rerank_schema(spark, sf_dir):
     hit = sum(len(truth[qi] & per.get(qi, set())) for qi in truth)
     tot = sum(len(truth[qi]) for qi in truth)
     assert hit / tot >= 0.8, f"ivfpq rerank recall {hit / tot}"
+
+
+def test_split_temporal_semantics(spark, sf_dir):
+    """temporal split: train strictly older than cutoff-embargo, val
+    at/after cutoff, embargo in between; derived-percentile cutoff
+    hits the requested fraction; no row lost."""
+    import datetime
+
+    from dask_expr_spark.functions.sampling import split_temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = datetime.datetime(2024, 1, 20)
+    s = split_temporal(ev, "ts", cutoff=cut, embargo="3 days")
+    rows = s.select("ts", "split").collect()
+    assert len(rows) == ev.count()
+    lo = cut - datetime.timedelta(days=3)
+    for r in rows:
+        if r["split"] == "train":
+            assert r["ts"] < lo
+        elif r["split"] == "val":
+            assert r["ts"] >= cut
+        else:
+            assert lo <= r["ts"] < cut
+    # derived cutoff: val fraction within a row of the target
+    s2 = split_temporal(ev, "ts", val_fraction=0.25)
+    n = ev.count()
+    v = s2.where(F.col("split") == "val").count()
+    assert abs(v / n - 0.25) < 0.02
+    # and the split is a strict time partition
+    mx_train = s2.where(F.col("split") == "train") \
+        .agg(F.max("ts")).collect()[0][0]
+    mn_val = s2.where(F.col("split") == "val") \
+        .agg(F.min("ts")).collect()[0][0]
+    assert mx_train < mn_val
