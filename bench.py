@@ -232,7 +232,7 @@ X10_ENTRIES = {
     # only in the x10 universe)
     "upsert_bucketed_roundtrip", "snapshot_time_travel",
     "cdc_between_snapshots", "zonemap_skipping_dates",
-    "ann_pq_topk", "ann_pq_rerank",
+    "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -249,6 +249,7 @@ X100_ENTRIES = {
     "cms_join_cardinality", "diff_after_upsert",
     # round 7: orders-only pipelines, strongly sublinear -> x100
     "scd2_history_orders", "profile_from_rollups_orders",
+    "split_temporal_events",
 }
 X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
@@ -369,6 +370,8 @@ OPTIONAL = [
     "zonemap_skipping_dates",
     "ann_pq_topk",
     "ann_pq_rerank",
+    "ann_ivfpq_topk",
+    "split_temporal_events",
 ]
 
 
