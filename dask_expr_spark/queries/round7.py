@@ -876,3 +876,47 @@ def split_temporal_events(spark, sf_dir):
                  cent_sum(F.col("value")).alias("total"),
                  F.countDistinct("user_id").alias("n_users"))
             .orderBy("split"))
+
+
+# -- z-order layout × zone-map skipping, composed: the manifest over a
+#    z-ordered table prunes a filter on the TRAILING sort dimension
+#    (o_totalprice), where a lead-clustered layout reads everything —
+#    the synthesis of sources/layout.py and sources/zonemap.py; the
+#    oracle is the plain filter --------------------------------------
+ZM_ZORDER_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS pruned_ok, TRUE AS files_ok
+FROM orders WHERE o_totalprice > 450000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("zonemap_zorder_trailing", ZM_ZORDER_SQL)
+def zonemap_zorder_trailing(spark, sf_dir):
+    from ..sources import zonemap as Z
+    from ..sources.io import read_parquet
+
+    o = tbl(spark, sf_dir, "orders")[
+        ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]]
+    tmp = tempfile.mkdtemp(prefix="zm_zorder_")
+    path = os.path.join(tmp, "t")
+    try:
+        o.to_parquet(path, sort_by=["o_orderdate", "o_totalprice"],
+                     cluster=("zorder", 16))
+        Z.build_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+        preds = [("o_totalprice", ">", 450000.0)]
+        surv, total = Z.zone_prune(spark, path, preds)
+        got = Z.read_skipping(spark, path, preds)
+        files_ok = (set(f.replace("file://", "")
+                        for f in got.inputFiles()) == set(surv))
+        out = (got.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"))
+               .withColumn("pruned_ok",
+                           F.lit(bool(0 < len(surv) < total)))
+               .withColumn("files_ok", F.lit(bool(files_ok)))
+               .orderBy("o_orderpriority"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -510,8 +510,10 @@ ROWS: list[tuple[str, list[dict]]] = [
              loc="dask_expr_spark/functions/maintenance.py "
                  "(snapshot_write, snapshot_read, snapshot_vacuum)",
              q=["snapshot_time_travel"],
-             t="orphan-directory reclaim + vacuumed-read rejection "
-               "smoke in the query's vacuum_ok flag"),
+             t="crash-injection at the commit point (orphan invisible, "
+               "retry commits) + vacuum mid-delete (manifest-first, no "
+               "dangling pointer) tests test_round7_ops; vacuumed-read "
+               "rejection in the query's vacuum_ok flag"),
         dict(op="SCD-2 history-keeping upsert: change detection with "
                 "no-op collapse, in-batch version chains, retroactive-"
                 "update rejection (or replay-absorbing skip), as-of "
@@ -547,7 +549,7 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "referenced), exact residual filter",
              loc="dask_expr_spark/sources/zonemap.py (build_zonemap, "
                  "zone_prune, read_skipping)",
-             q=["zonemap_skipping_dates"],
+             q=["zonemap_skipping_dates", "zonemap_zorder_trailing"],
              t="inputFiles==survivors + op matrix (= in < <= > >= "
                "between isnull notnull) + all-null file pruning + "
                "stale-manifest safety + string/hive-layout + "

@@ -902,3 +902,72 @@ def test_split_temporal_semantics(spark, sf_dir):
     mn_val = s2.where(F.col("split") == "val") \
         .agg(F.min("ts")).collect()[0][0]
     assert mx_train < mn_val
+
+
+def test_snapshot_write_crash_before_flip(spark, tmp_path,
+                                          monkeypatch):
+    """manifest-pointer commit protocol: a crash AFTER the version
+    directory is fully written but BEFORE the os.replace flip leaves
+    the previous version live and the orphan invisible; the next
+    commit reclaims the orphan and takes its number."""
+    path = str(tmp_path / "snap")
+    v0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, p double")
+    assert M.snapshot_write(v0, path) == 0
+
+    real = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("injected crash at the commit point")
+
+    monkeypatch.setattr(os, "replace", boom)
+    v1 = spark.createDataFrame([(1, 10.0)], "k int, p double")
+    with pytest.raises(RuntimeError):
+        M.snapshot_write(v1, path)
+    monkeypatch.setattr(os, "replace", real)
+
+    # current is still v0; the orphan _v1 dir is not readable
+    assert M.snapshot_history(path)[-1]["version"] == 0
+    got = {r["k"]: r["p"] for r in M.snapshot_read(spark, path).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+    with pytest.raises(ValueError, match="not available"):
+        M.snapshot_read(spark, path, 1)
+
+    # retry commits cleanly as version 1
+    assert M.snapshot_write(v1, path) == 1
+    got = {r["k"]: r["p"] for r in M.snapshot_read(spark, path).collect()}
+    assert got == {1: 10.0}
+    assert {v["version"] for v in M.snapshot_history(path)} == {0, 1}
+
+
+def test_snapshot_vacuum_crash_mid_delete(spark, tmp_path,
+                                          monkeypatch):
+    """vacuum flips the manifest BEFORE deleting: a crash mid-delete
+    strands directories (reclaimable by re-running vacuum) but never
+    dangles a pointer — every manifest-listed version stays
+    readable."""
+    import shutil as _sh
+
+    path = str(tmp_path / "snap")
+    for i in range(3):
+        M.snapshot_write(
+            spark.createDataFrame([(i, float(i))], "k int, p double"),
+            path)
+
+    real = _sh.rmtree
+
+    def boom(p, **kw):
+        raise RuntimeError("injected crash mid-delete")
+
+    monkeypatch.setattr(_sh, "rmtree", boom)
+    with pytest.raises(RuntimeError):
+        M.snapshot_vacuum(path, keep=1)
+    monkeypatch.setattr(_sh, "rmtree", real)
+
+    # the manifest committed: v0 and v1 are gone from history...
+    live = {v["version"] for v in M.snapshot_history(path)}
+    assert live == {2}
+    # ...and every listed version still reads (no dangling pointer)
+    assert M.snapshot_read(spark, path, 2).count() == 1
+    # the stranded directory is reclaimed by the next write cycle or
+    # an explicit re-vacuum; either way reads stay consistent
+    assert M.snapshot_read(spark, path).count() == 1
