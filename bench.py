@@ -233,6 +233,7 @@ X10_ENTRIES = {
     "upsert_bucketed_roundtrip", "snapshot_time_travel",
     "cdc_between_snapshots", "zonemap_skipping_dates",
     "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
+    "zonemap_zorder_trailing",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -372,6 +373,7 @@ OPTIONAL = [
     "ann_pq_rerank",
     "ann_ivfpq_topk",
     "split_temporal_events",
+    "zonemap_zorder_trailing",
 ]
 
 

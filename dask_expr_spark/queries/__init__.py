@@ -171,14 +171,15 @@ RECONFIRM_FIRST = (
 
 # ROUND-8 CHECKLIST: once CORRECTNESS_r07.json lands, rotate again —
 # add its green names to VALIDATED and drop the consumed
-# RECONFIRM_FIRST prefix.  The r7 window = the 15 new round-7 queries
+# RECONFIRM_FIRST prefix.  The r7 window = the 16 new round-7 queries
 # (profile_from_rollups_orders, upsert_bucketed_roundtrip,
 # snapshot_time_travel, kmv_intersect_grouped,
 # compact_partitioned_files, stream_upsert_bucketed,
 # scd2_history_orders, scd2_asof_snapshot, cdc_between_snapshots,
 # zonemap_skipping_dates, ann_pq_topk, ann_pq_rerank,
-# stream_scd2_history, ann_ivfpq_topk, split_temporal_events) + the
-# leading 35 of RECONFIRM_FIRST (through groupby_expanding_value).
+# stream_scd2_history, ann_ivfpq_topk, split_temporal_events,
+# zonemap_zorder_trailing) + the leading 34 of RECONFIRM_FIRST
+# (through groupby_rolling_qty).
 # The r4 cohort is already appended; append the r5 cohort
 # (heavy_hitter_tokens … stream_windowed_distinct, registry order)
 # when the queue runs short.  Every registry query is swept locally vs
