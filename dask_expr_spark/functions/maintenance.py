@@ -37,10 +37,39 @@ from pyspark.sql import functions as F
 _BUCKET_SPEC = "_bucket_spec.json"
 
 
+def align_schemas(a: DataFrame, b: DataFrame
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Widen two frames to their UNION schema, null-filling what each
+    side lacks (types come from whichever side has the column; a
+    column present on both must agree by name — Spark's unionByName
+    enforces type compatibility downstream).  Column order: a's
+    columns, then b's additions.  The schema-evolution primitive for
+    upsert(evolve_schema=True) and snapshot pipelines."""
+    add_to_a = [f for f in b.schema.fields if f.name not in a.columns]
+    add_to_b = [f for f in a.schema.fields if f.name not in b.columns]
+    for f in add_to_a:
+        a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+    for f in add_to_b:
+        b = b.withColumn(f.name, F.lit(None).cast(f.dataType))
+    cols = list(a.columns)
+    return a.select(*cols), b.select(*cols)
+
+
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str],
-           order_col: str | None = None) -> DataFrame:
+           order_col: str | None = None,
+           evolve_schema: bool = False) -> DataFrame:
     """SCD-1 merge: rows from `updates` replace same-key rows in
-    `target`; novel keys insert.  Schemas must match by name.
+    `target`; novel keys insert.  Schemas must match by name — unless
+    `evolve_schema=True`, which widens both sides to the union schema
+    first (new columns in the batch appear on old rows as null, and a
+    batch missing columns leaves them null on its rows).  Evolution is
+    for WHOLE-TABLE merges and snapshot pipelines (snapshot_write
+    makes each version its own schema); the in-place pruned paths
+    (upsert_partitioned / upsert_bucketed) deliberately do NOT evolve
+    — rewriting only touched directories would leave the table's
+    files schema-split, which a default parquet read resolves from an
+    arbitrary file.  Evolve those by a full rewrite (or read with
+    mergeSchema and compact).
 
     `order_col` resolves duplicate keys WITHIN the updates batch
     (highest wins — e.g. an ingest timestamp); without it the batch
@@ -52,6 +81,8 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str],
     update key set, and the union is shuffle-free.  At scale the anti
     join broadcasts when the batch is small, which AQE decides from
     the run-time size."""
+    if evolve_schema:
+        target, updates = align_schemas(target, updates)
     if order_col is not None:
         cols = [c for c in updates.columns if c not in keys]
         upd = (updates.groupBy(*keys)

@@ -920,3 +920,53 @@ def zonemap_zorder_trailing(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- schema evolution on merge (maintenance.upsert evolve_schema=True
+#    via align_schemas): a re-crawl batch carries a NEW quality-score
+#    column — old rows get null, the merge is otherwise the SCD-1
+#    semantics; reconstructed in SQL with an explicit NULL column ----
+UPSERT_EVOLVE_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, round(o_totalprice + 500.0, 2) AS o_totalprice,
+         o_orderstatus,
+         round(o_totalprice, 0) / 600000.0 AS quality
+  FROM orders WHERE o_orderkey % 41 = 0
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o_orderkey, round(o_totalprice, 2), o_orderstatus,
+         CAST(NULL AS DOUBLE)
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       CAST(count(quality) AS BIGINT) AS n_scored,
+       round(avg(quality), 6) AS avg_quality
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("upsert_evolve_schema", UPSERT_EVOLVE_SQL)
+def upsert_evolve_schema(spark, sf_dir):
+    from ..functions.maintenance import upsert
+
+    o = (tbl(spark, sf_dir, "orders").to_spark()
+         .select("o_orderkey",
+                 F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+                 "o_orderstatus"))
+    upd = (o.where(F.col("o_orderkey") % 41 == 0)
+           .withColumn("quality",
+                       F.round(F.col("o_totalprice"), 0) / 600000.0)
+           .withColumn("o_totalprice",
+                       F.round(F.col("o_totalprice") + 500.0, 2)))
+    merged = upsert(o, upd, ["o_orderkey"], evolve_schema=True)
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total"),
+                 F.count("quality").alias("n_scored"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality"))
+            .orderBy("o_orderstatus"))

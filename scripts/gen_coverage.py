@@ -490,10 +490,14 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "swaps, bloom-prefiltered partition-move guard) + "
                 "key-bucketed upsert (md5 hive buckets as pseudo-"
                 "partitions for unpartitioned tables) + table_diff "
-                "snapshot audit + per-directory-target compaction",
+                "snapshot audit + per-directory-target compaction + "
+                "schema evolution on merge (align_schemas: new batch "
+                "columns land on old rows as null; in-place pruned "
+                "paths deliberately strict)",
              loc="dask_expr_spark/functions/maintenance.py (upsert, "
                  "upsert_partitioned, upsert_bucketed, compact_parquet)",
-             q=["upsert_orders_scd1", "upsert_partitioned_roundtrip",
+             q=["upsert_orders_scd1", "upsert_evolve_schema",
+                "upsert_partitioned_roundtrip",
                 "upsert_bucketed_roundtrip", "diff_after_upsert",
                 "stream_upsert_snapshot", "stream_upsert_bucketed",
                 "compact_roundtrip_lineitem", "compact_partitioned_files"],

@@ -971,3 +971,29 @@ def test_snapshot_vacuum_crash_mid_delete(spark, tmp_path,
     # the stranded directory is reclaimed by the next write cycle or
     # an explicit re-vacuum; either way reads stay consistent
     assert M.snapshot_read(spark, path).count() == 1
+
+
+def test_upsert_evolve_schema(spark):
+    """schema evolution on the whole-table merge: a batch with a NEW
+    column lands it on old rows as null; a batch MISSING a column
+    leaves it null on inserted rows; order_col still resolves
+    in-batch duplicates after widening."""
+    target = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k int, p double")
+    upd = spark.createDataFrame(
+        [(2, 20.0, "en", 0), (2, 22.0, "de", 1), (3, 30.0, "fr", 0)],
+        "k int, p double, lang string, v int")
+    got2 = {r["k"]: (r["p"], r["lang"], r["v"]) for r in
+            M.upsert(target, upd, ["k"], order_col="v",
+                     evolve_schema=True).collect()}
+    assert got2 == {1: (1.0, None, None), 2: (22.0, "de", 1),
+                    3: (30.0, "fr", 0)}
+    # reverse direction: batch missing a target column
+    upd2 = spark.createDataFrame([(4,)], "k int")
+    got3 = {r["k"]: r["p"] for r in
+            M.upsert(target, upd2, ["k"], evolve_schema=True).collect()}
+    assert got3 == {1: 1.0, 2: 2.0, 4: None}
+    # default stays strict: a batch MISSING a target column raises at
+    # plan time (extra batch columns were always projected away)
+    with pytest.raises(Exception):
+        M.upsert(target, upd2, ["k"]).collect()
