@@ -50,8 +50,12 @@ def _data_files(path: str) -> list[str]:
     for root, dirs, files in os.walk(path):
         # skip manifest/version/system dirs the way Spark's own file
         # listing does (a snapshot version dir is its own table — pass
-        # it as `path` to index it)
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        # it as `path` to index it).  Hive partition directories are
+        # data even when underscore-prefixed (the repo's key-bucketed
+        # layout uses `__bucket=N` dirs, which Spark's partition
+        # discovery reads), so a "=" name is never skipped.
+        dirs[:] = [d for d in dirs
+                   if "=" in d or not d.startswith(("_", "."))]
         out.extend(os.path.join(root, f) for f in files
                    if f.endswith(".parquet") and not f.startswith((".", "_")))
     return sorted(out)
@@ -135,6 +139,21 @@ def build_zonemap(spark: SparkSession, path: str, cols: list[str],
     files = _data_files(path)
     if not files:
         raise ValueError(f"build_zonemap: no parquet files under {path}")
+    # hive PARTITION columns live in directory names, not footers — a
+    # manifest over one would read every file as all-null and (a real
+    # bug, guarded here) prune files that DO match.  Spark's partition
+    # pruning already covers those columns for free.
+    import pyarrow.parquet as _pq
+    probe = sorted({files[0], files[len(files) // 2], files[-1]})
+    footer_cols: set = set()
+    for f in probe:        # sampled: schema evolution may stagger cols
+        footer_cols |= set(_pq.ParquetFile(f).schema_arrow.names)
+    part_cols = [c for c in cols if c not in footer_cols]
+    if part_cols:
+        raise ValueError(
+            f"build_zonemap: {part_cols} are hive partition columns "
+            "(dir-encoded, absent from file footers) — partition "
+            "pruning already handles them; index data columns only")
     schema = _zonemap_schema(spark, path, cols)
     manifest = _footer_scan(spark, files, schema, cols)
     zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)

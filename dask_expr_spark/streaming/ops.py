@@ -667,6 +667,7 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
                 n_buckets: int | None = None,
                 check_moves: bool = True,
                 key_bloom_path: str | None = None,
+                zonemap_cols: list | None = None,
                 checkpoint_dir: str | None = None) -> Any:
     """foreachBatch sink maintaining an SCD-1 SNAPSHOT table: each
     micro-batch merges into the parquet table at `table_path` via
@@ -690,6 +691,15 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     (maintenance.build_key_bloom), or check_moves=False only when the
     pipeline is partition-stable by construction.  The bucketed path
     needs no guard: a key's bucket is a pure function of the key.
+
+    `zonemap_cols` keeps a file-level zone map (sources/zonemap.py)
+    over the snapshot table fresh after every merge: the first batch
+    builds it, later batches run update_zonemap — footer-scanning only
+    the files the merge rewrote, so manifest maintenance costs the
+    CHANGE like the merge itself, and selective readers prune with
+    read_skipping while the stream runs (a crash between merge and
+    manifest update just leaves unknown files, which the pruner always
+    reads — stale-safe by the zone-map contract).
 
     Replayed batches are idempotent for deterministic inputs (the
     same rows upsert to the same state), which is the foreachBatch
@@ -747,6 +757,14 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
             atomic_overwrite(
                 table_path,
                 lambda p: merged.write.mode("overwrite").parquet(p))
+        if zonemap_cols:
+            from ..sources.zonemap import (ZONEMAP_DIR, build_zonemap,
+                                           update_zonemap)
+            zp = os.path.join(table_path, ZONEMAP_DIR)
+            if os.path.isdir(zp):
+                update_zonemap(spark, table_path)
+            else:
+                build_zonemap(spark, table_path, list(zonemap_cols))
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_sink_ckpt_")
     return (stream.writeStream.foreachBatch(_apply)

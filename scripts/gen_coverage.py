@@ -558,7 +558,9 @@ ROWS: list[tuple[str, list[dict]]] = [
                "between isnull notnull) + all-null file pruning + "
                "stale-manifest safety + string/hive-layout + "
                "incremental update_zonemap (delta-only scan, "
-               "rebuild-equality) tests test_round7_ops"),
+               "rebuild-equality) + bucketed-layout + partition-"
+               "column unsoundness guard + streaming upsert_sink "
+               "manifest maintenance tests test_round7_ops"),
         dict(op="product-quantized ANN (PQ/ADC): seeded per-subspace "
                 "256-centroid codebooks, 8-16 bytes/vector persisted "
                 "code tables, lookup-table scan that never touches a "

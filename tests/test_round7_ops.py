@@ -997,3 +997,65 @@ def test_upsert_evolve_schema(spark):
     # plan time (extra batch columns were always projected away)
     with pytest.raises(Exception):
         M.upsert(target, upd2, ["k"]).collect()
+
+
+def test_zonemap_bucketed_table_and_partition_col_guard(spark,
+                                                        tmp_path):
+    """zone maps compose with the key-bucketed layout (`__bucket=N`
+    hive dirs are data, not system dirs), and indexing a hive
+    PARTITION column is rejected — its values live in dir names, so a
+    footer manifest would unsoundly prune matching files."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(40), "v": [float(i) for i in range(40)]})
+    M.write_bucketed(spark.createDataFrame(pdf), path, ["k"], 4)
+    man = Z.build_zonemap(spark, path, ["v"])
+    assert man.count() == len(Z._data_files(path)) > 0
+    surv, total = Z.zone_prune(spark, path, [("v", ">=", 35.0)])
+    assert 0 < len(surv) <= total
+    got = Z.read_skipping(spark, path, [("v", ">=", 35.0)])
+    assert sorted(r["v"] for r in got.collect()) \
+        == [float(i) for i in range(35, 40)]
+    with pytest.raises(ValueError, match="partition columns"):
+        Z.build_zonemap(spark, path, ["__bucket"])
+
+
+def test_upsert_sink_zonemap_maintenance(spark, tmp_path):
+    """the streaming CDC sink keeps the zone map fresh: first batch
+    builds it, later batches update it delta-only, and a pruned read
+    over the live snapshot matches the plain filter after every
+    epoch."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    from dask_expr_spark.sources import zonemap as Z
+    from dask_expr_spark.streaming import ops as S
+
+    for i in range(3):
+        pdf = pd.DataFrame({
+            "k": list(range(i * 100, i * 100 + 100)),
+            "v": [float(i * 100 + j) for j in range(100)],
+            "ver": [i] * 100,
+        })
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = S.upsert_sink(stream, table, ["k"], n_buckets=4,
+                      order_col="ver", zonemap_cols=["v"],
+                      checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # manifest is current: update is a no-op
+    assert Z.update_zonemap(spark, table) == (0, 0)
+    preds = [("v", ">=", 250.0)]
+    surv, total = Z.zone_prune(spark, table, preds)
+    assert 0 < len(surv) < total
+    got = Z.read_skipping(spark, table, preds).drop("__bucket")
+    want = M.read_bucketed(spark, table).where(F.col("v") >= 250.0)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
