@@ -179,5 +179,71 @@ def main():
     print(json.dumps(res))
 
 
+def scd2_sink_probe(decades=(10, 100)):
+    """Streaming SCD-2 sink per-batch cost at scale: bootstrap a
+    current table of n-decade rows THROUGH the sink, then time ONE
+    20-key CDC micro-batch applied via a checkpoint-resumed query.
+    With n_buckets following the sizing contract (buckets ∝ table, so
+    per-bucket rows stay constant) the apply touches ≤20 bucket
+    directories regardless of table size — flat batch cost is the
+    claim; closed-history size never appears at all."""
+    import json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.session import get_spark
+    from dask_expr_spark.streaming import ops as S
+
+    spark = get_spark("scd2_sink_probe", cpus=int(os.environ.get(
+        "SPARK_GRAFT_CPUS", "32")))
+    res = {}
+    for n in decades:
+        opath = materialize(spark, "orders", "o_orderkey", n)
+        o = (spark.read.parquet(opath)
+             .select(F.col("o_orderkey").alias("k"),
+                     F.round(F.col("o_totalprice"), 2).alias("p")))
+        nrows = o.count()
+        n_buckets = 64 * max(1, n // 10)      # sizing contract
+        root = tempfile.mkdtemp(prefix=f"scd2p_{n}_")
+        src, table, ckpt = (os.path.join(root, d)
+                            for d in ("src", "tbl", "ckpt"))
+        (o.withColumn("eff", F.lit(0))
+         .write.mode("overwrite").parquet(src))
+        schema = spark.read.parquet(src).schema
+
+        def start():
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 10000).parquet(src))
+            return S.scd2_sink(stream, table, ["k"], "eff",
+                               n_buckets=n_buckets,
+                               checkpoint_dir=ckpt)
+
+        q = start()
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        boot = round(time.perf_counter() - t0, 2)
+        q.stop()
+        # one 20-key CDC batch
+        (o.limit(20).withColumn("p", F.col("p") + 1.0)
+         .withColumn("eff", F.lit(1))
+         .coalesce(1).write.mode("append").parquet(src))
+        q = start()
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        batch = round(time.perf_counter() - t0, 2)
+        q.stop()
+        res[f"scd2_sink_x{n}"] = {
+            "rows": nrows, "n_buckets": n_buckets,
+            "bootstrap_sec": boot, "batch20_sec": batch}
+        print(f"scd2_sink_x{n}", res[f"scd2_sink_x{n}"], flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(res))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_SCD2_SINK_PROBE"):
+        scd2_sink_probe()
+    else:
+        main()
