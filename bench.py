@@ -250,7 +250,7 @@ X100_ENTRIES = {
     "cms_join_cardinality", "diff_after_upsert",
     # round 7: orders-only pipelines, strongly sublinear -> x100
     "scd2_history_orders", "profile_from_rollups_orders",
-    "split_temporal_events",
+    "split_temporal_events", "cdc_apply_roundtrip",
 }
 X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
@@ -374,6 +374,7 @@ OPTIONAL = [
     "ann_ivfpq_topk",
     "split_temporal_events",
     "zonemap_zorder_trailing",
+    "cdc_apply_roundtrip",
 ]
 
 

@@ -812,3 +812,37 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
             if d.startswith(f"{partition_col}=")]
     _swap_partition_dirs(path, new_root, dirs)
     return dirs
+
+
+def cdc_apply(target: DataFrame, changes: DataFrame,
+              keys: list[str]) -> DataFrame:
+    """Replay CDC records (the cdc_rows/snapshot_cdc output shape:
+    ``change_type`` + keys + ``<c>_before``/``<c>_after``) onto
+    `target` — the consume side of the CDC loop: ship change-sized
+    records between systems instead of snapshots, and reconstruct the
+    destination with one merge.  Deletes remove their keys,
+    inserts/updates land their ``_after`` values.  Roundtrip law
+    (test- and oracle-pinned): ``cdc_apply(before, cdc_rows(before,
+    after), keys) == after`` whenever the CDC covered every non-key
+    column — a partial-column CDC cannot reconstruct rows it never
+    carried, so that case raises.
+
+    Plan: one anti join on the (change-sized) touched-key set + a
+    shuffle-free union — the same shape as upsert; AQE broadcasts the
+    change side when small."""
+    covered = sorted({c[:-6] for c in changes.columns
+                      if c.endswith("_after")})
+    missing = [c for c in target.columns
+               if c not in keys and c not in covered]
+    if missing:
+        raise ValueError(
+            f"cdc_apply: the CDC records do not carry {missing} — a "
+            "partial-column CDC cannot reconstruct those values; "
+            "regenerate with cdc_rows(compare_cols=None)")
+    touched = changes.select(*keys)
+    ups = (changes.where(F.col("change_type") != "delete")
+           .select(*keys, *[F.col(f"{c}_after").alias(c)
+                            for c in covered])
+           .select(*target.columns))
+    kept = target.join(touched, keys, "left_anti")
+    return kept.unionByName(ups)

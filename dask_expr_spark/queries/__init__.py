@@ -178,10 +178,10 @@ RECONFIRM_FIRST = (
 # scd2_history_orders, scd2_asof_snapshot, cdc_between_snapshots,
 # zonemap_skipping_dates, ann_pq_topk, ann_pq_rerank,
 # stream_scd2_history, ann_ivfpq_topk, split_temporal_events,
-# zonemap_zorder_trailing, upsert_evolve_schema — 17 total) + the
-# leading 33 of RECONFIRM_FIRST (through groupby_head_orders... check
-# list(collect_queries())[:50] when rotating; the exact tail shifts
-# with any late additions).
+# zonemap_zorder_trailing, upsert_evolve_schema,
+# cdc_apply_roundtrip — 18 total) + the leading 32 of RECONFIRM_FIRST;
+# check list(collect_queries())[:50] when rotating — the exact tail
+# shifts with any late additions.
 # The r4 cohort is already appended; append the r5 cohort
 # (heavy_hitter_tokens … stream_windowed_distinct, registry order)
 # when the queue runs short.  Every registry query is swept locally vs

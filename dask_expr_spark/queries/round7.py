@@ -970,3 +970,58 @@ def upsert_evolve_schema(spark, sf_dir):
                  F.count("quality").alias("n_scored"),
                  F.round(F.avg("quality"), 6).alias("avg_quality"))
             .orderBy("o_orderstatus"))
+
+
+# -- CDC loop closed (maintenance.cdc_apply): replay the change
+#    records cdc_rows produced onto the before-state and land exactly
+#    the after-state — change-sized shipping instead of snapshots; the
+#    roundtrip is audited in-query with table_diff (all-unchanged) and
+#    the oracle recomputes the after-state directly ------------------
+CDC_APPLY_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+         o_orderstatus AS s
+  FROM orders
+),
+upd AS (
+  SELECT k, round(p + 500.0, 2) AS p, s FROM base WHERE k % 53 = 0
+  UNION ALL
+  SELECT k + 3000000, round(p + 500.0, 2), s FROM base WHERE k % 53 = 0
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)
+),
+after AS (SELECT * FROM v1 WHERE k % 5 <> 0)
+SELECT s AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('p')} AS total, TRUE AS roundtrip_ok
+FROM after GROUP BY s ORDER BY s
+"""
+
+
+@q("cdc_apply_roundtrip", CDC_APPLY_SQL)
+def cdc_apply_roundtrip(spark, sf_dir):
+    from ..functions.maintenance import (cdc_apply, cdc_rows,
+                                         table_diff, upsert)
+
+    before = (tbl(spark, sf_dir, "orders").to_spark()
+              .select(F.col("o_orderkey").alias("k"),
+                      F.round(F.col("o_totalprice"), 2).alias("p"),
+                      F.col("o_orderstatus").alias("s")))
+    chg = before.where(F.col("k") % 53 == 0)
+    upd = (chg.unionByName(chg.withColumn("k", F.col("k") + 3000000))
+           .withColumn("p", F.round(F.col("p") + 500.0, 2)))
+    after = upsert(before, upd, ["k"]).where(F.col("k") % 5 != 0)
+    applied = cdc_apply(before, cdc_rows(before, after, ["k"]), ["k"])
+    audit = table_diff(applied, after, ["k"]).collect()[0]
+    roundtrip_ok = (audit["n_added"] == 0 and audit["n_removed"] == 0
+                    and audit["n_changed"] == 0)
+    out = (applied.groupBy("s")
+           .agg(F.count(F.lit(1)).alias("n"),
+                cent_sum(F.col("p")).alias("total"))
+           .select(F.col("s").alias("o_orderstatus"), "n", "total")
+           .withColumn("roundtrip_ok", F.lit(bool(roundtrip_ok)))
+           .orderBy("o_orderstatus"))
+    return spark.createDataFrame(out.collect(), out.schema)

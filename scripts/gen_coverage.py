@@ -537,14 +537,19 @@ ROWS: list[tuple[str, list[dict]]] = [
                "tests test_round7_ops; untouched-bucket byte-identity "
                "+ worst-interleaving restart-from-checkpoint replay "
                "tests test_streaming"),
-        dict(op="row-level CDC: insert/update/delete records between "
-                "any two table states or committed snapshot versions "
-                "(one full-outer join, change-sized output; the record "
-                "companion to table_diff's counts)",
+        dict(op="row-level CDC, loop closed: insert/update/delete "
+                "records between any two table states or committed "
+                "snapshot versions (one full-outer join, change-sized "
+                "output) + cdc_apply replaying those records onto a "
+                "target — the roundtrip law cdc_apply(before, "
+                "cdc_rows(before, after)) == after is test- and "
+                "oracle-pinned",
              loc="dask_expr_spark/functions/maintenance.py "
-                 "(cdc_rows, snapshot_cdc)",
-             q=["cdc_between_snapshots"],
-             t="null-semantics + adjacent-version composition tests "
+                 "(cdc_rows, snapshot_cdc, cdc_apply)",
+             q=["cdc_between_snapshots", "cdc_apply_roundtrip"],
+             t="null-semantics + adjacent-version composition + "
+               "randomized roundtrip (updates/deletes/inserts/null "
+               "transitions) + partial-column rejection tests "
                "test_round7_ops"),
         dict(op="file-level ZONE MAPS (data skipping): footer-only "
                 "distributed manifest build, predicate-provable file "

@@ -1059,3 +1059,40 @@ def test_upsert_sink_zonemap_maintenance(spark, tmp_path):
     want = M.read_bucketed(spark, table).where(F.col("v") >= 250.0)
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+def test_cdc_apply_roundtrip_randomized(spark):
+    """the CDC loop law, randomized: for arbitrary before/after states
+    (updates incl. null transitions, deletes, inserts),
+    cdc_apply(before, cdc_rows(before, after)) == after; partial-
+    column CDC is rejected."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        before_rows = [(k, rng.choice([None, float(rng.randint(0, 5))]),
+                        rng.choice("abc")) for k in range(40)]
+        after_rows = []
+        for k, p, s in before_rows:
+            r = rng.random()
+            if r < 0.2:
+                continue                       # delete
+            if r < 0.5:
+                after_rows.append(
+                    (k, rng.choice([None, float(rng.randint(0, 5))]),
+                     rng.choice("abc")))       # maybe-update
+            else:
+                after_rows.append((k, p, s))   # unchanged
+        after_rows += [(100 + trial * 10 + j, float(j), "n")
+                       for j in range(3)]      # inserts
+        before = spark.createDataFrame(before_rows,
+                                       "k int, p double, s string")
+        after = spark.createDataFrame(after_rows,
+                                      "k int, p double, s string")
+        cdc = M.cdc_rows(before, after, ["k"])
+        applied = M.cdc_apply(before, cdc, ["k"])
+        assert sorted(map(tuple, applied.collect())) \
+            == sorted(map(tuple, after.collect())), f"trial {trial}"
+    partial = M.cdc_rows(before, after, ["k"], compare_cols=["p"])
+    with pytest.raises(ValueError, match="do not carry"):
+        M.cdc_apply(before, partial, ["k"])
