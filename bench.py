@@ -233,7 +233,7 @@ X10_ENTRIES = {
     "upsert_bucketed_roundtrip", "snapshot_time_travel",
     "cdc_between_snapshots", "zonemap_skipping_dates",
     "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
-    "zonemap_zorder_trailing",
+    "zonemap_zorder_trailing", "cdc_apply_roundtrip",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -250,7 +250,7 @@ X100_ENTRIES = {
     "cms_join_cardinality", "diff_after_upsert",
     # round 7: orders-only pipelines, strongly sublinear -> x100
     "scd2_history_orders", "profile_from_rollups_orders",
-    "split_temporal_events", "cdc_apply_roundtrip",
+    "split_temporal_events",
 }
 X100_TABLES = [t for t in X10_KEYS if t != "embeddings"]
 
