@@ -460,17 +460,50 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
+    # The driver records only the last 2,000 chars of stdout; round 7's
+    # line outgrew that (56 entries at 4-decimal precision) and the
+    # official record lost its parsed totals.  The printed line now
+    # carries ONLY registry entries at 2-decimal precision with compact
+    # separators, and the full-precision record (registry + local
+    # probes + corpus dirs) goes to BENCH_DETAIL.json next to bench.py.
+    def _base(n: str) -> str:
+        for suf in ("_x100", "_x10"):
+            if n.endswith(suf):
+                return n[: -len(suf)]
+        return n
+
+    line_q = {n: round(v, 2) for n, v in timings.items()
+              if _base(n) not in LOCAL_PROBES}
+    probes = {n: v for n, v in timings.items() if _base(n) in LOCAL_PROBES}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_query_wall_time_total",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: v for n, v in timings.items()
+                            if _base(n) not in LOCAL_PROBES},
+                "probes": probes,
                 "sf": sf_val,
-            }
-        )
-    )
+                "repeats": repeats,
+                "x10_dir": x10_dir,
+                "x100_dir": x100_dir,
+            }, fh, indent=1)
+    payload = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(line_q.values()), 2),
+        "unit": "sec",
+        "queries": line_q,
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces for future growth
+        payload["queries"] = {n: round(v, 1) for n, v in line_q.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

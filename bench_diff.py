@@ -35,6 +35,33 @@ RENAMED = {
 MOVED_SUFFIXES = ("_x10", "_x100")
 
 
+_META_KEYS = {"metric", "value", "sf", "n", "rc", "cpus", "repeats"}
+
+
+def _parse_tail(tail: str) -> dict:
+    """Recover per-query timings from a driver tail capture whose JSON
+    line outgrew the 2,000-char window (BENCH_r07.json shipped with
+    parsed: null).  The tail is truncated at the FRONT, so json.loads
+    can't run; `"name": seconds` pairs regex out instead (a leading
+    pair truncated mid-name drops out naturally)."""
+    pairs = re.findall(r'"([A-Za-z][A-Za-z0-9_]*)":\s*([0-9]+(?:\.[0-9]+)?)',
+                       tail)
+    return {k: float(v) for k, v in pairs if k not in _META_KEYS}
+
+
+def _merge_detail(queries: dict, base_dir: str) -> dict:
+    """Fold BENCH_DETAIL.json's probe timings (split out of the printed
+    line in round 8 to keep it under the tail capture) into the
+    comparison set."""
+    dp = os.path.join(base_dir, "BENCH_DETAIL.json")
+    if os.path.isfile(dp):
+        with open(dp) as f:
+            detail = json.load(f)
+        for k, v in detail.get("probes", {}).items():
+            queries.setdefault(k, v)
+    return queries
+
+
 def _load_baseline(path: str | None) -> dict:
     if path is None:
         cands = sorted(
@@ -47,22 +74,40 @@ def _load_baseline(path: str | None) -> dict:
     with open(path) as f:
         d = json.load(f)
     parsed = d.get("parsed", d)
+    if parsed is None:
+        queries = _parse_tail(d.get("tail", ""))
+        if not queries:
+            raise SystemExit(f"{path}: parsed is null and tail regex "
+                             "recovered nothing")
+        return {"name": os.path.basename(path) + " (tail-recovered)",
+                "queries": queries, "total": sum(queries.values())}
     return {"name": os.path.basename(path), "queries": parsed["queries"],
             "total": parsed["value"]}
 
 
 def _load_current(path: str | None) -> dict:
+    here = os.path.dirname(os.path.abspath(__file__))
     if path is not None:
         with open(path) as f:
             d = json.load(f)
         d = d.get("parsed", d)
-        return {"queries": d["queries"], "total": d["value"]}
+        if d is None:
+            with open(path) as f:
+                raw = json.load(f)
+            q = _parse_tail(raw.get("tail", ""))
+            return {"queries": q, "total": sum(q.values())}
+        # BENCH_r{N}.json lines exclude probes since r8; the detail
+        # file written by the same bench run carries them
+        return {"queries": _merge_detail(dict(d["queries"]), here),
+                "total": d["value"]}
     out = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+        [sys.executable, os.path.join(here, "bench.py")],
         capture_output=True, text=True, check=True,
     ).stdout.strip().splitlines()[-1]
     d = json.loads(out)
-    return {"queries": d["queries"], "total": d["value"]}
+    # the in-process run just rewrote BENCH_DETAIL.json — safe to merge
+    return {"queries": _merge_detail(dict(d["queries"]), here),
+            "total": d["value"]}
 
 
 def main() -> int:

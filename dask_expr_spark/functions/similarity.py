@@ -1098,6 +1098,11 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
         T.StructField("adc", T.DoubleType()),
     ])
 
+    # ADC stage emits the shortlist (>= k when reranking); computed
+    # BEFORE score() is defined so the kernel captures it explicitly
+    # rather than via late binding (matches ivfpq_topk).
+    shortlist = max(k, int(exact_rerank)) if exact_rerank else k
+
     def score(it):
         L = blut.value                                 # (q, m, ncent)
         for pdf in it:
@@ -1108,7 +1113,7 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                 S += L[:, s, :][:, C[:, s]].T          # (n, q)
             for j, qid in enumerate(qids):
                 S[ids == qid, j] = -np.inf
-            top = min(k, len(ids))
+            top = min(shortlist, len(ids))
             part = np.argpartition(-S, top - 1, axis=0)[:top]
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(qids):
@@ -1121,18 +1126,13 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                  "neighbor_id": pd.Series(out_n, dtype="int64"),
                  "adc": pd.Series(out_s, dtype="float64")})
 
-    k_outer = k
-    if exact_rerank:
-        k = max(k, int(exact_rerank))   # ADC stage emits the shortlist
-                                        # (score() reads k late-bound)
-
     cand = codes.select(id_col, "pq_code").mapInPandas(score, schema)
     cand = cand.filter((F.col("query_id") != F.col("neighbor_id"))
                        & (F.col("adc") != F.lit(float("-inf"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id"))
     top = (cand.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= k)
+           .filter(F.col("rank") <= shortlist)
            .select("query_id", "neighbor_id", "adc", "rank"))
     if not exact_rerank:
         return top
@@ -1147,7 +1147,7 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
     return (j.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k_outer)
+            .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "adc", "rank"))
 
 

@@ -121,6 +121,17 @@ VALIDATED = frozenset({
     "validate_orders_constraints", "drift_price_psi",
     "stream_hll_rollup", "stream_hist_rollup", "stream_exact_dedup",
     "stream_drift_psi", "stream_upsert_snapshot",
+    # round 7 (CORRECTNESS_r07.json — all 50 rows hash-green: the 18 new
+    # round-7 queries below + the leading 32 of the reconfirmation
+    # cohort, through groupby_head_orders).
+    "profile_from_rollups_orders", "upsert_bucketed_roundtrip",
+    "snapshot_time_travel", "kmv_intersect_grouped",
+    "compact_partitioned_files", "stream_upsert_bucketed",
+    "scd2_history_orders", "scd2_asof_snapshot", "cdc_between_snapshots",
+    "zonemap_skipping_dates", "ann_pq_topk", "ann_pq_rerank",
+    "stream_scd2_history", "ann_ivfpq_topk", "split_temporal_events",
+    "zonemap_zorder_trailing", "upsert_evolve_schema",
+    "cdc_apply_roundtrip",
 })
 
 # Queries whose driver validation is OLDEST — these lead the round-7
@@ -130,21 +141,9 @@ VALIDATED = frozenset({
 # stream_stateful_totals), then the r3 cohort in registry order, then
 # the r4 cohort (r2/r3 run out inside the r7/r8 windows).
 RECONFIRM_FIRST = (
-    # r2 cohort remainder (validated r2, never reconfirmed since)
-    "stats_skew_kurt", "rolling_moments_daily",
-    "pivot_table_priority", "idxmax_per_priority", "daily_growth",
-    "rolling_median_rev", "rank_priority_totals", "split_train_val",
-    "stratified_sample_docs", "global_shuffle_head",
-    # oldest r3 cohort (validated r3, never reconfirmed since)
-    "ordered_cumsum_global", "ordered_shift_global", "ordered_ffill_limit",
-    "rolling_center_user", "shift_freq_days", "cat_codes_segments",
-    "axis1_row_stats", "asof_orders_daily_noby", "text_repetition_buckets",
-    "text_pii_scan", "text_contamination_buckets",
-    "range_join_purchase_windows", "stream_near_dedup",
-    "groupby_expr_buckets", "rolling_weighted_triang",
-    "expanding_median_global", "cat_codes_explicit", "pack_sequences_2048",
-    "dedup_connected_groups", "mode_order_priority", "describe_part_size",
-    "groupby_head_orders", "get_group_building", "groupby_rolling_qty",
+    # r3 cohort remainder (validated r3; the r7 window consumed the
+    # cohort through groupby_head_orders)
+    "get_group_building", "groupby_rolling_qty",
     "groupby_expanding_value", "concat_axis1_customer",
     "query_eval_orders", "ufunc_sqrt_price", "dot_qty_discount",
     "combine_max_balance", "monotonic_orders", "csv_roundtrip_orders",
@@ -167,24 +166,26 @@ RECONFIRM_FIRST = (
     "dedup_substring_spans", "dedup_connected_groups_star",
     "dedup_chunk_minhash", "semantic_dedup_kept", "multimodal_audio_meta",
     "stream_semantic_dedup",
+    # r5 cohort (validated r5, never reconfirmed since; registry order)
+    "heavy_hitter_tokens", "hist_rollup_price_quantiles",
+    "sample_weighted_orders", "dedup_incremental_minhash",
+    "sample_n_orders", "parquet_zorder_roundtrip", "hll_rollup_users",
+    "partitions_concat_invariance", "timedelta_components_events",
+    "parquet_clustered_roundtrip", "q2_min_cost_supplier",
+    "q11_important_stock", "q20_potential_promotion",
+    "ann_cosine_topk_blocked", "ann_lsh_auto_planes",
+    "stream_heavy_hitters", "stream_windowed_distinct",
 )
 
-# ROUND-8 CHECKLIST: once CORRECTNESS_r07.json lands, rotate again —
+# ROUND-9 CHECKLIST: once CORRECTNESS_r08.json lands, rotate again —
 # add its green names to VALIDATED and drop the consumed
-# RECONFIRM_FIRST prefix.  The r7 window = the 16 new round-7 queries
-# (profile_from_rollups_orders, upsert_bucketed_roundtrip,
-# snapshot_time_travel, kmv_intersect_grouped,
-# compact_partitioned_files, stream_upsert_bucketed,
-# scd2_history_orders, scd2_asof_snapshot, cdc_between_snapshots,
-# zonemap_skipping_dates, ann_pq_topk, ann_pq_rerank,
-# stream_scd2_history, ann_ivfpq_topk, split_temporal_events,
-# zonemap_zorder_trailing, upsert_evolve_schema,
-# cdc_apply_roundtrip — 18 total) + the leading 32 of RECONFIRM_FIRST;
-# check list(collect_queries())[:50] when rotating — the exact tail
-# shifts with any late additions.
-# The r4 cohort is already appended; append the r5 cohort
-# (heavy_hitter_tokens … stream_windowed_distinct, registry order)
-# when the queue runs short.  Every registry query is swept locally vs
+# RECONFIRM_FIRST prefix.  The r8 window = any new round-8 queries
+# (they lead automatically: not in VALIDATED) + the leading entries of
+# RECONFIRM_FIRST up to 50 total; check list(collect_queries())[:50]
+# when rotating — the exact tail shifts with any late additions.
+# The r5 cohort is already appended; append the r6 cohort
+# (cms_custkey_counts … stream_upsert_snapshot, registry order) when
+# the queue runs short.  Every registry query is swept locally vs
 # DuckDB at sf0.01 each round (tests/test_correctness.py), so names
 # outside the driver window are never actually stale — the rotation
 # just keeps the audit trail fresh.

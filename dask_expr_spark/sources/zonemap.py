@@ -142,13 +142,14 @@ def build_zonemap(spark: SparkSession, path: str, cols: list[str],
     # hive PARTITION columns live in directory names, not footers — a
     # manifest over one would read every file as all-null and (a real
     # bug, guarded here) prune files that DO match.  Spark's partition
-    # pruning already covers those columns for free.
-    import pyarrow.parquet as _pq
-    probe = sorted({files[0], files[len(files) // 2], files[-1]})
-    footer_cols: set = set()
-    for f in probe:        # sampled: schema evolution may stagger cols
-        footer_cols |= set(_pq.ParquetFile(f).schema_arrow.names)
-    part_cols = [c for c in cols if c not in footer_cols]
+    # pruning already covers those columns for free.  Detection is
+    # exact (no footer sampling, which misclassifies under staggered
+    # schema evolution): a hive partition column appears as a
+    # `name=value` path segment of every data file.
+    hive_cols = {seg.split("=", 1)[0]
+                 for f in files
+                 for seg in os.path.dirname(f).split(os.sep) if "=" in seg}
+    part_cols = [c for c in cols if c in hive_cols]
     if part_cols:
         raise ValueError(
             f"build_zonemap: {part_cols} are hive partition columns "
@@ -260,11 +261,19 @@ def zone_prune(spark: SparkSession, path: str, predicates: list[tuple],
         keep = keep & _survives(p, F.col(mn_name), F.col(f"{c}_max"),
                                 F.col(f"{c}_nulls"), F.col("n_rows"),
                                 stats_ok)
-    rows = man.select("file", keep.alias("__keep")).collect()
-    allowed = {r["file"] for r in rows if r["__keep"]}
-    known = {r["file"] for r in rows}
+    # resolve distributively: a current file survives unless the
+    # manifest PROVES no row matches.  Anti-joining the current list
+    # against provably-prunable manifest rows covers both "manifest
+    # says match possible" and "newer than the manifest" in one pass,
+    # and only SURVIVORS ever reach the driver (the scan needs that
+    # list anyway) — never the full manifest.
     current = _data_files(path)
-    survivors = [f for f in current if f in allowed or f not in known]
+    cur_df = spark.createDataFrame([(f,) for f in current],
+                                   "file string")
+    prunable = man.where(~keep).select("file")
+    survivors = sorted(
+        r["file"]
+        for r in cur_df.join(prunable, "file", "left_anti").collect())
     return survivors, len(current)
 
 
@@ -299,13 +308,21 @@ def update_zonemap(spark: SparkSession, path: str,
     zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
     man = spark.read.parquet(zp)
     cols = sorted({c[:-4] for c in man.columns if c.endswith("_min")})
-    known = {r["file"] for r in man.select("file").collect()}
-    current = set(_data_files(path))
-    new_files = sorted(current - known)
-    gone = known - current
+    # set algebra runs as joins against the current file list (a
+    # manifest at the module's 10^5-10^6-file target would blow up the
+    # plan as an isin() literal and the driver as a collected set);
+    # only the CHANGE (new files) is collected, to feed the footer scan
+    current = _data_files(path)
+    cur_df = spark.createDataFrame([(f,) for f in current],
+                                   "file string")
+    new_files = sorted(
+        r["file"] for r in
+        cur_df.join(man.select("file"), "file", "left_anti").collect())
+    gone = (man.select("file")
+            .join(cur_df, "file", "left_anti").count())
     if not new_files and not gone:
         return (0, 0)
-    kept = man.where(F.col("file").isin(sorted(current & known)))
+    kept = man.join(cur_df, "file", "left_semi")
     if new_files:
         delta = _footer_scan(spark, new_files,
                              _zonemap_schema(spark, path, cols), cols)
@@ -318,4 +335,4 @@ def update_zonemap(spark: SparkSession, path: str,
     from ..functions.maintenance import atomic_overwrite
     atomic_overwrite(
         zp, lambda p: merged.write.mode("overwrite").parquet(p))
-    return (len(new_files), len(gone))
+    return (len(new_files), gone)

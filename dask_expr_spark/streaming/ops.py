@@ -858,8 +858,13 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
         spec_file = os.path.join(cur_path, "_bucket_spec.json")
         if not os.path.exists(spec_file):
             import json
-            with open(spec_file, "w") as fh:
+            # temp-write + rename so a crash mid-write can't leave a
+            # corrupt spec inside the table (same atomic-commit
+            # convention as maintenance.atomic_overwrite)
+            tmp = spec_file + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump(_SPEC, fh)
+            os.replace(tmp, spec_file)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="scd2_sink_ckpt_")
     return (stream.writeStream.foreachBatch(_apply)
