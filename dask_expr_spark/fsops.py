@@ -1,0 +1,233 @@
+"""Filesystem seam for the durability layer.
+
+The maintenance/zonemap machinery keeps tables crash-safe with a
+rename-aside contract (functions/maintenance.py): new data is fully
+written beside the table, then directories rename into place.  Rename
+is atomic on POSIX filesystems and on HDFS — but on object stores
+(s3a/gs/abfs, where a 100 TB corpus actually lives) "rename" is
+copy+delete and the contract silently weakens.  This module makes the
+filesystem an explicit seam instead of hard-coded `os`/`shutil` calls:
+
+- ``TableFS`` — the minimal interface the swap/snapshot/zonemap code
+  calls (exists/listdir/rename/delete/walk/read_text/
+  write_text_atomic), with an ``atomic_rename`` capability flag the
+  commit layer consults.
+- ``PosixFS`` — the default, backed by os/shutil; atomic_rename=True.
+- ``HadoopFS`` — backed by the JVM Hadoop FileSystem reached through
+  the active SparkSession (the same client Spark's own reads use, so
+  hdfs://, s3a://, gs://, abfs:// all resolve with the cluster's
+  credentials); atomic_rename=True only for rename-atomic schemes
+  (HDFS and friends).
+- ``get_fs(path, spark)`` — scheme-based resolver.
+
+Paths stay plain strings throughout (os.path.join produces '/'
+separators, which every Hadoop scheme uses too).
+
+Commit-protocol guidance (enforced by functions/maintenance.py):
+``atomic_rename`` == True  → the rename-aside swap protocol is sound.
+``atomic_rename`` == False → use the pointer-commit protocol
+(maintenance.upsert_partitioned(commit="pointer")): data files are
+only ever CREATED, never renamed, and a single small-object pointer
+write — atomic on every store as one PUT — is the commit point.
+
+Reference comparison: dask-expr parametrizes IO over fsspec
+(io/parquet.py ReadParquetPyarrowFS) — this is the analogous seam,
+shaped around Spark's JVM filesystem clients instead of fsspec.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.parse
+
+# schemes whose rename is a metadata operation (atomic, constant-time)
+_RENAME_ATOMIC_SCHEMES = {"file", "hdfs", "viewfs", "ofs", "o3fs",
+                          "alluxio"}
+
+
+def scheme_of(path: str) -> str:
+    parsed = urllib.parse.urlparse(path)
+    # windows drive letters / bare paths have no scheme
+    return parsed.scheme if len(parsed.scheme) > 1 else "file"
+
+
+class PosixFS:
+    """Local-filesystem implementation (the default).  Rename is the
+    atomic primitive; write_text_atomic is temp-write + os.replace."""
+
+    scheme = "file"
+    atomic_rename = True
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def delete(self, path: str) -> None:
+        """Remove a file or directory tree; absent paths are a no-op."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def walk_files(self, path: str, skip_dir=None):
+        """Yield (file_path, size) under `path` recursively.
+        `skip_dir(name)` prunes whole directories without descending
+        (snapshot versions, manifests — the caller's policy)."""
+        for root, dirs, files in os.walk(path):
+            if skip_dir is not None:
+                dirs[:] = [d for d in dirs if not skip_dir(d)]
+            for f in files:
+                fp = os.path.join(root, f)
+                yield fp, os.path.getsize(fp)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+
+class HadoopFS:
+    """Hadoop-FileSystem implementation, reached through the JVM of an
+    active SparkSession — the exact client (and credentials) Spark's
+    own scans use, so no second auth config.  Works for hdfs://,
+    s3a://, gs://, abfs://, … wherever the cluster's Hadoop conf does.
+
+    ``atomic_rename`` reflects the scheme: True for HDFS-like stores,
+    False for object stores — the commit layer in
+    functions/maintenance.py picks the swap protocol accordingly."""
+
+    def __init__(self, spark, path: str):
+        self._jvm = spark._jvm
+        self.scheme = scheme_of(path)
+        juri = self._jvm.java.net.URI.create(path)
+        jconf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
+            juri, jconf)
+
+    @property
+    def atomic_rename(self) -> bool:
+        return self.scheme in _RENAME_ATOMIC_SCHEMES
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def isdir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isDirectory())
+
+    def isfile(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isFile())
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(st.getPath().getName()
+                      for st in self._fs.listStatus(self._p(path)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def delete(self, path: str) -> None:
+        p = self._p(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, True)
+
+    def getsize(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def walk_files(self, path: str, skip_dir=None):
+        stack = [path]
+        while stack:
+            d = stack.pop()
+            for st in self._fs.listStatus(self._p(d)):
+                name = st.getPath().getName()
+                child = os.path.join(d, name)
+                if st.isDirectory():
+                    if skip_dir is None or not skip_dir(name):
+                        stack.append(child)
+                else:
+                    yield child, int(st.getLen())
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            out = []
+            line = reader.readLine()
+            while line is not None:
+                out.append(line)
+                line = reader.readLine()
+            return "\n".join(out)
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        data = bytearray(text.encode("utf-8"))
+        if self.atomic_rename:
+            tmp = path + ".tmp"
+            stream = self._fs.create(self._p(tmp), True)
+            try:
+                stream.write(data)
+            finally:
+                stream.close()
+            self.rename(tmp, path)
+        else:
+            # object store: a create(overwrite) is ONE conditional PUT
+            # — readers see the old object or the new one, never a
+            # partial write.  A temp+rename here would be copy+delete,
+            # i.e. strictly worse.
+            stream = self._fs.create(self._p(path), True)
+            try:
+                stream.write(data)
+            finally:
+                stream.close()
+
+
+def get_fs(path: str, spark=None):
+    """Resolve the filesystem for `path`: PosixFS for local paths,
+    HadoopFS (requires an active SparkSession) for any scheme'd URI."""
+    s = scheme_of(path)
+    if s == "file" and "://" not in path:
+        return PosixFS()
+    if spark is None:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            if s == "file":
+                return PosixFS()
+            raise ValueError(
+                f"get_fs: {path} needs a SparkSession to reach the "
+                "Hadoop FileSystem client — pass spark=")
+    return HadoopFS(spark, path)

@@ -21,6 +21,16 @@ promoted, and `recover_table` repairs the one transient state in which
 a crash can leave the table momentarily absent.  No step relies on
 non-replicated executor state (the old localCheckpoint-then-overwrite
 pattern lost the table if an executor died mid-overwrite).
+
+Filesystem seam (fsops.py): every filesystem touch goes through a
+TableFS — PosixFS locally, the JVM Hadoop FileSystem for hdfs://
+s3a:// gs:// abfs:// paths — and the durability protocol is chosen by
+the fs's `atomic_rename` capability.  Rename-atomic stores (POSIX,
+HDFS) use the swap above; object stores use the POINTER protocol
+(`upsert_partitioned(commit="pointer")` / `snapshot_write`): data
+files are only ever created, never renamed, and the commit point is
+one atomic small-object manifest write.  The rename protocols REFUSE
+to run on a non-atomic-rename fs rather than silently weakening.
 """
 
 from __future__ import annotations
@@ -28,13 +38,22 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import urllib.parse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsops import get_fs
+
 _BUCKET_SPEC = "_bucket_spec.json"
+
+
+def _resolve_fs(path: str, fs):
+    """The durability seam: every filesystem touch in this module goes
+    through a TableFS (fsops.py) so HDFS/object-store tables use the
+    cluster's own client instead of driver-local os/shutil.  `fs=None`
+    resolves from the path scheme (PosixFS for local paths)."""
+    return fs if fs is not None else get_fs(path)
 
 
 def align_schemas(a: DataFrame, b: DataFrame
@@ -105,7 +124,7 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str],
 # ---------------------------------------------------------------------------
 
 
-def recover_table(path: str) -> bool:
+def recover_table(path: str, fs=None) -> bool:
     """Repair an interrupted atomic_overwrite / partition swap at
     `path`.  Idempotent; call before reading a table that a compactor
     or upsert may have been rewriting when a crash hit.  Returns True
@@ -122,66 +141,234 @@ def recover_table(path: str) -> bool:
       old partition directory is moved back.  Dirs whose replacement
       exists are trash (their swap committed) and are deleted.
     - `<path>__new` is always residue of an uncommitted write: deleted.
+
+    Rename-protocol validity: this contract assumes the filesystem's
+    rename is atomic (POSIX, HDFS — fs.atomic_rename).  On object
+    stores use pointer-commit tables (upsert_partitioned
+    commit="pointer"), whose recovery is vacuum_manifested.
     """
+    fs = _resolve_fs(path, fs)
     p = path.rstrip("/")
     old, oldparts, new = p + "__old", p + "__oldparts", p + "__new"
     recovered = False
-    if os.path.isdir(old):
-        if os.path.isdir(p):
-            shutil.rmtree(old, ignore_errors=True)
+    if fs.isdir(old):
+        if fs.isdir(p):
+            fs.delete(old)
         else:
-            os.rename(old, p)
+            fs.rename(old, p)
             recovered = True
-    if os.path.isdir(oldparts):
-        if os.path.isdir(p):
-            for d in sorted(os.listdir(oldparts)):
+    if fs.isdir(oldparts):
+        if fs.isdir(p):
+            for d in fs.listdir(oldparts):
                 dst = os.path.join(p, d)
-                if not os.path.exists(dst):
-                    os.rename(os.path.join(oldparts, d), dst)
+                if not fs.exists(dst):
+                    fs.rename(os.path.join(oldparts, d), dst)
                     recovered = True
-        shutil.rmtree(oldparts, ignore_errors=True)
-    if os.path.isdir(new):
-        shutil.rmtree(new, ignore_errors=True)
+        fs.delete(oldparts)
+    if fs.isdir(new):
+        fs.delete(new)
     return recovered
 
 
-def atomic_overwrite(path: str, write_new) -> None:
+def atomic_overwrite(path: str, write_new, fs=None) -> None:
     """Replace the table at `path` with the output of
     ``write_new(tmp_path)`` such that a crash at ANY point leaves the
     table recoverable (recover_table): the replacement is fully
     written to `<path>__new` first — while `path` is still intact, so
     a plan that lazily re-reads `path` needs no checkpoint — then the
     old table renames aside and the new one promotes.  The old copy is
-    deleted only after the promote."""
+    deleted only after the promote.  Rename-protocol: requires
+    fs.atomic_rename (raises otherwise — use snapshot_write's
+    pointer commit on object stores)."""
+    fs = _resolve_fs(path, fs)
+    if not fs.atomic_rename:
+        raise ValueError(
+            f"atomic_overwrite: rename is not atomic on "
+            f"{fs.scheme}:// — the rename-aside contract does not "
+            "hold there.  Use snapshot_write (manifest-pointer "
+            "commit) or upsert_partitioned(commit='pointer')")
     p = path.rstrip("/")
-    recover_table(p)
+    recover_table(p, fs=fs)
     new, old = p + "__new", p + "__old"
     write_new(new)
-    if not os.path.isdir(p):          # bootstrap: nothing to swap out
-        os.rename(new, p)
+    if not fs.isdir(p):               # bootstrap: nothing to swap out
+        fs.rename(new, p)
         return
-    os.rename(p, old)
-    os.rename(new, p)
-    shutil.rmtree(old)
+    fs.rename(p, old)
+    fs.rename(new, p)
+    fs.delete(old)
 
 
 def _swap_partition_dirs(path: str, new_root: str,
-                         dirnames: list[str]) -> None:
+                         dirnames: list[str], fs=None) -> None:
     """Promote partition directories from `new_root` into `path`,
     renaming each existing directory aside into `<path>__oldparts`
     first.  Per-partition atomicity: a crash mid-loop leaves every
     partition either fully old or fully new, and recover_table
     restores any directory caught between its two renames."""
+    fs = _resolve_fs(path, fs)
     p = path.rstrip("/")
     oldparts = p + "__oldparts"
-    os.makedirs(oldparts, exist_ok=True)
+    fs.mkdirs(oldparts)
     for d in dirnames:
         dst = os.path.join(p, d)
-        if os.path.isdir(dst):
-            os.rename(dst, os.path.join(oldparts, d))
-        os.rename(os.path.join(new_root, d), dst)
-    shutil.rmtree(oldparts, ignore_errors=True)
-    shutil.rmtree(new_root, ignore_errors=True)
+        if fs.isdir(dst):
+            fs.rename(dst, os.path.join(oldparts, d))
+        fs.rename(os.path.join(new_root, d), dst)
+    fs.delete(oldparts)
+    fs.delete(new_root)
+
+
+# ---------------------------------------------------------------------------
+# Pointer-commit protocol: the object-store-safe alternative to the
+# rename swap for PARTITIONED tables.  On s3a/gs/abfs a directory
+# rename is copy+delete — not atomic, not constant-time — so the
+# rename-aside contract above does not hold.  The protocol here never
+# renames or overwrites a data file:
+#
+#   1. the replacement slice APPENDS into the live partition dirs
+#      (Spark writes fresh uniquely-named files; old files untouched);
+#   2. a root `_commit.json` manifest lists, per partition directory,
+#      the file names that ARE the table; the commit point is one
+#      small-object pointer write (single PUT — atomic on every
+#      store).
+#
+# A crash anywhere leaves the previous manifest live and fully
+# readable; uncommitted files are invisible orphans that
+# vacuum_manifested clears.  Readers use read_manifested (a plain
+# directory scan would see orphans and superseded files — the price
+# of object-store correctness, same as Delta/Iceberg).  This is the
+# same commit design as snapshot_write below, extended with
+# per-partition file lists so incremental upserts stay change-sized.
+# ---------------------------------------------------------------------------
+
+_COMMIT = "_commit.json"
+
+# Hive's path-unsafe characters (Spark ExternalCatalogUtils escape
+# set); values render into `col=value` dir names with %XX escapes.
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(32)}
+
+
+def _hive_part_dir(partition_col: str, value) -> str:
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    esc = "".join(f"%{ord(ch):02X}" if ch in _HIVE_UNSAFE else ch
+                  for ch in s)
+    return f"{partition_col}={esc}"
+
+
+def _commit_file(path: str) -> str:
+    return os.path.join(path, _COMMIT)
+
+
+def read_commit(path: str, fs=None) -> dict | None:
+    fs = _resolve_fs(path, fs)
+    cp = _commit_file(path)
+    if not fs.exists(cp):
+        return None
+    return json.loads(fs.read_text(cp))
+
+
+def _write_commit(path: str, man: dict, fs) -> None:
+    fs.write_text_atomic(_commit_file(path), json.dumps(man))
+
+
+def _part_files(fs, path: str, dirname: str) -> list[str]:
+    d = os.path.join(path, dirname)
+    if not fs.isdir(d):
+        return []
+    return sorted(f for f in fs.listdir(d)
+                  if f.endswith(".parquet")
+                  and not f.startswith((".", "_")))
+
+
+def manifest_bootstrap(path: str, partition_col: str,
+                       fs=None) -> dict:
+    """Adopt an existing hive-partitioned parquet table into the
+    pointer protocol: every current data file becomes the committed
+    generation 0.  Safe to run on a quiescent table only (concurrent
+    writers' files would be adopted mid-write)."""
+    fs = _resolve_fs(path, fs)
+    parts = {d: _part_files(fs, path, d)
+             for d in fs.listdir(path)
+             if d.startswith(f"{partition_col}=")}
+    man = {"generation": 0, "partition_col": partition_col,
+           "partitions": parts}
+    _write_commit(path, man, fs)
+    return man
+
+
+def read_manifested(spark: SparkSession, path: str,
+                    fs=None) -> DataFrame:
+    """Read a pointer-commit table: exactly the manifest's files, with
+    partition columns recovered from the dir names (basePath).  This
+    is the ONLY correct read of such a table — a bare directory scan
+    would include uncommitted orphans and superseded files."""
+    man = read_commit(path, fs=fs)
+    if man is None:
+        raise ValueError(
+            f"read_manifested: no {_COMMIT} at {path} — not a "
+            "pointer-commit table (manifest_bootstrap or "
+            "upsert_partitioned(commit='pointer') first)")
+    files = [os.path.join(path, d, f)
+             for d, fl in sorted(man["partitions"].items()) for f in fl]
+    if not files:
+        raise ValueError(f"read_manifested: manifest at {path} lists "
+                         "no data files")
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
+                     partition_col: str, man: dict, fs) -> list[str]:
+    """The pointer protocol's write half: append `df`'s partitions as
+    new files, then flip the manifest to point at them.  New files are
+    identified by a pre/post listing diff per touched directory, so
+    orphans from a previously crashed append are never adopted."""
+    parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    if not parts:
+        return []
+    dirs = [_hive_part_dir(partition_col, v) for v in parts]
+    pre = {d: set(_part_files(fs, path, d)) for d in dirs}
+    df.write.mode("append").partitionBy(partition_col).parquet(path)
+    for d in dirs:
+        post = _part_files(fs, path, d)
+        fresh = sorted(set(post) - pre[d])
+        if not fresh:
+            # the dir-name rendering diverged from Spark's — fail
+            # BEFORE the flip: the old manifest stays live, the
+            # appended files are vacuumable orphans, nothing corrupts
+            raise RuntimeError(
+                f"pointer commit: no new files appeared under "
+                f"{d!r} after append — hive dir-name mismatch; "
+                "manifest NOT flipped (table unchanged)")
+        man["partitions"][d] = fresh
+    man["generation"] = int(man["generation"]) + 1
+    _write_commit(path, man, fs)     # the atomic commit point
+    return dirs
+
+
+def vacuum_manifested(path: str, fs=None) -> int:
+    """Delete data files not referenced by the current manifest —
+    superseded generations and orphans of crashed appends.  Run AFTER
+    readers of older generations have drained (same contract as
+    snapshot_vacuum).  Returns the number of files removed."""
+    fs = _resolve_fs(path, fs)
+    man = read_commit(path, fs=fs)
+    if man is None:
+        return 0
+    removed = 0
+    for d in fs.listdir(path):
+        if not d.startswith(f"{man['partition_col']}="):
+            continue
+        live = set(man["partitions"].get(d, []))
+        for f in _part_files(fs, path, d):
+            if f not in live:
+                fs.delete(os.path.join(path, d, f))
+                removed += 1
+        if not live and not _part_files(fs, path, d):
+            fs.delete(os.path.join(path, d))
+    return removed
 
 
 # ---------------------------------------------------------------------------
@@ -194,17 +381,17 @@ def _key_str(keys: list[str]) -> Column:
     return F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
 
 
-def _move_guard_full_scan(spark: SparkSession, path: str,
+def _move_guard_full_scan(spark: SparkSession, full_table: DataFrame,
                           keys: list[str], cand: DataFrame) -> int:
     """Exact fallback of the partition-move guard: count candidate
     keys present anywhere in the FULL table (one column-pruned
     distinct scan).  Module-level so tests can assert it only runs
     when the bloom prefilter reports maybe-hits."""
-    return (cand.join(spark.read.parquet(path).select(*keys).distinct(),
+    return (cand.join(full_table.select(*keys).distinct(),
                       keys, "left_semi").count())
 
 
-def _check_partition_moves(spark: SparkSession, path: str,
+def _check_partition_moves(spark: SparkSession, full_table: DataFrame,
                            target: DataFrame, updates: DataFrame,
                            keys: list[str], partition_col: str,
                            key_bloom_path: str | None) -> None:
@@ -213,7 +400,8 @@ def _check_partition_moves(spark: SparkSession, path: str,
     # would survive and the key would silently duplicate
     cand = (updates.select(*keys).distinct()
             .join(target.select(*keys).distinct(), keys, "left_anti"))
-    if key_bloom_path is not None and os.path.isdir(key_bloom_path):
+    if key_bloom_path is not None and \
+            _resolve_fs(key_bloom_path, None).isdir(key_bloom_path):
         # bloom prefilter: keys the table bloom says are DEFINITELY
         # absent cannot be moves (no false negatives), so a mostly-
         # insert batch skips the full-table key scan entirely — guard
@@ -225,7 +413,7 @@ def _check_partition_moves(spark: SparkSession, path: str,
         cand = probed.where(F.col("__maybe")).drop("__mg_key", "__maybe")
         if cand.isEmpty():
             return
-    outside = _move_guard_full_scan(spark, path, keys, cand)
+    outside = _move_guard_full_scan(spark, full_table, keys, cand)
     if outside:
         raise ValueError(
             f"upsert_partitioned: {outside} update key(s) exist in a "
@@ -237,7 +425,8 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                        keys: list[str], partition_col: str,
                        order_col: str | None = None,
                        check_moves: bool = True,
-                       key_bloom_path: str | None = None) -> list:
+                       key_bloom_path: str | None = None,
+                       fs=None, commit: str = "auto") -> list:
     """Merge `updates` into the hive-partitioned parquet table at
     `path` IN PLACE, touching only the partitions the batch contains.
 
@@ -262,25 +451,75 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     guard cost scales with the batch, not the table.  Disable
     check_moves only where the invariant holds by construction
     (upsert_bucketed does: its partition value is a function of the
-    key).  Returns the list of partition values rewritten."""
-    recover_table(path)
+    key).  Returns the list of partition values rewritten.
+
+    `commit` picks the durability protocol: "rename" (the swap above
+    — requires an atomic-rename filesystem), "pointer" (the
+    object-store-safe manifest flip: new files append, nothing
+    renames, readers use read_manifested), or "auto" (rename when
+    fs.atomic_rename, else pointer).  A pointer-commit table is one
+    with `_commit.json` present; an existing rename-protocol table
+    converts with manifest_bootstrap."""
+    fs = _resolve_fs(path, fs)
+    if commit == "auto":
+        commit = "rename" if fs.atomic_rename else "pointer"
     parts = [r[0] for r in
              updates.select(partition_col).distinct().collect()]
     if not parts:
         return []
+    if commit == "pointer":
+        if key_bloom_path is not None:
+            raise ValueError(
+                "upsert_partitioned: key_bloom_path is rename-protocol"
+                " only for now — the bloom index itself would need a "
+                "pointer commit; run the guard without the prefilter")
+        man = read_commit(path, fs=fs)
+        if man is None:
+            if fs.isdir(path):
+                man = manifest_bootstrap(path, partition_col, fs=fs)
+            else:
+                (updates.write.mode("overwrite")
+                 .partitionBy(partition_col).parquet(path))
+                return sorted(
+                    manifest_bootstrap(path, partition_col,
+                                       fs=fs)["partitions"])
+        if man["partition_col"] != partition_col:
+            raise ValueError(
+                f"upsert_partitioned: table at {path} is committed on "
+                f"{man['partition_col']}, not {partition_col}")
+        full = read_manifested(spark, path, fs=fs)
+        target = full.where(F.col(partition_col).isin(parts))
+        if check_moves and keys and partition_col not in keys:
+            _check_partition_moves(spark, full, target, updates, keys,
+                                   partition_col, None)
+        merged = upsert(target, updates, keys, order_col=order_col)
+        # the merged plan lazily re-reads the files the flip will
+        # supersede — but pointer commits never delete or rename, so
+        # those files stay readable until vacuum; no checkpoint needed
+        _append_and_flip(spark, path, merged, partition_col, man, fs)
+        return parts
+    if commit != "rename":
+        raise ValueError(f"upsert_partitioned: unknown commit mode "
+                         f"{commit!r}")
+    if not fs.atomic_rename:
+        raise ValueError(
+            f"upsert_partitioned: commit='rename' on {fs.scheme}:// "
+            "— rename is not atomic there; use commit='pointer'")
+    recover_table(path, fs=fs)
     target = spark.read.parquet(path).where(
         F.col(partition_col).isin(parts))
     if check_moves and keys and partition_col not in keys:
-        _check_partition_moves(spark, path, target, updates, keys,
-                               partition_col, key_bloom_path)
+        _check_partition_moves(spark, spark.read.parquet(path), target,
+                               updates, keys, partition_col,
+                               key_bloom_path)
     merged = upsert(target, updates, keys, order_col=order_col)
     new_root = path.rstrip("/") + "__new"
-    shutil.rmtree(new_root, ignore_errors=True)
+    fs.delete(new_root)
     (merged.write.mode("overwrite")
      .partitionBy(partition_col).parquet(new_root))
-    dirs = [d for d in sorted(os.listdir(new_root))
+    dirs = [d for d in fs.listdir(new_root)
             if d.startswith(f"{partition_col}=")]
-    _swap_partition_dirs(path, new_root, dirs)
+    _swap_partition_dirs(path, new_root, dirs, fs=fs)
     if key_bloom_path is not None:
         bloom_append(spark, key_bloom_path, updates, keys,
                      table_path=path)
@@ -318,13 +557,16 @@ def write_bucketed(df: DataFrame, path: str, keys: list[str],
     per-batch rewrites at ~0.1% of a uniform table)."""
     (df.withColumn("__bucket", bucket_expr(keys, n_buckets, seed))
      .write.mode("overwrite").partitionBy("__bucket").parquet(path))
-    with open(os.path.join(path, _BUCKET_SPEC), "w") as f:
-        json.dump({"keys": list(keys), "n_buckets": int(n_buckets),
-                   "seed": seed}, f)
+    fs = _resolve_fs(path, None)
+    fs.write_text_atomic(
+        os.path.join(path, _BUCKET_SPEC),
+        json.dumps({"keys": list(keys), "n_buckets": int(n_buckets),
+                    "seed": seed}))
 
 
-def is_bucketed(path: str) -> bool:
-    return os.path.exists(os.path.join(path, _BUCKET_SPEC))
+def is_bucketed(path: str, fs=None) -> bool:
+    return _resolve_fs(path, fs).exists(
+        os.path.join(path, _BUCKET_SPEC))
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
@@ -334,16 +576,16 @@ def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
 
 def upsert_bucketed(spark: SparkSession, path: str, updates: DataFrame,
                     keys: list[str],
-                    order_col: str | None = None) -> list[int]:
+                    order_col: str | None = None,
+                    fs=None, commit: str = "auto") -> list[int]:
     """Merge `updates` into the key-bucketed table at `path`
     (write_bucketed layout), reading and rewriting ONLY the bucket
     directories the batch's keys hash into — the unpartitioned-table
     answer to upsert_partitioned's pruning.  check_moves is skipped
     soundly: the bucket is a function of the key, so a key can never
     change directory.  Returns the bucket ids rewritten."""
-    spec_path = os.path.join(path, _BUCKET_SPEC)
-    with open(spec_path) as f:
-        spec = json.load(f)
+    fs = _resolve_fs(path, fs)
+    spec = json.loads(fs.read_text(os.path.join(path, _BUCKET_SPEC)))
     if list(spec["keys"]) != list(keys):
         raise ValueError(
             f"upsert_bucketed: table at {path} is bucketed on "
@@ -351,7 +593,8 @@ def upsert_bucketed(spark: SparkSession, path: str, updates: DataFrame,
     upd = updates.withColumn(
         "__bucket", bucket_expr(keys, spec["n_buckets"], spec["seed"]))
     return upsert_partitioned(spark, path, upd, keys, "__bucket",
-                              order_col=order_col, check_moves=False)
+                              order_col=order_col, check_moves=False,
+                              fs=fs, commit=commit)
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +627,7 @@ def bloom_append(spark: SparkSession, bloom_path: str, delta: DataFrame,
     bloom doesn't exist yet and `table_path` is given, bootstrap it
     from the full table instead."""
     from .sketches import bloom_index, bloom_merge
-    if not os.path.isdir(bloom_path):
+    if not _resolve_fs(bloom_path, None).isdir(bloom_path):
         if table_path is not None:
             build_key_bloom(spark, table_path, keys, bloom_path, fpp=fpp)
         return
@@ -403,7 +646,7 @@ def bloom_append(spark: SparkSession, bloom_path: str, delta: DataFrame,
 # lakehouse pattern in miniature — what Delta/Iceberg do with logs and
 # manifests, expressed over plain parquet directories).  Each write is
 # a NEW immutable directory; readers resolve a tiny JSON pointer whose
-# os.replace flip is atomic, so a writer crash at any point leaves the
+# pointer flip is atomic, so a writer crash at any point leaves the
 # previous version live and fully readable — and old versions stay
 # queryable (time travel) until vacuumed.
 # ---------------------------------------------------------------------------
@@ -415,40 +658,41 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, _MANIFEST)
 
 
-def _read_manifest(path: str) -> dict | None:
+def _read_manifest(path: str, fs=None) -> dict | None:
+    fs = _resolve_fs(path, fs)
     mp = _manifest_path(path)
-    if not os.path.exists(mp):
+    if not fs.exists(mp):
         return None
-    with open(mp) as f:
-        return json.load(f)
+    return json.loads(fs.read_text(mp))
 
 
-def snapshot_write(df: DataFrame, path: str) -> int:
+def snapshot_write(df: DataFrame, path: str, fs=None) -> int:
     """Commit `df` as the next version of the snapshot table at
     `path`: the data lands in a fresh immutable `_v{n}` directory
     (underscore-prefixed, invisible to a naive parquet scan of the
-    root), then the manifest pointer flips via os.replace — the atomic
-    commit.  A crash before the flip leaves an orphan directory that
+    root), then the manifest pointer flips atomically (fsops
+    write_text_atomic — temp+rename on posix/HDFS, one PUT on object
+    stores) — the atomic commit.  A crash before the flip leaves an orphan directory that
     the next write clears; the live version is never in a partial
     state.  Returns the committed version number."""
     import datetime
 
-    os.makedirs(path, exist_ok=True)
-    man = _read_manifest(path) or {"current": -1, "versions": []}
+    fs = _resolve_fs(path, fs)
+    fs.mkdirs(path)
+    man = _read_manifest(path, fs=fs) or {"current": -1, "versions": []}
     n = int(man["current"]) + 1
     vdir = os.path.join(path, f"_v{n:08d}")
-    if os.path.isdir(vdir):                  # orphan of a crashed commit
-        shutil.rmtree(vdir)
+    if fs.isdir(vdir):                       # orphan of a crashed commit
+        fs.delete(vdir)
     df.write.mode("overwrite").parquet(vdir)
     man["versions"].append({
         "version": n,
         "committed_at": datetime.datetime.now(
             datetime.timezone.utc).isoformat()})
     man["current"] = n
-    tmp = _manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, _manifest_path(path))    # the atomic commit point
+    # the atomic commit point (temp+rename on posix/HDFS, single PUT
+    # on object stores — fsops.write_text_atomic picks per scheme)
+    fs.write_text_atomic(_manifest_path(path), json.dumps(man))
     return n
 
 
@@ -476,12 +720,13 @@ def snapshot_history(path: str) -> list[dict]:
     return list(man["versions"]) if man else []
 
 
-def snapshot_vacuum(path: str, keep: int = 2) -> list[int]:
+def snapshot_vacuum(path: str, keep: int = 2, fs=None) -> list[int]:
     """Drop all but the newest `keep` versions (never the current):
     the manifest flips first (so a crash mid-delete only strands
     directories, never dangles pointers), then the directories go.
     Returns the removed version numbers."""
-    man = _read_manifest(path)
+    fs = _resolve_fs(path, fs)
+    man = _read_manifest(path, fs=fs)
     if man is None:
         return []
     keep = max(1, int(keep))
@@ -491,13 +736,9 @@ def snapshot_vacuum(path: str, keep: int = 2) -> list[int]:
         return []
     man["versions"] = [v for v in man["versions"]
                        if int(v["version"]) not in set(drop)]
-    tmp = _manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, _manifest_path(path))
+    fs.write_text_atomic(_manifest_path(path), json.dumps(man))
     for v in drop:
-        shutil.rmtree(os.path.join(path, f"_v{v:08d}"),
-                      ignore_errors=True)
+        fs.delete(os.path.join(path, f"_v{v:08d}"))
     return drop
 
 
@@ -551,27 +792,26 @@ def compact_parquet(spark: SparkSession, path: str,
     swap it in — a crash at any point leaves a recoverable table
     (recover_table).  Data is byte-identical (test-asserted).  Returns
     (files_before, files_after)."""
-    recover_table(path)
+    fs = _resolve_fs(path, None)
+    recover_table(path, fs=fs)
     spec = None
     spec_path = os.path.join(path, _BUCKET_SPEC)
-    if os.path.exists(spec_path):     # bucketed table: keep the sidecar
-        with open(spec_path) as f:
-            spec = f.read()
+    if fs.exists(spec_path):          # bucketed table: keep the sidecar
+        spec = fs.read_text(spec_path)
     sizes: dict[str, int] = {}
-    for root, _d, files in os.walk(path):
-        rel = os.path.relpath(root, path)
+    files_before = 0
+    for fp, sz in fs.walk_files(path):
+        if not fp.endswith(".parquet"):
+            continue
+        files_before += 1
         token = ""
         if partition_col is not None:
+            rel = os.path.relpath(fp, path)
             token = next((c for c in rel.split(os.sep)
                           if c.startswith(f"{partition_col}=")), "")
-        for f in files:
-            if f.endswith(".parquet"):
-                sz = os.path.getsize(os.path.join(root, f))
-                sizes[token] = sizes.get(token, 0) + sz
+        sizes[token] = sizes.get(token, 0) + sz
     if not sizes:
         return (0, 0)
-    files_before = sum(1 for root, _d, files in os.walk(path)
-                       for f in files if f.endswith(".parquet"))
     chunk = target_mb * 1024 * 1024
     df = spark.read.parquet(path)
     if partition_col is None:
@@ -599,12 +839,11 @@ def compact_parquet(spark: SparkSession, path: str,
                .drop("__salt"))
         writer = (lambda p: out.write.mode("overwrite")
                   .partitionBy(partition_col).parquet(p))
-    atomic_overwrite(path, writer)
+    atomic_overwrite(path, writer, fs=fs)
     if spec is not None:
-        with open(spec_path, "w") as f:
-            f.write(spec)
-    after = sum(1 for root, _d, files in os.walk(path)
-                for f in files if f.endswith(".parquet"))
+        fs.write_text_atomic(spec_path, spec)
+    after = sum(1 for fp, _sz in fs.walk_files(path)
+                if fp.endswith(".parquet"))
     return (files_before, after)
 
 
@@ -789,28 +1028,47 @@ def snapshot_cdc(spark: SparkSession, path: str, from_version: int,
 
 
 def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
-                         partition_col: str) -> list[str]:
+                         partition_col: str,
+                         fs=None, commit: str = "auto") -> list[str]:
     """Crash-safely REPLACE the partition directories that appear in
     `df` with its content (upsert_partitioned without the merge — for
-    callers that already computed the full replacement slice).  The
-    slice writes to `<path>__new` while the table is intact, then the
-    touched directories swap in via rename-aside
-    (_swap_partition_dirs); untouched directories are never opened.
+    callers that already computed the full replacement slice).
+    Rename protocol: the slice writes to `<path>__new` while the
+    table is intact, then the touched directories swap in via
+    rename-aside (_swap_partition_dirs); untouched directories are
+    never opened.  Pointer protocol (object stores / commit=
+    "pointer"): the slice APPENDS as fresh files and the `_commit.
+    json` manifest flips — read back with read_manifested.
     Bootstraps the table if absent.  Returns the hive dir names
     rewritten."""
-    recover_table(path)
+    fs = _resolve_fs(path, fs)
+    if commit == "auto":
+        commit = "rename" if fs.atomic_rename else "pointer"
+    if commit == "pointer":
+        man = read_commit(path, fs=fs)
+        if man is None:
+            if fs.isdir(path):
+                man = manifest_bootstrap(path, partition_col, fs=fs)
+            else:
+                df.write.mode("overwrite").partitionBy(partition_col) \
+                    .parquet(path)
+                return sorted(
+                    manifest_bootstrap(path, partition_col,
+                                       fs=fs)["partitions"])
+        return _append_and_flip(spark, path, df, partition_col, man, fs)
+    recover_table(path, fs=fs)
     new_root = path.rstrip("/") + "__new"
-    shutil.rmtree(new_root, ignore_errors=True)
-    if not os.path.isdir(path):
+    fs.delete(new_root)
+    if not fs.isdir(path):
         df.write.mode("overwrite").partitionBy(partition_col) \
             .parquet(path)
-        return [d for d in sorted(os.listdir(path))
+        return [d for d in fs.listdir(path)
                 if d.startswith(f"{partition_col}=")]
     df.write.mode("overwrite").partitionBy(partition_col) \
         .parquet(new_root)
-    dirs = [d for d in sorted(os.listdir(new_root))
+    dirs = [d for d in fs.listdir(new_root)
             if d.startswith(f"{partition_col}=")]
-    _swap_partition_dirs(path, new_root, dirs)
+    _swap_partition_dirs(path, new_root, dirs, fs=fs)
     return dirs
 
 

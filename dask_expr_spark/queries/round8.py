@@ -1,0 +1,200 @@
+"""Round-8 batch: the object-store-safe commit layer made visible —
+the pointer-commit (manifest-flip) upsert protocol proven against the
+DuckDB merge oracle with zero renames of table data, and zone maps
+composed with snapshot time travel (a manifest built over a committed
+version directory prunes reads of THAT version).
+
+Oracle discipline as in rounds 5-7: merges reproduce exactly in SQL;
+layout/commit invariants (untouched manifest entries, zero renames,
+files_read == survivors) are asserted in-query as boolean columns the
+oracle pins TRUE.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ._util import cent_sum, cent_sum_sql, tbl
+
+QUERIES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# -- pointer-commit upsert (maintenance.upsert_partitioned
+#    commit="pointer"): the object-store protocol end-to-end — adopt a
+#    hive table via manifest_bootstrap, merge a batch by APPENDING new
+#    files + one atomic manifest flip, read back via read_manifested.
+#    In-query invariants: no rename of any table path (os.rename /
+#    os.replace instrumented for the call window), untouched
+#    partitions keep their exact manifest file lists, and vacuum
+#    removes the superseded files without changing the result --------
+UPSERT_POINTER_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 750.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 61 = 0
+    AND o_orderpriority IN ('2-HIGH', '5-LOW')
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS no_renames, TRUE AS untouched_ok, TRUE AS vacuum_ok
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("upsert_pointer_roundtrip", UPSERT_POINTER_SQL)
+def upsert_pointer_roundtrip(spark, sf_dir):
+    from ..functions.maintenance import (manifest_bootstrap,
+                                         read_manifested,
+                                         upsert_partitioned,
+                                         vacuum_manifested)
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="upsert_ptr_")
+    path = os.path.join(tmp, "t")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderpriority") \
+            .parquet(path)
+        man0 = manifest_bootstrap(path, "o_orderpriority")
+        updates = (o.where((F.col("o_orderkey") % 61 == 0)
+                           & F.col("o_orderpriority").isin(
+                               "2-HIGH", "5-LOW"))
+                   .withColumn("o_totalprice",
+                               F.col("o_totalprice") + 750.0))
+        moves = []
+        real_rename, real_replace = os.rename, os.replace
+
+        def spy_rename(src, dst):
+            if str(src).startswith(tmp):
+                moves.append(src)
+            return real_rename(src, dst)
+
+        def spy_replace(src, dst):
+            if str(src).startswith(tmp):
+                moves.append(src)
+            return real_replace(src, dst)
+
+        os.rename, os.replace = spy_rename, spy_replace
+        try:
+            upsert_partitioned(spark, path, updates, ["o_orderkey"],
+                               "o_orderpriority", commit="pointer")
+        finally:
+            os.rename, os.replace = real_rename, real_replace
+        # NOTE: moves may contain the _commit.json temp-rename on the
+        # local PosixFS (whose write_text_atomic IS temp+rename); data
+        # paths must be rename-free
+        no_renames = all(p.endswith(("_commit.json.tmp", "_commit.json"))
+                         for p in moves)
+        from ..functions.maintenance import read_commit
+        man1 = read_commit(path)
+        touched = {"o_orderpriority=2-HIGH", "o_orderpriority=5-LOW"}
+        untouched_ok = all(
+            man1["partitions"][d] == man0["partitions"][d]
+            for d in man0["partitions"] if d not in touched)
+        agg0 = (read_manifested(spark, path)
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     cent_sum(F.col("o_totalprice")).alias("total"))
+                .orderBy("o_orderstatus"))
+        rows0 = agg0.collect()
+        removed = vacuum_manifested(path)
+        rows1 = (read_manifested(spark, path)
+                 .groupBy("o_orderstatus")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      cent_sum(F.col("o_totalprice")).alias("total"))
+                 .orderBy("o_orderstatus").collect())
+        vacuum_ok = (removed > 0) and (rows0 == rows1)
+        out = (spark.createDataFrame(rows0, agg0.schema)
+               .withColumn("no_renames", F.lit(bool(no_renames)))
+               .withColumn("untouched_ok", F.lit(bool(untouched_ok)))
+               .withColumn("vacuum_ok", F.lit(bool(vacuum_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- zone maps × snapshot time travel (sources/zonemap.py over a
+#    maintenance.snapshot_write version directory): each committed
+#    version is its own immutable table, so a manifest builds over the
+#    OLD version's directory and read_skipping answers a historical
+#    range query opening only surviving files — the oracle is the old
+#    version's content, which by construction is plain `orders` ------
+ZM_SNAPSHOT_SQL = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS pruned_ok, TRUE AS files_ok, TRUE AS version_ok
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+                      AND TIMESTAMP '1997-06-30 23:59:59'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("zonemap_snapshot_version", ZM_SNAPSHOT_SQL)
+def zonemap_snapshot_version(spark, sf_dir):
+    """v0 commits the raw date-clustered orders; v1 commits a
+    corrupted successor (prices +1e6 — a poison the query would
+    surface instantly if time travel leaked).  The zone map builds
+    over v0's directory, prunes the half-year range to fewer files,
+    and the pruned read matches the plain-orders oracle — proving
+    manifest, version isolation, and pruning compose."""
+    import datetime
+
+    from ..functions.maintenance import snapshot_read, snapshot_write
+    from ..sources import zonemap as Z
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="zm_snap_")
+    path = os.path.join(tmp, "t")
+    try:
+        v0_df = (o.repartitionByRange(16, "o_orderdate")
+                 .sortWithinPartitions("o_orderdate"))
+        snapshot_write(v0_df, path)
+        snapshot_write(o.withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1e6), path)
+        vdir = os.path.join(path, "_v00000000")
+        Z.build_zonemap(spark, vdir, ["o_orderdate"])
+        preds = [("o_orderdate", "between",
+                  (datetime.datetime(1997, 1, 1),
+                   datetime.datetime(1997, 6, 30, 23, 59, 59)))]
+        surv, total = Z.zone_prune(spark, vdir, preds)
+        got = Z.read_skipping(spark, vdir, preds)
+        files_ok = (set(f.replace("file://", "")
+                        for f in got.inputFiles()) == set(surv))
+        # version isolation: the flagship anchor must match the
+        # snapshot_read of v0, not the poisoned current version
+        version_ok = (
+            snapshot_read(spark, path, 0).where(
+                Z.pred_filter(preds)).count() == got.count()
+            and snapshot_read(spark, path).where(
+                F.col("o_totalprice") > 9e5).count() > 0)
+        out = (got.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"))
+               .withColumn("pruned_ok",
+                           F.lit(bool(0 < len(surv) < total)))
+               .withColumn("files_ok", F.lit(bool(files_ok)))
+               .withColumn("version_ok", F.lit(bool(version_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -45,20 +45,23 @@ from pyspark.sql import types as T
 ZONEMAP_DIR = "_zonemap"
 
 
-def _data_files(path: str) -> list[str]:
-    out = []
-    for root, dirs, files in os.walk(path):
-        # skip manifest/version/system dirs the way Spark's own file
-        # listing does (a snapshot version dir is its own table — pass
-        # it as `path` to index it).  Hive partition directories are
-        # data even when underscore-prefixed (the repo's key-bucketed
-        # layout uses `__bucket=N` dirs, which Spark's partition
-        # discovery reads), so a "=" name is never skipped.
-        dirs[:] = [d for d in dirs
-                   if "=" in d or not d.startswith(("_", "."))]
-        out.extend(os.path.join(root, f) for f in files
-                   if f.endswith(".parquet") and not f.startswith((".", "_")))
-    return sorted(out)
+def _data_files(path: str, fs=None) -> list[str]:
+    # listing goes through the fsops seam (PosixFS locally, the JVM
+    # Hadoop client for hdfs://s3a://gs:// paths) so manifests build
+    # against the same filesystem the executors read.  Skip manifest/
+    # version/system dirs the way Spark's own file listing does (a
+    # snapshot version dir is its own table — pass it as `path` to
+    # index it).  Hive partition directories are data even when
+    # underscore-prefixed (the repo's key-bucketed layout uses
+    # `__bucket=N` dirs, which Spark's partition discovery reads), so
+    # a "=" name is never skipped.
+    from ..fsops import get_fs
+    fs = fs or get_fs(path)
+    skip = lambda d: "=" not in d and d.startswith(("_", "."))  # noqa: E731
+    return sorted(
+        fp for fp, _sz in fs.walk_files(path, skip_dir=skip)
+        if fp.endswith(".parquet")
+        and not os.path.basename(fp).startswith((".", "_")))
 
 
 def _zonemap_schema(spark: SparkSession, path: str,

@@ -1,0 +1,356 @@
+"""Round-8 filesystem-seam tests: the durability layer runs against
+the TableFS abstraction (fsops.py), the pointer-commit protocol is
+object-store-safe (zero renames on table data), and the rename
+protocols refuse to run where rename isn't atomic."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from dask_expr_spark.functions import maintenance as M
+from dask_expr_spark import fsops
+
+
+def _mk(spark, path, parts=("a", "b", "c")):
+    pdf = pd.DataFrame({
+        "k": range(30),
+        "v": [float(i) for i in range(30)],
+        "part": [parts[i % len(parts)] for i in range(30)]})
+    df = spark.createDataFrame(pdf)
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+    return pdf
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"], r["part"]) for r in df.collect())
+
+
+class FakeObjectStoreFS(fsops.PosixFS):
+    """PosixFS masquerading as an object store: rename FORBIDDEN
+    (raises — proving the pointer protocol never needs one), and the
+    manifest write is a direct single-object put, the way an S3 PUT
+    commits (no temp+rename)."""
+
+    scheme = "fake-s3"
+    atomic_rename = False
+
+    def __init__(self):
+        self.renames = []
+
+    def rename(self, src: str, dst: str) -> None:
+        self.renames.append((src, dst))
+        raise AssertionError(
+            f"object store rename attempted: {src} -> {dst}")
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        with open(path, "w") as f:       # one PUT, no rename
+            f.write(text)
+
+
+# ------------------------------------------------------------ fsops
+
+def test_posix_walk_files_skip_dir(tmp_path):
+    fs = fsops.PosixFS()
+    (tmp_path / "d" / "_skipme").mkdir(parents=True)
+    (tmp_path / "d" / "keep").mkdir()
+    (tmp_path / "d" / "a.parquet").write_bytes(b"xx")
+    (tmp_path / "d" / "_skipme" / "b.parquet").write_bytes(b"yy")
+    (tmp_path / "d" / "keep" / "c.parquet").write_bytes(b"zzz")
+    got = dict(fs.walk_files(str(tmp_path / "d"),
+                             skip_dir=lambda d: d.startswith("_")))
+    names = {os.path.basename(p): s for p, s in got.items()}
+    assert names == {"a.parquet": 2, "c.parquet": 3}
+
+
+def test_scheme_resolution():
+    assert fsops.scheme_of("/tmp/x") == "file"
+    assert fsops.scheme_of("file:///tmp/x") == "file"
+    assert fsops.scheme_of("s3a://bucket/k") == "s3a"
+    assert fsops.scheme_of("hdfs://nn/x") == "hdfs"
+    assert isinstance(fsops.get_fs("/tmp/x"), fsops.PosixFS)
+    assert "s3a" not in fsops._RENAME_ATOMIC_SCHEMES
+    assert "hdfs" in fsops._RENAME_ATOMIC_SCHEMES
+
+
+def test_hadoop_fs_local_roundtrip(spark, tmp_path):
+    """The JVM Hadoop FileSystem path, exercised against file:// (the
+    one scheme this sandbox can reach) — the same code path an
+    hdfs://, s3a:// or gs:// URI takes on a cluster."""
+    root = f"file://{tmp_path}"
+    fs = fsops.get_fs(root + "/t", spark=spark)
+    assert isinstance(fs, fsops.HadoopFS)
+    assert fs.atomic_rename          # file:// renames are atomic
+    fs.mkdirs(root + "/t/sub")
+    fs.write_text_atomic(root + "/t/m.json", '{"a": 1}')
+    assert fs.exists(root + "/t/m.json")
+    assert fs.isfile(root + "/t/m.json")
+    assert json.loads(fs.read_text(root + "/t/m.json")) == {"a": 1}
+    assert fs.listdir(root + "/t") == ["m.json", "sub"]
+    fs.rename(root + "/t/m.json", root + "/t/m2.json")
+    assert not fs.exists(root + "/t/m.json")
+    assert fs.getsize(root + "/t/m2.json") == 8
+    files = list(fs.walk_files(root + "/t"))
+    assert [os.path.basename(p) for p, _ in files] == ["m2.json"]
+    fs.delete(root + "/t")
+    assert not fs.exists(root + "/t")
+
+
+# ----------------------------------------- pointer-commit protocol
+
+def test_pointer_upsert_matches_rename_upsert(spark, tmp_path):
+    """Differential: the two commit protocols produce identical table
+    content for the same batch."""
+    p_ren, p_ptr = str(tmp_path / "ren"), str(tmp_path / "ptr")
+    _mk(spark, p_ren)
+    _mk(spark, p_ptr)
+    M.manifest_bootstrap(p_ptr, "part")
+    batch = spark.createDataFrame(pd.DataFrame({
+        "k": [0, 3, 100], "v": [99.0, 98.0, 97.0],
+        "part": ["a", "a", "b"]}))
+    M.upsert_partitioned(spark, p_ren, batch, ["k"], "part",
+                         commit="rename")
+    M.upsert_partitioned(spark, p_ptr, batch, ["k"], "part",
+                         commit="pointer")
+    assert (_rows(spark.read.parquet(p_ren))
+            == _rows(M.read_manifested(spark, p_ptr)))
+
+
+def test_pointer_untouched_partition_files_not_rewritten(spark,
+                                                         tmp_path):
+    """Change-sized cost: a batch touching only part=a leaves part=b
+    and part=c file sets byte-identical AND the manifest entries for
+    them unchanged."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    man0 = M.manifest_bootstrap(path, "part")
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [123.0], "part": ["a"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    man1 = M.read_commit(path)
+    assert man1["generation"] == man0["generation"] + 1
+    assert man1["partitions"]["part=b"] == man0["partitions"]["part=b"]
+    assert man1["partitions"]["part=c"] == man0["partitions"]["part=c"]
+    assert man1["partitions"]["part=a"] != man0["partitions"]["part=a"]
+
+
+def test_pointer_commit_zero_renames_on_fake_object_store(spark,
+                                                          tmp_path):
+    """The object-store contract, end-to-end: with rename FORBIDDEN
+    (FakeObjectStoreFS raises on any rename) and os.rename/os.replace
+    instrumented, a full pointer-mode upsert + read + vacuum completes
+    with zero renames of any path under the table — driver-side data
+    moves simply do not exist in this protocol."""
+    path = str(tmp_path / "t")
+    pdf = _mk(spark, path)
+    fake = FakeObjectStoreFS()
+    M.manifest_bootstrap(path, "part", fs=fake)
+
+    touched = []
+    real_rename, real_replace = os.rename, os.replace
+
+    def spy_rename(src, dst):
+        touched.append(("rename", src))
+        return real_rename(src, dst)
+
+    def spy_replace(src, dst):
+        touched.append(("replace", src))
+        return real_replace(src, dst)
+
+    os.rename, os.replace = spy_rename, spy_replace
+    try:
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"k": [1, 4, 200], "v": [55.0, 44.0, 33.0],
+             "part": ["b", "b", "c"]}))
+        # auto mode must route to pointer on a non-atomic-rename fs
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             fs=fake, commit="auto")
+        got = _rows(M.read_manifested(spark, path, fs=fake))
+        M.vacuum_manifested(path, fs=fake)
+    finally:
+        os.rename, os.replace = real_rename, real_replace
+
+    exp = {(r.k): (r.v, r.part) for r in pdf.itertuples()}
+    exp.update({1: (55.0, "b"), 4: (44.0, "b"), 200: (33.0, "c")})
+    assert got == sorted((k, v, p) for k, (v, p) in exp.items())
+    assert fake.renames == []           # fs-level: none attempted
+    table_moves = [s for _, s in touched
+                   if s.startswith(str(tmp_path))]
+    assert table_moves == []            # os-level: none bypassed
+
+
+def test_pointer_crash_before_flip_old_generation_live(spark,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """Kill after the append but before the manifest flip: readers
+    still see the previous generation; the retry succeeds; vacuum
+    clears the orphaned files of the crashed attempt."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    before = _rows(M.read_manifested(spark, path))
+
+    def boom(path_, man_, fs_):
+        raise RuntimeError("injected crash before flip")
+
+    monkeypatch.setattr(M, "_write_commit", boom)
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [2], "v": [77.0], "part": ["c"]}))
+    with pytest.raises(RuntimeError):
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="pointer")
+    monkeypatch.undo()
+    # old generation fully readable, crash invisible
+    assert _rows(M.read_manifested(spark, path)) == before
+    # retry lands; the orphans of the crashed attempt are not adopted
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    after = _rows(M.read_manifested(spark, path))
+    assert (2, 77.0, "c") in after
+    assert len(after) == len(before)
+    # vacuum drops superseded + orphaned files; table unchanged
+    removed = M.vacuum_manifested(path)
+    assert removed > 0
+    assert _rows(M.read_manifested(spark, path)) == after
+
+
+def test_pointer_crash_mid_append_is_invisible(spark, tmp_path,
+                                               monkeypatch):
+    """Kill during the append itself (no new files listed yet for some
+    dirs): manifest untouched, table readable, vacuum clears debris."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    before = _rows(M.read_manifested(spark, path))
+    gen = M.read_commit(path)["generation"]
+
+    real = M._part_files
+    calls = []
+
+    def crash_on_postlist(fs, p, d):
+        # first len(dirs) calls are the pre-listing; crash on the
+        # first POST-append listing
+        calls.append(d)
+        if len(calls) > 2:      # 2 dirs pre-list, then crash on the
+            raise RuntimeError("injected crash mid-commit")  # post-list
+        return real(fs, p, d)
+
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [6, 7], "v": [1.5, 2.5], "part": ["a", "b"]}))
+    monkeypatch.setattr(M, "_part_files", crash_on_postlist)
+    with pytest.raises(RuntimeError):
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="pointer")
+    monkeypatch.undo()
+    assert M.read_commit(path)["generation"] == gen
+    assert _rows(M.read_manifested(spark, path)) == before
+
+
+def test_rename_protocol_refuses_non_atomic_fs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    fake = FakeObjectStoreFS()
+    with pytest.raises(ValueError, match="not atomic"):
+        M.atomic_overwrite(path, lambda p: None, fs=fake)
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [5.0], "part": ["a"]}))
+    with pytest.raises(ValueError, match="pointer"):
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             fs=fake, commit="rename")
+
+
+def test_pointer_move_guard_still_fires(spark, tmp_path):
+    """The partition-move guard works off read_manifested in pointer
+    mode: a key living in part=a cannot be upserted under part=b."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    mover = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [9.0], "part": ["b"]}))   # k=0 lives in part=a
+    with pytest.raises(ValueError, match="partition-moving"):
+        M.upsert_partitioned(spark, path, mover, ["k"], "part",
+                             commit="pointer")
+
+
+def test_pointer_bootstrap_from_scratch(spark, tmp_path):
+    """No table on disk: pointer-mode upsert bootstraps table AND
+    manifest in one call."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "v": [1.0, 2.0], "part": ["a", "b"]}))
+    dirs = M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                                commit="pointer")
+    assert sorted(dirs) == ["part=a", "part=b"]
+    assert _rows(M.read_manifested(spark, path)) == [
+        (1, 1.0, "a"), (2, 2.0, "b")]
+
+
+def test_pointer_upsert_bucketed(spark, tmp_path):
+    """The bucketed (pseudo-partition) path composes with the pointer
+    protocol: same merge result as the rename path."""
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(20),
+                        "v": [float(i) for i in range(20)]})
+    M.write_bucketed(spark.createDataFrame(pdf), path, ["k"],
+                     n_buckets=4)
+    M.manifest_bootstrap(path, "__bucket")
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [3, 50], "v": [30.0, 500.0]}))
+    M.upsert_bucketed(spark, path, batch, ["k"], commit="pointer")
+    got = sorted((r["k"], r["v"]) for r in
+                 M.read_manifested(spark, path).drop("__bucket")
+                 .collect())
+    exp = {i: float(i) for i in range(20)}
+    exp.update({3: 30.0, 50: 500.0})
+    assert got == sorted(exp.items())
+
+
+def test_hive_part_dir_rendering():
+    assert M._hive_part_dir("p", "abc") == "p=abc"
+    assert M._hive_part_dir("p", 7) == "p=7"
+    assert M._hive_part_dir("p", None) == "p=__HIVE_DEFAULT_PARTITION__"
+    # hive-unsafe characters escape exactly like Spark's writer
+    assert M._hive_part_dir("p", "a/b") == "p=a%2Fb"
+    assert M._hive_part_dir("p", "a:b") == "p=a%3Ab"
+
+
+def test_pointer_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values containing hive-unsafe characters roundtrip:
+    the dir-name rendering must agree with Spark's writer or the
+    commit aborts pre-flip (asserted non-corrupting either way)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "v": [1.0, 2.0], "part": ["x:1", "y/2"]}))
+    M.upsert_partitioned(spark, path, df, ["k"], "part",
+                         commit="pointer")
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [10.0], "part": ["x:1"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    assert _rows(M.read_manifested(spark, path)) == [
+        (1, 10.0, "x:1"), (2, 2.0, "y/2")]
+
+
+def test_zonemap_listing_goes_through_seam(spark, tmp_path,
+                                           monkeypatch):
+    """zonemap's file listing resolves through fsops.get_fs (the same
+    client executors use on a cluster), not a hard-coded os.walk."""
+    from dask_expr_spark.sources import zonemap as Z
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    seen = []
+    real = fsops.get_fs
+
+    def spy(p, spark=None):
+        seen.append(p)
+        return real(p, spark)
+
+    monkeypatch.setattr(fsops, "get_fs", spy)
+    files = Z._data_files(path)
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert seen == [path]
