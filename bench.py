@@ -169,6 +169,101 @@ def _connected_components_star(spark, sf_dir):
         {"comp": "max", "id": "count"})
 
 
+# ---------------------------------------------------------------------------
+# Steady-state ANN entries (round 8, VERDICT r7 item 5): the plain
+# ann_pq_topk / ann_ivfpq_topk entries time inline train+encode every
+# run, which misrepresents the operator's steady state (the index is
+# built once and persisted at 100 TB).  These entries read pre-built
+# artifacts (_ensure_ann_artifacts, untimed, cached per boot) and
+# measure ONLY the probe+gather cost.  They print in the main bench
+# line (not probes) so BENCH_r{N} records them.
+# ---------------------------------------------------------------------------
+
+
+def _ann_cache_dir(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "_ann_cache")
+
+
+def _ensure_ann_artifacts(spark, sf_dir: str) -> None:
+    """train + encode once per boot (untimed): PQ codebook (npy),
+    PQ codes, IVF centroids, and the coded-cells index."""
+    import numpy as np
+
+    from dask_expr_spark.functions import similarity as SIM
+    from pyspark.sql import functions as F
+
+    cache = _ann_cache_dir(sf_dir)
+    done = os.path.join(cache, "_DONE")
+    if os.path.exists(done):
+        return
+    os.makedirs(cache, exist_ok=True)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cb = np.asarray(SIM.pq_train(emb, 64, m=16))
+    np.save(os.path.join(cache, "pq_codebook.npy"), cb)
+    SIM.pq_encode(emb, cb).write.mode("overwrite") \
+        .parquet(os.path.join(cache, "pq_codes.parquet"))
+    vv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    SIM.as_double(F.col("embedding")).alias("__vv"))
+    cents = SIM._train_ivf_cells(vv, "neighbor_id", "__vv", 16, 1)
+    cents.write.mode("overwrite") \
+        .parquet(os.path.join(cache, "ivf_centroids.parquet"))
+    v_cells = SIM._nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
+    (SIM.pq_encode(v_cells.select("neighbor_id", "cell",
+                                  F.col("__vv").alias("__v")),
+                   cb, id_col="neighbor_id", vec_col="__v")
+     .join(v_cells.select("neighbor_id", "cell"), "neighbor_id")
+     .select(F.col("neighbor_id").alias("vec_id"), "pq_code", "cell")
+     .write.mode("overwrite")
+     .parquet(os.path.join(cache, "ivfpq_coded_cells.parquet")))
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def _ann_pq_topk_persisted(spark, sf_dir):
+    """PQ/ADC retrieval against the persisted codebook+codes — the
+    steady-state scan-only cost (train+encode untimed)."""
+    import numpy as np
+
+    from dask_expr_spark.functions import similarity as SIM
+    from pyspark.sql import functions as F
+
+    cache = _ann_cache_dir(sf_dir)
+    cb = np.load(os.path.join(cache, "pq_codebook.npy"))
+    codes = spark.read.parquet(os.path.join(cache, "pq_codes.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.pq_topk(emb, queries, dim=64, k=5, m=16,
+                       codebook=cb, codes=codes) \
+        .select("query_id", "neighbor_id")
+
+
+def _ann_ivfpq_topk_persisted(spark, sf_dir):
+    """IVF-PQ against the persisted centroids+coded-cells index —
+    probe + m-byte gather only (train/encode untimed)."""
+    import numpy as np
+
+    from dask_expr_spark.functions import similarity as SIM
+    from pyspark.sql import functions as F
+
+    cache = _ann_cache_dir(sf_dir)
+    cb = np.load(os.path.join(cache, "pq_codebook.npy"))
+    cents = spark.read.parquet(
+        os.path.join(cache, "ivf_centroids.parquet"))
+    coded = spark.read.parquet(
+        os.path.join(cache, "ivfpq_coded_cells.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.ivfpq_topk(emb, queries, dim=64, k=5, m=16,
+                          codebook=cb, coded_cells=coded,
+                          centroids=cents) \
+        .select("query_id", "neighbor_id")
+
+
+STEADY_ENTRIES = {
+    "ann_pq_topk_persisted": _ann_pq_topk_persisted,
+    "ann_ivfpq_topk_persisted": _ann_ivfpq_topk_persisted,
+}
+
 LOCAL_PROBES = {
     "scale_probe_ordered_cumsum_shift": _scale_probe_ordered,
     "scale_probe_ordered_ckpt": _scale_probe_ordered_ckpt,
@@ -234,6 +329,10 @@ X10_ENTRIES = {
     "cdc_between_snapshots", "zonemap_skipping_dates",
     "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     "zonemap_zorder_trailing", "cdc_apply_roundtrip",
+    # round 8: steady-state ANN (same corpus as their inline twins)
+    # and the write-heavy pointer-commit / snapshot-composition entries
+    "ann_pq_topk_persisted", "ann_ivfpq_topk_persisted",
+    "upsert_pointer_roundtrip", "zonemap_snapshot_version",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -375,6 +474,9 @@ OPTIONAL = [
     "split_temporal_events",
     "zonemap_zorder_trailing",
     "cdc_apply_roundtrip",
+    # round 8 additions (no prior comparable)
+    "upsert_pointer_roundtrip",
+    "zonemap_snapshot_version",
 ]
 
 
@@ -413,8 +515,10 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     x10_dir = _ensure_x10(spark, sf_dir)
     x100_dir = _ensure_x100(spark, sf_dir)
+    _ensure_ann_artifacts(spark, x10_dir)     # untimed index build
     timings: dict[str, float] = {}
     runnables = [(n, registry[n][0]) for n in names]
+    runnables += list(STEADY_ENTRIES.items())
     runnables += list(LOCAL_PROBES.items())
     # fast entries ride the x10/x100 corpora (median-of-3: at
     # multi-second durations scheduling jitter is <10% without extra

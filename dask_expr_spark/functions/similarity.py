@@ -1157,6 +1157,8 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                nprobe: int = 4, lloyd_iters: int = 1,
                sample_rows: int = 20000, kmeans_iters: int = 4,
                seed: int = 42,
+               codebook=None, coded_cells: DataFrame | None = None,
+               centroids: DataFrame | None = None,
                exact_rerank: int | None = None) -> DataFrame:
     """IVF-PQ: the FAISS-standard composition — IVF cells bound WHICH
     vectors are scored (nprobe/num_cells of the corpus), PQ codes
@@ -1174,27 +1176,43 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     (q-subvector · codebook[code] summed over subspaces ≈ cosine).
     `exact_rerank=C` adds the float re-rank stage of pq_topk —
     measured recall/cost in SCALE.md.  Output: (query_id, neighbor_id,
-    adc[, cos], rank)."""
+    adc[, cos], rank).
+
+    Steady-state artifacts: pass `centroids` (the trained coarse
+    quantizer, a (cell, __cent) frame), `codebook` (pq_train output)
+    and `coded_cells` (the encoded corpus: id_col, pq_code, cell — the
+    persisted index) to skip training AND encoding — the 100 TB
+    pattern, where the index is built once and maintained
+    incrementally while queries pay only the probe+gather cost."""
     import numpy as np
 
     vv = vectors.select(F.col(id_col).alias("neighbor_id"),
                         as_double(F.col(vec_col)).alias("__vv"))
     qv = queries.select(F.col(id_col).alias("query_id"),
                         as_double(F.col(vec_col)).alias("__qv"))
-    cents = _train_ivf_cells(vv, "neighbor_id", "__vv", num_cells,
-                             lloyd_iters)
-    codebook = pq_train(vectors, dim, m=m, id_col=id_col,
-                        vec_col=vec_col, sample_rows=sample_rows,
-                        kmeans_iters=kmeans_iters, seed=seed)
+    cents = (centroids if centroids is not None
+             else _train_ivf_cells(vv, "neighbor_id", "__vv",
+                                   num_cells, lloyd_iters))
+    if codebook is None:
+        codebook = pq_train(vectors, dim, m=m, id_col=id_col,
+                            vec_col=vec_col, sample_rows=sample_rows,
+                            kmeans_iters=kmeans_iters, seed=seed)
+    codebook = np.asarray(codebook)
+    m = codebook.shape[0]
     spark = vectors.sparkSession
     bb = spark.sparkContext.broadcast(codebook)
     dsub = dim // m
 
-    v_cells = _nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
-    v_codes = pq_encode(v_cells.select("neighbor_id", "cell",
-                                       F.col("__vv").alias("__v")),
-                        codebook, id_col="neighbor_id", vec_col="__v") \
-        .join(v_cells.select("neighbor_id", "cell"), "neighbor_id")
+    if coded_cells is not None:
+        v_codes = coded_cells.select(
+            F.col(id_col).alias("neighbor_id"), "pq_code", "cell")
+    else:
+        v_cells = _nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
+        v_codes = pq_encode(v_cells.select("neighbor_id", "cell",
+                                           F.col("__vv").alias("__v")),
+                            codebook, id_col="neighbor_id",
+                            vec_col="__v") \
+            .join(v_cells.select("neighbor_id", "cell"), "neighbor_id")
     q_cells = _nearest_cells(qv, cents, "query_id", "__qv", nprobe)
 
     @F.pandas_udf("double")

@@ -132,6 +132,65 @@ def upsert_pointer_roundtrip(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# -- multimodal resize stub contract (functions/multimodal.py
+#    resize_images): this container has no Pillow, so the resize step
+#    is a documented stub — and the CONTRACT of that stub is what the
+#    oracle pins: every oversized payload passes through byte-
+#    untouched with stubbed=true / resized=false and width/height
+#    reporting the payload's REAL parsed dims (never the unapplied
+#    target), small payloads pass with both flags false.  If Pillow
+#    ever appears in the environment the hash flips loudly (n_resized
+#    stops being 0), which is exactly the alarm wanted --------------
+MM_RESIZE_STUB_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 1024 + 1 AS w,
+         (doc_id * 7) % 768 + 1 AS h
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (greatest(w, h) > 256) AS BIGINT)
+         AS n_stubbed,
+       CAST(0 AS BIGINT) AS n_resized,
+       CAST(count(*) FILTER (greatest(w, h) <= 256) AS BIGINT)
+         AS n_passthrough,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(h) AS BIGINT) AS sum_h
+FROM d
+"""
+
+
+@q("multimodal_resize_stub", MM_RESIZE_STUB_SQL)
+def multimodal_resize_stub(spark, sf_dir):
+    import struct
+
+    from ..functions import multimodal as MM
+
+    @F.pandas_udf("binary")
+    def payload(ids):
+        def mk(i):
+            i = int(i)
+            w, h = i % 1024 + 1, (i * 7) % 768 + 1
+            if i % 2 == 0:
+                return (b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR"
+                        + struct.pack(">II", w, h) + b"\x08\x06"
+                        + b"\x00" * 10)
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+        return ids.apply(mk)
+
+    docs = tbl(spark, sf_dir, "documents").to_spark()
+    with_bin = docs.select("doc_id", payload("doc_id").alias("payload"))
+    out = MM.resize_images(with_bin, "doc_id", "payload", max_side=256)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("stubbed")).alias("n_stubbed"),
+        F.count_if(F.col("resized")).alias("n_resized"),
+        F.count_if(~F.col("stubbed") & ~F.col("resized")
+                   & F.col("width").isNotNull()).alias("n_passthrough"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"))
+
+
 # -- zone maps × snapshot time travel (sources/zonemap.py over a
 #    maintenance.snapshot_write version directory): each committed
 #    version is its own immutable table, so a manifest builds over the

@@ -824,6 +824,20 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
             return
         spark = batch_df.sparkSession
         os.makedirs(table_path, exist_ok=True)
+        # an existing table's on-disk spec wins over the constructor
+        # params (a table bootstrapped by scd2_bootstrap may use a
+        # different bucket count; buckets MUST hash consistently)
+        spec_file0 = os.path.join(cur_path, "_bucket_spec.json")
+        if os.path.exists(spec_file0):
+            import json
+            with open(spec_file0) as fh:
+                disk = json.load(fh)
+            if list(disk["keys"]) != list(keys):
+                raise ValueError(
+                    f"scd2_sink: table at {table_path} is keyed on "
+                    f"{disk['keys']}, not {list(keys)}")
+            _SPEC.update(n_buckets=int(disk["n_buckets"]),
+                         seed=disk["seed"])
         bkt = bucket_expr(list(keys), _SPEC["n_buckets"], _SPEC["seed"])
         if not os.path.isdir(cur_path):
             # bootstrap: chain the first batch's own versions against
@@ -870,6 +884,45 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
     return (stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", ckpt)
             .outputMode("append").start())
+
+
+def scd2_bootstrap(spark: SparkSession, table_path: str,
+                   snapshot: DataFrame, keys: list,
+                   effective_col: str, n_buckets: int = 64,
+                   assume_unique: bool = False) -> None:
+    """Fast-path SCD-2 bootstrap from an existing snapshot: a history
+    whose every key has a SINGLE open version needs no lag/lead — the
+    init is scd2_init's narrow projection, so bootstrap costs exactly
+    the bucketed WRITE.  The scd2_sink first-batch path instead runs
+    upsert_scd2 (a Window.partitionBy(keys) sort over the whole load,
+    needed only when one batch can carry several versions of a key);
+    for a snapshot load that window does nothing but cost — SCALE.md
+    records the measured gap.  Start scd2_sink on the same table_path
+    afterwards: the sink adopts the on-disk bucket spec.
+
+    `assume_unique=True` skips the duplicate-key guard (one map-side
+    combined agg — cheap next to the write, but skippable when
+    uniqueness is guaranteed by construction, e.g. the snapshot is a
+    primary-keyed export)."""
+    import os
+
+    from ..functions.maintenance import scd2_init, write_bucketed
+
+    if not assume_unique:
+        dup = (snapshot.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "scd2_bootstrap: snapshot carries duplicate keys — a "
+                "window-free bootstrap needs one open version per "
+                "key; dedupe first (upsert with order_col) or feed "
+                "the load through scd2_sink's first-batch path")
+    cur = scd2_init(snapshot, effective_col).drop(
+        "valid_to", "is_current")
+    os.makedirs(table_path, exist_ok=True)
+    write_bucketed(cur, os.path.join(table_path, "current"),
+                   list(keys), n_buckets)
 
 
 def read_scd2(spark: SparkSession, table_path: str,

@@ -412,3 +412,47 @@ def test_mmr_tradeoff_contract(spark, sf_dir):
         redund.append(intra(sel))
     cand.unpersist()
     assert redund[0] >= redund[1] - 1e-9 >= redund[2] - 2e-9, redund
+
+
+def test_ivfpq_persisted_artifacts_match_inline(spark, sf_dir):
+    """steady-state path: ivfpq_topk with persisted centroids +
+    codebook + coded-cells index returns exactly the inline-trained
+    result (the bench's ann_ivfpq_topk_persisted contract)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    inline = sorted(map(tuple, SIM.ivfpq_topk(
+        emb, queries, dim=64, k=5, m=16)
+        .select("query_id", "neighbor_id", "rank").collect()))
+
+    vv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    SIM.as_double(F.col("embedding")).alias("__vv"))
+    cents = SIM._train_ivf_cells(vv, "neighbor_id", "__vv", 16, 1)
+    cb = np.asarray(SIM.pq_train(emb, 64, m=16))
+    v_cells = SIM._nearest_cells(vv, cents, "neighbor_id", "__vv", 1)
+    coded = (SIM.pq_encode(v_cells.select(
+        "neighbor_id", "cell", F.col("__vv").alias("__v")),
+        cb, id_col="neighbor_id", vec_col="__v")
+        .join(v_cells.select("neighbor_id", "cell"), "neighbor_id")
+        .select(F.col("neighbor_id").alias("vec_id"), "pq_code",
+                "cell"))
+    tmp = tempfile.mkdtemp(prefix="ivfpq_art_")
+    try:
+        cents.write.parquet(os.path.join(tmp, "cents"))
+        coded.write.parquet(os.path.join(tmp, "coded"))
+        persisted = sorted(map(tuple, SIM.ivfpq_topk(
+            emb, queries, dim=64, k=5, m=16, codebook=cb,
+            coded_cells=spark.read.parquet(os.path.join(tmp, "coded")),
+            centroids=spark.read.parquet(os.path.join(tmp, "cents")))
+            .select("query_id", "neighbor_id", "rank").collect()))
+        assert persisted == inline and len(inline) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -944,3 +944,61 @@ def test_scd2_sink_restart_from_checkpoint_replays_epoch(spark,
     # compaction folds the replay's duplicate closed fragments away
     S.compact_scd2_closed(spark, table)
     assert _scd2_rows(spark, table) == want
+
+
+def test_scd2_bootstrap_then_sink(spark, tmp_path):
+    """the window-free bootstrap (streaming.scd2_bootstrap) seeds the
+    table from a snapshot, then the sink continues incrementally —
+    final history equals the sink-only run's.  The sink is started
+    with a DIFFERENT n_buckets than the bootstrap to prove the
+    on-disk bucket spec wins (buckets must hash consistently)."""
+    import pandas as pd
+
+    # reference: all three batches through the sink
+    src_a = str(tmp_path / "src_a")
+    tbl_a = str(tmp_path / "tbl_a")
+    schema = _scd2_src(spark, src_a)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_a))
+    q = S.scd2_sink(stream, tbl_a, ["k"], "eff", n_buckets=8,
+                    checkpoint_dir=str(tmp_path / "ck_a"))
+    q.processAllAvailable()
+    q.stop()
+
+    # bootstrap from batch 0's snapshot, then stream batches 1..2
+    tbl_b = str(tmp_path / "tbl_b")
+    snap0 = pd.DataFrame({
+        "k": list(range(10)),
+        "v": [0.0 if kk == 0 else (1.0 if kk == 5 else float(kk))
+              for kk in range(10)],
+        "eff": [0] * 10})
+    S.scd2_bootstrap(spark, tbl_b, spark.createDataFrame(snap0),
+                     ["k"], "eff", n_buckets=8)
+    src_b = str(tmp_path / "src_b")
+    for i in (1, 2):
+        pdf = pd.DataFrame({
+            "k": list(range(10)),
+            "v": [float(i) if kk == 0 else (1.0 if kk == 5
+                                            else float(kk))
+                  for kk in range(10)],
+            "eff": [i * 10] * 10})
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("append").parquet(src_b))
+    stream_b = (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_b))
+    q = S.scd2_sink(stream_b, tbl_b, ["k"], "eff", n_buckets=99,
+                    checkpoint_dir=str(tmp_path / "ck_b"))
+    q.processAllAvailable()
+    q.stop()
+    assert _scd2_rows(spark, tbl_a) == _scd2_rows(spark, tbl_b)
+
+
+def test_scd2_bootstrap_duplicate_keys_guard(spark, tmp_path):
+    import pandas as pd
+    import pytest
+
+    snap = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1, 2], "v": [1.0, 2.0, 3.0], "eff": [0, 1, 0]}))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        S.scd2_bootstrap(spark, str(tmp_path / "t"), snap, ["k"],
+                         "eff")
