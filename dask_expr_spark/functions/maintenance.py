@@ -371,6 +371,68 @@ def vacuum_manifested(path: str, fs=None) -> int:
     return removed
 
 
+def compact_manifested(spark: SparkSession, path: str,
+                       target_mb: int = 128,
+                       fs=None) -> tuple[int, int]:
+    """Small-file compaction for pointer-commit tables — completes the
+    lifecycle (upsert → read → vacuum → compact) without ever renaming
+    a data file: partition dirs whose committed files exceed their
+    ceil(bytes/target) count are re-read FROM THE MANIFEST, rewritten
+    as fresh coalesced files (append — old files untouched), and ONE
+    manifest flip commits every compacted dir at once.  Crash at any
+    point leaves the previous generation live; the superseded and
+    orphaned files clear in vacuum_manifested.  Returns (files_before,
+    files_after) counted over committed files."""
+    fs = _resolve_fs(path, fs)
+    man = read_commit(path, fs=fs)
+    if man is None:
+        raise ValueError(
+            f"compact_manifested: no {_COMMIT} at {path} — for "
+            "rename-protocol tables use compact_parquet")
+    pcol = man["partition_col"]
+    chunk = target_mb * 1024 * 1024
+    plan: dict[str, int] = {}
+    files_before = 0
+    for d, fl in man["partitions"].items():
+        files_before += len(fl)
+        sz = sum(fs.getsize(os.path.join(path, d, f)) for f in fl)
+        n_target = max(1, math.ceil(sz / chunk))
+        if n_target < len(fl):
+            plan[d] = n_target
+    if not plan:
+        return (files_before, files_before)
+    files = [os.path.join(path, d, f)
+             for d in plan for f in man["partitions"][d]]
+    df = spark.read.option("basePath", path).parquet(*files)
+    # per-dir file targets via in-value salting (same discipline as
+    # compact_parquet: a wide table can't fan out to n x n_dirs files)
+    targets = {urllib.parse.unquote(d.split("=", 1)[1]): n
+               for d, n in plan.items()}
+    pairs = [x for v, n in sorted(targets.items())
+             for x in (F.lit(v), F.lit(n))]
+    n_for_row = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(pcol).cast("string")),
+        F.lit(1))
+    salt = F.floor(F.rand(42) * n_for_row).cast("int")
+    out = (df.withColumn("__salt", salt)
+           .repartition(sum(plan.values()), F.col(pcol),
+                        F.col("__salt"))
+           .drop("__salt"))
+    pre = {d: set(_part_files(fs, path, d)) for d in plan}
+    out.write.mode("append").partitionBy(pcol).parquet(path)
+    for d in plan:
+        fresh = sorted(set(_part_files(fs, path, d)) - pre[d])
+        if not fresh:
+            raise RuntimeError(
+                f"compact_manifested: no new files under {d!r} after "
+                "append; manifest NOT flipped (table unchanged)")
+        man["partitions"][d] = fresh
+    man["generation"] = int(man["generation"]) + 1
+    _write_commit(path, man, fs)
+    return (files_before,
+            sum(len(fl) for fl in man["partitions"].values()))
+
+
 # ---------------------------------------------------------------------------
 # Partition-pruned in-place upsert + the bloom-backed move guard.
 # ---------------------------------------------------------------------------

@@ -165,6 +165,11 @@ def upsert_bucketed_roundtrip(spark, sf_dir):
                            F.lit(len(touched)).cast("long"))
                .withColumn("untouched_ok", F.lit(bool(untouched_ok)))
                .orderBy("o_orderstatus"))
+        # collect is QUERY-WRAPPER-only, bounded by the 3-row status
+        # aggregate: the temp table is deleted in `finally`, so a lazy
+        # frame would read a vanished path.  The operator itself
+        # (upsert_bucketed) never collects — don't copy this pattern
+        # into operator code for unbounded results.
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -605,6 +610,10 @@ def cdc_between_snapshots(spark, sf_dir):
         snapshot_write(v2, path)
         out = (snapshot_cdc(spark, path, 0, 2, ["k"])
                .orderBy("change_type", "k"))
+        # collect is QUERY-WRAPPER-only, bounded by the change-sized
+        # CDC record set (the temp snapshot table is deleted in
+        # `finally`); snapshot_cdc itself never collects — don't copy
+        # this pattern into operator code for unbounded results.
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -57,6 +57,15 @@ def _data_files(path: str, fs=None) -> list[str]:
     # a "=" name is never skipped.
     from ..fsops import get_fs
     fs = fs or get_fs(path)
+    # a pointer-commit table's data files are EXACTLY its manifest's:
+    # a directory walk would also see uncommitted orphans and
+    # superseded generations, which read_skipping must never open
+    from ..functions.maintenance import read_commit
+    man = read_commit(path, fs=fs)
+    if man is not None:
+        return sorted(
+            os.path.join(path, d, f)
+            for d, fl in man["partitions"].items() for f in fl)
     skip = lambda d: "=" not in d and d.startswith(("_", "."))  # noqa: E731
     return sorted(
         fp for fp, _sz in fs.walk_files(path, skip_dir=skip)

@@ -668,7 +668,8 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
                 check_moves: bool = True,
                 key_bloom_path: str | None = None,
                 zonemap_cols: list | None = None,
-                checkpoint_dir: str | None = None) -> Any:
+                checkpoint_dir: str | None = None,
+                commit: str = "auto") -> Any:
     """foreachBatch sink maintaining an SCD-1 SNAPSHOT table: each
     micro-batch merges into the parquet table at `table_path` via
     maintenance.upsert — same-key rows replace (latest batch wins;
@@ -706,18 +707,27 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     exactly-once contract — test_streaming kills a query mid-epoch
     and restarts from the checkpoint to exercise it.  All rewrites go
     through the crash-safe swap (maintenance.atomic_overwrite /
-    _swap_partition_dirs).  The first batch bootstraps the table.
-    Returns the started StreamingQuery."""
+    _swap_partition_dirs) — or, with `commit="pointer"` (the
+    object-store mode; "auto" picks it when the table's filesystem
+    lacks atomic rename), through the manifest-flip protocol: batches
+    APPEND fresh files and one pointer write commits, read back with
+    maintenance.read_manifested.  The first batch bootstraps the
+    table.  Returns the started StreamingQuery."""
     import os
     import tempfile
 
     from ..functions.maintenance import (atomic_overwrite, is_bucketed,
+                                         manifest_bootstrap,
                                          upsert, upsert_bucketed,
                                          upsert_partitioned,
                                          write_bucketed)
     if partition_col and n_buckets:
         raise ValueError("upsert_sink: partition_col and n_buckets are "
                          "mutually exclusive layouts")
+    if commit == "pointer" and not (partition_col or n_buckets):
+        raise ValueError("upsert_sink: commit='pointer' needs a "
+                         "partitioned or bucketed layout (the manifest "
+                         "is keyed on partition directories)")
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -735,20 +745,25 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
                        .select(*batch_df.columns))
             if n_buckets:
                 write_bucketed(out, table_path, list(keys), n_buckets)
+                if commit == "pointer":
+                    manifest_bootstrap(table_path, "__bucket")
             else:
                 w = out.write.mode("overwrite")
                 if partition_col:
                     w = w.partitionBy(partition_col)
                 w.parquet(table_path)
+                if commit == "pointer" and partition_col:
+                    manifest_bootstrap(table_path, partition_col)
             return
         if partition_col:
             upsert_partitioned(spark, table_path, batch_df, keys,
                                partition_col, order_col=order_col,
                                check_moves=check_moves,
-                               key_bloom_path=key_bloom_path)
+                               key_bloom_path=key_bloom_path,
+                               commit=commit)
         elif n_buckets or is_bucketed(table_path):
             upsert_bucketed(spark, table_path, batch_df, list(keys),
-                            order_col=order_col)
+                            order_col=order_col, commit=commit)
         else:
             target = spark.read.parquet(table_path)
             merged = upsert(target, batch_df.select(*target.columns)

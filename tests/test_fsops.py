@@ -354,3 +354,100 @@ def test_zonemap_listing_goes_through_seam(spark, tmp_path,
     files = Z._data_files(path)
     assert files and all(f.endswith(".parquet") for f in files)
     assert seen == [path]
+
+
+def test_compact_manifested_roundtrip(spark, tmp_path):
+    """pointer-table compaction: committed rows identical before and
+    after, file counts drop, no rename of any data file (compaction =
+    append fresh coalesced files + one flip), vacuum then clears the
+    superseded originals."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    # accrete small files: several single-row pointer upserts
+    for i in range(4):
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"k": [i * 3], "v": [100.0 + i], "part": ["a"]}))
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="pointer")
+    before_rows = _rows(M.read_manifested(spark, path))
+    man0 = M.read_commit(path)
+    fb, fa = M.compact_manifested(spark, path, target_mb=128)
+    assert fa < fb
+    man1 = M.read_commit(path)
+    assert man1["generation"] == man0["generation"] + 1
+    # only dirs that benefited were rewritten; rows identical
+    assert len(man1["partitions"]["part=a"]) == 1
+    assert _rows(M.read_manifested(spark, path)) == before_rows
+    removed = M.vacuum_manifested(path)
+    assert removed > 0
+    assert _rows(M.read_manifested(spark, path)) == before_rows
+    # second compaction is a no-op
+    fb2, fa2 = M.compact_manifested(spark, path, target_mb=128)
+    assert fb2 == fa2 == fa
+
+
+def test_zonemap_over_pointer_table(spark, tmp_path):
+    """zone maps compose with pointer tables: the file listing is the
+    MANIFEST's (a directory walk would index superseded files and
+    uncommitted orphans), and read_skipping equals the manifested
+    filter."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    # create superseded files (a pointer upsert leaves the old
+    # generation on disk until vacuum)
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [999.0], "part": ["a"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    man = M.read_commit(path)
+    committed = {os.path.join(path, d, f)
+                 for d, fl in man["partitions"].items() for f in fl}
+    listed = set(Z._data_files(path))
+    assert listed == committed          # superseded files excluded
+    Z.build_zonemap(spark, path, ["k"])
+    preds = [("k", ">=", 20)]
+    got = _rows(Z.read_skipping(spark, path, preds))
+    exp = _rows(M.read_manifested(spark, path).where("k >= 20"))
+    assert got == exp and len(exp) > 0
+
+
+def test_upsert_sink_pointer_commit(spark, tmp_path):
+    """streaming ingest into a pointer-commit bucketed table: the
+    multi-batch result equals the rename-protocol sink's, and the
+    table reads back through read_manifested."""
+    import pandas as pd
+
+    from dask_expr_spark.streaming import ops as S
+
+    def feed(src):
+        for i in range(3):
+            pdf = pd.DataFrame({
+                "k": list(range(8)),
+                "v": [float(i * 10 + kk) for kk in range(8)]})
+            (spark.createDataFrame(pdf).coalesce(1)
+             .write.mode("append").parquet(src))
+        return spark.read.parquet(src).schema
+
+    src_a, src_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    tbl_a, tbl_b = str(tmp_path / "ta"), str(tmp_path / "tb")
+    schema = feed(src_a)
+    feed(src_b)
+    for src, tbl, commit in ((src_a, tbl_a, "rename"),
+                             (src_b, tbl_b, "pointer")):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = S.upsert_sink(stream, tbl, ["k"], n_buckets=4,
+                          checkpoint_dir=str(tmp_path / f"ck_{commit}"),
+                          commit=commit)
+        q.processAllAvailable()
+        q.stop()
+    a = sorted((r["k"], r["v"]) for r in
+               spark.read.parquet(tbl_a).drop("__bucket").collect())
+    b = sorted((r["k"], r["v"]) for r in
+               M.read_manifested(spark, tbl_b).drop("__bucket")
+               .collect())
+    assert a == b and len(a) == 8
