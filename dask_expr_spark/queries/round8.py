@@ -257,3 +257,166 @@ def zonemap_snapshot_version(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- pointer-table compaction (maintenance.compact_manifested): the
+#    lifecycle closer — four pointer upserts accrete small files in
+#    one partition dir, compaction folds them to the per-dir target
+#    with a single manifest flip, vacuum clears the superseded
+#    originals, and rows hash-match the SQL merge throughout --------
+COMPACT_PTR_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 111.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 71 = 0 AND o_orderpriority = '4-NOT SPECIFIED'
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS compacted_ok, TRUE AS vacuum_ok
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("compact_manifested_files", COMPACT_PTR_SQL)
+def compact_manifested_files(spark, sf_dir):
+    from ..functions.maintenance import (compact_manifested,
+                                         manifest_bootstrap,
+                                         read_commit, read_manifested,
+                                         upsert_partitioned,
+                                         vacuum_manifested)
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="compact_ptr_")
+    path = os.path.join(tmp, "t")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderpriority") \
+            .parquet(path)
+        manifest_bootstrap(path, "o_orderpriority")
+        # four small upserts into one dir -> file accretion
+        upd = o.where((F.col("o_orderkey") % 71 == 0)
+                      & (F.col("o_orderpriority")
+                         == "4-NOT SPECIFIED"))
+        for i in range(4):
+            delta = 111.0 if i == 3 else float(100 + i)
+            batch = upd.withColumn("o_totalprice",
+                                   F.col("o_totalprice") + delta)
+            upsert_partitioned(spark, path, batch, ["o_orderkey"],
+                               "o_orderpriority", commit="pointer")
+        man0 = read_commit(path)
+        dirty = "o_orderpriority=4-NOT SPECIFIED"
+        fb, fa = compact_manifested(spark, path, target_mb=512)
+        man1 = read_commit(path)
+        compacted_ok = (
+            fa < fb
+            and len(man1["partitions"][dirty]) == 1
+            and man1["generation"] == man0["generation"] + 1
+            and all(man1["partitions"][d] == man0["partitions"][d]
+                    for d in man0["partitions"]
+                    if len(man0["partitions"][d]) == 1))
+        agg = (read_manifested(spark, path)
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"))
+               .orderBy("o_orderstatus"))
+        rows0 = agg.collect()
+        removed = vacuum_manifested(path)
+        rows1 = (read_manifested(spark, path)
+                 .groupBy("o_orderstatus")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      cent_sum(F.col("o_totalprice")).alias("total"))
+                 .orderBy("o_orderstatus").collect())
+        vacuum_ok = removed > 0 and rows0 == rows1
+        out = (spark.createDataFrame(rows0, agg.schema)
+               .withColumn("compacted_ok", F.lit(bool(compacted_ok)))
+               .withColumn("vacuum_ok", F.lit(bool(vacuum_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- streaming ingest with pointer commits (streaming/ops.py
+#    upsert_sink commit="pointer"): the object-store CDC-apply
+#    pattern — micro-batches append fresh bucket files + flip the
+#    manifest; final state hash-exact from first principles and the
+#    generation count proves per-batch commits ----------------------
+STREAM_PTR_SQL = """
+WITH fin AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 200.0
+              ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total,
+       CAST(2 AS INT) AS last_v, TRUE AS pointer_ok
+FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("stream_upsert_pointer", STREAM_PTR_SQL)
+def stream_upsert_pointer(spark, sf_dir):
+    import time
+
+    from ..functions.maintenance import read_commit, read_manifested
+    from ..streaming import ops as S
+
+    src = tempfile.mkdtemp(prefix="stream_ptr_src_")
+    tbl_dir = tempfile.mkdtemp(prefix="stream_ptr_tbl_")
+    table_path = os.path.join(tbl_dir, "t")
+    ckpt = tempfile.mkdtemp(prefix="stream_ptr_ckpt_")
+    try:
+        o = tbl(spark, sf_dir, "orders").to_spark()
+        stamped: set = set()
+        base_t = time.time() - 60
+        for i in range(3):
+            inserts = o.where((F.col("o_orderkey") % 3 == i)
+                              & (F.col("o_orderkey") % 10 != 0))
+            recrawl = (o.where(F.col("o_orderkey") % 10 == 0)
+                       .withColumn("o_totalprice",
+                                   F.col("o_totalprice") + 100.0 * i))
+            (inserts.unionByName(recrawl)
+             .withColumn("__v", F.lit(i))
+             .coalesce(1).write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in stamped:
+                    t = base_t + i * 10
+                    os.utime(os.path.join(src, f), (t, t))
+                    stamped.add(f)
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q_ = S.upsert_sink(stream, table_path, ["o_orderkey"],
+                           n_buckets=16, order_col="__v",
+                           checkpoint_dir=ckpt, commit="pointer")
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        man = read_commit(table_path)
+        # gen 0 = first-batch bootstrap, then one flip per later batch
+        pointer_ok = (man is not None
+                      and man["partition_col"] == "__bucket"
+                      and int(man["generation"]) == 2)
+        snap = read_manifested(spark, table_path).drop("__bucket")
+        out = (snap.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"),
+                    F.max(F.when(F.col("o_orderkey") % 10 == 0,
+                                 F.col("__v"))).alias("last_v"))
+               .withColumn("pointer_ok", F.lit(bool(pointer_ok)))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tbl_dir, ignore_errors=True)

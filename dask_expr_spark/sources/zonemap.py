@@ -141,14 +141,47 @@ def _footer_scan(spark: SparkSession, files: list[str],
     return fdf.mapInPandas(footer_stats, schema=schema)
 
 
+def _write_manifest(manifest: DataFrame, zp: str, fs) -> None:
+    """Persist the zone-map manifest with the protocol the filesystem
+    supports: the rename-aside swap on POSIX/HDFS, or — on object
+    stores, the regime zone maps actually target — a snapshot-style
+    versioned commit (immutable version dir + one atomic pointer
+    write), vacuumed down to the live version."""
+    from ..functions.maintenance import (atomic_overwrite,
+                                         snapshot_vacuum,
+                                         snapshot_write)
+    if fs.atomic_rename:
+        # no checkpoint needed: the manifest plan reads data-file
+        # FOOTERS, never the manifest itself, and atomic_overwrite
+        # keeps the old manifest intact until the new one is written
+        atomic_overwrite(
+            zp, lambda p: manifest.write.mode("overwrite").parquet(p),
+            fs=fs)
+    else:
+        snapshot_write(manifest, zp, fs=fs)
+        # keep one prior version so an in-flight reader of the old
+        # manifest never loses its files mid-read
+        snapshot_vacuum(zp, keep=2, fs=fs)
+
+
+def _read_manifest_df(spark: SparkSession, zp: str, fs) -> DataFrame:
+    from ..functions.maintenance import _read_manifest, snapshot_read
+    if _read_manifest(zp, fs=fs) is not None:
+        return snapshot_read(spark, zp)
+    return spark.read.parquet(zp)
+
+
 def build_zonemap(spark: SparkSession, path: str, cols: list[str],
-                  zonemap_path: str | None = None) -> DataFrame:
+                  zonemap_path: str | None = None,
+                  fs=None) -> DataFrame:
     """Build (or rebuild) the zone-map manifest for `cols` over every
     parquet file under `path`.  Footer-only IO, distributed over the
     file list; the manifest itself is one row per file — metadata-
     sized, not data-sized.  Returns the manifest DataFrame (also
     persisted at `zonemap_path`, default `<path>/_zonemap`)."""
-    files = _data_files(path)
+    from ..fsops import get_fs
+    fs = fs or get_fs(path)
+    files = _data_files(path, fs=fs)
     if not files:
         raise ValueError(f"build_zonemap: no parquet files under {path}")
     # hive PARTITION columns live in directory names, not footers — a
@@ -170,13 +203,8 @@ def build_zonemap(spark: SparkSession, path: str, cols: list[str],
     schema = _zonemap_schema(spark, path, cols)
     manifest = _footer_scan(spark, files, schema, cols)
     zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
-    from ..functions.maintenance import atomic_overwrite
-    # no checkpoint needed: the manifest plan reads data-file FOOTERS,
-    # never the manifest itself, and atomic_overwrite keeps the old
-    # manifest intact until the new one is fully written
-    atomic_overwrite(
-        zp, lambda p: manifest.write.mode("overwrite").parquet(p))
-    return spark.read.parquet(zp)
+    _write_manifest(manifest, zp, fs)
+    return _read_manifest_df(spark, zp, fs)
 
 
 def _survives(pred: tuple, mn: Column, mx: Column, nulls: Column,
@@ -243,7 +271,7 @@ def pred_filter(predicates: list[tuple]) -> Column:
 
 
 def zone_prune(spark: SparkSession, path: str, predicates: list[tuple],
-               zonemap_path: str | None = None
+               zonemap_path: str | None = None, fs=None
                ) -> tuple[list[str], int]:
     """Resolve `predicates` (a conjunction of
     ``(col, op, value)`` tuples; ops ``= < <= > >= between in isnull
@@ -255,11 +283,13 @@ def zone_prune(spark: SparkSession, path: str, predicates: list[tuple],
     rewrite — compact_parquet/atomic_overwrite swap the table dir, and
     the manifest rides inside it, so a rewrite naturally drops it)
     degrades to no pruning: every current file survives."""
+    from ..fsops import get_fs
+    fs = fs or get_fs(path)
     zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
-    if not os.path.isdir(zp):
-        current = _data_files(path)
+    if not fs.isdir(zp):
+        current = _data_files(path, fs=fs)
         return current, len(current)
-    man = spark.read.parquet(zp)
+    man = _read_manifest_df(spark, zp, fs)
     keep = F.lit(True)
     for p in predicates:
         c = p[0]
@@ -279,7 +309,7 @@ def zone_prune(spark: SparkSession, path: str, predicates: list[tuple],
     # says match possible" and "newer than the manifest" in one pass,
     # and only SURVIVORS ever reach the driver (the scan needs that
     # list anyway) — never the full manifest.
-    current = _data_files(path)
+    current = _data_files(path, fs=fs)
     cur_df = spark.createDataFrame([(f,) for f in current],
                                    "file string")
     prunable = man.where(~keep).select("file")
@@ -291,7 +321,8 @@ def zone_prune(spark: SparkSession, path: str, predicates: list[tuple],
 
 def read_skipping(spark: SparkSession, path: str,
                   predicates: list[tuple],
-                  zonemap_path: str | None = None) -> DataFrame:
+                  zonemap_path: str | None = None,
+                  fs=None) -> DataFrame:
     """Read `path` applying the predicates with file-level skipping:
     only surviving files are handed to the scan (for a hive layout,
     `basePath` keeps partition columns), and the predicate re-applies
@@ -299,7 +330,7 @@ def read_skipping(spark: SparkSession, path: str,
     the result identical to the unpruned filter.  An empty survivor
     set returns an empty frame with the table schema."""
     survivors, _total = zone_prune(spark, path, predicates,
-                                   zonemap_path=zonemap_path)
+                                   zonemap_path=zonemap_path, fs=fs)
     flt = pred_filter(predicates)
     if not survivors:
         full = spark.read.parquet(path)
@@ -309,7 +340,8 @@ def read_skipping(spark: SparkSession, path: str,
 
 
 def update_zonemap(spark: SparkSession, path: str,
-                   zonemap_path: str | None = None) -> tuple[int, int]:
+                   zonemap_path: str | None = None,
+                   fs=None) -> tuple[int, int]:
     """Incrementally refresh the manifest after appends/compactions:
     footer-scan ONLY files not yet in the manifest, drop rows for
     files gone from disk, keep everything else as-is — maintaining the
@@ -317,14 +349,16 @@ def update_zonemap(spark: SparkSession, path: str,
     upsert_partitioned).  Indexed columns come from the existing
     manifest; build_zonemap first to define them.  Returns
     (files_added, files_dropped); (0, 0) when already current."""
+    from ..fsops import get_fs
+    fs = fs or get_fs(path)
     zp = zonemap_path or os.path.join(path, ZONEMAP_DIR)
-    man = spark.read.parquet(zp)
+    man = _read_manifest_df(spark, zp, fs)
     cols = sorted({c[:-4] for c in man.columns if c.endswith("_min")})
     # set algebra runs as joins against the current file list (a
     # manifest at the module's 10^5-10^6-file target would blow up the
     # plan as an isin() literal and the driver as a collected set);
     # only the CHANGE (new files) is collected, to feed the footer scan
-    current = _data_files(path)
+    current = _data_files(path, fs=fs)
     cur_df = spark.createDataFrame([(f,) for f in current],
                                    "file string")
     new_files = sorted(
@@ -342,9 +376,9 @@ def update_zonemap(spark: SparkSession, path: str,
     else:
         merged = kept
     # the kept side lazily reads the OLD manifest, which the swap is
-    # about to replace: realize it first (manifest-sized, tiny)
+    # about to replace: realize it first (manifest-sized, tiny).
+    # (The snapshot-commit path wouldn't need this — old versions stay
+    # readable — but one tiny checkpoint keeps both protocols uniform.)
     merged = merged.localCheckpoint(eager=True)
-    from ..functions.maintenance import atomic_overwrite
-    atomic_overwrite(
-        zp, lambda p: merged.write.mode("overwrite").parquet(p))
+    _write_manifest(merged, zp, fs)
     return (len(new_files), gone)

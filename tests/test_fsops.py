@@ -451,3 +451,37 @@ def test_upsert_sink_pointer_commit(spark, tmp_path):
                M.read_manifested(spark, tbl_b).drop("__bucket")
                .collect())
     assert a == b and len(a) == 8
+
+
+def test_zonemap_on_fake_object_store(spark, tmp_path):
+    """the full zone-map lifecycle (build, prune, read, incremental
+    update) on the rename-forbidden fake object store: the manifest
+    commits as a snapshot-version + pointer write instead of the
+    rename swap, and pruning stays provably sound."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(60),
+                        "v": [float(i) for i in range(60)]})
+    (spark.createDataFrame(pdf).repartitionByRange(6, "k")
+     .sortWithinPartitions("k").write.parquet(path))
+    fake = FakeObjectStoreFS()
+    Z.build_zonemap(spark, path, ["k"], fs=fake)
+    assert fake.renames == []
+    preds = [("k", ">=", 50)]
+    surv, total = Z.zone_prune(spark, path, preds, fs=fake)
+    assert 0 < len(surv) < total
+    got = sorted(r["k"] for r in
+                 Z.read_skipping(spark, path, preds, fs=fake).collect())
+    assert got == list(range(50, 60))
+    # append new files -> incremental update, still rename-free
+    extra = pd.DataFrame({"k": [100, 101], "v": [1.0, 2.0]})
+    spark.createDataFrame(extra).coalesce(1).write.mode("append") \
+        .parquet(path)
+    added, gone = Z.update_zonemap(spark, path, fs=fake)
+    assert added == 1 and gone == 0
+    assert fake.renames == []
+    got2 = sorted(r["k"] for r in
+                  Z.read_skipping(spark, path, preds, fs=fake)
+                  .collect())
+    assert got2 == list(range(50, 60)) + [100, 101]
