@@ -467,3 +467,27 @@ def test_sample_n_per_group_two_phase_windows(spark, sf_dir):
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan  # no global funnel
+
+
+def test_read_manifested_keeps_pushdown_and_pruning(spark, tmp_path):
+    """a pointer table's explicit file-list scan is still a normal
+    parquet scan to Catalyst: filters push to the source and the
+    column projection prunes the read schema."""
+    import pandas as pd
+
+    from dask_expr_spark.functions import maintenance as M
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(50),
+                        "v": [float(i) for i in range(50)],
+                        "w": ["x"] * 50,
+                        "part": [str(i % 3) for i in range(50)]})
+    (spark.createDataFrame(pdf).write.mode("overwrite")
+     .partitionBy("part").parquet(path))
+    M.manifest_bootstrap(path, "part")
+    df = (M.read_manifested(spark, path)
+          .where("k > 40").select("k", "v"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,40)]" in plan
+    assert "w" not in plan.split("ReadSchema")[1][:200]
+    assert sorted(r["k"] for r in df.collect()) == list(range(41, 50))
