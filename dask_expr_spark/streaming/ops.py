@@ -729,11 +729,14 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
                          "partitioned or bucketed layout (the manifest "
                          "is keyed on partition directories)")
 
+    from ..fsops import get_fs
+    _fs = get_fs(table_path)
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not os.path.isdir(table_path):
+        if not _fs.isdir(table_path):
             out = batch_df
             if order_col is not None:
                 cols = [c for c in batch_df.columns
@@ -776,7 +779,7 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
             from ..sources.zonemap import (ZONEMAP_DIR, build_zonemap,
                                            update_zonemap)
             zp = os.path.join(table_path, ZONEMAP_DIR)
-            if os.path.isdir(zp):
+            if _fs.isdir(zp):
                 update_zonemap(spark, table_path)
             else:
                 build_zonemap(spark, table_path, list(zonemap_cols))
@@ -829,8 +832,11 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
                                          recover_table, scd2_init,
                                          upsert_scd2)
 
+    from ..fsops import get_fs
+
     cur_path = os.path.join(table_path, "current")
     closed_path = os.path.join(table_path, "closed")
+    _fs = get_fs(table_path)
     _SPEC = {"keys": list(keys), "n_buckets": int(n_buckets),
              "seed": "bkt"}
 
@@ -838,15 +844,14 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        os.makedirs(table_path, exist_ok=True)
+        _fs.mkdirs(table_path)
         # an existing table's on-disk spec wins over the constructor
         # params (a table bootstrapped by scd2_bootstrap may use a
         # different bucket count; buckets MUST hash consistently)
         spec_file0 = os.path.join(cur_path, "_bucket_spec.json")
-        if os.path.exists(spec_file0):
+        if _fs.exists(spec_file0):
             import json
-            with open(spec_file0) as fh:
-                disk = json.load(fh)
+            disk = json.loads(_fs.read_text(spec_file0))
             if list(disk["keys"]) != list(keys):
                 raise ValueError(
                     f"scd2_sink: table at {table_path} is keyed on "
@@ -854,7 +859,7 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
             _SPEC.update(n_buckets=int(disk["n_buckets"]),
                          seed=disk["seed"])
         bkt = bucket_expr(list(keys), _SPEC["n_buckets"], _SPEC["seed"])
-        if not os.path.isdir(cur_path):
+        if not _fs.isdir(cur_path):
             # bootstrap: chain the first batch's own versions against
             # an empty (schema-only) history
             target = scd2_init(batch_df.where(F.lit(False)),
@@ -885,15 +890,12 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
                    .withColumn("__bucket", bkt))
         overwrite_partitions(spark, cur_path, cur_new, "__bucket")
         spec_file = os.path.join(cur_path, "_bucket_spec.json")
-        if not os.path.exists(spec_file):
+        if not _fs.exists(spec_file):
             import json
-            # temp-write + rename so a crash mid-write can't leave a
-            # corrupt spec inside the table (same atomic-commit
-            # convention as maintenance.atomic_overwrite)
-            tmp = spec_file + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(_SPEC, fh)
-            os.replace(tmp, spec_file)
+            # atomic per the filesystem (temp+rename on posix/HDFS,
+            # one PUT on object stores) so a crash mid-write can't
+            # leave a corrupt spec inside the table
+            _fs.write_text_atomic(spec_file, json.dumps(_SPEC))
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="scd2_sink_ckpt_")
     return (stream.writeStream.foreachBatch(_apply)
@@ -935,7 +937,8 @@ def scd2_bootstrap(spark: SparkSession, table_path: str,
                 "the load through scd2_sink's first-batch path")
     cur = scd2_init(snapshot, effective_col).drop(
         "valid_to", "is_current")
-    os.makedirs(table_path, exist_ok=True)
+    from ..fsops import get_fs
+    get_fs(table_path).mkdirs(table_path)
     write_bucketed(cur, os.path.join(table_path, "current"),
                    list(keys), n_buckets)
 
@@ -953,19 +956,22 @@ def read_scd2(spark: SparkSession, table_path: str,
 
     from ..functions.maintenance import recover_table
 
+    from ..fsops import get_fs
+
+    fs = get_fs(table_path)
     cur_path = os.path.join(table_path, "current")
     closed_path = os.path.join(table_path, "closed")
-    recover_table(cur_path)
+    recover_table(cur_path, fs=fs)
     cur = spark.read.parquet(cur_path).drop("__bucket")
     vt = cur.schema["valid_from"].dataType
     cur = (cur.withColumn("valid_to", F.lit(None).cast(vt))
            .withColumn("is_current", F.lit(True)))
-    if not os.path.isdir(closed_path):
+    if not fs.isdir(closed_path):
         return cur
     if keys is None:
         import json
-        with open(os.path.join(cur_path, "_bucket_spec.json")) as fh:
-            keys = json.load(fh)["keys"]
+        keys = json.loads(fs.read_text(
+            os.path.join(cur_path, "_bucket_spec.json")))["keys"]
     closed = spark.read.parquet(closed_path)
     attrs = [c for c in closed.columns
              if c not in set(keys) | {"valid_from", "__epoch"}]
@@ -986,14 +992,16 @@ def compact_scd2_closed(spark: SparkSession, table_path: str,
 
     from ..functions.maintenance import atomic_overwrite, recover_table
 
+    from ..fsops import get_fs
+
+    fs = get_fs(table_path)
     closed_path = os.path.join(table_path, "closed")
-    recover_table(closed_path)
-    if not os.path.isdir(closed_path):
+    recover_table(closed_path, fs=fs)
+    if not fs.isdir(closed_path):
         return
     if keys is None:
-        with open(os.path.join(table_path, "current",
-                               "_bucket_spec.json")) as fh:
-            keys = json.load(fh)["keys"]
+        keys = json.loads(fs.read_text(os.path.join(
+            table_path, "current", "_bucket_spec.json")))["keys"]
     closed = spark.read.parquet(closed_path)
     attrs = [c for c in closed.columns
              if c not in set(keys) | {"valid_from", "__epoch"}]
