@@ -333,6 +333,7 @@ X10_ENTRIES = {
     # and the write-heavy pointer-commit / snapshot-composition entries
     "ann_pq_topk_persisted", "ann_ivfpq_topk_persisted",
     "upsert_pointer_roundtrip", "zonemap_snapshot_version",
+    "delete_where_orders",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -477,6 +478,7 @@ OPTIONAL = [
     # round 8 additions (no prior comparable)
     "upsert_pointer_roundtrip",
     "zonemap_snapshot_version",
+    "delete_where_orders",
 ]
 
 

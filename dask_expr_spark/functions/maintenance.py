@@ -141,6 +141,9 @@ def recover_table(path: str, fs=None) -> bool:
       old partition directory is moved back.  Dirs whose replacement
       exists are trash (their swap committed) and are deleted.
     - `<path>__new` is always residue of an uncommitted write: deleted.
+    - `<path>__drop` is always TRASH (partition dirs renamed out by a
+      committed delete_where): deleted, never restored — the rename
+      out IS the commit point for a whole-partition delete.
 
     Rename-protocol validity: this contract assumes the filesystem's
     rename is atomic (POSIX, HDFS — fs.atomic_rename).  On object
@@ -150,6 +153,9 @@ def recover_table(path: str, fs=None) -> bool:
     fs = _resolve_fs(path, fs)
     p = path.rstrip("/")
     old, oldparts, new = p + "__old", p + "__oldparts", p + "__new"
+    drop = p + "__drop"
+    if fs.isdir(drop):
+        fs.delete(drop)
     recovered = False
     if fs.isdir(old):
         if fs.isdir(p):
@@ -1132,6 +1138,100 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
             if d.startswith(f"{partition_col}=")]
     _swap_partition_dirs(path, new_root, dirs, fs=fs)
     return dirs
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column,
+                 partition_col: str,
+                 fs=None, commit: str = "auto") -> tuple[list, int]:
+    """Row-level DELETE over a hive-partitioned parquet table, pruned
+    to the partitions that actually contain matching rows — the
+    GDPR-erasure / retention-expiry operator.  SQL semantics: rows
+    where `predicate` is TRUE are removed; FALSE and NULL rows stay.
+
+    Plan: one column-pruned scan finds the hit partitions (the
+    predicate's columns + partition_col only), then ONLY those
+    directories rewrite without the matching rows — a 100 TB table
+    with a one-partition delete rewrites one partition.  Partitions
+    deleted EMPTY are removed whole (no zero-row rewrite): rename
+    protocol moves the dir into `<path>__drop` (trash recover_table
+    clears — the rename out is the commit), pointer protocol commits
+    an empty file list in the SAME manifest flip as the rewrites (a
+    reader never sees a partial delete; superseded files clear in
+    vacuum_manifested).  Rename-protocol crash semantics are
+    per-partition, like the swaps: a crash mid-way leaves each hit
+    partition either fully old or fully deleted — re-run to finish
+    (the predicate is idempotent).
+
+    Returns ``(hit_partition_values, rows_deleted)``."""
+    fs = _resolve_fs(path, fs)
+    if commit == "auto":
+        commit = "rename" if fs.atomic_rename else "pointer"
+    man = read_commit(path, fs=fs)
+    if commit == "pointer" and man is None:
+        man = manifest_bootstrap(path, partition_col, fs=fs)
+    if commit == "pointer":
+        if man["partition_col"] != partition_col:
+            raise ValueError(
+                f"delete_where: table at {path} is committed on "
+                f"{man['partition_col']}, not {partition_col}")
+        full = read_manifested(spark, path, fs=fs)
+    else:
+        recover_table(path, fs=fs)
+        full = spark.read.parquet(path)
+    hit = F.coalesce(predicate, F.lit(False))
+    parts = [r[0] for r in
+             full.where(hit).select(partition_col).distinct().collect()]
+    if not parts:
+        return ([], 0)
+    sliced = full.where(F.col(partition_col).isin(parts))
+    n_del = sliced.where(hit).count()
+    kept = sliced.where(~hit)
+    # partitions that empty out entirely are dropped whole, not
+    # rewritten as zero rows (a partitionBy write would simply skip
+    # them, silently leaving the OLD rows live — the bug this split
+    # guards against)
+    nonempty = {r[0] for r in
+                kept.select(partition_col).distinct().collect()}
+    empty_dirs = [_hive_part_dir(partition_col, v)
+                  for v in parts if v not in nonempty]
+    if commit == "pointer":
+        # ONE manifest flip commits rewrites AND whole-partition
+        # drops together — no reader ever sees a partial delete
+        ne_dirs = [_hive_part_dir(partition_col, v)
+                   for v in parts if v in nonempty]
+        if nonempty:
+            keep_df = kept.where(
+                F.col(partition_col).isin(list(nonempty)))
+            pre = {d: set(_part_files(fs, path, d)) for d in ne_dirs}
+            keep_df.write.mode("append").partitionBy(partition_col) \
+                .parquet(path)
+            for d in ne_dirs:
+                fresh = sorted(set(_part_files(fs, path, d)) - pre[d])
+                if not fresh:
+                    raise RuntimeError(
+                        f"delete_where: no new files under {d!r} "
+                        "after append; manifest NOT flipped "
+                        "(table unchanged)")
+                man["partitions"][d] = fresh
+        for d in empty_dirs:
+            man["partitions"][d] = []
+        man["generation"] = int(man["generation"]) + 1
+        _write_commit(path, man, fs)
+        return (parts, n_del)
+    if nonempty:
+        overwrite_partitions(
+            spark, path,
+            kept.where(F.col(partition_col).isin(list(nonempty))),
+            partition_col, fs=fs, commit="rename")
+    if empty_dirs:
+        trash = path.rstrip("/") + "__drop"
+        fs.mkdirs(trash)
+        for d in empty_dirs:
+            src = os.path.join(path, d)
+            if fs.isdir(src):
+                fs.rename(src, os.path.join(trash, d))
+        fs.delete(trash)
+    return (parts, n_del)
 
 
 def cdc_apply(target: DataFrame, changes: DataFrame,

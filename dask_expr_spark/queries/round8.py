@@ -420,3 +420,68 @@ def stream_upsert_pointer(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(tbl_dir, ignore_errors=True)
+
+
+# -- row-level DELETE (maintenance.delete_where): GDPR-erasure /
+#    retention-expiry over a hive table, pruned to hit partitions,
+#    run through BOTH commit protocols in-query (rename swap and
+#    pointer flip must agree row-for-row); the 5-LOW partition deletes
+#    EMPTY and must disappear entirely — the oracle is plain SQL
+#    DELETE semantics (TRUE rows go, FALSE/NULL stay) ---------------
+DELETE_WHERE_SQL = f"""
+WITH kept AS (
+  SELECT * FROM orders
+  WHERE NOT COALESCE(o_orderkey % 7 = 0
+                     OR o_orderpriority = '5-LOW', FALSE)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS dir_dropped_ok, TRUE AS protocols_agree
+FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("delete_where_orders", DELETE_WHERE_SQL)
+def delete_where_orders(spark, sf_dir):
+    from ..functions.maintenance import (delete_where,
+                                         manifest_bootstrap,
+                                         read_manifested)
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    pred = ((F.col("o_orderkey") % 7 == 0)
+            | (F.col("o_orderpriority") == "5-LOW"))
+    tmp = tempfile.mkdtemp(prefix="delete_where_")
+    p_ren = os.path.join(tmp, "ren")
+    p_ptr = os.path.join(tmp, "ptr")
+    try:
+        for p in (p_ren, p_ptr):
+            o.write.mode("overwrite").partitionBy("o_orderpriority") \
+                .parquet(p)
+        manifest_bootstrap(p_ptr, "o_orderpriority")
+        parts_r, n_r = delete_where(spark, p_ren, pred,
+                                    "o_orderpriority", commit="rename")
+        parts_p, n_p = delete_where(spark, p_ptr, pred,
+                                    "o_orderpriority",
+                                    commit="pointer")
+        back_r = spark.read.parquet(p_ren)
+        back_p = read_manifested(spark, p_ptr)
+        dir_dropped_ok = (
+            not os.path.isdir(
+                os.path.join(p_ren, "o_orderpriority=5-LOW"))
+            and back_p.where("o_orderpriority = '5-LOW'").count() == 0
+            and sorted(parts_r) == sorted(parts_p) and n_r == n_p)
+        agg = lambda df: sorted(map(tuple, (  # noqa: E731
+            df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 cent_sum(F.col("o_totalprice")).alias("total"))
+            .collect())))
+        rows_r, rows_p = agg(back_r), agg(back_p)
+        out = (spark.createDataFrame(
+            [r + (bool(dir_dropped_ok), rows_r == rows_p)
+             for r in rows_r],
+            "o_orderstatus string, n long, total double, "
+            "dir_dropped_ok boolean, protocols_agree boolean")
+            .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

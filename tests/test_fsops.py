@@ -485,3 +485,89 @@ def test_zonemap_on_fake_object_store(spark, tmp_path):
                   Z.read_skipping(spark, path, preds, fs=fake)
                   .collect())
     assert got2 == list(range(50, 60)) + [100, 101]
+
+
+@pytest.mark.parametrize("commit", ["rename", "pointer"])
+def test_delete_where_roundtrip(spark, tmp_path, commit):
+    """row-level delete in both protocols: TRUE rows go, FALSE and
+    NULL rows stay, untouched partitions never rewrite, and a
+    partition deleted empty disappears entirely (no stale rows)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / f"t_{commit}")
+    pdf = pd.DataFrame({
+        "k": range(30),
+        "v": [None if i % 10 == 0 else float(i) for i in range(30)],
+        "part": [("a", "b", "c")[i % 3] for i in range(30)]})
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .partitionBy("part").parquet(path)
+    if commit == "pointer":
+        M.manifest_bootstrap(path, "part")
+
+    def read_back():
+        if commit == "pointer":
+            return M.read_manifested(spark, path)
+        return spark.read.parquet(path)
+
+    # delete v > 20 — hits parts a/b/c?  values 21..29 spread over all
+    # three parts; NULL-v rows (k=0,10,20) must survive
+    parts, n_del = M.delete_where(
+        spark, path, F.col("v") > 20, "part", commit=commit)
+    got = sorted((r["k"], r["part"]) for r in read_back().collect())
+    exp = sorted((i, ("a", "b", "c")[i % 3]) for i in range(30)
+                 if i % 10 == 0 or i <= 20)
+    assert got == exp
+    assert n_del == sum(1 for i in range(30)
+                        if i % 10 != 0 and i > 20)
+    assert sorted(parts) == ["a", "b", "c"]
+
+    # whole-partition delete: everything in part=b goes; part=c is
+    # not a hit partition this time, so its files must not rewrite
+    untouched_before = sorted(os.listdir(os.path.join(path, "part=c")))
+    parts, n_del = M.delete_where(
+        spark, path, F.col("part") == "b", "part", commit=commit)
+    assert parts == ["b"]
+    left = read_back()
+    assert left.where("part = 'b'").count() == 0
+    if commit == "rename":
+        assert not os.path.isdir(os.path.join(path, "part=b"))
+        assert not os.path.isdir(path + "__drop")
+        # part=c was never a hit partition in this second delete
+        assert sorted(os.listdir(os.path.join(path, "part=c"))) \
+            == untouched_before
+    else:
+        assert M.read_commit(path)["partitions"]["part=b"] == []
+    # no-match delete is a no-op
+    assert M.delete_where(spark, path, F.col("k") > 10**9, "part",
+                          commit=commit) == ([], 0)
+
+
+def test_delete_where_empty_drop_crash_recovers(spark, tmp_path,
+                                                monkeypatch):
+    """crash mid whole-partition drop (rename protocol): the dir is
+    either live or in __drop trash; recover_table clears the trash and
+    never resurrects deleted rows."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    real_delete = fsops.PosixFS.delete
+
+    def boom(self, p):
+        if p.endswith("__drop"):
+            raise RuntimeError("injected crash before trash cleanup")
+        return real_delete(self, p)
+
+    monkeypatch.setattr(fsops.PosixFS, "delete", boom)
+    with pytest.raises(RuntimeError):
+        M.delete_where(spark, path, F.col("part") == "b", "part",
+                       commit="rename")
+    monkeypatch.undo()
+    # the rename out committed: part=b is gone, trash remains
+    assert not os.path.isdir(os.path.join(path, "part=b"))
+    assert os.path.isdir(path + "__drop")
+    M.recover_table(path)
+    assert not os.path.isdir(path + "__drop")
+    assert not os.path.isdir(os.path.join(path, "part=b"))
+    got = {r["part"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a", "c"}
