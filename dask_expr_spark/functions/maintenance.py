@@ -1045,6 +1045,55 @@ def upsert_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
     return untouched.unionByName(seg)
 
 
+def scd2_delete(target: DataFrame, deletes: DataFrame, keys: list[str],
+                effective_col: str,
+                start_col: str = "valid_from",
+                end_col: str = "valid_to",
+                current_col: str = "is_current",
+                retroactive: str = "error") -> DataFrame:
+    """SCD-2 soft delete: close each deleted key's CURRENT row at the
+    delete's effective time WITHOUT opening a successor — the key
+    stops existing going forward, but every historical version stays
+    reconstructable (scd2_asof before the delete time still sees it).
+    The corpus use: a document is withdrawn (takedown, license
+    revocation) — training runs pinned to earlier snapshot dates keep
+    their exact inputs while new runs exclude it.
+
+    `deletes` carries keys + `effective_col`; duplicate keys in one
+    batch keep their LATEST effective time.  Keys with no current row
+    (never existed, or already deleted) are ignored — DELETE
+    semantics.  The SCD-2 retroactive contract applies: a delete's
+    effective time must be strictly newer than the key's current
+    `start_col` (raise with a count, or `retroactive="skip"` drops
+    such rows — the replay-idempotent mode).
+
+    Plan: one semi/anti split of current rows on the batch-key set
+    (AQE broadcasts the batch side) — closed history is never touched,
+    no window is needed (a delete closes exactly one row)."""
+    d = (deletes.groupBy(*keys)
+         .agg(F.max(effective_col).alias("__del_at")))
+    cur = target.where(F.col(current_col))
+    hit = cur.join(d, keys, "inner")
+    if retroactive == "skip":
+        hit = hit.where(F.col("__del_at") > F.col(start_col))
+    else:
+        late = hit.where(F.col("__del_at") <= F.col(start_col)).count()
+        if late:
+            raise ValueError(
+                f"scd2_delete: {late} delete(s) are retroactive "
+                f"(effective <= the key's current {start_col}); SCD-2 "
+                "history is append-only — rebuild the history to "
+                "amend it")
+        hit = hit.where(F.col("__del_at") > F.col(start_col))
+    closed_now = (hit.withColumn(end_col, F.col("__del_at"))
+                  .withColumn(current_col, F.lit(False))
+                  .drop("__del_at")
+                  .select(*target.columns))
+    survivors = (cur.join(closed_now.select(*keys), keys, "left_anti")
+                 .unionByName(target.where(~F.col(current_col))))
+    return survivors.unionByName(closed_now)
+
+
 # ---------------------------------------------------------------------------
 # Row-level CDC: the record companion to table_diff's counts.
 # ---------------------------------------------------------------------------

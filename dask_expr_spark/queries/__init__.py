@@ -179,12 +179,12 @@ RECONFIRM_FIRST = (
 
 # ROUND-9 CHECKLIST: once CORRECTNESS_r08.json lands, rotate again —
 # add its green names to VALIDATED and drop the consumed
-# RECONFIRM_FIRST prefix.  The r8 window = the 6 new round-8 queries
+# RECONFIRM_FIRST prefix.  The r8 window = the 7 new round-8 queries
 # (upsert_pointer_roundtrip, multimodal_resize_stub,
 # zonemap_snapshot_version, compact_manifested_files,
-# stream_upsert_pointer, delete_where_orders) + the leading 44 of
-# RECONFIRM_FIRST (through salted_agg_suppkey); check
-# list(collect_queries())[:50]
+# stream_upsert_pointer, delete_where_orders, scd2_delete_orders) +
+# the leading 43 of RECONFIRM_FIRST (through period_monthly_revenue);
+# check list(collect_queries())[:50]
 # when rotating — the exact tail shifts with any late additions.
 # The r5 cohort is already appended; append the r6 cohort
 # (cms_custkey_counts … stream_upsert_snapshot, registry order) when

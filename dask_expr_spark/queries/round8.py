@@ -485,3 +485,65 @@ def delete_where_orders(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- SCD-2 soft delete (maintenance.scd2_delete): withdrawn keys close
+#    their CURRENT version at the delete time without a successor —
+#    history before the delete reconstructs exactly (the takedown /
+#    license-revocation pattern).  The oracle enumerates the full
+#    expected interval set: the round-7 chained history with every
+#    %35 key's open row closed at 1998-01-01 ------------------------
+SCD2_DELETE_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+rows AS (
+  SELECT k, price, DATE '1995-01-01' AS valid_from,
+         CASE WHEN k % 7 = 0 THEN DATE '1996-01-01' END AS valid_to
+  FROM src
+  UNION ALL
+  SELECT k, round(price + 100.0, 2), DATE '1996-01-01',
+         CASE WHEN k % 21 = 0 THEN DATE '1997-01-01' END
+  FROM src WHERE k % 7 = 0
+  UNION ALL
+  SELECT k, round(price + 300.0, 2), DATE '1997-01-01', NULL
+  FROM src WHERE k % 21 = 0
+)
+SELECT k, price, CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(CASE WHEN valid_to IS NOT NULL THEN valid_to
+                 WHEN k % 35 = 0 THEN DATE '1998-01-01' END
+            AS TIMESTAMP) AS valid_to,
+       (valid_to IS NULL AND k % 35 != 0) AS is_current
+FROM rows ORDER BY k, valid_from
+"""
+
+
+@q("scd2_delete_orders", SCD2_DELETE_SQL)
+def scd2_delete_orders(spark, sf_dir):
+    """soft delete over the chained round-7 history: %35 keys (a mix
+    of once- and twice-versioned keys) are withdrawn at 1998 — their
+    open rows close with NO successor, every other interval is
+    byte-identical to the pre-delete history, and a key never in the
+    table (the +9e9 synthetic) is silently ignored."""
+    import datetime
+
+    from ..functions.maintenance import scd2_delete
+    from .round7 import _scd2_orders_history
+
+    hist = _scd2_orders_history(spark, sf_dir)
+    dels = (tbl(spark, sf_dir, "orders").to_spark()
+            .where(F.col("o_orderkey") % 35 == 0)
+            .select(F.col("o_orderkey").alias("k")))
+    ghost = dels.select((F.col("k") + int(9e9)).alias("k"))
+    dels = (dels.unionByName(ghost)
+            .withColumn("eff", F.lit(datetime.date(1998, 1, 1))))
+    out = scd2_delete(hist, dels, ["k"], "eff")
+    return (out.where(F.col("k") % 10 == 0)
+            .select("k", "price",
+                    F.col("valid_from").cast("timestamp_ntz")
+                    .alias("valid_from"),
+                    F.col("valid_to").cast("timestamp_ntz")
+                    .alias("valid_to"),
+                    "is_current")
+            .orderBy("k", "valid_from"))

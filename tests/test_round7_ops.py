@@ -1096,3 +1096,34 @@ def test_cdc_apply_roundtrip_randomized(spark):
     partial = M.cdc_rows(before, after, ["k"], compare_cols=["p"])
     with pytest.raises(ValueError, match="do not carry"):
         M.cdc_apply(before, partial, ["k"])
+
+
+def test_scd2_delete_guard_and_skip(spark):
+    """scd2_delete: retroactive deletes raise with a count (or drop
+    under skip), unknown keys are ignored, and the closed row keeps
+    its attributes with valid_to = the delete time."""
+    import datetime
+
+    import pandas as pd
+    import pytest
+
+    base = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2, 3], "v": [1.0, 2.0, 3.0],
+        "eff": [datetime.date(2020, 1, 1)] * 3}))
+    hist = M.scd2_init(base, "eff")
+    dels = spark.createDataFrame(pd.DataFrame({
+        "k": [2, 99], "eff": [datetime.date(2021, 1, 1)] * 2}))
+    out = M.scd2_delete(hist, dels, ["k"], "eff")
+    rows = {r["k"]: (r["v"], r["valid_to"], r["is_current"])
+            for r in out.collect()}
+    assert rows[2] == (2.0, datetime.date(2021, 1, 1), False)
+    assert rows[1][2] and rows[3][2] and rows[1][1] is None
+    assert 99 not in rows and len(rows) == 3
+
+    retro = spark.createDataFrame(pd.DataFrame({
+        "k": [1], "eff": [datetime.date(2019, 1, 1)]}))
+    with pytest.raises(ValueError, match="retroactive"):
+        M.scd2_delete(hist, retro, ["k"], "eff")
+    skipped = M.scd2_delete(hist, retro, ["k"], "eff",
+                            retroactive="skip")
+    assert skipped.where("k = 1 AND is_current").count() == 1
