@@ -793,7 +793,8 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
 def scd2_sink(stream: DataFrame, table_path: str, keys: list,
               effective_col: str,
               n_buckets: int = 64,
-              checkpoint_dir: str | None = None) -> Any:
+              checkpoint_dir: str | None = None,
+              commit: str = "auto") -> Any:
     """foreachBatch sink maintaining an SCD-2 HISTORY table: where
     upsert_sink keeps only the latest row per key, this keeps every
     version — each micro-batch closes changed current rows (valid_to =
@@ -828,7 +829,10 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
     import os
     import tempfile
 
-    from ..functions.maintenance import (bucket_expr, overwrite_partitions,
+    from ..functions.maintenance import (bucket_expr,
+                                         manifest_bootstrap,
+                                         overwrite_partitions,
+                                         read_commit, read_manifested,
                                          recover_table, scd2_init,
                                          upsert_scd2)
 
@@ -859,16 +863,29 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
             _SPEC.update(n_buckets=int(disk["n_buckets"]),
                          seed=disk["seed"])
         bkt = bucket_expr(list(keys), _SPEC["n_buckets"], _SPEC["seed"])
+        # commit protocol for the CURRENT table's bucket rewrites:
+        # rename swap on atomic-rename stores, manifest flip on object
+        # stores (closed fragments are append-only either way)
+        mode = commit
+        if mode == "auto":
+            mode = "rename" if _fs.atomic_rename else "pointer"
+        pointer = (mode == "pointer")
         if not _fs.isdir(cur_path):
             # bootstrap: chain the first batch's own versions against
             # an empty (schema-only) history
             target = scd2_init(batch_df.where(F.lit(False)),
                                effective_col)
         else:
-            recover_table(cur_path)
+            if pointer:
+                if read_commit(cur_path, fs=_fs) is None:
+                    manifest_bootstrap(cur_path, "__bucket", fs=_fs)
+                cur_full = read_manifested(spark, cur_path, fs=_fs)
+            else:
+                recover_table(cur_path, fs=_fs)
+                cur_full = spark.read.parquet(cur_path)
             touched = [r[0] for r in batch_df.select(
                 bkt.alias("__b")).distinct().collect()]
-            cur = (spark.read.parquet(cur_path)
+            cur = (cur_full
                    .where(F.col("__bucket").isin(touched))
                    .drop("__bucket"))
             vt = cur.schema["valid_from"].dataType
@@ -888,7 +905,8 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
         cur_new = (hist.where(F.col("is_current"))
                    .drop("valid_to", "is_current")
                    .withColumn("__bucket", bkt))
-        overwrite_partitions(spark, cur_path, cur_new, "__bucket")
+        overwrite_partitions(spark, cur_path, cur_new, "__bucket",
+                             fs=_fs, commit=mode)
         spec_file = os.path.join(cur_path, "_bucket_spec.json")
         if not _fs.exists(spec_file):
             import json
@@ -957,12 +975,17 @@ def read_scd2(spark: SparkSession, table_path: str,
     from ..functions.maintenance import recover_table
 
     from ..fsops import get_fs
+    from ..functions.maintenance import read_commit, read_manifested
 
     fs = get_fs(table_path)
     cur_path = os.path.join(table_path, "current")
     closed_path = os.path.join(table_path, "closed")
-    recover_table(cur_path, fs=fs)
-    cur = spark.read.parquet(cur_path).drop("__bucket")
+    if read_commit(cur_path, fs=fs) is not None:
+        # pointer-commit current table (scd2_sink commit="pointer")
+        cur = read_manifested(spark, cur_path, fs=fs).drop("__bucket")
+    else:
+        recover_table(cur_path, fs=fs)
+        cur = spark.read.parquet(cur_path).drop("__bucket")
     vt = cur.schema["valid_from"].dataType
     cur = (cur.withColumn("valid_to", F.lit(None).cast(vt))
            .withColumn("is_current", F.lit(True)))

@@ -1002,3 +1002,32 @@ def test_scd2_bootstrap_duplicate_keys_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate keys"):
         S.scd2_bootstrap(spark, str(tmp_path / "t"), snap, ["k"],
                          "eff")
+
+
+def test_scd2_sink_pointer_commit(spark, tmp_path):
+    """the SCD-2 history sink with pointer commits on its current
+    table: multi-batch history equals the rename-protocol run's, the
+    current table carries a _commit.json whose generation advanced,
+    and read_scd2 resolves it through the manifest."""
+    from dask_expr_spark.functions.maintenance import read_commit
+
+    src_a = str(tmp_path / "sa")
+    src_b = str(tmp_path / "sb")
+    schema = _scd2_src(spark, src_a)
+    _scd2_src(spark, src_b)
+    tables = {}
+    for src, name, commit in ((src_a, "ta", "rename"),
+                              (src_b, "tb", "pointer")):
+        tbl_ = str(tmp_path / name)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = S.scd2_sink(stream, tbl_, ["k"], "eff", n_buckets=8,
+                        checkpoint_dir=str(tmp_path / f"ck_{name}"),
+                        commit=commit)
+        q.processAllAvailable()
+        q.stop()
+        tables[commit] = tbl_
+    assert (_scd2_rows(spark, tables["rename"])
+            == _scd2_rows(spark, tables["pointer"]))
+    man = read_commit(os.path.join(tables["pointer"], "current"))
+    assert man is not None and man["generation"] >= 1
