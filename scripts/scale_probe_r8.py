@@ -131,6 +131,36 @@ def pointer_commit_probe(spark, decades):
             shutil.rmtree(path, ignore_errors=True)
 
 
+def delete_where_probe(spark, decades):
+    """delete_where with a FIXED-size hit set (one priority partition's
+    %k keys): cost must track the hit partition's rewrite, not the
+    table.  Flag = delete cost growing with table size while the hit
+    partition share is fixed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import maintenance as M
+
+    for n in decades:
+        src = materialize(spark, "orders", ["o_orderkey"], n)
+        o = spark.read.parquet(src)
+        pred = ((F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 5 == 0))
+        for mode in ("rename", "pointer"):
+            path = os.path.join(WORK, f"del_{mode}_x{n}")
+            shutil.rmtree(path, ignore_errors=True)
+            o.write.mode("overwrite").partitionBy("o_orderpriority") \
+                .parquet(path)
+            if mode == "pointer":
+                M.manifest_bootstrap(path, "o_orderpriority")
+            dt = t(lambda: M.delete_where(
+                spark, path, pred, "o_orderpriority", commit=mode))
+            print(f"delete_where x{n} {mode}: {dt}s "
+                  "(1 of 5 partitions hit)")
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def main():
     decades = [int(x) for x in (sys.argv[sys.argv.index("--decades") + 1:]
                                 if "--decades" in sys.argv else ["10", "100"])]
@@ -139,6 +169,7 @@ def main():
         "SPARK_GRAFT_CPUS", "32")))
     scd2_bootstrap_probe(spark, decades)
     pointer_commit_probe(spark, decades)
+    delete_where_probe(spark, decades)
 
 
 if __name__ == "__main__":
