@@ -1227,14 +1227,19 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     else:
         recover_table(path, fs=fs)
         full = spark.read.parquet(path)
-    hit = F.coalesce(predicate, F.lit(False))
+    # positive filters use the RAW predicate (WHERE already excludes
+    # NULL evaluations, and the raw form pushes to the parquet scan —
+    # a coalesce() wrapper would block pushdown on the one pass that
+    # reads the whole table); only the NEGATION needs the null guard,
+    # because ~pred must KEEP null-predicate rows
     parts = [r[0] for r in
-             full.where(hit).select(partition_col).distinct().collect()]
+             full.where(predicate).select(partition_col)
+             .distinct().collect()]
     if not parts:
         return ([], 0)
     sliced = full.where(F.col(partition_col).isin(parts))
-    n_del = sliced.where(hit).count()
-    kept = sliced.where(~hit)
+    n_del = sliced.where(predicate).count()
+    kept = sliced.where(~F.coalesce(predicate, F.lit(False)))
     # partitions that empty out entirely are dropped whole, not
     # rewritten as zero rows (a partitionBy write would simply skip
     # them, silently leaving the OLD rows live — the bug this split

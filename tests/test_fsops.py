@@ -571,3 +571,43 @@ def test_delete_where_empty_drop_crash_recovers(spark, tmp_path,
     assert not os.path.isdir(os.path.join(path, "part=b"))
     got = {r["part"] for r in spark.read.parquet(path).collect()}
     assert got == {"a", "c"}
+
+
+def test_delete_where_bucketed_table(spark, tmp_path):
+    """delete_where composes with the md5-bucketed layout: pass
+    __bucket as the partition column and only hit buckets rewrite."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(40),
+                        "v": [float(i) for i in range(40)]})
+    M.write_bucketed(spark.createDataFrame(pdf), path, ["k"],
+                     n_buckets=8)
+    parts, n_del = M.delete_where(spark, path, F.col("v") >= 35.0,
+                                  "__bucket", commit="rename")
+    assert n_del == 5
+    got = sorted(r["k"] for r in M.read_bucketed(spark, path).collect())
+    assert got == list(range(35))
+    # spec sidecar survives the partial rewrite
+    assert M.is_bucketed(path)
+
+
+def test_delete_where_discovery_scan_is_pruned(spark, tmp_path):
+    """the hit-partition discovery scan reads only the predicate's
+    columns + the partition column (pushed filter, pruned schema) —
+    at 100 TB this pass is the cheap one by construction."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(50),
+                        "v": [float(i) for i in range(50)],
+                        "wide_payload": ["x" * 50] * 50,
+                        "part": [str(i % 3) for i in range(50)]})
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .partitionBy("part").parquet(path)
+    df = (spark.read.parquet(path)
+          .where(F.col("v") > 45.0)
+          .select("part").distinct())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(v,45.0)" in plan.split("PushedFilters")[1][:120]
+    assert "wide_payload" not in plan.split("ReadSchema")[1][:200]
