@@ -96,10 +96,12 @@ def _load_current(path: str | None) -> dict:
                 raw = json.load(f)
             q = _parse_tail(raw.get("tail", ""))
             return {"queries": q, "total": sum(q.values())}
-        # BENCH_r{N}.json lines exclude probes since r8; the detail
-        # file written by the same bench run carries them
-        return {"queries": _merge_detail(dict(d["queries"]), here),
-                "total": d["value"]}
+        # BENCH_r{N}.json lines exclude probes since r8; the repo's
+        # BENCH_DETAIL.json belongs to the most recent LOCAL run, not
+        # necessarily to the capture passed here — so probe timings
+        # are NOT merged for file-based currents (they'd pair numbers
+        # from different runs); probes compare only on in-process runs
+        return {"queries": dict(d["queries"]), "total": d["value"]}
     out = subprocess.run(
         [sys.executable, os.path.join(here, "bench.py")],
         capture_output=True, text=True, check=True,

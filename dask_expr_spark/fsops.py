@@ -29,6 +29,10 @@ Commit-protocol guidance (enforced by functions/maintenance.py):
 (maintenance.upsert_partitioned(commit="pointer")): data files are
 only ever CREATED, never renamed, and a single small-object pointer
 write — atomic on every store as one PUT — is the commit point.
+The no-rename guarantee covers this layer (driver-side fs ops + the
+table commit); Spark's own writes commit through its configured
+output committer, so pair the pointer protocol with a rename-free
+committer (S3A magic / cloud-first) on real object stores.
 
 Reference comparison: dask-expr parametrizes IO over fsspec
 (io/parquet.py ReadParquetPyarrowFS) — this is the analogous seam,
@@ -225,9 +229,9 @@ def get_fs(path: str, spark=None):
         from pyspark.sql import SparkSession
         spark = SparkSession.getActiveSession()
         if spark is None:
-            if s == "file":
-                return PosixFS()
             raise ValueError(
                 f"get_fs: {path} needs a SparkSession to reach the "
-                "Hadoop FileSystem client — pass spark=")
+                "Hadoop FileSystem client — pass spark= (for a "
+                "file:// URI without a session, strip the scheme and "
+                "use the plain local path)")
     return HadoopFS(spark, path)

@@ -246,6 +246,16 @@ def _swap_partition_dirs(path: str, new_root: str,
 # of object-store correctness, same as Delta/Iceberg).  This is the
 # same commit design as snapshot_write below, extended with
 # per-partition file lists so incremental upserts stay change-sized.
+#
+# Scope of the no-rename guarantee: it covers this layer — the TABLE
+# commit (one manifest PUT) and every driver-side operation.  The
+# appends themselves go through Spark's configured output committer,
+# and the default FileOutputCommitter still renames task output
+# JVM-side (copy+delete on S3); on real object stores configure the
+# store's rename-free committer (e.g. the S3A "magic" committer /
+# cloud-first committers) — correctness holds either way, since files
+# invisible to the manifest are just orphans, but the performance
+# claim needs the committer configured to match.
 # ---------------------------------------------------------------------------
 
 _COMMIT = "_commit.json"
@@ -258,6 +268,13 @@ _HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(32)}
 def _hive_part_dir(partition_col: str, value) -> str:
     if value is None:
         return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    # Spark renders partition values via its own cast-to-string:
+    # booleans are lowercase (Python's str() would say 'True').  Other
+    # divergences (e.g. doubles in scientific notation) fail LOUDLY
+    # downstream — every consumer of this rendering verifies the dir
+    # gained files and aborts pre-commit on a mismatch.
+    if isinstance(value, bool):
+        return f"{partition_col}={'true' if value else 'false'}"
     s = str(value)
     esc = "".join(f"%{ord(ch):02X}" if ch in _HIVE_UNSAFE else ch
                   for ch in s)
@@ -278,6 +295,29 @@ def read_commit(path: str, fs=None) -> dict | None:
 
 def _write_commit(path: str, man: dict, fs) -> None:
     fs.write_text_atomic(_commit_file(path), json.dumps(man))
+
+
+def _resolve_commit(path: str, fs, commit: str, op: str) -> str:
+    """Pick the durability protocol for a partitioned-table mutation.
+    "auto" = pointer when the table already carries a `_commit.json`
+    OR the filesystem lacks atomic rename; rename otherwise.  An
+    EXPLICIT commit="rename" on a pointer-commit table is refused:
+    the rename protocol would read the raw directory — superseded
+    generations plus uncommitted orphans — silently duplicating rows
+    and stranding the manifest."""
+    manifested = read_commit(path, fs=fs) is not None
+    if commit == "auto":
+        return ("pointer" if manifested or not fs.atomic_rename
+                else "rename")
+    if commit == "rename" and manifested:
+        raise ValueError(
+            f"{op}: table at {path} is pointer-committed "
+            "(_commit.json present) — the rename protocol would read "
+            "superseded and orphaned files; use commit='pointer' (or "
+            "vacuum_manifested + remove _commit.json to convert)")
+    if commit not in ("rename", "pointer"):
+        raise ValueError(f"{op}: unknown commit mode {commit!r}")
+    return commit
 
 
 def _part_files(fs, path: str, dirname: str) -> list[str]:
@@ -320,8 +360,16 @@ def read_manifested(spark: SparkSession, path: str,
     files = [os.path.join(path, d, f)
              for d, fl in sorted(man["partitions"].items()) for f in fl]
     if not files:
-        raise ValueError(f"read_manifested: manifest at {path} lists "
-                         "no data files")
+        # a legitimately EMPTY table (e.g. delete_where removed every
+        # row): schema comes from whatever files remain on disk
+        # (superseded generations, pre-vacuum) — zero rows either way
+        try:
+            return spark.read.parquet(path).where(F.lit(False))
+        except Exception as exc:
+            raise ValueError(
+                f"read_manifested: manifest at {path} lists no data "
+                "files and no on-disk file remains to derive the "
+                "schema from — write a batch before reading") from exc
     return spark.read.option("basePath", path).parquet(*files)
 
 
@@ -414,11 +462,15 @@ def compact_manifested(spark: SparkSession, path: str,
     # compact_parquet: a wide table can't fan out to n x n_dirs files)
     targets = {urllib.parse.unquote(d.split("=", 1)[1]): n
                for d, n in plan.items()}
+    # the null partition can't key a map lookup: route it explicitly
+    null_n = targets.pop("__HIVE_DEFAULT_PARTITION__", 1)
     pairs = [x for v, n in sorted(targets.items())
              for x in (F.lit(v), F.lit(n))]
-    n_for_row = F.coalesce(
-        F.element_at(F.create_map(*pairs), F.col(pcol).cast("string")),
-        F.lit(1))
+    lookup = (F.element_at(F.create_map(*pairs),
+                           F.col(pcol).cast("string"))
+              if pairs else F.lit(None).cast("int"))
+    n_for_row = (F.when(F.col(pcol).isNull(), F.lit(null_n))
+                 .otherwise(F.coalesce(lookup, F.lit(1))))
     salt = F.floor(F.rand(42) * n_for_row).cast("int")
     out = (df.withColumn("__salt", salt)
            .repartition(sum(plan.values()), F.col(pcol),
@@ -459,7 +511,7 @@ def _move_guard_full_scan(spark: SparkSession, full_table: DataFrame,
                       keys, "left_semi").count())
 
 
-def _check_partition_moves(spark: SparkSession, full_table: DataFrame,
+def _check_partition_moves(spark: SparkSession, full_table_fn,
                            target: DataFrame, updates: DataFrame,
                            keys: list[str], partition_col: str,
                            key_bloom_path: str | None) -> None:
@@ -481,7 +533,9 @@ def _check_partition_moves(spark: SparkSession, full_table: DataFrame,
         cand = probed.where(F.col("__maybe")).drop("__mg_key", "__maybe")
         if cand.isEmpty():
             return
-    outside = _move_guard_full_scan(spark, full_table, keys, cand)
+    # the full-table frame builds lazily: when the bloom prefilter
+    # clears every candidate, the table is never even file-listed
+    outside = _move_guard_full_scan(spark, full_table_fn(), keys, cand)
     if outside:
         raise ValueError(
             f"upsert_partitioned: {outside} update key(s) exist in a "
@@ -524,13 +578,13 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     `commit` picks the durability protocol: "rename" (the swap above
     — requires an atomic-rename filesystem), "pointer" (the
     object-store-safe manifest flip: new files append, nothing
-    renames, readers use read_manifested), or "auto" (rename when
-    fs.atomic_rename, else pointer).  A pointer-commit table is one
-    with `_commit.json` present; an existing rename-protocol table
-    converts with manifest_bootstrap."""
+    renames, readers use read_manifested), or "auto" (pointer when
+    the table already carries `_commit.json` or the fs lacks atomic
+    rename; rename otherwise).  An explicit commit="rename" on a
+    pointer-commit table is refused — the rename protocol would read
+    the raw directory's superseded and orphan files."""
     fs = _resolve_fs(path, fs)
-    if commit == "auto":
-        commit = "rename" if fs.atomic_rename else "pointer"
+    commit = _resolve_commit(path, fs, commit, "upsert_partitioned")
     parts = [r[0] for r in
              updates.select(partition_col).distinct().collect()]
     if not parts:
@@ -546,11 +600,14 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
             if fs.isdir(path):
                 man = manifest_bootstrap(path, partition_col, fs=fs)
             else:
-                (updates.write.mode("overwrite")
+                # bootstrap write: same in-batch duplicate-key
+                # resolution as the merge path (order_col max_by)
+                out = upsert(updates.where(F.lit(False)), updates,
+                             keys, order_col=order_col)
+                (out.write.mode("overwrite")
                  .partitionBy(partition_col).parquet(path))
-                return sorted(
-                    manifest_bootstrap(path, partition_col,
-                                       fs=fs)["partitions"])
+                manifest_bootstrap(path, partition_col, fs=fs)
+                return parts
         if man["partition_col"] != partition_col:
             raise ValueError(
                 f"upsert_partitioned: table at {path} is committed on "
@@ -558,17 +615,14 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
         full = read_manifested(spark, path, fs=fs)
         target = full.where(F.col(partition_col).isin(parts))
         if check_moves and keys and partition_col not in keys:
-            _check_partition_moves(spark, full, target, updates, keys,
-                                   partition_col, None)
+            _check_partition_moves(spark, lambda: full, target,
+                                   updates, keys, partition_col, None)
         merged = upsert(target, updates, keys, order_col=order_col)
         # the merged plan lazily re-reads the files the flip will
         # supersede — but pointer commits never delete or rename, so
         # those files stay readable until vacuum; no checkpoint needed
         _append_and_flip(spark, path, merged, partition_col, man, fs)
         return parts
-    if commit != "rename":
-        raise ValueError(f"upsert_partitioned: unknown commit mode "
-                         f"{commit!r}")
     if not fs.atomic_rename:
         raise ValueError(
             f"upsert_partitioned: commit='rename' on {fs.scheme}:// "
@@ -577,8 +631,11 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     target = spark.read.parquet(path).where(
         F.col(partition_col).isin(parts))
     if check_moves and keys and partition_col not in keys:
-        _check_partition_moves(spark, spark.read.parquet(path), target,
-                               updates, keys, partition_col,
+        # thunk: the guard only builds (and file-lists) the full-table
+        # frame when the bloom prefilter reports maybe-hits
+        _check_partition_moves(spark,
+                               lambda: spark.read.parquet(path),
+                               target, updates, keys, partition_col,
                                key_bloom_path)
     merged = upsert(target, updates, keys, order_col=order_col)
     new_root = path.rstrip("/") + "__new"
@@ -861,6 +918,11 @@ def compact_parquet(spark: SparkSession, path: str,
     (recover_table).  Data is byte-identical (test-asserted).  Returns
     (files_before, files_after)."""
     fs = _resolve_fs(path, None)
+    if read_commit(path, fs=fs) is not None:
+        raise ValueError(
+            f"compact_parquet: table at {path} is pointer-committed — "
+            "a raw-directory rewrite would adopt superseded/orphan "
+            "files; use compact_manifested")
     recover_table(path, fs=fs)
     spec = None
     spec_path = os.path.join(path, _BUCKET_SPEC)
@@ -894,12 +956,16 @@ def compact_parquet(spark: SparkSession, path: str,
                 max(1, math.ceil(b / chunk))
             for tok, b in sizes.items() if tok}
         n_total = sum(targets.values())
+        # the null partition can't key a map lookup: route explicitly
+        null_n = targets.pop("__HIVE_DEFAULT_PARTITION__", 1)
         pairs = [x for v, n in sorted(targets.items())
                  for x in (F.lit(v), F.lit(n))]
-        n_for_row = F.coalesce(
-            F.element_at(F.create_map(*pairs),
-                         F.col(partition_col).cast("string")),
-            F.lit(1))
+        lookup = (F.element_at(F.create_map(*pairs),
+                               F.col(partition_col).cast("string"))
+                  if pairs else F.lit(None).cast("int"))
+        n_for_row = (F.when(F.col(partition_col).isNull(),
+                            F.lit(null_n))
+                     .otherwise(F.coalesce(lookup, F.lit(1))))
         salt = F.floor(F.rand(42) * n_for_row).cast("int")
         out = (df.withColumn("__salt", salt)
                .repartition(n_total, F.col(partition_col),
@@ -1159,8 +1225,7 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
     Bootstraps the table if absent.  Returns the hive dir names
     rewritten."""
     fs = _resolve_fs(path, fs)
-    if commit == "auto":
-        commit = "rename" if fs.atomic_rename else "pointer"
+    commit = _resolve_commit(path, fs, commit, "overwrite_partitions")
     if commit == "pointer":
         man = read_commit(path, fs=fs)
         if man is None:
@@ -1213,8 +1278,7 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
 
     Returns ``(hit_partition_values, rows_deleted)``."""
     fs = _resolve_fs(path, fs)
-    if commit == "auto":
-        commit = "rename" if fs.atomic_rename else "pointer"
+    commit = _resolve_commit(path, fs, commit, "delete_where")
     man = read_commit(path, fs=fs)
     if commit == "pointer" and man is None:
         man = manifest_bootstrap(path, partition_col, fs=fs)
@@ -1244,22 +1308,28 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     # rewritten as zero rows (a partitionBy write would simply skip
     # them, silently leaving the OLD rows live — the bug this split
     # guards against)
-    nonempty = {r[0] for r in
-                kept.select(partition_col).distinct().collect()}
-    empty_dirs = [_hive_part_dir(partition_col, v)
-                  for v in parts if v not in nonempty]
+    # hit/surviving dirs come from the REAL file paths of the scanned
+    # rows (input_file_name, URI-decoded once), never from re-rendering
+    # partition values — str(value) can diverge from Spark's dir
+    # rendering (booleans, scientific-notation doubles) and a silently
+    # missed dir here would be a silently incomplete erasure
+    def _dirs_of(df) -> set:
+        seg = F.element_at(F.split(F.input_file_name(), "/"), -2)
+        return {urllib.parse.unquote(r["__d"]) for r in
+                df.select(seg.alias("__d")).distinct().collect()}
+
+    hit_dirs = _dirs_of(sliced.where(predicate))
+    nonempty_dirs = sorted(_dirs_of(kept) & hit_dirs)
+    empty_dirs = sorted(hit_dirs - set(nonempty_dirs))
     if commit == "pointer":
         # ONE manifest flip commits rewrites AND whole-partition
         # drops together — no reader ever sees a partial delete
-        ne_dirs = [_hive_part_dir(partition_col, v)
-                   for v in parts if v in nonempty]
-        if nonempty:
-            keep_df = kept.where(
-                F.col(partition_col).isin(list(nonempty)))
-            pre = {d: set(_part_files(fs, path, d)) for d in ne_dirs}
-            keep_df.write.mode("append").partitionBy(partition_col) \
+        if nonempty_dirs:
+            pre = {d: set(_part_files(fs, path, d))
+                   for d in nonempty_dirs}
+            kept.write.mode("append").partitionBy(partition_col) \
                 .parquet(path)
-            for d in ne_dirs:
+            for d in nonempty_dirs:
                 fresh = sorted(set(_part_files(fs, path, d)) - pre[d])
                 if not fresh:
                     raise RuntimeError(
@@ -1272,18 +1342,21 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
         man["generation"] = int(man["generation"]) + 1
         _write_commit(path, man, fs)
         return (parts, n_del)
-    if nonempty:
-        overwrite_partitions(
-            spark, path,
-            kept.where(F.col(partition_col).isin(list(nonempty))),
-            partition_col, fs=fs, commit="rename")
+    if nonempty_dirs:
+        overwrite_partitions(spark, path, kept, partition_col,
+                             fs=fs, commit="rename")
     if empty_dirs:
         trash = path.rstrip("/") + "__drop"
         fs.mkdirs(trash)
+        missing = [d for d in empty_dirs
+                   if not fs.isdir(os.path.join(path, d))]
+        if missing:
+            raise RuntimeError(
+                f"delete_where: partition dirs {missing} vanished "
+                "between scan and drop — nothing renamed; re-run")
         for d in empty_dirs:
-            src = os.path.join(path, d)
-            if fs.isdir(src):
-                fs.rename(src, os.path.join(trash, d))
+            fs.rename(os.path.join(path, d),
+                      os.path.join(trash, d))
         fs.delete(trash)
     return (parts, n_del)
 

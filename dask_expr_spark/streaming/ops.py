@@ -716,7 +716,8 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     import os
     import tempfile
 
-    from ..functions.maintenance import (atomic_overwrite, is_bucketed,
+    from ..functions.maintenance import (_resolve_commit,
+                                         atomic_overwrite, is_bucketed,
                                          manifest_bootstrap,
                                          upsert, upsert_bucketed,
                                          upsert_partitioned,
@@ -829,7 +830,7 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
     import os
     import tempfile
 
-    from ..functions.maintenance import (bucket_expr,
+    from ..functions.maintenance import (_resolve_commit, bucket_expr,
                                          manifest_bootstrap,
                                          overwrite_partitions,
                                          read_commit, read_manifested,
@@ -865,10 +866,9 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
         bkt = bucket_expr(list(keys), _SPEC["n_buckets"], _SPEC["seed"])
         # commit protocol for the CURRENT table's bucket rewrites:
         # rename swap on atomic-rename stores, manifest flip on object
-        # stores (closed fragments are append-only either way)
-        mode = commit
-        if mode == "auto":
-            mode = "rename" if _fs.atomic_rename else "pointer"
+        # stores OR on a table whose current side already carries a
+        # _commit.json (closed fragments are append-only either way)
+        mode = _resolve_commit(cur_path, _fs, commit, "scd2_sink")
         pointer = (mode == "pointer")
         if not _fs.isdir(cur_path):
             # bootstrap: chain the first batch's own versions against

@@ -283,9 +283,9 @@ def test_pointer_bootstrap_from_scratch(spark, tmp_path):
     path = str(tmp_path / "t")
     batch = spark.createDataFrame(pd.DataFrame(
         {"k": [1, 2], "v": [1.0, 2.0], "part": ["a", "b"]}))
-    dirs = M.upsert_partitioned(spark, path, batch, ["k"], "part",
-                                commit="pointer")
-    assert sorted(dirs) == ["part=a", "part=b"]
+    parts = M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                                 commit="pointer")
+    assert sorted(parts) == ["a", "b"]
     assert _rows(M.read_manifested(spark, path)) == [
         (1, 1.0, "a"), (2, 2.0, "b")]
 
@@ -611,3 +611,94 @@ def test_delete_where_discovery_scan_is_pruned(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(v,45.0)" in plan.split("PushedFilters")[1][:120]
     assert "wide_payload" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_rename_protocol_refused_on_pointer_table(spark, tmp_path):
+    """operating the rename protocol on a pointer-commit table would
+    read superseded/orphan files and duplicate rows — explicit
+    commit='rename' is refused, and commit='auto' routes to pointer
+    even on an atomic-rename filesystem."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [9.0], "part": ["a"]}))
+    # superseded generation on disk
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    with pytest.raises(ValueError, match="pointer-committed"):
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="rename")
+    with pytest.raises(ValueError, match="pointer-committed"):
+        M.delete_where(spark, path, F.col("k") == 0, "part",
+                       commit="rename")
+    with pytest.raises(ValueError, match="compact_manifested"):
+        M.compact_parquet(spark, path, partition_col="part")
+    # auto on posix routes to pointer BECAUSE the manifest exists;
+    # row count must stay exact despite the superseded files on disk
+    batch2 = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [8.0], "part": ["b"]}))
+    M.upsert_partitioned(spark, path, batch2, ["k"], "part",
+                         commit="auto")
+    assert M.read_manifested(spark, path).count() == 30
+
+
+def test_delete_where_all_rows_then_reinsert(spark, tmp_path):
+    """emptying a pointer table entirely is a legal state: the table
+    reads back as zero rows (schema from remaining on-disk files) and
+    a later pointer upsert re-populates it."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    parts, n_del = M.delete_where(spark, path, F.lit(True), "part",
+                                  commit="pointer")
+    assert n_del == 30
+    assert M.read_manifested(spark, path).count() == 0
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [1.0], "part": ["a"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    assert _rows(M.read_manifested(spark, path)) == [(1, 1.0, "a")]
+
+
+def test_pointer_bootstrap_resolves_order_col(spark, tmp_path):
+    """a first-batch pointer bootstrap must apply the same in-batch
+    duplicate-key resolution (order_col max_by) as the merge path."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1], "v": [10.0, 20.0], "part": ["a", "a"],
+         "ts": [1, 2]}))
+    parts = M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                                 order_col="ts", commit="pointer")
+    assert parts == ["a"]
+    got = [(r["k"], r["v"]) for r in
+           M.read_manifested(spark, path).collect()]
+    assert got == [(1, 20.0)]
+
+
+def test_delete_where_boolean_partition_values(spark, tmp_path):
+    """partition values whose str() rendering diverges from Spark's
+    (booleans: Python 'True' vs hive 'true') still delete correctly —
+    dirs are derived from real file paths, not re-rendered values."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(10),
+                        "flag": [i % 2 == 0 for i in range(10)]})
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .partitionBy("flag").parquet(path)
+    # whole-partition delete of flag=true (partition discovery reads
+    # boolean dirs back as STRING 'true'/'false' — exactly the
+    # rendering a str(True)-based dir lookup would miss)
+    parts, n_del = M.delete_where(spark, path,
+                                  F.col("flag") == "true",
+                                  "flag", commit="rename")
+    assert n_del == 5
+    assert not os.path.isdir(os.path.join(path, "flag=true"))
+    left = spark.read.parquet(path)
+    assert left.count() == 5
+    assert left.where("flag = 'true'").count() == 0
