@@ -297,15 +297,24 @@ def _write_commit(path: str, man: dict, fs) -> None:
     fs.write_text_atomic(_commit_file(path), json.dumps(man))
 
 
-def _resolve_commit(path: str, fs, commit: str, op: str) -> str:
+_UNREAD = object()
+
+
+def _resolve_commit(path: str, fs, commit: str, op: str,
+                    man=_UNREAD) -> str:
     """Pick the durability protocol for a partitioned-table mutation.
     "auto" = pointer when the table already carries a `_commit.json`
     OR the filesystem lacks atomic rename; rename otherwise.  An
-    EXPLICIT commit="rename" on a pointer-commit table is refused:
-    the rename protocol would read the raw directory — superseded
+    EXPLICIT commit="rename" is refused on a pointer-commit table
+    (the rename protocol would read the raw directory — superseded
     generations plus uncommitted orphans — silently duplicating rows
-    and stranding the manifest."""
-    manifested = read_commit(path, fs=fs) is not None
+    and stranding the manifest) AND on a non-atomic-rename filesystem
+    (the module contract: refuse rather than silently weaken).
+    Callers that already read the manifest pass it as `man` to skip
+    the second read (one GET per mutation on object stores)."""
+    if man is _UNREAD:
+        man = read_commit(path, fs=fs)
+    manifested = man is not None
     if commit == "auto":
         return ("pointer" if manifested or not fs.atomic_rename
                 else "rename")
@@ -315,6 +324,10 @@ def _resolve_commit(path: str, fs, commit: str, op: str) -> str:
             "(_commit.json present) — the rename protocol would read "
             "superseded and orphaned files; use commit='pointer' (or "
             "vacuum_manifested + remove _commit.json to convert)")
+    if commit == "rename" and not fs.atomic_rename:
+        raise ValueError(
+            f"{op}: commit='rename' on {fs.scheme}:// — rename is "
+            "not atomic there; use commit='pointer'")
     if commit not in ("rename", "pointer"):
         raise ValueError(f"{op}: unknown commit mode {commit!r}")
     return commit
@@ -462,7 +475,10 @@ def compact_manifested(spark: SparkSession, path: str,
     # compact_parquet: a wide table can't fan out to n x n_dirs files)
     targets = {urllib.parse.unquote(d.split("=", 1)[1]): n
                for d, n in plan.items()}
-    # the null partition can't key a map lookup: route it explicitly
+    # the null partition can't key a map lookup: route it explicitly.
+    # (A real string value '__HIVE_DEFAULT_PARTITION__' shares this
+    # dir name — hive's own layout ambiguity; worst case is a wrong
+    # file-count target for that one dir, never wrong data.)
     null_n = targets.pop("__HIVE_DEFAULT_PARTITION__", 1)
     pairs = [x for v, n in sorted(targets.items())
              for x in (F.lit(v), F.lit(n))]
@@ -584,7 +600,9 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     pointer-commit table is refused — the rename protocol would read
     the raw directory's superseded and orphan files."""
     fs = _resolve_fs(path, fs)
-    commit = _resolve_commit(path, fs, commit, "upsert_partitioned")
+    man = read_commit(path, fs=fs)
+    commit = _resolve_commit(path, fs, commit, "upsert_partitioned",
+                             man=man)
     parts = [r[0] for r in
              updates.select(partition_col).distinct().collect()]
     if not parts:
@@ -595,7 +613,6 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                 "upsert_partitioned: key_bloom_path is rename-protocol"
                 " only for now — the bloom index itself would need a "
                 "pointer commit; run the guard without the prefilter")
-        man = read_commit(path, fs=fs)
         if man is None:
             if fs.isdir(path):
                 man = manifest_bootstrap(path, partition_col, fs=fs)
@@ -607,12 +624,20 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                 (out.write.mode("overwrite")
                  .partitionBy(partition_col).parquet(path))
                 manifest_bootstrap(path, partition_col, fs=fs)
-                return parts
+                # parts from the DEDUPED frame: order_col resolution
+                # can eliminate a value's only rows
+                return [r[0] for r in out.select(partition_col)
+                        .distinct().collect()]
         if man["partition_col"] != partition_col:
             raise ValueError(
                 f"upsert_partitioned: table at {path} is committed on "
                 f"{man['partition_col']}, not {partition_col}")
-        full = read_manifested(spark, path, fs=fs)
+        if any(fl for fl in man["partitions"].values()):
+            full = read_manifested(spark, path, fs=fs)
+        else:
+            # table deleted empty (possibly vacuumed to nothing):
+            # insert-only merge, no files to read or guard against
+            full = updates.where(F.lit(False))
         target = full.where(F.col(partition_col).isin(parts))
         if check_moves and keys and partition_col not in keys:
             _check_partition_moves(spark, lambda: full, target,
@@ -623,10 +648,6 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
         # those files stay readable until vacuum; no checkpoint needed
         _append_and_flip(spark, path, merged, partition_col, man, fs)
         return parts
-    if not fs.atomic_rename:
-        raise ValueError(
-            f"upsert_partitioned: commit='rename' on {fs.scheme}:// "
-            "— rename is not atomic there; use commit='pointer'")
     recover_table(path, fs=fs)
     target = spark.read.parquet(path).where(
         F.col(partition_col).isin(parts))
@@ -1225,9 +1246,10 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
     Bootstraps the table if absent.  Returns the hive dir names
     rewritten."""
     fs = _resolve_fs(path, fs)
-    commit = _resolve_commit(path, fs, commit, "overwrite_partitions")
+    man = read_commit(path, fs=fs)
+    commit = _resolve_commit(path, fs, commit, "overwrite_partitions",
+                             man=man)
     if commit == "pointer":
-        man = read_commit(path, fs=fs)
         if man is None:
             if fs.isdir(path):
                 man = manifest_bootstrap(path, partition_col, fs=fs)
@@ -1278,8 +1300,9 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
 
     Returns ``(hit_partition_values, rows_deleted)``."""
     fs = _resolve_fs(path, fs)
-    commit = _resolve_commit(path, fs, commit, "delete_where")
     man = read_commit(path, fs=fs)
+    commit = _resolve_commit(path, fs, commit, "delete_where",
+                             man=man)
     if commit == "pointer" and man is None:
         man = manifest_bootstrap(path, partition_col, fs=fs)
     if commit == "pointer":
@@ -1302,7 +1325,6 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     if not parts:
         return ([], 0)
     sliced = full.where(F.col(partition_col).isin(parts))
-    n_del = sliced.where(predicate).count()
     kept = sliced.where(~F.coalesce(predicate, F.lit(False)))
     # partitions that empty out entirely are dropped whole, not
     # rewritten as zero rows (a partitionBy write would simply skip
@@ -1313,12 +1335,21 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     # partition values — str(value) can diverge from Spark's dir
     # rendering (booleans, scientific-notation doubles) and a silently
     # missed dir here would be a silently incomplete erasure
+    seg = F.element_at(F.split(F.input_file_name(), "/"), -2)
+
     def _dirs_of(df) -> set:
-        seg = F.element_at(F.split(F.input_file_name(), "/"), -2)
         return {urllib.parse.unquote(r["__d"]) for r in
                 df.select(seg.alias("__d")).distinct().collect()}
 
-    hit_dirs = _dirs_of(sliced.where(predicate))
+    # one pass over the hit slice yields both the deleted-row count
+    # and the hit dirs (collect_set is bounded by the dir count);
+    # input_file_name is non-deterministic so it projects BEFORE the
+    # aggregate
+    row = (sliced.where(predicate).select(seg.alias("__d"))
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.collect_set("__d").alias("__dirs")).first())
+    n_del = int(row["__n"])
+    hit_dirs = {urllib.parse.unquote(d) for d in row["__dirs"]}
     nonempty_dirs = sorted(_dirs_of(kept) & hit_dirs)
     empty_dirs = sorted(hit_dirs - set(nonempty_dirs))
     if commit == "pointer":
@@ -1343,8 +1374,20 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
         _write_commit(path, man, fs)
         return (parts, n_del)
     if nonempty_dirs:
-        overwrite_partitions(spark, path, kept, partition_col,
-                             fs=fs, commit="rename")
+        written = overwrite_partitions(spark, path, kept,
+                                       partition_col, fs=fs,
+                                       commit="rename")
+        if set(written) != set(nonempty_dirs):
+            # partition-value type inference drifted from the on-disk
+            # dir rendering (e.g. zero-padded string codes re-read as
+            # ints): survivors landed under DIFFERENT dir names while
+            # the original dirs still hold the matched rows.  Raise
+            # loudly — an operator must reconcile; silence here would
+            # be an incomplete erasure
+            raise RuntimeError(
+                f"delete_where: rewrote dirs {sorted(written)} but "
+                f"the scan hit {nonempty_dirs} — partition value "
+                "rendering drift; reconcile the extra dirs manually")
     if empty_dirs:
         trash = path.rstrip("/") + "__drop"
         fs.mkdirs(trash)

@@ -716,9 +716,9 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     import os
     import tempfile
 
-    from ..functions.maintenance import (_resolve_commit,
-                                         atomic_overwrite, is_bucketed,
+    from ..functions.maintenance import (atomic_overwrite, is_bucketed,
                                          manifest_bootstrap,
+                                         read_commit,
                                          upsert, upsert_bucketed,
                                          upsert_partitioned,
                                          write_bucketed)
@@ -769,6 +769,13 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
             upsert_bucketed(spark, table_path, batch_df, list(keys),
                             order_col=order_col, commit=commit)
         else:
+            if read_commit(table_path) is not None:
+                raise ValueError(
+                    "upsert_sink: table is pointer-committed but the "
+                    "sink has no partition_col/n_buckets — the "
+                    "unpartitioned full-rewrite path would raw-scan "
+                    "superseded files and destroy the manifest; "
+                    "restart the sink with the table's layout")
             target = spark.read.parquet(table_path)
             merged = upsert(target, batch_df.select(*target.columns)
                             if order_col is None else batch_df,
