@@ -143,6 +143,21 @@ def _semantic_dedup_ivf(spark, sf_dir):
         lloyd_iters=2).groupBy().count()
 
 
+def _ann_inline_probe(name):
+    """DETAIL-only wrappers for the inline-train ANN registry queries
+    (VERDICT r8 item 4): every round they were the only >1.3x bench
+    flags and every round the flag adjudicated as k-means training
+    jitter (isolated spread 19-32 s on identical code, SCALE.md).  The
+    registry keeps them for correctness; the HEADLINE line carries the
+    persisted steady-state twins (ann_*_persisted); the inline numbers
+    keep being measured here so a real regression still lands in
+    BENCH_DETAIL.json — without phantom-flagging every bench_diff."""
+    def run(spark, sf_dir):
+        from dask_expr_spark.queries import collect_queries
+        return collect_queries()[name][0](spark, sf_dir)
+    return run
+
+
 def _profile_lineitem(spark, sf_dir):
     """one-pass 16-column profile of lineitem (functions/quality.py
     profile_table, HLL distincts + approx percentiles) — the data-
@@ -184,18 +199,46 @@ def _ann_cache_dir(sf_dir: str) -> str:
     return os.path.join(sf_dir, "_ann_cache")
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """cheap identity of the embeddings corpus the index was built
+    from: per-file (name, size, mtime).  _ensure_x10 regenerates the
+    corpus whenever the replica dir is cleared, and a stale persisted
+    index would silently misreport the steady-state entries (ADVICE
+    r8) — the _DONE marker stores this and mismatches force a
+    rebuild."""
+    import glob
+    import hashlib
+
+    h = hashlib.sha256()
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    for fp in sorted(glob.glob(os.path.join(root, "*.parquet"))
+                     or ([root] if os.path.isfile(root) else [])):
+        st = os.stat(fp)
+        h.update(f"{os.path.basename(fp)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def _ensure_ann_artifacts(spark, sf_dir: str) -> None:
-    """train + encode once per boot (untimed): PQ codebook (npy),
-    PQ codes, IVF centroids, and the coded-cells index."""
+    """train + encode once per corpus generation (untimed): PQ
+    codebook (npy), PQ codes, IVF centroids, and the coded-cells
+    index.  The _DONE marker is keyed on the corpus fingerprint, so a
+    regenerated x10 corpus invalidates the cache instead of serving a
+    stale index."""
     import numpy as np
+    import shutil
 
     from dask_expr_spark.functions import similarity as SIM
     from pyspark.sql import functions as F
 
     cache = _ann_cache_dir(sf_dir)
     done = os.path.join(cache, "_DONE")
+    fp = _corpus_fingerprint(sf_dir)
     if os.path.exists(done):
-        return
+        with open(done) as f:
+            if f.read().strip() == fp:
+                return
+        shutil.rmtree(cache, ignore_errors=True)   # stale: rebuild
     os.makedirs(cache, exist_ok=True)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     cb = np.asarray(SIM.pq_train(emb, 64, m=16))
@@ -216,7 +259,7 @@ def _ensure_ann_artifacts(spark, sf_dir: str) -> None:
      .write.mode("overwrite")
      .parquet(os.path.join(cache, "ivfpq_coded_cells.parquet")))
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(fp)
 
 
 def _ann_pq_topk_persisted(spark, sf_dir):
@@ -277,6 +320,11 @@ LOCAL_PROBES = {
     "components_star_pipeline": _connected_components_star,
     # round 6 (no prior comparable)
     "profile_lineitem": _profile_lineitem,
+    # round 9: inline-train ANN twins demoted from the headline line
+    # (VERDICT r8 item 4) — measured in BENCH_DETAIL only
+    "ann_pq_topk_inline": _ann_inline_probe("ann_pq_topk"),
+    "ann_pq_rerank_inline": _ann_inline_probe("ann_pq_rerank"),
+    "ann_ivfpq_topk_inline": _ann_inline_probe("ann_ivfpq_topk"),
 }
 
 # ---------------------------------------------------------------------------
@@ -327,7 +375,8 @@ X10_ENTRIES = {
     # only in the x10 universe)
     "upsert_bucketed_roundtrip", "snapshot_time_travel",
     "cdc_between_snapshots", "zonemap_skipping_dates",
-    "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
+    "ann_pq_topk_inline", "ann_pq_rerank_inline",
+    "ann_ivfpq_topk_inline",
     "zonemap_zorder_trailing", "cdc_apply_roundtrip",
     # round 8: steady-state ANN (same corpus as their inline twins)
     # and the write-heavy pointer-commit / snapshot-composition entries
@@ -469,9 +518,8 @@ OPTIONAL = [
     "scd2_history_orders",
     "cdc_between_snapshots",
     "zonemap_skipping_dates",
-    "ann_pq_topk",
-    "ann_pq_rerank",
-    "ann_ivfpq_topk",
+    # ann_pq_topk / ann_pq_rerank / ann_ivfpq_topk (inline-train) moved
+    # to LOCAL_PROBES in round 9 — see _ann_inline_probe
     "split_temporal_events",
     "zonemap_zorder_trailing",
     "cdc_apply_roundtrip",

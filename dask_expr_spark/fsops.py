@@ -10,8 +10,8 @@ filesystem an explicit seam instead of hard-coded `os`/`shutil` calls:
 
 - ``TableFS`` — the minimal interface the swap/snapshot/zonemap code
   calls (exists/listdir/rename/delete/walk/read_text/
-  write_text_atomic), with an ``atomic_rename`` capability flag the
-  commit layer consults.
+  write_text_atomic/write_text_exclusive), with an ``atomic_rename``
+  capability flag the commit layer consults.
 - ``PosixFS`` — the default, backed by os/shutil; atomic_rename=True.
 - ``HadoopFS`` — backed by the JVM Hadoop FileSystem reached through
   the active SparkSession (the same client Spark's own reads use, so
@@ -27,8 +27,10 @@ Commit-protocol guidance (enforced by functions/maintenance.py):
 ``atomic_rename`` == True  → the rename-aside swap protocol is sound.
 ``atomic_rename`` == False → use the pointer-commit protocol
 (maintenance.upsert_partitioned(commit="pointer")): data files are
-only ever CREATED, never renamed, and a single small-object pointer
-write — atomic on every store as one PUT — is the commit point.
+only ever CREATED, never renamed, and the commit point is the
+EXCLUSIVE creation of a per-generation claim file
+(write_text_exclusive — the CAS that makes concurrent committers
+safe: exactly one writer claims generation N+1, the loser raises).
 The no-rename guarantee covers this layer (driver-side fs ops + the
 table commit); Spark's own writes commit through its configured
 output committer, so pair the pointer protocol with a rename-free
@@ -111,6 +113,23 @@ class PosixFS:
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        """Create `path` with `text` iff it does not exist — atomic
+        compare-and-swap on the file's existence, with complete
+        content (a reader never sees a partial file).  Raises
+        FileExistsError when another writer already claimed the path.
+        POSIX mechanism: full write to a unique temp file, then
+        ``os.link`` — hard-linking is atomic and fails on an existing
+        target, unlike rename (which overwrites)."""
+        import uuid
+        tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.remove(tmp)
 
 
 class HadoopFS:
@@ -208,15 +227,69 @@ class HadoopFS:
                 stream.close()
             self.rename(tmp, path)
         else:
-            # object store: a create(overwrite) is ONE conditional PUT
-            # — readers see the old object or the new one, never a
-            # partial write.  A temp+rename here would be copy+delete,
-            # i.e. strictly worse.
+            # object store: a create(overwrite=true) is one
+            # UNCONDITIONAL PUT — atomic for READERS (they see the old
+            # object or the new one, never a partial write), but NOT
+            # conditional: two concurrent writers last-writer-wins.
+            # The commit layer therefore never uses this as a commit
+            # point between concurrent writers — the pointer protocol's
+            # CAS is write_text_exclusive (the _commit.{N}.json claim);
+            # this overwrite only refreshes the best-effort pointer
+            # cache AFTER a claim succeeded.  A temp+rename here would
+            # be copy+delete, i.e. strictly worse.
             stream = self._fs.create(self._p(path), True)
             try:
                 stream.write(data)
             finally:
                 stream.close()
+
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        """Create `path` with `text` iff it does not exist (the CAS
+        primitive of the pointer-commit protocol); raises
+        FileExistsError when another writer already claimed the path.
+
+        Rename-atomic schemes (HDFS & friends): full write to a unique
+        temp, then ``FileSystem.rename`` — HDFS rename onto an existing
+        destination FAILS (returns false), so the rename is an atomic
+        exclusive publish with complete content.
+
+        Object stores: ``create(path, overwrite=false)``.  Connectors
+        with conditional-write support (s3a with If-None-Match, gs
+        generation preconditions) make this a true conditional PUT;
+        older connectors implement it as existence-check + PUT, which
+        leaves a small two-writer race window — the same gap
+        Delta-on-S3 closed with an external lock before S3 gained
+        conditional writes.  The protocol is honest about this:
+        exclusivity is as strong as the store's conditional-create."""
+        from py4j.protocol import Py4JJavaError
+
+        data = bytearray(text.encode("utf-8"))
+        if self.atomic_rename:
+            import uuid
+            tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+            stream = self._fs.create(self._p(tmp), True)
+            try:
+                stream.write(data)
+            finally:
+                stream.close()
+            if not self._fs.rename(self._p(tmp), self._p(path)):
+                self._fs.delete(self._p(tmp), False)
+                raise FileExistsError(
+                    f"write_text_exclusive: {path} already exists")
+            return
+        try:
+            stream = self._fs.create(self._p(path), False)
+        except Py4JJavaError as exc:
+            name = exc.java_exception.getClass().getName()
+            if "ExistsException" in name or "AlreadyExists" in name:
+                raise FileExistsError(
+                    f"write_text_exclusive: {path} already exists"
+                ) from None
+            raise
+        try:
+            stream.write(data)
+        finally:
+            stream.close()
 
 
 def get_fs(path: str, spark=None):

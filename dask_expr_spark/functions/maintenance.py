@@ -38,7 +38,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import urllib.parse
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -234,31 +236,72 @@ def _swap_partition_dirs(path: str, new_root: str,
 #
 #   1. the replacement slice APPENDS into the live partition dirs
 #      (Spark writes fresh uniquely-named files; old files untouched);
-#   2. a root `_commit.json` manifest lists, per partition directory,
-#      the file names that ARE the table; the commit point is one
-#      small-object pointer write (single PUT — atomic on every
-#      store).
+#   2. per touched partition directory, the new committed file list is
+#      recorded — INLINE in the root manifest for small directories,
+#      or (above MANIFEST_INLINE_MAX files) in a fresh uniquely-named
+#      `_files.<id>.json` SHARD inside the directory, so the root
+#      manifest stays O(#dirs) however many files the table holds and
+#      a commit writes only the touched dirs' shards;
+#   3. the COMMIT POINT is the exclusive creation of the root claim
+#      file `_commit.<generation>.json` (the full root manifest) —
+#      fsops.write_text_exclusive, the protocol's compare-and-swap:
+#      exactly one writer claims generation N+1.  A concurrent writer
+#      that read the same base generation loses the claim and raises
+#      ConcurrentCommitError; its appended data files and manifest
+#      shards are unreferenced orphans that vacuum_manifested clears.
+#      (Delta's _delta_log/N.json, in miniature.)
 #
-# A crash anywhere leaves the previous manifest live and fully
-# readable; uncommitted files are invisible orphans that
-# vacuum_manifested clears.  Readers use read_manifested (a plain
-# directory scan would see orphans and superseded files — the price
-# of object-store correctness, same as Delta/Iceberg).  This is the
-# same commit design as snapshot_write below, extended with
-# per-partition file lists so incremental upserts stay change-sized.
+# `_commit.json` (no generation) survives as a best-effort POINTER
+# CACHE, refreshed after each successful claim; readers resolve the
+# true head by probing claim files forward from the cached generation
+# (read_commit), so a crash between claim and cache refresh loses
+# nothing.  A crash anywhere leaves the previous generation live and
+# fully readable.  Readers use read_manifested (a plain directory scan
+# would see orphans and superseded files — the price of object-store
+# correctness, same as Delta/Iceberg).
+#
+# CONCURRENCY CONTRACT (every pointer entry point): commits are
+# optimistic and serialize on the root claim — two writers from the
+# same base generation conflict even when they touch disjoint
+# partitions (single-log serialization, as in Delta); the loser
+# raises ConcurrentCommitError and must re-run its mutation against
+# the new head.  The CAS is as strong as the store's exclusive
+# create: atomic on POSIX (hard-link publish) and HDFS (rename-onto-
+# existing fails); on object stores it is the connector's
+# create(overwrite=false) — a true conditional PUT where supported
+# (see fsops.write_text_exclusive).
 #
 # Scope of the no-rename guarantee: it covers this layer — the TABLE
-# commit (one manifest PUT) and every driver-side operation.  The
-# appends themselves go through Spark's configured output committer,
-# and the default FileOutputCommitter still renames task output
-# JVM-side (copy+delete on S3); on real object stores configure the
-# store's rename-free committer (e.g. the S3A "magic" committer /
-# cloud-first committers) — correctness holds either way, since files
-# invisible to the manifest are just orphans, but the performance
-# claim needs the committer configured to match.
+# commit (claim + shards, all small objects only ever created) and
+# every driver-side operation.  The appends themselves go through
+# Spark's configured output committer, and the default
+# FileOutputCommitter still renames task output JVM-side (copy+delete
+# on S3); on real object stores configure the store's rename-free
+# committer (e.g. the S3A "magic" committer / cloud-first committers)
+# — correctness holds either way, since files invisible to the
+# manifest are just orphans, but the performance claim needs the
+# committer configured to match.
 # ---------------------------------------------------------------------------
 
 _COMMIT = "_commit.json"
+
+# a partition dir's committed file list stays INLINE in the root
+# manifest up to this many files; above it, the list moves to a
+# `_files.<id>.json` shard inside the dir.  At the module's stated
+# target (10^5-10^6 files) inline lists would make every commit
+# rewrite a ~100 MB root object; shards bound the root at O(#dirs)
+# and a commit's manifest bytes at O(files in touched dirs).
+# Module-level so tests/probes can force sharding with tiny tables.
+MANIFEST_INLINE_MAX = 16
+
+_CLAIM_RE = re.compile(r"^_commit\.(\d{8})\.json$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed the generation this commit targeted.
+    The table is unchanged by the losing commit (its data files and
+    manifest shards are vacuumable orphans); re-run the mutation
+    against the new head."""
 
 # Hive's path-unsafe characters (Spark ExternalCatalogUtils escape
 # set); values render into `col=value` dir names with %XX escapes.
@@ -285,16 +328,103 @@ def _commit_file(path: str) -> str:
     return os.path.join(path, _COMMIT)
 
 
+def _claim_file(path: str, gen: int) -> str:
+    return os.path.join(path, f"_commit.{int(gen):08d}.json")
+
+
 def read_commit(path: str, fs=None) -> dict | None:
+    """Resolve the table's current manifest (the HEAD): start from the
+    `_commit.json` pointer cache (falling back to one root listing for
+    claim files when the cache is absent — e.g. a crash before the
+    very first cache write), then probe claim files FORWARD until the
+    next generation is missing.  The claims are the truth, the cache
+    is an optimization: the steady-state read cost is one GET for the
+    cache plus one existence miss."""
     fs = _resolve_fs(path, fs)
     cp = _commit_file(path)
-    if not fs.exists(cp):
-        return None
-    return json.loads(fs.read_text(cp))
+    man = None
+    if fs.exists(cp):
+        man = json.loads(fs.read_text(cp))
+    else:
+        if not fs.isdir(path):
+            return None
+        gens = [int(m.group(1)) for m in
+                (_CLAIM_RE.match(e) for e in fs.listdir(path)) if m]
+        if not gens:
+            return None
+        man = json.loads(fs.read_text(_claim_file(path, max(gens))))
+    g = int(man["generation"])
+    while fs.exists(_claim_file(path, g + 1)):
+        g += 1
+        man = json.loads(fs.read_text(_claim_file(path, g)))
+    return man
 
 
 def _write_commit(path: str, man: dict, fs) -> None:
-    fs.write_text_atomic(_commit_file(path), json.dumps(man))
+    """The commit point: exclusively claim `_commit.{generation}.json`
+    (the CAS — exactly one writer wins each generation), then refresh
+    the `_commit.json` pointer cache.  Raises ConcurrentCommitError
+    when the generation is already claimed: the caller's mutation was
+    computed against a stale base, its appended files are vacuumable
+    orphans, and the table is untouched."""
+    gen = int(man["generation"])
+    text = json.dumps(man)
+    try:
+        fs.write_text_exclusive(_claim_file(path, gen), text)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"pointer commit: generation {gen} at {path} was claimed "
+            "by a concurrent writer — this commit's appended files are "
+            "unreferenced orphans (vacuum_manifested clears them); "
+            "re-run the mutation against the new head") from None
+    # best-effort pointer cache (read_commit probes forward from it,
+    # so losing a race on THIS unconditional write is harmless)
+    fs.write_text_atomic(_commit_file(path), text)
+
+
+def _dir_files(man: dict, path: str, d: str, fs) -> list[str]:
+    """Resolve one partition dir's committed file list: inline list,
+    or a `@shard` pointer to `_files.<id>.json` inside the dir."""
+    entry = man["partitions"].get(d, [])
+    if isinstance(entry, str):
+        return json.loads(
+            fs.read_text(os.path.join(path, d, entry.lstrip("@"))))
+    return list(entry)
+
+
+def _set_dir_files(man: dict, path: str, d: str, files: list[str],
+                   fs) -> None:
+    """Record a dir's new committed file list into the (pre-claim)
+    manifest: inline when small, else as a fresh uniquely-named shard
+    (only ever created — a concurrent writer's shard can never be
+    overwritten, and a losing commit's shard is just an orphan)."""
+    if len(files) <= MANIFEST_INLINE_MAX:
+        man["partitions"][d] = sorted(files)
+        return
+    name = f"_files.{uuid.uuid4().hex[:12]}.json"
+    fs.write_text_exclusive(os.path.join(path, d, name),
+                            json.dumps(sorted(files)))
+    man["partitions"][d] = "@" + name
+
+
+def manifest_files(man: dict, path: str, fs=None,
+                   dirs: list[str] | None = None) -> list[str]:
+    """Full paths of the manifest's committed data files, resolving
+    inline and sharded dir entries alike; `dirs` restricts to the
+    named partition directories (the pruned-read path)."""
+    fs = _resolve_fs(path, fs)
+    names = sorted(man["partitions"]) if dirs is None else sorted(dirs)
+    return [os.path.join(path, d, f)
+            for d in names
+            if d in man["partitions"]
+            for f in _dir_files(man, path, d, fs)]
+
+
+def _table_has_files(man: dict, path: str, fs) -> bool:
+    """True when any dir entry holds at least one committed file
+    (a `@shard` entry is never written for an empty list)."""
+    return any(isinstance(e, str) or e
+               for e in man["partitions"].values())
 
 
 _UNREAD = object()
@@ -347,31 +477,56 @@ def manifest_bootstrap(path: str, partition_col: str,
     """Adopt an existing hive-partitioned parquet table into the
     pointer protocol: every current data file becomes the committed
     generation 0.  Safe to run on a quiescent table only (concurrent
-    writers' files would be adopted mid-write)."""
+    writers' files would be adopted mid-write); an ALREADY-manifested
+    table is refused (re-bootstrapping would adopt orphans), and two
+    concurrent bootstraps serialize on the generation-0 claim — the
+    loser raises ConcurrentCommitError."""
     fs = _resolve_fs(path, fs)
-    parts = {d: _part_files(fs, path, d)
-             for d in fs.listdir(path)
-             if d.startswith(f"{partition_col}=")}
+    if read_commit(path, fs=fs) is not None:
+        raise ValueError(
+            f"manifest_bootstrap: table at {path} is already "
+            "pointer-committed — bootstrapping again would adopt "
+            "orphans and superseded files")
+    parts = {}
+    for d in fs.listdir(path):
+        if d.startswith(f"{partition_col}="):
+            parts[d] = _part_files(fs, path, d)
     man = {"generation": 0, "partition_col": partition_col,
-           "partitions": parts}
+           "partitions": {}}
+    for d, fl in parts.items():
+        _set_dir_files(man, path, d, fl, fs)
     _write_commit(path, man, fs)
     return man
 
 
-def read_manifested(spark: SparkSession, path: str,
-                    fs=None) -> DataFrame:
+def read_manifested(spark: SparkSession, path: str, fs=None,
+                    partition_values: list | None = None) -> DataFrame:
     """Read a pointer-commit table: exactly the manifest's files, with
     partition columns recovered from the dir names (basePath).  This
     is the ONLY correct read of such a table — a bare directory scan
-    would include uncommitted orphans and superseded files."""
+    would include uncommitted orphans and superseded files.
+
+    `partition_values` prunes the read to those partitions' dirs
+    BEFORE the file list is built — the manifest-level analogue of
+    hive partition pruning, and the path that keeps the driver-side
+    file list change-sized on big tables (a full read of a 10^6-file
+    table necessarily ships 10^6 paths through the driver).  Values
+    render through the same dir naming Spark writes; a rendering
+    divergence yields an EMPTY pruned read, which mutating callers
+    guard against pre-commit (and read-only callers should treat as
+    suspicious for non-string partition types)."""
+    fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     if man is None:
         raise ValueError(
             f"read_manifested: no {_COMMIT} at {path} — not a "
             "pointer-commit table (manifest_bootstrap or "
             "upsert_partitioned(commit='pointer') first)")
-    files = [os.path.join(path, d, f)
-             for d, fl in sorted(man["partitions"].items()) for f in fl]
+    dirs = None
+    if partition_values is not None:
+        dirs = [_hive_part_dir(man["partition_col"], v)
+                for v in partition_values]
+    files = manifest_files(man, path, fs=fs, dirs=dirs)
     if not files:
         # a legitimately EMPTY table (e.g. delete_where removed every
         # row): schema comes from whatever files remain on disk
@@ -389,9 +544,11 @@ def read_manifested(spark: SparkSession, path: str,
 def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
                      partition_col: str, man: dict, fs) -> list[str]:
     """The pointer protocol's write half: append `df`'s partitions as
-    new files, then flip the manifest to point at them.  New files are
-    identified by a pre/post listing diff per touched directory, so
-    orphans from a previously crashed append are never adopted."""
+    new files, then claim the next generation pointing at them.  New
+    files are identified by a pre/post listing diff per touched
+    directory, so orphans from a previously crashed append are never
+    adopted.  Raises ConcurrentCommitError when another writer claims
+    the generation first (this append's files become orphans)."""
     parts = [r[0] for r in df.select(partition_col).distinct().collect()]
     if not parts:
         return []
@@ -409,30 +566,48 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
                 f"pointer commit: no new files appeared under "
                 f"{d!r} after append — hive dir-name mismatch; "
                 "manifest NOT flipped (table unchanged)")
-        man["partitions"][d] = fresh
+        _set_dir_files(man, path, d, fresh, fs)
     man["generation"] = int(man["generation"]) + 1
-    _write_commit(path, man, fs)     # the atomic commit point
+    _write_commit(path, man, fs)     # the CAS commit point
     return dirs
 
 
 def vacuum_manifested(path: str, fs=None) -> int:
     """Delete data files not referenced by the current manifest —
-    superseded generations and orphans of crashed appends.  Run AFTER
-    readers of older generations have drained (same contract as
-    snapshot_vacuum).  Returns the number of files removed."""
+    superseded generations and orphans of crashed or lost-race
+    appends — plus superseded root claim files and unreferenced
+    `_files.*.json` manifest shards.  Run AFTER readers of older
+    generations have drained (same contract as snapshot_vacuum): a
+    reader resolving an older claim mid-vacuum can lose its files.
+    Returns the number of DATA files removed."""
     fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     if man is None:
         return 0
+    cur_gen = int(man["generation"])
+    # refresh the pointer cache BEFORE dropping older claims: probe-
+    # forward readers must never start from a generation whose
+    # successors were vacuumed away
+    fs.write_text_atomic(_commit_file(path), json.dumps(man))
+    for e in fs.listdir(path):
+        m = _CLAIM_RE.match(e)
+        if m and int(m.group(1)) != cur_gen:
+            fs.delete(os.path.join(path, e))
     removed = 0
     for d in fs.listdir(path):
         if not d.startswith(f"{man['partition_col']}="):
             continue
-        live = set(man["partitions"].get(d, []))
+        entry = man["partitions"].get(d, [])
+        live = set(_dir_files(man, path, d, fs))
+        live_shard = entry.lstrip("@") if isinstance(entry, str) else None
         for f in _part_files(fs, path, d):
             if f not in live:
                 fs.delete(os.path.join(path, d, f))
                 removed += 1
+        for f in fs.listdir(os.path.join(path, d)):
+            if (f.startswith("_files.") and f.endswith(".json")
+                    and f != live_shard):
+                fs.delete(os.path.join(path, d, f))
         if not live and not _part_files(fs, path, d):
             fs.delete(os.path.join(path, d))
     return removed
@@ -460,7 +635,9 @@ def compact_manifested(spark: SparkSession, path: str,
     chunk = target_mb * 1024 * 1024
     plan: dict[str, int] = {}
     files_before = 0
-    for d, fl in man["partitions"].items():
+    dir_files = {d: _dir_files(man, path, d, fs)
+                 for d in man["partitions"]}
+    for d, fl in dir_files.items():
         files_before += len(fl)
         sz = sum(fs.getsize(os.path.join(path, d, f)) for f in fl)
         n_target = max(1, math.ceil(sz / chunk))
@@ -469,7 +646,7 @@ def compact_manifested(spark: SparkSession, path: str,
     if not plan:
         return (files_before, files_before)
     files = [os.path.join(path, d, f)
-             for d in plan for f in man["partitions"][d]]
+             for d in plan for f in dir_files[d]]
     df = spark.read.option("basePath", path).parquet(*files)
     # per-dir file targets via in-value salting (same discipline as
     # compact_parquet: a wide table can't fan out to n x n_dirs files)
@@ -494,22 +671,38 @@ def compact_manifested(spark: SparkSession, path: str,
            .drop("__salt"))
     pre = {d: set(_part_files(fs, path, d)) for d in plan}
     out.write.mode("append").partitionBy(pcol).parquet(path)
+    files_after = files_before
     for d in plan:
         fresh = sorted(set(_part_files(fs, path, d)) - pre[d])
         if not fresh:
             raise RuntimeError(
                 f"compact_manifested: no new files under {d!r} after "
                 "append; manifest NOT flipped (table unchanged)")
-        man["partitions"][d] = fresh
+        files_after += len(fresh) - len(dir_files[d])
+        _set_dir_files(man, path, d, fresh, fs)
     man["generation"] = int(man["generation"]) + 1
     _write_commit(path, man, fs)
-    return (files_before,
-            sum(len(fl) for fl in man["partitions"].values()))
+    _refresh_zonemap_if_present(spark, path, fs)
+    return (files_before, files_after)
 
 
 # ---------------------------------------------------------------------------
 # Partition-pruned in-place upsert + the bloom-backed move guard.
 # ---------------------------------------------------------------------------
+
+
+def _refresh_zonemap_if_present(spark: SparkSession, path: str,
+                                fs) -> None:
+    """Keep the table's zone-map manifest current after a mutation
+    (VERDICT r8 item 6): the stale contract is fail-safe — unknown
+    files always survive pruning — but a mutated table silently LOSES
+    its pruning benefit until the manifest refreshes, so the mutators
+    that rewrite files (delete_where, compaction) refresh it inline.
+    Cost is bounded by the change: update_zonemap footer-scans only
+    files the manifest hasn't seen and drops rows for files gone."""
+    from ..sources.zonemap import ZONEMAP_DIR, update_zonemap
+    if fs.isdir(os.path.join(path, ZONEMAP_DIR)):
+        update_zonemap(spark, path, fs=fs)
 
 
 def _key_str(keys: list[str]) -> Column:
@@ -598,7 +791,15 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     the table already carries `_commit.json` or the fs lacks atomic
     rename; rename otherwise).  An explicit commit="rename" on a
     pointer-commit table is refused — the rename protocol would read
-    the raw directory's superseded and orphan files."""
+    the raw directory's superseded and orphan files.
+
+    Concurrency: pointer commits are optimistic and serialize on the
+    per-generation claim — a concurrent writer from the same base
+    generation raises ConcurrentCommitError (its appended files are
+    vacuumable orphans; re-run against the new head).  The RENAME
+    protocol remains single-writer by contract: two concurrent swaps
+    would interleave renames unsafely — serialize rename-protocol
+    mutators externally."""
     fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     commit = _resolve_commit(path, fs, commit, "upsert_partitioned",
@@ -632,15 +833,24 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
             raise ValueError(
                 f"upsert_partitioned: table at {path} is committed on "
                 f"{man['partition_col']}, not {partition_col}")
-        if any(fl for fl in man["partitions"].values()):
-            full = read_manifested(spark, path, fs=fs)
+        if _table_has_files(man, path, fs):
+            # the target reads ONLY the touched partitions' committed
+            # files (manifest pruning): the driver-side file list is
+            # bounded by the batch's partitions, not the table.  The
+            # full-table frame builds lazily — only the move guard's
+            # bloom-missed path ever materializes its file list.
+            target = read_manifested(spark, path, fs=fs,
+                                     partition_values=parts)
+            def full_fn():
+                return read_manifested(spark, path, fs=fs)
         else:
             # table deleted empty (possibly vacuumed to nothing):
             # insert-only merge, no files to read or guard against
-            full = updates.where(F.lit(False))
-        target = full.where(F.col(partition_col).isin(parts))
+            target = updates.where(F.lit(False))
+            def full_fn():
+                return target
         if check_moves and keys and partition_col not in keys:
-            _check_partition_moves(spark, lambda: full, target,
+            _check_partition_moves(spark, full_fn, target,
                                    updates, keys, partition_col, None)
         merged = upsert(target, updates, keys, order_col=order_col)
         # the merged plan lazily re-reads the files the flip will
@@ -949,10 +1159,29 @@ def compact_parquet(spark: SparkSession, path: str,
     spec_path = os.path.join(path, _BUCKET_SPEC)
     if fs.exists(spec_path):          # bucketed table: keep the sidecar
         spec = fs.read_text(spec_path)
+    # the whole-table swap replaces the `_zonemap` dir living inside
+    # the table root too: capture the indexed columns now and rebuild
+    # the manifest from the compacted files' footers after the swap
+    # (footer-only cost, proportional to the rewrite itself)
+    from ..sources.zonemap import (ZONEMAP_DIR, _read_manifest_df,
+                                   build_zonemap)
+    zcols = None
+    if fs.isdir(os.path.join(path, ZONEMAP_DIR)):
+        zman = _read_manifest_df(spark, os.path.join(path, ZONEMAP_DIR),
+                                 fs)
+        zcols = sorted({c[:-4] for c in zman.columns
+                        if c.endswith("_min")})
+    # sizing walk skips metadata dirs (`_zonemap`, snapshot `_v*`) and
+    # underscore files — but NOT hive dirs like `__bucket=0` — so
+    # manifest parquet bytes never count into compaction targets
+    def _meta_dir(d: str) -> bool:
+        return "=" not in d and d.startswith(("_", "."))
+
     sizes: dict[str, int] = {}
     files_before = 0
-    for fp, sz in fs.walk_files(path):
-        if not fp.endswith(".parquet"):
+    for fp, sz in fs.walk_files(path, skip_dir=_meta_dir):
+        if not fp.endswith(".parquet") or \
+                os.path.basename(fp).startswith(("_", ".")):
             continue
         files_before += 1
         token = ""
@@ -997,8 +1226,11 @@ def compact_parquet(spark: SparkSession, path: str,
     atomic_overwrite(path, writer, fs=fs)
     if spec is not None:
         fs.write_text_atomic(spec_path, spec)
-    after = sum(1 for fp, _sz in fs.walk_files(path)
-                if fp.endswith(".parquet"))
+    if zcols:
+        build_zonemap(spark, path, zcols, fs=fs)
+    after = sum(1 for fp, _sz in fs.walk_files(path, skip_dir=_meta_dir)
+                if fp.endswith(".parquet")
+                and not os.path.basename(fp).startswith(("_", ".")))
     return (files_before, after)
 
 
@@ -1090,7 +1322,11 @@ def upsert_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
            .select(*keys, F.col(effective_col).alias(start_col),
                    *[F.col(f"__s.{c}").alias(c) for c in attrs]))
     bkeys = upd.select(*keys).distinct()
-    cur = (target.where(F.col(current_col))
+    # null-safe current split (same contract as scd2_delete): a NULL
+    # in current_col routes the row to the closed-history side instead
+    # of silently dropping it from both WHERE branches
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
+    cur = (target.where(is_cur)
            .join(bkeys, keys, "left_semi")
            .select(*keys, start_col, *attrs))
     if retroactive == "skip":
@@ -1127,7 +1363,7 @@ def upsert_scd2(target: DataFrame, updates: DataFrame, keys: list[str],
            .select(*target.columns))
     untouched = (target.join(bkeys, keys, "left_anti")
                  .unionByName(
-                     target.where(~F.col(current_col))
+                     target.where(~is_cur)
                      .join(bkeys, keys, "left_semi")))
     return untouched.unionByName(seg)
 
@@ -1159,7 +1395,12 @@ def scd2_delete(target: DataFrame, deletes: DataFrame, keys: list[str],
     no window is needed (a delete closes exactly one row)."""
     d = (deletes.groupBy(*keys)
          .agg(F.max(effective_col).alias("__del_at")))
-    cur = target.where(F.col(current_col))
+    # the current/closed split must PARTITION the history: a NULL in
+    # current_col (malformed history) would fall into neither WHERE
+    # branch and silently vanish from the returned frame — null-safe
+    # booleans route such rows to the closed side, preserved verbatim
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
+    cur = target.where(is_cur)
     hit = cur.join(d, keys, "inner")
     if retroactive == "skip":
         hit = hit.where(F.col("__del_at") > F.col(start_col))
@@ -1177,7 +1418,7 @@ def scd2_delete(target: DataFrame, deletes: DataFrame, keys: list[str],
                   .drop("__del_at")
                   .select(*target.columns))
     survivors = (cur.join(closed_now.select(*keys), keys, "left_anti")
-                 .unionByName(target.where(~F.col(current_col))))
+                 .unionByName(target.where(~is_cur)))
     return survivors.unionByName(closed_now)
 
 
@@ -1244,7 +1485,9 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
     "pointer"): the slice APPENDS as fresh files and the `_commit.
     json` manifest flips — read back with read_manifested.
     Bootstraps the table if absent.  Returns the hive dir names
-    rewritten."""
+    rewritten.  Concurrency: same contract as upsert_partitioned —
+    pointer commits CAS on the generation claim (loser raises
+    ConcurrentCommitError); the rename protocol is single-writer."""
     fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     commit = _resolve_commit(path, fs, commit, "overwrite_partitions",
@@ -1297,6 +1540,13 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     per-partition, like the swaps: a crash mid-way leaves each hit
     partition either fully old or fully deleted — re-run to finish
     (the predicate is idempotent).
+
+    If the table keeps a zone map (`_zonemap` dir), the manifest
+    refreshes inline after the delete (change-bounded footer scan), so
+    pruned reads keep their benefit without a manual update_zonemap.
+    Concurrency: same contract as upsert_partitioned — pointer commits
+    CAS on the generation claim (ConcurrentCommitError for the loser);
+    the rename protocol is single-writer.
 
     Returns ``(hit_partition_values, rows_deleted)``."""
     fs = _resolve_fs(path, fs)
@@ -1367,11 +1617,12 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
                         f"delete_where: no new files under {d!r} "
                         "after append; manifest NOT flipped "
                         "(table unchanged)")
-                man["partitions"][d] = fresh
+                _set_dir_files(man, path, d, fresh, fs)
         for d in empty_dirs:
             man["partitions"][d] = []
         man["generation"] = int(man["generation"]) + 1
         _write_commit(path, man, fs)
+        _refresh_zonemap_if_present(spark, path, fs)
         return (parts, n_del)
     if nonempty_dirs:
         written = overwrite_partitions(spark, path, kept,
@@ -1401,6 +1652,7 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
             fs.rename(os.path.join(path, d),
                       os.path.join(trash, d))
         fs.delete(trash)
+    _refresh_zonemap_if_present(spark, path, fs)
     return (parts, n_del)
 
 

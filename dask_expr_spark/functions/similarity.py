@@ -1186,6 +1186,13 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     incrementally while queries pay only the probe+gather cost."""
     import numpy as np
 
+    if coded_cells is not None and centroids is None:
+        raise ValueError(
+            "ivfpq_topk: coded_cells without centroids — the persisted "
+            "index's `cell` assignments are only meaningful with the "
+            "coarse quantizer that produced them; a freshly trained "
+            "quantizer would probe the wrong cells and silently degrade "
+            "recall.  Pass the centroids persisted alongside the codes")
     vv = vectors.select(F.col(id_col).alias("neighbor_id"),
                         as_double(F.col(vec_col)).alias("__vv"))
     qv = queries.select(F.col(id_col).alias("query_id"),

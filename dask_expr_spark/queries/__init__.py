@@ -132,17 +132,12 @@ VALIDATED = frozenset({
     "stream_scd2_history", "ann_ivfpq_topk", "split_temporal_events",
     "zonemap_zorder_trailing", "upsert_evolve_schema",
     "cdc_apply_roundtrip",
-})
-
-# Queries whose driver validation is OLDEST — these lead the round-7
-# window (after any new round-7 queries) so the driver reconfirms them
-# before anything newer.  Cohort = the r2-validated names the r6 window
-# did NOT reach (the old cohort was consumed through
-# stream_stateful_totals), then the r3 cohort in registry order, then
-# the r4 cohort (r2/r3 run out inside the r7/r8 windows).
-RECONFIRM_FIRST = (
-    # r3 cohort remainder (validated r3; the r7 window consumed the
-    # cohort through groupby_head_orders)
+    # round 8 (CORRECTNESS_r08.json — all 50 rows hash-green: the 7 new
+    # round-8 queries below + the leading 43 of the reconfirmation
+    # cohort, through period_monthly_revenue).
+    "upsert_pointer_roundtrip", "multimodal_resize_stub",
+    "zonemap_snapshot_version", "compact_manifested_files",
+    "stream_upsert_pointer", "delete_where_orders", "scd2_delete_orders",
     "get_group_building", "groupby_rolling_qty",
     "groupby_expanding_value", "concat_axis1_customer",
     "query_eval_orders", "ufunc_sqrt_price", "dot_qty_discount",
@@ -153,7 +148,6 @@ RECONFIRM_FIRST = (
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_bucketed",
     "ann_ivf_topk", "ann_int8_topk", "stream_tumbling_counts",
     "stream_session_counts", "stream_interval_join",
-    # r4 cohort (validated r4, never reconfirmed since; registry order)
     "parquet_roundtrip_lineitem", "orc_roundtrip_supplier",
     "sources_from_array", "sources_divisions_repartition",
     "timeseries_stats", "repartition_invariance_orders",
@@ -161,7 +155,19 @@ RECONFIRM_FIRST = (
     "enforce_divisions_orders", "records_roundtrip_nation",
     "jdbc_roundtrip_supplier", "size_len_scalars", "toframe_price_total",
     "bucketed_join_orders", "groupby_observed_false",
-    "period_monthly_revenue", "salted_agg_suppkey", "salted_merge_orders",
+    "period_monthly_revenue",
+})
+
+# Queries whose driver validation is OLDEST — these lead the round-9
+# window (after any new round-9 queries) so the driver reconfirms them
+# before anything newer.  Cohort = the r4-validated names the r8 window
+# did NOT reach (the old cohort was consumed through
+# period_monthly_revenue), then the r5 cohort in registry order, then
+# the r6 cohort (appended this round — the queue ran short).
+RECONFIRM_FIRST = (
+    # r4 cohort remainder (validated r4; the r8 window consumed the
+    # cohort through period_monthly_revenue)
+    "salted_agg_suppkey", "salted_merge_orders",
     "dedup_resolve_corpus", "merge_recursive_regions",
     "dedup_substring_spans", "dedup_connected_groups_star",
     "dedup_chunk_minhash", "semantic_dedup_kept", "multimodal_audio_meta",
@@ -175,23 +181,31 @@ RECONFIRM_FIRST = (
     "q11_important_stock", "q20_potential_promotion",
     "ann_cosine_topk_blocked", "ann_lsh_auto_planes",
     "stream_heavy_hitters", "stream_windowed_distinct",
+    # r6 cohort (validated r6, never reconfirmed since; registry order)
+    "cms_custkey_counts", "kmv_distinct_slices", "kmv_intersect_slices",
+    "dedup_bloom_incremental", "upsert_orders_scd1",
+    "upsert_partitioned_roundtrip", "ann_mmr_rerank",
+    "cms_join_cardinality", "diff_after_upsert",
+    "compact_roundtrip_lineitem", "current_divisions_slice_concat",
+    "dedup_exact_incremental", "sample_n_per_group_orders",
+    "split_leakage_safe", "sample_weighted_per_group_orders",
+    "ann_pca_whiten", "profile_orders_stats",
+    "validate_orders_constraints", "drift_price_psi",
+    "stream_hll_rollup", "stream_hist_rollup", "stream_exact_dedup",
+    "stream_drift_psi", "stream_upsert_snapshot",
 )
 
-# ROUND-9 CHECKLIST: once CORRECTNESS_r08.json lands, rotate again —
+# ROUND-10 CHECKLIST: once CORRECTNESS_r09.json lands, rotate again —
 # add its green names to VALIDATED and drop the consumed
-# RECONFIRM_FIRST prefix.  The r8 window = the 7 new round-8 queries
-# (upsert_pointer_roundtrip, multimodal_resize_stub,
-# zonemap_snapshot_version, compact_manifested_files,
-# stream_upsert_pointer, delete_where_orders, scd2_delete_orders) +
-# the leading 43 of RECONFIRM_FIRST (through period_monthly_revenue);
-# check list(collect_queries())[:50]
-# when rotating — the exact tail shifts with any late additions.
-# The r5 cohort is already appended; append the r6 cohort
-# (cms_custkey_counts … stream_upsert_snapshot, registry order) when
-# the queue runs short.  Every registry query is swept locally vs
-# DuckDB at sf0.01 each round (tests/test_correctness.py), so names
-# outside the driver window are never actually stale — the rotation
-# just keeps the audit trail fresh.
+# RECONFIRM_FIRST prefix.  The r9 window = the new round-9 queries
+# (everything in round9.py) + the leading remainder of RECONFIRM_FIRST;
+# check list(collect_queries())[:50] when rotating — the exact tail
+# shifts with any late additions.  The r6 cohort is already appended;
+# append the r7 cohort (profile_from_rollups_orders …
+# cdc_apply_roundtrip, registry order) when the queue runs short.
+# Every registry query is swept locally vs DuckDB at sf0.01 each round
+# (tests/test_correctness.py), so names outside the driver window are
+# never actually stale — the rotation just keeps the audit trail fresh.
 
 
 def collect_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -60,12 +60,10 @@ def _data_files(path: str, fs=None) -> list[str]:
     # a pointer-commit table's data files are EXACTLY its manifest's:
     # a directory walk would also see uncommitted orphans and
     # superseded generations, which read_skipping must never open
-    from ..functions.maintenance import read_commit
+    from ..functions.maintenance import manifest_files, read_commit
     man = read_commit(path, fs=fs)
     if man is not None:
-        return sorted(
-            os.path.join(path, d, f)
-            for d, fl in man["partitions"].items() for f in fl)
+        return sorted(manifest_files(man, path, fs=fs))
     skip = lambda d: "=" not in d and d.startswith(("_", "."))  # noqa: E731
     return sorted(
         fp for fp, _sz in fs.walk_files(path, skip_dir=skip)

@@ -702,3 +702,302 @@ def test_delete_where_boolean_partition_values(spark, tmp_path):
     left = spark.read.parquet(path)
     assert left.count() == 5
     assert left.where("flag = 'true'").count() == 0
+
+
+# --------------------------------------- round 9: multi-writer CAS
+
+def test_write_text_exclusive_posix(tmp_path):
+    fs = fsops.PosixFS()
+    p = str(tmp_path / "claim.json")
+    fs.write_text_exclusive(p, '{"g": 1}')
+    assert json.loads(fs.read_text(p)) == {"g": 1}
+    with pytest.raises(FileExistsError):
+        fs.write_text_exclusive(p, '{"g": 2}')
+    assert json.loads(fs.read_text(p)) == {"g": 1}    # loser changed nothing
+    # no temp residue
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".tmp")] == []
+
+
+def test_write_text_exclusive_hadoop_local(spark, tmp_path):
+    """the JVM path: rename-onto-existing fails on Hadoop local fs,
+    making the publish exclusive."""
+    root = f"file://{tmp_path}"
+    fs = fsops.get_fs(root + "/t", spark=spark)
+    fs.mkdirs(root + "/t")
+    fs.write_text_exclusive(root + "/t/c.json", '{"g": 1}')
+    with pytest.raises(FileExistsError):
+        fs.write_text_exclusive(root + "/t/c.json", '{"g": 2}')
+    assert json.loads(fs.read_text(root + "/t/c.json")) == {"g": 1}
+    assert [f for f in fs.listdir(root + "/t")
+            if f.endswith(".tmp")] == []
+
+
+def test_concurrent_commit_interleaved_loser_raises(spark, tmp_path):
+    """the lost-update interleaving, deterministically: writers A and
+    B both read generation g; A commits g+1; B's flip (computed
+    against the stale base) must RAISE, the table must show exactly
+    A's commit, and B's appended files must be vacuumable orphans."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    man_b = M.read_commit(path)               # B's stale snapshot
+
+    batch_a = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [111.0], "part": ["a"]}))
+    M.upsert_partitioned(spark, path, batch_a, ["k"], "part",
+                         commit="pointer")    # A wins generation 1
+
+    batch_b = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [222.0], "part": ["b"]}))
+    fs = fsops.PosixFS()
+    with pytest.raises(M.ConcurrentCommitError, match="generation 1"):
+        M._append_and_flip(spark, path, batch_b, "part", man_b, fs)
+
+    got = _rows(M.read_manifested(spark, path))
+    assert (0, 111.0, "a") in got             # A's row committed
+    assert (1, 222.0, "b") not in got         # B's row invisible
+    assert (1, 1.0, "b") in got               # original row intact
+    removed = M.vacuum_manifested(path)       # B's orphans clear
+    assert removed > 0
+    assert _rows(M.read_manifested(spark, path)) == got
+    # B re-runs against the new head and succeeds
+    M.upsert_partitioned(spark, path, batch_b, ["k"], "part",
+                         commit="pointer")
+    assert (1, 222.0, "b") in _rows(M.read_manifested(spark, path))
+
+
+def test_concurrent_commit_api_level_loser_raises(spark, tmp_path,
+                                                  monkeypatch):
+    """the same lost-update interleaving through the PUBLIC API for
+    both writers: B's upsert_partitioned computes its manifest, and a
+    hook injected at B's claim point runs writer A's ENTIRE
+    upsert_partitioned first (deterministic injected ordering — a
+    thread race would also hit Spark's shared append-staging dir).
+    Exactly one commit lands: A's; B raises ConcurrentCommitError; the
+    loser re-runs against the new head and both batches apply."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    real = M._write_commit
+    state = {"fired": False}
+
+    def inject(p, man, fs):
+        if not state["fired"]:
+            state["fired"] = True            # A's inner claim is real
+            batch_a = spark.createDataFrame(pd.DataFrame(
+                {"k": [100], "v": [1.0], "part": ["a"]}))
+            M.upsert_partitioned(spark, path, batch_a, ["k"], "part",
+                                 commit="pointer")
+        return real(p, man, fs)
+
+    monkeypatch.setattr(M, "_write_commit", inject)
+    batch_b = spark.createDataFrame(pd.DataFrame(
+        {"k": [200], "v": [2.0], "part": ["b"]}))
+    with pytest.raises(M.ConcurrentCommitError, match="re-run"):
+        M.upsert_partitioned(spark, path, batch_b, ["k"], "part",
+                             commit="pointer")
+    monkeypatch.setattr(M, "_write_commit", real)
+    got = _rows(M.read_manifested(spark, path))
+    assert (100, 1.0, "a") in got              # A (winner) landed
+    assert (200, 2.0, "b") not in got          # B invisible
+    # loser re-runs cleanly against the new head
+    M.upsert_partitioned(spark, path, batch_b, ["k"], "part",
+                         commit="pointer")
+    got2 = _rows(M.read_manifested(spark, path))
+    assert (100, 1.0, "a") in got2 and (200, 2.0, "b") in got2
+
+
+def test_read_commit_probe_forward_and_cache_recovery(spark, tmp_path):
+    """the claims are the truth, the `_commit.json` cache is an
+    optimization: a stale cache (crash between claim and refresh)
+    resolves forward to the newest claim, and a MISSING cache
+    recovers from one root listing."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    man0 = M.read_commit(path)
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [9.0], "part": ["a"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    # simulate the crash: cache rolled back to generation 0
+    with open(os.path.join(path, "_commit.json"), "w") as f:
+        f.write(json.dumps(man0))
+    man = M.read_commit(path)
+    assert int(man["generation"]) == 1         # probed forward
+    assert (0, 9.0, "a") in _rows(M.read_manifested(spark, path))
+    # cache missing entirely -> recover via listing
+    os.remove(os.path.join(path, "_commit.json"))
+    man = M.read_commit(path)
+    assert int(man["generation"]) == 1
+    assert (0, 9.0, "a") in _rows(M.read_manifested(spark, path))
+
+
+def test_manifest_bootstrap_refuses_manifested_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    with pytest.raises(ValueError, match="already"):
+        M.manifest_bootstrap(path, "part")
+
+
+# ------------------------------------- round 9: sharded manifests
+
+def test_sharded_manifest_roundtrip(spark, tmp_path, monkeypatch):
+    """with sharding forced (MANIFEST_INLINE_MAX=0): dir file lists
+    live in `_files.<id>.json` shards, the root holds only @pointers,
+    a commit re-shards ONLY the touched dirs, reads resolve shards
+    transparently, and vacuum clears superseded shards + claims."""
+    monkeypatch.setattr(M, "MANIFEST_INLINE_MAX", 0)
+    path = str(tmp_path / "t")
+    pdf = _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    man0 = M.read_commit(path)
+    assert all(isinstance(e, str) and e.startswith("@")
+               for e in man0["partitions"].values())
+    assert _rows(M.read_manifested(spark, path)) == sorted(
+        map(tuple, pdf.itertuples(index=False)))
+
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0, 100], "v": [50.0, 51.0], "part": ["a", "a"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    man1 = M.read_commit(path)
+    assert man1["partitions"]["part=a"] != man0["partitions"]["part=a"]
+    for d in ("part=b", "part=c"):             # untouched: same shard
+        assert man1["partitions"][d] == man0["partitions"][d]
+    got = _rows(M.read_manifested(spark, path))
+    assert (0, 50.0, "a") in got and (100, 51.0, "a") in got
+
+    # vacuum: superseded data files, the orphan shard of generation 0
+    # for part=a, and the generation-0 claim all clear; reads stable
+    removed = M.vacuum_manifested(path)
+    assert removed > 0
+    shard0 = man0["partitions"]["part=a"].lstrip("@")
+    assert not os.path.exists(os.path.join(path, "part=a", shard0))
+    shard1 = man1["partitions"]["part=a"].lstrip("@")
+    assert os.path.exists(os.path.join(path, "part=a", shard1))
+    claims = [f for f in os.listdir(path) if M._CLAIM_RE.match(f)]
+    assert claims == ["_commit.00000001.json"]
+    assert _rows(M.read_manifested(spark, path)) == got
+
+    # the full lifecycle stays shard-aware: delete + compact
+    from pyspark.sql import functions as F
+    parts, n_del = M.delete_where(spark, path, F.col("k") == 100,
+                                  "part", commit="pointer")
+    assert n_del == 1
+    fb, fa = M.compact_manifested(spark, path, target_mb=128)
+    assert fa <= fb
+    exp = [t for t in got if t[0] != 100]
+    assert _rows(M.read_manifested(spark, path)) == sorted(exp)
+
+
+def test_read_manifested_partition_pruning(spark, tmp_path):
+    """partition_values prunes the FILE LIST, not just the rows: the
+    pruned plan reads only the named dirs' files."""
+    path = str(tmp_path / "t")
+    pdf = _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    pruned = M.read_manifested(spark, path, partition_values=["a"])
+    exp = sorted((k, v, p) for k, v, p in
+                 map(tuple, pdf.itertuples(index=False)) if p == "a")
+    assert _rows(pruned) == exp
+    files = pruned.inputFiles()
+    assert files and all("part=a" in f for f in files)
+    # a value with no partition reads zero rows, correct schema
+    empty = M.read_manifested(spark, path, partition_values=["zz"])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v", "part"}
+
+
+# --------------------------- round 9: zone maps stay fresh on mutate
+
+@pytest.mark.parametrize("commit", ["rename", "pointer"])
+def test_zonemap_refreshes_after_delete_where(spark, tmp_path, commit):
+    """delete_where refreshes a present `_zonemap` inline (VERDICT r8
+    item 6): after the delete, pruned reads are still exact AND the
+    manifest has no rows for deleted files — the pruning benefit
+    survives the mutation without a manual update_zonemap."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / f"t_{commit}")
+    pdf = pd.DataFrame({
+        "k": range(60),
+        "v": [float(i) for i in range(60)],
+        "part": [("a", "b", "c")[i % 3] for i in range(60)]})
+    (spark.createDataFrame(pdf).repartitionByRange(4, "k")
+     .sortWithinPartitions("k")
+     .write.partitionBy("part").parquet(path))
+    if commit == "pointer":
+        M.manifest_bootstrap(path, "part")
+    Z.build_zonemap(spark, path, ["k"])
+    files0 = set(Z._read_manifest_df(
+        spark, os.path.join(path, Z.ZONEMAP_DIR),
+        fsops.PosixFS()).select("file").toPandas()["file"])
+
+    parts, n_del = M.delete_where(spark, path, F.col("k") < 30,
+                                  "part", commit=commit)
+    assert n_del == 30
+    man_files = set(Z._read_manifest_df(
+        spark, os.path.join(path, Z.ZONEMAP_DIR),
+        fsops.PosixFS()).select("file").toPandas()["file"])
+    assert man_files != files0                 # refreshed, not stale
+    live = set(Z._data_files(path))
+    assert man_files == live                   # exactly the live files
+    got = sorted(r["k"] for r in
+                 Z.read_skipping(spark, path, [("k", ">=", 45)])
+                 .collect())
+    assert got == list(range(45, 60))
+    surv, total = Z.zone_prune(spark, path, [("k", ">=", 45)])
+    assert 0 < len(surv) < total               # pruning still bites
+
+
+def test_zonemap_rebuilds_across_compact_parquet(spark, tmp_path):
+    """compact_parquet's whole-table swap replaces the in-table
+    `_zonemap` dir; the compactor rebuilds it from the compacted
+    files' footers so read_skipping keeps working and stays exact."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({"k": range(80),
+                        "v": [float(i) for i in range(80)]})
+    (spark.createDataFrame(pdf).repartition(16)
+     .write.parquet(path))
+    Z.build_zonemap(spark, path, ["k"])
+    fb, fa = M.compact_parquet(spark, path, target_mb=128)
+    assert fa < fb                              # actually compacted
+    got = sorted(r["k"] for r in
+                 Z.read_skipping(spark, path, [("k", ">=", 70)])
+                 .collect())
+    assert got == list(range(70, 80))
+    live = set(Z._data_files(path))
+    man_files = set(Z._read_manifest_df(
+        spark, os.path.join(path, Z.ZONEMAP_DIR),
+        fsops.PosixFS()).select("file").toPandas()["file"])
+    assert man_files == live
+
+
+def test_zonemap_refreshes_after_compact_manifested(spark, tmp_path):
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({
+        "k": range(60), "v": [float(i) for i in range(60)],
+        "part": [("a", "b")[i % 2] for i in range(60)]})
+    (spark.createDataFrame(pdf).repartition(8)
+     .write.partitionBy("part").parquet(path))
+    M.manifest_bootstrap(path, "part")
+    Z.build_zonemap(spark, path, ["k"])
+    fb, fa = M.compact_manifested(spark, path, target_mb=128)
+    assert fa < fb
+    live = set(Z._data_files(path))
+    man_files = set(Z._read_manifest_df(
+        spark, os.path.join(path, Z.ZONEMAP_DIR),
+        fsops.PosixFS()).select("file").toPandas()["file"])
+    assert man_files == live
+    got = sorted(r["k"] for r in
+                 Z.read_skipping(spark, path, [("k", "<", 5)])
+                 .collect())
+    assert got == list(range(5))

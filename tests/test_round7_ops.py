@@ -1127,3 +1127,39 @@ def test_scd2_delete_guard_and_skip(spark):
     skipped = M.scd2_delete(hist, retro, ["k"], "eff",
                             retroactive="skip")
     assert skipped.where("k = 1 AND is_current").count() == 1
+
+
+def test_scd2_null_current_rows_preserved(spark):
+    """A malformed history row with NULL in is_current must not vanish:
+    both scd2_delete and upsert_scd2 partition the history with a
+    null-safe split that routes NULL-current rows to the closed side,
+    preserved verbatim (ADVICE r8: the where(cur)/where(~cur) pair
+    silently dropped them)."""
+    import datetime
+
+    import pandas as pd
+
+    d0 = datetime.date(2020, 1, 1)
+    hist = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2],
+        "v": [1.0, 1.5, 2.0],
+        "valid_from": [d0, datetime.date(2020, 6, 1), d0],
+        "valid_to": [datetime.date(2020, 6, 1), None, None],
+        "is_current": [False, True, None],
+    })).withColumn("is_current", F.col("is_current").cast("boolean"))
+
+    dels = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2], "eff": [datetime.date(2021, 1, 1)] * 2}))
+    out = M.scd2_delete(hist, dels, ["k"], "eff").collect()
+    assert len(out) == 3                       # nothing vanished
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"] is None  # verbatim
+
+    ups = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2], "v": [9.0, 9.5],
+        "eff": [datetime.date(2021, 1, 1)] * 2}))
+    out2 = M.upsert_scd2(hist, ups, ["k"], "eff")
+    # k=2's NULL-current row survives on the closed side; the update
+    # for k=2 inserts as a novel current row (no current row existed)
+    rows2 = out2.where("k = 2").collect()
+    assert {r["is_current"] for r in rows2} == {None, True}

@@ -456,3 +456,21 @@ def test_ivfpq_persisted_artifacts_match_inline(spark, sf_dir):
         assert persisted == inline and len(inline) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ivfpq_coded_cells_without_centroids_raises(spark, sf_dir):
+    """ADVICE r8: coded_cells without centroids would silently retrain
+    a fresh coarse quantizer whose cell ids don't match the persisted
+    `cell` assignments — the API now refuses the mismatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fake_codes = emb.select("vec_id",
+                            F.lit(None).cast("array<int>")
+                            .alias("pq_code"),
+                            F.lit(0).alias("cell"))
+    with pytest.raises(ValueError, match="coded_cells without"):
+        SIM.ivfpq_topk(emb, emb.limit(1), dim=64, coded_cells=fake_codes)
