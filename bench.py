@@ -383,6 +383,8 @@ X10_ENTRIES = {
     "ann_pq_topk_persisted", "ann_ivfpq_topk_persisted",
     "upsert_pointer_roundtrip", "zonemap_snapshot_version",
     "delete_where_orders",
+    # round 9: write-heavy commit-layer composites
+    "manifest_sharded_upsert", "zonemap_after_delete",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -527,6 +529,9 @@ OPTIONAL = [
     "upsert_pointer_roundtrip",
     "zonemap_snapshot_version",
     "delete_where_orders",
+    # round 9 additions (no prior comparable)
+    "manifest_sharded_upsert",
+    "zonemap_after_delete",
 ]
 
 

@@ -439,10 +439,14 @@ ROWS: list[tuple[str, list[dict]]] = [
                  "+ functions/quality.py (profile_from_rollups)",
              q=["profile_from_rollups_orders"]),
         dict(op="multimodal decode/frames/embed/resize + audio metadata "
-                "(image header + WAV/RIFF parse real, codec decode/resize "
-                "stubbed without Pillow/ffmpeg)",
+                "(image header + WAV/RIFF parse + mapInPandas plumbing "
+                "real; codec PIXEL decode = DECLARED NON-GOAL in this "
+                "codec-less environment — stub contract oracle-pinned, "
+                "activates via Pillow with no code change, README "
+                "migration note)",
              loc="dask_expr_spark/functions/multimodal.py",
-             q=["multimodal_decode", "multimodal_audio_meta"],
+             q=["multimodal_decode", "multimodal_audio_meta",
+                "multimodal_resize_stub"],
              t="resize plumbing + WAV parse test_multimodal"),
         dict(op="mergeable count-min frequency rollup (point lookups "
                 "from the sketch alone; never under-counts; probe is a "
