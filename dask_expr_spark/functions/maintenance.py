@@ -1014,42 +1014,113 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, _MANIFEST)
 
 
+_SNAP_CLAIM_RE = re.compile(r"^_manifest\.(\d{8})\.json$")
+
+
+def _snap_claim(path: str, n: int) -> str:
+    return os.path.join(path, f"_manifest.{int(n):08d}.json")
+
+
+def _snap_dir(path: str, entry: dict) -> str:
+    """A version's data directory: the entry's recorded dir (CAS-era
+    writes use `_v{n}-{uid}` so concurrent writers can never collide
+    on a directory) or the legacy `_v{n}` default."""
+    return os.path.join(
+        path, entry.get("dir") or f"_v{int(entry['version']):08d}")
+
+
 def _read_manifest(path: str, fs=None) -> dict | None:
+    """Resolve the snapshot table's manifest: the `_manifest.json`
+    cache plus any newer `_manifest.{n}.json` claims probed FORWARD
+    (the claims are the commit points; the cache is an optimization
+    refreshed after each claim).  A missing cache recovers the full
+    version list from one root listing of claim files."""
     fs = _resolve_fs(path, fs)
     mp = _manifest_path(path)
-    if not fs.exists(mp):
+    if fs.exists(mp):
+        man = json.loads(fs.read_text(mp))
+        n = int(man["current"])
+        while fs.exists(_snap_claim(path, n + 1)):
+            n += 1
+            man["versions"].append(
+                json.loads(fs.read_text(_snap_claim(path, n))))
+            man["current"] = n
+        return man
+    if not fs.isdir(path):
         return None
-    return json.loads(fs.read_text(mp))
+    gens = sorted(int(m.group(1)) for m in
+                  (_SNAP_CLAIM_RE.match(e) for e in fs.listdir(path))
+                  if m)
+    if not gens:
+        return None
+    return {"current": gens[-1],
+            "versions": [json.loads(fs.read_text(_snap_claim(path, g)))
+                         for g in gens]}
 
 
 def snapshot_write(df: DataFrame, path: str, fs=None) -> int:
     """Commit `df` as the next version of the snapshot table at
-    `path`: the data lands in a fresh immutable `_v{n}` directory
-    (underscore-prefixed, invisible to a naive parquet scan of the
-    root), then the manifest pointer flips atomically (fsops
-    write_text_atomic — temp+rename on posix/HDFS, one PUT on object
-    stores) — the atomic commit.  A crash before the flip leaves an orphan directory that
-    the next write clears; the live version is never in a partial
-    state.  Returns the committed version number."""
+    `path`: the data lands in a fresh immutable, UNIQUELY-NAMED
+    `_v{n}-{uid}` directory (underscore-prefixed, invisible to a naive
+    parquet scan of the root), then the version commits by EXCLUSIVE
+    creation of the `_manifest.{n}.json` claim — the same CAS as the
+    pointer-commit protocol, so two concurrent writers from the same
+    head serialize on the claim: exactly one wins version n, the loser
+    raises ConcurrentCommitError and its directory is deleted (its
+    data never became visible).  A crash at any point leaves the
+    previous version live; a crashed writer's directory is an orphan
+    snapshot_vacuum clears.  `_manifest.json` survives as a
+    probe-forward pointer cache.  Returns the committed version."""
     import datetime
 
     fs = _resolve_fs(path, fs)
     fs.mkdirs(path)
     man = _read_manifest(path, fs=fs) or {"current": -1, "versions": []}
     n = int(man["current"]) + 1
-    vdir = os.path.join(path, f"_v{n:08d}")
-    if fs.isdir(vdir):                       # orphan of a crashed commit
-        fs.delete(vdir)
-    df.write.mode("overwrite").parquet(vdir)
-    man["versions"].append({
-        "version": n,
-        "committed_at": datetime.datetime.now(
-            datetime.timezone.utc).isoformat()})
+    vdir_name = f"_v{n:08d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, vdir_name))
+    entry = {"version": n, "dir": vdir_name,
+             "committed_at": datetime.datetime.now(
+                 datetime.timezone.utc).isoformat()}
+    try:
+        # the commit point: exclusive claim of version n
+        fs.write_text_exclusive(_snap_claim(path, n), json.dumps(entry))
+    except FileExistsError:
+        fs.delete(os.path.join(path, vdir_name))   # our own orphan
+        raise ConcurrentCommitError(
+            f"snapshot_write: version {n} at {path} was claimed by a "
+            "concurrent writer — this write's directory was removed "
+            "and nothing became visible; re-run against the new head"
+        ) from None
+    man["versions"].append(entry)
     man["current"] = n
-    # the atomic commit point (temp+rename on posix/HDFS, single PUT
-    # on object stores — fsops.write_text_atomic picks per scheme)
+    # best-effort pointer cache (readers probe claims forward from it)
     fs.write_text_atomic(_manifest_path(path), json.dumps(man))
     return n
+
+
+def _snap_entry(path: str, version: int | None, fs=None) -> dict:
+    man = _read_manifest(path, fs=fs)
+    if man is None:
+        raise ValueError(f"snapshot_read: no manifest at {path} — "
+                         "not a snapshot table (snapshot_write first)")
+    v = int(man["current"]) if version is None else int(version)
+    for entry in man["versions"]:
+        if int(entry["version"]) == v:
+            return entry
+    raise ValueError(
+        f"snapshot_read: version {v} not available at {path} "
+        f"(live versions: "
+        f"{sorted(int(e['version']) for e in man['versions'])})")
+
+
+def snapshot_version_dir(path: str, version: int | None = None,
+                         fs=None) -> str:
+    """The data directory of a committed version (current by default)
+    — for callers composing directly over the version's files (e.g.
+    building a zone map over one version).  Raises on vacuumed or
+    never-committed versions, same contract as snapshot_read."""
+    return _snap_dir(path, _snap_entry(path, version, fs=fs))
 
 
 def snapshot_read(spark: SparkSession, path: str,
@@ -1057,45 +1128,48 @@ def snapshot_read(spark: SparkSession, path: str,
     """Read the current (or a time-travel `version`) snapshot.  Raises
     on a vacuumed or never-committed version — an orphan directory
     from a crashed write is NOT readable, by design."""
-    man = _read_manifest(path)
-    if man is None:
-        raise ValueError(f"snapshot_read: no manifest at {path} — "
-                         "not a snapshot table (snapshot_write first)")
-    live = {int(v["version"]) for v in man["versions"]}
-    v = int(man["current"]) if version is None else int(version)
-    if v not in live:
-        raise ValueError(
-            f"snapshot_read: version {v} not available at {path} "
-            f"(live versions: {sorted(live)})")
-    return spark.read.parquet(os.path.join(path, f"_v{v:08d}"))
+    return spark.read.parquet(snapshot_version_dir(path, version))
 
 
 def snapshot_history(path: str) -> list[dict]:
-    """The commit log: [{version, committed_at}, …] oldest-first."""
+    """The commit log: [{version, dir, committed_at}, …] oldest-first."""
     man = _read_manifest(path)
     return list(man["versions"]) if man else []
 
 
 def snapshot_vacuum(path: str, keep: int = 2, fs=None) -> list[int]:
     """Drop all but the newest `keep` versions (never the current):
-    the manifest flips first (so a crash mid-delete only strands
-    directories, never dangles pointers), then the directories go.
-    Returns the removed version numbers."""
+    the pointer cache flips first (so a crash mid-delete only strands
+    directories, never dangles pointers), then the dropped versions'
+    claim files and directories go — along with ORPHAN version dirs
+    of crashed or lost-race writers (recognizable by version number
+    ≤ current; a genuinely in-flight writer targets current+1 and is
+    never touched).  Returns the removed version numbers."""
     fs = _resolve_fs(path, fs)
     man = _read_manifest(path, fs=fs)
     if man is None:
         return []
     keep = max(1, int(keep))
     vs = sorted(int(v["version"]) for v in man["versions"])
-    drop = [v for v in vs[:-keep] if v != int(man["current"])]
-    if not drop:
-        return []
-    man["versions"] = [v for v in man["versions"]
-                       if int(v["version"]) not in set(drop)]
+    drop = set(vs[:-keep]) - {int(man["current"])}
+    dropped = [e for e in man["versions"] if int(e["version"]) in drop]
+    man["versions"] = [e for e in man["versions"]
+                       if int(e["version"]) not in drop]
+    # cache refresh BEFORE deleting claims: probe-forward readers must
+    # never start from a generation whose successors were vacuumed
     fs.write_text_atomic(_manifest_path(path), json.dumps(man))
-    for v in drop:
-        fs.delete(os.path.join(path, f"_v{v:08d}"))
-    return drop
+    for e in dropped:
+        fs.delete(_snap_claim(path, int(e["version"])))
+        fs.delete(_snap_dir(path, e))
+    live_dirs = {os.path.basename(_snap_dir(path, e))
+                 for e in man["versions"]}
+    for d in fs.listdir(path):
+        if (d.startswith("_v") and d not in live_dirs
+                and d[2:10].isdigit()
+                and int(d[2:10]) <= int(man["current"])
+                and fs.isdir(os.path.join(path, d))):
+            fs.delete(os.path.join(path, d))
+    return sorted(drop)
 
 
 def table_diff(before: DataFrame, after: DataFrame, keys: list[str],

@@ -218,7 +218,9 @@ def zonemap_snapshot_version(spark, sf_dir):
     manifest, version isolation, and pruning compose."""
     import datetime
 
-    from ..functions.maintenance import snapshot_read, snapshot_write
+    from ..functions.maintenance import (snapshot_read,
+                                         snapshot_version_dir,
+                                         snapshot_write)
     from ..sources import zonemap as Z
 
     o = tbl(spark, sf_dir, "orders").to_spark()
@@ -230,7 +232,7 @@ def zonemap_snapshot_version(spark, sf_dir):
         snapshot_write(v0_df, path)
         snapshot_write(o.withColumn(
             "o_totalprice", F.col("o_totalprice") + 1e6), path)
-        vdir = os.path.join(path, "_v00000000")
+        vdir = snapshot_version_dir(path, 0)
         Z.build_zonemap(spark, vdir, ["o_orderdate"])
         preds = [("o_orderdate", "between",
                   (datetime.datetime(1997, 1, 1),

@@ -883,15 +883,20 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
             target = scd2_init(batch_df.where(F.lit(False)),
                                effective_col)
         else:
+            touched = [r[0] for r in batch_df.select(
+                bkt.alias("__b")).distinct().collect()]
             if pointer:
                 if read_commit(cur_path, fs=_fs) is None:
                     manifest_bootstrap(cur_path, "__bucket", fs=_fs)
-                cur_full = read_manifested(spark, cur_path, fs=_fs)
+                # manifest-level pruning: only the touched buckets'
+                # committed files enter the file list — per-batch
+                # driver cost stays batch-sized however many buckets
+                # (and files) the table accretes
+                cur_full = read_manifested(spark, cur_path, fs=_fs,
+                                           partition_values=touched)
             else:
                 recover_table(cur_path, fs=_fs)
                 cur_full = spark.read.parquet(cur_path)
-            touched = [r[0] for r in batch_df.select(
-                bkt.alias("__b")).distinct().collect()]
             cur = (cur_full
                    .where(F.col("__bucket").isin(touched))
                    .drop("__bucket"))

@@ -1001,3 +1001,46 @@ def test_zonemap_refreshes_after_compact_manifested(spark, tmp_path):
                  Z.read_skipping(spark, path, [("k", "<", 5)])
                  .collect())
     assert got == list(range(5))
+
+
+def test_snapshot_write_concurrent_loser_raises(spark, tmp_path,
+                                                monkeypatch):
+    """snapshot CAS: two writers from the same head — writer A's full
+    snapshot_write is injected at B's claim point; B raises
+    ConcurrentCommitError, its uniquely-named directory is removed
+    (no data-dir collision is possible), A's version is live, and B's
+    retry commits as the next version."""
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [0.0]}))
+    M.snapshot_write(base, path)
+
+    real = fsops.PosixFS.write_text_exclusive
+    state = {"fired": False}
+
+    def inject(self, p, text):
+        if not state["fired"] and "_manifest." in os.path.basename(p):
+            state["fired"] = True
+            M.snapshot_write(
+                spark.createDataFrame(pd.DataFrame(
+                    {"k": [1], "v": [111.0]})), path)
+        return real(self, p, text)
+
+    monkeypatch.setattr(fsops.PosixFS, "write_text_exclusive", inject)
+    with pytest.raises(M.ConcurrentCommitError, match="re-run"):
+        M.snapshot_write(
+            spark.createDataFrame(pd.DataFrame(
+                {"k": [1], "v": [222.0]})), path)
+    monkeypatch.setattr(fsops.PosixFS, "write_text_exclusive", real)
+
+    assert M.snapshot_history(path)[-1]["version"] == 1
+    assert [r["v"] for r in M.snapshot_read(spark, path).collect()] \
+        == [111.0]                      # A won; B never visible
+    # B's orphan dir was deleted by its own loser path
+    vdirs = [d for d in os.listdir(path) if d.startswith("_v")]
+    assert len(vdirs) == 2              # v0 + A's v1 only
+    # B retries cleanly as version 2
+    assert M.snapshot_write(
+        spark.createDataFrame(pd.DataFrame(
+            {"k": [1], "v": [222.0]})), path) == 2
+    assert [r["v"] for r in M.snapshot_read(spark, path).collect()] \
+        == [222.0]

@@ -906,26 +906,31 @@ def test_split_temporal_semantics(spark, sf_dir):
 
 def test_snapshot_write_crash_before_flip(spark, tmp_path,
                                           monkeypatch):
-    """manifest-pointer commit protocol: a crash AFTER the version
-    directory is fully written but BEFORE the os.replace flip leaves
-    the previous version live and the orphan invisible; the next
-    commit reclaims the orphan and takes its number."""
+    """snapshot commit protocol (round-9 CAS semantics): the commit
+    point is the EXCLUSIVE claim of `_manifest.{n}.json`.  A crash
+    BEFORE the claim (injected at os.link, the PosixFS exclusive-
+    publish primitive) leaves the previous version live and the
+    written directory an invisible orphan; a retry commits cleanly
+    and takes the number.  A crash AFTER the claim but before the
+    `_manifest.json` cache refresh (injected at os.replace) leaves
+    the version COMMITTED — probe-forward readers resolve it."""
     path = str(tmp_path / "snap")
     v0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, p double")
     assert M.snapshot_write(v0, path) == 0
 
-    real = os.replace
+    # --- crash at the commit point (the exclusive claim) ---------
+    real_link = os.link
 
-    def boom(src, dst):
+    def boom_link(src, dst):
         raise RuntimeError("injected crash at the commit point")
 
-    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(os, "link", boom_link)
     v1 = spark.createDataFrame([(1, 10.0)], "k int, p double")
     with pytest.raises(RuntimeError):
         M.snapshot_write(v1, path)
-    monkeypatch.setattr(os, "replace", real)
+    monkeypatch.setattr(os, "link", real_link)
 
-    # current is still v0; the orphan _v1 dir is not readable
+    # current is still v0; version 1 never became readable
     assert M.snapshot_history(path)[-1]["version"] == 0
     got = {r["k"]: r["p"] for r in M.snapshot_read(spark, path).collect()}
     assert got == {1: 1.0, 2: 2.0}
@@ -937,6 +942,24 @@ def test_snapshot_write_crash_before_flip(spark, tmp_path,
     got = {r["k"]: r["p"] for r in M.snapshot_read(spark, path).collect()}
     assert got == {1: 10.0}
     assert {v["version"] for v in M.snapshot_history(path)} == {0, 1}
+
+    # --- crash AFTER the claim, before the cache refresh ---------
+    real_replace = os.replace
+
+    def boom_replace(src, dst):
+        if dst.endswith("_manifest.json"):
+            raise RuntimeError("injected crash after the claim")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom_replace)
+    v2 = spark.createDataFrame([(1, 20.0)], "k int, p double")
+    with pytest.raises(RuntimeError):
+        M.snapshot_write(v2, path)
+    monkeypatch.setattr(os, "replace", real_replace)
+    # the claim IS the commit: version 2 is live via probe-forward
+    assert M.snapshot_history(path)[-1]["version"] == 2
+    got = {r["k"]: r["p"] for r in M.snapshot_read(spark, path).collect()}
+    assert got == {1: 20.0}
 
 
 def test_snapshot_vacuum_crash_mid_delete(spark, tmp_path,
