@@ -28,6 +28,18 @@ RENAMED = {
     "ann_lsh_bucketed": "ann_lsh_pipeline",
 }
 
+# r9: the inline-train ANN entries moved to DETAIL-only probes — their
+# k-means training jitter (isolated spread 19-32 s on identical code,
+# SCALE.md) produced phantom >1.3x flags two rounds running.  The
+# steady-state *_persisted entries are the comparable numbers; the
+# inline timings are still recorded, shown here for continuity but
+# NEVER ratioed.
+DEMOTED = {
+    "ann_pq_topk_x10": "ann_pq_topk_inline_x10",
+    "ann_pq_rerank_x10": "ann_pq_rerank_inline_x10",
+    "ann_ivfpq_topk_x10": "ann_ivfpq_topk_inline_x10",
+}
+
 # r6: sub-2s entries moved to the x10/x100 corpora (bench.py
 # X10_ENTRIES / X100_ENTRIES) so the measured ±50% sub-second host
 # noise can't swamp them; numbers across different corpora are NOT
@@ -118,6 +130,13 @@ def main() -> int:
     ratios: dict[str, float] = {}
     rows = []
     for q, t0 in sorted(base["queries"].items()):
+        if q in DEMOTED:
+            t1 = cur["queries"].get(DEMOTED[q])
+            shown = f"{t1:7.2f}s" if t1 is not None else "(probe n/a)"
+            rows.append(f"  {q:35s} {t0:7.2f}s -> {shown} as "
+                        f"{DEMOTED[q]} (train-jitter class; "
+                        "DETAIL-only, not ratioed)")
+            continue
         t1 = cur["queries"].get(q)
         if t1 is None and q in RENAMED:
             t1 = cur["queries"].get(RENAMED[q])
