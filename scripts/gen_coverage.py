@@ -511,17 +511,58 @@ ROWS: list[tuple[str, list[dict]]] = [
                "restart-from-checkpoint) + compaction data-identity + "
                "crash-injection swap tests test_round6b_ops/"
                "test_round7_ops/test_streaming"),
-        dict(op="versioned snapshots with TIME TRAVEL: manifest-"
-                "pointer commits (atomic os.replace flip), immutable "
-                "version directories, history log, vacuum — a writer "
-                "crash at any point leaves the previous version live",
+        dict(op="object-store POINTER-COMMIT protocol with MULTI-"
+                "WRITER CAS: data files only ever created, never "
+                "renamed; the commit point is the exclusive creation "
+                "of a per-generation _commit.{N}.json claim (exactly "
+                "one concurrent writer wins — the loser raises "
+                "ConcurrentCommitError, its files vacuum as orphans); "
+                "_commit.json is a probe-forward pointer cache; dir "
+                "file lists SHARD into _files.<id>.json above "
+                "MANIFEST_INLINE_MAX so the root stays O(#dirs) and a "
+                "commit's manifest bytes are touched-dir-bound; "
+                "manifest-level pruned reads (read_manifested "
+                "partition_values); vacuum clears superseded "
+                "generations + claims + shards; row-level delete_where "
+                "with whole-dir drops; zone maps refresh inline after "
+                "delete/compaction",
              loc="dask_expr_spark/functions/maintenance.py "
-                 "(snapshot_write, snapshot_read, snapshot_vacuum)",
-             q=["snapshot_time_travel"],
-             t="crash-injection at the commit point (orphan invisible, "
-               "retry commits) + vacuum mid-delete (manifest-first, no "
-               "dangling pointer) tests test_round7_ops; vacuumed-read "
-               "rejection in the query's vacuum_ok flag"),
+                 "(read_commit, _write_commit, _set_dir_files, "
+                 "read_manifested, vacuum_manifested, "
+                 "compact_manifested, delete_where) + "
+                 "dask_expr_spark/fsops.py (write_text_exclusive)",
+             q=["upsert_pointer_roundtrip", "manifest_sharded_upsert",
+                "concurrent_upsert_cas", "delete_where_orders",
+                "compact_manifested_files", "zonemap_after_delete",
+                "stream_upsert_pointer"],
+             t="two-writer interleavings (loser raises, table "
+               "consistent, retry lands) + crash-injection at every "
+               "commit state + zero-rename fake-object-store "
+               "lifecycle + probe-forward cache recovery + sharded "
+               "roundtrip/vacuum tests test_fsops; 10^5-file "
+               "commit-cost probe scripts/scale_probe_r9.py -> "
+               "SCALE.md (commit bytes/time flat across table "
+               "decades)"),
+        dict(op="versioned snapshots with TIME TRAVEL: uniquely-named "
+                "immutable version directories committed by the same "
+                "exclusive-claim CAS (_manifest.{n}.json — concurrent "
+                "snapshot writers serialize, the loser raises and "
+                "retries as the next version), probe-forward pointer "
+                "cache, history log, vacuum (drops versions + claims "
+                "+ crashed writers' orphan dirs) — a writer crash at "
+                "any point leaves the previous version live; a crash "
+                "after the claim leaves the version COMMITTED",
+             loc="dask_expr_spark/functions/maintenance.py "
+                 "(snapshot_write, snapshot_read, snapshot_vacuum, "
+                 "snapshot_version_dir)",
+             q=["snapshot_time_travel", "zonemap_snapshot_version"],
+             t="crash-injection at BOTH commit-point sides (claim "
+               "crash -> previous live + retry reclaims; post-claim "
+               "crash -> committed via probe-forward) test_round7_ops "
+               "+ concurrent-writer loser-raises test_fsops; vacuum "
+               "mid-delete (cache-first, no dangling pointer); "
+               "vacuumed-read rejection in the query's vacuum_ok "
+               "flag"),
         dict(op="SCD-2 history-keeping upsert: change detection with "
                 "no-op collapse, in-batch version chains, retroactive-"
                 "update rejection (or replay-absorbing skip), as-of "
@@ -535,7 +576,7 @@ ROWS: list[tuple[str, list[dict]]] = [
                  "dask_expr_spark/streaming/ops.py (scd2_sink, "
                  "read_scd2, compact_scd2_closed)",
              q=["scd2_history_orders", "scd2_asof_snapshot",
-                "stream_scd2_history"],
+                "stream_scd2_history", "scd2_delete_orders"],
              t="randomized 3-batch differential vs pandas reference + "
                "no-op collapse/as-of/retroactive-guard/in-batch-dedup "
                "tests test_round7_ops; untouched-bucket byte-identity "
