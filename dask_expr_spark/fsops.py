@@ -93,6 +93,10 @@ class PosixFS:
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def getmtime(self, path: str) -> float:
+        """Last-modified time, seconds since epoch (vacuum retention)."""
+        return os.path.getmtime(path)
+
     def walk_files(self, path: str, skip_dir=None):
         """Yield (file_path, size) under `path` recursively.
         `skip_dir(name)` prunes whole directories without descending
@@ -188,6 +192,10 @@ class HadoopFS:
 
     def getsize(self, path: str) -> int:
         return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def getmtime(self, path: str) -> float:
+        return float(self._fs.getFileStatus(self._p(path))
+                     .getModificationTime()) / 1000.0
 
     def walk_files(self, path: str, skip_dir=None):
         stack = [path]

@@ -572,19 +572,36 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
     return dirs
 
 
-def vacuum_manifested(path: str, fs=None) -> int:
+def vacuum_manifested(path: str, fs=None,
+                      min_age_s: float = 0.0) -> int:
     """Delete data files not referenced by the current manifest —
     superseded generations and orphans of crashed or lost-race
     appends — plus superseded root claim files and unreferenced
     `_files.*.json` manifest shards.  Run AFTER readers of older
     generations have drained (same contract as snapshot_vacuum): a
     reader resolving an older claim mid-vacuum can lose its files.
+
+    `min_age_s` is the CONCURRENT-WRITER guard (the Delta/Iceberg
+    retention window): an in-flight writer's freshly appended files
+    are unreferenced until its claim lands, so a vacuum racing it
+    would delete them and the subsequent flip would commit a manifest
+    pointing at missing files.  Files younger than `min_age_s` are
+    kept regardless of reference state; deployments with concurrent
+    writers should pass a window comfortably above the longest append
+    (e.g. 3600).  The default 0 keeps single-writer vacuums eager.
     Returns the number of DATA files removed."""
+    import time
+
     fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     if man is None:
         return 0
     cur_gen = int(man["generation"])
+    cutoff = time.time() - float(min_age_s)
+
+    def old_enough(p: str) -> bool:
+        return min_age_s <= 0 or fs.getmtime(p) <= cutoff
+
     # refresh the pointer cache BEFORE dropping older claims: probe-
     # forward readers must never start from a generation whose
     # successors were vacuumed away
@@ -601,14 +618,17 @@ def vacuum_manifested(path: str, fs=None) -> int:
         live = set(_dir_files(man, path, d, fs))
         live_shard = entry.lstrip("@") if isinstance(entry, str) else None
         for f in _part_files(fs, path, d):
-            if f not in live:
-                fs.delete(os.path.join(path, d, f))
+            fp = os.path.join(path, d, f)
+            if f not in live and old_enough(fp):
+                fs.delete(fp)
                 removed += 1
         for f in fs.listdir(os.path.join(path, d)):
+            fp = os.path.join(path, d, f)
             if (f.startswith("_files.") and f.endswith(".json")
-                    and f != live_shard):
-                fs.delete(os.path.join(path, d, f))
-        if not live and not _part_files(fs, path, d):
+                    and f != live_shard and old_enough(fp)):
+                fs.delete(fp)
+        if not live and not _part_files(fs, path, d) \
+                and not fs.listdir(os.path.join(path, d)):
             fs.delete(os.path.join(path, d))
     return removed
 

@@ -1044,3 +1044,37 @@ def test_snapshot_write_concurrent_loser_raises(spark, tmp_path,
             {"k": [1], "v": [222.0]})), path) == 2
     assert [r["v"] for r in M.snapshot_read(spark, path).collect()] \
         == [222.0]
+
+
+def test_vacuum_retention_guards_inflight_writers(spark, tmp_path):
+    """vacuum_manifested(min_age_s=...): unreferenced-but-YOUNG files
+    survive (they may be an in-flight writer's pre-claim appends — a
+    racing vacuum deleting them would let that writer commit a
+    manifest pointing at missing files); an aged vacuum then clears
+    them.  The retention window is the Delta/Iceberg answer to the
+    vacuum-vs-writer race."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [9.0], "part": ["a"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")
+    # simulate an in-flight writer's fresh pre-claim append
+    inflight = os.path.join(path, "part=b", "inflight-000.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1")
+    # retention window: nothing young is deleted (superseded files
+    # from the upsert moments ago are also young — all kept)
+    assert M.vacuum_manifested(path, min_age_s=3600) == 0
+    assert os.path.exists(inflight)
+    before = _rows(M.read_manifested(spark, path))
+    # age everything and vacuum eagerly: orphans + superseded clear
+    old = __import__("time").time() - 7200
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    removed = M.vacuum_manifested(path, min_age_s=3600)
+    assert removed > 0
+    assert not os.path.exists(inflight)
+    assert _rows(M.read_manifested(spark, path)) == before

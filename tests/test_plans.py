@@ -491,3 +491,35 @@ def test_read_manifested_keeps_pushdown_and_pruning(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,40)]" in plan
     assert "w" not in plan.split("ReadSchema")[1][:200]
     assert sorted(r["k"] for r in df.collect()) == list(range(41, 50))
+
+
+def test_manifest_pruned_read_plan(spark, tmp_path):
+    """read_manifested(partition_values=...) prunes the FILE LIST
+    before the scan is planned: the plan's input files are exactly the
+    named partitions' committed files, predicate pushdown and column
+    pruning still reach the parquet scan, and the untouched
+    partitions' files never enter the plan."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions import maintenance as M
+
+    path = str(tmp_path / "t")
+    pdf = pd.DataFrame({
+        "k": range(120), "v": [float(i) for i in range(120)],
+        "part": [("a", "b", "c")[i % 3] for i in range(120)]})
+    (spark.createDataFrame(pdf).repartition(4)
+     .write.partitionBy("part").parquet(path))
+    M.manifest_bootstrap(path, "part")
+    man = M.read_commit(path)
+    total = len(M.manifest_files(man, path))
+    pruned = (M.read_manifested(spark, path, partition_values=["a"])
+              .where(F.col("k") > 10).select("k"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,10)]" in plan
+    assert "ReadSchema: struct<k:bigint>" in plan
+    files = pruned.inputFiles()
+    assert 0 < len(files) < total
+    assert all("part=a" in f for f in files)
