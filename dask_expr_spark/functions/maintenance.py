@@ -877,6 +877,7 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
         # supersede — but pointer commits never delete or rename, so
         # those files stay readable until vacuum; no checkpoint needed
         _append_and_flip(spark, path, merged, partition_col, man, fs)
+        _refresh_zonemap_if_present(spark, path, fs)
         return parts
     recover_table(path, fs=fs)
     target = spark.read.parquet(path).where(
@@ -899,6 +900,7 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     if key_bloom_path is not None:
         bloom_append(spark, key_bloom_path, updates, keys,
                      table_path=path)
+    _refresh_zonemap_if_present(spark, path, fs)
     return parts
 
 
@@ -1596,7 +1598,9 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
                 return sorted(
                     manifest_bootstrap(path, partition_col,
                                        fs=fs)["partitions"])
-        return _append_and_flip(spark, path, df, partition_col, man, fs)
+        dirs = _append_and_flip(spark, path, df, partition_col, man, fs)
+        _refresh_zonemap_if_present(spark, path, fs)
+        return dirs
     recover_table(path, fs=fs)
     new_root = path.rstrip("/") + "__new"
     fs.delete(new_root)
@@ -1610,6 +1614,7 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
     dirs = [d for d in fs.listdir(new_root)
             if d.startswith(f"{partition_col}=")]
     _swap_partition_dirs(path, new_root, dirs, fs=fs)
+    _refresh_zonemap_if_present(spark, path, fs)
     return dirs
 
 

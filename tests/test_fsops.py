@@ -1078,3 +1078,67 @@ def test_vacuum_retention_guards_inflight_writers(spark, tmp_path):
     assert removed > 0
     assert not os.path.exists(inflight)
     assert _rows(M.read_manifested(spark, path)) == before
+
+
+def test_upsert_sink_pointer_sharded_manifests(spark, tmp_path,
+                                               monkeypatch):
+    """the streaming CDC-apply sink over a pointer table with sharding
+    FORCED: multi-batch ingest works end-to-end, the root manifest
+    holds only @shard pointers, and the table reads back exactly."""
+    import pandas as pd
+
+    from dask_expr_spark.streaming import ops as S
+
+    monkeypatch.setattr(M, "MANIFEST_INLINE_MAX", 0)
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    for i in range(3):
+        pdf = pd.DataFrame({
+            "k": list(range(8)),
+            "v": [float(i * 10 + kk) for kk in range(8)]})
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = S.upsert_sink(stream, tbl, ["k"], n_buckets=4,
+                      checkpoint_dir=str(tmp_path / "ck"),
+                      commit="pointer")
+    q.processAllAvailable()
+    q.stop()
+    man = M.read_commit(tbl)
+    assert man is not None and all(
+        isinstance(e, str) and e.startswith("@")
+        for e in man["partitions"].values() if e)
+    got = sorted((r["k"], r["v"]) for r in
+                 M.read_manifested(spark, tbl).drop("__bucket")
+                 .collect())
+    assert len(got) == 8 and all(v >= 20.0 for _k, v in got)
+
+
+@pytest.mark.parametrize("commit", ["rename", "pointer"])
+def test_zonemap_refreshes_after_upsert(spark, tmp_path, commit):
+    """plain upsert_partitioned also refreshes a present `_zonemap`
+    (round 9 closes the whole staleness class, not just delete/
+    compaction): after the merge the manifest lists exactly the live
+    files and pruned reads stay exact."""
+    from dask_expr_spark.sources import zonemap as Z
+
+    path = str(tmp_path / f"t_{commit}")
+    _mk(spark, path)
+    if commit == "pointer":
+        M.manifest_bootstrap(path, "part")
+    Z.build_zonemap(spark, path, ["k"])
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0, 100], "v": [50.0, 51.0], "part": ["a", "a"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit=commit)
+    live = set(Z._data_files(path))
+    man_files = set(Z._read_manifest_df(
+        spark, os.path.join(path, Z.ZONEMAP_DIR),
+        fsops.PosixFS()).select("file").toPandas()["file"])
+    assert man_files == live
+    got = sorted(r["k"] for r in
+                 Z.read_skipping(spark, path, [("k", ">=", 100)])
+                 .collect())
+    assert got == [100]
