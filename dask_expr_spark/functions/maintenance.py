@@ -271,6 +271,14 @@ def _swap_partition_dirs(path: str, new_root: str,
 # create(overwrite=false) — a true conditional PUT where supported
 # (see fsops.write_text_exclusive).
 #
+# Known limitation (documented, not silent): the pointer protocol
+# keys its manifest on ONE hive partition column.  Multi-level hive
+# layouts (date=…/source=…) are not yet manifested — partition on the
+# dominant pruning column and encode secondary dimensions as a
+# composite value, or use the rename protocol (which handles whatever
+# layout Spark wrote).  Multi-column manifests are the natural next
+# extension of the per-dir shard design.
+#
 # Scope of the no-rename guarantee: it covers this layer — the TABLE
 # commit (claim + shards, all small objects only ever created) and
 # every driver-side operation.  The appends themselves go through

@@ -705,7 +705,13 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     Replayed batches are idempotent for deterministic inputs (the
     same rows upsert to the same state), which is the foreachBatch
     exactly-once contract — test_streaming kills a query mid-epoch
-    and restarts from the checkpoint to exercise it.  All rewrites go
+    and restarts from the checkpoint to exercise it.  Under the
+    pointer protocol this composes with MULTI-WRITER safety: a batch
+    job racing this sink on the same table loses (or wins) the
+    generation claim; when the sink loses, the micro-batch fails with
+    ConcurrentCommitError, Spark restarts the query from the
+    checkpoint, and the replayed epoch recomputes against the new
+    head — idempotent by the same contract, never silent.  All rewrites go
     through the crash-safe swap (maintenance.atomic_overwrite /
     _swap_partition_dirs) — or, with `commit="pointer"` (the
     object-store mode; "auto" picks it when the table's filesystem
@@ -831,7 +837,12 @@ def scd2_sink(stream: DataFrame, table_path: str, keys: list,
     identical table.  Effective times must be monotone per key across
     batches (the stream's event-time order); genuinely late updates
     are dropped by the same skip, so late-capable pipelines should
-    route them to a batch history rebuild instead.
+    route them to a batch history rebuild instead.  Under the pointer
+    protocol the current-side flip carries the multi-writer CAS: a
+    batch job racing this sink loses or wins the generation claim —
+    a losing micro-batch fails with ConcurrentCommitError and the
+    checkpoint replay recomputes against the new head (the closed
+    side is append-only and dedupes on replay regardless).
 
     Returns the started StreamingQuery."""
     import os
