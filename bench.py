@@ -385,6 +385,7 @@ X10_ENTRIES = {
     "delete_where_orders",
     # round 9: write-heavy commit-layer composites
     "manifest_sharded_upsert", "zonemap_after_delete",
+    "multicol_pointer_upsert",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -532,6 +533,7 @@ OPTIONAL = [
     # round 9 additions (no prior comparable)
     "manifest_sharded_upsert",
     "zonemap_after_delete",
+    "multicol_pointer_upsert",
 ]
 
 

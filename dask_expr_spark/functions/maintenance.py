@@ -271,13 +271,14 @@ def _swap_partition_dirs(path: str, new_root: str,
 # create(overwrite=false) — a true conditional PUT where supported
 # (see fsops.write_text_exclusive).
 #
-# Known limitation (documented, not silent): the pointer protocol
-# keys its manifest on ONE hive partition column.  Multi-level hive
-# layouts (date=…/source=…) are not yet manifested — partition on the
-# dominant pruning column and encode secondary dimensions as a
-# composite value, or use the rename protocol (which handles whatever
-# layout Spark wrote).  Multi-column manifests are the natural next
-# extension of the per-dir shard design.
+# Partition specs: `partition_col` accepts a single column (string)
+# or a LIST for multi-level hive layouts (date=…/source=…) — manifest
+# keys become '/'-joined relative dir paths and every pointer-path
+# operation (bootstrap, upsert, overwrite, delete_where, compaction,
+# vacuum, pruned reads) handles both.  Multi-column specs are
+# POINTER-PROTOCOL ONLY: the rename swap's per-partition crash
+# recovery is single-level by design (use a composite value there, or
+# switch the table to pointer commits).
 #
 # Scope of the no-rename guarantee: it covers this layer — the TABLE
 # commit (claim + shards, all small objects only ever created) and
@@ -330,6 +331,46 @@ def _hive_part_dir(partition_col: str, value) -> str:
     esc = "".join(f"%{ord(ch):02X}" if ch in _HIVE_UNSAFE else ch
                   for ch in s)
     return f"{partition_col}={esc}"
+
+
+def _norm_pcols(partition_col) -> list[str]:
+    """Partition spec normalization: a string (the classic single
+    hive column) or a list of columns (multi-level hive layout,
+    POINTER protocol only) → list of column names."""
+    if isinstance(partition_col, str):
+        return [partition_col]
+    cols = list(partition_col)
+    if not cols or not all(isinstance(c, str) for c in cols):
+        raise ValueError(f"invalid partition spec {partition_col!r}")
+    return cols
+
+
+def _man_pcols(man: dict) -> list[str]:
+    return _norm_pcols(man["partition_col"])
+
+
+def _hive_part_path(pcols: list[str], values) -> str:
+    """Relative dir path of one partition tuple: 'c1=v1/c2=v2'."""
+    return "/".join(_hive_part_dir(c, v)
+                    for c, v in zip(pcols, values))
+
+
+def _list_part_dirs(fs, path: str, pcols: list[str]) -> list[str]:
+    """Enumerate on-disk partition dirs for a (possibly multi-level)
+    hive layout: relative '/'-joined paths, one per leaf dir, each
+    level filtered to its own `col=` prefix."""
+    rels = [""]
+    for c in pcols:
+        nxt = []
+        for r in rels:
+            base = os.path.join(path, r) if r else path
+            if not fs.isdir(base):
+                continue
+            for d in fs.listdir(base):
+                if d.startswith(f"{c}="):
+                    nxt.append(f"{r}/{d}" if r else d)
+        rels = nxt
+    return sorted(rels)
 
 
 def _commit_file(path: str) -> str:
@@ -480,7 +521,7 @@ def _part_files(fs, path: str, dirname: str) -> list[str]:
                   and not f.startswith((".", "_")))
 
 
-def manifest_bootstrap(path: str, partition_col: str,
+def manifest_bootstrap(path: str, partition_col: str | list[str],
                        fs=None) -> dict:
     """Adopt an existing hive-partitioned parquet table into the
     pointer protocol: every current data file becomes the committed
@@ -488,21 +529,23 @@ def manifest_bootstrap(path: str, partition_col: str,
     writers' files would be adopted mid-write); an ALREADY-manifested
     table is refused (re-bootstrapping would adopt orphans), and two
     concurrent bootstraps serialize on the generation-0 claim — the
-    loser raises ConcurrentCommitError."""
+    loser raises ConcurrentCommitError.  `partition_col` may be a
+    list for multi-level hive layouts (date=…/source=…): manifest
+    keys become '/'-joined relative dir paths."""
     fs = _resolve_fs(path, fs)
     if read_commit(path, fs=fs) is not None:
         raise ValueError(
             f"manifest_bootstrap: table at {path} is already "
             "pointer-committed — bootstrapping again would adopt "
             "orphans and superseded files")
-    parts = {}
-    for d in fs.listdir(path):
-        if d.startswith(f"{partition_col}="):
-            parts[d] = _part_files(fs, path, d)
-    man = {"generation": 0, "partition_col": partition_col,
+    pcols = _norm_pcols(partition_col)
+    man = {"generation": 0,
+           "partition_col": (partition_col
+                             if isinstance(partition_col, str)
+                             else list(pcols)),
            "partitions": {}}
-    for d, fl in parts.items():
-        _set_dir_files(man, path, d, fl, fs)
+    for d in _list_part_dirs(fs, path, pcols):
+        _set_dir_files(man, path, d, _part_files(fs, path, d), fs)
     _write_commit(path, man, fs)
     return man
 
@@ -532,7 +575,10 @@ def read_manifested(spark: SparkSession, path: str, fs=None,
             "upsert_partitioned(commit='pointer') first)")
     dirs = None
     if partition_values is not None:
-        dirs = [_hive_part_dir(man["partition_col"], v)
+        pcols = _man_pcols(man)
+        dirs = [_hive_part_path(pcols,
+                                v if isinstance(v, (tuple, list))
+                                else (v,))
                 for v in partition_values]
     files = manifest_files(man, path, fs=fs, dirs=dirs)
     if not files:
@@ -557,12 +603,13 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
     directory, so orphans from a previously crashed append are never
     adopted.  Raises ConcurrentCommitError when another writer claims
     the generation first (this append's files become orphans)."""
-    parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+    pcols = _norm_pcols(partition_col)
+    parts = [tuple(r) for r in df.select(*pcols).distinct().collect()]
     if not parts:
         return []
-    dirs = [_hive_part_dir(partition_col, v) for v in parts]
+    dirs = [_hive_part_path(pcols, v) for v in parts]
     pre = {d: set(_part_files(fs, path, d)) for d in dirs}
-    df.write.mode("append").partitionBy(partition_col).parquet(path)
+    df.write.mode("append").partitionBy(*pcols).parquet(path)
     for d in dirs:
         post = _part_files(fs, path, d)
         fresh = sorted(set(post) - pre[d])
@@ -619,25 +666,42 @@ def vacuum_manifested(path: str, fs=None,
         if m and int(m.group(1)) != cur_gen:
             fs.delete(os.path.join(path, e))
     removed = 0
-    for d in fs.listdir(path):
-        if not d.startswith(f"{man['partition_col']}="):
-            continue
+    pcols = _man_pcols(man)
+
+    def _rm(fp: str) -> None:
+        fs.delete(fp)
+        # Hadoop local checksums sidecar data files (.name.crc);
+        # remove them with their file or emptied dirs never clear
+        crc = os.path.join(os.path.dirname(fp),
+                           f".{os.path.basename(fp)}.crc")
+        if fs.exists(crc):
+            fs.delete(crc)
+
+    for d in _list_part_dirs(fs, path, pcols):
         entry = man["partitions"].get(d, [])
         live = set(_dir_files(man, path, d, fs))
         live_shard = entry.lstrip("@") if isinstance(entry, str) else None
         for f in _part_files(fs, path, d):
             fp = os.path.join(path, d, f)
             if f not in live and old_enough(fp):
-                fs.delete(fp)
+                _rm(fp)
                 removed += 1
         for f in fs.listdir(os.path.join(path, d)):
             fp = os.path.join(path, d, f)
             if (f.startswith("_files.") and f.endswith(".json")
                     and f != live_shard and old_enough(fp)):
-                fs.delete(fp)
+                _rm(fp)
         if not live and not _part_files(fs, path, d) \
                 and not fs.listdir(os.path.join(path, d)):
             fs.delete(os.path.join(path, d))
+            # multi-level layouts: drop parent level dirs emptied by
+            # the leaf removal (never the table root)
+            parent = os.path.dirname(d)
+            while parent:
+                pp = os.path.join(path, parent)
+                if fs.isdir(pp) and not fs.listdir(pp):
+                    fs.delete(pp)
+                parent = os.path.dirname(parent)
     return removed
 
 
@@ -659,7 +723,7 @@ def compact_manifested(spark: SparkSession, path: str,
         raise ValueError(
             f"compact_manifested: no {_COMMIT} at {path} — for "
             "rename-protocol tables use compact_parquet")
-    pcol = man["partition_col"]
+    pcols = _man_pcols(man)
     chunk = target_mb * 1024 * 1024
     plan: dict[str, int] = {}
     files_before = 0
@@ -677,28 +741,35 @@ def compact_manifested(spark: SparkSession, path: str,
              for d in plan for f in dir_files[d]]
     df = spark.read.option("basePath", path).parquet(*files)
     # per-dir file targets via in-value salting (same discipline as
-    # compact_parquet: a wide table can't fan out to n x n_dirs files)
-    targets = {urllib.parse.unquote(d.split("=", 1)[1]): n
-               for d, n in plan.items()}
-    # the null partition can't key a map lookup: route it explicitly.
-    # (A real string value '__HIVE_DEFAULT_PARTITION__' shares this
-    # dir name — hive's own layout ambiguity; worst case is a wrong
-    # file-count target for that one dir, never wrong data.)
-    null_n = targets.pop("__HIVE_DEFAULT_PARTITION__", 1)
+    # compact_parquet: a wide table can't fan out to n x n_dirs
+    # files).  The lookup keys a '\x1f'-joined rendering per level
+    # with the hive null sentinel, matching the row-side rendering
+    # below; rendering ambiguities (a real
+    # '__HIVE_DEFAULT_PARTITION__' string, scientific-notation
+    # doubles, values containing the separator) worst-case a wrong
+    # file-count target for that dir, never wrong data.
+    def _dir_key(d: str) -> str:
+        return "\x1f".join(
+            urllib.parse.unquote(seg.split("=", 1)[1])
+            for seg in d.split("/"))
+
+    targets = {_dir_key(d): n for d, n in plan.items()}
     pairs = [x for v, n in sorted(targets.items())
              for x in (F.lit(v), F.lit(n))]
-    lookup = (F.element_at(F.create_map(*pairs),
-                           F.col(pcol).cast("string"))
+    row_key = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"),
+                   F.lit("__HIVE_DEFAULT_PARTITION__"))
+        for c in pcols])
+    lookup = (F.element_at(F.create_map(*pairs), row_key)
               if pairs else F.lit(None).cast("int"))
-    n_for_row = (F.when(F.col(pcol).isNull(), F.lit(null_n))
-                 .otherwise(F.coalesce(lookup, F.lit(1))))
+    n_for_row = F.coalesce(lookup, F.lit(1))
     salt = F.floor(F.rand(42) * n_for_row).cast("int")
     out = (df.withColumn("__salt", salt)
-           .repartition(sum(plan.values()), F.col(pcol),
-                        F.col("__salt"))
+           .repartition(sum(plan.values()),
+                        *[F.col(c) for c in pcols], F.col("__salt"))
            .drop("__salt"))
     pre = {d: set(_part_files(fs, path, d)) for d in plan}
-    out.write.mode("append").partitionBy(pcol).parquet(path)
+    out.write.mode("append").partitionBy(*pcols).parquet(path)
     files_after = files_before
     for d in plan:
         fresh = sorted(set(_part_files(fs, path, d)) - pre[d])
@@ -781,7 +852,8 @@ def _check_partition_moves(spark: SparkSession, full_table_fn,
 
 
 def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
-                       keys: list[str], partition_col: str,
+                       keys: list[str],
+                       partition_col: str | list[str],
                        order_col: str | None = None,
                        check_moves: bool = True,
                        key_bloom_path: str | None = None,
@@ -832,8 +904,19 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     man = read_commit(path, fs=fs)
     commit = _resolve_commit(path, fs, commit, "upsert_partitioned",
                              man=man)
-    parts = [r[0] for r in
-             updates.select(partition_col).distinct().collect()]
+    pcols = _norm_pcols(partition_col)
+    multi = len(pcols) > 1
+    if multi and commit != "pointer":
+        raise ValueError(
+            "upsert_partitioned: multi-column partition specs are "
+            "pointer-protocol only (the rename swap's per-partition "
+            "recovery is single-level); use commit='pointer'")
+    if multi:
+        parts = [tuple(r) for r in
+                 updates.select(*pcols).distinct().collect()]
+    else:
+        parts = [r[0] for r in
+                 updates.select(partition_col).distinct().collect()]
     if not parts:
         return []
     if commit == "pointer":
@@ -851,13 +934,16 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                 out = upsert(updates.where(F.lit(False)), updates,
                              keys, order_col=order_col)
                 (out.write.mode("overwrite")
-                 .partitionBy(partition_col).parquet(path))
+                 .partitionBy(*pcols).parquet(path))
                 manifest_bootstrap(path, partition_col, fs=fs)
                 # parts from the DEDUPED frame: order_col resolution
                 # can eliminate a value's only rows
+                if multi:
+                    return [tuple(r) for r in out.select(*pcols)
+                            .distinct().collect()]
                 return [r[0] for r in out.select(partition_col)
                         .distinct().collect()]
-        if man["partition_col"] != partition_col:
+        if _man_pcols(man) != pcols:
             raise ValueError(
                 f"upsert_partitioned: table at {path} is committed on "
                 f"{man['partition_col']}, not {partition_col}")
@@ -877,9 +963,10 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
             target = updates.where(F.lit(False))
             def full_fn():
                 return target
-        if check_moves and keys and partition_col not in keys:
+        if check_moves and keys and not all(c in keys for c in pcols):
             _check_partition_moves(spark, full_fn, target,
-                                   updates, keys, partition_col, None)
+                                   updates, keys,
+                                   "/".join(pcols), None)
         merged = upsert(target, updates, keys, order_col=order_col)
         # the merged plan lazily re-reads the files the flip will
         # supersede — but pointer commits never delete or rename, so
@@ -1577,7 +1664,7 @@ def snapshot_cdc(spark: SparkSession, path: str, from_version: int,
 
 
 def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
-                         partition_col: str,
+                         partition_col: str | list[str],
                          fs=None, commit: str = "auto") -> list[str]:
     """Crash-safely REPLACE the partition directories that appear in
     `df` with its content (upsert_partitioned without the merge — for
@@ -1596,12 +1683,17 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
     man = read_commit(path, fs=fs)
     commit = _resolve_commit(path, fs, commit, "overwrite_partitions",
                              man=man)
+    pcols = _norm_pcols(partition_col)
+    if len(pcols) > 1 and commit != "pointer":
+        raise ValueError(
+            "overwrite_partitions: multi-column partition specs are "
+            "pointer-protocol only; use commit='pointer'")
     if commit == "pointer":
         if man is None:
             if fs.isdir(path):
                 man = manifest_bootstrap(path, partition_col, fs=fs)
             else:
-                df.write.mode("overwrite").partitionBy(partition_col) \
+                df.write.mode("overwrite").partitionBy(*pcols) \
                     .parquet(path)
                 return sorted(
                     manifest_bootstrap(path, partition_col,
@@ -1627,7 +1719,7 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
 
 
 def delete_where(spark: SparkSession, path: str, predicate: Column,
-                 partition_col: str,
+                 partition_col: str | list[str],
                  fs=None, commit: str = "auto") -> tuple[list, int]:
     """Row-level DELETE over a hive-partitioned parquet table, pruned
     to the partitions that actually contain matching rows — the
@@ -1660,10 +1752,16 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     man = read_commit(path, fs=fs)
     commit = _resolve_commit(path, fs, commit, "delete_where",
                              man=man)
+    pcols = _norm_pcols(partition_col)
+    multi = len(pcols) > 1
+    if multi and commit != "pointer":
+        raise ValueError(
+            "delete_where: multi-column partition specs are "
+            "pointer-protocol only; use commit='pointer'")
     if commit == "pointer" and man is None:
         man = manifest_bootstrap(path, partition_col, fs=fs)
     if commit == "pointer":
-        if man["partition_col"] != partition_col:
+        if _man_pcols(man) != pcols:
             raise ValueError(
                 f"delete_where: table at {path} is committed on "
                 f"{man['partition_col']}, not {partition_col}")
@@ -1676,12 +1774,28 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     # a coalesce() wrapper would block pushdown on the one pass that
     # reads the whole table); only the NEGATION needs the null guard,
     # because ~pred must KEEP null-predicate rows
-    parts = [r[0] for r in
-             full.where(predicate).select(partition_col)
-             .distinct().collect()]
-    if not parts:
-        return ([], 0)
-    sliced = full.where(F.col(partition_col).isin(parts))
+    if multi:
+        import functools
+        parts = [tuple(r) for r in
+                 full.where(predicate).select(*pcols)
+                 .distinct().collect()]
+        if not parts:
+            return ([], 0)
+        hit = functools.reduce(
+            Column.__or__,
+            [functools.reduce(
+                Column.__and__,
+                [F.col(c).eqNullSafe(F.lit(v))
+                 for c, v in zip(pcols, vals)])
+             for vals in parts])
+        sliced = full.where(hit)
+    else:
+        parts = [r[0] for r in
+                 full.where(predicate).select(partition_col)
+                 .distinct().collect()]
+        if not parts:
+            return ([], 0)
+        sliced = full.where(F.col(partition_col).isin(parts))
     kept = sliced.where(~F.coalesce(predicate, F.lit(False)))
     # partitions that empty out entirely are dropped whole, not
     # rewritten as zero rows (a partitionBy write would simply skip
@@ -1692,7 +1806,11 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     # partition values — str(value) can diverge from Spark's dir
     # rendering (booleans, scientific-notation doubles) and a silently
     # missed dir here would be a silently incomplete erasure
-    seg = F.element_at(F.split(F.input_file_name(), "/"), -2)
+    n_lv = len(pcols)
+    seg = (F.element_at(F.split(F.input_file_name(), "/"), -2)
+           if n_lv == 1 else
+           F.concat_ws("/", F.slice(F.split(F.input_file_name(), "/"),
+                                    -1 - n_lv, n_lv)))
 
     def _dirs_of(df) -> set:
         return {urllib.parse.unquote(r["__d"]) for r in
@@ -1715,7 +1833,7 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
         if nonempty_dirs:
             pre = {d: set(_part_files(fs, path, d))
                    for d in nonempty_dirs}
-            kept.write.mode("append").partitionBy(partition_col) \
+            kept.write.mode("append").partitionBy(*pcols) \
                 .parquet(path)
             for d in nonempty_dirs:
                 fresh = sorted(set(_part_files(fs, path, d)) - pre[d])

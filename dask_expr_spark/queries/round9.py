@@ -313,3 +313,87 @@ def zonemap_after_delete(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- multi-column pointer tables (maintenance partition_col=[...]):
+#    a two-level hive layout (priority=…/status=…) under the pointer
+#    protocol — bootstrap adopts the nested leaves, an upsert touches
+#    only its (priority, status) leaves, delete_where prunes by leaf,
+#    and tuple-valued manifest pruning bounds the read's file list.
+#    The oracle enumerates merge-then-delete in SQL -----------------
+MULTICOL_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 500.0 AS o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 67 = 0 AND o_orderpriority = '1-URGENT'
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                    WHERE u.o_orderkey = o.o_orderkey)
+),
+kept AS (
+  SELECT * FROM merged
+  WHERE NOT (o_orderdate < DATE '1993-06-01'
+             AND o_orderstatus = 'F')
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       {cent_sum_sql('o_totalprice')} AS total,
+       TRUE AS untouched_ok, TRUE AS tuple_pruned_ok
+FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("multicol_pointer_upsert", MULTICOL_SQL)
+def multicol_pointer_upsert(spark, sf_dir):
+    from ..functions import maintenance as M
+
+    o = tbl(spark, sf_dir, "orders").to_spark()
+    tmp = tempfile.mkdtemp(prefix="multicol_ptr_")
+    path = os.path.join(tmp, "t")
+    pcols = ["o_orderpriority", "o_orderstatus"]
+    try:
+        o.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+        man0 = M.manifest_bootstrap(path, pcols)
+        updates = (o.where((F.col("o_orderkey") % 67 == 0)
+                           & (F.col("o_orderpriority") == "1-URGENT"))
+                   .withColumn("o_totalprice",
+                               F.col("o_totalprice") + 500.0))
+        M.upsert_partitioned(spark, path, updates, ["o_orderkey"],
+                             pcols, commit="pointer")
+        man1 = M.read_commit(path)
+        touched = {d for d in man1["partitions"]
+                   if d.startswith("o_orderpriority=1-URGENT/")}
+        untouched_ok = (
+            bool(touched)
+            and all(man1["partitions"][d] == man0["partitions"][d]
+                    for d in man0["partitions"] if d not in touched))
+        # tuple-valued manifest pruning bounds the file list
+        pr = M.read_manifested(
+            spark, path, partition_values=[("1-URGENT", "F")])
+        tuple_pruned_ok = (
+            pr.count() > 0
+            and all("o_orderpriority=1-URGENT/o_orderstatus=F" in f
+                    for f in pr.inputFiles()))
+        M.delete_where(spark, path,
+                       (F.col("o_orderdate")
+                        < F.lit("1993-06-01").cast("date"))
+                       & (F.col("o_orderstatus") == "F"),
+                       pcols, commit="pointer")
+        agg = (M.read_manifested(spark, path)
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    cent_sum(F.col("o_totalprice")).alias("total"))
+               .orderBy("o_orderpriority"))
+        out = (agg.withColumn("untouched_ok",
+                              F.lit(bool(untouched_ok)))
+               .withColumn("tuple_pruned_ok",
+                           F.lit(bool(tuple_pruned_ok)))
+               .orderBy("o_orderpriority"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

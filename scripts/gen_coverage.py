@@ -522,10 +522,15 @@ ROWS: list[tuple[str, list[dict]]] = [
                 "MANIFEST_INLINE_MAX so the root stays O(#dirs) and a "
                 "commit's manifest bytes are touched-dir-bound; "
                 "manifest-level pruned reads (read_manifested "
-                "partition_values); vacuum clears superseded "
-                "generations + claims + shards; row-level delete_where "
-                "with whole-dir drops; zone maps refresh inline after "
-                "delete/compaction",
+                "partition_values, tuple-valued for multi-level "
+                "layouts); MULTI-COLUMN partition specs "
+                "(date=.../source=... nested hive leaves as manifest "
+                "keys — bootstrap/upsert/overwrite/delete/compact/"
+                "vacuum/pruned reads); vacuum clears superseded "
+                "generations + claims + shards (with a min_age_s "
+                "retention window guarding in-flight writers); "
+                "row-level delete_where with whole-dir drops; zone "
+                "maps refresh inline after EVERY mutator",
              loc="dask_expr_spark/functions/maintenance.py "
                  "(read_commit, _write_commit, _set_dir_files, "
                  "read_manifested, vacuum_manifested, "
@@ -534,7 +539,7 @@ ROWS: list[tuple[str, list[dict]]] = [
              q=["upsert_pointer_roundtrip", "manifest_sharded_upsert",
                 "concurrent_upsert_cas", "delete_where_orders",
                 "compact_manifested_files", "zonemap_after_delete",
-                "stream_upsert_pointer"],
+                "stream_upsert_pointer", "multicol_pointer_upsert"],
              t="two-writer interleavings (loser raises, table "
                "consistent, retry lands) + crash-injection at every "
                "commit state + zero-rename fake-object-store "

@@ -1142,3 +1142,116 @@ def test_zonemap_refreshes_after_upsert(spark, tmp_path, commit):
                  Z.read_skipping(spark, path, [("k", ">=", 100)])
                  .collect())
     assert got == [100]
+
+
+# ------------------------------ round 9: multi-column pointer tables
+
+def _mk_multi(spark, path):
+    pdf = pd.DataFrame({
+        "k": range(60),
+        "v": [float(i) for i in range(60)],
+        "d": [("2024-01", "2024-02")[i % 2] for i in range(60)],
+        "src": [("web", "api", "batch")[i % 3] for i in range(60)]})
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .partitionBy("d", "src").parquet(path)
+    return pdf
+
+
+def _rows4(df):
+    return sorted((r["k"], r["v"], r["d"], r["src"])
+                  for r in df.collect())
+
+
+def test_multicol_pointer_lifecycle(spark, tmp_path):
+    """multi-level hive layout (d=…/src=…) under the pointer protocol:
+    bootstrap adopts the nested dirs, an upsert touches only its
+    (d, src) leaves, pruned reads take tuple values, delete_where
+    rewrites hit leaves and drops emptied ones, compaction coalesces
+    per leaf, and vacuum clears superseded files + empty parents."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    pdf = _mk_multi(spark, path)
+    man0 = M.manifest_bootstrap(path, ["d", "src"])
+    assert all("/" in d for d in man0["partitions"])
+    assert _rows4(M.read_manifested(spark, path)) == sorted(
+        map(tuple, pdf.itertuples(index=False)))
+
+    # upsert into one leaf: k=0 lives in (2024-01, web)
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0, 600], "v": [99.0, 98.0],
+         "d": ["2024-01"] * 2, "src": ["web"] * 2}))
+    M.upsert_partitioned(spark, path, batch, ["k"], ["d", "src"],
+                         commit="pointer")
+    man1 = M.read_commit(path)
+    touched = "d=2024-01/src=web"
+    assert man1["partitions"][touched] != man0["partitions"][touched]
+    assert all(man1["partitions"][x] == man0["partitions"][x]
+               for x in man0["partitions"] if x != touched)
+    got = _rows4(M.read_manifested(spark, path))
+    assert (0, 99.0, "2024-01", "web") in got
+    assert (600, 98.0, "2024-01", "web") in got
+
+    # pruned read on a tuple value
+    pruned = M.read_manifested(spark, path,
+                               partition_values=[("2024-01", "web")])
+    assert {(r["d"], r["src"]) for r in pruned.collect()} \
+        == {("2024-01", "web")}
+    assert all("d=2024-01/src=web" in f for f in pruned.inputFiles())
+
+    # move guard: k=1 lives in (2024-02, api); upserting it under a
+    # different leaf must raise
+    import pytest as _pytest
+    moving = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [1.0], "d": ["2024-01"], "src": ["web"]}))
+    with _pytest.raises(ValueError, match="partition-moving"):
+        M.upsert_partitioned(spark, path, moving, ["k"], ["d", "src"],
+                             commit="pointer")
+
+    # delete: everything in src='batch' across both months -> those
+    # two leaves empty out and drop from the manifest
+    parts, n_del = M.delete_where(spark, path,
+                                  F.col("src") == "batch",
+                                  ["d", "src"], commit="pointer")
+    assert n_del == 20 and len(parts) == 2
+    man2 = M.read_commit(path)
+    assert man2["partitions"]["d=2024-01/src=batch"] == []
+    assert man2["partitions"]["d=2024-02/src=batch"] == []
+    left = M.read_manifested(spark, path)
+    assert left.where("src = 'batch'").count() == 0
+    assert left.count() == 41  # 60 - 20 + 1 insert
+
+    # row-level delete inside one leaf (kept rows rewrite there)
+    parts, n_del = M.delete_where(spark, path,
+                                  (F.col("k") % 2 == 1)
+                                  & (F.col("src") == "web"),
+                                  ["d", "src"], commit="pointer")
+    assert n_del > 0
+    assert M.read_manifested(spark, path) \
+        .where("src = 'web' AND k % 2 = 1").count() == 0
+
+    # compact + vacuum: equality preserved, superseded files and the
+    # emptied leaves' dirs clear (parents too once both leaves drop)
+    before = _rows4(M.read_manifested(spark, path))
+    fb, fa = M.compact_manifested(spark, path, target_mb=512)
+    assert fa <= fb
+    removed = M.vacuum_manifested(path)
+    assert removed > 0
+    assert _rows4(M.read_manifested(spark, path)) == before
+    assert not os.path.isdir(os.path.join(path, "d=2024-01/src=batch"))
+    assert not os.path.isdir(os.path.join(path, "d=2024-02/src=batch"))
+
+
+def test_multicol_requires_pointer_protocol(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _mk_multi(spark, path)
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [1.0], "d": ["2024-01"], "src": ["web"]}))
+    with pytest.raises(ValueError, match="pointer-protocol only"):
+        M.upsert_partitioned(spark, path, batch, ["k"], ["d", "src"],
+                             commit="rename")
+    with pytest.raises(ValueError, match="pointer-protocol only"):
+        M.delete_where(spark, path, F.col("k") == 0, ["d", "src"],
+                       commit="rename")
