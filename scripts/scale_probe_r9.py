@@ -46,22 +46,37 @@ from dask_expr_spark.functions import maintenance as M  # noqa: E402
 N_DIRS = 100
 TOUCHED_FILES = 1_000          # new committed file count in the dir
 
+# multi-level variant: the same 100 leaves as 20 date dirs x 5 source
+# dirs, probing that nested layouts keep the same touched-leaf-bound
+# commit contract (round-9 multicol support)
+MULTI_SPEC = [("d", 20), ("src", 5)]
 
-def fab_table(root: str, n_files: int) -> None:
-    per_dir = max(1, n_files // N_DIRS)
-    for d in range(N_DIRS):
-        dd = os.path.join(root, f"part={d:04d}")
+
+def _leaf_dirs(multi: bool) -> list[str]:
+    if not multi:
+        return [f"part={i:04d}" for i in range(N_DIRS)]
+    return [f"d={i:04d}/src={j}"
+            for i in range(MULTI_SPEC[0][1])
+            for j in range(MULTI_SPEC[1][1])]
+
+
+def fab_table(root: str, n_files: int, multi: bool = False) -> None:
+    leaves = _leaf_dirs(multi)
+    per_dir = max(1, n_files // len(leaves))
+    for leaf in leaves:
+        dd = os.path.join(root, leaf)
         os.makedirs(dd, exist_ok=True)
         for i in range(per_dir):
             open(os.path.join(dd, f"f-{i:06d}.parquet"), "w").close()
 
 
-def one_dir_commit(path: str, fs) -> tuple[float, int]:
+def one_dir_commit(path: str, fs, multi: bool = False
+                   ) -> tuple[float, int]:
     """A commit touching ONE dir with TOUCHED_FILES fresh names:
     returns (seconds, manifest bytes written = root claim + shard)."""
     man = M.read_commit(path, fs=fs)
     gen1 = int(man["generation"]) + 1
-    d = "part=0000"
+    d = _leaf_dirs(multi)[0]
     fresh = [f"g{gen1}-{i:06d}.parquet" for i in range(TOUCHED_FILES)]
     t0 = time.perf_counter()
     M._set_dir_files(man, path, d, fresh, fs)
@@ -75,26 +90,28 @@ def one_dir_commit(path: str, fs) -> tuple[float, int]:
     return dt, by
 
 
-def run_decade(n_files: int) -> dict:
+def run_decade(n_files: int, multi: bool = False) -> dict:
     fs = fsops.PosixFS()
-    out: dict = {"table_files": n_files}
+    out: dict = {"table_files": n_files,
+                 "layout": "d=/src= (2-level)" if multi else "part="}
+    pcol = [c for c, _n in MULTI_SPEC] if multi else "part"
     for mode, inline_max in (("sharded", 16), ("inline", 10 ** 9)):
         saved = M.MANIFEST_INLINE_MAX
         M.MANIFEST_INLINE_MAX = inline_max
         tmp = tempfile.mkdtemp(prefix=f"probe9_{mode}_")
         path = os.path.join(tmp, "t")
         try:
-            fab_table(path, n_files)
+            fab_table(path, n_files, multi=multi)
             t0 = time.perf_counter()
-            M.manifest_bootstrap(path, "part", fs=fs)
+            M.manifest_bootstrap(path, pcol, fs=fs)
             boot = time.perf_counter() - t0
-            commit_s, commit_b = one_dir_commit(path, fs)
+            commit_s, commit_b = one_dir_commit(path, fs, multi=multi)
             t0 = time.perf_counter()
             man = M.read_commit(path, fs=fs)
             head = time.perf_counter() - t0
             t0 = time.perf_counter()
             pruned = M.manifest_files(man, path, fs=fs,
-                                      dirs=["part=0000"])
+                                      dirs=[_leaf_dirs(multi)[0]])
             prune_t = time.perf_counter() - t0
             t0 = time.perf_counter()
             full = M.manifest_files(man, path, fs=fs)
@@ -119,13 +136,14 @@ def run_decade(n_files: int) -> dict:
 
 def main() -> None:
     rows = [run_decade(n) for n in (1_000, 10_000, 100_000)]
+    rows += [run_decade(100_000, multi=True)]
     print(json.dumps(rows, indent=1))
     s = [r["sharded"]["one_dir_commit_manifest_bytes"] for r in rows]
     i = [r["inline"]["one_dir_commit_manifest_bytes"] for r in rows]
-    print("\nsharded commit bytes across decades:", s,
-          "(flat = bound by touched dir + #dirs)")
-    print("inline  commit bytes across decades:", i,
-          "(grows with table file count)")
+    print("\nsharded commit bytes across decades (+2-level at 1e5):",
+          s, "(flat = bound by touched dir + #dirs)")
+    print("inline  commit bytes across decades (+2-level at 1e5):",
+          i, "(grows with table file count)")
 
 
 if __name__ == "__main__":

@@ -1255,3 +1255,30 @@ def test_multicol_requires_pointer_protocol(spark, tmp_path):
     with pytest.raises(ValueError, match="pointer-protocol only"):
         M.delete_where(spark, path, F.col("k") == 0, ["d", "src"],
                        commit="rename")
+
+
+def test_multicol_with_forced_sharding(spark, tmp_path, monkeypatch):
+    """multi-level layouts compose with manifest shards: with sharding
+    forced, nested leaf entries are @pointers, an upsert re-shards
+    only its leaf, and reads resolve transparently."""
+    monkeypatch.setattr(M, "MANIFEST_INLINE_MAX", 0)
+    path = str(tmp_path / "t")
+    pdf = _mk_multi(spark, path)
+    man0 = M.manifest_bootstrap(path, ["d", "src"])
+    assert all(isinstance(e, str) and e.startswith("@")
+               for e in man0["partitions"].values())
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [77.0], "d": ["2024-01"], "src": ["web"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], ["d", "src"],
+                         commit="pointer")
+    man1 = M.read_commit(path)
+    touched = "d=2024-01/src=web"
+    assert man1["partitions"][touched] != man0["partitions"][touched]
+    assert all(man1["partitions"][x] == man0["partitions"][x]
+               for x in man0["partitions"] if x != touched)
+    got = _rows4(M.read_manifested(spark, path))
+    exp = {t for t in map(tuple, pdf.itertuples(index=False))
+           if t[0] != 0} | {(0, 77.0, "2024-01", "web")}
+    assert set(got) == exp
+    assert M.vacuum_manifested(path) > 0
+    assert set(_rows4(M.read_manifested(spark, path))) == exp
