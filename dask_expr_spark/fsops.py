@@ -125,13 +125,32 @@ class PosixFS:
         FileExistsError when another writer already claimed the path.
         POSIX mechanism: full write to a unique temp file, then
         ``os.link`` — hard-linking is atomic and fails on an existing
-        target, unlike rename (which overwrites)."""
+        target, unlike rename (which overwrites).  Filesystems without
+        hard links (some NFS/FUSE mounts) fail with an explicit
+        capability error instead of a raw ENOTSUP traceback — the CAS
+        must refuse loudly rather than degrade to a racy fallback."""
+        import errno
         import uuid
         tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
         with open(tmp, "w") as f:
             f.write(text)
         try:
             os.link(tmp, path)
+        except FileExistsError:
+            raise
+        except OSError as exc:
+            if exc.errno in (errno.EPERM, errno.ENOTSUP,
+                             getattr(errno, "EOPNOTSUPP", errno.ENOTSUP),
+                             errno.EXDEV, errno.EMLINK):
+                raise RuntimeError(
+                    f"write_text_exclusive: the filesystem holding "
+                    f"{path} does not support hard links "
+                    f"({errno.errorcode.get(exc.errno, exc.errno)}) — "
+                    "the POSIX exclusive-create CAS needs them; put "
+                    "the table on a real POSIX volume or reach it "
+                    "through HadoopFS (a scheme'd URI resolves there)"
+                ) from exc
+            raise
         finally:
             os.remove(tmp)
 
@@ -259,7 +278,11 @@ class HadoopFS:
         Rename-atomic schemes (HDFS & friends): full write to a unique
         temp, then ``FileSystem.rename`` — HDFS rename onto an existing
         destination FAILS (returns false), so the rename is an atomic
-        exclusive publish with complete content.
+        exclusive publish with complete content.  A false return is
+        only reported as FileExistsError when the destination actually
+        exists: HDFS rename also returns false for infrastructure
+        failures (missing parent dir, permissions), and those must
+        surface as IO errors, not be retried as commit races.
 
         Object stores: ``create(path, overwrite=false)``.  Connectors
         with conditional-write support (s3a with If-None-Match, gs
@@ -282,8 +305,14 @@ class HadoopFS:
                 stream.close()
             if not self._fs.rename(self._p(tmp), self._p(path)):
                 self._fs.delete(self._p(tmp), False)
-                raise FileExistsError(
-                    f"write_text_exclusive: {path} already exists")
+                if self._fs.exists(self._p(path)):
+                    raise FileExistsError(
+                        f"write_text_exclusive: {path} already exists")
+                raise OSError(
+                    f"write_text_exclusive: rename to {path} failed "
+                    "but the destination does not exist — an "
+                    "infrastructure failure (missing parent dir, "
+                    "permissions), not a commit race")
             return
         try:
             stream = self._fs.create(self._p(path), False)

@@ -261,11 +261,28 @@ def _swap_partition_dirs(path: str, new_root: str,
 # correctness, same as Delta/Iceberg).
 #
 # CONCURRENCY CONTRACT (every pointer entry point): commits are
-# optimistic and serialize on the root claim — two writers from the
-# same base generation conflict even when they touch disjoint
-# partitions (single-log serialization, as in Delta); the loser
-# raises ConcurrentCommitError and must re-run its mutation against
-# the new head.  The CAS is as strong as the store's exclusive
+# optimistic and serialize on the root claim; each claim records the
+# partition dirs it `touched`.  A writer that loses the claim REBASES
+# instead of recomputing when it safely can (Delta's logical conflict
+# detection in miniature): it walks the intervening claims, and if
+# every one touched only dirs DISJOINT from its own, it overlays its
+# dir entries onto the new head's manifest and re-claims the next
+# generation — no data job re-runs, both writers' partitions land.
+# Any overlap (or an intervening claim without touched metadata)
+# raises ConcurrentCommitError: the loser's mutation was computed
+# against a stale view of a dir the winner changed, so it must re-run
+# against the new head.  Pass rebase=False for strict single-log
+# serialization (every same-base concurrent commit conflicts).
+#
+# Isolation note (same level as Delta's WriteSerializable): a rebased
+# commit is snapshot-correct per partition dir, but CROSS-partition
+# read-check invariants — the upsert move guard's "this key exists in
+# no other partition" — were verified against the writer's BASE
+# snapshot, not the head it rebased onto.  Two concurrent writers
+# inserting the same brand-new key into different partitions can
+# therefore both land (the anomaly class WriteSerializable permits);
+# deployments that need the guard serialized use rebase=False and
+# re-run losers.  The CAS is as strong as the store's exclusive
 # create: atomic on POSIX (hard-link publish) and HDFS (rename-onto-
 # existing fails); on object stores it is the connector's
 # create(overwrite=false) — a true conditional PUT where supported
@@ -409,26 +426,74 @@ def read_commit(path: str, fs=None) -> dict | None:
     return man
 
 
-def _write_commit(path: str, man: dict, fs) -> None:
+_REBASE_MAX_ATTEMPTS = 32
+
+
+def _write_commit(path: str, man: dict, fs, touched=None,
+                  rebase: bool = True) -> dict:
     """The commit point: exclusively claim `_commit.{generation}.json`
     (the CAS — exactly one writer wins each generation), then refresh
-    the `_commit.json` pointer cache.  Raises ConcurrentCommitError
-    when the generation is already claimed: the caller's mutation was
-    computed against a stale base, its appended files are vacuumable
-    orphans, and the table is untouched."""
-    gen = int(man["generation"])
-    text = json.dumps(man)
-    try:
-        fs.write_text_exclusive(_claim_file(path, gen), text)
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"pointer commit: generation {gen} at {path} was claimed "
-            "by a concurrent writer — this commit's appended files are "
-            "unreferenced orphans (vacuum_manifested clears them); "
-            "re-run the mutation against the new head") from None
-    # best-effort pointer cache (read_commit probes forward from it,
-    # so losing a race on THIS unconditional write is harmless)
-    fs.write_text_atomic(_commit_file(path), text)
+    the `_commit.json` pointer cache.
+
+    `touched` is the list of partition-dir keys this commit changed;
+    it is recorded in the claim so LATER writers can conflict-check
+    against it.  When the claim is lost and `rebase` is true, the
+    commit rebases (see the module CONCURRENCY CONTRACT): if the
+    winning claim touched only disjoint dirs, this commit's entries
+    overlay the winner's manifest and the next generation is claimed
+    — walking one intervening generation per loop turn, so a chain of
+    disjoint winners costs one read+re-claim each, never a data
+    recompute.  Overlapping dirs (or a winner without touched
+    metadata, or touched=None here) raise ConcurrentCommitError.
+    Returns the manifest that actually committed (== `man` unless a
+    rebase merged it onto a newer head)."""
+    if touched is not None:
+        man = dict(man)
+        man["touched"] = sorted(touched)
+    for _ in range(_REBASE_MAX_ATTEMPTS):
+        gen = int(man["generation"])
+        text = json.dumps(man)
+        try:
+            fs.write_text_exclusive(_claim_file(path, gen), text)
+        except FileExistsError:
+            winner = json.loads(fs.read_text(_claim_file(path, gen)))
+            wt = winner.get("touched")
+            ours = set(man.get("touched", ())) if touched is not None \
+                else None
+            if (not rebase or ours is None or wt is None
+                    or set(wt) & ours):
+                overlap = (sorted(set(wt) & ours)
+                           if wt is not None and ours is not None
+                           else None)
+                raise ConcurrentCommitError(
+                    f"pointer commit: generation {gen} at {path} was "
+                    "claimed by a concurrent writer"
+                    + (f" touching the same partition dirs {overlap}"
+                       if overlap else "")
+                    + " — this commit's appended files are "
+                    "unreferenced orphans (vacuum_manifested clears "
+                    "them); re-run the mutation against the new head"
+                ) from None
+            # disjoint-partition rebase: keep the winner's view of
+            # every dir we did not touch, overlay ours, re-claim next
+            parts = dict(winner["partitions"])
+            for d in man["touched"]:
+                if d in man["partitions"]:
+                    parts[d] = man["partitions"][d]
+                else:
+                    parts.pop(d, None)
+            man = {**winner, "partitions": parts,
+                   "touched": man["touched"],
+                   "generation": gen + 1}
+            continue
+        # best-effort pointer cache (read_commit probes forward from
+        # it, so losing a race on THIS unconditional write is harmless)
+        fs.write_text_atomic(_commit_file(path), text)
+        return man
+    raise ConcurrentCommitError(
+        f"pointer commit at {path}: lost {_REBASE_MAX_ATTEMPTS} "
+        "consecutive disjoint-rebase claim races — contention too "
+        "high; re-run the mutation")
 
 
 def _dir_files(man: dict, path: str, d: str, fs) -> list[str]:
@@ -546,12 +611,29 @@ def manifest_bootstrap(path: str, partition_col: str | list[str],
            "partitions": {}}
     for d in _list_part_dirs(fs, path, pcols):
         _set_dir_files(man, path, d, _part_files(fs, path, d), fs)
-    _write_commit(path, man, fs)
-    return man
+    # two concurrent bootstraps always conflict (rebase=False): both
+    # adopt every dir, so there is nothing disjoint to merge
+    return _write_commit(path, man, fs,
+                         touched=sorted(man["partitions"]),
+                         rebase=False)
+
+
+def manifest_generations(path: str, fs=None) -> list[int]:
+    """The pointer table's surviving generation numbers (its version
+    log): every `_commit.{N}.json` claim still on disk, sorted.  The
+    head is the max; older entries serve time travel
+    (read_manifested(generation=N)) until vacuum_manifested retires
+    them past its `keep_claims` window."""
+    fs = _resolve_fs(path, fs)
+    if not fs.isdir(path):
+        return []
+    return sorted(int(m.group(1)) for m in
+                  (_CLAIM_RE.match(e) for e in fs.listdir(path)) if m)
 
 
 def read_manifested(spark: SparkSession, path: str, fs=None,
-                    partition_values: list | None = None) -> DataFrame:
+                    partition_values: list | None = None,
+                    generation: int | None = None) -> DataFrame:
     """Read a pointer-commit table: exactly the manifest's files, with
     partition columns recovered from the dir names (basePath).  This
     is the ONLY correct read of such a table — a bare directory scan
@@ -565,7 +647,14 @@ def read_manifested(spark: SparkSession, path: str, fs=None,
     render through the same dir naming Spark writes; a rendering
     divergence yields an EMPTY pruned read, which mutating callers
     guard against pre-commit (and read-only callers should treat as
-    suspicious for non-string partition types)."""
+    suspicious for non-string partition types).
+
+    `generation` time-travels to an older commit: the claim chain IS
+    a version log (Delta's _delta_log in miniature), so any
+    generation whose claim file survives — the head, plus the
+    newest `keep_claims` retained by vacuum_manifested — reads
+    exactly as it committed.  Raises on a vacuumed or never-committed
+    generation, naming the live ones."""
     fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     if man is None:
@@ -573,6 +662,15 @@ def read_manifested(spark: SparkSession, path: str, fs=None,
             f"read_manifested: no {_COMMIT} at {path} — not a "
             "pointer-commit table (manifest_bootstrap or "
             "upsert_partitioned(commit='pointer') first)")
+    if generation is not None and \
+            int(generation) != int(man["generation"]):
+        cf = _claim_file(path, int(generation))
+        if not fs.exists(cf):
+            raise ValueError(
+                f"read_manifested: generation {int(generation)} not "
+                f"available at {path} (vacuumed or never committed; "
+                f"live generations: {manifest_generations(path, fs=fs)})")
+        man = json.loads(fs.read_text(cf))
     dirs = None
     if partition_values is not None:
         pcols = _man_pcols(man)
@@ -596,13 +694,16 @@ def read_manifested(spark: SparkSession, path: str, fs=None,
 
 
 def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
-                     partition_col: str, man: dict, fs) -> list[str]:
+                     partition_col: str, man: dict, fs,
+                     rebase: bool = True) -> list[str]:
     """The pointer protocol's write half: append `df`'s partitions as
     new files, then claim the next generation pointing at them.  New
     files are identified by a pre/post listing diff per touched
     directory, so orphans from a previously crashed append are never
-    adopted.  Raises ConcurrentCommitError when another writer claims
-    the generation first (this append's files become orphans)."""
+    adopted.  A lost claim rebases onto the new head when the
+    intervening commits touched only disjoint dirs (see
+    _write_commit); otherwise — or with rebase=False — it raises
+    ConcurrentCommitError (this append's files become orphans)."""
     pcols = _norm_pcols(partition_col)
     parts = [tuple(r) for r in df.select(*pcols).distinct().collect()]
     if not parts:
@@ -623,28 +724,42 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
                 "manifest NOT flipped (table unchanged)")
         _set_dir_files(man, path, d, fresh, fs)
     man["generation"] = int(man["generation"]) + 1
-    _write_commit(path, man, fs)     # the CAS commit point
+    # the CAS commit point (rebases across disjoint-dir winners)
+    _write_commit(path, man, fs, touched=dirs, rebase=rebase)
     return dirs
 
 
 def vacuum_manifested(path: str, fs=None,
-                      min_age_s: float = 0.0) -> int:
-    """Delete data files not referenced by the current manifest —
+                      min_age_s: float = 0.0,
+                      keep_claims: int = 1) -> int:
+    """Delete data files not referenced by any RETAINED generation —
     superseded generations and orphans of crashed or lost-race
-    appends — plus superseded root claim files and unreferenced
+    appends — plus retired root claim files and unreferenced
     `_files.*.json` manifest shards.  Run AFTER readers of older
     generations have drained (same contract as snapshot_vacuum): a
-    reader resolving an older claim mid-vacuum can lose its files.
+    reader resolving an already-retired claim mid-vacuum can lose its
+    files.
+
+    `keep_claims` is the time-travel retention window: the newest N
+    claim files at or below the head survive, and every data file and
+    shard any of them references stays readable — so
+    read_manifested(generation=...) and manifested_cdc keep working
+    across vacuums for the retained window (the claim chain is the
+    version log).  The default 1 retains only the head, the historic
+    behavior.  Claims NEWER than the head this vacuum resolved are
+    never touched: they belong to a writer that committed mid-vacuum,
+    and deleting them would erase an acknowledged commit.
 
     `min_age_s` is the CONCURRENT-WRITER guard (the Delta/Iceberg
     retention window): an in-flight writer's freshly appended files
     are unreferenced until its claim lands, so a vacuum racing it
     would delete them and the subsequent flip would commit a manifest
-    pointing at missing files.  Files younger than `min_age_s` are
-    kept regardless of reference state; deployments with concurrent
-    writers should pass a window comfortably above the longest append
-    (e.g. 3600).  The default 0 keeps single-writer vacuums eager.
-    Returns the number of DATA files removed."""
+    pointing at missing files.  Files — and retired claim files, same
+    race — younger than `min_age_s` are kept regardless of reference
+    state; deployments with concurrent writers should pass a window
+    comfortably above the longest append (e.g. 3600).  The default 0
+    keeps single-writer vacuums eager.  Returns the number of DATA
+    files removed."""
     import time
 
     fs = _resolve_fs(path, fs)
@@ -657,14 +772,39 @@ def vacuum_manifested(path: str, fs=None,
     def old_enough(p: str) -> bool:
         return min_age_s <= 0 or fs.getmtime(p) <= cutoff
 
-    # refresh the pointer cache BEFORE dropping older claims: probe-
+    # retained generations: the newest keep_claims at or below the
+    # head, plus anything newer (a concurrent writer's commit)
+    gens = manifest_generations(path, fs=fs)
+    keep_claims = max(1, int(keep_claims))
+    at_or_below = [g for g in gens if g <= cur_gen]
+    retained = (set(at_or_below[-keep_claims:])
+                | {g for g in gens if g > cur_gen} | {cur_gen})
+    # refresh the pointer cache BEFORE dropping older claims — probe-
     # forward readers must never start from a generation whose
-    # successors were vacuumed away
-    fs.write_text_atomic(_commit_file(path), json.dumps(man))
-    for e in fs.listdir(path):
-        m = _CLAIM_RE.match(e)
-        if m and int(m.group(1)) != cur_gen:
-            fs.delete(os.path.join(path, e))
+    # successors were vacuumed away — but never ROLL IT BACK over a
+    # newer head a concurrent writer just cached
+    cp = _commit_file(path)
+    cached_gen = -1
+    if fs.exists(cp):
+        try:
+            cached_gen = int(json.loads(fs.read_text(cp))["generation"])
+        except (ValueError, KeyError):
+            cached_gen = -1
+    if cached_gen < cur_gen:
+        fs.write_text_atomic(cp, json.dumps(man))
+    for g in gens:
+        cf = _claim_file(path, g)
+        if g < cur_gen and g not in retained and old_enough(cf):
+            fs.delete(cf)
+    # liveness = union over every retained generation's manifest
+    mans = []
+    for g in sorted(retained):
+        if g == cur_gen:
+            mans.append(man)
+        else:
+            cf = _claim_file(path, g)
+            if fs.exists(cf):
+                mans.append(json.loads(fs.read_text(cf)))
     removed = 0
     pcols = _man_pcols(man)
 
@@ -673,14 +813,18 @@ def vacuum_manifested(path: str, fs=None,
         # Hadoop local checksums sidecar data files (.name.crc);
         # remove them with their file or emptied dirs never clear
         crc = os.path.join(os.path.dirname(fp),
-                           f".{os.path.basename(fp)}.crc")
+                          f".{os.path.basename(fp)}.crc")
         if fs.exists(crc):
             fs.delete(crc)
 
     for d in _list_part_dirs(fs, path, pcols):
-        entry = man["partitions"].get(d, [])
-        live = set(_dir_files(man, path, d, fs))
-        live_shard = entry.lstrip("@") if isinstance(entry, str) else None
+        live: set = set()
+        live_shards: set = set()
+        for m in mans:
+            entry = m["partitions"].get(d, [])
+            if isinstance(entry, str):
+                live_shards.add(entry.lstrip("@"))
+            live.update(_dir_files(m, path, d, fs))
         for f in _part_files(fs, path, d):
             fp = os.path.join(path, d, f)
             if f not in live and old_enough(fp):
@@ -689,7 +833,7 @@ def vacuum_manifested(path: str, fs=None,
         for f in fs.listdir(os.path.join(path, d)):
             fp = os.path.join(path, d, f)
             if (f.startswith("_files.") and f.endswith(".json")
-                    and f != live_shard and old_enough(fp)):
+                    and f not in live_shards and old_enough(fp)):
                 _rm(fp)
         if not live and not _part_files(fs, path, d) \
                 and not fs.listdir(os.path.join(path, d)):
@@ -707,7 +851,7 @@ def vacuum_manifested(path: str, fs=None,
 
 def compact_manifested(spark: SparkSession, path: str,
                        target_mb: int = 128,
-                       fs=None) -> tuple[int, int]:
+                       fs=None, rebase: bool = True) -> tuple[int, int]:
     """Small-file compaction for pointer-commit tables — completes the
     lifecycle (upsert → read → vacuum → compact) without ever renaming
     a data file: partition dirs whose committed files exceed their
@@ -780,7 +924,7 @@ def compact_manifested(spark: SparkSession, path: str,
         files_after += len(fresh) - len(dir_files[d])
         _set_dir_files(man, path, d, fresh, fs)
     man["generation"] = int(man["generation"]) + 1
-    _write_commit(path, man, fs)
+    _write_commit(path, man, fs, touched=sorted(plan), rebase=rebase)
     _refresh_zonemap_if_present(spark, path, fs)
     return (files_before, files_after)
 
@@ -828,14 +972,14 @@ def _check_partition_moves(spark: SparkSession, full_table_fn,
     # would survive and the key would silently duplicate
     cand = (updates.select(*keys).distinct()
             .join(target.select(*keys).distinct(), keys, "left_anti"))
-    if key_bloom_path is not None and \
-            _resolve_fs(key_bloom_path, None).isdir(key_bloom_path):
+    idx = (read_key_bloom(spark, key_bloom_path)
+           if key_bloom_path is not None else None)
+    if idx is not None:
         # bloom prefilter: keys the table bloom says are DEFINITELY
         # absent cannot be moves (no false negatives), so a mostly-
         # insert batch skips the full-table key scan entirely — guard
         # cost scales with the batch, not the table
         from .sketches import bloom_probe
-        idx = spark.read.parquet(key_bloom_path)
         probed = bloom_probe(cand.withColumn("__mg_key", _key_str(keys)),
                              idx, "__mg_key", result_col="__maybe")
         cand = probed.where(F.col("__maybe")).drop("__mg_key", "__maybe")
@@ -857,7 +1001,8 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                        order_col: str | None = None,
                        check_moves: bool = True,
                        key_bloom_path: str | None = None,
-                       fs=None, commit: str = "auto") -> list:
+                       fs=None, commit: str = "auto",
+                       rebase: bool = True) -> list:
     """Merge `updates` into the hive-partitioned parquet table at
     `path` IN PLACE, touching only the partitions the batch contains.
 
@@ -879,7 +1024,12 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     build_key_bloom and maintained here after every merge) the guard
     probes the batch keys map-only and falls back to the column-pruned
     full-table key scan ONLY for bloom maybe-hits, so the per-batch
-    guard cost scales with the batch, not the table.  Disable
+    guard cost scales with the batch, not the table.  Under
+    commit="pointer" the bloom index itself commits through the
+    snapshot CAS protocol (bloom_append_snapshot — object-store-safe,
+    auto-bootstrapped on first guarded upsert), updated BEFORE the
+    table claim so every failure mode errs on harmless extra bloom
+    keys, never a false negative.  Disable
     check_moves only where the invariant holds by construction
     (upsert_bucketed does: its partition value is a function of the
     key).  Returns the list of partition values rewritten.
@@ -894,12 +1044,16 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     the raw directory's superseded and orphan files.
 
     Concurrency: pointer commits are optimistic and serialize on the
-    per-generation claim — a concurrent writer from the same base
-    generation raises ConcurrentCommitError (its appended files are
-    vacuumable orphans; re-run against the new head).  The RENAME
-    protocol remains single-writer by contract: two concurrent swaps
-    would interleave renames unsafely — serialize rename-protocol
-    mutators externally."""
+    per-generation claim.  A writer that loses the claim REBASES when
+    the intervening commits touched only disjoint partition dirs —
+    its merged slice re-claims the next generation without
+    recomputing (see the module CONCURRENCY CONTRACT for the
+    WriteSerializable-level isolation caveat on the move guard);
+    overlapping dirs, or `rebase=False`, raise ConcurrentCommitError
+    (its appended files are vacuumable orphans; re-run against the
+    new head).  The RENAME protocol remains single-writer by
+    contract: two concurrent swaps would interleave renames unsafely
+    — serialize rename-protocol mutators externally."""
     fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     commit = _resolve_commit(path, fs, commit, "upsert_partitioned",
@@ -920,11 +1074,6 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     if not parts:
         return []
     if commit == "pointer":
-        if key_bloom_path is not None:
-            raise ValueError(
-                "upsert_partitioned: key_bloom_path is rename-protocol"
-                " only for now — the bloom index itself would need a "
-                "pointer commit; run the guard without the prefilter")
         if man is None:
             if fs.isdir(path):
                 man = manifest_bootstrap(path, partition_col, fs=fs)
@@ -936,6 +1085,9 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                 (out.write.mode("overwrite")
                  .partitionBy(*pcols).parquet(path))
                 manifest_bootstrap(path, partition_col, fs=fs)
+                if key_bloom_path is not None:
+                    bloom_append_snapshot(spark, key_bloom_path,
+                                          out, keys)
                 # parts from the DEDUPED frame: order_col resolution
                 # can eliminate a value's only rows
                 if multi:
@@ -966,12 +1118,20 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
         if check_moves and keys and not all(c in keys for c in pcols):
             _check_partition_moves(spark, full_fn, target,
                                    updates, keys,
-                                   "/".join(pcols), None)
+                                   "/".join(pcols), key_bloom_path)
         merged = upsert(target, updates, keys, order_col=order_col)
+        if key_bloom_path is not None:
+            # bloom BEFORE the claim: a crash (or lost claim) between
+            # here and the flip leaves only harmless extra bloom keys;
+            # the reverse order could leave a committed key out of the
+            # bloom — a false negative the guard would trust
+            bloom_append_snapshot(spark, key_bloom_path, updates, keys,
+                                  table_fn=full_fn)
         # the merged plan lazily re-reads the files the flip will
         # supersede — but pointer commits never delete or rename, so
         # those files stay readable until vacuum; no checkpoint needed
-        _append_and_flip(spark, path, merged, partition_col, man, fs)
+        _append_and_flip(spark, path, merged, partition_col, man, fs,
+                         rebase=rebase)
         _refresh_zonemap_if_present(spark, path, fs)
         return parts
     recover_table(path, fs=fs)
@@ -1114,6 +1274,62 @@ def bloom_append(spark: SparkSession, bloom_path: str, delta: DataFrame,
                      lambda p: merged.write.mode("overwrite").parquet(p))
 
 
+def read_key_bloom(spark: SparkSession, bloom_path: str):
+    """The current key-bloom index frame, whichever commit protocol
+    the bloom lives under: a SNAPSHOT table (the pointer-table flow —
+    object-store-safe, no renames) or a plain parquet dir maintained
+    by atomic_overwrite (the rename flow).  None when absent — the
+    guard then falls back to the exact full-table key scan."""
+    if _read_manifest(bloom_path) is not None:
+        return snapshot_read(spark, bloom_path)
+    if _resolve_fs(bloom_path, None).isdir(bloom_path):
+        return spark.read.parquet(bloom_path)
+    return None
+
+
+def bloom_append_snapshot(spark: SparkSession, bloom_path: str,
+                          delta: DataFrame, keys: list[str],
+                          table_fn=None,
+                          fpp: float = 0.01,
+                          expected: int | None = None) -> None:
+    """Snapshot-committed twin of bloom_append for POINTER-commit
+    tables: the bloom index itself commits through the snapshot CAS
+    protocol (new immutable `_v*` dir + exclusive `_manifest.{n}.json`
+    claim — never a rename), so `upsert_partitioned(commit='pointer',
+    key_bloom_path=...)` works on object stores too.
+
+    Ordering contract (the caller's): the bloom is updated BEFORE the
+    table's generation claim.  Every failure mode then errs on EXTRA
+    bloom keys — a crash between bloom write and claim, or a claim
+    lost to a concurrent writer, leaves keys in the bloom that never
+    reached the table, which only costs spurious maybe-hits (an exact
+    scan); the reverse order could leave table keys missing from the
+    bloom, and a bloom false negative silently skips the move guard.
+    First call (no snapshot yet) bootstraps the bloom from the
+    `table_fn()` frame's keys plus the batch — a thunk, so the
+    steady state never even builds the full-table frame; later calls
+    OR the batch in and retire old bloom versions eagerly (the index
+    is derived data — no time travel needed)."""
+    from .sketches import bloom_index, bloom_merge
+    cur = (snapshot_read(spark, bloom_path)
+           if _read_manifest(bloom_path) is not None else None)
+    if cur is None:
+        kdf = delta.select(_key_str(keys).alias("__k"))
+        if table_fn is not None:
+            kdf = table_fn().select(_key_str(keys).alias("__k")) \
+                .unionByName(kdf)
+        snapshot_write(bloom_index(kdf, "__k", fpp=fpp,
+                                   expected=expected), bloom_path)
+        snapshot_vacuum(bloom_path, keep=2)
+        return
+    row = cur.select("m_bits", "k", "shards").first()
+    delta_idx = bloom_index(
+        delta.select(_key_str(keys).alias("__k")), "__k",
+        params=(int(row["m_bits"]), int(row["k"]), int(row["shards"])))
+    snapshot_write(bloom_merge(cur, delta_idx), bloom_path)
+    snapshot_vacuum(bloom_path, keep=2)
+
+
 # ---------------------------------------------------------------------------
 # Versioned snapshots: the manifest-pointer commit protocol (the
 # lakehouse pattern in miniature — what Delta/Iceberg do with logs and
@@ -1254,18 +1470,31 @@ def snapshot_history(path: str) -> list[dict]:
     return list(man["versions"]) if man else []
 
 
-def snapshot_vacuum(path: str, keep: int = 2, fs=None) -> list[int]:
+def snapshot_vacuum(path: str, keep: int = 2, fs=None,
+                    min_age_s: float = 0.0) -> list[int]:
     """Drop all but the newest `keep` versions (never the current):
     the pointer cache flips first (so a crash mid-delete only strands
     directories, never dangles pointers), then the dropped versions'
     claim files and directories go — along with ORPHAN version dirs
     of crashed or lost-race writers (recognizable by version number
-    ≤ current; a genuinely in-flight writer targets current+1 and is
-    never touched).  Returns the removed version numbers."""
+    ≤ current and absence from the version list).
+
+    `min_age_s` guards the orphan sweep against a LIVE writer: an
+    in-flight writer targeting version n is only protected by its
+    number while n stays above `current`, and a concurrent commit of
+    n by someone else would expose its directory mid-write — so, as
+    in vacuum_manifested, orphan-looking dirs younger than the window
+    are kept.  Deployments with concurrent writers should pass a
+    window above the longest write; the default 0 keeps
+    single-writer vacuums eager.  Returns the removed version
+    numbers."""
+    import time
+
     fs = _resolve_fs(path, fs)
     man = _read_manifest(path, fs=fs)
     if man is None:
         return []
+    cutoff = time.time() - float(min_age_s)
     keep = max(1, int(keep))
     vs = sorted(int(v["version"]) for v in man["versions"])
     drop = set(vs[:-keep]) - {int(man["current"])}
@@ -1281,11 +1510,13 @@ def snapshot_vacuum(path: str, keep: int = 2, fs=None) -> list[int]:
     live_dirs = {os.path.basename(_snap_dir(path, e))
                  for e in man["versions"]}
     for d in fs.listdir(path):
+        dp = os.path.join(path, d)
         if (d.startswith("_v") and d not in live_dirs
                 and d[2:10].isdigit()
                 and int(d[2:10]) <= int(man["current"])
-                and fs.isdir(os.path.join(path, d))):
-            fs.delete(os.path.join(path, d))
+                and fs.isdir(dp)
+                and (min_age_s <= 0 or fs.getmtime(dp) <= cutoff)):
+            fs.delete(dp)
     return sorted(drop)
 
 
@@ -1663,9 +1894,27 @@ def snapshot_cdc(spark: SparkSession, path: str, from_version: int,
                     compare_cols=compare_cols)
 
 
+def manifested_cdc(spark: SparkSession, path: str, from_gen: int,
+                   to_gen: int, keys: list[str],
+                   compare_cols: list[str] | None = None) -> DataFrame:
+    """CDC records between two generations of a POINTER-COMMIT table —
+    the claim chain is already a version log, so change feeds between
+    commits come free: diff the two generations' manifest-exact reads
+    (cdc_rows).  Both generations' claims must survive — retention is
+    vacuum_manifested(keep_claims=N).  The cost is change-UNBOUNDED
+    (a full outer join of the two reads), unlike log-based CDC; at
+    the 100 TB target, prune first by passing reads through
+    partition_values or run per-partition."""
+    return cdc_rows(
+        read_manifested(spark, path, generation=from_gen),
+        read_manifested(spark, path, generation=to_gen), keys,
+        compare_cols=compare_cols)
+
+
 def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
                          partition_col: str | list[str],
-                         fs=None, commit: str = "auto") -> list[str]:
+                         fs=None, commit: str = "auto",
+                         rebase: bool = True) -> list[str]:
     """Crash-safely REPLACE the partition directories that appear in
     `df` with its content (upsert_partitioned without the merge — for
     callers that already computed the full replacement slice).
@@ -1698,7 +1947,8 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
                 return sorted(
                     manifest_bootstrap(path, partition_col,
                                        fs=fs)["partitions"])
-        dirs = _append_and_flip(spark, path, df, partition_col, man, fs)
+        dirs = _append_and_flip(spark, path, df, partition_col, man, fs,
+                                rebase=rebase)
         _refresh_zonemap_if_present(spark, path, fs)
         return dirs
     recover_table(path, fs=fs)
@@ -1720,7 +1970,8 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
 
 def delete_where(spark: SparkSession, path: str, predicate: Column,
                  partition_col: str | list[str],
-                 fs=None, commit: str = "auto") -> tuple[list, int]:
+                 fs=None, commit: str = "auto",
+                 rebase: bool = True) -> tuple[list, int]:
     """Row-level DELETE over a hive-partitioned parquet table, pruned
     to the partitions that actually contain matching rows — the
     GDPR-erasure / retention-expiry operator.  SQL semantics: rows
@@ -1846,7 +2097,9 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
         for d in empty_dirs:
             man["partitions"][d] = []
         man["generation"] = int(man["generation"]) + 1
-        _write_commit(path, man, fs)
+        _write_commit(path, man, fs,
+                      touched=sorted(set(nonempty_dirs) | set(empty_dirs)),
+                      rebase=rebase)
         _refresh_zonemap_if_present(spark, path, fs)
         return (parts, n_del)
     if nonempty_dirs:

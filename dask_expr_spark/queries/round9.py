@@ -124,12 +124,16 @@ def manifest_sharded_upsert(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-# -- multi-writer CAS (maintenance._write_commit): the lost-update
+# -- multi-writer CAS (maintenance._write_commit) under STRICT
+#    single-log serialization (rebase=False): the lost-update
 #    interleaving, injected deterministically — writer B computes its
 #    merge against generation g, writer A commits g+1 first, B's claim
 #    must RAISE ConcurrentCommitError with the table showing exactly
 #    A's commit; B re-runs against the new head and both batches land.
-#    The oracle enumerates the final two-batch merge ----------------
+#    (The DEFAULT rebase=True path — disjoint-dir writers both land
+#    with one data-compute each — is pinned by round10's
+#    disjoint_rebase_upsert.)  The oracle enumerates the final
+#    two-batch merge ------------------------------------------------
 CONCURRENT_CAS_SQL = f"""
 WITH upd_a AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -183,14 +187,14 @@ def concurrent_upsert_cas(spark, sf_dir):
         M.manifest_bootstrap(path, "o_orderpriority")
         state = {"fired": False}
 
-        def inject(p, man, fs):
+        def inject(p, man, fs, **kw):
             if not state["fired"]:
                 state["fired"] = True        # A's inner claim is real
                 M.upsert_partitioned(spark, path,
                                      batch(97, "3-MEDIUM", 100.0),
                                      ["o_orderkey"], "o_orderpriority",
                                      commit="pointer")
-            return real(p, man, fs)
+            return real(p, man, fs, **kw)
 
         M._write_commit = inject
         loser_raised = False
@@ -198,7 +202,7 @@ def concurrent_upsert_cas(spark, sf_dir):
             M.upsert_partitioned(spark, path,
                                  batch(89, "1-URGENT", 200.0),
                                  ["o_orderkey"], "o_orderpriority",
-                                 commit="pointer")
+                                 commit="pointer", rebase=False)
         except M.ConcurrentCommitError:
             loser_raised = True
         finally:

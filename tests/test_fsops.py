@@ -195,7 +195,7 @@ def test_pointer_crash_before_flip_old_generation_live(spark,
     M.manifest_bootstrap(path, "part")
     before = _rows(M.read_manifested(spark, path))
 
-    def boom(path_, man_, fs_):
+    def boom(path_, man_, fs_, **kw):
         raise RuntimeError("injected crash before flip")
 
     monkeypatch.setattr(M, "_write_commit", boom)
@@ -733,10 +733,12 @@ def test_write_text_exclusive_hadoop_local(spark, tmp_path):
 
 
 def test_concurrent_commit_interleaved_loser_raises(spark, tmp_path):
-    """the lost-update interleaving, deterministically: writers A and
-    B both read generation g; A commits g+1; B's flip (computed
-    against the stale base) must RAISE, the table must show exactly
-    A's commit, and B's appended files must be vacuumable orphans."""
+    """the lost-update interleaving under STRICT single-log
+    serialization (rebase=False), deterministically: writers A and B
+    both read generation g; A commits g+1; B's flip (computed against
+    the stale base) must RAISE even though the partitions are
+    disjoint, the table must show exactly A's commit, and B's
+    appended files must be vacuumable orphans."""
     path = str(tmp_path / "t")
     _mk(spark, path)
     M.manifest_bootstrap(path, "part")
@@ -751,7 +753,8 @@ def test_concurrent_commit_interleaved_loser_raises(spark, tmp_path):
         {"k": [1], "v": [222.0], "part": ["b"]}))
     fs = fsops.PosixFS()
     with pytest.raises(M.ConcurrentCommitError, match="generation 1"):
-        M._append_and_flip(spark, path, batch_b, "part", man_b, fs)
+        M._append_and_flip(spark, path, batch_b, "part", man_b, fs,
+                           rebase=False)
 
     got = _rows(M.read_manifested(spark, path))
     assert (0, 111.0, "a") in got             # A's row committed
@@ -769,42 +772,45 @@ def test_concurrent_commit_interleaved_loser_raises(spark, tmp_path):
 def test_concurrent_commit_api_level_loser_raises(spark, tmp_path,
                                                   monkeypatch):
     """the same lost-update interleaving through the PUBLIC API for
-    both writers: B's upsert_partitioned computes its manifest, and a
-    hook injected at B's claim point runs writer A's ENTIRE
-    upsert_partitioned first (deterministic injected ordering — a
-    thread race would also hit Spark's shared append-staging dir).
-    Exactly one commit lands: A's; B raises ConcurrentCommitError; the
-    loser re-runs against the new head and both batches apply."""
+    both writers, on a CONFLICTING dir: B's upsert_partitioned
+    computes its manifest, and a hook injected at B's claim point runs
+    writer A's ENTIRE upsert_partitioned first (deterministic injected
+    ordering — a thread race would also hit Spark's shared
+    append-staging dir).  Both writers touch part=a, so the default
+    rebase must REFUSE: exactly one commit lands (A's); B raises
+    ConcurrentCommitError naming the overlapping dir; the loser
+    re-runs against the new head and both batches apply."""
     path = str(tmp_path / "t")
     _mk(spark, path)
     M.manifest_bootstrap(path, "part")
     real = M._write_commit
     state = {"fired": False}
 
-    def inject(p, man, fs):
+    def inject(p, man, fs, **kw):
         if not state["fired"]:
             state["fired"] = True            # A's inner claim is real
             batch_a = spark.createDataFrame(pd.DataFrame(
                 {"k": [100], "v": [1.0], "part": ["a"]}))
             M.upsert_partitioned(spark, path, batch_a, ["k"], "part",
                                  commit="pointer")
-        return real(p, man, fs)
+        return real(p, man, fs, **kw)
 
     monkeypatch.setattr(M, "_write_commit", inject)
     batch_b = spark.createDataFrame(pd.DataFrame(
-        {"k": [200], "v": [2.0], "part": ["b"]}))
-    with pytest.raises(M.ConcurrentCommitError, match="re-run"):
+        {"k": [200], "v": [2.0], "part": ["a"]}))
+    with pytest.raises(M.ConcurrentCommitError,
+                       match=r"same partition dirs.*part=a"):
         M.upsert_partitioned(spark, path, batch_b, ["k"], "part",
                              commit="pointer")
     monkeypatch.setattr(M, "_write_commit", real)
     got = _rows(M.read_manifested(spark, path))
     assert (100, 1.0, "a") in got              # A (winner) landed
-    assert (200, 2.0, "b") not in got          # B invisible
+    assert (200, 2.0, "a") not in got          # B invisible
     # loser re-runs cleanly against the new head
     M.upsert_partitioned(spark, path, batch_b, ["k"], "part",
                          commit="pointer")
     got2 = _rows(M.read_manifested(spark, path))
-    assert (100, 1.0, "a") in got2 and (200, 2.0, "b") in got2
+    assert (100, 1.0, "a") in got2 and (200, 2.0, "a") in got2
 
 
 def test_read_commit_probe_forward_and_cache_recovery(spark, tmp_path):
@@ -1282,3 +1288,385 @@ def test_multicol_with_forced_sharding(spark, tmp_path, monkeypatch):
     assert set(got) == exp
     assert M.vacuum_manifested(path) > 0
     assert set(_rows4(M.read_manifested(spark, path))) == exp
+
+
+# --------------------------- round 10: disjoint-partition commit rebase
+
+def test_disjoint_rebase_both_land(spark, tmp_path):
+    """The round-10 centerpiece at protocol level: writers A and B
+    read the same base generation and touch DISJOINT partitions; A
+    claims first; B's flip REBASES — walks A's claim, sees disjoint
+    touched dirs, overlays its entries onto A's manifest, claims the
+    next generation.  Both land with exactly one data-compute each
+    (B's touched dir holds no orphan files — a recompute would have
+    appended twice), and each claim records its touched dirs."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    fs = fsops.PosixFS()
+    man_b = M.read_commit(path)               # B's stale snapshot
+
+    batch_a = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "v": [111.0], "part": ["a"]}))
+    M.upsert_partitioned(spark, path, batch_a, ["k"], "part",
+                         commit="pointer")    # A wins generation 1
+
+    batch_b = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [222.0], "part": ["b"]}))
+    M._append_and_flip(spark, path, batch_b, "part", man_b, fs)
+
+    man = M.read_commit(path)
+    assert man["generation"] == 2             # rebased, not recomputed
+    got = _rows(M.read_manifested(spark, path))
+    assert (0, 111.0, "a") in got             # A's row
+    assert (1, 222.0, "b") in got             # B's row
+    # claims carry touched metadata for later writers' conflict checks
+    g1 = json.loads(fs.read_text(M._claim_file(path, 1)))
+    g2 = json.loads(fs.read_text(M._claim_file(path, 2)))
+    assert g1["touched"] == ["part=a"]
+    assert g2["touched"] == ["part=b"]
+    # single data-compute each: every on-disk file is either a gen-0
+    # file (superseded by the merges, vacuumable) or referenced by the
+    # head — a recompute would have appended a THIRD unreferenced set
+    head_files = set(M.manifest_files(man, path, fs=fs))
+    gen0 = json.loads(fs.read_text(M._claim_file(path, 0)))
+    gen0_files = set(M.manifest_files(gen0, path, fs=fs))
+    for d in ("part=a", "part=b"):
+        on_disk = {os.path.join(path, d, f)
+                   for f in M._part_files(fs, path, d)}
+        assert on_disk <= (head_files | gen0_files)
+
+
+def test_rebase_chain_two_intervening_winners(spark, tmp_path):
+    """A loser behind TWO disjoint winners walks both claims — one
+    read + re-claim per intervening generation, no data recompute —
+    and lands at head+1."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    fs = fsops.PosixFS()
+    man_b = M.read_commit(path)               # B reads generation 0
+
+    for part, v in (("a", 111.0), ("c", 333.0)):   # A1 then A2 win
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"k": [0 if part == "a" else 2], "v": [v], "part": [part]}))
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="pointer")
+    batch_b = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [222.0], "part": ["b"]}))
+    M._append_and_flip(spark, path, batch_b, "part", man_b, fs)
+
+    assert M.read_commit(path)["generation"] == 3
+    got = _rows(M.read_manifested(spark, path))
+    assert (0, 111.0, "a") in got and (2, 333.0, "c") in got \
+        and (1, 222.0, "b") in got
+
+
+def test_rebase_refuses_winner_without_touched(spark, tmp_path):
+    """A claim written by an older (pre-rebase) writer carries no
+    touched metadata — the conflict check cannot prove disjointness,
+    so the loser must conservatively raise."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    fs = fsops.PosixFS()
+    man_b = M.read_commit(path)
+    # legacy-format winner: same manifest, no "touched" key
+    legacy = {k: v for k, v in man_b.items() if k != "touched"}
+    legacy["generation"] = 1
+    fs.write_text_exclusive(M._claim_file(path, 1), json.dumps(legacy))
+    batch_b = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [222.0], "part": ["b"]}))
+    with pytest.raises(M.ConcurrentCommitError, match="generation 1"):
+        M._append_and_flip(spark, path, batch_b, "part", man_b, fs)
+
+
+def test_rebase_delete_where_vs_upsert_disjoint(spark, tmp_path,
+                                                monkeypatch):
+    """Cross-operator rebase through the PUBLIC API: a delete_where on
+    part=b loses its claim to an injected upsert on part=a and
+    rebases — both mutations visible, one generation each."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    real = M._write_commit
+    state = {"fired": False}
+
+    def inject(p, man, fs, **kw):
+        if not state["fired"] and int(man["generation"]) > 0:
+            state["fired"] = True
+            batch_a = spark.createDataFrame(pd.DataFrame(
+                {"k": [100], "v": [1.0], "part": ["a"]}))
+            M.upsert_partitioned(spark, path, batch_a, ["k"], "part",
+                                 commit="pointer")
+        return real(p, man, fs, **kw)
+
+    monkeypatch.setattr(M, "_write_commit", inject)
+    from pyspark.sql import functions as F
+    parts, n_del = M.delete_where(spark, path,
+                                  F.col("part") == "b", "part",
+                                  commit="pointer")
+    monkeypatch.setattr(M, "_write_commit", real)
+    assert n_del == 10 and parts == ["b"]
+    got = _rows(M.read_manifested(spark, path))
+    assert (100, 1.0, "a") in got                       # upsert landed
+    assert all(p != "b" for _, _, p in got)             # delete landed
+    assert M.read_commit(path)["generation"] == 2
+
+
+def test_rebase_contention_cap(spark, tmp_path, monkeypatch):
+    """A pathological claim race (every claim attempt loses to a fresh
+    disjoint winner) terminates with ConcurrentCommitError instead of
+    spinning forever."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    fs = fsops.PosixFS()
+    man_b = M.read_commit(path)
+    monkeypatch.setattr(M, "_REBASE_MAX_ATTEMPTS", 3)
+    real = fsops.PosixFS.write_text_exclusive
+
+    def always_lose(self, p, text):
+        # a disjoint winner sneaks in before every attempt
+        gen = int(json.loads(text)["generation"])
+        winner = dict(json.loads(text))
+        winner["touched"] = ["part=zzz"]        # disjoint from B
+        real(self, p, json.dumps(winner))
+        return real(self, p, text)              # now B's claim fails
+
+    monkeypatch.setattr(fsops.PosixFS, "write_text_exclusive",
+                        always_lose)
+    batch_b = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [222.0], "part": ["b"]}))
+    with pytest.raises(M.ConcurrentCommitError, match="contention"):
+        M._append_and_flip(spark, path, batch_b, "part", man_b, fs)
+
+
+# ------------------- round 10: generation time travel + claim retention
+
+def _gen_table(spark, tmp_path):
+    """Pointer table with three generations: bootstrap (0), k=0 ->
+    111.0 in part=a (1), k=1 -> 222.0 in part=b (2)."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    for k, v, part in ((0, 111.0, "a"), (1, 222.0, "b")):
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"k": [k], "v": [v], "part": [part]}))
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="pointer")
+    return path
+
+
+def test_generation_time_travel(spark, tmp_path):
+    """read_manifested(generation=N) reads any surviving claim exactly
+    as it committed; manifest_generations lists the version log."""
+    path = _gen_table(spark, tmp_path)
+    assert M.manifest_generations(path) == [0, 1, 2]
+    assert (0, 111.0, "a") in _rows(M.read_manifested(spark, path))
+    g1 = _rows(M.read_manifested(spark, path, generation=1))
+    assert (0, 111.0, "a") in g1 and (1, 222.0, "b") not in g1
+    assert (1, 1.0, "b") in g1                    # pre-update value
+    g0 = _rows(M.read_manifested(spark, path, generation=0))
+    assert (0, 0.0, "a") in g0                    # bootstrap value
+    with pytest.raises(ValueError, match="generation 9 not available"):
+        M.read_manifested(spark, path, generation=9)
+
+
+def test_vacuum_keep_claims_retains_time_travel(spark, tmp_path):
+    """vacuum_manifested(keep_claims=2) keeps the head and its
+    predecessor READABLE (claims + every data file either references),
+    drops generation 0, and a later eager vacuum retires the rest."""
+    path = _gen_table(spark, tmp_path)
+    g1_rows = _rows(M.read_manifested(spark, path, generation=1))
+    removed = M.vacuum_manifested(path, keep_claims=2)
+    assert removed > 0                            # gen-0-only files go
+    assert M.manifest_generations(path) == [1, 2]
+    # retained generation still reads exactly as it committed
+    assert _rows(M.read_manifested(spark, path, generation=1)) == g1_rows
+    with pytest.raises(ValueError, match="not available"):
+        M.read_manifested(spark, path, generation=0)
+    head = _rows(M.read_manifested(spark, path))
+    # shrinking the window retires generation 1 too
+    assert M.vacuum_manifested(path, keep_claims=1) > 0
+    assert M.manifest_generations(path) == [2]
+    assert _rows(M.read_manifested(spark, path)) == head
+
+
+def test_manifested_cdc_between_generations(spark, tmp_path):
+    """The claim chain serves change feeds: cdc between generations 1
+    and 2 shows exactly the one updated key."""
+    path = _gen_table(spark, tmp_path)
+    cdc = M.manifested_cdc(spark, path, 1, 2, ["k"]).collect()
+    assert len(cdc) == 1
+    r = cdc[0]
+    assert (r["k"], r["change_type"], r["v_before"], r["v_after"]) \
+        == (1, "update", 1.0, 222.0)
+
+
+def test_vacuum_never_deletes_newer_claim(spark, tmp_path,
+                                          monkeypatch):
+    """The ADVICE race, pinned: a writer commits generation 3 AFTER
+    vacuum resolved head=2 — the old sweep deleted every claim !=
+    head, erasing the acknowledged commit and orphaning its files.
+    Now: claims newer than the resolved head are never touched, their
+    data files stay live, and the pointer cache is not rolled back."""
+    path = _gen_table(spark, tmp_path)
+    stale_head = M.read_commit(path)              # head == 2
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"k": [2], "v": [333.0], "part": ["c"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer")        # generation 3 lands
+    # vacuum raced: it resolved the head BEFORE generation 3 existed
+    monkeypatch.setattr(M, "read_commit",
+                        lambda p, fs=None: dict(stale_head))
+    M.vacuum_manifested(path)
+    monkeypatch.undo()
+    # the acknowledged commit survives: claim, cache, data
+    assert 3 in M.manifest_generations(path)
+    fs = fsops.PosixFS()
+    cache = json.loads(fs.read_text(M._commit_file(path)))
+    assert int(cache["generation"]) == 3          # no cache rollback
+    got = _rows(M.read_manifested(spark, path))
+    assert (2, 333.0, "c") in got
+    # and a non-racing vacuum afterwards leaves the table intact
+    M.vacuum_manifested(path)
+    assert _rows(M.read_manifested(spark, path)) == got
+
+
+def test_vacuum_min_age_guards_claim_files(spark, tmp_path):
+    """ADVICE item: the retention window applies to CLAIM deletion the
+    same way it guards data files — young retired claims survive an
+    aged vacuum and clear once old."""
+    path = _gen_table(spark, tmp_path)
+    assert M.vacuum_manifested(path, min_age_s=3600) == 0
+    assert M.manifest_generations(path) == [0, 1, 2]   # claims kept
+    old = __import__("time").time() - 7200
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    assert M.vacuum_manifested(path, min_age_s=3600) > 0
+    assert M.manifest_generations(path) == [2]
+
+
+def test_snapshot_vacuum_age_guards_orphan_sweep(spark, tmp_path):
+    """ADVICE item: an orphan-LOOKING young _v dir (an in-flight
+    writer whose target version was overtaken) survives an age-guarded
+    snapshot_vacuum and is only swept once older than the window."""
+    path = str(tmp_path / "snap")
+    df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]}))
+    for _ in range(3):
+        M.snapshot_write(df, path)
+    # in-flight writer's dir, version == current (overtaken mid-write)
+    orphan = os.path.join(path, "_v00000002-ffffffff")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    M.snapshot_vacuum(path, keep=1, min_age_s=3600)
+    assert os.path.isdir(orphan)                  # young: protected
+    old = __import__("time").time() - 7200
+    os.utime(orphan, (old, old))
+    M.snapshot_vacuum(path, keep=1, min_age_s=3600)
+    assert not os.path.isdir(orphan)              # aged: swept
+
+
+# ---------------------- round 10: pointer-committed bloom key index
+
+def test_pointer_bloom_skips_scan_for_inserts(spark, tmp_path,
+                                              monkeypatch):
+    """key_bloom_path now works under commit='pointer' (the bloom
+    commits through the snapshot CAS — no renames): a pure-insert
+    batch skips the full-table key scan, a genuine move is still
+    rejected via the exact fallback."""
+    path = str(tmp_path / "t")
+    bloom = str(tmp_path / "bloom")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    # bootstrap the bloom from the table's current keys
+    M.bloom_append_snapshot(spark, bloom,
+                            M.read_manifested(spark, path), ["k"])
+    calls = []
+    real = M._move_guard_full_scan
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(M, "_move_guard_full_scan", counted)
+    inserts = spark.createDataFrame(pd.DataFrame({
+        "k": [1000, 1001], "v": [1.0, 2.0], "part": ["a", "b"]}))
+    M.upsert_partitioned(spark, path, inserts, ["k"], "part",
+                         commit="pointer", key_bloom_path=bloom)
+    assert calls == []                        # no scan for pure inserts
+
+    mover = spark.createDataFrame(pd.DataFrame({
+        "k": [5], "v": [9.0], "part": ["a"]}))  # k=5 lives in part=c
+    with pytest.raises(ValueError, match="partition-moving"):
+        M.upsert_partitioned(spark, path, mover, ["k"], "part",
+                             commit="pointer", key_bloom_path=bloom)
+    assert len(calls) == 1                    # maybe-hit -> exact scan
+    got = _rows(M.read_manifested(spark, path))
+    assert (1000, 1.0, "a") in got and (1001, 2.0, "b") in got
+
+
+def test_pointer_bloom_no_false_negatives_across_upserts(spark,
+                                                         tmp_path):
+    """keys inserted through the guarded pointer path land in the
+    snapshot bloom, so a later move attempt is still rejected — and
+    old bloom versions retire (keep=2) instead of accumulating."""
+    path = str(tmp_path / "t")
+    bloom = str(tmp_path / "bloom")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    ins = spark.createDataFrame(pd.DataFrame({
+        "k": [2000], "v": [1.0], "part": ["a"]}))
+    # first guarded upsert auto-bootstraps the bloom (table + batch)
+    M.upsert_partitioned(spark, path, ins, ["k"], "part",
+                         commit="pointer", key_bloom_path=bloom)
+    ins2 = spark.createDataFrame(pd.DataFrame({
+        "k": [2001], "v": [1.5], "part": ["b"]}))
+    M.upsert_partitioned(spark, path, ins2, ["k"], "part",
+                         commit="pointer", key_bloom_path=bloom)
+    for bad_k in (2000, 2001):
+        mover = spark.createDataFrame(pd.DataFrame({
+            "k": [bad_k], "v": [9.0], "part": ["c"]}))
+        with pytest.raises(ValueError, match="partition-moving"):
+            M.upsert_partitioned(spark, path, mover, ["k"], "part",
+                                 commit="pointer",
+                                 key_bloom_path=bloom)
+    assert len(M.snapshot_history(bloom)) <= 2    # versions retired
+
+
+def test_pointer_bloom_updates_before_claim(spark, tmp_path,
+                                            monkeypatch):
+    """The ordering contract: the bloom commits BEFORE the table's
+    generation claim, so a crash at the claim leaves extra bloom keys
+    (harmless maybe-hits) — never a table key missing from the bloom
+    (a false negative the guard would trust)."""
+    from dask_expr_spark.functions.sketches import bloom_probe
+
+    path = str(tmp_path / "t")
+    bloom = str(tmp_path / "bloom")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    M.bloom_append_snapshot(spark, bloom,
+                            M.read_manifested(spark, path), ["k"])
+
+    def boom(path_, man_, fs_, **kw):
+        raise RuntimeError("injected crash at claim")
+
+    monkeypatch.setattr(M, "_write_commit", boom)
+    batch = spark.createDataFrame(pd.DataFrame({
+        "k": [3000], "v": [1.0], "part": ["a"]}))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="pointer", key_bloom_path=bloom)
+    monkeypatch.undo()
+    # table unchanged, bloom already carries the key: extra-keys side
+    assert all(k != 3000 for k, _, _ in
+               _rows(M.read_manifested(spark, path)))
+    idx = M.read_key_bloom(spark, bloom)
+    probe = spark.createDataFrame(pd.DataFrame({"__mg_key": ["3000"]}))
+    hit = bloom_probe(probe, idx, "__mg_key",
+                      result_col="__maybe").first()
+    assert bool(hit["__maybe"])
