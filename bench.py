@@ -537,18 +537,9 @@ OPTIONAL = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from dask_expr_spark.queries import collect_queries
-    from dask_expr_spark.session import get_spark
-
-    spark = get_spark("dask_expr_spark_bench")
-    registry = collect_queries()
-    names = [n for n in HEADLINE if n in registry]
-    names += [n for n in OPTIONAL if n in registry]
-
-    # JVM/codegen warmup on the smallest SF so timings measure the query,
-    # not session startup
+def _warm_session(spark, registry) -> None:
+    """JVM/codegen warmup on the smallest SF so timings measure the
+    query, not session startup — run once per (re)started session."""
     registry["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001").collect()
     # spawn the Python/Arrow UDF worker pool once (local[N] forks N
     # workers on first pandas-UDF use; they're reused afterwards) so
@@ -562,6 +553,39 @@ def main() -> None:
 
     spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(F.col("id").cast("double"))).collect()
+
+
+def _recycle_session(spark):
+    """Replace the bench session with one in a FRESH JVM (VERDICT r9
+    item 4): five straight rounds spent adjudication effort on driver
+    flags that vanished in isolated re-runs — in-session JVM aging
+    (old-gen garbage, fragmented heap) inflates later entries 1.3-3x.
+    A plain spark.stop()+getOrCreate reuses the py4j gateway JVM, so
+    the aging survives; shutting the gateway down forces a new JVM and
+    every entry cohort runs young by construction."""
+    from pyspark import SparkContext
+
+    from dask_expr_spark.session import get_spark
+
+    spark.stop()
+    if SparkContext._gateway is not None:
+        SparkContext._gateway.shutdown()
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    return get_spark("dask_expr_spark_bench")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dask_expr_spark.queries import collect_queries
+    from dask_expr_spark.session import get_spark
+
+    spark = get_spark("dask_expr_spark_bench")
+    registry = collect_queries()
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in OPTIONAL if n in registry]
+
+    _warm_session(spark, registry)
 
     # MEDIAN of 3 (round 4, VERDICT r3 item 8): min-of-N undersells
     # steady-state cost and single shots produced phantom ±30% movers
@@ -586,7 +610,16 @@ def main() -> None:
         else (n, fn, sf_dir, repeats)
         for n, fn in runnables
     ]
+    # recycle the JVM every N entries so no entry runs in an aged one
+    # (the r5-r9 phantom-flag class); 0 disables
+    recycle_every = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "10"))
+    since_recycle = 0
     for name, fn, qdir, reps in runnables:
+        if recycle_every > 0 and since_recycle >= recycle_every:
+            spark = _recycle_session(spark)
+            _warm_session(spark, registry)
+            since_recycle = 0
+        since_recycle += 1
         # drop caches left by previous queries (dedup/LSH ops cache
         # reused frames) so queries are measured in isolation, and ask
         # for a full GC OUTSIDE the timed section — after ~30 queries
