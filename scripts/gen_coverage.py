@@ -514,40 +514,58 @@ ROWS: list[tuple[str, list[dict]]] = [
         dict(op="object-store POINTER-COMMIT protocol with MULTI-"
                 "WRITER CAS: data files only ever created, never "
                 "renamed; the commit point is the exclusive creation "
-                "of a per-generation _commit.{N}.json claim (exactly "
-                "one concurrent writer wins — the loser raises "
-                "ConcurrentCommitError, its files vacuum as orphans); "
-                "_commit.json is a probe-forward pointer cache; dir "
-                "file lists SHARD into _files.<id>.json above "
-                "MANIFEST_INLINE_MAX so the root stays O(#dirs) and a "
-                "commit's manifest bytes are touched-dir-bound; "
-                "manifest-level pruned reads (read_manifested "
-                "partition_values, tuple-valued for multi-level "
-                "layouts); MULTI-COLUMN partition specs "
-                "(date=.../source=... nested hive leaves as manifest "
-                "keys — bootstrap/upsert/overwrite/delete/compact/"
-                "vacuum/pruned reads); vacuum clears superseded "
-                "generations + claims + shards (with a min_age_s "
-                "retention window guarding in-flight writers); "
-                "row-level delete_where with whole-dir drops; zone "
-                "maps refresh inline after EVERY mutator",
+                "of a per-generation _commit.{N}.json claim; each "
+                "claim records its TOUCHED dirs and a lost claim "
+                "REBASES across disjoint-partition winners (logical "
+                "conflict detection at Delta-WriteSerializable "
+                "isolation — overlapping dirs, legacy claims, or "
+                "rebase=False raise ConcurrentCommitError and the "
+                "loser's files vacuum as orphans); _commit.json is a "
+                "probe-forward pointer cache; dir file lists SHARD "
+                "into _files.<id>.json above MANIFEST_INLINE_MAX so "
+                "the root stays O(#dirs) and a commit's manifest "
+                "bytes are touched-dir-bound; manifest-level pruned "
+                "reads (read_manifested partition_values, tuple-"
+                "valued for multi-level layouts); MULTI-COLUMN "
+                "partition specs (date=.../source=... nested hive "
+                "leaves as manifest keys — bootstrap/upsert/"
+                "overwrite/delete/compact/vacuum/pruned reads); "
+                "GENERATION TIME TRAVEL over the claim chain "
+                "(read_manifested(generation=N), manifest_generations"
+                ", manifested_cdc change feeds between commits) with "
+                "vacuum keep_claims retention; vacuum clears "
+                "superseded generations + claims + shards (min_age_s "
+                "retention guards in-flight writers AND claim "
+                "deletion; claims newer than the resolved head are "
+                "never touched); row-level delete_where with "
+                "whole-dir drops; bloom move-guard index committed "
+                "through the snapshot CAS (key_bloom_path works "
+                "under commit='pointer', bloom-before-claim "
+                "ordering); zone maps refresh inline after EVERY "
+                "mutator",
              loc="dask_expr_spark/functions/maintenance.py "
                  "(read_commit, _write_commit, _set_dir_files, "
-                 "read_manifested, vacuum_manifested, "
-                 "compact_manifested, delete_where) + "
+                 "read_manifested, manifested_cdc, vacuum_manifested, "
+                 "compact_manifested, delete_where, "
+                 "bloom_append_snapshot) + "
                  "dask_expr_spark/fsops.py (write_text_exclusive)",
              q=["upsert_pointer_roundtrip", "manifest_sharded_upsert",
-                "concurrent_upsert_cas", "delete_where_orders",
+                "concurrent_upsert_cas", "disjoint_rebase_upsert",
+                "pointer_time_travel", "cdc_between_generations",
+                "upsert_pointer_bloom", "delete_where_orders",
                 "compact_manifested_files", "zonemap_after_delete",
                 "stream_upsert_pointer", "multicol_pointer_upsert"],
-             t="two-writer interleavings (loser raises, table "
-               "consistent, retry lands) + crash-injection at every "
-               "commit state + zero-rename fake-object-store "
-               "lifecycle + probe-forward cache recovery + sharded "
-               "roundtrip/vacuum tests test_fsops; 10^5-file "
-               "commit-cost probe scripts/scale_probe_r9.py -> "
-               "SCALE.md (commit bytes/time flat across table "
-               "decades)"),
+             t="two-writer interleavings (strict loser raises; "
+               "disjoint rebase both-land single-compute; rebase "
+               "chain; conflicting-dir raise; cross-operator "
+               "delete-vs-upsert rebase; contention cap) + "
+               "crash-injection at every commit state + zero-rename "
+               "fake-object-store lifecycle + probe-forward cache "
+               "recovery + sharded roundtrip/vacuum + newer-claim-"
+               "survives-vacuum race + pointer-bloom ordering tests "
+               "test_fsops; 10^5-file commit + rebase + retention "
+               "probes scripts/scale_probe_r9.py + scale_probe_r10.py"
+               " -> SCALE.md (flat across table decades)"),
         dict(op="versioned snapshots with TIME TRAVEL: uniquely-named "
                 "immutable version directories committed by the same "
                 "exclusive-claim CAS (_manifest.{n}.json — concurrent "
@@ -707,6 +725,24 @@ def generate() -> str:
                  f"({sum(oracle.values())} with DuckDB oracles); "
                  f"{len(unreferenced)} additional queries not cited above "
                  "(round-specific variants and pipeline compositions)")
+    lines.append("")
+    lines.append("### Registry window hygiene (VERDICT r9 item 7)")
+    lines.append("")
+    lines.append(
+        "Considered trimming strictly-subsumed queries toward ~200 so "
+        "the 50-per-round driver audit cycles faster.  Decision: NO "
+        "trim.  The citation graph shows no safe cut: 57 queries are "
+        "the SOLE oracle citation of an operator row (unremovable), "
+        "and the uncited remainder is the TPC-H differential suite "
+        "(q2-q22 — the cross-engine join/agg compositions that anchor "
+        "bench and BASELINE comparisons) plus composite pipeline "
+        "probes; apparent near-pairs (`string_ops`/`string_ops2`, "
+        "`dedup_connected_groups`/`_star`, `cat_codes_*`) each pin "
+        "DIFFERENT options or algorithms, not duplicates.  The cost "
+        "of the longer cycle is nominal: every registry query is "
+        "swept against DuckDB at sf0.01 locally EVERY round "
+        "(tests/test_correctness.py), so the driver rotation is an "
+        "audit-trail freshness mechanism, not the correctness gate.")
     lines.append("")
     if unreferenced:
         lines.append("<details><summary>registry queries not cited in the "
