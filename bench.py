@@ -386,6 +386,10 @@ X10_ENTRIES = {
     # round 9: write-heavy commit-layer composites
     "manifest_sharded_upsert", "zonemap_after_delete",
     "multicol_pointer_upsert",
+    # round 10: rebase / time-travel / pointer-bloom composites (each
+    # a full table write + bootstrap + multi-generation mutation)
+    "disjoint_rebase_upsert", "pointer_time_travel",
+    "cdc_between_generations", "upsert_pointer_bloom",
 }
 
 # entries so sublinear that x10 left them sub-second (r6 measurement:
@@ -534,6 +538,11 @@ OPTIONAL = [
     "manifest_sharded_upsert",
     "zonemap_after_delete",
     "multicol_pointer_upsert",
+    # round 10 additions (no prior comparable)
+    "disjoint_rebase_upsert",
+    "pointer_time_travel",
+    "cdc_between_generations",
+    "upsert_pointer_bloom",
 ]
 
 
