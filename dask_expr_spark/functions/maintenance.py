@@ -1896,19 +1896,57 @@ def snapshot_cdc(spark: SparkSession, path: str, from_version: int,
 
 def manifested_cdc(spark: SparkSession, path: str, from_gen: int,
                    to_gen: int, keys: list[str],
-                   compare_cols: list[str] | None = None) -> DataFrame:
+                   compare_cols: list[str] | None = None,
+                   fs=None) -> DataFrame:
     """CDC records between two generations of a POINTER-COMMIT table —
     the claim chain is already a version log, so change feeds between
     commits come free: diff the two generations' manifest-exact reads
     (cdc_rows).  Both generations' claims must survive — retention is
-    vacuum_manifested(keep_claims=N).  The cost is change-UNBOUNDED
-    (a full outer join of the two reads), unlike log-based CDC; at
-    the 100 TB target, prune first by passing reads through
-    partition_values or run per-partition."""
-    return cdc_rows(
-        read_manifested(spark, path, generation=from_gen),
-        read_manifested(spark, path, generation=to_gen), keys,
-        compare_cols=compare_cols)
+    vacuum_manifested(keep_claims=N).
+
+    The diff is automatically CHANGE-BOUNDED when it can be: both
+    reads prune to the partition dirs whose manifest entries DIFFER
+    between the two generations (identical entries mean identical
+    committed files — byte-identical partitions cannot contribute CDC
+    rows), so at the 100 TB target a one-partition commit diffs one
+    partition, not the table.  The join inside each changed partition
+    remains a full outer join of that partition's two states."""
+    fs = _resolve_fs(path, fs)
+
+    def _man_at(gen):
+        head = read_commit(path, fs=fs)
+        if head is not None and int(head["generation"]) == int(gen):
+            return head
+        cf = _claim_file(path, int(gen))
+        if not fs.exists(cf):
+            raise ValueError(
+                f"manifested_cdc: generation {int(gen)} not available "
+                f"at {path} (live: {manifest_generations(path, fs=fs)})")
+        return json.loads(fs.read_text(cf))
+
+    man_a, man_b = _man_at(from_gen), _man_at(to_gen)
+    pa, pb = man_a["partitions"], man_b["partitions"]
+    changed = sorted(d for d in set(pa) | set(pb)
+                     if pa.get(d) != pb.get(d))
+
+    def _read(man, dirs):
+        files = manifest_files(man, path, fs=fs, dirs=dirs)
+        if not files:
+            # a side with no files in the changed dirs (e.g. the dirs
+            # were created after `from_gen`): zero rows, schema from
+            # the generation's full read
+            return read_manifested(spark, path, fs=fs,
+                                   generation=man["generation"]) \
+                .where(F.lit(False))
+        return spark.read.option("basePath", path).parquet(*files)
+
+    if not changed:
+        empty = read_manifested(spark, path, fs=fs,
+                                generation=int(to_gen)) \
+            .where(F.lit(False))
+        return cdc_rows(empty, empty, keys, compare_cols=compare_cols)
+    return cdc_rows(_read(man_a, changed), _read(man_b, changed), keys,
+                    compare_cols=compare_cols)
 
 
 def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,

@@ -1670,3 +1670,20 @@ def test_pointer_bloom_updates_before_claim(spark, tmp_path,
     hit = bloom_probe(probe, idx, "__mg_key",
                       result_col="__maybe").first()
     assert bool(hit["__maybe"])
+
+
+def test_manifested_cdc_prunes_to_changed_dirs(spark, tmp_path):
+    """The generation diff is change-bounded: only partition dirs
+    whose manifest entries differ between the two generations are
+    scanned (identical entries = identical committed files), and the
+    pruned diff equals the full-table diff."""
+    path = _gen_table(spark, tmp_path)     # gen1 touched a, gen2 b
+    cdc = M.manifested_cdc(spark, path, 1, 2, ["k"])
+    rows = sorted((r["k"], r["change_type"], r["v_before"],
+                   r["v_after"]) for r in cdc.collect())
+    assert rows == [(1, "update", 1.0, 222.0)]
+    # every scanned file sits in the one changed dir
+    files = cdc.inputFiles()
+    assert files and all("part=b" in f for f in files)
+    # unchanged-window diff: no changed dirs, zero rows, no scan
+    assert M.manifested_cdc(spark, path, 2, 2, ["k"]).count() == 0
