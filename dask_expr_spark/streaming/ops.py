@@ -764,6 +764,14 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
                 w.parquet(table_path)
                 if commit == "pointer" and partition_col:
                     manifest_bootstrap(table_path, partition_col)
+                    if key_bloom_path is not None:
+                        # seed the snapshot-committed bloom with the
+                        # first batch's keys so the very next merge's
+                        # move guard is already map-only
+                        from ..functions.maintenance import \
+                            bloom_append_snapshot
+                        bloom_append_snapshot(spark, key_bloom_path,
+                                              out, list(keys))
             return
         if partition_col:
             upsert_partitioned(spark, table_path, batch_df, keys,

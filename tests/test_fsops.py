@@ -1687,3 +1687,50 @@ def test_manifested_cdc_prunes_to_changed_dirs(spark, tmp_path):
     assert files and all("part=b" in f for f in files)
     # unchanged-window diff: no changed dirs, zero rows, no scan
     assert M.manifested_cdc(spark, path, 2, 2, ["k"]).count() == 0
+
+
+def test_upsert_sink_pointer_with_bloom_guard(spark, tmp_path,
+                                              monkeypatch):
+    """The streaming CDC-apply sink composes with the pointer-
+    committed bloom (round 10): a multi-batch partitioned pointer
+    sink with key_bloom_path runs end-to-end, later insert-only
+    batches never trigger the full-table key scan, and the table
+    reads back exactly."""
+    from dask_expr_spark.streaming import ops as S
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    bloom = str(tmp_path / "bloom")
+    # batch 0 seeds part a/b; batches 1-2 are pure inserts (new keys)
+    for i in range(3):
+        pdf = pd.DataFrame({
+            "k": list(range(i * 8, i * 8 + 8)),
+            "v": [float(i * 10 + j) for j in range(8)],
+            "part": [("a", "b")[j % 2] for j in range(8)]})
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("append").parquet(src))
+    calls = []
+    real = M._move_guard_full_scan
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(M, "_move_guard_full_scan", counted)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = S.upsert_sink(stream, tbl, ["k"], partition_col="part",
+                      key_bloom_path=bloom,
+                      checkpoint_dir=str(tmp_path / "ck"),
+                      commit="pointer")
+    q.processAllAvailable()
+    q.stop()
+    # first merged batch bootstraps the bloom; the next pure-insert
+    # batch is fully cleared by it — no full-table key scan
+    assert calls == []
+    assert M.read_commit(tbl) is not None
+    got = sorted(r["k"] for r in
+                 M.read_manifested(spark, tbl).collect())
+    assert got == list(range(24))
+    assert len(M.snapshot_history(bloom)) >= 1
