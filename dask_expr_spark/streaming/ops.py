@@ -707,11 +707,15 @@ def upsert_sink(stream: DataFrame, table_path: str, keys: list,
     exactly-once contract — test_streaming kills a query mid-epoch
     and restarts from the checkpoint to exercise it.  Under the
     pointer protocol this composes with MULTI-WRITER safety: a batch
-    job racing this sink on the same table loses (or wins) the
-    generation claim; when the sink loses, the micro-batch fails with
-    ConcurrentCommitError, Spark restarts the query from the
-    checkpoint, and the replayed epoch recomputes against the new
-    head — idempotent by the same contract, never silent.  All rewrites go
+    job racing this sink on the same table serializes on the
+    generation claim; since round 10 a lost claim REBASES when the
+    two writers touched disjoint partition dirs (both land, no
+    restart — the steady state for a streaming sink and a nightly
+    batch on different partitions), and only an overlapping-dir race
+    fails the micro-batch with ConcurrentCommitError, after which
+    Spark restarts the query from the checkpoint and the replayed
+    epoch recomputes against the new head — idempotent by the same
+    contract, never silent.  All rewrites go
     through the crash-safe swap (maintenance.atomic_overwrite /
     _swap_partition_dirs) — or, with `commit="pointer"` (the
     object-store mode; "auto" picks it when the table's filesystem
