@@ -1964,8 +1964,10 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
     json` manifest flips — read back with read_manifested.
     Bootstraps the table if absent.  Returns the hive dir names
     rewritten.  Concurrency: same contract as upsert_partitioned —
-    pointer commits CAS on the generation claim (loser raises
-    ConcurrentCommitError); the rename protocol is single-writer."""
+    pointer commits CAS on the generation claim, a lost claim rebases
+    across disjoint-dir winners (rebase=False or overlapping dirs
+    raise ConcurrentCommitError); the rename protocol is
+    single-writer."""
     fs = _resolve_fs(path, fs)
     man = read_commit(path, fs=fs)
     commit = _resolve_commit(path, fs, commit, "overwrite_partitions",
@@ -2033,7 +2035,8 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     refreshes inline after the delete (change-bounded footer scan), so
     pruned reads keep their benefit without a manual update_zonemap.
     Concurrency: same contract as upsert_partitioned — pointer commits
-    CAS on the generation claim (ConcurrentCommitError for the loser);
+    CAS on the generation claim (lost claims rebase across
+    disjoint-dir winners; ConcurrentCommitError on overlap);
     the rename protocol is single-writer.
 
     Returns ``(hit_partition_values, rows_deleted)``."""
