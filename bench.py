@@ -577,8 +577,25 @@ def _recycle_session(spark):
     from dask_expr_spark.session import get_spark
 
     spark.stop()
-    if SparkContext._gateway is not None:
-        SparkContext._gateway.shutdown()
+    gw = SparkContext._gateway
+    if gw is not None:
+        # shutdown() alone leaves the JVM process alive (and burning
+        # CPU on its dead py4j server loop): the round-10 baseline run
+        # accumulated SEVEN live JVMs holding 6-14 GB RSS each and
+        # ~300% CPU apiece, which inflated every co-running entry.
+        # Kill the process explicitly — gateway.proc is the Popen
+        # pyspark's launch_gateway attaches.
+        proc = getattr(gw, "proc", None)
+        gw.shutdown()
+        if proc is not None:
+            try:
+                proc.terminate()
+                proc.wait(timeout=30)
+            except Exception:
+                try:
+                    proc.kill()
+                except Exception:
+                    pass
     SparkContext._gateway = None
     SparkContext._jvm = None
     return get_spark("dask_expr_spark_bench")
