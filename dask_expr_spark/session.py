@@ -30,6 +30,25 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _local_dir() -> str | None:
+    """Shuffle/spill scratch placement (guide §2.1: local disk bandwidth
+    can be the tighter shuffle limit).  This box's /tmp disk sustains
+    ~333 MB/s and collapses under writeback (measured: a 150M-row
+    full-outer join's median went 24.6 s → 4.7-6.1 s, and a bucketed
+    upsert 84 s → 9.5 s, moving scratch to tmpfs — OPTIMIZATION_r10.md).
+    Default: tmpfs when /dev/shm exists and is writable; on a real
+    cluster set SPARK_GRAFT_LOCAL_DIR to the instance-store NVMe
+    mounts (comma-separated), the standard deployment guidance —
+    shuffle scratch is ephemeral by definition, so the fastest local
+    volume is always the right home for it."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/spark_local"
+    return None
+
+
 def get_spark(app_name: str = "dask_expr_spark", cpus: str | int | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession."""
     cpus = str(cpus or DEFAULT_CPUS)
@@ -57,6 +76,9 @@ def get_spark(app_name: str = "dask_expr_spark", cpus: str | int | None = None) 
         # (sources/io.py) — DuckDB equally truncates ns→µs on read.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    ld = _local_dir()
+    if ld:
+        builder = builder.config("spark.local.dir", ld)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
