@@ -695,7 +695,8 @@ def read_manifested(spark: SparkSession, path: str, fs=None,
 
 def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
                      partition_col: str, man: dict, fs,
-                     rebase: bool = True) -> list[str]:
+                     rebase: bool = True,
+                     parts: list[tuple] | None = None) -> list[str]:
     """The pointer protocol's write half: append `df`'s partitions as
     new files, then claim the next generation pointing at them.  New
     files are identified by a pre/post listing diff per touched
@@ -703,9 +704,17 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
     adopted.  A lost claim rebases onto the new head when the
     intervening commits touched only disjoint dirs (see
     _write_commit); otherwise — or with rebase=False — it raises
-    ConcurrentCommitError (this append's files become orphans)."""
+    ConcurrentCommitError (this append's files become orphans).
+
+    `parts` — `df`'s distinct partition-value tuples when the caller
+    already knows them: the default derivation here is a full extra
+    computation of `df` (for a merge, that is a second pass over the
+    touched slice — guide §2.4), so callers that can prove the set
+    pass it in."""
     pcols = _norm_pcols(partition_col)
-    parts = [tuple(r) for r in df.select(*pcols).distinct().collect()]
+    if parts is None:
+        parts = [tuple(r)
+                 for r in df.select(*pcols).distinct().collect()]
     if not parts:
         return []
     dirs = [_hive_part_path(pcols, v) for v in parts]
@@ -953,12 +962,32 @@ def _key_str(keys: list[str]) -> Column:
     return F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
 
 
+_MOVE_GUARD_BROADCAST_KEYS = 5_000_000
+
+
 def _move_guard_full_scan(spark: SparkSession, full_table: DataFrame,
-                          keys: list[str], cand: DataFrame) -> int:
+                          keys: list[str], cand: DataFrame,
+                          n_cand: int | None = None) -> int:
     """Exact fallback of the partition-move guard: count candidate
-    keys present anywhere in the FULL table (one column-pruned
-    distinct scan).  Module-level so tests can assert it only runs
+    keys present anywhere in the FULL table.  When the candidate set
+    is batch-sized (the designed case — it is bounded by the update
+    batch's novel keys), the big side is STREAMED against a broadcast
+    of the candidates — a map-only column-pruned scan — instead of
+    the old distinct+SMJ shape, which shuffled every table key twice
+    (distinct agg + sort) to answer a membership question about a
+    handful of keys (guide §3.1; measured 1.78 s → 0.87 s on the
+    15M-key x10 table).  A giant candidate set (bulk insert, no
+    bloom) keeps the shuffle shape — broadcasting it would blow the
+    8 GB relation cap.  Module-level so tests can assert it only runs
     when the bloom prefilter reports maybe-hits."""
+    if n_cand is None:
+        n_cand = cand.count()
+    if n_cand == 0:
+        return 0
+    if n_cand <= _MOVE_GUARD_BROADCAST_KEYS:
+        return (full_table.select(*keys)
+                .join(F.broadcast(cand), keys, "left_semi")
+                .distinct().count())
     return (cand.join(full_table.select(*keys).distinct(),
                       keys, "left_semi").count())
 
@@ -970,24 +999,36 @@ def _check_partition_moves(spark: SparkSession, full_table_fn,
     # an update key that exists in the table but only OUTSIDE the
     # touched partitions is a partition-moving update: the old row
     # would survive and the key would silently duplicate
-    cand = (updates.select(*keys).distinct()
-            .join(target.select(*keys).distinct(), keys, "left_anti"))
+    batch_keys = updates.select(*keys).distinct()
     idx = (read_key_bloom(spark, key_bloom_path)
            if key_bloom_path is not None else None)
     if idx is not None:
-        # bloom prefilter: keys the table bloom says are DEFINITELY
-        # absent cannot be moves (no false negatives), so a mostly-
-        # insert batch skips the full-table key scan entirely — guard
-        # cost scales with the batch, not the table
+        # bloom prefilter FIRST (guide §2.4: the cheapest filter runs
+        # before any shuffle): keys the table bloom says are
+        # DEFINITELY absent cannot be moves (no false negatives), so
+        # a mostly-insert batch never anti-joins the target slice at
+        # all — guard cost scales with the batch, not the table
         from .sketches import bloom_probe
-        probed = bloom_probe(cand.withColumn("__mg_key", _key_str(keys)),
-                             idx, "__mg_key", result_col="__maybe")
-        cand = probed.where(F.col("__maybe")).drop("__mg_key", "__maybe")
-        if cand.isEmpty():
+        probed = bloom_probe(
+            batch_keys.withColumn("__mg_key", _key_str(keys)),
+            idx, "__mg_key", result_col="__maybe")
+        batch_keys = (probed.where(F.col("__maybe"))
+                      .drop("__mg_key", "__maybe"))
+        if batch_keys.isEmpty():
             return
-    # the full-table frame builds lazily: when the bloom prefilter
-    # clears every candidate, the table is never even file-listed
-    outside = _move_guard_full_scan(spark, full_table_fn(), keys, cand)
+    # no .distinct() on the anti join's right side: anti-join
+    # semantics ignore right-side duplicates, and the distinct was a
+    # full extra aggregation over the touched slice (guide §2.4)
+    cand = batch_keys.join(target.select(*keys), keys, "left_anti")
+    n_cand = cand.count()
+    if n_cand == 0:
+        # every (maybe-present) batch key lives in a touched
+        # partition: nothing can be a mover — skip the full scan
+        # (the full-table frame is never even file-listed: the thunk
+        # below stays uncalled)
+        return
+    outside = _move_guard_full_scan(spark, full_table_fn(), keys, cand,
+                                    n_cand)
     if outside:
         raise ValueError(
             f"upsert_partitioned: {outside} update key(s) exist in a "
@@ -1130,8 +1171,17 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
         # the merged plan lazily re-reads the files the flip will
         # supersede — but pointer commits never delete or rename, so
         # those files stay readable until vacuum; no checkpoint needed
+        #
+        # without order_col the merge drops no update row, so the
+        # merged frame's partition set is exactly `parts` — pass it
+        # down and the flip skips its own distinct().collect(), a
+        # full second computation of the merge (guide §2.4).  With
+        # order_col, cross-partition duplicate keys can eliminate a
+        # value's only rows — let the flip derive the true set.
+        known = None if order_col is not None else \
+            (parts if multi else [(p,) for p in parts])
         _append_and_flip(spark, path, merged, partition_col, man, fs,
-                         rebase=rebase)
+                         rebase=rebase, parts=known)
         _refresh_zonemap_if_present(spark, path, fs)
         return parts
     recover_table(path, fs=fs)

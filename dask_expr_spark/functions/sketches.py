@@ -558,6 +558,31 @@ def kmv_intersect(roll_a: DataFrame, roll_b: DataFrame,
 _LN2 = math.log(2.0)
 
 
+def _bf_shard(key: Column, seed: str, num_shards: int) -> Column:
+    """Shard assignment hash.  xxhash64, not md5: the bloom is the one
+    sketch family whose oracles never reproduce its bits in SQL (every
+    bloom query pins the ANSWER, which false positives cannot change),
+    so it can use the native codegen hash — measured 5x cheaper per
+    position than the md5+conv path, which matters at k hashes per key
+    (OPTIMIZATION_r10.md).  CMS/KMV/hist keep md5: their oracles
+    recompute the exact cells in DuckDB."""
+    return F.pmod(F.xxhash64(F.lit(seed + ":s"), key),
+                  F.lit(num_shards))
+
+
+def _bf_pos(key: Column, j: Column, seed: str, m_shard: int) -> Column:
+    """Bit position of hash j — MUST stay identical between
+    bloom_index and bloom_probe (the no-false-negative contract)."""
+    return F.pmod(F.xxhash64(F.lit(seed), j, key), F.lit(m_shard))
+
+
+def _bf_mask(pos: Column) -> Column:
+    """Single-bit word mask for a position (shiftleft beats the old
+    pow(2.0, x) double round-trip)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"),
+                           F.pmod(pos, F.lit(32)).cast("int"))
+
+
 def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
                 expected: int | None = None,
                 num_shards: int | None = None,
@@ -574,7 +599,9 @@ def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
     NO FALSE NEGATIVES ever (a present key always probes true), which
     is what makes the dedup prefilter answer-preserving.  Mergeable:
     bloom_merge ORs same-parameter indexes — the incremental-ingest
-    append path.  Hashes are md5-derived (cross-engine deterministic).
+    append path.  Hashes are xxhash64-derived (deterministic in-engine;
+    no oracle reproduces bloom BITS — they pin answers, which the
+    no-false-negative contract keeps hash-independent).
     `params` = (m_bits, k, shards) copied from an EXISTING index row
     builds a merge-compatible delta index directly (maintenance.
     bloom_append), skipping the sizing math and its count().
@@ -582,9 +609,18 @@ def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
     if params is not None:
         m_shard, k, num_shards = (int(x) for x in params)
     else:
-        n = int(expected) if expected is not None else \
-            df.where(F.col(key_col).isNotNull()).count()
-        n = max(n, 1)
+        if expected is not None:
+            n = max(int(expected), 1)
+        else:
+            # auto-sizing floor: a bloom sized to exactly today's key
+            # count saturates after a few incremental bloom_merge
+            # appends (a streaming sink's first micro-batch would size
+            # the index for that batch alone).  64Ki keys ≈ 78 KB —
+            # free headroom for small sets; large sets dwarf the floor
+            # and stay sized as counted.  Explicit `expected` is the
+            # caller's contract and is never floored.
+            n = max(df.where(F.col(key_col).isNotNull()).count(),
+                    1 << 16)
         m_total = int(math.ceil(-n * math.log(fpp) / (_LN2 * _LN2)))
         k = max(1, int(round(m_total / n * _LN2)))
         if num_shards is None:
@@ -597,15 +633,12 @@ def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
             .select(key.alias("__key"),
                     F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
                     .alias("__j")))
-    shard = F.pmod(_md5_long(F.lit(seed + ":s"), F.col("__key")),
-                   F.lit(num_shards))
-    pos = F.pmod(_md5_long(F.lit(seed), F.col("__j").cast("string"),
-                           F.col("__key")), F.lit(m_shard))
+    shard = _bf_shard(F.col("__key"), seed, num_shards)
+    pos = _bf_pos(F.col("__key"), F.col("__j"), seed, m_shard)
     bits = rows.select(
         shard.alias("shard"),
         (pos / 32).cast("int").alias("__w"),
-        F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
-        .alias("__m"))
+        _bf_mask(pos).alias("__m"))
     cells = (bits.groupBy("shard", "__w")
              .agg(F.bit_or("__m").alias("__v")))
 
@@ -666,17 +699,15 @@ def bloom_probe(df: DataFrame, index: DataFrame, key_col: str,
         m_bits, k, num_shards = int(row["m_bits"]), int(row["k"]), \
             int(row["shards"])
     key = F.col(key_col).cast("string")
-    shard = F.pmod(_md5_long(F.lit(seed + ":s"), key), F.lit(num_shards))
+    shard = _bf_shard(key, seed, num_shards)
     probed = df.withColumn("__shard", shard)
     idx = index.select(F.col("shard").alias("__shard"), "words")
     j = probed.join(F.broadcast(idx), "__shard", "left")
 
     def _bit(jj):
-        pos = F.pmod(_md5_long(F.lit(seed), jj.cast("string"), key),
-                     F.lit(m_bits))
+        pos = _bf_pos(key, jj, seed, m_bits)
         word = F.element_at(F.col("words"), (pos / 32).cast("int") + 1)
-        mask = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
-        return word.bitwiseAND(mask) != 0
+        return word.bitwiseAND(_bf_mask(pos)) != 0
 
     hit = F.forall(F.sequence(F.lit(0), F.lit(k - 1)), _bit)
     return (j.withColumn(

@@ -301,11 +301,14 @@ def upsert_pointer_bloom(spark, sf_dir):
             .parquet(path)
         M.manifest_bootstrap(path, "o_orderpriority")
         # tight fpp: the scan-skipped boolean needs ZERO maybe-hits
-        # over the ~30-key insert batch (deterministic per dataset,
-        # but sized so even the x100 corpus stays hit-free)
+        # over the insert batch's ~3k keys at x10 — that demands
+        # k ≳ log2(n_probe/ε), i.e. fpp ≈ 1e-6 (P(any FP) ≈ 0.003;
+        # the old 1e-4 EXPECTED 0.3 false positives at x10 and only
+        # passed on a lucky hash draw).  Verified hit-free on every
+        # benched corpus (OPTIMIZATION_r10.md)
         M.bloom_append_snapshot(spark, bloom,
                                 M.read_manifested(spark, path),
-                                ["o_orderkey"], fpp=0.0001)
+                                ["o_orderkey"], fpp=1e-6)
         calls = []
 
         def counted(*a, **kw):
