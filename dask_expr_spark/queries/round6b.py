@@ -534,9 +534,18 @@ def cms_join_cardinality(spark, sf_dir):
     rb = cms_rollup(b, [], "o_custkey", width=_CMSJ_W, depth=_CMSJ_D)
     est = cms_inner_product(ra, rb).select("join_est") \
         .withColumn("__one", F.lit(1))
-    exact = (a.select("o_custkey")
-             .join(b.select("o_custkey"), "o_custkey")
-             .agg(F.count(F.lit(1)).alias("exact_n"))
+    # exact |A ⋈ B| without materializing the join: count per key on
+    # each side, then Σ n_a·n_b over matching keys — the join's
+    # row-multiplicity identity.  The old shape sort-merge-joined the
+    # full fact rows (15M shuffled + fanned-out output) to produce one
+    # count; this shape's shuffles are partial-agged per side and the
+    # final join is distinct-key-sized (guide §2.3 aggregate before
+    # you shuffle; measured 5.2 s → sub-second at x100)
+    ca = a.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__na"))
+    cb = b.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__nb"))
+    exact = (ca.join(cb, "o_custkey")
+             .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")),
+                             F.lit(0)).cast("long").alias("exact_n"))
              .withColumn("__one", F.lit(1)))
     return (est.join(exact, "__one").drop("__one")
             .select("join_est", "exact_n",
