@@ -696,7 +696,8 @@ def read_manifested(spark: SparkSession, path: str, fs=None,
 def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
                      partition_col: str, man: dict, fs,
                      rebase: bool = True,
-                     parts: list[tuple] | None = None) -> list[str]:
+                     parts: list[tuple] | None = None,
+                     before_claim=None) -> list[str]:
     """The pointer protocol's write half: append `df`'s partitions as
     new files, then claim the next generation pointing at them.  New
     files are identified by a pre/post listing diff per touched
@@ -710,7 +711,13 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
     already knows them: the default derivation here is a full extra
     computation of `df` (for a merge, that is a second pass over the
     touched slice — guide §2.4), so callers that can prove the set
-    pass it in."""
+    pass it in.
+
+    `before_claim` — optional barrier invoked after the append but
+    BEFORE the generation claim; if it raises, the claim is never
+    written and the appended files stay vacuumable orphans (the
+    caller's pre-claim ordering hook — e.g. joining a concurrent
+    bloom-index update that must commit first)."""
     pcols = _norm_pcols(partition_col)
     if parts is None:
         parts = [tuple(r)
@@ -719,7 +726,8 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
         return []
     dirs = [_hive_part_path(pcols, v) for v in parts]
     pre = {d: set(_part_files(fs, path, d)) for d in dirs}
-    df.write.mode("append").partitionBy(*pcols).parquet(path)
+    (_merge_write_layout(spark, path, df, pcols, fs)
+     .write.mode("append").partitionBy(*pcols).parquet(path))
     for d in dirs:
         post = _part_files(fs, path, d)
         fresh = sorted(set(post) - pre[d])
@@ -732,6 +740,8 @@ def _append_and_flip(spark: SparkSession, path: str, df: DataFrame,
                 f"{d!r} after append — hive dir-name mismatch; "
                 "manifest NOT flipped (table unchanged)")
         _set_dir_files(man, path, d, fresh, fs)
+    if before_claim is not None:
+        before_claim()
     man["generation"] = int(man["generation"]) + 1
     # the CAS commit point (rebases across disjoint-dir winners)
     _write_commit(path, man, fs, touched=dirs, rebase=rebase)
@@ -957,6 +967,53 @@ def _refresh_zonemap_if_present(spark: SparkSession, path: str,
         update_zonemap(spark, path, fs=fs)
 
 
+def _zonemap_range_cols(spark: SparkSession, path: str,
+                        fs) -> list[str]:
+    """The table's zone-map indexed columns, [] when it has none —
+    a driver-side dir probe plus one manifest schema read (no job).
+    Merge writes use this to pick their layout: a zone-mapped table
+    must keep its files RANGE-CLUSTERED on the indexed columns or
+    every rewritten file spans the full value range and pruning dies
+    (guide §6: partitioning and sort order on write determine how
+    well readers can skip)."""
+    from ..sources.zonemap import ZONEMAP_DIR, _read_manifest_df
+    zp = os.path.join(path, ZONEMAP_DIR)
+    if not fs.isdir(zp):
+        return []
+    try:
+        man = _read_manifest_df(spark, zp, fs)
+    except Exception:
+        return []
+    return sorted(c[:-4] for c in man.columns if c.endswith("_min"))
+
+
+def _merge_write_layout(spark: SparkSession, path: str, df: DataFrame,
+                        pcols: list[str], fs) -> DataFrame:
+    """Layout policy for a merge-slice write (guide §6).  Plain
+    tables REBALANCE by the partition dirs: without it every upstream
+    task writes a sliver into every touched dir (a 5.8 MB slice
+    measured 64 files of ~170 KB) and later reads pay per-file open
+    cost; AQE both coalesces small dirs and splits oversized ones at
+    advisoryPartitionSizeInBytes, so file sizes track slice size.
+    Zone-mapped tables RANGE-partition on (dirs, zone cols) instead —
+    prunable min/max bands by construction, where the old sliver
+    layout was only prunable by accident of input order."""
+    zcols = [c for c in _zonemap_range_cols(spark, path, fs)
+             if c not in pcols and c in df.columns]
+    if zcols:
+        # range on the ZONE cols alone (not the dirs): every task is
+        # a narrow global value band, so each dir's files are banded
+        # too.  n is explicit — AQE would otherwise coalesce the
+        # range exchange to one task and re-collapse every dir to a
+        # single full-range file — and rides the session's
+        # shuffle-partition knob, the same scale parameter as every
+        # other exchange.
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return (df.repartitionByRange(n, *zcols)
+                .sortWithinPartitions(*pcols, *zcols))
+    return df.hint("rebalance", *pcols)
+
+
 def _key_str(keys: list[str]) -> Column:
     """':'-joined string rendering of the key tuple (the bloom domain)."""
     return F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
@@ -1161,13 +1218,38 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                                    updates, keys,
                                    "/".join(pcols), key_bloom_path)
         merged = upsert(target, updates, keys, order_col=order_col)
+        bloom_th = None
+        before_claim = None
         if key_bloom_path is not None:
             # bloom BEFORE the claim: a crash (or lost claim) between
             # here and the flip leaves only harmless extra bloom keys;
             # the reverse order could leave a committed key out of the
-            # bloom — a false negative the guard would trust
-            bloom_append_snapshot(spark, key_bloom_path, updates, keys,
-                                  table_fn=full_fn)
+            # bloom — a false negative the guard would trust.  The
+            # update runs CONCURRENTLY with the slice append (guide
+            # §2.6: independent jobs back-fill each other's stragglers
+            # — measured 6.0 s sequential -> 3.4 s overlapped on the
+            # x10 composite) and is JOINED before the claim, so the
+            # ordering contract is exactly as strong as the
+            # sequential form: bloom committed first, every failure
+            # mode errs on extra bloom keys.
+            from pyspark import InheritableThread
+            bloom_exc: list[BaseException] = []
+
+            def _bloom_update():
+                try:
+                    bloom_append_snapshot(spark, key_bloom_path,
+                                          updates, keys,
+                                          table_fn=full_fn)
+                except BaseException as exc:  # re-raised pre-claim
+                    bloom_exc.append(exc)
+
+            bloom_th = InheritableThread(target=_bloom_update)
+            bloom_th.start()
+
+            def before_claim():
+                bloom_th.join()
+                if bloom_exc:
+                    raise bloom_exc[0]
         # the merged plan lazily re-reads the files the flip will
         # supersede — but pointer commits never delete or rename, so
         # those files stay readable until vacuum; no checkpoint needed
@@ -1180,8 +1262,15 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
         # value's only rows — let the flip derive the true set.
         known = None if order_col is not None else \
             (parts if multi else [(p,) for p in parts])
-        _append_and_flip(spark, path, merged, partition_col, man, fs,
-                         rebase=rebase, parts=known)
+        try:
+            _append_and_flip(spark, path, merged, partition_col, man,
+                             fs, rebase=rebase, parts=known,
+                             before_claim=before_claim)
+        finally:
+            # a failed append must not leak the bloom thread; its
+            # completed update is harmless extra keys by contract
+            if bloom_th is not None:
+                bloom_th.join()
         _refresh_zonemap_if_present(spark, path, fs)
         return parts
     recover_table(path, fs=fs)
@@ -1197,7 +1286,8 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
     merged = upsert(target, updates, keys, order_col=order_col)
     new_root = path.rstrip("/") + "__new"
     fs.delete(new_root)
-    (merged.write.mode("overwrite")
+    (_merge_write_layout(spark, path, merged, [partition_col], fs)
+     .write.mode("overwrite")
      .partitionBy(partition_col).parquet(new_root))
     dirs = [d for d in fs.listdir(new_root)
             if d.startswith(f"{partition_col}=")]

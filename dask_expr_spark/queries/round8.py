@@ -302,16 +302,30 @@ def compact_manifested_files(spark, sf_dir):
         o.write.mode("overwrite").partitionBy("o_orderpriority") \
             .parquet(path)
         manifest_bootstrap(path, "o_orderpriority")
-        # four small upserts into one dir -> file accretion
+        # four small upserts into one dir -> file accretion.  The
+        # merge layout targets advisoryPartitionSizeInBytes, so at the
+        # session's real advisory each upsert would land as ONE
+        # right-sized file and compaction would have no work; shrink
+        # the advisory for the setup writes to emulate the table
+        # compaction exists for (an engine that wrote the dir with a
+        # small advisory / many tiny slices), then compact under the
+        # real one.  Result rows are unchanged — only the setup
+        # table's file layout differs.
         upd = o.where((F.col("o_orderkey") % 71 == 0)
                       & (F.col("o_orderpriority")
                          == "4-NOT SPECIFIED"))
-        for i in range(4):
-            delta = 111.0 if i == 3 else float(100 + i)
-            batch = upd.withColumn("o_totalprice",
-                                   F.col("o_totalprice") + delta)
-            upsert_partitioned(spark, path, batch, ["o_orderkey"],
-                               "o_orderpriority", commit="pointer")
+        _ADV = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        adv = spark.conf.get(_ADV)
+        spark.conf.set(_ADV, "1kb")
+        try:
+            for i in range(4):
+                delta = 111.0 if i == 3 else float(100 + i)
+                batch = upd.withColumn("o_totalprice",
+                                       F.col("o_totalprice") + delta)
+                upsert_partitioned(spark, path, batch, ["o_orderkey"],
+                                   "o_orderpriority", commit="pointer")
+        finally:
+            spark.conf.set(_ADV, adv)
         man0 = read_commit(path)
         dirty = "o_orderpriority=4-NOT SPECIFIED"
         fb, fa = compact_manifested(spark, path, target_mb=512)

@@ -45,7 +45,7 @@ def main() -> None:
     t("bloom bootstrap build (fpp 1e-4)",
       lambda: M.bloom_append_snapshot(
           spark, bloom, M.read_manifested(spark, path),
-          ["o_orderkey"], fpp=0.0001))
+          ["o_orderkey"], fpp=1e-6))
 
     ins = (o.where((F.col("o_orderkey") % 101 == 0)
                    & (F.col("o_orderpriority") == "4-NOT SPECIFIED"))

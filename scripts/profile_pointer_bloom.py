@@ -46,7 +46,7 @@ def main() -> None:
         phase("bloom_build")
         M.bloom_append_snapshot(spark, bloom,
                                 M.read_manifested(spark, path),
-                                ["o_orderkey"], fpp=0.0001)
+                                ["o_orderkey"], fpp=1e-6)
         phase("upsert_insert")
         ins = (o.where((F.col("o_orderkey") % 101 == 0)
                        & (F.col("o_orderpriority") == "4-NOT SPECIFIED"))
