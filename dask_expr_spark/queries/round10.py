@@ -100,8 +100,9 @@ def disjoint_rebase_upsert(spark, sf_dir):
     path = os.path.join(tmp, "t")
     real = M._write_commit
     try:
-        o.write.mode("overwrite").partitionBy("o_orderpriority") \
-            .parquet(path)
+        (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(path))
         M.manifest_bootstrap(path, "o_orderpriority")
         state = {"fired": False}
 
@@ -164,8 +165,9 @@ def _three_gen_table(spark, sf_dir, prefix):
     o = tbl(spark, sf_dir, "orders").to_spark()
     tmp = tempfile.mkdtemp(prefix=prefix)
     path = os.path.join(tmp, "t")
-    o.write.mode("overwrite").partitionBy("o_orderpriority") \
-        .parquet(path)
+    (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+     .write.mode("overwrite").partitionBy("o_orderpriority")
+     .parquet(path))
     M.manifest_bootstrap(path, "o_orderpriority")
     M.upsert_partitioned(spark, path, _batch(o, 53, "2-HIGH", 50.0),
                          ["o_orderkey"], "o_orderpriority",
@@ -297,8 +299,9 @@ def upsert_pointer_bloom(spark, sf_dir):
     bloom = os.path.join(tmp, "bloom")
     real = M._move_guard_full_scan
     try:
-        o.write.mode("overwrite").partitionBy("o_orderpriority") \
-            .parquet(path)
+        (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(path))
         M.manifest_bootstrap(path, "o_orderpriority")
         # tight fpp: the scan-skipped boolean needs ZERO maybe-hits
         # over the insert batch's ~3k keys at x10 — that demands

@@ -355,8 +355,9 @@ def upsert_partitioned_roundtrip(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="upsert_part_")
     path = os.path.join(tmp, "t")
     try:
-        o.write.mode("overwrite").partitionBy("o_orderpriority") \
-            .parquet(path)
+        (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(path))
 
         def _snapshot():
             out = {}

@@ -71,8 +71,9 @@ def upsert_pointer_roundtrip(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="upsert_ptr_")
     path = os.path.join(tmp, "t")
     try:
-        o.write.mode("overwrite").partitionBy("o_orderpriority") \
-            .parquet(path)
+        (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(path))
         man0 = manifest_bootstrap(path, "o_orderpriority")
         updates = (o.where((F.col("o_orderkey") % 61 == 0)
                            & F.col("o_orderpriority").isin(
@@ -299,8 +300,9 @@ def compact_manifested_files(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="compact_ptr_")
     path = os.path.join(tmp, "t")
     try:
-        o.write.mode("overwrite").partitionBy("o_orderpriority") \
-            .parquet(path)
+        (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(path))
         manifest_bootstrap(path, "o_orderpriority")
         # four small upserts into one dir -> file accretion.  The
         # merge layout targets advisoryPartitionSizeInBytes, so at the
@@ -471,8 +473,9 @@ def delete_where_orders(spark, sf_dir):
     p_ptr = os.path.join(tmp, "ptr")
     try:
         for p in (p_ren, p_ptr):
-            o.write.mode("overwrite").partitionBy("o_orderpriority") \
-                .parquet(p)
+            (o.hint("rebalance", "o_orderpriority")   # guide §6
+             .write.mode("overwrite").partitionBy("o_orderpriority")
+             .parquet(p))
         manifest_bootstrap(p_ptr, "o_orderpriority")
         parts_r, n_r = delete_where(spark, p_ren, pred,
                                     "o_orderpriority", commit="rename")

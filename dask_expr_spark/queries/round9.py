@@ -68,8 +68,9 @@ def manifest_sharded_upsert(spark, sf_dir):
     saved = M.MANIFEST_INLINE_MAX
     try:
         M.MANIFEST_INLINE_MAX = 0          # force shards at any size
-        o.write.mode("overwrite").partitionBy("o_orderpriority") \
-            .parquet(path)
+        (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(path))
         man0 = M.manifest_bootstrap(path, "o_orderpriority")
         updates = (o.where((F.col("o_orderkey") % 53 == 0)
                            & (F.col("o_orderpriority") == "1-URGENT"))
@@ -182,8 +183,9 @@ def concurrent_upsert_cas(spark, sf_dir):
 
     real = M._write_commit
     try:
-        o.write.mode("overwrite").partitionBy("o_orderpriority") \
-            .parquet(path)
+        (o.hint("rebalance", "o_orderpriority")   # guide §6: dir-sized
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(path))
         M.manifest_bootstrap(path, "o_orderpriority")
         state = {"fired": False}
 
@@ -361,7 +363,13 @@ def multicol_pointer_upsert(spark, sf_dir):
     path = os.path.join(tmp, "t")
     pcols = ["o_orderpriority", "o_orderstatus"]
     try:
-        o.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+        # rebalance: without it the 15-leaf table lands as one sliver
+        # per task per leaf (~480 tiny files) and every later phase —
+        # bootstrap listing, merge target read, CDC discovery, final
+        # agg — pays the per-file open cost (guide §6).  Same rows,
+        # same oracle result; only the file layout changes.
+        (o.hint("rebalance", *pcols)
+         .write.mode("overwrite").partitionBy(*pcols).parquet(path))
         man0 = M.manifest_bootstrap(path, pcols)
         updates = (o.where((F.col("o_orderkey") % 67 == 0)
                            & (F.col("o_orderpriority") == "1-URGENT"))
