@@ -259,7 +259,9 @@ def cdc_between_generations(spark, sf_dir):
                        F.round("o_totalprice_after", 2)
                        .alias("o_totalprice_after"))
                .orderBy("o_orderkey"))
-        return spark.createDataFrame(cdc.collect(), cdc.schema)
+        # JVM-side materialization before the table dir is deleted —
+        # same rationale as cdc_between_snapshots (guide §5)
+        return cdc.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
