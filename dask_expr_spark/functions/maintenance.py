@@ -1180,7 +1180,8 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
                 # resolution as the merge path (order_col max_by)
                 out = upsert(updates.where(F.lit(False)), updates,
                              keys, order_col=order_col)
-                (out.write.mode("overwrite")
+                (out.hint("rebalance", *pcols)  # guide §6
+                 .write.mode("overwrite")
                  .partitionBy(*pcols).parquet(path))
                 manifest_bootstrap(path, partition_col, fs=fs)
                 if key_bloom_path is not None:
@@ -1329,6 +1330,7 @@ def write_bucketed(df: DataFrame, path: str, keys: list[str],
     bucket ≈ the table's natural rewrite unit (e.g. 1024 buckets keeps
     per-batch rewrites at ~0.1% of a uniform table)."""
     (df.withColumn("__bucket", bucket_expr(keys, n_buckets, seed))
+     .hint("rebalance", "__bucket")   # guide §6: dir-sized files
      .write.mode("overwrite").partitionBy("__bucket").parquet(path))
     fs = _resolve_fs(path, None)
     fs.write_text_atomic(
@@ -2122,8 +2124,9 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
             if fs.isdir(path):
                 man = manifest_bootstrap(path, partition_col, fs=fs)
             else:
-                df.write.mode("overwrite").partitionBy(*pcols) \
-                    .parquet(path)
+                (df.hint("rebalance", *pcols)  # guide §6
+                 .write.mode("overwrite").partitionBy(*pcols)
+                 .parquet(path))
                 return sorted(
                     manifest_bootstrap(path, partition_col,
                                        fs=fs)["partitions"])
@@ -2135,12 +2138,14 @@ def overwrite_partitions(spark: SparkSession, path: str, df: DataFrame,
     new_root = path.rstrip("/") + "__new"
     fs.delete(new_root)
     if not fs.isdir(path):
-        df.write.mode("overwrite").partitionBy(partition_col) \
-            .parquet(path)
+        (df.hint("rebalance", partition_col)  # guide §6
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(path))
         return [d for d in fs.listdir(path)
                 if d.startswith(f"{partition_col}=")]
-    df.write.mode("overwrite").partitionBy(partition_col) \
-        .parquet(new_root)
+    (_merge_write_layout(spark, path, df, [partition_col], fs)
+     .write.mode("overwrite").partitionBy(partition_col)
+     .parquet(new_root))
     dirs = [d for d in fs.listdir(new_root)
             if d.startswith(f"{partition_col}=")]
     _swap_partition_dirs(path, new_root, dirs, fs=fs)
@@ -2265,8 +2270,9 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
         if nonempty_dirs:
             pre = {d: set(_part_files(fs, path, d))
                    for d in nonempty_dirs}
-            kept.write.mode("append").partitionBy(*pcols) \
-                .parquet(path)
+            (_merge_write_layout(spark, path, kept, pcols, fs)
+             .write.mode("append").partitionBy(*pcols)
+             .parquet(path))
             for d in nonempty_dirs:
                 fresh = sorted(set(_part_files(fs, path, d)) - pre[d])
                 if not fresh:
