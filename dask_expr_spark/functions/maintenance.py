@@ -1421,9 +1421,25 @@ def read_key_bloom(spark: SparkSession, bloom_path: str):
     the bloom lives under: a SNAPSHOT table (the pointer-table flow —
     object-store-safe, no renames) or a plain parquet dir maintained
     by atomic_overwrite (the rename flow).  None when absent — the
-    guard then falls back to the exact full-table key scan."""
+    guard then falls back to the exact full-table key scan.
+
+    Under the snapshot protocol the live versions are an LSM-style
+    SEGMENT LIST (bloom_append_snapshot): version 0 is the bootstrap
+    index (dense bitmaps), later versions are per-batch SPARSE delta
+    segments (set-bit position arrays).  The probe needs one dense
+    bitmap row per shard, so multi-segment reads fold through
+    bloom_fold_segments — OR is idempotent and monotone, so any mix
+    of segments (including a pre-segmentation layout's two
+    overlapping full versions) folds to exactly the index of the
+    union of their key sets."""
     if _read_manifest(bloom_path) is not None:
-        return snapshot_read(spark, bloom_path)
+        hist = snapshot_history(bloom_path)
+        if len(hist) == 1:
+            return snapshot_read(spark, bloom_path)
+        from .sketches import bloom_fold_segments
+        dirs = [_snap_dir(bloom_path, e) for e in hist]
+        return bloom_fold_segments(
+            spark.read.option("mergeSchema", "true").parquet(*dirs))
     if _resolve_fs(bloom_path, None).isdir(bloom_path):
         return spark.read.parquet(bloom_path)
     return None
@@ -1449,13 +1465,25 @@ def bloom_append_snapshot(spark: SparkSession, bloom_path: str,
     bloom, and a bloom false negative silently skips the move guard.
     First call (no snapshot yet) bootstraps the bloom from the
     `table_fn()` frame's keys plus the batch — a thunk, so the
-    steady state never even builds the full-table frame; later calls
-    OR the batch in and retire old bloom versions eagerly (the index
-    is derived data — no time travel needed)."""
-    from .sketches import bloom_index, bloom_merge
-    cur = (snapshot_read(spark, bloom_path)
-           if _read_manifest(bloom_path) is not None else None)
-    if cur is None:
+    steady state never even builds the full-table frame.
+
+    Later calls append the batch as an LSM-STYLE SPARSE SEGMENT: only
+    the batch's set-bit positions commit as the next snapshot version
+    — an O(batch·k) write, where the pre-round-10 shape re-read and
+    re-wrote the whole merged dense index every commit (O(table
+    bits): ~2.4 s per guarded upsert at 1.5M keys, and gigabytes per
+    commit at the 100 TB key counts).  Readers (read_key_bloom) fold
+    the live segments per shard; once the segment list exceeds
+    $SPARK_GRAFT_BLOOM_SEG_MAX (default 8) the segments fold into one
+    dense version and older versions retire — classic LSM
+    compaction, amortizing the O(table) rewrite over SEG_MAX batches.
+    Every step keeps the ordering contract: a crash after the segment
+    write leaves extra bloom keys (harmless maybe-hits), never a
+    missing one."""
+    from .sketches import (bloom_delta_segment, bloom_fold_segments,
+                           bloom_index)
+    man = _read_manifest(bloom_path)
+    if man is None:
         kdf = delta.select(_key_str(keys).alias("__k"))
         if table_fn is not None:
             kdf = table_fn().select(_key_str(keys).alias("__k")) \
@@ -1464,12 +1492,22 @@ def bloom_append_snapshot(spark: SparkSession, bloom_path: str,
                                    expected=expected), bloom_path)
         snapshot_vacuum(bloom_path, keep=2)
         return
-    row = cur.select("m_bits", "k", "shards").first()
-    delta_idx = bloom_index(
+    row = snapshot_read(spark, bloom_path) \
+        .select("m_bits", "k", "shards").first()
+    seg = bloom_delta_segment(
         delta.select(_key_str(keys).alias("__k")), "__k",
         params=(int(row["m_bits"]), int(row["k"]), int(row["shards"])))
-    snapshot_write(bloom_merge(cur, delta_idx), bloom_path)
-    snapshot_vacuum(bloom_path, keep=2)
+    snapshot_write(seg, bloom_path)
+    seg_max = int(os.environ.get("SPARK_GRAFT_BLOOM_SEG_MAX", "8"))
+    hist = snapshot_history(bloom_path)
+    if len(hist) > seg_max:
+        dirs = [_snap_dir(bloom_path, e) for e in hist]
+        # the compaction read resolves the live dirs BEFORE the new
+        # version commits, so the fold sees a stable segment set
+        snapshot_write(bloom_fold_segments(
+            spark.read.option("mergeSchema", "true").parquet(*dirs)),
+            bloom_path)
+        snapshot_vacuum(bloom_path, keep=1)
 
 
 # ---------------------------------------------------------------------------

@@ -687,9 +687,84 @@ def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
             .withColumn("shards", F.lit(num_shards)))
 
 
+def bloom_delta_segment(df: DataFrame, key_col: str,
+                        params: tuple[int, int, int],
+                        seed: str = "bf") -> DataFrame:
+    """SPARSE delta segment for an existing index with `params` =
+    (m_bits, k, shards): one row per touched shard carrying the SET
+    BIT POSITIONS as an array — O(batch·k) values — instead of a
+    dense m_bits-wide bitmap whose words are overwhelmingly zero.
+    This is what makes LSM-style segment appends
+    (maintenance.bloom_append_snapshot) O(batch): a dense delta for a
+    10k-row batch over a billion-key index would materialize the full
+    gigabyte-scale zero bitmap per commit.  Positions use the exact
+    _bf_pos/_bf_shard hashes, so folding a sparse segment into a
+    dense bitmap (bloom_fold_segments) yields bit-identical results
+    to having indexed the keys directly."""
+    m_shard, k, num_shards = (int(x) for x in params)
+    key = F.col(key_col).cast("string")
+    rows = (df.where(key.isNotNull())
+            .select(key.alias("__key"),
+                    F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                    .alias("__j")))
+    return (rows.select(
+        _bf_shard(F.col("__key"), seed, num_shards).alias("shard"),
+        _bf_pos(F.col("__key"), F.col("__j"), seed, m_shard)
+        .alias("__p"))
+        .groupBy("shard")
+        .agg(F.collect_list("__p").alias("pos"))
+        .withColumn("m_bits", F.lit(m_shard))
+        .withColumn("k", F.lit(k))
+        .withColumn("shards", F.lit(num_shards)))
+
+
+def bloom_fold_segments(segments: DataFrame) -> DataFrame:
+    """Fold any mix of DENSE index rows (`words` bitmaps) and SPARSE
+    delta rows (`pos` position arrays) into one dense row per shard —
+    the read side of the LSM segment list.  OR is idempotent and
+    monotone, so overlapping segments (including a pre-segmentation
+    layout's two full versions) fold to exactly the index of the
+    union of their key sets.  The scatter runs as one numpy pass per
+    shard (the same Arrow-batched shape as the index build's packer —
+    a pure-expression fold would be O(nwords·segments) element_at
+    scans)."""
+    cols = segments.columns
+    has_words = "words" in cols
+    has_pos = "pos" in cols
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        nwords = int(pdf["m_bits"].iloc[0]) // 32
+        arr = np.zeros(nwords, dtype=np.int64)
+        if has_words:
+            for w in pdf["words"]:
+                if w is not None and len(w):
+                    arr |= np.asarray(w, dtype=np.int64)
+        if has_pos:
+            for p in pdf["pos"]:
+                if p is not None and len(p):
+                    p = np.asarray(p, dtype=np.int64)
+                    np.bitwise_or.at(arr, p >> 5,
+                                     np.int64(1) << (p & np.int64(31)))
+        return pd.DataFrame({
+            "shard": [int(pdf["shard"].iloc[0])],
+            "words": [arr.tolist()],
+            "m_bits": [int(pdf["m_bits"].iloc[0])],
+            "k": [int(pdf["k"].iloc[0])],
+            "shards": [int(pdf["shards"].iloc[0])]})
+
+    return segments.groupBy("shard").applyInPandas(
+        _fold,
+        schema="shard long, words array<long>, m_bits int, k int, "
+               "shards int")
+
+
 def bloom_merge(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
-    """OR two same-parameter Bloom indexes shard-wise (the incremental
-    append: index the novel keys alone, merge into the big index)."""
+    """OR two same-parameter DENSE Bloom indexes shard-wise (the
+    incremental append: index the novel keys alone, merge into the
+    big index).  Stays a pure-JVM zip_with fold; mixed dense/sparse
+    segment lists go through bloom_fold_segments instead."""
     u = index_a.unionByName(index_b)
     return (u.groupBy("shard", "m_bits", "k", "shards")
             .agg(F.aggregate(

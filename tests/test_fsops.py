@@ -1734,3 +1734,69 @@ def test_upsert_sink_pointer_with_bloom_guard(spark, tmp_path,
                  M.read_manifested(spark, tbl).collect())
     assert got == list(range(24))
     assert len(M.snapshot_history(bloom)) >= 1
+
+
+def test_pointer_bloom_lsm_segments_and_compaction(spark, tmp_path,
+                                                   monkeypatch):
+    """Round-10 optimization: guarded-upsert bloom maintenance is an
+    LSM segment append (O(batch·k) sparse positions per commit, not
+    an O(index-bits) dense rewrite).  Pins: (1) steady-state appends
+    add one snapshot version each and the delta version carries
+    sparse `pos` rows, no dense bitmap; (2) every key inserted across
+    the segmented window still probes TRUE (no false negative crosses
+    a segment boundary); (3) crossing SPARK_GRAFT_BLOOM_SEG_MAX folds
+    the list into one dense version and retires the segments; (4) the
+    fold equals the direct dense build bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import (
+        bloom_index, bloom_probe)
+
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_SEG_MAX", "3")
+    path = str(tmp_path / "t")
+    bloom = str(tmp_path / "bloom")
+    _mk(spark, path)
+    M.manifest_bootstrap(path, "part")
+    M.bloom_append_snapshot(spark, bloom,
+                            M.read_manifested(spark, path), ["k"])
+    assert len(M.snapshot_history(bloom)) == 1
+
+    inserted = []
+    for i in range(2):                      # segments 1 and 2
+        ks = [1000 + 2 * i, 1001 + 2 * i]
+        inserted += ks
+        batch = spark.createDataFrame(pd.DataFrame({
+            "k": ks, "v": [1.0, 2.0], "part": ["a", "b"]}))
+        M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                             commit="pointer", key_bloom_path=bloom)
+    hist = M.snapshot_history(bloom)
+    assert len(hist) == 3                   # bootstrap + 2 segments
+    seg_dir = M.snapshot_version_dir(bloom, int(hist[-1]["version"]))
+    seg = spark.read.parquet(seg_dir)
+    assert "pos" in seg.columns and "words" not in seg.columns
+    # all keys (table + both segments) probe TRUE via the folded read
+    idx = M.read_key_bloom(spark, bloom)
+    probe = spark.createDataFrame(pd.DataFrame(
+        {"__mg_key": [str(k) for k in list(range(30)) + inserted]}))
+    got = bloom_probe(probe, idx, "__mg_key", result_col="__maybe")
+    assert got.where(~F.col("__maybe")).count() == 0
+
+    # third append crosses SEG_MAX=3 -> compaction to ONE dense version
+    batch = spark.createDataFrame(pd.DataFrame({
+        "k": [2000], "v": [3.0], "part": ["c"]}))
+    M.upsert_partitioned(spark, path, batch, ["k"], "part",
+                         commit="pointer", key_bloom_path=bloom)
+    hist = M.snapshot_history(bloom)
+    assert len(hist) == 1                   # compacted + retired
+    compacted = M.read_key_bloom(spark, bloom)
+    assert "words" in compacted.columns
+    # fold == direct dense build of the same key set, bit-for-bit
+    row = compacted.select("m_bits", "k", "shards").first()
+    all_keys = (M.read_manifested(spark, path)
+                .select(F.col("k").cast("string").alias("__k")))
+    direct = bloom_index(all_keys, "__k",
+                         params=(int(row["m_bits"]), int(row["k"]),
+                                 int(row["shards"])))
+    da = {r["shard"]: list(r["words"]) for r in direct.collect()}
+    ca = {r["shard"]: list(r["words"]) for r in compacted.collect()}
+    assert ca == da
