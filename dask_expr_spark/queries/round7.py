@@ -1024,7 +1024,15 @@ def cdc_apply_roundtrip(spark, sf_dir):
     upd = (chg.unionByName(chg.withColumn("k", F.col("k") + 3000000))
            .withColumn("p", F.round(F.col("p") + 500.0, 2)))
     after = upsert(before, upd, ["k"]).where(F.col("k") % 5 != 0)
-    applied = cdc_apply(before, cdc_rows(before, after, ["k"]), ["k"])
+    # materialize the change records and the applied state once
+    # (lazy localCheckpoint): the audit and the final aggregation both
+    # consume `applied`, whose lineage embeds the full-outer cdc_rows
+    # join — left lazy, that join (and the upsert under it) re-ran per
+    # consumer.  The change records are exactly the artifact a real
+    # CDC pipeline ships, so checkpointing them is the pattern, not a
+    # cache trick (guide §5; A/B 8.2-13.1 s -> 4.6 s at x10).
+    cdc = cdc_rows(before, after, ["k"]).localCheckpoint(eager=False)
+    applied = cdc_apply(before, cdc, ["k"]).localCheckpoint(eager=False)
     audit = table_diff(applied, after, ["k"]).collect()[0]
     roundtrip_ok = (audit["n_added"] == 0 and audit["n_removed"] == 0
                     and audit["n_changed"] == 0)
