@@ -1438,8 +1438,12 @@ def read_key_bloom(spark: SparkSession, bloom_path: str):
             return snapshot_read(spark, bloom_path)
         from .sketches import bloom_fold_segments
         dirs = [_snap_dir(bloom_path, e) for e in hist]
+        # checkpoint the fold: every probe consumes the index twice
+        # (params row + the broadcast build), and left lazy the
+        # segment fold would re-run per consumer
         return bloom_fold_segments(
-            spark.read.option("mergeSchema", "true").parquet(*dirs))
+            spark.read.option("mergeSchema", "true").parquet(*dirs)) \
+            .localCheckpoint(eager=False)
     if _resolve_fs(bloom_path, None).isdir(bloom_path):
         return spark.read.parquet(bloom_path)
     return None

@@ -16,6 +16,7 @@ pass 2), so it oracles against plain `GROUP BY ... HAVING`.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Iterator
 
@@ -725,9 +726,13 @@ def bloom_fold_segments(segments: DataFrame) -> DataFrame:
     monotone, so overlapping segments (including a pre-segmentation
     layout's two full versions) fold to exactly the index of the
     union of their key sets.  The scatter runs as one numpy pass per
-    shard (the same Arrow-batched shape as the index build's packer —
+    shard (the same Arrow-batched shape as the index build's packer):
     a pure-expression fold would be O(nwords·segments) element_at
-    scans)."""
+    scans, and a JVM aggregate(collect_list, zip_with OR) fold was
+    A/B-measured 3 s SLOWER on the x10 layout — higher-order
+    functions are CodegenFallback, so the per-element lambda
+    interprets over the 450k-word arrays while Arrow+numpy runs at
+    memory bandwidth (OPTIMIZATION_r10.md negative results)."""
     cols = segments.columns
     has_words = "words" in cols
     has_pos = "pos" in cols
@@ -804,11 +809,17 @@ def bloom_probe(df: DataFrame, index: DataFrame, key_col: str,
     j = probed.join(F.broadcast(idx), "__shard", "left")
 
     def _bit(jj):
-        pos = _bf_pos(key, jj, seed, m_bits)
+        pos = _bf_pos(key, F.lit(jj), seed, m_bits)
         word = F.element_at(F.col("words"), (pos / 32).cast("int") + 1)
         return word.bitwiseAND(_bf_mask(pos)) != 0
 
-    hit = F.forall(F.sequence(F.lit(0), F.lit(k - 1)), _bit)
+    # k is known at plan time, so unroll the k bit tests into a plain
+    # AND chain instead of forall(sequence(0,k-1), ...): higher-order
+    # functions are CodegenFallback — every probe row re-interpreted
+    # the k element_at tests against the multi-MB words array, measured
+    # 45.9 s -> 2.6 s for a 150k-row probe of the x10-scale index
+    hit = functools.reduce(lambda a, b: a & b,
+                           [_bit(jj) for jj in range(k)])
     return (j.withColumn(
         result_col,
         F.when(F.col("words").isNull(), F.lit(False)).otherwise(hit))
