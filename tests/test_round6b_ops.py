@@ -145,6 +145,24 @@ def test_bloom_no_false_negatives_randomized(spark):
         assert fn == 0, f"trial {trial}: false negative at fpp={fpp}"
 
 
+def test_bloom_probe_plan_stays_codegen(spark):
+    """The probe's k bit tests are unrolled into a plain AND chain; a
+    higher-order forall would be CodegenFallback and copy the shard
+    bitmap per probe row (45.9 -> 2.6 s at the x10 scale —
+    OPTIMIZATION_r10.md O11).  Pin the plan shape: no lambda/HOF node,
+    and the bit tests live inside WholeStageCodegen."""
+    members = spark.range(0, 2000).withColumnRenamed("id", "k")
+    idx = bloom_index(members, "k", fpp=0.01, expected=2000)
+    pr = bloom_probe(members, idx, "k")
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    # no HOF node anywhere (forall/exists/transform render as
+    # lambdafunction(...) in the plan) — their presence would mean
+    # CodegenFallback and the per-row bitmap copy are back
+    assert "forall" not in plan and "lambdafunction" not in plan, plan
+    # the unrolled bit tests are plain expressions in the projection
+    assert "element_at" in plan, plan
+
+
 def test_bloom_fp_rate_near_design(spark):
     n = 4000
     members = spark.range(0, n).withColumnRenamed("id", "k")
