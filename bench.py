@@ -694,6 +694,12 @@ def main() -> None:
     # (the r5-r9 phantom-flag class); 0 disables
     recycle_every = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "10"))
     since_recycle = 0
+    # experiment-only truncation (default off — the driver never sets
+    # it): run just the first N entries so cohort-level effects can be
+    # A/B'd without paying for the full 57-entry run each arm
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "0"))
+    if limit > 0:
+        runnables = runnables[:limit]
     for name, fn, qdir, reps in runnables:
         if recycle_every > 0 and since_recycle >= recycle_every:
             spark = _recycle_session(spark)

@@ -1401,12 +1401,32 @@ def bloom_append(spark: SparkSession, bloom_path: str, delta: DataFrame,
     no-false-negative contract across incremental merges.  If the
     bloom doesn't exist yet and `table_path` is given, bootstrap it
     from the full table instead."""
-    from .sketches import bloom_index, bloom_merge
+    from .sketches import BF_HASH, bloom_index, bloom_merge
     if not _resolve_fs(bloom_path, None).isdir(bloom_path):
         if table_path is not None:
             build_key_bloom(spark, table_path, keys, bloom_path, fpp=fpp)
         return
     idx = spark.read.parquet(bloom_path)
+    if "hash" not in idx.columns or \
+            idx.select("hash").first()["hash"] != BF_HASH:
+        # the on-disk index was built under a previous hash family
+        # (pre-stamp md5 era): OR-ing an xxhash64 delta into its
+        # bitmaps would leave present keys probing FALSE — a silent
+        # no-false-negative violation.  Rebuild under the current hash
+        # instead (table keys ∪ batch keys, so the result is correct
+        # whichever side of the merge this append runs on).
+        if table_path is None:
+            raise ValueError(
+                f"bloom index at {bloom_path} predates hash stamp "
+                f"{BF_HASH!r}; rebuild it with build_key_bloom")
+        kdf = (spark.read.parquet(table_path)
+               .select(_key_str(keys).alias("__k"))
+               .unionByName(delta.select(_key_str(keys).alias("__k"))))
+        rebuilt = bloom_index(kdf, "__k", fpp=fpp)
+        atomic_overwrite(bloom_path,
+                         lambda p: rebuilt.write.mode("overwrite")
+                         .parquet(p))
+        return
     row = idx.select("m_bits", "k", "shards").first()
     delta_idx = bloom_index(
         delta.select(_key_str(keys).alias("__k")), "__k",
@@ -1435,17 +1455,27 @@ def read_key_bloom(spark: SparkSession, bloom_path: str):
     if _read_manifest(bloom_path) is not None:
         hist = snapshot_history(bloom_path)
         if len(hist) == 1:
-            return snapshot_read(spark, bloom_path)
+            idx = snapshot_read(spark, bloom_path)
+            return idx if "hash" in idx.columns else None
         from .sketches import bloom_fold_segments
         dirs = [_snap_dir(bloom_path, e) for e in hist]
+        seg = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # hash-stamp gate (ADVICE r10): an index persisted under a
+        # previous hash family (pre-stamp md5 era) probes FALSE for
+        # present keys under the current hashes — refuse it and let
+        # the guard fall back to the exact full-table key scan.  The
+        # schema check is free; a mixed old/new segment list cannot
+        # arise because the append paths rebuild rather than append
+        # onto a stale index.
+        if "hash" not in seg.columns:
+            return None
         # checkpoint the fold: every probe consumes the index twice
         # (params row + the broadcast build), and left lazy the
         # segment fold would re-run per consumer
-        return bloom_fold_segments(
-            spark.read.option("mergeSchema", "true").parquet(*dirs)) \
-            .localCheckpoint(eager=False)
+        return bloom_fold_segments(seg).localCheckpoint(eager=False)
     if _resolve_fs(bloom_path, None).isdir(bloom_path):
-        return spark.read.parquet(bloom_path)
+        idx = spark.read.parquet(bloom_path)
+        return idx if "hash" in idx.columns else None
     return None
 
 
@@ -1484,8 +1514,8 @@ def bloom_append_snapshot(spark: SparkSession, bloom_path: str,
     Every step keeps the ordering contract: a crash after the segment
     write leaves extra bloom keys (harmless maybe-hits), never a
     missing one."""
-    from .sketches import (bloom_delta_segment, bloom_fold_segments,
-                           bloom_index)
+    from .sketches import (BF_HASH, bloom_delta_segment,
+                           bloom_fold_segments, bloom_index)
     man = _read_manifest(bloom_path)
     if man is None:
         kdf = delta.select(_key_str(keys).alias("__k"))
@@ -1496,8 +1526,26 @@ def bloom_append_snapshot(spark: SparkSession, bloom_path: str,
                                    expected=expected), bloom_path)
         snapshot_vacuum(bloom_path, keep=2)
         return
-    row = snapshot_read(spark, bloom_path) \
-        .select("m_bits", "k", "shards").first()
+    cur = snapshot_read(spark, bloom_path)
+    if "hash" not in cur.columns or \
+            cur.select("hash").first()["hash"] != BF_HASH:
+        # stale hash family (pre-stamp md5 era): a sparse xxhash64
+        # segment appended onto it would mix hash spaces and the fold
+        # would probe FALSE for keys only in the old bitmaps.
+        # Re-bootstrap under the current hash instead (table ∪ batch
+        # keys) and retire the stale versions.
+        if table_fn is None:
+            raise ValueError(
+                f"bloom index at {bloom_path} predates hash stamp "
+                f"{BF_HASH!r} and no table_fn was given to rebuild "
+                f"from; rebuild it explicitly")
+        kdf = table_fn().select(_key_str(keys).alias("__k")) \
+            .unionByName(delta.select(_key_str(keys).alias("__k")))
+        snapshot_write(bloom_index(kdf, "__k", fpp=fpp,
+                                   expected=expected), bloom_path)
+        snapshot_vacuum(bloom_path, keep=1)
+        return
+    row = cur.select("m_bits", "k", "shards").first()
     seg = bloom_delta_segment(
         delta.select(_key_str(keys).alias("__k")), "__k",
         params=(int(row["m_bits"]), int(row["k"]), int(row["shards"])))

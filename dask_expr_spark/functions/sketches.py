@@ -570,6 +570,17 @@ def kmv_intersect(roll_a: DataFrame, roll_b: DataFrame,
 
 _LN2 = math.log(2.0)
 
+# Hash-algorithm stamp persisted in every index/segment row.  The
+# on-disk schema otherwise carries no hash identifier, so a bloom
+# built under a previous hash family (md5 before round 10) would be
+# probed with xxhash64 positions and return FALSE for present keys —
+# a silent no-false-negative violation that lets partition movers and
+# duplicates through.  Readers (maintenance.read_key_bloom /
+# bloom_append / bloom_append_snapshot) refuse or rebuild when the
+# stamp is missing or mismatched instead of probing with the wrong
+# hash (ADVICE r10).
+BF_HASH = "xxh64"
+
 
 def _bf_shard(key: Column, seed: str, num_shards: int) -> Column:
     """Shard assignment hash.  xxhash64, not md5: the bloom is the one
@@ -685,7 +696,8 @@ def bloom_index(df: DataFrame, key_col: str, fpp: float = 0.01,
     return (words
             .withColumn("m_bits", F.lit(m_shard))
             .withColumn("k", F.lit(k))
-            .withColumn("shards", F.lit(num_shards)))
+            .withColumn("shards", F.lit(num_shards))
+            .withColumn("hash", F.lit(BF_HASH)))
 
 
 def bloom_delta_segment(df: DataFrame, key_col: str,
@@ -716,7 +728,8 @@ def bloom_delta_segment(df: DataFrame, key_col: str,
         .agg(F.collect_list("__p").alias("pos"))
         .withColumn("m_bits", F.lit(m_shard))
         .withColumn("k", F.lit(k))
-        .withColumn("shards", F.lit(num_shards)))
+        .withColumn("shards", F.lit(num_shards))
+        .withColumn("hash", F.lit(BF_HASH)))
 
 
 def bloom_fold_segments(segments: DataFrame) -> DataFrame:
@@ -757,12 +770,13 @@ def bloom_fold_segments(segments: DataFrame) -> DataFrame:
             "words": [arr.tolist()],
             "m_bits": [int(pdf["m_bits"].iloc[0])],
             "k": [int(pdf["k"].iloc[0])],
-            "shards": [int(pdf["shards"].iloc[0])]})
+            "shards": [int(pdf["shards"].iloc[0])],
+            "hash": [BF_HASH]})
 
     return segments.groupBy("shard").applyInPandas(
         _fold,
         schema="shard long, words array<long>, m_bits int, k int, "
-               "shards int")
+               "shards int, hash string")
 
 
 def bloom_merge(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
@@ -771,7 +785,7 @@ def bloom_merge(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
     big index).  Stays a pure-JVM zip_with fold; mixed dense/sparse
     segment lists go through bloom_fold_segments instead."""
     u = index_a.unionByName(index_b)
-    return (u.groupBy("shard", "m_bits", "k", "shards")
+    return (u.groupBy("shard", "m_bits", "k", "shards", "hash")
             .agg(F.aggregate(
                 F.collect_list("words"),
                 F.array_repeat(F.lit(0).cast("long"),
@@ -779,7 +793,7 @@ def bloom_merge(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
                 lambda acc, w: F.zip_with(acc, w,
                                           lambda x, y: x.bitwiseOR(y)))
                 .alias("words"))
-            .select("shard", "words", "m_bits", "k", "shards"))
+            .select("shard", "words", "m_bits", "k", "shards", "hash"))
 
 
 def bloom_probe(df: DataFrame, index: DataFrame, key_col: str,

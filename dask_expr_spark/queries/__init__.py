@@ -161,53 +161,58 @@ VALIDATED = frozenset({
     # cohort, through drift_price_psi).
     "manifest_sharded_upsert", "concurrent_upsert_cas",
     "zonemap_after_delete", "multicol_pointer_upsert",
+    # round 10 (CORRECTNESS_r10.json — all 50 rows hash-green: the 4 new
+    # round-10 queries below + the leading 46 of the reconfirmation
+    # cohort, through text_bm25_search).
+    "disjoint_rebase_upsert", "pointer_time_travel",
+    "cdc_between_generations", "upsert_pointer_bloom",
 })
 
-# Queries whose driver validation is OLDEST — these lead the round-10
-# window (after any new round-10 queries) so the driver reconfirms
-# them before anything newer.  Cohort = the r6-validated stream_* tail
-# the r9 window did NOT reach (the older cohorts were consumed through
-# drift_price_psi), then the r7 cohort, then the r8 cohort (appended
-# this round — the queue ran short), each in registry order.
+# Queries whose driver validation is OLDEST or STALEST — these lead the
+# round-11 window so the driver reconfirms them before anything newer.
+# Head (VERDICT r10 item 3): every query whose BODY or operator path
+# was rewritten in round 10 AFTER its name rotated out of the r10
+# window (cms identity rewrite, bloom hashing/sizing, merge/bootstrap
+# write layout) — their only post-rewrite oracle evidence is the local
+# sf0.01 sweep, so the driver re-confirms them first.  Then the
+# r3-era cohort the r10 window did not reach, then the never-
+# reconfirmed r4/r5 tails, each in registry order.
 RECONFIRM_FIRST = (
-    # r6 cohort remainder (validated r6; the r9 window consumed the
-    # cohort through drift_price_psi)
-    "stream_hll_rollup", "stream_hist_rollup", "stream_exact_dedup",
-    "stream_drift_psi", "stream_upsert_snapshot",
-    # r7 cohort (validated r7, never reconfirmed since; registry order)
-    "profile_from_rollups_orders", "upsert_bucketed_roundtrip",
-    "snapshot_time_travel", "kmv_intersect_grouped",
-    "compact_partitioned_files", "stream_upsert_bucketed",
-    "scd2_history_orders", "scd2_asof_snapshot", "cdc_between_snapshots",
-    "zonemap_skipping_dates", "ann_pq_topk", "ann_pq_rerank",
-    "stream_scd2_history", "ann_ivfpq_topk", "split_temporal_events",
-    "zonemap_zorder_trailing", "upsert_evolve_schema",
-    "cdc_apply_roundtrip",
-    # r8 cohort (validated r8, never reconfirmed since; registry order)
-    "upsert_pointer_roundtrip", "multimodal_resize_stub",
-    "zonemap_snapshot_version", "compact_manifested_files",
-    "stream_upsert_pointer", "delete_where_orders", "scd2_delete_orders",
-    "get_group_building", "groupby_rolling_qty",
-    "groupby_expanding_value", "concat_axis1_customer",
-    "query_eval_orders", "ufunc_sqrt_price", "dot_qty_discount",
-    "combine_max_balance", "monotonic_orders", "csv_roundtrip_orders",
-    "json_roundtrip_events", "reduction_mean_price", "map_partitions_md5",
-    "map_overlap_smooth", "text_lm_perplexity", "text_bm25_search",
+    # rewritten in r10 after rotating out of the r10 window
+    "cms_join_cardinality", "cms_custkey_counts",
+    "dedup_bloom_incremental", "upsert_partitioned_roundtrip",
+    "upsert_orders_scd1", "multicol_pointer_upsert",
+    "manifest_sharded_upsert", "zonemap_after_delete",
+    "concurrent_upsert_cas", "diff_after_upsert",
+    # r3-era cohort queued in r10 but not reached by its window
     "mix_sources_target", "sources_literal_union", "dropna_thresh_events",
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_bucketed",
     "ann_ivf_topk", "ann_int8_topk", "stream_tumbling_counts",
     "stream_session_counts", "stream_interval_join",
+    # r4 cohort tail (validated r4, never reconfirmed since)
+    "salted_agg_suppkey", "salted_merge_orders", "dedup_resolve_corpus",
+    "merge_recursive_regions", "dedup_substring_spans",
+    "dedup_connected_groups_star", "dedup_chunk_minhash",
+    "semantic_dedup_kept", "multimodal_audio_meta",
+    "stream_semantic_dedup",
+    # r5 cohort (validated r5, never reconfirmed since)
+    "heavy_hitter_tokens", "hist_rollup_price_quantiles",
+    "sample_weighted_orders", "dedup_incremental_minhash",
+    "sample_n_orders", "parquet_zorder_roundtrip", "hll_rollup_users",
+    "partitions_concat_invariance", "timedelta_components_events",
+    "parquet_clustered_roundtrip", "q2_min_cost_supplier",
+    "q11_important_stock", "q20_potential_promotion",
+    "ann_cosine_topk_blocked", "ann_lsh_auto_planes",
+    "stream_heavy_hitters", "stream_windowed_distinct",
 )
 
-# ROUND-11 CHECKLIST: once CORRECTNESS_r10.json lands, rotate again —
+# ROUND-12 CHECKLIST: once CORRECTNESS_r11.json lands, rotate again —
 # add its green names to VALIDATED and drop the consumed
-# RECONFIRM_FIRST prefix.  The r10 window = the new round-10 queries
-# (everything in round10.py) + the leading remainder of RECONFIRM_FIRST;
-# check list(collect_queries())[:50] when rotating — the exact tail
-# shifts with any late additions.  The r7 and r8 cohorts are already
-# appended; append the r9 cohort (manifest_sharded_upsert …
-# multicol_pointer_upsert, registry order) when the queue runs short.
-# Every registry query is swept locally vs DuckDB at sf0.01 each round
+# RECONFIRM_FIRST prefix; check list(collect_queries())[:50] when
+# rotating — the exact tail shifts with any late additions.  Append
+# the r6-era remainder (kmv_intersect_slices … drift_price_psi,
+# registry order) when the queue runs short.  Every registry query is
+# swept locally vs DuckDB at sf0.01 each round
 # (tests/test_correctness.py), so names outside the driver window are
 # never actually stale — the rotation just keeps the audit trail fresh.
 

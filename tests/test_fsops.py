@@ -1800,3 +1800,54 @@ def test_pointer_bloom_lsm_segments_and_compaction(spark, tmp_path,
     da = {r["shard"]: list(r["words"]) for r in direct.collect()}
     ca = {r["shard"]: list(r["words"]) for r in compacted.collect()}
     assert ca == da
+
+
+def test_bloom_hash_stamp_gates_stale_indexes(spark, tmp_path):
+    """An index persisted under a previous hash family (pre-stamp md5
+    era — its rows carry no `hash` column) must never be probed with
+    the current hashes: read_key_bloom refuses it (guard falls back to
+    the exact scan), bloom_append rebuilds the plain-dir index under
+    the current hash, and bloom_append_snapshot re-bootstraps the
+    snapshot index instead of appending a mixed-hash segment."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_spark.functions.sketches import BF_HASH, bloom_index
+
+    # --- plain rename-protocol dir -----------------------------------
+    plain = str(tmp_path / "bloom_plain")
+    keys = spark.createDataFrame(pd.DataFrame({"__k": ["1", "2", "3"]}))
+    bloom_index(keys, "__k").drop("hash") \
+        .write.mode("overwrite").parquet(plain)        # stale format
+    assert M.read_key_bloom(spark, plain) is None      # refused
+    delta = spark.createDataFrame(pd.DataFrame({"k": [9]}))
+    with pytest.raises(ValueError, match="hash stamp"):
+        M.bloom_append(spark, plain, delta, ["k"])     # no table: refuse
+    tbl = str(tmp_path / "tbl")
+    spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3]})) \
+        .write.mode("overwrite").parquet(tbl)
+    M.bloom_append(spark, plain, delta, ["k"], table_path=tbl)
+    idx = M.read_key_bloom(spark, plain)
+    assert idx is not None                             # rebuilt
+    assert idx.select("hash").first()["hash"] == BF_HASH
+    from dask_expr_spark.functions.sketches import bloom_probe
+    probed = bloom_probe(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3, 9]}))
+        .withColumn("__s", F.col("k").cast("string")), idx, "__s")
+    assert all(r["maybe_in_index"] for r in probed.collect())
+
+    # --- snapshot CAS protocol ----------------------------------------
+    snap = str(tmp_path / "bloom_snap")
+    M.snapshot_write(bloom_index(keys, "__k").drop("hash"), snap)
+    assert M.read_key_bloom(spark, snap) is None       # refused
+    with pytest.raises(ValueError, match="hash stamp"):
+        M.bloom_append_snapshot(spark, snap, delta, ["k"])
+    M.bloom_append_snapshot(
+        spark, snap, delta, ["k"],
+        table_fn=lambda: spark.read.parquet(tbl))
+    idx2 = M.read_key_bloom(spark, snap)
+    assert idx2 is not None                            # re-bootstrapped
+    probed2 = bloom_probe(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3, 9]}))
+        .withColumn("__s", F.col("k").cast("string")), idx2, "__s")
+    assert all(r["maybe_in_index"] for r in probed2.collect())
+    assert len(M.snapshot_history(snap)) == 1          # stale retired
