@@ -22,6 +22,53 @@ from pyspark.sql import functions as F
 
 from .text import shingles
 
+# a small-scan input is spread only when its stat-able bytes are under
+# this cap — past it, scan splits already provide parallelism and the
+# round-robin exchange would just move text twice
+_SPREAD_MAX_BYTES = 1 << 30
+
+
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a SMALL, few-file scan before
+    expensive per-row work (guide §2.5 input skew / §2.6 stragglers).
+
+    The text operators below do their heavy lifting — shingle explode,
+    per-token hashing, num_perm signature rehashes — BEFORE their
+    first exchange, so their parallelism is the SCAN's.  A small
+    corpus arrives as one parquet file = one task (sub-128 MB files
+    never split), leaving every other core idle for the most
+    CPU-intensive stage of the pipeline: measured at sf0.001, a
+    single-file 500-doc corpus ran its md5 minhash banding in one
+    task for 54 s on an 8-core session.
+
+    Strictly a no-op at scale: it only fires when the input is a pure
+    file scan (inputFiles() resolvable) with fewer files than cores
+    AND under 1 GiB of locally stat-able bytes — a 100 TB table fails
+    the first test, a remote store fails the stat, and any derived
+    frame with its own exchanges is left alone."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if not files or len(files) >= target:
+        return df
+    import os
+    from urllib.parse import urlparse
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return df                      # can't size cheaply: bail
+        try:
+            total += os.path.getsize(u.path or f)
+        except OSError:
+            return df
+    if total > _SPREAD_MAX_BYTES:
+        return df
+    return df.repartition(target)
+
 
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """hash-groupBy exact dedup: one row per distinct text with member
@@ -97,6 +144,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    df = _spread_input(df)
     ds = distinct_shingles(df, id_col, text_col, k, hashed=hashed_shingles)
     if cache_shingles:
         ds = ds.cache()
@@ -192,6 +240,7 @@ def minhash_signatures(
       ~20-byte string num_perm times, and two shingles colliding in
       the base hash (~d²/2⁶⁵) is negligible for similarity estimates.
     """
+    df = _spread_input(df)
     sh = F.explode(shingles(F.col(text_col), k)).alias("__sh")
     ds = df.select(F.col(id_col).alias("__id"), sh).select(
         "__id", F.xxhash64("__sh").alias("__b")
@@ -448,7 +497,7 @@ def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str,
     elif blocks is not None and not isinstance(blocks, int):
         raise ValueError(
             f"blocks must be an int, None, or 'auto', got {blocks!r}")
-    with_sh = df.select(
+    with_sh = _spread_input(df).select(
         F.col(id_col).alias("__id"),
         simhash(F.col(text_col), num_bits=num_bits,
                 token_hash=token_hash).alias("__sh64"),
@@ -672,6 +721,7 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
 
     if scope not in ("cross_doc", "any"):
         raise ValueError("scope must be 'cross_doc' or 'any'")
+    df = _spread_input(df)
     toks = F.split(F.col(text_col), sep)
     base = df.select(F.col(id_col).alias("id"),
                      F.coalesce(F.size(toks), F.lit(0)).alias("total_tokens"),

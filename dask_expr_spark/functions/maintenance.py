@@ -1005,10 +1005,31 @@ def _merge_write_layout(spark: SparkSession, path: str, df: DataFrame,
         # a narrow global value band, so each dir's files are banded
         # too.  n is explicit — AQE would otherwise coalesce the
         # range exchange to one task and re-collapse every dir to a
-        # single full-range file — and rides the session's
-        # shuffle-partition knob, the same scale parameter as every
-        # other exchange.
-        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # single full-range file.  n scales with the SLICE (ADVICE
+        # r10): the session shuffle-partition knob is a cluster-wide
+        # scale parameter (thousands on a real cluster), and a small
+        # merge slice range-split that many ways re-creates the
+        # sliver problem this layout exists to fix.  Bytes come from
+        # the optimizer's size estimate (parquet-stat-based for the
+        # scan-dominated merge lineage; a wild overestimate only
+        # saturates at the session knob, i.e. the old behavior), with
+        # a floor of 8 bands so banding — and the pruned_ok contracts
+        # the zone queries assert — survives tiny slices.
+        try:
+            sp = int(float(spark.conf.get(
+                "spark.sql.shuffle.partitions")))
+        except (TypeError, ValueError):
+            sp = 32            # non-numeric (e.g. "auto"): local norm
+        try:
+            adv = int(spark._jvm.org.apache.spark.network.util
+                      .JavaUtils.byteStringAsBytes(spark.conf.get(
+                          "spark.sql.adaptive"
+                          ".advisoryPartitionSizeInBytes", "128m")))
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
+            n = min(sp, max(8, -(-est // max(1, adv))))
+        except Exception:
+            n = sp
         return (df.repartitionByRange(n, *zcols)
                 .sortWithinPartitions(*pcols, *zcols))
     return df.hint("rebalance", *pcols)
@@ -1019,7 +1040,14 @@ def _key_str(keys: list[str]) -> Column:
     return F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
 
 
-_MOVE_GUARD_BROADCAST_KEYS = 5_000_000
+# Broadcast cap for the move-guard candidate set, in KEY CELLS
+# (rows × key columns), compared against n_cand × len(keys) below.
+# 1M cells ≈ tens-to-low-hundreds of MB hydrated as a hash relation
+# even for string keys — safely inside default driver/executor memory
+# where the previous 5M-ROW cap could reach GBs on multi-column
+# string keys (ADVICE r10).  Batches past the cap keep the shuffle
+# shape: merely slower, never an OOM.
+_MOVE_GUARD_BROADCAST_KEYS = 1_000_000
 
 
 def _move_guard_full_scan(spark: SparkSession, full_table: DataFrame,
@@ -1041,7 +1069,7 @@ def _move_guard_full_scan(spark: SparkSession, full_table: DataFrame,
         n_cand = cand.count()
     if n_cand == 0:
         return 0
-    if n_cand <= _MOVE_GUARD_BROADCAST_KEYS:
+    if n_cand * max(1, len(keys)) <= _MOVE_GUARD_BROADCAST_KEYS:
         return (full_table.select(*keys)
                 .join(F.broadcast(cand), keys, "left_semi")
                 .distinct().count())

@@ -334,7 +334,9 @@ def dedup_chunk_minhash(spark, sf_dir):
                                    minhash_sig_expr)
 
     docs = tbl(spark, sf_dir, "documents").to_spark()
-    chunks = docs.select(
+    # spread the single-file corpus scan before the chunk explode: the
+    # md5 signature work below otherwise runs in ONE task (guide §2.6)
+    chunks = DD._spread_input(docs).select(
         "doc_id",
         F.posexplode(TX.chunk_text(F.col("text"), 32, 8)).alias("ci", "chunk"),
     ).select(
@@ -354,8 +356,15 @@ def dedup_chunk_minhash(spark, sf_dir):
     sig = minhash_sig_expr(F.col("chunk"), k=3, num_perm=16,
                            token_hash=md5_token_hash,
                            perm_hash=md5_perm_hash)
-    banded = chunks.select(
-        "cid", F.explode(lsh_band_keys(sig, 4, 4,
+    # materialize the signature in its own projection: lsh_band_keys
+    # references it once per band, and HOFs are CodegenFallback with
+    # no interpreted subexpression reuse — inlined, the 16-perm md5
+    # minhash would be evaluated 4x per chunk (same fix as the
+    # streaming near-dedup op; CollapseProject keeps a multi-referenced
+    # non-cheap alias as its own projection)
+    sigd = chunks.select("cid", sig.alias("__sig"))
+    banded = sigd.select(
+        "cid", F.explode(lsh_band_keys(F.col("__sig"), 4, 4,
                                        band_hash=md5_band_hash)).alias("bb")
     ).select("cid", F.col("bb.band").alias("band"),
              F.col("bb.bkey").alias("bkey"))

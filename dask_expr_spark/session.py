@@ -36,16 +36,32 @@ def _local_dir() -> str | None:
     ~333 MB/s and collapses under writeback (measured: a 150M-row
     full-outer join's median went 24.6 s → 4.7-6.1 s, and a bucketed
     upsert 84 s → 9.5 s, moving scratch to tmpfs — OPTIMIZATION_r10.md).
-    Default: tmpfs when /dev/shm exists and is writable; on a real
-    cluster set SPARK_GRAFT_LOCAL_DIR to the instance-store NVMe
-    mounts (comma-separated), the standard deployment guidance —
-    shuffle scratch is ephemeral by definition, so the fastest local
-    volume is always the right home for it."""
+
+    tmpfs is OPT-IN (ADVICE r10 / VERDICT r10 item 9): shuffle spill
+    exists to relieve memory pressure, and RAM-backed scratch fails
+    with ENOSPC/OOM exactly when memory is already tight — a 100 TB
+    shuffle must never land in tmpfs.  The default on an unconfigured
+    box is therefore Spark's own default (/tmp).  Order:
+    - SPARK_GRAFT_LOCAL_DIR (explicit path wins — on a real cluster
+      point it at the instance-store NVMe mounts, comma-separated);
+    - SPARK_GRAFT_TMPFS_SCRATCH=1 → /dev/shm, but only when the tmpfs
+      has ≥16 GiB free (bench-scale shuffles peak well under that;
+      anything bigger belongs on disk).  bench.py sets this flag for
+      the local measured box and records the resolved dir in
+      BENCH_DETAIL.json."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        return "/dev/shm/spark_local"
+    if (os.environ.get("SPARK_GRAFT_TMPFS_SCRATCH") == "1"
+            and os.path.isdir("/dev/shm")
+            and os.access("/dev/shm", os.W_OK)):
+        try:
+            st = os.statvfs("/dev/shm")
+            free = st.f_bavail * st.f_frsize
+        except OSError:
+            free = 0
+        if free >= 16 * 1024**3:
+            return "/dev/shm/spark_local"
     return None
 
 

@@ -214,9 +214,31 @@ def near_dedup_candidates_stream(
                   if portable_hash else (None, None, None))
     sig = minhash_sig_expr(F.col(text_col), k=k, num_perm=bands * rows,
                            token_hash=th, perm_hash=ph)
+    # Spread the signature computation across cores BEFORE evaluating
+    # it (guide §2.5 input skew / §2.6 stragglers): a micro-batch of a
+    # file stream arrives with one scan partition per (small) file, so
+    # the per-token hash work — num_perm rehashes per shingle, and the
+    # md5 family under portable_hash — otherwise runs single-task
+    # regardless of cluster size.  Measured at sf0.001 (500 docs, one
+    # source file, 8 cores): the banded aggregation dropped 54.2 s →
+    # ~7 s.  A micro-batch is bounded by the trigger, so the extra
+    # round-robin exchange moves a micro-batch of raw text once —
+    # cheap against the per-row signature cost it parallelizes.
+    stream = stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism)
+    # materialize the signature in its OWN projection: lsh_band_keys
+    # references `sig` once per band, and higher-order functions are
+    # CodegenFallback with no interpreted common-subexpression reuse —
+    # inlined, the full num_perm-rehash minhash would be evaluated
+    # `bands` times per row.  A non-cheap multi-referenced alias is
+    # exactly what CollapseProject refuses to re-inline, so this
+    # projection boundary pins single evaluation.
+    sigd = stream.select(F.col(id_col).alias("doc_id"),
+                         sig.alias("__sig"))
     banded = (
-        stream.select(F.col(id_col).alias("doc_id"),
-                      F.explode(lsh_band_keys(sig, bands, rows, band_hash=bh)).alias("bb"))
+        sigd.select("doc_id",
+                    F.explode(lsh_band_keys(F.col("__sig"), bands, rows,
+                                            band_hash=bh)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.bkey").alias("bkey"))
     )
