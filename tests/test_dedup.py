@@ -4,6 +4,7 @@ catch near-identical docs."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dask_expr_spark.functions import dedup as DD
@@ -128,6 +129,7 @@ def test_connected_components_label_prop_raises_on_deep_chain(spark):
         DD.connected_components(pairs, max_iter=5).collect()
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_label_prop_random(spark):
     """random shallow graphs: both algorithms agree with each other
     and with a driver-side union-find."""

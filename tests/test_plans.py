@@ -227,28 +227,12 @@ _NESTED_LOOP_OK = {"q22_idle_customers", "q11_important_stock",
                    "cms_join_cardinality"}
 
 
-def test_no_accidental_cartesian_or_row_udf(spark, sf_dir):
-    """scale guardrail over the WHOLE registry: no query may compile to
-    a cartesian product, an unlisted nested-loop join, or a
-    row-at-a-time Python UDF (BatchEvalPython) — the three plan shapes
-    that silently stop scaling."""
-    from dask_expr_spark.queries import collect_queries
-
-    offenders = {}
-    for name, (fn, _sql) in sorted(collect_queries().items()):
-        df = fn(spark, sf_dir)
-        sdf = df.to_spark() if hasattr(df, "to_spark") else df
-        plan = sdf._jdf.queryExecution().executedPlan().toString()
-        flags = []
-        if "CartesianProduct" in plan:
-            flags.append("cartesian")
-        if "BatchEvalPython" in plan:
-            flags.append("row-python-udf")
-        if "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_OK:
-            flags.append("nested-loop")
-        if flags:
-            offenders[name] = flags
-    assert not offenders, f"scale-hostile plans: {offenders}"
+# The whole-registry cartesian/row-UDF guardrail now rides the oracle
+# sweep (tests/test_correctness.py assert_scale_safe_plan): a separate
+# registry pass re-executed every composite query's writes just to
+# read the final plan — 165 s for a check the sweep performs for free
+# on the same DataFrames.  _NESTED_LOOP_OK's rationale lives above;
+# the enforced copy is test_correctness.NESTED_LOOP_OK.
 
 
 def test_plan_construction_is_lazy(spark, sf_dir):

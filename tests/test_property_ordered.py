@@ -10,6 +10,14 @@ import pandas as pd
 import pandas.testing as pdt
 
 from hypothesis import HealthCheck, given, settings
+
+import pytest
+
+# randomized property battery: every law here is also pinned by a
+# deterministic test; the battery runs in the local full sweep
+# (`pytest -m ""`), outside the driver's budgeted default gate
+pytestmark = pytest.mark.slow
+
 from hypothesis import strategies as st
 
 from dask_expr_spark.sources.io import from_pandas

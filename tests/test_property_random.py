@@ -16,6 +16,14 @@ import pandas.testing as pdt
 
 from dask_expr_spark.sources.io import from_pandas
 
+import pytest
+
+# randomized property battery: every law here is also pinned by a
+# deterministic test; the battery runs in the local full sweep
+# (`pytest -m ""`), outside the driver's budgeted default gate
+pytestmark = pytest.mark.slow
+
+
 
 def _rand_frame(rng: np.random.RandomState, n: int | None = None,
                 key_card: int | None = None) -> pd.DataFrame:

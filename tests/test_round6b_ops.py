@@ -28,6 +28,7 @@ def _zipf_tokens(rng, n_vals, n_rows):
             for _ in range(n_rows)]
 
 
+@pytest.mark.slow
 def test_cms_never_undercounts_randomized(spark):
     rng = random.Random(60)
     for trial in range(3):

@@ -483,6 +483,7 @@ def _scd2_reference(events):
     return out
 
 
+@pytest.mark.slow
 def test_scd2_randomized_differential(spark):
     """three sequential batches of random updates vs the pandas
     reference: full history equality (values, validity intervals,
@@ -1084,6 +1085,7 @@ def test_upsert_sink_zonemap_maintenance(spark, tmp_path):
         == sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.slow
 def test_cdc_apply_roundtrip_randomized(spark):
     """the CDC loop law, randomized: for arbitrary before/after states
     (updates incl. null transitions, deletes, inserts),

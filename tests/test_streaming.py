@@ -205,8 +205,14 @@ def test_near_dedup_candidates_stream(spark, sf_dir, tmp_path):
 
         batch = spark.read.schema(schema).parquet(src)
         sig = minhash_sig_expr(F.col("text"), k=3, num_perm=32)
-        banded = (batch.select("doc_id",
-                               F.explode(lsh_band_keys(sig, 8, 4)).alias("bb"))
+        # same shape fixes as the operator under test: spread the
+        # single-file scan and pin the signature to one evaluation
+        # (inlined into lsh_band_keys it would be interpreted 8x per
+        # row in one task — this reference side alone cost ~40 s)
+        sigd = (batch.repartition(8)
+                .select("doc_id", sig.alias("__sig")))
+        banded = (sigd.select("doc_id",
+                              F.explode(lsh_band_keys(F.col("__sig"), 8, 4)).alias("bb"))
                   .select("doc_id", "bb.band", "bb.bkey"))
         want = set()
         rows = banded.collect()
