@@ -178,6 +178,11 @@ VALIDATED = frozenset({
 # r3-era cohort the r10 window did not reach, then the never-
 # reconfirmed r4/r5 tails, each in registry order.
 RECONFIRM_FIRST = (
+    # operator path rewritten in r11 (near-dedup signature spread +
+    # single-evaluation projection — outputs verified identical locally
+    # at sf0.001 and sf0.01, but the driver should re-confirm queries
+    # whose execution path changed in the same round)
+    "stream_near_dedup", "dedup_ngram_jaccard",
     # rewritten in r10 after rotating out of the r10 window
     "cms_join_cardinality", "cms_custkey_counts",
     "dedup_bloom_incremental", "upsert_partitioned_roundtrip",
